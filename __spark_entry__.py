@@ -1,38 +1,77 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (entity-resolution join + window
+dedup + grouped aggregation — J1+W2+A in one DAG, SURVEY.md §7 phase 0).
+``queries()`` / ``oracle_sql()`` expose every implemented operator from
+SURVEY.md §2 with DuckDB-oracle twins; see fefal_etl_spark/queries.py.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship on sf0.001: resolve noisy entity names against a registry,
+    dedup to the best record per entity, aggregate counts per status/region.
+    """
+    from pyspark.sql import functions as F
+
+    from fefal_etl_spark.datasets import load_table
+    from fefal_etl_spark.operators import classify_rows, resolve_entities
+
+    sf_dir = "/root/testdata/sf0.001"
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+
+    registry = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select(
+        F.col("n_nationkey").alias("id_entidades"),
+        F.col("n_name").alias("ent_nome"),
+        F.col("r_name").alias("ent_tipo"),
+    )
+    probe = (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(
+            "c_custkey",
+            "c_acctbal",
+            F.when(
+                customer.c_custkey % 13 == 0,
+                F.concat(F.lit("Unknown Entity "), customer.c_custkey),
+            )
+            .otherwise(F.concat(F.lit("  Município de "), nation.n_name, F.lit("  ")))
+            .alias("nome_entidade"),
+            F.lower(region.r_name).alias("tipo_entidade"),
+        )
+    )
+    resolved = resolve_entities(probe, registry)
+    classified = classify_rows(
+        resolved,
+        id_col="id_entidade",
+        order_by=[F.col("c_acctbal").desc(), F.col("c_custkey").asc()],
+    )
+    return classified.groupBy("status", "id_entidade").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("sum_bal"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from fefal_etl_spark.queries import get_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return get_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from fefal_etl_spark.queries import get_oracles
+
+    return get_oracles()

@@ -1,0 +1,58 @@
+"""Canonical loaders for the driver-generated test tables (TESTDATA.md).
+
+Centralizes the one schema quirk: ``events.parquet`` stores its ``ts`` column
+as parquet TIMESTAMP(NANOS), which Spark's parquet reader rejects unless
+``spark.sql.legacy.parquet.nanosAsLong=true`` (then it surfaces as LongType
+nanoseconds). We normalize it to TIMESTAMP_NTZ microseconds — the same value
+DuckDB sees — using integer division (``div``) so no precision is lost going
+through doubles (ns-since-epoch exceeds 2^53).
+
+At 100 TB these helpers are the template for source tables: a single
+``spark.read.parquet`` per table, no driver-side materialization; column
+pruning and predicate pushdown happen in the scan via Catalyst.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fefal_etl_spark.session import apply_runtime_confs
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # nanos → micros exactly, then to tz-naive timestamp (session tz=UTC).
+        df = df.withColumn(
+            "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
+        )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register each table as a temp view for spark.sql() access."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)

@@ -1,0 +1,65 @@
+"""Numeric scalar functions (SURVEY.md §2.9 F15–F17; A1/A2 rescale).
+
+All coercions use ``try_cast`` so parse failures yield NULL (pandas
+``errors="coerce"`` parity) under both ANSI and non-ANSI sessions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def to_numeric_coerce(col: Column) -> Column:
+    """F15: parse to double, NULL on failure (etl_ui.py:180, 307)."""
+    return col.cast("string").try_cast("double")
+
+
+def validate_numeric(col: Column) -> Column:
+    """F16: ``max(int(float(v)), 0)``; parse failure → 0 (etl_ui.py:227-232).
+
+    ``int()`` truncates toward zero; negatives are clamped to 0 afterwards,
+    so plain truncation of non-negatives is sufficient.
+    """
+    parsed = to_numeric_coerce(col)
+    truncated = parsed.cast("long")  # toward-zero for the values that survive
+    return F.greatest(F.coalesce(truncated, F.lit(0)), F.lit(0)).cast("long")
+
+
+def round_half_even(col: Column) -> Column:
+    """F17: banker's rounding to integer — matches numpy/pandas ``.round()``
+    (etl_ui.py:184). Spark's ``bround`` is HALF_EVEN; plain ``round`` is
+    HALF_UP and would diverge on *.5 values."""
+    return F.bround(col)
+
+
+def rescale_to_100(
+    df: DataFrame,
+    colname: str,
+    out: str | None = None,
+    rounding: str = "half_even",
+) -> DataFrame:
+    """A1+A2: min-max rescale a percentage column to 0–100 by its global max
+    (etl_ui.py:177-188): coerce → negatives→NULL → ``round(x/max*100)`` as
+    nullable int. If the max is NULL or ≤ 0 the column is left as coerced.
+
+    ``rounding``: 'half_even' (default — numpy/pandas ``.round()`` parity,
+    F17) or 'half_up' (SQL-standard ROUND; what DuckDB/Postgres do).
+
+    The global max is computed with an unpartitioned window aggregate: one
+    extra shuffle-free exchange to a single reduce, broadcast back — Spark
+    plans this as a cheap scalar subquery-like pattern; at 100 TB prefer this
+    over ``crossJoin(df.agg(max))`` (identical semantics, AQE handles both).
+    """
+    out = out or colname
+    rounder = round_half_even if rounding == "half_even" else F.round
+    coerced = to_numeric_coerce(F.col(colname))
+    cleaned = F.when(coerced < 0, F.lit(None)).otherwise(coerced)
+    tmp = df.withColumn("__pct_clean", cleaned)
+    w = Window.partitionBy()
+    max_pct = F.max("__pct_clean").over(w)
+    scaled = F.when(
+        max_pct.isNotNull() & (max_pct > 0),
+        rounder(F.col("__pct_clean") / max_pct * 100).cast("int"),
+    ).otherwise(F.col("__pct_clean").cast("int"))
+    return tmp.withColumn(out, scaled).drop("__pct_clean")

@@ -1,0 +1,73 @@
+"""Idempotent dimension upsert + surrogate keys (SURVEY.md §2.1 S7, §3 EP3).
+
+The reference assigns surrogate keys via per-row ``INSERT … RETURNING``
+round-trips (etl_ui.py:412-429, 446-456) — a single-node sequential
+bottleneck. The engine generates keys *inside Spark* so every bridge fact can
+join on them without a driver round-trip:
+
+- **hash keys** (default): ``xxhash64`` of the natural key — deterministic,
+  shuffle-free, stable across runs/partitionings; collisions over a 64-bit
+  space are negligible at dim cardinalities (birthday bound ≈ 2^32 rows).
+- **dense sequential keys**: offset + ``row_number`` over the natural key —
+  matches the reference's serial ids; needs one tiny shuffle of the *new*
+  dim rows only (never the facts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hash_key(*cols) -> "F.Column":
+    return F.xxhash64(*cols)
+
+
+def upsert_dim_hash(
+    existing: DataFrame | None,
+    incoming: DataFrame,
+    natural_key: str | list[str],
+    id_col: str,
+) -> DataFrame:
+    """Merge new natural keys into a dim with hash surrogate ids.
+
+    ``existing`` may be None (first load). Idempotent: re-running with the
+    same input yields the same dim (same ids).
+    """
+    keys = [natural_key] if isinstance(natural_key, str) else list(natural_key)
+    new = incoming.select(*keys).dropDuplicates(keys)
+    if existing is not None:
+        new = new.join(existing.select(*keys), on=keys, how="left_anti")
+    new = new.withColumn(id_col, hash_key(*[F.col(k) for k in keys]))
+    if existing is None:
+        return new.select(id_col, *keys)
+    return existing.select(id_col, *keys).unionByName(new.select(id_col, *keys))
+
+
+def upsert_dim_sequential(
+    existing: DataFrame | None,
+    incoming: DataFrame,
+    natural_key: str | list[str],
+    id_col: str,
+) -> DataFrame:
+    """Merge new natural keys with dense sequential ids continuing after the
+    existing max (reference ``INSERT RETURNING`` parity, etl_ui.py:446-456).
+
+    Only the *new, distinct* dim rows pass through the row_number window —
+    dims are small by definition, so the single-partition window is safe.
+    """
+    keys = [natural_key] if isinstance(natural_key, str) else list(natural_key)
+    new = incoming.select(*keys).dropDuplicates(keys)
+    if existing is not None:
+        new = new.join(existing.select(*keys), on=keys, how="left_anti")
+        offset_df = existing.agg(F.coalesce(F.max(id_col), F.lit(0)).alias("__off"))
+    else:
+        offset_df = None
+    w = Window.orderBy(*keys)
+    new = new.withColumn(id_col, F.row_number().over(w).cast("long"))
+    if offset_df is not None:
+        new = new.crossJoin(F.broadcast(offset_df)).withColumn(
+            id_col, (F.col(id_col) + F.col("__off")).cast("long")
+        ).drop("__off")
+        return existing.select(id_col, *keys).unionByName(new.select(id_col, *keys))
+    return new.select(id_col, *keys)

@@ -1,0 +1,756 @@
+"""Query registry: every implemented operator exposed as a (PySpark builder,
+DuckDB oracle SQL) pair over the driver's test tables (TESTDATA.md).
+
+This is the engine's correctness surface (SURVEY.md §5 strategy 1): each
+SURVEY.md §2 operator appears as a ``queries()`` entry whose result must
+hash-match its ANSI-SQL oracle at sf=0.01. Column names and value semantics
+are aligned on both sides (aggregates over doubles go through DECIMAL so the
+result is exact and order-insensitive, then back to DOUBLE).
+
+The Spark side always goes through the library operators in
+``fefal_etl_spark.*`` — these queries are integration tests of the engine,
+not ad-hoc SQL.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fefal_etl_spark.datasets import load_table
+from fefal_etl_spark.functions import (
+    encode_existe_responsavel,
+    encode_sim_nao_null,
+    encode_sim_nao_tristate,
+    extract_content_in_brackets,
+    is_numeric_string,
+    normalize_text,
+    split_sentences,
+    validate_numeric,
+)
+from fefal_etl_spark.operators import (
+    anti_join_new_keys,
+    classify_rows,
+    dedup_keep_best,
+    resolve_entities,
+    with_row_key,
+)
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# SQL snippet helpers so the oracle replicates the engine's normalization
+# exactly (reference etl_ui.py:322-331, 52-56, 22-25).
+# --------------------------------------------------------------------------
+
+
+def sql_norm(x: str) -> str:
+    return f"lower(regexp_replace(strip_accents(trim({x})), '\\s+', ' ', 'g'))"
+
+
+_PREFIX_1 = r"^\s*(municipio|camara municipal|cm|c m)(\s+(de|do|da|dos|das))?\s+"
+_PREFIX_2 = r"^\s*(freguesia|junta de freguesia|uniao de freguesias|uniao das freguesias)(\s+(de|do|da|dos|das))?\s+"
+
+
+def sql_strip_prefixes(x: str) -> str:
+    inner = sql_norm(x)
+    return (
+        f"trim(regexp_replace(regexp_replace({inner}, '{_PREFIX_1}', ''), "
+        f"'{_PREFIX_2}', ''))"
+    )
+
+
+DECSUM = "CAST(SUM(CAST({x} AS DECIMAL(18,2))) AS DOUBLE)"
+
+
+def decsum(col: str) -> F.Column:
+    """Order-insensitive exact sum of a 2-decimal double column → double."""
+    return F.sum(F.col(col).cast("decimal(18,2)")).cast("double")
+
+
+# ==========================================================================
+# A-family: grouped aggregation (TPC-H Q1-style pricing summary)
+# ==========================================================================
+
+
+@register(
+    "pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {DECSUM.format(x='l_quantity')} AS sum_qty,
+           {DECSUM.format(x='l_extendedprice')} AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,4))) AS DOUBLE) AS sum_disc_price,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped aggregation with predicate pushdown (SURVEY §2.4 grouped agg).
+
+    Scale notes: partial (map-side) aggregation + one shuffle on the 6-group
+    key; the shipdate filter is pushed into the parquet scan.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .withColumn("__disc_price", disc_price)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            decsum("l_quantity").alias("sum_qty"),
+            decsum("l_extendedprice").alias("sum_base_price"),
+            # 2-dec × 2-dec product is exact at scale 4 → order-insensitive sum
+            F.sum(F.col("__disc_price").cast("decimal(24,4)"))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ==========================================================================
+# J1: entity-resolution broadcast join (+F1/F2/F4 normalization machinery)
+# ==========================================================================
+
+_ENTITY_PROBE_SQL = f"""
+    probe AS (
+        SELECT c_custkey,
+               '  Município de ' || n_name || '  ' AS nome_entidade,
+               lower(r_name) AS tipo_entidade
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+    ),
+    reg AS (
+        SELECT n_nationkey AS id_entidades,
+               {sql_strip_prefixes('n_name')} || '||' || {sql_norm('r_name')} AS entity_key
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+    )
+"""
+
+
+@register(
+    "entity_resolution",
+    f"""
+    WITH {_ENTITY_PROBE_SQL}
+    SELECT p.c_custkey, CAST(r.id_entidades AS BIGINT) AS id_entidade
+    FROM probe p
+    LEFT JOIN reg r
+      ON {sql_strip_prefixes('p.nome_entidade')} || '||' || {sql_norm('p.tipo_entidade')}
+         = r.entity_key
+    """,
+)
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 — resolve noisy entity names (prefix + accents + case + whitespace)
+    against a registry via the normalized composite key (etl_ui.py:86-95).
+
+    The probe names get the reference's real-world noise: a "Município de"
+    prefix, stray whitespace, mixed case. Registry side is nation⋈region.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    registry = (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(
+            F.col("n_nationkey").alias("id_entidades"),
+            F.col("n_name").alias("ent_nome"),
+            F.col("r_name").alias("ent_tipo"),
+        )
+    )
+    probe = (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(
+            "c_custkey",
+            F.concat(F.lit("  Município de "), F.col("n_name"), F.lit("  ")).alias(
+                "nome_entidade"
+            ),
+            F.lower(F.col("r_name")).alias("tipo_entidade"),
+        )
+    )
+    resolved = resolve_entities(
+        probe, registry, registry_id="id_entidades", out_id="id_entidade"
+    )
+    return resolved.select(
+        "c_custkey", F.col("id_entidade").cast("long").alias("id_entidade")
+    )
+
+
+# ==========================================================================
+# W2: best-record dedup;  EP2 status fork
+# ==========================================================================
+
+
+@register(
+    "dedup_keep_best",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM orders
+    QUALIFY row_number() OVER (
+        PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) = 1
+    """,
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 — one best row per key (etl_ui.py:201-213 semantics)."""
+    orders = load_table(spark, sf_dir, "orders")
+    best = dedup_keep_best(
+        orders,
+        key="o_custkey",
+        order_by=[F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+    )
+    return best.select("o_custkey", "o_orderkey", "o_totalprice")
+
+
+@register(
+    "status_fork_counts",
+    """
+    WITH sim AS (
+        SELECT *, CASE WHEN o_custkey % 10 = 0 THEN NULL ELSE o_custkey END AS id_entidade
+        FROM orders
+    ), ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY id_entidade ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        FROM sim
+    )
+    SELECT CASE WHEN id_entidade IS NULL THEN 'unmatched'
+                WHEN rk = 1 THEN 'valid'
+                ELSE 'duplicate' END AS status,
+           CAST(count(*) AS BIGINT) AS n
+    FROM ranked GROUP BY 1
+    """,
+)
+def q_status_fork_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP2 fork — valid/duplicate/unmatched accounting (etl_ui.py:109-125,
+    1982-1986). NULL ids → unmatched; best row per id → valid; rest dup."""
+    orders = load_table(spark, sf_dir, "orders")
+    sim = orders.withColumn(
+        "id_entidade",
+        F.when(F.col("o_custkey") % 10 == 0, F.lit(None)).otherwise(F.col("o_custkey")),
+    )
+    classified = classify_rows(
+        sim,
+        id_col="id_entidade",
+        order_by=[F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+    )
+    return classified.groupBy("status").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ==========================================================================
+# R1: unpivot (wide→long)
+# ==========================================================================
+
+_MEASURES = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@register(
+    "unpivot_measures",
+    " UNION ALL ".join(
+        f"""SELECT '{m}' AS measure,
+            {DECSUM.format(x=m)} AS sum_value,
+            CAST(count(*) AS BIGINT) AS n
+            FROM lineitem WHERE {m} IS NOT NULL"""
+        for m in _MEASURES
+    ),
+)
+def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1 — unpivot lineitem measures to long form then aggregate per measure
+    (etl_ui.py:458-470 pattern). Spark's unpivot is a narrow Expand — no
+    shuffle until the 4-group aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.unpivot(["l_orderkey", "l_linenumber"], _MEASURES, "measure", "value")
+    return (
+        long.filter(F.col("value").isNotNull())
+        .groupBy("measure")
+        .agg(decsum("value").alias("sum_value"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ==========================================================================
+# A1/A2: global max + min-max rescale (P7 NULL-out included)
+# ==========================================================================
+
+
+@register(
+    "pct_rescale",
+    """
+    WITH c AS (
+        SELECT c_custkey,
+               CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS p
+        FROM customer
+    ), m AS (SELECT max(p) AS mx FROM c)
+    SELECT c_custkey,
+           CASE WHEN mx IS NOT NULL AND mx > 0
+                THEN CAST(round(p / mx * 100) AS INTEGER)
+                ELSE CAST(p AS INTEGER) END AS pct
+    FROM c CROSS JOIN m
+    """,
+)
+def q_pct_rescale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1+A2+P7 — negatives→NULL then rescale to 0-100 by the global max
+    (etl_ui.py:177-188). Oracle uses round-half-away (both dialects agree);
+    the library's default is bround for numpy parity (unit-tested)."""
+    from fefal_etl_spark.functions.numeric import rescale_to_100
+
+    customer = load_table(spark, sf_dir, "customer")
+    out = rescale_to_100(customer, "c_acctbal", out="pct", rounding="half_up")
+    return out.select("c_custkey", "pct")
+
+
+# ==========================================================================
+# Window family: top-k, lag/duration, sessionize
+# ==========================================================================
+
+
+@register(
+    "window_topk",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rk AS BIGINT) AS rk
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        FROM orders) t
+    WHERE rk <= 3
+    """,
+)
+def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via ranking window (SURVEY §2.5 exposed family)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+@register(
+    "event_gaps",
+    """
+    WITH g AS (
+        SELECT user_id, event_id,
+               date_diff('second',
+                         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                         ts) AS gap
+        FROM events
+    )
+    SELECT user_id, event_id,
+           CAST(CASE WHEN gap <= 0 THEN NULL ELSE gap END AS BIGINT) AS gap_s
+    FROM g
+    """,
+)
+def q_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() analytic + F13 duration semantics (≤0 → NULL;
+    etl_ui.py:194-196) over the events table."""
+    from fefal_etl_spark.functions.temporal import duration_seconds
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag(F.col("ts")).over(w)
+    gap = duration_seconds(
+        prev.cast("timestamp"), F.col("ts").cast("timestamp")
+    )
+    return ev.select("user_id", "event_id", gap.alias("gap_s"))
+
+
+@register(
+    "sessionize",
+    """
+    WITH flagged AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id, ts, value,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM flagged
+    )
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end
+    FROM sess GROUP BY user_id, session_seq
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min inactivity gap) via lag + running sum — the
+    batch twin of streaming session_window (SURVEY §2.11)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    gap = F.unix_timestamp(F.col("ts").cast("timestamp")) - F.unix_timestamp(
+        prev.cast("timestamp")
+    )
+    new_sess = F.when(prev.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0))
+    wsum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    flagged = ev.withColumn("__new", new_sess).withColumn(
+        "session_seq", F.sum("__new").over(wsum).cast("long")
+    )
+    return flagged.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+@register(
+    "first_event_per_type",
+    """
+    SELECT user_id, event_type, event_id AS first_event_id, ts AS first_ts
+    FROM events
+    QUALIFY row_number() OVER (
+        PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1
+    """,
+)
+def q_first_event_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicates-with-order semantics: earliest event per (user, type)
+    — the deterministic batch twin of streaming dedup (SURVEY §2.11)."""
+    ev = load_table(spark, sf_dir, "events")
+    best = dedup_keep_best(
+        ev, key=["user_id", "event_type"], order_by=[F.col("ts").asc(), F.col("event_id").asc()]
+    )
+    return best.select(
+        "user_id",
+        "event_type",
+        F.col("event_id").alias("first_event_id"),
+        F.col("ts").alias("first_ts"),
+    )
+
+
+# ==========================================================================
+# Event-time tumbling window aggregation (streaming-shape, batch-checked)
+# ==========================================================================
+
+
+@register(
+    "events_hourly",
+    f"""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           {DECSUM.format(x='value')} AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window aggregation — same plan Structured
+    Streaming uses for `groupBy(window(ts)) .agg(...)` (SURVEY §2.11)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), decsum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "sum_value"
+        )
+    )
+
+
+# ==========================================================================
+# Set ops, anti/semi joins, distinct, sort/limit
+# ==========================================================================
+
+
+@register(
+    "union_except",
+    """
+    SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    UNION ALL
+    SELECT o_orderkey FROM orders WHERE o_totalprice > 200000
+    EXCEPT ALL
+    SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def q_union_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 unionByName + U2 exceptAll (etl_ui.py:2050-2060 semantics)."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    b = orders.filter(F.col("o_totalprice") > 200000).select("o_orderkey")
+    c = orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    return a.unionByName(b).exceptAll(c)
+
+
+@register(
+    "anti_join_customers",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 — left-anti join: keys absent from the other side
+    (etl_ui.py:446-448 'which dims must be inserted')."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return anti_join_new_keys(
+        customer.select("c_custkey", "c_name"),
+        orders.select(F.col("o_custkey").alias("c_custkey")),
+        on="c_custkey",
+    )
+
+
+@register(
+    "semi_join_customers",
+    """
+    SELECT c_custkey FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi join (SURVEY §2.3 exposed-for-free family)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey")
+
+
+@register(
+    "distinct_segments",
+    "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+)
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 — DISTINCT (etl_ui.py:1463, 2010)."""
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.select("c_mktsegment", "c_nationkey").distinct()
+
+
+@register(
+    "top_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+)
+def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1+O2 — multi-key sort + limit (etl_ui.py:205, 864). Spark plans this
+    as TakeOrderedAndProject: no global sort, a per-partition top-k then a
+    driver-side merge of 100-row heaps."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@register(
+    "rollup_lineitem",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {DECSUM.format(x='l_quantity')} AS sum_qty,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (SURVEY §2.4 exposed family)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        decsum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n")
+    )
+
+
+# ==========================================================================
+# Scalar function parity queries (F3, F8/F9/F10, F11, F16)
+# ==========================================================================
+
+_RAW_SIMNAO = """CASE WHEN value > 66 THEN 'Sim'
+         WHEN value > 50 THEN 'Não '
+         WHEN value > 33 THEN 'nao'
+         WHEN value > 20 THEN 'NÃO'
+         ELSE 'talvez' END"""
+
+
+@register(
+    "encodings_simnao",
+    f"""
+    WITH t AS (SELECT event_id, {_RAW_SIMNAO} AS raw FROM events),
+    n AS (SELECT event_id, raw, {sql_norm('raw')} AS norm, lower(raw) AS low FROM t)
+    SELECT CAST(CASE WHEN norm = 'sim' THEN 1 WHEN norm = 'nao' THEN 0 END AS INTEGER) AS enc_null,
+           CAST(CASE WHEN norm = 'sim' THEN 1 WHEN norm = 'nao' THEN 0 ELSE -1 END AS INTEGER) AS enc_tri,
+           CAST(CASE WHEN low = 'sim' THEN 1 WHEN low = 'não' THEN 0 END AS INTEGER) AS enc_resp,
+           CAST(count(*) AS BIGINT) AS n
+    FROM n GROUP BY 1, 2, 3
+    """,
+)
+def q_encodings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8/F9/F10 — the three sim/não encodings, including the deliberate
+    accent asymmetry of F10 (etl_ui.py:263-270, 289-293, 408)."""
+    ev = load_table(spark, sf_dir, "events")
+    raw = F.expr(_RAW_SIMNAO)
+    return (
+        ev.select(
+            encode_sim_nao_null(raw).alias("enc_null"),
+            encode_sim_nao_tristate(raw).alias("enc_tri"),
+            encode_existe_responsavel(raw).alias("enc_resp"),
+        )
+        .groupBy("enc_null", "enc_tri", "enc_resp")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_RAW_NUM = """CASE WHEN value < 10 THEN 'x7'
+         WHEN value < 20 THEN '-5'
+         WHEN value < 30 THEN '3.7'
+         WHEN value < 40 THEN ' 42 '
+         ELSE CAST(CAST(floor(value) AS BIGINT) AS VARCHAR) END"""
+
+_RAW_NUM_SPARK = _RAW_NUM.replace("VARCHAR", "STRING")
+
+
+@register(
+    "validate_numeric",
+    f"""
+    WITH t AS (SELECT event_id, {_RAW_NUM} AS raw FROM events)
+    SELECT event_id,
+           CAST(greatest(coalesce(CAST(trunc(try_cast(raw AS DOUBLE)) AS BIGINT), 0), 0) AS BIGINT) AS vnum,
+           regexp_matches(trim(raw), '^[0-9]+(\\.[0-9]+)?$|^\\.[0-9]+$|^[0-9]+\\.$') AS is_num
+    FROM t
+    """,
+)
+def q_validate_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F16 validate_numeric (clamp ≥0, garbage→0; etl_ui.py:227-232) and
+    F11 numeric-string detection (etl_ui.py:542-543)."""
+    ev = load_table(spark, sf_dir, "events")
+    raw = F.expr(_RAW_NUM_SPARK)
+    return ev.select(
+        "event_id",
+        validate_numeric(raw).alias("vnum"),
+        is_numeric_string(raw).alias("is_num"),
+    )
+
+
+_RAW_BRACKET = """CASE WHEN p_size % 3 = 0 THEN '[' || p_brand || '] extra'
+         WHEN p_size % 3 = 1 THEN '  ' || p_name || '  '
+         ELSE 'Quantos formandos? [' || p_type || ']' END"""
+
+
+@register(
+    "bracket_extract",
+    f"""
+    WITH t AS (SELECT p_partkey, {_RAW_BRACKET} AS raw FROM part)
+    SELECT p_partkey,
+           CASE WHEN regexp_matches(raw, '\\[.*?\\]')
+                THEN trim(regexp_extract(raw, '\\[(.*?)\\]', 1))
+                ELSE trim(raw) END AS extracted
+    FROM t
+    """,
+)
+def q_bracket_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 — bracket extraction with whole-string fallback (etl_ui.py:57-62),
+    the mechanism that turns 'Quantos formandos? [X]' headers into dim rows."""
+    part = load_table(spark, sf_dir, "part")
+    raw = F.expr(_RAW_BRACKET)
+    return part.select(
+        "p_partkey", extract_content_in_brackets(raw).alias("extracted")
+    )
+
+
+@register(
+    "normalize_text",
+    f"""
+    SELECT c_custkey,
+           {sql_norm("'  ' || c_name || '   X  '")} AS norm_name,
+           {sql_strip_prefixes("'Câmara Municipal de ' || c_name")} AS stripped
+    FROM customer
+    """,
+)
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1+F2 — normalize_text and entity-prefix strip (etl_ui.py:322-331,
+    52-56) incl. accented prefix 'Câmara' exercising the accent table."""
+    from fefal_etl_spark.functions import remove_entity_prefixes
+
+    customer = load_table(spark, sf_dir, "customer")
+    noisy = F.concat(F.lit("  "), F.col("c_name"), F.lit("   X  "))
+    prefixed = F.concat(F.lit("Câmara Municipal de "), F.col("c_name"))
+    return customer.select(
+        "c_custkey",
+        normalize_text(noisy).alias("norm_name"),
+        remove_entity_prefixes(prefixed).alias("stripped"),
+    )
+
+
+# ==========================================================================
+# R5: sentence explode
+# ==========================================================================
+
+_SENTENCED = (
+    "replace(replace(text, ' merge', '. Merge'), ' data', ', Data')"
+)
+
+
+@register(
+    "sentence_explode",
+    f"""
+    WITH t AS (SELECT doc_id, {_SENTENCED} AS txt FROM documents),
+    s AS (
+        SELECT doc_id,
+               string_split(
+                   regexp_replace(
+                       regexp_replace(trim(txt), '([.!?;/|])\\s+', '\\1\x07', 'g'),
+                       ',\\s+([A-ZÁÉÍÓÚÂÊÎÔÛÃÕÇ])', '\x07\\1', 'g'),
+                   chr(7)) AS parts
+        FROM t
+    )
+    SELECT doc_id, trim(p) AS sentence
+    FROM (SELECT doc_id, unnest(parts) AS p FROM s) t
+    WHERE trim(p) <> ''
+    """,
+)
+def q_sentence_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R5 — sentence split + explode with the reference regex's semantics
+    (etl_ui.py:486-492, 558-564). The Spark side runs the *exact* reference
+    lookaround regex (Java regex); the oracle uses the equivalent
+    sentinel-rewrite form (RE2 has no lookaround) — equivalence is also
+    pinned by unit tests against Python ``re``."""
+    docs = load_table(spark, sf_dir, "documents")
+    txt = F.expr(_SENTENCED)
+    arr = split_sentences(txt)
+    return (
+        docs.select("doc_id", F.explode(arr).alias("sentence"))
+        .filter(F.col("sentence") != "")
+    )
+
+
+# ==========================================================================
+# Registry accessors
+# ==========================================================================
+
+
+def get_queries() -> dict[str, QueryFn]:
+    # late imports so optional modules can extend the registry
+    import fefal_etl_spark.llm.queries  # noqa: F401
+    import fefal_etl_spark.plans.queries  # noqa: F401
+
+    return dict(QUERIES)
+
+
+def get_oracles() -> dict[str, str]:
+    import fefal_etl_spark.llm.queries  # noqa: F401
+    import fefal_etl_spark.plans.queries  # noqa: F401
+
+    return dict(ORACLES)

@@ -1,0 +1,89 @@
+"""SparkSession factory with scale-aware defaults.
+
+The engine targets multi-executor clusters over ~100 TB; locally we run
+``local[N]``. All tuning is expressed as plain Spark confs so the same code
+runs unchanged on a real cluster — only ``master`` and the shuffle-partition
+count change.
+
+Key choices (rationale):
+
+- **AQE on** (`spark.sql.adaptive.*`): runtime re-planning fixes shuffle
+  partition counts, converts sort-merge to broadcast when a side turns out
+  small, and splits skewed partitions — essential at 100 TB where static
+  estimates are wrong.
+- **ANSI off** for engine-owned sessions: the reference's semantics are
+  "coerce, NULL on failure" (pandas ``errors='coerce'``; reference
+  etl_ui.py:180,192-193,227-232). Library code nevertheless uses
+  ``try_cast``/``try_*`` everywhere so it is also correct under a
+  caller-provided ANSI-on session (Spark 4 default).
+- **Session timezone UTC**: test parquet is timezone-naive; keeps
+  TIMESTAMP ↔ TIMESTAMP_NTZ conversions identity-like and oracle-comparable.
+- **Arrow on**: fast pandas interchange for the few driver-side shims
+  (xlsx export) and for Pandas UDF extension points.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs every engine entry point applies even to sessions it
+# did not create (driver-owned sessions): these are all SQLConf runtime confs.
+RUNTIME_CONFS: dict[str, str] = {
+    # testdata events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
+    # parquet reader rejects; read as long nanos and convert (datasets.py).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Best-effort application of runtime confs to an existing session."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # immutable in this deployment — proceed with its value
+    return spark
+
+
+def get_spark(
+    app_name: str = "fefal_etl_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_confs: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's defaults.
+
+    ``shuffle_partitions`` defaults to the local core count — correct for
+    local mode; on a cluster leave AQE's coalescing to right-size post-shuffle
+    partitions (initial partition num can stay high).
+    """
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        .config("spark.ui.showConsoleProgress", "false")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    if master:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_MASTER"):
+        builder = builder.master(f"local[{cpus}]")
+    for k, v in (extra_confs or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    return apply_runtime_confs(spark)

@@ -1,0 +1,20 @@
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from fefal_etl_spark.session import get_spark
+
+    spark = get_spark(
+        "tests",
+        master="local[4]",
+        shuffle_partitions=4,
+        extra_confs={"spark.ui.enabled": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    yield spark
+    spark.stop()

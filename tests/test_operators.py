@@ -1,0 +1,223 @@
+"""Operator tests on hand-built survey-style fixtures (FIXTURES.md §1-§3,
+SURVEY.md §5.2)."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from fefal_etl_spark.operators import (
+    anti_join_new_keys,
+    classify_rows,
+    dedup_keep_best,
+    fork_by_status,
+    prefix_join,
+    resolve_entities,
+    unpivot_formations,
+    unpivot_interests_with_comments,
+    unpivot_preferences,
+    upsert_dim_hash,
+    upsert_dim_sequential,
+    with_row_key,
+    explode_sentences,
+)
+
+
+@pytest.fixture()
+def registry(spark):
+    return spark.createDataFrame(
+        [
+            (1, "Aveiro", "Municípios"),
+            (2, "Braga", "Municípios"),
+            (3, "Município de Porto", "Municípios"),  # registry side has prefix too
+            (4, "Alvalade", "Freguesias"),
+        ],
+        "id_entidades int, ent_nome string, ent_tipo string",
+    )
+
+
+@pytest.fixture()
+def survey(spark):
+    rows = [
+        # (row, nome, tipo, pct)
+        (1, "Município de Aveiro", "Municípios", "80"),
+        (2, "CAMARA MUNICIPAL  DE  BRAGA", "Municípios", "90"),
+        (3, "Porto", "Municípios", "70"),      # matches prefix-stripped registry
+        (4, "Freguesia de Alvalade", "Freguesias", "60"),
+        (5, "Município de Aveiro", "Municípios", "95"),  # duplicate, better pct
+        (6, "Entidade Fantasma", "Municípios", "50"),    # unmatched
+    ]
+    return spark.createDataFrame(
+        rows, "row_id int, nome_entidade string, tipo_entidade string, pct string"
+    )
+
+
+def test_resolve_entities(spark, survey, registry):
+    out = resolve_entities(survey, registry).orderBy("row_id").collect()
+    ids = [r["id_entidade"] for r in out]
+    assert ids == [1, 2, 3, 4, 1, None]
+
+
+def test_classify_and_fork_invariant(spark, survey, registry):
+    resolved = resolve_entities(survey, registry)
+    classified = classify_rows(
+        resolved,
+        id_col="id_entidade",
+        order_by=[F.col("pct").cast("double").desc(), F.col("row_id").asc()],
+    )
+    forks = fork_by_status(classified)
+    counts = {k: df.count() for k, df in forks.items()}
+    # etl_ui.py:1986 invariant: valid + dup + unmatched + blank == input rows
+    assert sum(counts.values()) == survey.count()
+    assert counts["valid"] == 4 and counts["duplicate"] == 1 and counts["unmatched"] == 1
+    # best record wins: row 5 (pct 95) is the valid Aveiro, row 1 the duplicate
+    dup = forks["duplicate"].collect()[0]
+    assert dup["row_id"] == 1
+
+
+def test_classify_blank_names(spark, registry):
+    from fefal_etl_spark.functions import normalize_text
+
+    rows = [(1, "nd", "Municípios"), (2, "", "Municípios"), (3, "Aveiro", "Municípios")]
+    df = spark.createDataFrame(rows, "row_id int, nome_entidade string, tipo_entidade string")
+    bad = ["", "nd", "nan", "n/a", "na", "nao definido", "sem dados"]
+    flagged = df.withColumn("is_blank", normalize_text(F.col("nome_entidade")).isin(bad))
+    resolved = resolve_entities(flagged, registry)
+    classified = classify_rows(resolved, id_col="id_entidade", blank_col="is_blank")
+    got = {r["row_id"]: r["status"] for r in classified.collect()}
+    assert got == {1: "blank_name", 2: "blank_name", 3: "valid"}
+
+
+def test_dedup_keep_best_null_keys_kept(spark):
+    df = spark.createDataFrame(
+        [(None, 1), (None, 2), (5, 3), (5, 4)], "k int, v int"
+    )
+    out = dedup_keep_best(df, key="k", order_by=[F.col("v").desc()])
+    vals = sorted(r["v"] for r in out.collect())
+    assert vals == [1, 2, 4]  # both NULL-key rows kept; best of k=5 kept
+
+
+def test_with_row_key_unique(spark):
+    df = spark.range(100).repartition(7)
+    out = with_row_key(df.toDF("x"))
+    assert out.select("__row_key").distinct().count() == 100
+
+
+def test_prefix_join(spark):
+    tipos = spark.createDataFrame(
+        [(1, "Presencial"), (2, "Online"), (3, "Presencial estendido")],
+        "id_tipo_disp int, descricao_tipo_disp string",
+    )
+    answers = spark.createDataFrame(
+        [
+            ("Presencial - [Manhã]",),
+            ("ONLINE - [Pós-laboral]",),
+            ("Presencial estendido - [Noite]",),  # longest prefix must win
+            ("Outro - [X]",),
+        ],
+        "colname string",
+    )
+    out = {r["colname"]: r["id_tipo_disp"] for r in
+           prefix_join(answers, tipos, "colname").collect()}
+    assert out == {
+        "Presencial - [Manhã]": 1,
+        "ONLINE - [Pós-laboral]": 2,
+        "Presencial estendido - [Noite]": 3,
+        "Outro - [X]": None,
+    }
+
+
+def test_anti_join(spark):
+    new = spark.createDataFrame([("a",), ("b",), ("c",)], "k string")
+    existing = spark.createDataFrame([("b",), ("b",)], "k string")
+    got = sorted(r["k"] for r in anti_join_new_keys(new, existing, "k").collect())
+    assert got == ["a", "c"]
+
+
+# --- reshape ---------------------------------------------------------------
+
+
+def test_unpivot_formations(spark):
+    df = spark.createDataFrame(
+        [(1, 5, 0, None), (2, None, 3, 2)],
+        "id int, `excel avancado` long, lideranca long, scrum long",
+    )
+    out = unpivot_formations(df, "id", ["excel avancado", "lideranca", "scrum"])
+    got = {(r["id"], r["nome_formacao"]): r["n_formandos"] for r in out.collect()}
+    # value 0 kept (etl_ui.py:461 keeps >= 0); NULLs dropped
+    assert got == {
+        (1, "excel avancado"): 5,
+        (1, "lideranca"): 0,
+        (2, "lideranca"): 3,
+        (2, "scrum"): 2,
+    }
+
+
+def test_unpivot_interests_comment_override(spark):
+    # etl_ui.py:522-556: value>0 emits a row; numeric comment overrides
+    # n_formandos; text comment becomes texto_comentario.
+    df = spark.createDataFrame(
+        [
+            Row(id=1, gestao=1.0, financas=0.0, **{"gestao[comentario]": "12"}),
+            Row(id=2, gestao=2.0, financas=1.0, **{"gestao[comentario]": "Bom. Sim!"}),
+            Row(id=3, gestao=None, financas=3.0, **{"gestao[comentario]": "ignored"}),
+        ]
+    )
+    out = unpivot_interests_with_comments(df, "id", ["gestao", "financas"])
+    got = {
+        (r["id"], r["nome_area"]): (r["tem_interesse"], r["n_formandos"], r["texto_comentario"])
+        for r in out.collect()
+    }
+    assert got == {
+        (1, "gestao"): (1, 12, None),          # numeric comment overrides 1 → 12
+        (2, "gestao"): (1, 2, "Bom. Sim!"),    # text comment carried
+        (2, "financas"): (1, 1, None),
+        (3, "financas"): (1, 3, None),         # NULL value emits nothing for gestao
+    }
+    # financas has no comment column at all → never overridden
+    assert (1, "financas") not in got  # value 0.0 → no row (only > 0)
+
+
+def test_explode_sentences(spark):
+    df = spark.createDataFrame(
+        [(1, "Bom. Queremos mais! ok"), (2, None), (3, "   ")],
+        "id int, texto string",
+    )
+    out = explode_sentences(df, "texto")
+    got = [(r["id"], r["texto_comentario"]) for r in out.collect()]
+    assert got == [(1, "Bom."), (1, "Queremos mais!"), (1, "ok")]
+
+
+def test_unpivot_preferences(spark):
+    df = spark.createDataFrame(
+        [(1, 3, None), (2, None, 5)], "id int, elearning long, presencial long"
+    )
+    out = unpivot_preferences(df, "id", ["elearning", "presencial"])
+    got = {(r["id"], r["descricao_preferencia"]): r["valor_preferencia"]
+           for r in out.collect()}
+    assert got == {(1, "elearning"): 3, (2, "presencial"): 5}
+
+
+# --- upsert ----------------------------------------------------------------
+
+
+def test_upsert_dim_hash_idempotent(spark):
+    inc = spark.createDataFrame([("a",), ("b",), ("a",)], "nome string")
+    dim1 = upsert_dim_hash(None, inc, "nome", "id_dim")
+    assert dim1.count() == 2
+    inc2 = spark.createDataFrame([("b",), ("c",)], "nome string")
+    dim2 = upsert_dim_hash(dim1, inc2, "nome", "id_dim")
+    assert dim2.count() == 3
+    # re-upsert changes nothing (idempotent) and ids are stable
+    dim3 = upsert_dim_hash(dim2, inc, "nome", "id_dim")
+    assert sorted(map(tuple, dim3.collect())) == sorted(map(tuple, dim2.collect()))
+
+
+def test_upsert_dim_sequential_dense(spark):
+    inc = spark.createDataFrame([("b",), ("a",)], "nome string")
+    dim1 = upsert_dim_sequential(None, inc, "nome", "id_dim")
+    got = {r["nome"]: r["id_dim"] for r in dim1.collect()}
+    assert got == {"a": 1, "b": 2}
+    inc2 = spark.createDataFrame([("c",), ("a",)], "nome string")
+    dim2 = upsert_dim_sequential(dim1, inc2, "nome", "id_dim")
+    got2 = {r["nome"]: r["id_dim"] for r in dim2.collect()}
+    assert got2 == {"a": 1, "b": 2, "c": 3}
