@@ -1,0 +1,213 @@
+"""Near-duplicate detection at corpus scale (SURVEY.md §2.12 E1).
+
+Four detectors, all pure DataFrame ops (no UDFs):
+
+- **exact**: md5 fingerprint groupBy (``operators.dedup.dedup_exact`` /
+  :func:`exact_dup_groups`).
+- **MinHash + LSH**: word-shingle → k min-hashes → b bands → band-bucket
+  self-join for candidates → exact Jaccard verification. The classic
+  sub-quadratic pipeline: at 100 TB the only shuffles are the two groupBys
+  (doc×seed minimum, band signature) and the band-bucket join, each keyed
+  well below corpus size. Skewed buckets (boilerplate docs) are handled by
+  AQE skew-join; a salt can be added to the band key if needed.
+- **SimHash**: per-word 60-bit hashes, per-bit majority vote → one 60-bit
+  fingerprint per doc; near-dups share fingerprints (or low Hamming
+  distance — exposed as an expression).
+- **n-gram Jaccard**: direct shingle-join pairwise Jaccard for corpora small
+  enough to verify exhaustively (or as the verify stage after LSH).
+
+Hashing is *portable* (md5-derived integers) so results are reproducible
+across engines and Spark versions — deliberately not ``xxhash64``, whose
+seeds differ between engines and would make oracle checking impossible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from fefal_etl_spark.llm.text_analysis import doc_fingerprint
+
+
+def md5_hash64(col: Column, seed: int | Column | None = None) -> Column:
+    """Portable 60-bit integer hash: first 15 hex chars of md5 (seed-mixed).
+
+    15 hex digits = 60 bits < 2^63: always a positive BIGINT in any engine.
+    """
+    if seed is not None:
+        seed_col = seed if isinstance(seed, Column) else F.lit(seed)
+        col = F.concat(seed_col.cast("string"), F.lit("|"), col)
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact-duplicate groups by content fingerprint: one row per distinct
+    text with the keeper id (min id) and the duplicate count."""
+    return (
+        df.withColumn("__fp", doc_fingerprint(F.col(text_col)))
+        .groupBy("__fp")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .withColumnRenamed("__fp", "fingerprint")
+    )
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    Narrow except the final distinct (map-side combine keeps it cheap).
+    """
+    w = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(w, (i + k).cast("int")) for k in range(n)]
+        ),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(grams).alias("shingle"))
+        .filter(F.col("shingle") != "")
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    shingle_df: DataFrame, id_col: str, num_hashes: int = 16
+) -> DataFrame:
+    """(id, seed, minhash): k independent min-hashes per doc in ONE pass.
+
+    The seed dimension is generated with ``explode(sequence(...))`` — an
+    Expand, not a join — so the cost is k× the shingle rows, aggregated with
+    map-side partial min before the single shuffle on (id, seed).
+    """
+    seeded = shingle_df.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed"),
+        F.col("shingle"),
+    )
+    h = md5_hash64(F.col("shingle"), seed=F.col("seed"))
+    return (
+        seeded.withColumn("h", h)
+        .groupBy(id_col, "seed")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def lsh_band_buckets(
+    sig_df: DataFrame, id_col: str, rows_per_band: int = 4
+) -> DataFrame:
+    """(id, band, band_sig): hash each band's minhash vector to a bucket key."""
+    banded = sig_df.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+    sig_str = F.concat_ws(
+        ",",
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("seed"), F.col("minhash")))
+            ),
+            lambda s: s["minhash"].cast("string"),
+        ),
+    )
+    return banded.groupBy(id_col, "band").agg(F.md5(sig_str).alias("band_sig"))
+
+
+def lsh_candidate_pairs(bucket_df: DataFrame, id_col: str) -> DataFrame:
+    """Distinct (id_a < id_b) pairs sharing any band bucket — the
+    sub-quadratic candidate join."""
+    a = bucket_df.select(
+        F.col(id_col).alias("id_a"), F.col("band"), F.col("band_sig")
+    )
+    b = bucket_df.select(
+        F.col(id_col).alias("id_b"), F.col("band"), F.col("band_sig")
+    )
+    return (
+        a.join(b, on=["band", "band_sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame, shingle_df: DataFrame, id_col: str
+) -> DataFrame:
+    """Exact Jaccard for candidate pairs via shingle-set joins:
+    |A∩B| / (|A| + |B| − |A∩B|). Integer counts → one exact double division.
+    """
+    sizes = shingle_df.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = shingle_df.select(F.col(id_col).alias("id_a"), "shingle")
+    sb = shingle_df.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        pairs.join(sa, on="id_a")
+        .join(sb, on=["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({id_col: "id_a", "n_sh": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({id_col: "id_b", "n_sh": "n_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+    )
+
+
+def minhash_lsh_neardup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    rows_per_band: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end MinHash-LSH near-dup pipeline:
+    shingle → sign → band → candidate join → exact-Jaccard verify → filter.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard ≥ threshold.
+    """
+    sh = shingles(df, id_col, text_col, n=shingle_n)
+    sig = minhash_signatures(sh, id_col, num_hashes=num_hashes)
+    buckets = lsh_band_buckets(sig, id_col, rows_per_band=rows_per_band)
+    cand = lsh_candidate_pairs(buckets, id_col)
+    verified = jaccard_verify(cand, sh, id_col)
+    return verified.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "jaccard"
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 60) -> DataFrame:
+    """SimHash fingerprint: per-word 60-bit hashes, per-bit majority vote.
+
+    Implemented as words × bits Expand rows then two aggregations — heavy
+    but fully parallel; for 100 TB restrict ``bits`` or pre-sample words.
+    Ties (vote sum == 0) resolve to bit 0.
+    """
+    w = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    word_rows = df.select(
+        F.col(id_col), F.explode(w).alias("word")
+    ).filter(F.col("word") != "")
+    hashed = word_rows.withColumn("h", md5_hash64(F.col("word")))
+    bit_rows = hashed.select(
+        F.col(id_col),
+        F.col("h"),
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+    )
+    # shiftright/shiftleft builtins require literal shift amounts; the SQL
+    # forms accept column expressions.
+    vote = F.when(F.expr("(h >> bit) & 1") == 1, F.lit(1)).otherwise(F.lit(-1))
+    bit_sums = bit_rows.withColumn("vote", vote).groupBy(id_col, "bit").agg(
+        F.sum("vote").alias("s")
+    )
+    contrib = F.when(
+        F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), cast(bit as int))")
+    ).otherwise(F.lit(0).cast("long"))
+    return bit_sums.groupBy(id_col).agg(F.sum(contrib).alias("simhash"))
+
+
+def hamming_distance(a: Column, b: Column) -> Column:
+    """Popcount of XOR — near-dup predicate for SimHash fingerprints."""
+    return F.bit_count(a.bitwiseXOR(b))

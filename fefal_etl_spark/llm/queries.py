@@ -1,1 +1,383 @@
-"""LLM-pipeline queries — registered into fefal_etl_spark.queries (filled in as operators land)."""
+"""LLM-data-pipeline queries (SURVEY.md §2.12) — registered into the main
+registry with DuckDB oracle twins over documents/embeddings.
+
+Synthetic near-duplicates: the testdata corpus has no true dups, so the
+dedup queries build a corpus = documents ∪ (every 10th doc re-ids'd with a
+small text mutation) — deterministic on both engines — and must find exactly
+those planted pairs (plus any organic ones).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fefal_etl_spark.datasets import load_table
+from fefal_etl_spark.llm.dedup import (
+    exact_dup_groups,
+    minhash_lsh_neardup,
+    simhash,
+)
+from fefal_etl_spark.llm.multimodal import attach_media_column, extract_features
+from fefal_etl_spark.llm.similarity import (
+    cosine_topk,
+    ivf_assign,
+    lsh_bucketed_pairs,
+)
+from fefal_etl_spark.llm.text_analysis import (
+    LANG_MARKERS,
+    STOPWORDS,
+    TOKEN_REGEX,
+    language_id,
+    quality_features,
+)
+from fefal_etl_spark.queries import register
+
+# --------------------------------------------------------------------------
+# Corpus with planted duplicates (shared by dedup queries)
+# --------------------------------------------------------------------------
+
+_CORPUS_SQL = """
+    corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text || ' planted near dup tail'
+        FROM documents WHERE doc_id % 10 = 0
+    )
+"""
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" planted near dup tail")).alias("text"),
+    )
+    return docs.unionByName(planted)
+
+
+# --------------------------------------------------------------------------
+# E3: text analysis
+# --------------------------------------------------------------------------
+
+_SQL_WORDS = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+_SQL_STOP_IN = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+
+@register(
+    "text_stats",
+    f"""
+    WITH t AS (
+        SELECT doc_id, text,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS nw,
+               len(list_filter({_SQL_WORDS}, x -> x IN ({_SQL_STOP_IN}))) AS nstop,
+               len(regexp_extract_all(text, '[^\\w\\s]')) AS npunct,
+               len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS ntok
+        FROM documents
+    )
+    SELECT doc_id, n_chars,
+           CAST(nw AS BIGINT) AS n_words,
+           CAST(ntok AS BIGINT) AS n_tokens,
+           CASE WHEN nw > 0 THEN CAST(nstop AS DOUBLE) / nw ELSE 0.0 END AS stopword_ratio,
+           CASE WHEN n_chars > 0 THEN CAST(npunct AS DOUBLE) / n_chars ELSE 0.0 END AS punct_ratio,
+           CASE WHEN nw > 0 THEN CAST(n_chars - (nw - 1) AS DOUBLE) / nw ELSE 0.0 END AS mean_word_len
+    FROM t
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 — quality-scoring features: counts + ratios, one narrow pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_features(docs, "text").select(
+        "doc_id",
+        "n_chars",
+        "n_words",
+        "n_tokens",
+        "stopword_ratio",
+        "punct_ratio",
+        "mean_word_len",
+    )
+
+
+def _sql_lang_scores() -> str:
+    parts = []
+    for lang, markers in LANG_MARKERS.items():
+        inlist = ", ".join(f"'{m}'" for m in markers)
+        parts.append(
+            f"len(list_filter({_SQL_WORDS}, x -> x IN ({inlist}))) AS s_{lang}"
+        )
+    return ", ".join(parts)
+
+
+@register(
+    "lang_id",
+    f"""
+    WITH s AS (SELECT doc_id, lang, {_sql_lang_scores()} FROM documents)
+    SELECT doc_id, lang,
+           CASE WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_es AND s_en >= s_pt THEN 'en'
+                WHEN s_de > 0 AND s_de >= s_es AND s_de >= s_pt THEN 'de'
+                WHEN s_es > 0 AND s_es >= s_pt THEN 'es'
+                WHEN s_pt > 0 THEN 'pt'
+                ELSE 'und' END AS pred_lang
+    FROM s
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 — marker-stopword language ID (cheap router heuristic)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang", language_id(F.col("text")).alias("pred_lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# E1: dedup family
+# --------------------------------------------------------------------------
+
+
+@register(
+    "exact_dedup",
+    f"""
+    WITH {_CORPUS_SQL}
+    SELECT md5(lower(trim(text))) AS fingerprint,
+           CAST(min(doc_id) AS BIGINT) AS keeper_id,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM corpus GROUP BY 1
+    """,
+)
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 exact — md5-fingerprint duplicate groups (hash groupBy)."""
+    return exact_dup_groups(_corpus(spark, sf_dir), "doc_id", "text")
+
+
+_SQL_SHINGLES = """
+    shingles AS (
+        SELECT DISTINCT doc_id, sh AS shingle FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, greatest(len(ws) - 1, 1)),
+                       i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+            FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+                  FROM corpus) w
+        ) x WHERE sh <> ''
+    )
+"""
+
+_SQL_MINHASH = """
+    sigs AS (
+        SELECT doc_id, seed,
+               min(('0x' || substr(md5(seed || '|' || shingle), 1, 15))::BIGINT) AS minhash
+        FROM shingles CROSS JOIN (SELECT unnest(range(0, 16)) AS seed) seeds
+        GROUP BY doc_id, seed
+    ),
+    buckets AS (
+        SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
+               md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed)) AS band_sig
+        FROM sigs GROUP BY doc_id, CAST(seed // 4 AS INTEGER)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM buckets a JOIN buckets b
+          ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    )
+"""
+
+
+@register(
+    "minhash_neardup",
+    f"""
+    WITH {_CORPUS_SQL}, {_SQL_SHINGLES}, {_SQL_MINHASH},
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+    inter AS (
+        SELECT c.id_a, c.id_b, count(*) AS n_inter
+        FROM cand c
+        JOIN shingles sa ON sa.doc_id = c.id_a
+        JOIN shingles sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+        GROUP BY c.id_a, c.id_b
+    )
+    SELECT i.id_a, i.id_b,
+           CAST(i.n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - i.n_inter) AS jaccard
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.id_a
+    JOIN sizes zb ON zb.doc_id = i.id_b
+    WHERE CAST(i.n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - i.n_inter) >= 0.5
+    """,
+)
+def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 MinHash+LSH — shingle → 16 minhashes → 4×4 bands → bucket join →
+    exact-Jaccard verify ≥ 0.5. Must recover the planted near-dup pairs."""
+    return minhash_lsh_neardup(
+        _corpus(spark, sf_dir), "doc_id", "text",
+        shingle_n=3, num_hashes=16, rows_per_band=4, threshold=0.5,
+    )
+
+
+@register(
+    "simhash_fingerprints",
+    f"""
+    WITH {_CORPUS_SQL},
+    words AS (
+        SELECT doc_id, w FROM (
+            SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+            FROM corpus) x
+        WHERE w <> ''
+    ),
+    hashed AS (
+        SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM words
+    ),
+    bitsums AS (
+        SELECT doc_id, bit,
+               SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        FROM hashed CROSS JOIN (SELECT unnest(range(0, 60)) AS bit) bits
+        GROUP BY doc_id, bit
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT)
+               AS simhash
+    FROM bitsums GROUP BY doc_id
+    """,
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 SimHash — 60-bit per-bit-majority fingerprint per document.
+
+    Duplicate texts necessarily share fingerprints; near-dups land at small
+    Hamming distance (pairing exposed via llm.dedup.hamming_distance)."""
+    return simhash(_corpus(spark, sf_dir), "doc_id", "text", bits=60)
+
+
+# --------------------------------------------------------------------------
+# E2: similarity search
+# --------------------------------------------------------------------------
+
+
+@register(
+    "embedding_topk",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+    sims AS (
+        SELECT q.query_id, e.vec_id,
+               list_dot_product(e.v, q.qv) /
+               (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv)))
+                   AS cos_sim
+        FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, round(cos_sim, 6) AS cos_sim, CAST(rk AS BIGINT) AS rk
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rk
+          FROM sims) t
+    WHERE rk <= 10
+    """,
+)
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 — brute-force cosine top-10 for 3 broadcast query vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = cosine_topk(emb, queries, k=10)
+    return out.select(
+        "query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rk"
+    )
+
+
+@register(
+    "embedding_lsh_pairs",
+    """
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               concat(
+                   CASE WHEN embedding[1]  >= 0 THEN '1' ELSE '0' END,
+                   CASE WHEN embedding[9]  >= 0 THEN '1' ELSE '0' END,
+                   CASE WHEN embedding[17] >= 0 THEN '1' ELSE '0' END,
+                   CASE WHEN embedding[25] >= 0 THEN '1' ELSE '0' END,
+                   CASE WHEN embedding[33] >= 0 THEN '1' ELSE '0' END,
+                   CASE WHEN embedding[41] >= 0 THEN '1' ELSE '0' END) AS bucket
+        FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v) /
+                 (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                 6) AS cos_sim
+    FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v) /
+          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.0
+    """,
+)
+def q_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 scale path — sign-LSH bucketed candidate pairs with exact-cosine
+    verify (threshold 0 keeps all same-bucket pairs visible for checking)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = lsh_bucketed_pairs(emb, threshold=0.0)
+    return out.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+@register(
+    "ivf_assign",
+    """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
+    d AS (
+        SELECT e.vec_id, e.label, c.centroid_id,
+               list_dot_product(list_transform(range(1, len(e.v) + 1), i -> e.v[i] - c.cv[i]),
+                                list_transform(range(1, len(e.v) + 1), i -> e.v[i] - c.cv[i]))
+                   AS d2
+        FROM e CROSS JOIN c
+    )
+    SELECT vec_id, label, centroid_id
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY vec_id ORDER BY d2, centroid_id) AS rk FROM d) t
+    WHERE rk = 1
+    """,
+)
+def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 scale path — IVF coarse quantization: nearest-of-8-centroids
+    assignment (the bucketing stage of a two-level ANN index)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    return ivf_assign(emb, centroids).select("vec_id", "label", "centroid_id")
+
+
+# --------------------------------------------------------------------------
+# E4: multimodal plumbing
+# --------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_features",
+    """
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           md5(text) AS payload_md5,
+           CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte
+    FROM documents
+    """,
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 — binary media column + Arrow-batched mapInPandas feature
+    extraction (deterministic byte-level stub features; codec decode is the
+    documented NotImplementedError hook)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_media_column(docs, "doc_id", "text")
+    return extract_features(media, decode_stub=True)
+
+
+@register(
+    "frame_sample",
+    """
+    SELECT media_id, CAST(o AS BIGINT) AS offset FROM (
+        SELECT doc_id AS media_id, unnest(range(0, strlen(text), 256)) AS o
+        FROM documents
+    ) t
+    """,
+)
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 — frame-sampling fan-out: one row per sampled payload offset."""
+    from fefal_etl_spark.llm.multimodal import frame_sample_plan
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_media_column(docs, "doc_id", "text")
+    return frame_sample_plan(media, every_n_bytes=256)

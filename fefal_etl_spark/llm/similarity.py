@@ -1,0 +1,144 @@
+"""Similarity search over embedding columns (SURVEY.md §2.12 E2).
+
+Embeddings are ``array<float>`` columns. Everything here is expression-level
+(``zip_with``/``aggregate`` fold inside codegen) — no UDF, no collect.
+
+Scale design:
+
+- **Brute-force top-k** (baseline): broadcast the (small) query set, compute
+  cosine per (candidate × query) in a single narrow pass, take per-query
+  top-k with a window. Cost is |corpus| × |queries| — right answer when the
+  query set is small, which is the common "find neighbors of these docs"
+  shape. No shuffle except the final top-k (tiny).
+- **LSH buckets** (scale path): random-hyperplane sign buckets restrict
+  candidates to same-bucket pairs — sub-quadratic all-pairs near-dup. The
+  hyperplanes here are axis-subset signs (deterministic, engine-portable);
+  swap in seeded Gaussian planes for production quality.
+- **IVF-style** (scale path, two-stage): coarse-quantize to the nearest of
+  √N sampled centroids (bucket column), then search only matching buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_double_vec(col: Column) -> Column:
+    """float[] → double[] so fold arithmetic is IEEE-double end to end."""
+    return col.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (deterministic order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 10,
+) -> DataFrame:
+    """Brute-force cosine top-k: for each query vector, the k nearest corpus
+    vectors (excluding itself). Returns (query_id, id, cos_sim, rk).
+    """
+    cand = corpus.select(
+        F.col(id_col), as_double_vec(F.col(vec_col)).alias("__v")
+    )
+    q = queries.select(
+        F.col(query_id_col), as_double_vec(F.col(vec_col)).alias("__qv")
+    )
+    joined = cand.join(F.broadcast(q), F.col(id_col) != F.col(query_id_col))
+    sim = cosine(F.col("__v"), F.col("__qv"))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        joined.withColumn("cos_sim", sim)
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select(query_id_col, id_col, "cos_sim", "rk")
+    )
+
+
+def sign_lsh_bucket(vec: Column, dims: tuple[int, ...] = (1, 9, 17, 25, 33, 41)) -> Column:
+    """Deterministic sign-LSH bucket: concat of sign bits at fixed axes
+    (1-based). Portable across engines (no RNG)."""
+    bits = [
+        F.when(F.element_at(vec, d) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for d in dims
+    ]
+    return F.concat(*bits)
+
+
+def lsh_bucketed_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: tuple[int, ...] = (1, 9, 17, 25, 33, 41),
+    threshold: float = 0.8,
+) -> DataFrame:
+    """All-pairs near-neighbor restricted to same-sign-bucket candidates:
+    (id_a < id_b, cos_sim ≥ threshold). The bucket join is the only shuffle;
+    within-bucket pairs are verified with the exact cosine."""
+    v = corpus.select(
+        F.col(id_col),
+        as_double_vec(F.col(vec_col)).alias("__v"),
+    ).withColumn("bucket", sign_lsh_bucket(F.col("__v"), dims))
+    a = v.select(
+        F.col(id_col).alias("id_a"), F.col("__v").alias("__va"), "bucket"
+    )
+    b = v.select(
+        F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"), "bucket"
+    )
+    pairs = a.join(b, on="bucket").filter(F.col("id_a") < F.col("id_b"))
+    sim = cosine(F.col("__va"), F.col("__vb"))
+    return (
+        pairs.withColumn("cos_sim", sim)
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """IVF coarse quantization: assign each vector to its nearest centroid
+    (broadcast centroids, argmin by L2). Output adds ``centroid_id`` — the
+    partition key for bucketed ANN search/writes at scale."""
+    cand = corpus.withColumn("__v", as_double_vec(F.col(vec_col)))
+    cent = centroids.select(
+        F.col(centroid_id_col), as_double_vec(F.col(vec_col)).alias("__c")
+    )
+    joined = cand.join(F.broadcast(cent))
+    d2 = F.aggregate(
+        F.zip_with(F.col("__v"), F.col("__c"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__d2").asc(), F.col(centroid_id_col).asc()
+    )
+    return (
+        joined.withColumn("__d2", d2)
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk", "__d2", "__c", "__v")
+    )

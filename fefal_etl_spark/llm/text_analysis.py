@@ -1,0 +1,122 @@
+"""Text-analysis operators for LLM data pipelines (SURVEY.md §2.12 E3).
+
+All metrics are native column expressions (JVM-side, whole-stage codegen) —
+no Python in the hot path. At 100 TB these run as a single narrow projection
+over the corpus scan: zero shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small built-in stopword marker sets for the n-gram/stopword language-ID
+# heuristic. Deliberately tiny and deterministic — this is a cheap router,
+# not a classifier; swap in fastText-style models via the pandas_udf hook
+# when available.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is", "to", "in"),
+    "de": ("der", "die", "das", "und", "nicht", "ist"),
+    "es": ("el", "la", "los", "que", "y", "es"),
+    "pt": ("o", "a", "de", "que", "nao", "uma"),
+}
+
+# BPE-ish pre-tokenization: letter runs, digit runs, or single
+# non-alphanumeric glyphs — the GPT-2 pre-tokenizer shape without the
+# unicode categories (kept RE2-compatible for oracle parity).
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+STOPWORDS = ("the", "a", "an", "of", "and", "to", "in", "is")
+
+
+def words(col: Column) -> Column:
+    """Whitespace tokenization to an array column."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def word_count(col: Column) -> Column:
+    return F.when(F.trim(col) == "", F.lit(0)).otherwise(F.size(words(col))).cast(
+        "long"
+    )
+
+
+def token_count(col: Column) -> Column:
+    """Regex token count (BPE-ish pre-tokenizer granularity)."""
+    return F.size(F.regexp_extract_all(col, F.lit(TOKEN_REGEX), 0)).cast("long")
+
+
+def stopword_count(col: Column, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    return F.size(
+        F.filter(words(F.lower(col)), lambda w: F.array_contains(sw, w))
+    ).cast("long")
+
+
+def punct_count(col: Column) -> Column:
+    return F.size(F.regexp_extract_all(col, F.lit(r"[^\w\s]"), 0)).cast("long")
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring feature block: length, word/token counts, stopword and
+    punctuation ratios, mean word length. One narrow projection.
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t).cast("long")
+    n_words = word_count(t)
+    n_stop = stopword_count(t)
+    n_punct = punct_count(t)
+    return (
+        df.withColumn("n_chars", n_chars)
+        .withColumn("n_words", n_words)
+        .withColumn("n_tokens", token_count(t))
+        .withColumn(
+            "stopword_ratio",
+            F.when(n_words > 0, n_stop.cast("double") / n_words).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "punct_ratio",
+            F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "mean_word_len",
+            F.when(
+                n_words > 0, (n_chars - (n_words - 1)).cast("double") / n_words
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+
+
+def language_id(col: Column, out_scores: bool = False):
+    """Marker-stopword language ID: count marker hits per language, argmax
+    with a fixed priority order on ties (en > de > es > pt).
+
+    Returns the predicted-language Column, or (pred, {lang: score_col}) when
+    ``out_scores``.
+    """
+    low_words = words(F.lower(col))
+
+    def marker_score(markers: tuple[str, ...]) -> Column:
+        arr = F.array(*[F.lit(x) for x in markers])
+        return F.size(F.filter(low_words, lambda w: F.array_contains(arr, w))).cast(
+            "long"
+        )
+
+    scores = {lang: marker_score(m) for lang, m in LANG_MARKERS.items()}
+    order = list(LANG_MARKERS)  # priority order for ties: en > de > es > pt
+    expr = F.lit("und")
+    for i in range(len(order) - 1, -1, -1):
+        lang = order[i]
+        cond = scores[lang] > 0
+        for later in order[i + 1 :]:
+            cond = cond & (scores[lang] >= scores[later])
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    # NB: built bottom-up, so earlier (higher-priority) languages win ties.
+    if out_scores:
+        return expr, scores
+    return expr
+
+
+def doc_fingerprint(col: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the lower-trimmed text.
+    Stable across engines/runs — the cheap exact-dup key (E1 fast path)."""
+    return F.md5(F.lower(F.trim(col)))

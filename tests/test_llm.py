@@ -1,0 +1,141 @@
+"""LLM-pipeline operator tests (SURVEY.md §2.12)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fefal_etl_spark.llm.dedup import (
+    exact_dup_groups,
+    hamming_distance,
+    md5_hash64,
+    minhash_lsh_neardup,
+    simhash,
+)
+from fefal_etl_spark.llm.multimodal import attach_media_column, extract_features
+from fefal_etl_spark.llm.similarity import cosine_topk, lsh_bucketed_pairs
+from fefal_etl_spark.llm.text_analysis import language_id, quality_features
+
+
+@pytest.fixture()
+def corpus(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again today"),
+        (2, "the quick brown fox jumps over the lazy dog again and again tonight"),  # near-dup of 1
+        (3, "completely different content about spark query engines and shuffles"),
+        (4, "the quick brown fox jumps over the lazy dog again and again today"),  # exact dup of 1
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dup_groups(spark, corpus):
+    groups = exact_dup_groups(corpus, "doc_id", "text")
+    by_keeper = {r["keeper_id"]: r["n_copies"] for r in groups.collect()}
+    assert by_keeper[1] == 2  # docs 1 and 4
+    assert by_keeper[2] == 1 and by_keeper[3] == 1
+
+
+def test_minhash_finds_planted_neardups(spark, corpus):
+    pairs = minhash_lsh_neardup(
+        corpus, "doc_id", "text", num_hashes=16, rows_per_band=4, threshold=0.5
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 4) in got  # exact dup always caught (jaccard 1.0)
+    assert (1, 2) in got and (2, 4) in got  # near-dups
+    assert all(3 not in p for p in got)  # unrelated doc never paired
+    j = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert j[(1, 4)] == 1.0
+    assert 0.5 <= j[(1, 2)] < 1.0
+
+
+def test_simhash_properties(spark, corpus):
+    fp = {r["doc_id"]: r["simhash"] for r in simhash(corpus, "doc_id", "text").collect()}
+    assert fp[1] == fp[4]  # identical text → identical fingerprint
+    df = spark.createDataFrame(
+        [(fp[1], fp[2]), (fp[1], fp[3])], "a long, b long"
+    )
+    d = df.select(hamming_distance(F.col("a"), F.col("b")).alias("d")).collect()
+    near, far = d[0]["d"], d[1]["d"]
+    assert near < far  # near-dup closer than unrelated doc
+    assert 0 <= near and far <= 60
+
+
+def test_md5_hash64_range_and_determinism(spark):
+    df = spark.createDataFrame([("abc",), ("def",), ("abc",)], "s string")
+    vals = [r["h"] for r in df.select(md5_hash64(F.col("s")).alias("h")).collect()]
+    assert vals[0] == vals[2] != vals[1]
+    assert all(0 <= v < 2**60 for v in vals)
+
+
+@pytest.fixture()
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),   # close to 0
+        (2, [0.0, 1.0, 0.0, 0.0]),   # orthogonal to 0
+        (3, [-1.0, 0.0, 0.0, 0.0]),  # opposite of 0
+        (4, [0.8, 0.2, 0.0, 0.0]),   # close-ish to 0
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_ordering(spark, vectors):
+    q = vectors.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = cosine_topk(vectors, q, k=4).orderBy("rk").collect()
+    assert [r["vec_id"] for r in out] == [1, 4, 2, 3]
+    assert out[0]["cos_sim"] > 0.99
+    assert abs(out[2]["cos_sim"]) < 1e-12  # orthogonal
+    assert out[3]["cos_sim"] == pytest.approx(-1.0)
+    assert all(r["vec_id"] != 0 for r in out)  # self excluded
+
+
+def test_lsh_bucketed_pairs(spark, vectors):
+    pairs = lsh_bucketed_pairs(
+        vectors, dims=(1, 2), threshold=0.5
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    # 0,1,4 share sign bucket (+,+ ~ [1]>=0,[2]>=0) and are similar
+    assert (0, 1) in got and (0, 4) in got and (1, 4) in got
+    assert all(3 not in p for p in got)  # negative-x vector in another bucket
+
+
+def test_language_id(spark):
+    rows = [
+        (1, "the cat and the dog is in the house"),
+        (2, "der hund und die katze ist nicht da"),
+        (3, "el perro y la casa que es grande"),
+        (4, "zzz qqq www"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["p"] for r in
+           df.select("doc_id", language_id(F.col("text")).alias("p")).collect()}
+    assert got == {1: "en", 2: "de", 3: "es", 4: "und"}
+
+
+def test_quality_features_edges(spark):
+    df = spark.createDataFrame([(1, ""), (2, "one two, three!")], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in quality_features(df, "text").collect()}
+    assert out[1]["n_words"] == 0 and out[1]["stopword_ratio"] == 0.0
+    assert out[2]["n_words"] == 3
+    assert out[2]["n_tokens"] == 5  # one/two/,/three/!
+    assert out[2]["punct_ratio"] > 0
+
+
+def test_multimodal_features_roundtrip(spark):
+    import hashlib
+
+    df = spark.createDataFrame([(1, "hello"), (2, "wörld")], "doc_id long, text string")
+    media = attach_media_column(df, "doc_id", "text")
+    assert media.schema["payload"].dataType.typeName() == "binary"
+    feats = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert feats[1]["n_bytes"] == 5
+    assert feats[2]["n_bytes"] == 6  # ö is 2 bytes in UTF-8
+    assert feats[1]["payload_md5"] == hashlib.md5(b"hello").hexdigest()
+    assert feats[1]["first_byte"] == ord("h")
+
+
+def test_multimodal_decode_stub_gate(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    media = attach_media_column(df, "doc_id", "text")
+    with pytest.raises(Exception, match="NotImplementedError|real codec"):
+        extract_features(media, decode_stub=False).collect()
