@@ -78,6 +78,15 @@ def py_normalize_text(text: object) -> str:
     return re.sub(r"\s+", " ", text).lower()
 
 
+def py_extract_brackets(text: object) -> str:
+    """Driver-side twin of :func:`extract_content_in_brackets` for column-name
+    metadata ops (etl_ui.py:57-62)."""
+    m = re.search(r"\[(.*?)\]", str(text))
+    if m:
+        return m.group(1).strip()
+    return str(text).strip()
+
+
 def normalize_text_udf():
     """Arrow-vectorized pandas UDF with full-Unicode accent handling (X1).
 

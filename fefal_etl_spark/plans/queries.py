@@ -1,1 +1,246 @@
-"""Pipeline queries — registered into fefal_etl_spark.queries (filled in as the pipeline lands)."""
+"""Pipeline-assembly queries (SURVEY.md §3) — the EP2 transform core and EP3
+star build exercised end-to-end over a synthetic wide survey that both
+engines construct identically from ``customer``.
+
+The synthetic survey plants every branch the reference handles:
+- blank names  (ck % 29 == 0  → 'nd';          etl_ui.py:79)
+- unmatched    (ck % 13 == 0  → fantasy name;  etl_ui.py:114)
+- duplicates   (ck % 17 == 0  → second row with lower pct; etl_ui.py:109-112)
+- garbage pct / formations values (coerce semantics)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fefal_etl_spark.datasets import load_table
+from fefal_etl_spark.plans.config import GroupSpec, PipelineConfig
+from fefal_etl_spark.plans.pipeline import run_pipeline
+from fefal_etl_spark.plans.star import build_star
+from fefal_etl_spark.queries import register, sql_norm, sql_strip_prefixes
+
+YEAR = 2025
+
+SURVEY_COLS = [
+    "Nome da Entidade",
+    "Tipo de Entidade",
+    "Responsável",
+    "Existe responsável?",
+    "Percentagem preenchida",
+    "Quantos formandos? [Excel]",
+    "Quantos formandos? [Liderança]",
+    "Sem  Brackets",
+]
+
+
+def _config() -> PipelineConfig:
+    return PipelineConfig(
+        year=YEAR,
+        groups={
+            "identificacao": GroupSpec(1, 5),
+            "formacoes": GroupSpec(6, 8),
+        },
+        rename_map={
+            "Nome da Entidade": "nome_entidade",
+            "Tipo de Entidade": "tipo_entidade",
+            "Responsável": "nome_responsavel",
+            "Existe responsável?": "existe_responsavel",
+            "Percentagem preenchida": "percentagem_preenchido",
+        },
+    )
+
+
+def _survey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    ck = F.col("c_custkey")
+    nome = (
+        F.when(ck % 29 == 0, F.lit("nd"))
+        .when(ck % 13 == 0, F.concat(F.lit("Entidade Fantasma "), ck))
+        .otherwise(F.concat(F.lit("Município de Cust "), ck))
+    )
+    existe = (
+        F.when(ck % 3 == 0, F.lit("Sim"))
+        .when(ck % 3 == 1, F.lit("Não"))
+        .otherwise(F.lit("talvez"))
+    )
+    excel = F.when(ck % 7 == 0, F.lit("garbage")).otherwise(
+        (ck % 7 - 2).cast("string")
+    )
+
+    def sel(pct_col):
+        return [
+            nome.alias("Nome da Entidade"),
+            F.lit("Municípios").alias("Tipo de Entidade"),
+            F.col("c_name").alias("Responsável"),
+            existe.alias("Existe responsável?"),
+            pct_col.alias("Percentagem preenchida"),
+            excel.alias("Quantos formandos? [Excel]"),
+            (ck % 5).cast("string").alias("Quantos formandos? [Liderança]"),
+            (ck % 3).cast("string").alias("Sem  Brackets"),
+        ]
+
+    base = c.select(*sel((ck % 101).cast("string")))
+    planted = c.filter(ck % 17 == 0).select(*sel((ck % 101 - 1).cast("string")))
+    return base.unionByName(planted)
+
+
+def _registry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").alias("id_entidades"),
+        F.concat(F.lit("Cust "), F.col("c_custkey")).alias("ent_nome"),
+        F.lit("Municípios").alias("ent_tipo"),
+    )
+
+
+def _run(spark: SparkSession, sf_dir: str):
+    return run_pipeline(_survey(spark, sf_dir), _registry(spark, sf_dir), _config())
+
+
+# --------------------------------------------------------------------------
+# Oracle CTE shared by the pipeline queries (DuckDB SQL twin of the above)
+# --------------------------------------------------------------------------
+
+_BAD = "'', 'nd', 'nan', 'n/a', 'na', 'nao definido', 'sem dados'"
+
+_PIPE_CTE = f"""
+    src AS (SELECT c_custkey AS ck, c_name FROM customer),
+    survey AS (
+        SELECT ck, c_name, 0 AS planted,
+               CASE WHEN ck % 29 = 0 THEN 'nd'
+                    WHEN ck % 13 = 0 THEN 'Entidade Fantasma ' || ck
+                    ELSE 'Município de Cust ' || ck END AS nome,
+               CASE WHEN ck % 3 = 0 THEN 'Sim'
+                    WHEN ck % 3 = 1 THEN 'Não' ELSE 'talvez' END AS existe,
+               CAST(ck % 101 AS VARCHAR) AS pct_raw
+        FROM src
+        UNION ALL
+        SELECT ck, c_name, 1,
+               CASE WHEN ck % 29 = 0 THEN 'nd'
+                    WHEN ck % 13 = 0 THEN 'Entidade Fantasma ' || ck
+                    ELSE 'Município de Cust ' || ck END,
+               CASE WHEN ck % 3 = 0 THEN 'Sim'
+                    WHEN ck % 3 = 1 THEN 'Não' ELSE 'talvez' END,
+               CAST(ck % 101 - 1 AS VARCHAR)
+        FROM src WHERE ck % 17 = 0
+    ),
+    reg AS (
+        SELECT c_custkey AS id_entidades,
+               {sql_strip_prefixes("'Cust ' || c_custkey")} || '||' ||
+               {sql_norm("'Municípios'")} AS entity_key
+        FROM customer
+    ),
+    resolved AS (
+        SELECT s.*,
+               r.id_entidades AS id_entidade,
+               {sql_norm('s.nome')} IN ({_BAD}) AS is_blank,
+               CASE WHEN try_cast(s.pct_raw AS DOUBLE) < 0 THEN NULL
+                    ELSE try_cast(s.pct_raw AS DOUBLE) END AS pct_clean
+        FROM survey s
+        LEFT JOIN reg r
+          ON {sql_strip_prefixes('s.nome')} || '||' || {sql_norm("'Municípios'")}
+             = r.entity_key
+    ),
+    scaled AS (
+        SELECT *,
+               CAST(round(pct_clean / (SELECT max(pct_clean) FROM resolved) * 100)
+                    AS INTEGER) AS pct
+        FROM resolved
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY id_entidade
+                   ORDER BY pct DESC NULLS LAST, planted) AS rn
+        FROM scaled
+    ),
+    classified AS (
+        SELECT *,
+               CASE WHEN is_blank THEN 'blank_name'
+                    WHEN id_entidade IS NULL THEN 'unmatched'
+                    WHEN rn = 1 THEN 'valid'
+                    ELSE 'duplicate' END AS status
+        FROM ranked
+    )
+"""
+
+
+@register(
+    "pipeline_status_accounting",
+    f"""
+    WITH {_PIPE_CTE}
+    SELECT status, CAST(count(*) AS BIGINT) AS n
+    FROM classified GROUP BY status
+    """,
+)
+def q_pipeline_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP2 end-to-end — the valid/duplicate/unmatched/blank accounting the
+    reference shows the operator (etl_ui.py:1982-1999)."""
+    res = _run(spark, sf_dir)
+    return res.frame.groupBy("status").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "pipeline_fact_inquerito",
+    f"""
+    WITH {_PIPE_CTE}
+    SELECT id_entidade, {YEAR} AS ano,
+           CAST(CASE WHEN lower(existe) = 'sim' THEN 1
+                     WHEN lower(existe) = 'não' THEN 0 END AS INTEGER)
+               AS existe_responsavel,
+           c_name AS nome_responsavel,
+           pct AS percentagem_preenchido
+    FROM classified WHERE status = 'valid'
+    """,
+)
+def q_pipeline_fact_inquerito(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP3 fact_inquerito — the central fact from the valid branch
+    (etl_ui.py:404-429), surrogate keys generated in-engine."""
+    res = _run(spark, sf_dir)
+    star = build_star(res)
+    return star["fact_inquerito"].select(
+        "id_entidade",
+        "ano",
+        "existe_responsavel",
+        "nome_responsavel",
+        "percentagem_preenchido",
+    )
+
+
+_FORM_VALS = {
+    "excel": "CASE WHEN ck % 7 = 0 THEN 0 ELSE greatest(ck % 7 - 2, 0) END",
+    "lideranca": "ck % 5",
+    "sem brackets": "ck % 3",
+}
+
+
+@register(
+    "pipeline_star_formations",
+    f"""
+    WITH {_PIPE_CTE},
+    valid AS (SELECT * FROM classified WHERE status = 'valid'),
+    long AS ({" UNION ALL ".join(
+        f"SELECT '{name}' AS nome_formacao, CAST({expr} AS BIGINT) AS n_formandos FROM valid"
+        for name, expr in _FORM_VALS.items()
+    )})
+    SELECT nome_formacao,
+           CAST(count(*) AS BIGINT) AS n_resp,
+           CAST(sum(n_formandos) AS BIGINT) AS total_formandos
+    FROM long GROUP BY nome_formacao
+    """,
+)
+def q_pipeline_star_formations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP3 formations bridge fact — R1 unpivot + dim name resolution
+    (etl_ui.py:432-470), aggregated per formation."""
+    res = _run(spark, sf_dir)
+    star = build_star(res)
+    fact = star["fact_resposta_formacao"]
+    dim = star["dim_formacao"]
+    return (
+        fact.join(F.broadcast(dim), on="id_formacao")
+        .groupBy("nome_formacao")
+        .agg(
+            F.count(F.lit(1)).alias("n_resp"),
+            F.sum("n_formandos").alias("total_formandos"),
+        )
+    )
