@@ -1,0 +1,83 @@
+"""Sinks (SURVEY.md §2.1 S5–S7).
+
+The reference loads with row-at-a-time ``INSERT … RETURNING``
+(etl_ui.py:412-429) and exports multi-sheet Excel (etl_ui.py:2144-2159).
+Engine mapping: bulk ``df.write`` everywhere; surrogate keys are generated
+in-engine (operators.upsert) so no sink round-trips exist; Excel export is a
+driver-side shim over ``toPandas`` for the small review workbooks only.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Parquet sink; partition by low-cardinality keys (e.g. ``ano``) so
+    downstream scans prune whole directories."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).option("header", True).csv(path)
+
+
+def write_star(
+    star: dict[str, DataFrame], base_path: str, mode: str = "overwrite"
+) -> dict[str, str]:
+    """S5/S7 — persist a build_star output as one parquet dataset per table.
+    Facts are written after dims so a failed run never leaves facts whose
+    dim rows are missing. Returns table → path."""
+    paths = {}
+    ordered = sorted(star, key=lambda t: (not t.startswith("dim_"), t))
+    for name in ordered:
+        p = os.path.join(base_path, name)
+        write_parquet(star[name], p, mode=mode)
+        paths[name] = p
+    return paths
+
+
+def write_jdbc(
+    df: DataFrame, url: str, table: str, mode: str = "append", **properties
+) -> None:
+    """S5 — bulk JDBC append (batched inserts per partition), replacing the
+    reference's per-row INSERT loop. (Not exercised: no DB here.)"""
+    writer = df.write.format("jdbc").option("url", url).option("dbtable", table)
+    for k, v in properties.items():
+        writer = writer.option(k, v)
+    writer.mode(mode).save()
+
+
+def write_excel_workbook(
+    frames: dict[str, DataFrame], path: str, max_rows: int = 100_000
+) -> None:
+    """S6 — multi-sheet review workbook (valid/duplicates/unmatched/all;
+    etl_ui.py:2144-2159). Driver-side by design: review exports are small.
+    ``max_rows`` guards against accidentally collecting a big frame."""
+    try:
+        import pandas as pd  # noqa: F401
+
+        with pd.ExcelWriter(path) as xw:
+            for sheet, df in frames.items():
+                pdf = df.limit(max_rows + 1).toPandas()
+                if len(pdf) > max_rows:
+                    raise ValueError(
+                        f"sheet '{sheet}' exceeds max_rows={max_rows}; "
+                        "export parquet/CSV instead"
+                    )
+                pdf.to_excel(xw, sheet_name=sheet[:31], index=False)
+    except ImportError as e:
+        raise NotImplementedError(
+            "Excel export needs openpyxl (not installed); use write_parquet/"
+            "write_csv"
+        ) from e

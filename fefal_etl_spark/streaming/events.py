@@ -1,0 +1,139 @@
+"""Structured Streaming layer (SURVEY.md §2.11, [EXT]).
+
+The reference is an annual batch job; the engine exposes its transform
+vocabulary over unbounded event streams. Design rule: **every streaming
+transform is a plain function DataFrame → DataFrame that also works on a
+batch frame** — the same code path is verified batch-side by the driver's
+oracle (``events_hourly``, ``sessionize``, ``first_event_per_type``) and
+runs incrementally under ``readStream``.
+
+Scale notes: event-time windows + watermarks bound state; dropDuplicates
+state is keyed (event key) and expired by the watermark; sinks should be
+partitioned by window start date for pruning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, fmt: str = "parquet"
+) -> DataFrame:
+    """File-source stream over an events directory (one file per micro-batch
+    in tests via ``maxFilesPerTrigger``)."""
+    return (
+        spark.readStream.format(fmt)
+        .schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .load(path)
+    )
+
+
+def hourly_counts(
+    events: DataFrame, watermark: str = "2 hours", window: str = "1 hour"
+) -> DataFrame:
+    """Tumbling event-time aggregation with late-data watermark — the
+    streaming twin of the ``events_hourly`` oracle query."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    watermark: str = "2 hours",
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+) -> DataFrame:
+    """Sliding-window per-type rates (each event lands in window/slide
+    overlapping windows — an Expand, not a shuffle multiplier)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def session_aggregate(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Per-user session windows (gap-based) — streaming-native
+    ``session_window``; the batch twin is the ``sessionize`` oracle query
+    (lag + running sum formulation)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def dedup_stream(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Exactly-once event dedup within the watermark horizon
+    (``dropDuplicates`` keyed state; the batch twin is
+    ``first_event_per_type``)."""
+    keys = keys or ["event_id"]
+    return events.withWatermark("ts", watermark).dropDuplicates(keys)
+
+
+def run_to_memory_sink(
+    stream_df: DataFrame, query_name: str, output_mode: str = "append"
+) -> "object":
+    """Drive a streaming DataFrame to completion over the currently available
+    files (availableNow trigger) into an in-memory table — the test/debug
+    harness; production sinks are parquet/Kafka via the same writeStream."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -1,0 +1,161 @@
+"""Streaming-layer and source/sink tests.
+
+Streaming strategy: split the batch events table into multiple files, run
+each streaming transform with trigger(availableNow) into a memory sink, and
+assert the result EQUALS the same transform applied as a batch query — the
+one-code-path guarantee §2.11 promises.
+"""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from fefal_etl_spark.streaming.events import (
+    dedup_stream,
+    hourly_counts,
+    read_event_stream,
+    run_to_memory_sink,
+    session_aggregate,
+    sliding_counts,
+)
+
+TMP = "/root/repo/.tmp/test_streaming"
+
+
+@pytest.fixture(scope="module")
+def event_dir(spark):
+    from fefal_etl_spark.datasets import load_table
+
+    os.makedirs(TMP, exist_ok=True)
+    path = os.path.join(TMP, "events")
+    ev = (
+        load_table(spark, "/root/testdata/sf0.001", "events")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .limit(2000)
+    )
+    # ONE file → one micro-batch: the watermark can't drop out-of-order rows,
+    # so stream results must EQUAL the batch computation. Multi-batch
+    # statefulness is covered by test_dedup_stream_two_batches.
+    ev.repartition(1).write.mode("overwrite").parquet(path)
+    yield path, ev
+    shutil.rmtree(TMP, ignore_errors=True)
+
+
+def _sorted_rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_hourly_counts_stream_equals_batch(spark, event_dir):
+    path, batch_ev = event_dir
+    stream = read_event_stream(spark, path)
+    run_to_memory_sink(hourly_counts(stream), "t_hourly", output_mode="complete")
+    got = spark.sql("SELECT * FROM t_hourly")
+    want = hourly_counts(batch_ev)
+    assert _sorted_rows(got) == _sorted_rows(want)
+
+
+def test_sliding_counts_stream_equals_batch(spark, event_dir):
+    path, batch_ev = event_dir
+    stream = read_event_stream(spark, path)
+    run_to_memory_sink(sliding_counts(stream), "t_sliding", output_mode="complete")
+    got = spark.sql("SELECT * FROM t_sliding")
+    want = sliding_counts(batch_ev)
+    assert _sorted_rows(got) == _sorted_rows(want)
+    # sliding: each event lands in window/slide = 4 windows
+    assert got.agg(F.sum("n")).collect()[0][0] == 4 * batch_ev.count()
+
+
+def test_session_aggregate_stream(spark, event_dir):
+    path, batch_ev = event_dir
+    stream = read_event_stream(spark, path)
+    run_to_memory_sink(session_aggregate(stream), "t_sess", output_mode="complete")
+    got = spark.sql("SELECT * FROM t_sess")
+    # session windows cover every event exactly once
+    assert got.agg(F.sum("n_events")).collect()[0][0] == batch_ev.count()
+    # sessions don't overlap per user
+    w = got.orderBy("user_id", "session_start").collect()
+    by_user = {}
+    for r in w:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for rows in by_user.values():
+        for a, b in zip(rows, rows[1:]):
+            assert a["session_end"] <= b["session_start"]
+
+
+def test_dedup_stream(spark, event_dir):
+    path, batch_ev = event_dir
+    stream = read_event_stream(spark, path)
+    run_to_memory_sink(
+        dedup_stream(stream, keys=["user_id", "event_type"]), "t_dedup"
+    )
+    got = spark.sql("SELECT * FROM t_dedup")
+    assert (
+        got.count()
+        == batch_ev.select("user_id", "event_type").distinct().count()
+    )
+    assert got.groupBy("user_id", "event_type").count().agg(F.max("count")).collect()[0][0] == 1
+
+
+def test_dedup_stream_two_batches(spark, event_dir):
+    """Dedup state must survive across micro-batches: chronologically split
+    files (early written first) so the watermark never drops rows; keys seen
+    in batch 1 must suppress re-occurrences in batch 2."""
+    _, batch_ev = event_dir
+    path = os.path.join(TMP, "events_2batch")
+    mid = batch_ev.select(
+        F.timestamp_seconds(F.expr("percentile(unix_timestamp(ts), 0.5)")).alias("m")
+    ).collect()[0]["m"]
+    batch_ev.filter(F.col("ts") <= mid).repartition(1).write.mode("overwrite").parquet(path)
+    batch_ev.filter(F.col("ts") > mid).repartition(1).write.mode("append").parquet(path)
+    stream = read_event_stream(spark, path)
+    run_to_memory_sink(dedup_stream(stream, keys=["user_id"]), "t_dedup2")
+    got = spark.sql("SELECT * FROM t_dedup2")
+    assert got.count() == batch_ev.select("user_id").distinct().count()
+
+
+# --- sources ---------------------------------------------------------------
+
+
+def test_csv_roundtrip_all_strings(spark):
+    from fefal_etl_spark.sources.readers import read_csv
+    from fefal_etl_spark.sources.writers import write_csv
+
+    os.makedirs(TMP, exist_ok=True)
+    path = os.path.join(TMP, "csv")
+    df = spark.createDataFrame(
+        [("Município de Aveiro", "80"), ("nd", "x")], "`Nome da Entidade` string, pct string"
+    )
+    write_csv(df, path)
+    back = read_csv(spark, path)
+    assert back.columns == ["Nome da Entidade", "pct"]
+    assert dict(back.dtypes) == {"Nome da Entidade": "string", "pct": "string"}
+    assert back.count() == 2
+
+
+def test_write_star_layout(spark):
+    from fefal_etl_spark.sources.writers import write_star
+
+    star = {
+        "fact_x": spark.createDataFrame([(1, 10)], "id long, v long"),
+        "dim_y": spark.createDataFrame([(1, "a")], "id long, nome string"),
+    }
+    base = os.path.join(TMP, "star")
+    paths = write_star(star, base)
+    assert set(paths) == {"fact_x", "dim_y"}
+    assert spark.read.parquet(paths["fact_x"]).count() == 1
+    assert spark.read.parquet(paths["dim_y"]).collect()[0]["nome"] == "a"
+
+
+def test_excel_shim_gated(spark):
+    from fefal_etl_spark.sources.readers import read_excel
+
+    has_openpyxl = True
+    try:
+        import openpyxl  # noqa: F401
+    except ImportError:
+        has_openpyxl = False
+    if not has_openpyxl:
+        with pytest.raises((NotImplementedError, Exception)):
+            read_excel(spark, "/nonexistent.xlsx")
