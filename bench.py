@@ -20,6 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # Headline set: one per operator family, the ones whose cost is data-bound
 # (metadata-ish queries excluded to keep the signal clean).
 BENCH_QUERIES = [
+    # relational core
     "pricing_summary",
     "entity_resolution",
     "dedup_keep_best",
@@ -33,6 +34,18 @@ BENCH_QUERIES = [
     "rollup_lineitem",
     "sentence_explode",
     "top_orders",
+    # LLM-pipeline extensions
+    "text_stats",
+    "lang_id",
+    "exact_dedup",
+    "minhash_neardup",
+    "simhash_fingerprints",
+    "embedding_topk",
+    "embedding_lsh_pairs",
+    "multimodal_features",
+    # pipeline assembly end-to-end
+    "pipeline_status_accounting",
+    "pipeline_star_formations",
 ]
 
 
@@ -46,10 +59,6 @@ def main() -> None:
 
     queries = get_queries()
     names = [n for n in BENCH_QUERIES if n in queries]
-    # extension benchmarks are included once implemented
-    for extra in ("minhash_neardup", "embedding_topk", "text_stats", "pipeline_star"):
-        if extra in queries and extra not in names:
-            names.append(extra)
 
     # warm the JVM + parquet footers once (excluded from timing)
     queries["top_orders"](spark, sf_dir).count()

@@ -58,58 +58,88 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
     """Distinct word n-gram shingles per document: (id, shingle).
 
     Narrow except the final distinct (map-side combine keeps it cheap).
+
+    Perf note: the words array is materialized in its OWN projection before
+    the n-gram lambda references it — inlining the regex split into the
+    higher-order function makes Spark re-evaluate it per element_at (observed
+    8× slowdown at sf0.1).
     """
     w = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    ws = df.select(F.col(id_col), w.alias("__ws"))
     grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(0))),
+        F.sequence(F.lit(1), F.greatest(F.size("__ws") - (n - 1), F.lit(0))),
         lambda i: F.concat_ws(
-            " ", *[F.element_at(w, (i + k).cast("int")) for k in range(n)]
+            " ", *[F.element_at("__ws", (i + k).cast("int")) for k in range(n)]
         ),
     )
     return (
-        df.select(F.col(id_col), F.explode(grams).alias("shingle"))
+        ws.select(F.col(id_col), F.explode(grams).alias("shingle"))
         .filter(F.col("shingle") != "")
         .distinct()
     )
 
 
+# Universal-hash family over the Mersenne prime 2^31-1: one md5 per shingle,
+# then k cheap integer transforms h_i = (a_i*h + b_i) mod p. a_i < p and
+# h < p keep the product under 2^62 (no overflow, ANSI-safe).
+MINHASH_P = 2_147_483_647
+
+
+def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs (LCG-derived, engine-portable)."""
+    out = []
+    for i in range(num_hashes):
+        a = (i * 2_654_435_761 + 0x9E3779B1) % MINHASH_P
+        b = (i * 40_503 + 17) % MINHASH_P
+        out.append((a or 1, b))
+    return out
+
+
 def minhash_signatures(
     shingle_df: DataFrame, id_col: str, num_hashes: int = 16
 ) -> DataFrame:
-    """(id, seed, minhash): k independent min-hashes per doc in ONE pass.
+    """Wide signatures (id, mh0..mh{k-1}): k min-hashes in ONE aggregation.
 
-    The seed dimension is generated with ``explode(sequence(...))`` — an
-    Expand, not a join — so the cost is k× the shingle rows, aggregated with
-    map-side partial min before the single shuffle on (id, seed).
+    One md5 per shingle (not per seed×shingle), k min-aggregate columns with
+    map-side partial mins, a single shuffle on the doc id, zero row
+    expansion — ~16× cheaper than the naive seed-explode formulation.
     """
-    seeded = shingle_df.select(
-        F.col(id_col),
-        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed"),
-        F.col("shingle"),
-    )
-    h = md5_hash64(F.col("shingle"), seed=F.col("seed"))
-    return (
-        seeded.withColumn("h", h)
-        .groupBy(id_col, "seed")
-        .agg(F.min("h").alias("minhash"))
-    )
+    h = md5_hash64(F.col("shingle")) % MINHASH_P
+    base = shingle_df.withColumn("__h", h)
+    aggs = [
+        F.min((F.lit(a) * F.col("__h") + F.lit(b)) % MINHASH_P).alias(f"mh{i}")
+        for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
+    ]
+    return base.groupBy(id_col).agg(*aggs)
 
 
 def lsh_band_buckets(
     sig_df: DataFrame, id_col: str, rows_per_band: int = 4
 ) -> DataFrame:
-    """(id, band, band_sig): hash each band's minhash vector to a bucket key."""
-    banded = sig_df.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-    sig_str = F.concat_ws(
-        ",",
-        F.transform(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("seed"), F.col("minhash")))
-            ),
-            lambda s: s["minhash"].cast("string"),
-        ),
+    """(id, band, band_sig): md5 over each band's minhash slice; the band
+    rows come from one small Expand (bands × docs rows)."""
+    mh_cols = [c for c in sig_df.columns if c.startswith("mh")]
+    n_bands = len(mh_cols) // rows_per_band
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"mh{j * rows_per_band + r}").cast("string")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("band_sig"),
+            )
+            for j in range(n_bands)
+        ]
     )
-    return banded.groupBy(id_col, "band").agg(F.md5(sig_str).alias("band_sig"))
+    return sig_df.select(F.col(id_col), F.explode(bands).alias("b")).select(
+        id_col, "b.band", "b.band_sig"
+    )
 
 
 def lsh_candidate_pairs(bucket_df: DataFrame, id_col: str) -> DataFrame:
@@ -169,7 +199,10 @@ def minhash_lsh_neardup(
 
     Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard ≥ threshold.
     """
-    sh = shingles(df, id_col, text_col, n=shingle_n)
+    # shingles feed BOTH the signature path and the verify path — persist so
+    # the explode+distinct isn't recomputed (at 100 TB: checkpoint/write to
+    # a staging table instead).
+    sh = shingles(df, id_col, text_col, n=shingle_n).persist()
     sig = minhash_signatures(sh, id_col, num_hashes=num_hashes)
     buckets = lsh_band_buckets(sig, id_col, rows_per_band=rows_per_band)
     cand = lsh_candidate_pairs(buckets, id_col)

@@ -164,24 +164,40 @@ _SQL_SHINGLES = """
     )
 """
 
-_SQL_MINHASH = """
-    sigs AS (
-        SELECT doc_id, seed,
-               min(('0x' || substr(md5(seed || '|' || shingle), 1, 15))::BIGINT) AS minhash
-        FROM shingles CROSS JOIN (SELECT unnest(range(0, 16)) AS seed) seeds
-        GROUP BY doc_id, seed
+def _sql_minhash() -> str:
+    from fefal_etl_spark.llm.dedup import MINHASH_P, minhash_coeffs
+
+    coeffs = minhash_coeffs(16)
+    mins = ", ".join(
+        f"min(({a}::BIGINT * h + {b}) % {MINHASH_P}) AS mh{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {j} AS band, md5({concat}) AS band_sig FROM sigs".format(
+            j=j,
+            concat=" || ',' || ".join(
+                f"CAST(mh{j * 4 + r} AS VARCHAR)" for r in range(4)
+            ),
+        )
+        for j in range(4)
+    )
+    return f"""
+    hashes AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {MINHASH_P} AS h
+        FROM shingles
     ),
-    buckets AS (
-        SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
-               md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed)) AS band_sig
-        FROM sigs GROUP BY doc_id, CAST(seed // 4 AS INTEGER)
-    ),
+    sigs AS (SELECT doc_id, {mins} FROM hashes GROUP BY doc_id),
+    buckets AS ({band_rows}),
     cand AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM buckets a JOIN buckets b
           ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
     )
 """
+
+
+_SQL_MINHASH = _sql_minhash()
 
 
 @register(
@@ -211,6 +227,49 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         _corpus(spark, sf_dir), "doc_id", "text",
         shingle_n=3, num_hashes=16, rows_per_band=4, threshold=0.5,
     )
+
+
+@register(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH {_CORPUS_SQL}, {_SQL_SHINGLES},
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+    inter AS (
+        SELECT sa.doc_id AS id_a, sb.doc_id AS id_b, count(*) AS n_inter
+        FROM shingles sa
+        JOIN shingles sb ON sb.shingle = sa.shingle AND sa.doc_id < sb.doc_id
+        GROUP BY sa.doc_id, sb.doc_id
+    )
+    SELECT i.id_a, i.id_b,
+           CAST(i.n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - i.n_inter) AS jaccard
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.id_a
+    JOIN sizes zb ON zb.doc_id = i.id_b
+    WHERE CAST(i.n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - i.n_inter) >= 0.2
+    """,
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 n-gram Jaccard — exhaustive shingle-join near-dup (no LSH): every
+    pair sharing a shingle, exact Jaccard ≥ 0.2. The verify-stage operator
+    run standalone; at corpus scale prefer minhash_neardup (sub-quadratic).
+    """
+    from fefal_etl_spark.llm.dedup import jaccard_verify, shingles
+
+    sh = shingles(_corpus(spark, sf_dir), "doc_id", "text").persist()
+    pairs = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    out = jaccard_verify(pairs, sh, "doc_id")
+    return out.filter(F.col("jaccard") >= 0.2).select("id_a", "id_b", "jaccard")
 
 
 @register(
