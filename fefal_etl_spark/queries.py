@@ -737,6 +737,161 @@ def q_sentence_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ==========================================================================
+# J4: prefix theta-join;  analytics family;  pagination;  intersect;  CSV scan
+# ==========================================================================
+
+
+@register(
+    "prefix_theta_join",
+    f"""
+    WITH answers AS (
+        SELECT n_nationkey, r_name || ' - [' || n_name || ']' AS colname
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+    ),
+    tipos AS (SELECT r_regionkey AS id_tipo_disp, r_name AS descricao_tipo_disp
+              FROM region)
+    SELECT a.n_nationkey, a.colname, CAST(t.id_tipo_disp AS INTEGER) AS id_tipo_disp
+    FROM answers a
+    LEFT JOIN tipos t
+      ON {sql_norm('a.colname')} LIKE {sql_norm("t.descricao_tipo_disp || ' -'")} || '%'
+    """,
+)
+def q_prefix_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 — availability-type prefix theta-join (etl_ui.py:613-621):
+    ``norm(colname).startswith(norm(tipo + " -"))`` against a broadcast dim;
+    executes as BroadcastNestedLoopJoin (correct for dim-sized build sides).
+    Region names are prefix-free so longest-prefix vs first-match coincide.
+    """
+    from fefal_etl_spark.operators import prefix_join
+
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    answers = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select(
+        "n_nationkey",
+        F.concat(
+            F.col("r_name"), F.lit(" - ["), F.col("n_name"), F.lit("]")
+        ).alias("colname"),
+    )
+    tipos = region.select(
+        F.col("r_regionkey").alias("id_tipo_disp"),
+        F.col("r_name").alias("descricao_tipo_disp"),
+    )
+    return prefix_join(answers, tipos, "colname").select(
+        "n_nationkey", "colname", F.col("id_tipo_disp").cast("int").alias("id_tipo_disp")
+    )
+
+
+@register(
+    "order_analytics",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(rank()       OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           CAST(ntile(4)     OVER w AS BIGINT) AS quartile,
+           lead(o_totalprice) OVER w AS next_price,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS rolling3
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def q_order_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking + analytic + frame-spec window family (SURVEY §2.5 exposed
+    operators): rank, dense_rank, ntile, lead, and a ROWS-frame rolling sum.
+    One shuffle on the partition key serves all five functions."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    wroll = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(wroll)
+        .cast("double")
+        .alias("rolling3"),
+    )
+
+
+@register(
+    "paginated_orders",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 50 OFFSET 100
+    """,
+)
+def q_paginated_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 — offset+limit pagination over a total order (etl_ui.py:999-1000
+    pager semantics, row-wise)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .offset(100)
+        .limit(50)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "intersect_orders",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT set op (SURVEY §2.7 exposed family)."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    b = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return a.intersect(b)
+
+
+@register(
+    "csv_roundtrip_scan",
+    "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer",
+)
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 — CSV scan (etl_ui.py:858-859): parquet→CSV→schema'd CSV read must
+    reproduce the table exactly (header→schema, typed parse). The CSV copy
+    is materialized once per sf under .tmp/."""
+    import os
+
+    from fefal_etl_spark.sources.readers import read_csv
+
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = f"/root/repo/.tmp/csv_customer_{tag}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        customer.write.mode("overwrite").option("header", True).csv(path)
+    return read_csv(
+        spark, path, all_strings=False, infer_schema=False
+    ).select(
+        F.col("c_custkey").cast("long"),
+        F.col("c_name"),
+        F.col("c_nationkey").cast("int"),
+        F.col("c_acctbal").cast("double"),
+        F.col("c_mktsegment"),
+    )
+
+
+# ==========================================================================
 # Registry accessors
 # ==========================================================================
 

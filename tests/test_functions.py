@@ -204,3 +204,53 @@ def test_split_sentences_portable_equivalent(spark):
     exact = run1(spark, split_sentences, SENT_CASES)
     portable = run1(spark, split_sentences_portable, SENT_CASES)
     assert exact == portable
+
+
+# --- F4-F7, F19 remaining scalar helpers -----------------------------------
+
+
+def test_entity_key_and_helpers(spark):
+    from pyspark.sql import functions as F
+
+    from fefal_etl_spark.functions import (
+        clean_header,
+        contains_any,
+        entity_key,
+        to_lisbon,
+        truncate_ellipsis,
+    )
+
+    df = spark.createDataFrame(
+        [("aveiro", "municipios", "A\nB ", "Gestão[comentario]", "x" * 80)],
+        "a string, b string, h string, k string, long_s string",
+    )
+    row = df.select(
+        entity_key(F.col("a"), F.col("b")).alias("key"),
+        clean_header(F.col("h")).alias("h"),
+        contains_any(F.col("k"), ["comentario"]).alias("is_comment"),
+        contains_any(F.col("k"), ["formandos"]).alias("is_formando"),
+        contains_any(F.col("k"), []).alias("empty_keys"),
+        truncate_ellipsis(F.col("long_s")).alias("trunc"),
+    ).collect()[0]
+    assert row["key"] == "aveiro||municipios"  # etl_ui.py:92-93
+    assert row["h"] == "A B"
+    assert row["is_comment"] is True and row["is_formando"] is False
+    assert row["empty_keys"] is False
+    assert row["trunc"] == "x" * 70 + "..." and len(row["trunc"]) == 73
+
+
+def test_to_lisbon_tz(spark):
+    from pyspark.sql import functions as F
+
+    from fefal_etl_spark.functions import to_lisbon
+
+    df = spark.createDataFrame(
+        [("2024-07-01 12:00:00",), ("2024-01-01 12:00:00",)], "ts string"
+    )
+    got = [
+        r["l"].hour
+        for r in df.select(
+            to_lisbon(F.col("ts").cast("timestamp")).alias("l")
+        ).collect()
+    ]
+    assert got == [13, 12]  # WEST (UTC+1) in July, WET (UTC+0) in January
