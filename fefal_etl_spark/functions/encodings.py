@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from fefal_etl_spark.functions.text import normalize_text
+from fefal_etl_spark.functions.text import normalize_text, ws_trim
 
 
 def encode_sim_nao_null(col: Column) -> Column:
@@ -67,4 +67,4 @@ def is_numeric_string(col: Column) -> Column:
     non-negative decimal literals qualify (no sign, no exponent). We match
     with a regex rather than a cast so "-3" and "1e5" stay non-numeric.
     """
-    return F.trim(col).rlike(r"^[0-9]+(\.[0-9]+)?$|^\.[0-9]+$|^[0-9]+\.$")
+    return ws_trim(col).rlike(r"^[0-9]+(\.[0-9]+)?$|^\.[0-9]+$|^[0-9]+\.$")

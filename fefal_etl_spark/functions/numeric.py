@@ -19,10 +19,17 @@ def validate_numeric(col: Column) -> Column:
     """F16: ``max(int(float(v)), 0)``; parse failure → 0 (etl_ui.py:227-232).
 
     ``int()`` truncates toward zero; negatives are clamped to 0 afterwards,
-    so plain truncation of non-negatives is sufficient.
+    so plain truncation of non-negatives is sufficient. Values beyond int64
+    saturate at Long.MAX (the reference's unbounded Python int would not fit
+    the DW INT column either).
     """
     parsed = to_numeric_coerce(col)
-    truncated = parsed.cast("long")  # toward-zero for the values that survive
+    # ±Infinity parses as a valid double ('1e310') but the reference's
+    # int(float(v)) raises OverflowError there → 0; treat as parse failure.
+    finite = F.when(
+        parsed.isin(float("inf"), float("-inf")), F.lit(None)
+    ).otherwise(parsed)
+    truncated = finite.cast("long")  # toward-zero for the values that survive
     return F.greatest(F.coalesce(truncated, F.lit(0)), F.lit(0)).cast("long")
 
 

@@ -40,6 +40,13 @@ _PLAIN = (
 assert len(_ACCENTED) == len(_PLAIN)
 
 
+def ws_trim(col: Column) -> Column:
+    """Full-whitespace trim — Python ``str.strip()`` parity. Spark/SQL
+    ``trim`` strips ONLY spaces (0x20); the reference strips all whitespace
+    (found by property testing: ``normalize_text('\\n')`` must be '')."""
+    return F.regexp_replace(col, r"^\s+|\s+$", "")
+
+
 def strip_accents(col: Column) -> Column:
     """Accent removal via a char-translate table (JVM-side, codegen-friendly).
 
@@ -56,7 +63,7 @@ def normalize_text(col: Column) -> Column:
     Mirrors the reference's ``normalize_text`` (etl_ui.py:322-331), which
     returns "" for non-strings/NULL.
     """
-    out = F.lower(F.regexp_replace(strip_accents(F.trim(col)), r"\s+", " "))
+    out = F.lower(F.regexp_replace(strip_accents(ws_trim(col)), r"\s+", " "))
     return F.coalesce(out, F.lit(""))
 
 
@@ -121,7 +128,7 @@ def remove_entity_prefixes(col: Column) -> Column:
     out = normalize_text(col)
     for pat in ENTITY_PREFIX_PATTERNS:
         out = F.regexp_replace(out, pat, "")
-    return F.trim(out)
+    return ws_trim(out)
 
 
 # ---------------------------------------------------------------------------
@@ -137,7 +144,7 @@ def extract_content_in_brackets(col: Column) -> Column:
     """
     extracted = F.regexp_extract(col, r"\[(.*?)\]", 1)
     has_match = col.rlike(r"\[.*?\]")
-    return F.when(has_match, F.trim(extracted)).otherwise(F.trim(col))
+    return F.when(has_match, ws_trim(extracted)).otherwise(ws_trim(col))
 
 
 # ---------------------------------------------------------------------------
@@ -157,7 +164,7 @@ def entity_key(name_norm: Column, type_norm: Column) -> Column:
 
 def clean_header(col: Column) -> Column:
     """trim + newline→space (etl_ui.py:225-226, 502-503)."""
-    return F.regexp_replace(F.trim(col), r"\n", " ")
+    return F.regexp_replace(ws_trim(col), r"\n", " ")
 
 
 def truncate_ellipsis(col: Column, max_len: int = 70) -> Column:
@@ -190,11 +197,11 @@ def split_sentences(col: Column) -> Column:
 
     NULL/blank input → empty array (the reference returns []).
     """
-    parts = F.split(F.trim(col), SENTENCE_SPLIT_REGEX)
+    parts = F.split(ws_trim(col), SENTENCE_SPLIT_REGEX)
     cleaned = F.filter(
-        F.transform(parts, lambda s: F.trim(s)), lambda s: s != F.lit("")
+        F.transform(parts, lambda s: ws_trim(s)), lambda s: s != F.lit("")
     )
-    return F.when(F.trim(col) == "", F.array().cast("array<string>")).otherwise(
+    return F.when(ws_trim(col) == "", F.array().cast("array<string>")).otherwise(
         F.coalesce(cleaned, F.array().cast("array<string>"))
     )
 
@@ -206,10 +213,10 @@ def split_sentences_portable(col: Column) -> Column:
     for texts not containing the sentinel (U+0007)."""
     # NB: in the reference regex the comma is part of the split match and is
     # therefore *dropped*, while the [.!?;/|] delimiters survive (lookbehind).
-    s = F.regexp_replace(F.trim(col), r"([.!?;/|])\s+", "$1\x07")
+    s = F.regexp_replace(ws_trim(col), r"([.!?;/|])\s+", "$1\x07")
     s = F.regexp_replace(s, r",\s+([A-ZÁÉÍÓÚÂÊÎÔÛÃÕÇ])", "\x07$1")
     parts = F.split(s, "\x07")
-    cleaned = F.filter(F.transform(parts, lambda x: F.trim(x)), lambda x: x != F.lit(""))
-    return F.when(F.trim(col) == "", F.array().cast("array<string>")).otherwise(
+    cleaned = F.filter(F.transform(parts, lambda x: ws_trim(x)), lambda x: x != F.lit(""))
+    return F.when(ws_trim(col) == "", F.array().cast("array<string>")).otherwise(
         F.coalesce(cleaned, F.array().cast("array<string>"))
     )

@@ -15,7 +15,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from fefal_etl_spark.functions.encodings import is_numeric_string
-from fefal_etl_spark.functions.text import split_sentences
+from fefal_etl_spark.functions.text import split_sentences, ws_trim
 
 
 def unpivot(
@@ -92,7 +92,7 @@ def unpivot_interests_with_comments(
         .select(id_col, f"p.{var_name}", "p.__valor", "p.__comment")
         .filter(F.col("__valor").isNotNull() & (F.col("__valor") > 0))
     )
-    comment_trim = F.trim(F.col("__comment"))
+    comment_trim = ws_trim(F.col("__comment"))
     comment_is_num = F.col("__comment").isNotNull() & is_numeric_string(comment_trim)
     n_formandos = F.when(
         comment_is_num, comment_trim.try_cast("double").cast("long")

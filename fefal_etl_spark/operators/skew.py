@@ -1,0 +1,73 @@
+"""Skew- and layout-aware join utilities (SURVEY.md §4 partitioning row;
+docs/SCALE.md).
+
+Three tools for the three big-join regimes at 100 TB:
+
+- ``broadcast`` hint (operators.joins) — small dim: no shuffle at all.
+- :func:`salted_join` — large ⋈ large with a skewed key: AQE's skew-join
+  handles sort-merge skew automatically, but aggregate-after-join or
+  deliberate repartition patterns still hot-spot; salting spreads each hot
+  key over N sub-partitions deterministically.
+- bucketed tables (:func:`fefal_etl_spark.sources.writers.write_bucketed`)
+  — repeated joins on the same key: pay the shuffle once at write time,
+  then every join/aggregation on the bucket key is exchange-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_salt(df: DataFrame, n_salts: int, salt_col: str = "__salt") -> DataFrame:
+    """Deterministic row salt in [0, n_salts) — hash-derived, not random, so
+    retries/speculative tasks agree."""
+    return df.withColumn(
+        salt_col,
+        F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts)).cast("int"),
+    )
+
+
+def explode_salt(df: DataFrame, n_salts: int, salt_col: str = "__salt") -> DataFrame:
+    """Replicate each row once per salt value (build side of a salted join).
+
+    Cost: n_salts× the build side — use only when the build side is much
+    smaller than the skewed probe side but too big to broadcast.
+    """
+    return df.withColumn(
+        salt_col, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumn(salt_col, F.col(salt_col).cast("int"))
+
+
+def salted_join(
+    probe: DataFrame,
+    build: DataFrame,
+    on: str | list[str],
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join where ``probe`` has skewed keys: probe rows get a
+    deterministic salt, build rows are replicated across all salts, and the
+    join key becomes (key, salt) — each formerly-hot partition splits into
+    ``n_salts`` even ones.
+
+    Semantically identical to ``probe.join(build, on, how)`` for inner/left
+    joins (each probe row still matches each build row exactly once, because
+    a build row appears once per salt and a probe row has one salt).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    p = with_salt(probe, n_salts)
+    b = explode_salt(build, n_salts)
+    out = p.join(b, on=keys + ["__salt"], how=how)
+    return out.drop("__salt")
+
+
+def repartition_for_join(
+    df: DataFrame, keys: list[str], num_partitions: int | None = None
+) -> DataFrame:
+    """Pre-shuffle onto the join key so several downstream joins/aggregations
+    on the same key reuse ONE exchange (Spark reuses compatible
+    hash-partitionings across stages)."""
+    if num_partitions:
+        return df.repartition(num_partitions, *[F.col(k) for k in keys])
+    return df.repartition(*[F.col(k) for k in keys])

@@ -60,8 +60,18 @@ def register(name: str, oracle: str | None = None):
 # --------------------------------------------------------------------------
 
 
+def sql_ws_trim(x: str) -> str:
+    # full-whitespace trim twin of functions.text.ws_trim (SQL trim() is
+    # space-only in DuckDB too)
+    return f"regexp_replace({x}, '^\\s+|\\s+$', '', 'g')"
+
+
 def sql_norm(x: str) -> str:
-    return f"lower(regexp_replace(strip_accents(trim({x})), '\\s+', ' ', 'g'))"
+    return (
+        "lower(regexp_replace(strip_accents("
+        + sql_ws_trim(x)
+        + "), '\\s+', ' ', 'g'))"
+    )
 
 
 _PREFIX_1 = r"^\s*(municipio|camara municipal|cm|c m)(\s+(de|do|da|dos|das))?\s+"
@@ -70,10 +80,11 @@ _PREFIX_2 = r"^\s*(freguesia|junta de freguesia|uniao de freguesias|uniao das fr
 
 def sql_strip_prefixes(x: str) -> str:
     inner = sql_norm(x)
-    return (
-        f"trim(regexp_replace(regexp_replace({inner}, '{_PREFIX_1}', ''), "
-        f"'{_PREFIX_2}', ''))"
+    stripped = (
+        f"regexp_replace(regexp_replace({inner}, '{_PREFIX_1}', ''), "
+        f"'{_PREFIX_2}', '')"
     )
+    return sql_ws_trim(stripped)
 
 
 DECSUM = "CAST(SUM(CAST({x} AS DECIMAL(18,2))) AS DOUBLE)"

@@ -47,6 +47,24 @@ def write_star(
     return paths
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: pays the shuffle ONCE at write; afterwards
+    every join/groupBy on ``bucket_cols`` between co-bucketed tables is
+    exchange-free (verified by plan assertion in tests). The 100 TB answer
+    for fact⋈fact joins that repeat every run."""
+    writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.format("parquet").saveAsTable(table)
+
+
 def write_jdbc(
     df: DataFrame, url: str, table: str, mode: str = "append", **properties
 ) -> None:

@@ -13,7 +13,10 @@ def spark():
         "tests",
         master="local[4]",
         shuffle_partitions=4,
-        extra_confs={"spark.ui.enabled": "false"},
+        extra_confs={
+            "spark.ui.enabled": "false",
+            "spark.sql.warehouse.dir": "/root/repo/.tmp/warehouse",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     yield spark

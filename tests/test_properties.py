@@ -1,0 +1,159 @@
+"""Property-based tests (SURVEY.md §5.4) — hypothesis-generated inputs,
+batched into one Spark job per example for speed.
+
+Alphabet notes: the JVM fast-path accent stripper covers the Latin
+repertoire in functions.text._ACCENTED; property parity with the Python NFKD
+twin is asserted over that repertoire (outside it — e.g. ǒ — the fast path
+passes chars through while NFKD strips, by design; normalize_text_udf is the
+full-parity path). ``is_numeric_string`` parity is ASCII-scoped because
+Python ``str.isdigit`` accepts unicode digits the reference never sees.
+"""
+
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from fefal_etl_spark.functions import (
+    is_numeric_string,
+    normalize_text,
+    py_normalize_text,
+    split_sentences,
+    split_sentences_portable,
+    validate_numeric,
+)
+
+SETTLE = settings(
+    max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+
+LATIN = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    "áàâãäçéêíóôõúüÁÀÂÃÄÇÉÊÍÓÔÕÚÜñÑ .,;!?/|[]()-0123456789\t\n",
+    max_size=60,
+)
+
+
+def batch(spark, col_fn, values):
+    df = spark.createDataFrame([(v,) for v in values], "v string")
+    return [r[0] for r in df.select(col_fn(F.col("v")).alias("o")).collect()]
+
+
+@SETTLE
+@given(st.lists(LATIN, min_size=1, max_size=30))
+def test_normalize_matches_python_twin(spark, texts):
+    got = batch(spark, normalize_text, texts)
+    want = [py_normalize_text(t) for t in texts]
+    assert got == want
+
+
+@SETTLE
+@given(st.lists(LATIN, min_size=1, max_size=30))
+def test_normalize_idempotent(spark, texts):
+    once = batch(spark, normalize_text, texts)
+    twice = batch(spark, normalize_text, once)
+    assert once == twice
+
+
+REF_SPLIT = r"(?<=[.!?;/|])\s+|,\s+(?=[A-ZÁÉÍÓÚÂÊÎÔÛÃÕÇ])"
+
+
+def ref_split(texto):
+    if not isinstance(texto, str) or not texto.strip():
+        return []
+    return [f.strip() for f in re.split(REF_SPLIT, texto.strip()) if f.strip()]
+
+
+@SETTLE
+@given(st.lists(LATIN, min_size=1, max_size=30))
+def test_sentence_split_matches_reference_and_portable(spark, texts):
+    texts = [t.replace("\x07", " ") for t in texts]  # portable sentinel guard
+    exact = [list(x) for x in batch(spark, split_sentences, texts)]
+    portable = [list(x) for x in batch(spark, split_sentences_portable, texts)]
+    want = [ref_split(t) for t in texts]
+    assert exact == want
+    assert portable == want
+
+
+NUMERICISH = st.one_of(
+    st.integers(-10**6, 10**6).map(str),
+    st.floats(
+        allow_nan=False, allow_infinity=False, min_value=-1e6, max_value=1e6
+    ).map(str),
+    st.text(alphabet="0123456789.-e x", max_size=10),
+)
+
+
+def ref_validate(v):  # etl_ui.py:227-232
+    try:
+        # engine contract: LongType output saturates at int64 max (the DW
+        # column is INT; the reference's unbounded Python int is unportable)
+        return min(max(int(float(v)), 0), 2**63 - 1)
+    except Exception:
+        return 0
+
+
+@SETTLE
+@given(st.lists(NUMERICISH, min_size=1, max_size=40))
+def test_validate_numeric_matches_reference(spark, vals):
+    got = batch(spark, validate_numeric, vals)
+    want = [ref_validate(v) for v in vals]
+    assert got == want
+
+
+def ref_isnum(t):  # etl_ui.py:542-543
+    return t.strip().replace(".", "", 1).isdigit()
+
+
+@SETTLE
+@given(st.lists(st.text(alphabet="0123456789. -abe", max_size=8), min_size=1, max_size=40))
+def test_is_numeric_string_matches_reference(spark, vals):
+    got = batch(spark, is_numeric_string, vals)
+    want = [ref_isnum(v) for v in vals]
+    assert [bool(g) for g in got] == want
+
+
+@SETTLE
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 100), st.integers(0, 100)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_dedup_keeps_exactly_one_per_key(spark, rows):
+    from fefal_etl_spark.operators import dedup_keep_best
+
+    df = spark.createDataFrame(rows, "k int, a int, b int")
+    out = dedup_keep_best(
+        df, key="k", order_by=[F.col("a").desc(), F.col("b").desc()]
+    )
+    got = out.groupBy("k").count().collect()
+    assert all(r["count"] == 1 for r in got)
+    keys_in = {r[0] for r in rows}
+    assert {r["k"] for r in got} == keys_in
+    # the kept row is a genuine argmax of (a, b) within its key
+    best = {}
+    for k, a, b in rows:
+        best[k] = max(best.get(k, (-1, -1)), (a, b))
+    for r in out.collect():
+        assert (r["a"], r["b"]) == best[r["k"]]
+
+
+@SETTLE
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 1000), st.integers(0, 50), st.integers(0, 50)),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_unpivot_pivot_roundtrip(spark, rows):
+    df = spark.createDataFrame(rows, "id long, m1 int, m2 int")
+    long = df.unpivot(["id"], ["m1", "m2"], "measure", "value")
+    wide = (
+        long.groupBy("id").pivot("measure", ["m1", "m2"]).agg(F.first("value"))
+    )
+    assert sorted(map(tuple, wide.collect())) == sorted(map(tuple, df.collect()))
