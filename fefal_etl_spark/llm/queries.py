@@ -30,6 +30,7 @@ from fefal_etl_spark.llm.text_analysis import (
     TOKEN_REGEX,
     language_id,
     quality_features,
+    winnow_fingerprints,
 )
 from fefal_etl_spark.queries import register
 
@@ -129,6 +130,42 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", "lang", language_id(F.col("text")).alias("pred_lang")
     )
+
+
+@register(
+    "doc_fingerprints",
+    """
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                           x -> x <> '') AS ws
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               list_transform(
+                   range(1, len(ws) - 1),
+                   i -> substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 16)
+               ) AS hs
+        FROM w WHERE len(ws) >= 3
+    ),
+    f AS (
+        SELECT doc_id,
+               CASE WHEN len(hs) >= 4
+                    THEN list_transform(range(1, len(hs) - 2),
+                                        j -> list_min(hs[j : j + 3]))
+                    ELSE [list_min(hs)] END AS mins
+        FROM g
+    )
+    SELECT doc_id, unnest(list_distinct(mins)) AS fp FROM f
+    """,
+)
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 — winnowing rolling-hash fingerprints (word 3-grams, window 4),
+    exploded to (doc_id, fp) rows: the plagiarism/partial-overlap index a
+    whole-doc hash can't build. Narrow projections + explode — no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs, "doc_id", "text", k=3, window=4)
 
 
 # --------------------------------------------------------------------------

@@ -120,3 +120,58 @@ def doc_fingerprint(col: Column) -> Column:
     """Deterministic document fingerprint: md5 of the lower-trimmed text.
     Stable across engines/runs — the cheap exact-dup key (E1 fast path)."""
     return F.md5(F.lower(F.trim(col)))
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing rolling-hash fingerprints over word ``k``-grams (Schleimer
+    et al., SIGMOD 2003): hash every k-gram, keep the minimum hash of each
+    length-``window`` sliding window of consecutive k-gram hashes; the
+    distinct mins are the document's fingerprints, returned exploded as
+    ``(id_col, fp)`` rows. Any shared run of ``window + k - 1`` words
+    between two documents is guaranteed to share a fingerprint — the
+    partial-overlap detector that whole-doc hashing (``doc_fingerprint``)
+    can't provide.
+
+    DataFrame-native equivalent of a Rabin-Karp rolling hash: the same
+    k-gram hash set computed positionally (``transform`` over an index
+    ``sequence``) instead of per-character carry state — embarrassingly
+    parallel, whole-stage-codegen'd, zero Python, zero shuffles. Hashes are
+    16-hex-char md5 prefixes so ``array_min`` (lexicographic) is
+    engine-portable.
+
+    Deliberately staged as THREE projections (words → k-gram hashes →
+    window mins), not one nested expression: Spark performs no
+    common-subexpression elimination inside higher-order-function lambdas,
+    so a single fused expression re-evaluates the whole hash array per
+    window element — O(n²) md5 calls; measured 60× slower at 500 docs.
+    Separate multi-referenced aliases block CollapseProject, so each array
+    materializes once per row.
+
+    Documents with fewer than ``k`` words yield no rows; fewer k-grams than
+    ``window`` → one fingerprint (min of all), per the winnowing paper.
+    """
+    ws = F.filter(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda x: x != "")
+    words_df = df.select(id_col, ws.alias("_ws")).filter(F.size("_ws") >= k)
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.size("_ws") - F.lit(k - 1)),
+        lambda i: F.substr(
+            F.md5(F.concat_ws(" ", F.slice(F.col("_ws"), i, k))), F.lit(1), F.lit(16)
+        ),
+    )
+    hashed_df = words_df.select(id_col, hashes.alias("_hs"))
+    mins = F.when(
+        F.size("_hs") >= window,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_hs") - F.lit(window - 1)),
+            lambda j: F.array_min(F.slice(F.col("_hs"), j, window)),
+        ),
+    ).otherwise(F.array(F.array_min("_hs")))
+    return hashed_df.select(id_col, mins.alias("_mins")).select(
+        id_col, F.explode(F.array_distinct("_mins")).alias("fp")
+    )

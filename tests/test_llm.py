@@ -139,3 +139,33 @@ def test_multimodal_decode_stub_gate(spark):
     media = attach_media_column(df, "doc_id", "text")
     with pytest.raises(Exception, match="NotImplementedError|real codec"):
         extract_features(media, decode_stub=False).collect()
+
+
+def test_winnow_fingerprints_overlap_guarantee(spark):
+    from fefal_etl_spark.llm.text_analysis import winnow_fingerprints
+
+    # k=3, window=4 → any shared run of window+k-1 = 6 words must share a fp.
+    shared = "alpha beta gamma delta epsilon zeta"
+    df = spark.createDataFrame(
+        [
+            (1, f"one two {shared} three four"),
+            (2, f"{shared} nine ten eleven twelve"),
+            (3, "completely different words entirely here now"),
+            (4, "short doc"),  # < k words → no rows
+            (5, "tiny three words"),  # 1 k-gram < window → exactly 1 fp
+        ],
+        "doc_id long, text string",
+    )
+    fp = winnow_fingerprints(df, "doc_id", "text", k=3, window=4)
+    by_doc = {}
+    for r in fp.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2], "shared 6-word run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    assert 4 not in by_doc
+    assert len(by_doc[5]) == 1
+    # deterministic across invocations
+    again = {}
+    for r in winnow_fingerprints(df, "doc_id", "text", k=3, window=4).collect():
+        again.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert again == by_doc
