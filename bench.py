@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     # LLM-pipeline extensions
     "text_stats",
     "lang_id",
+    "doc_fingerprints",
     "exact_dedup",
     "minhash_neardup",
     "simhash_fingerprints",

@@ -215,9 +215,16 @@ def minhash_lsh_neardup(
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 60) -> DataFrame:
     """SimHash fingerprint: per-word 60-bit hashes, per-bit majority vote.
 
-    Implemented as words × bits Expand rows then two aggregations — heavy
-    but fully parallel; for 100 TB restrict ``bits`` or pre-sample words.
-    Ties (vote sum == 0) resolve to bit 0.
+    Shape: one md5 per word, Expand to (doc, bit, ±1 vote) rows, groupBy
+    (doc, bit) then groupBy doc. The Expand looks like a ``bits``-fold
+    blowup but is pipelined map-side and partially aggregated before the
+    shuffle, so shuffle volume is docs × bits either way. The "obvious"
+    alternative — ``bits`` sum-aggregate columns in one groupBy, mirroring
+    the minhash signature trick — was measured 2.5× SLOWER here (sf0.1,
+    local[32]): 61 aggregation buffer fields push the hash-aggregate out of
+    efficient whole-stage codegen, while this formulation keeps every
+    operator in small JIT-friendly generated methods. Ties (vote sum == 0)
+    resolve to bit 0.
     """
     w = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     word_rows = df.select(
