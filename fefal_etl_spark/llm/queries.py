@@ -342,6 +342,44 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_corpus(spark, sf_dir), "doc_id", "text", bits=60)
 
 
+@register(
+    "embedding_neardup",
+    """
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               concat(
+                   CASE WHEN embedding[1]  >= 0 THEN '1' ELSE '0' END,
+                   CASE WHEN embedding[9]  >= 0 THEN '1' ELSE '0' END,
+                   CASE WHEN embedding[17] >= 0 THEN '1' ELSE '0' END,
+                   CASE WHEN embedding[25] >= 0 THEN '1' ELSE '0' END,
+                   CASE WHEN embedding[33] >= 0 THEN '1' ELSE '0' END,
+                   CASE WHEN embedding[41] >= 0 THEN '1' ELSE '0' END) AS bucket
+        FROM embeddings
+    )
+    SELECT a.vec_id AS keeper_id, b.vec_id AS dup_id,
+           round(list_dot_product(a.v, b.v) /
+                 (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                 6) AS cos_sim
+    FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v) /
+          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.9
+    """,
+)
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 embedding-cosine near-dup — sign-LSH candidate buckets, exact
+    cosine verify ≥ 0.9, keeper = lower id. Same sub-quadratic shape as
+    minhash_neardup but over the embedding space: candidate generation never
+    leaves the LSH buckets, so the 100 TB cost is one bucket-keyed
+    shuffle + within-bucket pair verify (AQE handles skewed buckets)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = lsh_bucketed_pairs(emb, threshold=0.9)
+    return out.select(
+        F.col("id_a").alias("keeper_id"),
+        F.col("id_b").alias("dup_id"),
+        F.round("cos_sim", 6).alias("cos_sim"),
+    )
+
+
 # --------------------------------------------------------------------------
 # E2: similarity search
 # --------------------------------------------------------------------------
