@@ -9,7 +9,7 @@ ship once per executor.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from fefal_etl_spark.functions.text import (
@@ -126,3 +126,84 @@ def anti_join_new_keys(new: DataFrame, existing: DataFrame, on: str | list[str])
     """
     keys = [on] if isinstance(on, str) else list(on)
     return new.join(existing.select(*keys).dropDuplicates(keys), on=keys, how="left_anti")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: dict[str, str] | None = None,
+) -> DataFrame:
+    """Backward as-of join: each left row gets the latest right row with the
+    same key and ``right_ts <= left_ts`` (inclusive), left-outer — NULLs
+    when no prior right row exists. SURVEY.md §2.3 lists as-of joins as an
+    exposed extension beyond the reference's equi-joins; this is the
+    operator Spark lacks natively (DuckDB spells it ``ASOF JOIN``, the
+    oracle twin).
+
+    Spark-first plan — union-then-window, NOT a theta join: tag both inputs,
+    union by key, and ``last(..., ignorenulls=True)`` the right payload over
+    a (key, time)-ordered running window. One shuffle on the key, sorted
+    within partitions, no range-explosion and no per-row probe — survives
+    arbitrarily large sides at 100 TB (a theta ``BETWEEN`` join would
+    nested-loop). Right rows sort before left rows at equal timestamps,
+    which is what makes the match inclusive.
+
+    ``right_cols`` maps right payload column → output name (default: every
+    non-key, non-timestamp right column, prefixed ``right_``). The right
+    timestamp is always emitted under ``right_cols.get(right_ts,
+    "right_" + right_ts)``. Right rows duplicated on (key, ts) should be
+    deduped by the caller if tie-breaking must be deterministic.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if right_cols is None:
+        right_cols = {
+            c: f"right_{c}" for c in right.columns if c not in (*keys, right_ts)
+        }
+    right_cols = {right_ts: f"right_{right_ts}", **right_cols}
+
+    payload = [c for c in right_cols if c != right_ts]
+    l_tagged = left.select(
+        *keys,
+        F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__side"),
+        *[F.col(c) for c in left.columns if c not in keys and c != left_ts],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in payload],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("__r_ts"),
+    )
+    r_tagged = right.select(
+        *keys,
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__side"),
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left.columns
+            if c not in keys and c != left_ts
+        ],
+        *[F.col(c).alias(f"__r_{c}") for c in payload],
+        F.col(right_ts).alias("__r_ts"),
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__t").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        "*",
+        *[
+            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"__m_{c}")
+            for c in payload
+        ],
+        F.last(F.col("__r_ts"), ignorenulls=True).over(w).alias("__m_ts"),
+    )
+    out_left = [c for c in left.columns if c not in keys and c != left_ts]
+    return filled.filter(F.col("__side") == 1).select(
+        *keys,
+        F.col("__t").alias(left_ts),
+        *out_left,
+        *[F.col(f"__m_{c}").alias(right_cols[c]) for c in payload],
+        F.col("__m_ts").alias(right_cols[right_ts]),
+    )

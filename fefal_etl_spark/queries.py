@@ -385,6 +385,51 @@ def q_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_attribution",
+    """
+    WITH p AS (
+        SELECT event_id, user_id, ts, value FROM events
+        WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT user_id, ts, max(event_id) AS click_event_id
+        FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    )
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           c.click_event_id, c.ts AS click_ts
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (last-touch attribution): each purchase gets the user's
+    most recent click at-or-before it, left-outer. The union-then-window
+    operator (operators.joins.asof_join) — one key shuffle, no range
+    explosion; oracle is DuckDB's native ASOF JOIN."""
+    from fefal_etl_spark.operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_event_id"))
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols={"click_event_id": "click_event_id", "ts": "click_ts"},
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "value", "click_event_id", "click_ts"
+    )
+
+
+@register(
     "sessionize",
     """
     WITH flagged AS (

@@ -221,3 +221,35 @@ def test_upsert_dim_sequential_dense(spark):
     dim2 = upsert_dim_sequential(dim1, inc2, "nome", "id_dim")
     got2 = {r["nome"]: r["id_dim"] for r in dim2.collect()}
     assert got2 == {"a": 1, "b": 2, "c": 3}
+
+
+def test_asof_join_semantics(spark):
+    from datetime import datetime
+
+    from fefal_etl_spark.operators.joins import asof_join
+
+    t = lambda s: datetime.fromisoformat(s)
+    left = spark.createDataFrame(
+        [
+            (1, t("2024-01-01T10:00:00"), "p1"),  # exact-ts match is inclusive
+            (1, t("2024-01-01T12:00:00"), "p2"),  # latest prior wins
+            (1, t("2024-01-01T08:00:00"), "p3"),  # before any right → NULL
+            (2, t("2024-01-01T12:00:00"), "p4"),  # other key isolated
+        ],
+        "k long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, t("2024-01-01T10:00:00"), 100),
+            (1, t("2024-01-01T11:00:00"), 200),
+            (2, t("2024-01-01T09:00:00"), 900),
+        ],
+        "k long, ts timestamp, rv int",
+    )
+    out = asof_join(left, right, on="k", right_cols={"rv": "rv", "ts": "rts"})
+    got = {r["tag"]: (r["rv"], r["rts"]) for r in out.collect()}
+    assert got["p1"] == (100, t("2024-01-01T10:00:00"))
+    assert got["p2"] == (200, t("2024-01-01T11:00:00"))
+    assert got["p3"] == (None, None)
+    assert got["p4"] == (900, t("2024-01-01T09:00:00"))
+    assert out.count() == 4  # left-outer: every left row exactly once
