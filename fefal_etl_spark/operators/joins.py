@@ -128,6 +128,58 @@ def anti_join_new_keys(new: DataFrame, existing: DataFrame, on: str | list[str])
     return new.join(existing.select(*keys).dropDuplicates(keys), on=keys, how="left_anti")
 
 
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_point: str,
+    right_start: str,
+    right_end: str,
+    on: str | list[str] | None = None,
+    bucket_seconds: int = 86_400,
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval join: left rows whose timestamp ``left_point``
+    falls in a right row's half-open interval ``[right_start, right_end)``
+    (plus optional equi-keys ``on``). SURVEY.md §2.3 lists range/interval
+    joins among the exposed extensions beyond the reference's equi-joins.
+
+    Spark-first plan — bucketize, NOT a theta join: a raw inequality join
+    falls back to BroadcastNestedLoopJoin (quadratic, or OOM when neither
+    side broadcasts). Instead each right interval is exploded to every
+    time bucket it overlaps, each left point hashes to exactly ONE bucket,
+    and the join becomes an equi-join on (bucket, keys) followed by the
+    exact interval filter. No duplicate matches are possible (a point
+    lives in one bucket) so no dedup pass is needed. Pick
+    ``bucket_seconds`` ≈ the typical interval length: the explode factor
+    is ⌈interval/bucket⌉ + 1 copies per right row, and larger buckets
+    trade fewer copies for more false-candidate pairs in the filter.
+
+    Payload column names must be disjoint between the two sides (the
+    equi-join merges only bucket + key columns).
+    """
+    keys = [] if on is None else ([on] if isinstance(on, str) else list(on))
+    l_b = left.withColumn(
+        "__bucket", F.floor(F.unix_timestamp(F.col(left_point)) / bucket_seconds)
+    )
+    r_b = right.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(right_start)) / bucket_seconds),
+                F.floor(F.unix_timestamp(F.col(right_end)) / bucket_seconds),
+            )
+        ),
+    )
+    return (
+        l_b.join(r_b, on=["__bucket", *keys], how=how)
+        .filter(
+            (F.col(left_point) >= F.col(right_start))
+            & (F.col(left_point) < F.col(right_end))
+        )
+        .drop("__bucket")
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

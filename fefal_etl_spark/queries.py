@@ -430,6 +430,48 @@ def q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "range_join_windows",
+    f"""
+    WITH w AS (
+        SELECT CAST(i AS BIGINT) AS window_id,
+               TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (i*3) DAY AS w_start,
+               TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (i*3+5) DAY AS w_end
+        FROM range(0, 14) t(i)
+    )
+    SELECT w.window_id, CAST(count(*) AS BIGINT) AS n_events,
+           {DECSUM.format(x='e.value')} AS sum_value
+    FROM events e JOIN w ON e.ts >= w.w_start AND e.ts < w.w_end
+    GROUP BY w.window_id
+    """,
+)
+def q_range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: events bucketed into overlapping 5-day promo windows
+    starting every 3 days (so many events match 2 windows). Executed as the
+    bucketized equi-join (operators.joins.range_join), never a
+    nested-loop theta join; oracle is DuckDB's inequality join."""
+    from fefal_etl_spark.operators.joins import range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    base = F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+    windows = spark.range(14).select(
+        F.col("id").alias("window_id"),
+        F.timestamp_add("DAY", (F.col("id") * 3).cast("int"), base).alias("w_start"),
+        F.timestamp_add("DAY", (F.col("id") * 3 + 5).cast("int"), base).alias("w_end"),
+    )
+    joined = range_join(
+        ev.select("event_id", "ts", "value"),
+        windows,
+        left_point="ts",
+        right_start="w_start",
+        right_end="w_end",
+        bucket_seconds=5 * 86_400,
+    )
+    return joined.groupBy("window_id").agg(
+        F.count(F.lit(1)).alias("n_events"), decsum("value").alias("sum_value")
+    )
+
+
+@register(
     "sessionize",
     """
     WITH flagged AS (
@@ -627,6 +669,25 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
         decsum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "cube_orders",
+    f"""
+    SELECT o_orderstatus, o_orderpriority,
+           {DECSUM.format(x='o_totalprice')} AS sum_price,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (SURVEY §2.4 exposed family): all 4 grouping
+    combinations in one Expand pass — partial aggregation applies per
+    grouping set, so the shuffle carries pre-combined rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        decsum("o_totalprice").alias("sum_price"), F.count(F.lit(1)).alias("n")
     )
 
 

@@ -253,3 +253,31 @@ def test_asof_join_semantics(spark):
     assert got["p3"] == (None, None)
     assert got["p4"] == (900, t("2024-01-01T09:00:00"))
     assert out.count() == 4  # left-outer: every left row exactly once
+
+
+def test_range_join_semantics(spark):
+    from datetime import datetime
+
+    from fefal_etl_spark.operators.joins import range_join
+
+    t = lambda s: datetime.fromisoformat(s)
+    pts = spark.createDataFrame(
+        [
+            (1, t("2024-01-01T00:00:00")),  # == start → in (inclusive)
+            (2, t("2024-01-03T00:00:00")),  # in overlap of w0 and w1
+            (3, t("2024-01-05T00:00:00")),  # == w0 end → out (half-open), in w1
+            (4, t("2024-02-01T00:00:00")),  # in no window
+        ],
+        "pid long, ts timestamp",
+    )
+    wins = spark.createDataFrame(
+        [
+            (0, t("2024-01-01T00:00:00"), t("2024-01-05T00:00:00")),
+            (1, t("2024-01-02T00:00:00"), t("2024-01-07T00:00:00")),
+        ],
+        "wid long, w_start timestamp, w_end timestamp",
+    )
+    # small bucket → intervals span several buckets; matches must not dup
+    out = range_join(pts, wins, "ts", "w_start", "w_end", bucket_seconds=3600)
+    got = sorted((r["pid"], r["wid"]) for r in out.collect())
+    assert got == [(1, 0), (2, 0), (2, 1), (3, 1)]
