@@ -385,6 +385,56 @@ def q_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stateful_running_counts",
+    """
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events_total,
+           round(sum(coalesce(value, 0.0)), 2) AS sum_value_total
+    FROM events GROUP BY user_id
+    """,
+)
+def q_stateful_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming (X3 / SURVEY §2.11): per-user running
+    count+sum via applyInPandasWithState, drained with Trigger.AvailableNow
+    into a memory sink; the LAST update per user must equal the batch
+    aggregate — which is exactly the DuckDB oracle. ts is excluded from the
+    declared schema so the parquet source prunes the TIMESTAMP(NANOS)
+    column entirely."""
+    from fefal_etl_spark.operators.pandas_hooks import running_counts_stateful
+
+    sink = "q_stateful_running_counts_sink"
+    spark.sql(f"DROP VIEW IF EXISTS {sink}")
+    # the file stream source requires a directory: point it at sf_dir and
+    # glob-filter to the events file
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("event_id long, user_id long, value double")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    q = (
+        running_counts_stateful(stream)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events_total").desc())
+    return (
+        spark.table(sink)
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select(
+            "user_id",
+            "n_events_total",
+            F.round("sum_value_total", 2).alias("sum_value_total"),
+        )
+    )
+
+
+@register(
     "asof_attribution",
     """
     WITH p AS (
