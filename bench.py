@@ -32,6 +32,9 @@ BENCH_QUERIES = [
     "events_hourly",
     "union_except",
     "rollup_lineitem",
+    "revenue_by_nation",
+    "asof_attribution",
+    "range_join_windows",
     "sentence_explode",
     "top_orders",
     # LLM-pipeline extensions
