@@ -54,8 +54,18 @@ def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+def shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, as_hash: bool = False
+) -> DataFrame:
     """Distinct word n-gram shingles per document: (id, shingle).
+
+    With ``as_hash`` the shingle column is its portable 60-bit md5 hash
+    (LongType) instead of the string: the distinct, every downstream join,
+    and the persisted cache then move 8-byte longs instead of ~40-byte
+    strings — use it whenever the shingle text itself is not needed
+    (signatures and Jaccard verification only test equality; a 60-bit
+    collision at corpus scale is ~1e-7 per 10⁶ shingles and hits both
+    engines identically, so oracle parity is preserved).
 
     Narrow except the final distinct (map-side combine keeps it cheap).
 
@@ -72,11 +82,12 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
             " ", *[F.element_at("__ws", (i + k).cast("int")) for k in range(n)]
         ),
     )
-    return (
-        ws.select(F.col(id_col), F.explode(grams).alias("shingle"))
-        .filter(F.col("shingle") != "")
-        .distinct()
+    out = ws.select(F.col(id_col), F.explode(grams).alias("shingle")).filter(
+        F.col("shingle") != ""
     )
+    if as_hash:
+        out = out.select(F.col(id_col), md5_hash64(F.col("shingle")).alias("shingle"))
+    return out.distinct()
 
 
 # Universal-hash family over the Mersenne prime 2^31-1: one md5 per shingle,
@@ -103,8 +114,16 @@ def minhash_signatures(
     One md5 per shingle (not per seed×shingle), k min-aggregate columns with
     map-side partial mins, a single shuffle on the doc id, zero row
     expansion — ~16× cheaper than the naive seed-explode formulation.
+
+    Accepts string shingles or pre-hashed longs (``shingles(as_hash=True)``)
+    — the reduction mod p is identical either way.
     """
-    h = md5_hash64(F.col("shingle")) % MINHASH_P
+    from pyspark.sql.types import LongType
+
+    if isinstance(shingle_df.schema["shingle"].dataType, LongType):
+        h = F.col("shingle") % MINHASH_P
+    else:
+        h = md5_hash64(F.col("shingle")) % MINHASH_P
     base = shingle_df.withColumn("__h", h)
     aggs = [
         F.min((F.lit(a) * F.col("__h") + F.lit(b)) % MINHASH_P).alias(f"mh{i}")
@@ -201,8 +220,9 @@ def minhash_lsh_neardup(
     """
     # shingles feed BOTH the signature path and the verify path — persist so
     # the explode+distinct isn't recomputed (at 100 TB: checkpoint/write to
-    # a staging table instead).
-    sh = shingles(df, id_col, text_col, n=shingle_n).persist()
+    # a staging table instead). Hashed form: every shuffle/join/cache below
+    # moves 8-byte longs, not shingle strings.
+    sh = shingles(df, id_col, text_col, n=shingle_n, as_hash=True).persist()
     sig = minhash_signatures(sh, id_col, num_hashes=num_hashes)
     buckets = lsh_band_buckets(sig, id_col, rows_per_band=rows_per_band)
     cand = lsh_candidate_pairs(buckets, id_col)

@@ -188,9 +188,12 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dup_groups(_corpus(spark, sf_dir), "doc_id", "text")
 
 
+# shingle = portable 60-bit md5 hash of the n-gram (twin of
+# dedup.shingles(as_hash=True): joins/aggregations move longs, not strings)
 _SQL_SHINGLES = """
     shingles AS (
-        SELECT DISTINCT doc_id, sh AS shingle FROM (
+        SELECT DISTINCT doc_id,
+               ('0x' || substr(md5(sh), 1, 15))::BIGINT AS shingle FROM (
             SELECT doc_id,
                    unnest(list_transform(
                        range(1, greatest(len(ws) - 1, 1)),
@@ -220,9 +223,7 @@ def _sql_minhash() -> str:
     )
     return f"""
     hashes AS (
-        SELECT doc_id,
-               ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {MINHASH_P} AS h
-        FROM shingles
+        SELECT doc_id, shingle % {MINHASH_P} AS h FROM shingles
     ),
     sigs AS (SELECT doc_id, {mins} FROM hashes GROUP BY doc_id),
     buckets AS ({band_rows}),
@@ -292,7 +293,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from fefal_etl_spark.llm.dedup import jaccard_verify, shingles
 
-    sh = shingles(_corpus(spark, sf_dir), "doc_id", "text").persist()
+    sh = shingles(_corpus(spark, sf_dir), "doc_id", "text", as_hash=True).persist()
     pairs = (
         sh.alias("a")
         .join(
