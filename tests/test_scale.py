@@ -112,3 +112,37 @@ def test_repartition_reuse(spark):
     # tree + details — count the detail headers)
     text = plan_of(agg1)
     assert len(re.findall(r"\(\d+\) Exchange", text)) == 1, text
+
+
+def test_asof_join_plan_no_nested_loop(spark):
+    from datetime import datetime
+
+    from fefal_etl_spark.operators.joins import asof_join
+
+    t = datetime(2024, 1, 1)
+    left = spark.createDataFrame([(1, t, "a")], "k long, ts timestamp, x string")
+    right = spark.createDataFrame([(1, t, 9)], "k long, ts timestamp, rv int")
+    out = asof_join(left, right, on="k", right_cols={"rv": "rv", "ts": "rts"})
+    text = plan_of(out)
+    # union-then-window: scales as one key shuffle — never a join node at all
+    assert "BroadcastNestedLoopJoin" not in text, text
+    assert "CartesianProduct" not in text, text
+    assert "Window" in text, text
+
+
+def test_range_join_plan_no_nested_loop(spark):
+    from datetime import datetime
+
+    from fefal_etl_spark.operators.joins import range_join
+
+    t = datetime(2024, 1, 1)
+    pts = spark.createDataFrame([(1, t)], "pid long, ts timestamp")
+    wins = spark.createDataFrame(
+        [(0, t, datetime(2024, 1, 2))], "wid long, w_start timestamp, w_end timestamp"
+    )
+    out = range_join(pts, wins, "ts", "w_start", "w_end", bucket_seconds=3600)
+    text = plan_of(out)
+    # bucketized equi-join: the interval predicate is a post-join filter,
+    # the join itself is hashable on __bucket — no quadratic fallback
+    assert "BroadcastNestedLoopJoin" not in text, text
+    assert "CartesianProduct" not in text, text
