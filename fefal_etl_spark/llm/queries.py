@@ -133,6 +133,39 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stratified_sample",
+    """
+    WITH b AS (
+        SELECT doc_id, lang,
+               ('0x' || substr(md5('curate' || '|' || CAST(doc_id AS VARCHAR)),
+                               1, 15))::BIGINT % 10000 AS bucket
+        FROM documents
+    )
+    SELECT doc_id, lang FROM b
+    WHERE bucket < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 10000
+                             ELSE 2500 END
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling for corpus curation: keep 50% of
+    'en', all of 'de', 25% of everything else — membership a pure function
+    of doc_id (md5 bucket), so the sample is identical across engines,
+    reruns, and repartitionings; a narrow filter, zero shuffles."""
+    from fefal_etl_spark.llm.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs,
+        key_col="doc_id",
+        strata_col="lang",
+        fractions={"en": 0.5, "de": 1.0},
+        default_fraction=0.25,
+        salt="curate",
+    )
+    return out.select("doc_id", "lang")
+
+
+@register(
     "doc_fingerprints",
     """
     WITH w AS (

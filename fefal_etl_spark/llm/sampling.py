@@ -1,0 +1,69 @@
+"""Deterministic sampling / splitting for training-data curation
+(SURVEY.md §2.12 extension surface).
+
+``df.sample()`` is seed-dependent per partitioning and non-reproducible
+across engines and re-runs with different file splits. Curation pipelines
+need the opposite: membership decided by a *pure function of the row key*,
+so a sample is stable across reruns, engines, and cluster layouts, and
+train/eval splits can never leak rows when data is re-partitioned.
+
+Everything here is a narrow projection + filter over the portable
+60-bit md5 hash (llm.dedup.md5_hash64) — zero shuffles, pushdown-friendly,
+reproducible bit-for-bit in any engine with md5 (the DuckDB oracle twin).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from fefal_etl_spark.llm.dedup import md5_hash64
+
+# Hash buckets for rate resolution: rates are exact multiples of 1/10000.
+BUCKETS = 10_000
+
+
+def sample_bucket(key: Column, salt: str = "") -> Column:
+    """Stable bucket in [0, BUCKETS) for a row key. ``salt`` decorrelates
+    independent samples drawn from the same keys (each salt is a fresh
+    hash function)."""
+    k = F.concat(F.lit(salt), F.lit("|"), key.cast("string"))
+    return md5_hash64(k) % BUCKETS
+
+
+def deterministic_sample(
+    df: DataFrame, key_col: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Keep rows whose key-bucket < fraction·BUCKETS — a reproducible
+    ``fraction`` sample (exact expectation, binomial variance), invariant
+    to partitioning/order/engine."""
+    return df.filter(sample_bucket(F.col(key_col), salt) < int(fraction * BUCKETS))
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic rates (e.g. downsample dominant languages,
+    keep all of rare ones). One narrow filter; no shuffle, no per-stratum
+    passes."""
+    bucket = sample_bucket(F.col(key_col), salt)
+    thresh = F.lit(int(default_fraction * BUCKETS))
+    for value, frac in fractions.items():
+        thresh = F.when(
+            F.col(strata_col) == value, F.lit(int(frac * BUCKETS))
+        ).otherwise(thresh)
+    return df.filter(bucket < thresh)
+
+
+def train_test_split(
+    df: DataFrame, key_col: str, test_fraction: float = 0.1, salt: str = "split"
+) -> tuple[DataFrame, DataFrame]:
+    """Leak-proof split: membership is a pure function of the key, so a row
+    can never migrate between sides across reruns or repartitions."""
+    test_mask = sample_bucket(F.col(key_col), salt) < int(test_fraction * BUCKETS)
+    return df.filter(~test_mask), df.filter(test_mask)

@@ -169,3 +169,29 @@ def test_winnow_fingerprints_overlap_guarantee(spark):
     for r in winnow_fingerprints(df, "doc_id", "text", k=3, window=4).collect():
         again.setdefault(r["doc_id"], set()).add(r["fp"])
     assert again == by_doc
+
+
+def test_sampling_determinism_and_split(spark):
+    from fefal_etl_spark.llm.sampling import (
+        deterministic_sample,
+        train_test_split,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "id long")
+    s1 = {r["id"] for r in deterministic_sample(df, "id", 0.3).collect()}
+    # same sample after an arbitrary repartition (membership is key-pure)
+    s2 = {
+        r["id"]
+        for r in deterministic_sample(df.repartition(7), "id", 0.3).collect()
+    }
+    assert s1 == s2
+    assert 0.25 < len(s1) / 2000 < 0.35
+    # different salt → a fresh, decorrelated sample
+    s3 = {r["id"] for r in deterministic_sample(df, "id", 0.3, salt="x").collect()}
+    assert s3 != s1
+    # split partitions exactly, no leaks
+    train, test = train_test_split(df, "id", test_fraction=0.2)
+    tr = {r["id"] for r in train.collect()}
+    te = {r["id"] for r in test.collect()}
+    assert tr | te == {r["id"] for r in df.collect()}
+    assert not (tr & te)
