@@ -30,6 +30,7 @@ from fefal_etl_spark.llm.text_analysis import (
     TOKEN_REGEX,
     language_id,
     quality_features,
+    repetition_features,
     winnow_fingerprints,
 )
 from fefal_etl_spark.queries import register
@@ -129,6 +130,50 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id", "lang", language_id(F.col("text")).alias("pred_lang")
+    )
+
+
+@register(
+    "repetition_filter",
+    """
+    WITH l AS (
+        SELECT doc_id,
+               len(string_split(text, chr(10))) AS n_lines,
+               1.0 - len(list_distinct(string_split(text, chr(10)))) /
+                     CAST(len(string_split(text, chr(10))) AS DOUBLE)
+                   AS dup_line_frac
+        FROM documents
+    ),
+    w AS (
+        SELECT doc_id, w, count(*) AS c FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+            FROM documents) x
+        WHERE w <> '' GROUP BY doc_id, w
+    ),
+    t AS (
+        SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS top_word_frac
+        FROM w GROUP BY doc_id
+    )
+    SELECT l.doc_id, l.n_lines, l.dup_line_frac, t.top_word_frac,
+           (l.dup_line_frac <= 0.3 AND t.top_word_frac <= 0.2) AS keep
+    FROM l LEFT JOIN t ON l.doc_id = t.doc_id
+    """,
+)
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 — Gopher-style repetition filters: duplicate-line fraction +
+    top-word dominance, with the keep/reject verdict a curation pipeline
+    would apply (thresholds 0.3 / 0.2)."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = repetition_features(docs, "doc_id", "text")
+    return feats.select(
+        "doc_id",
+        "n_lines",
+        "dup_line_frac",
+        "top_word_frac",
+        (
+            (F.col("dup_line_frac") <= 0.3) & (F.col("top_word_frac") <= 0.2)
+        ).alias("keep"),
     )
 
 

@@ -122,6 +122,44 @@ def doc_fingerprint(col: Column) -> Column:
     return F.md5(F.lower(F.trim(col)))
 
 
+def repetition_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher/C4-style repetition signals per document:
+
+    - ``dup_line_frac``: fraction of lines that are repeats of an earlier
+      line (boilerplate/navigation detector) — pure array expressions,
+      narrow.
+    - ``top_word_frac``: share of all words taken by the single most
+      frequent word (degenerate-text detector) — explode + two
+      aggregations keyed on the doc id; at 100 TB this is the layout you
+      want anyway (map-side combine collapses each partition to one row
+      per (doc, word) before the shuffle).
+
+    Returns (id, n_lines, dup_line_frac, top_word_frac).
+    """
+    lines = F.split(F.col(text_col), "\n")
+    line_stats = df.select(F.col(id_col), lines.alias("__lines")).select(
+        F.col(id_col),
+        F.size("__lines").alias("n_lines"),
+        (
+            1.0
+            - F.size(F.array_distinct("__lines"))
+            / F.size("__lines").cast("double")
+        ).alias("dup_line_frac"),
+    )
+    word_rows = df.select(
+        F.col(id_col), F.explode(words(F.lower(F.col(text_col)))).alias("w")
+    ).filter(F.col("w") != "")
+    word_counts = word_rows.groupBy(id_col, "w").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    top_word = word_counts.groupBy(id_col).agg(
+        (F.max("c").cast("double") / F.sum("c")).alias("top_word_frac")
+    )
+    return line_stats.join(top_word, on=id_col, how="left")
+
+
 def winnow_fingerprints(
     df: DataFrame,
     id_col: str = "doc_id",

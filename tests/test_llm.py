@@ -195,3 +195,20 @@ def test_sampling_determinism_and_split(spark):
     te = {r["id"] for r in test.collect()}
     assert tr | te == {r["id"] for r in df.collect()}
     assert not (tr & te)
+
+
+def test_repetition_features(spark):
+    from fefal_etl_spark.llm.text_analysis import repetition_features
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c\na b c\nx y z\na b c"),  # 4 lines, 2 distinct
+            (2, "spam spam spam spam ham"),  # top word 4/5
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_features(df).collect()}
+    assert got[1]["n_lines"] == 4
+    assert got[1]["dup_line_frac"] == pytest.approx(0.5)
+    assert got[2]["top_word_frac"] == pytest.approx(0.8)
+    assert got[2]["dup_line_frac"] == 0.0
