@@ -22,6 +22,7 @@ from fefal_etl_spark.llm.multimodal import attach_media_column, extract_features
 from fefal_etl_spark.llm.similarity import (
     cosine_topk,
     ivf_assign,
+    ivf_topk,
     lsh_bucketed_pairs,
 )
 from fefal_etl_spark.llm.text_analysis import (
@@ -552,6 +553,68 @@ def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
     return ivf_assign(emb, centroids).select("vec_id", "label", "centroid_id")
+
+
+_SQL_D2 = """list_dot_product(
+        list_transform(range(1, len({a}) + 1), i -> {a}[i] - {b}[i]),
+        list_transform(range(1, len({a}) + 1), i -> {a}[i] - {b}[i]))"""
+
+
+@register(
+    "ivf_topk",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+    assign AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT e.vec_id, c.centroid_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {_SQL_D2.format(a='e.v', b='c.cv')}, c.centroid_id) AS rk
+            FROM e CROSS JOIN c) t
+        WHERE rk = 1
+    ),
+    probe AS (
+        SELECT query_id, centroid_id FROM (
+            SELECT q.query_id, c.centroid_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                       ORDER BY {_SQL_D2.format(a='q.qv', b='c.cv')}, c.centroid_id) AS rk
+            FROM q CROSS JOIN c) t
+        WHERE rk <= 2
+    ),
+    sims AS (
+        SELECT p.query_id, a.vec_id,
+               list_dot_product(e.v, q.qv) /
+               (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv)))
+                   AS cos_sim
+        FROM probe p
+        JOIN assign a ON a.centroid_id = p.centroid_id
+        JOIN e ON e.vec_id = a.vec_id
+        JOIN q ON q.query_id = p.query_id
+        WHERE a.vec_id <> p.query_id
+    )
+    SELECT query_id, vec_id, round(cos_sim, 6) AS cos_sim, CAST(rk AS BIGINT) AS rk
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rk
+          FROM sims) t
+    WHERE rk <= 5
+    """,
+)
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 scale path end-to-end — two-level IVF ANN: probe the 2 nearest of
+    8 centroids per query, search only their buckets, exact cosine top-5.
+    The probe join prunes ~3/4 of the corpus before any cosine runs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_topk(emb, centroids, queries, nprobe=2, k=5)
+    return out.select(
+        "query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rk"
+    )
 
 
 # --------------------------------------------------------------------------

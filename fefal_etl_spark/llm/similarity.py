@@ -113,6 +113,71 @@ def lsh_bucketed_pairs(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    centroid_id_col: str = "centroid_id",
+    nprobe: int = 2,
+    k: int = 5,
+) -> DataFrame:
+    """Two-level IVF ANN search — the scale path end to end:
+
+    1. coarse-quantize the corpus (:func:`ivf_assign`, done once and in
+       practice persisted as the bucketed layout);
+    2. probe: each query picks its ``nprobe`` nearest centroids;
+    3. search ONLY vectors assigned to probed centroids — the broadcast
+       probe join prunes the corpus to ~``nprobe/n_centroids`` of it before
+       any cosine is computed;
+    4. exact cosine + per-query top-k window on the survivors.
+
+    Approximate by design: a true neighbor assigned to an unprobed centroid
+    is missed (raise ``nprobe`` to trade cost for recall). Returns
+    (query_id, id, cos_sim, rk).
+    """
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col, centroid_id_col).select(
+        F.col(id_col),
+        F.col(centroid_id_col),
+        as_double_vec(F.col(vec_col)).alias("__v"),
+    )
+    cent = centroids.select(
+        F.col(centroid_id_col), as_double_vec(F.col(vec_col)).alias("__c")
+    )
+    q = queries.select(
+        F.col(query_id_col), as_double_vec(F.col(vec_col)).alias("__qv")
+    )
+    qd2 = F.aggregate(
+        F.zip_with(F.col("__qv"), F.col("__c"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wp = Window.partitionBy(query_id_col).orderBy(
+        F.col("__d2").asc(), F.col(centroid_id_col).asc()
+    )
+    probes = (
+        q.join(F.broadcast(cent))
+        .withColumn("__d2", qd2)
+        .withColumn("__rk", F.row_number().over(wp))
+        .filter(F.col("__rk") <= nprobe)
+        .select(query_id_col, centroid_id_col, "__qv")
+    )
+    cand = assigned.join(F.broadcast(probes), on=centroid_id_col).filter(
+        F.col(id_col) != F.col(query_id_col)
+    )
+    wk = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        cand.withColumn("cos_sim", cosine(F.col("__v"), F.col("__qv")))
+        .withColumn("rk", F.row_number().over(wk).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select(query_id_col, id_col, "cos_sim", "rk")
+    )
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: DataFrame,
