@@ -113,6 +113,59 @@ def extract_features(media_df: DataFrame, decode_stub: bool = True) -> DataFrame
     return media_df.mapInPandas(_extract, FEATURE_SCHEMA)
 
 
+def resize_payload(
+    media_df: DataFrame, target_bytes: int = 4096, decode_stub: bool = True
+) -> DataFrame:
+    """Resize hook: binary payload in → binary payload out, meta updated —
+    the image-resize / audio-resample shape. The distributed plumbing
+    (Arrow batches both directions, MEDIA_SCHEMA preserved, meta.n_bytes
+    rewritten) is real; the transform is STUBBED as deterministic
+    truncate-or-cycle-pad to ``target_bytes`` (a real deployment swaps the
+    stub for ``PIL.Image.resize`` / ``torchaudio.resample`` inside the
+    same generator). ``decode_stub=False`` raises ``NotImplementedError``
+    at the codec boundary.
+    """
+
+    def _resize(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real codec resize requires PIL/torchaudio — not "
+                    "available; use decode_stub=True"
+                )
+
+            def fix(b):
+                if b is None or len(b) == 0:
+                    return b
+                if len(b) >= target_bytes:
+                    return bytes(b[:target_bytes])
+                reps = (target_bytes + len(b) - 1) // len(b)
+                return bytes((bytes(b) * reps)[:target_bytes])
+
+            payloads = pdf["payload"].map(fix)
+            meta = pd.DataFrame(
+                {
+                    "source_uri": [m["source_uri"] for m in pdf["meta"]],
+                    "mime": [m["mime"] for m in pdf["meta"]],
+                    "n_bytes": payloads.map(
+                        lambda b: len(b) if b is not None else 0
+                    ),
+                }
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "payload": payloads,
+                    "meta": meta.to_dict("records"),
+                }
+            )
+
+    return media_df.mapInPandas(_resize, MEDIA_SCHEMA)
+
+
 def frame_sample_plan(media_df: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
     """'Frame sampling' over the opaque payload: emit one row per sampled
     offset (the video-frame-extraction shape, minus the codec). Pure

@@ -212,3 +212,22 @@ def test_repetition_features(spark):
     assert got[1]["dup_line_frac"] == pytest.approx(0.5)
     assert got[2]["top_word_frac"] == pytest.approx(0.8)
     assert got[2]["dup_line_frac"] == 0.0
+
+
+def test_resize_payload_stub(spark):
+    from fefal_etl_spark.llm.multimodal import attach_media_column, resize_payload
+
+    df = spark.createDataFrame(
+        [(1, "x" * 100), (2, "ab"), (3, "")], "doc_id long, text string"
+    )
+    media = attach_media_column(df, "doc_id", "text")
+    out = resize_payload(media, target_bytes=16)
+    rows = {r["media_id"]: r for r in out.collect()}
+    assert bytes(rows[1]["payload"]) == b"x" * 16  # truncate
+    assert bytes(rows[2]["payload"]) == b"ab" * 8  # cycle-pad
+    assert rows[1]["meta"]["n_bytes"] == 16
+    assert rows[3]["payload"] in (None, bytearray(b""), b"")  # empty passthrough
+    # schema round-trips: output is still media-shaped (modulo nullability)
+    assert out.schema.simpleString() == media.schema.simpleString()
+    with pytest.raises(Exception, match="NotImplementedError|real codec"):
+        resize_payload(media, decode_stub=False).collect()
