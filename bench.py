@@ -41,11 +41,13 @@ BENCH_QUERIES = [
     "text_stats",
     "lang_id",
     "doc_fingerprints",
+    "repetition_filter",
     "exact_dedup",
     "minhash_neardup",
     "simhash_fingerprints",
     "embedding_topk",
     "embedding_lsh_pairs",
+    "ivf_topk",
     "multimodal_features",
     # pipeline assembly end-to-end
     "pipeline_status_accounting",
