@@ -64,7 +64,13 @@ def build_star(
     dim driving the J4 prefix match (etl_ui.py:603-621).
     """
     existing_dims = existing_dims or {}
-    valid = result.valid.withColumn(ID_INQ, F.col(ROW_KEY))
+    # The star build fans the valid branch out to every fact and dim (up to
+    # 12 consumers) — without a materialization barrier each one re-executes
+    # the whole EP2 transform (observed: 6 parquet scans in the
+    # pipeline_star_formations plan for a 2-consumer subset). Persist once;
+    # at 100 TB replace with a checkpoint/staging-table write (cache won't
+    # hold the full valid branch).
+    valid = result.valid.withColumn(ID_INQ, F.col(ROW_KEY)).persist()
     out: dict[str, DataFrame] = {}
 
     # --- fact_inquerito (etl_ui.py:404-429) --------------------------------
