@@ -779,6 +779,62 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pivot_order_priority",
+    """
+    SELECT o_orderstatus,
+           CAST(count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT) AS urgent,
+           CAST(count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS BIGINT) AS high,
+           CAST(count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS BIGINT) AS medium,
+           CAST(count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS BIGINT) AS not_specified,
+           CAST(count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS BIGINT) AS low
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (long→wide) — the inverse of the R1–R4 unpivots. Explicit value
+    list so the plan is a single pass (no distinct-values pre-query);
+    lowers to one hash aggregation with conditional counts."""
+    orders = load_table(spark, sf_dir, "orders")
+    vals = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    out = (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", vals)
+        .agg(F.count(F.lit(1)))
+    )
+    renames = dict(
+        zip(vals, ["urgent", "high", "medium", "not_specified", "low"])
+    )
+    out = out.withColumnsRenamed(renames)
+    # pivot yields NULL for empty cells; the conditional-count oracle yields 0
+    return out.select(
+        "o_orderstatus",
+        *[F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c) for c in renames.values()],
+    )
+
+
+@register(
+    "median_order_value",
+    """
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (median + p90) per group — Spark's `percentile`
+    (exact, sort-based) vs DuckDB's `quantile_cont`; both linear-interpolate
+    so values agree to the rounded digit."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("median_price"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
     "cube_orders",
     f"""
     SELECT o_orderstatus, o_orderpriority,
