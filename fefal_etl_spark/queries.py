@@ -435,6 +435,37 @@ def q_stateful_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "json_props_stats",
+    f"""
+    SELECT event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS k_decile,
+           CAST(count(*) AS BIGINT) AS n,
+           {DECSUM.format(x='value')} AS sum_value
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    GROUP BY event_type, k_decile
+    """,
+)
+def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON column (§2.9 array/map/JSON surface):
+    `get_json_object` path extraction stays a native expression inside the
+    scan projection — no UDF, pushdown unaffected. At scale prefer
+    `from_json` with an explicit schema once the shape is known (single
+    parse, typed struct, prunable)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.withColumn("k_decile", F.floor(k / 10).cast("long"))
+        .filter(k.isNotNull())
+        .groupBy("event_type", "k_decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            decsum("value").alias("sum_value"),
+        )
+    )
+
+
+@register(
     "asof_attribution",
     """
     WITH p AS (
