@@ -553,6 +553,52 @@ def q_range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "gap_fill_hourly",
+    """
+    WITH b AS (
+        SELECT user_id, date_trunc('hour', ts) AS h, count(*) AS n
+        FROM events GROUP BY user_id, h
+    ),
+    r AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM b GROUP BY user_id),
+    grid AS (
+        SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+        FROM r
+    )
+    SELECT g.user_id, g.hour, CAST(coalesce(b.n, 0) AS BIGINT) AS n
+    FROM grid g LEFT JOIN b ON b.user_id = g.user_id AND b.h = g.hour
+    """,
+)
+def q_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill (resample-to-grid): per user, every hour between
+    their first and last event, zero-filled where no events landed. The
+    dense grid comes from `sequence` + `explode` (narrow fan-out per user,
+    never a cross join against a global calendar — each user's grid is
+    bounded by their own span, which is what keeps it linear at scale)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    spans = hourly.groupBy("user_id").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("h0"), F.col("h1"), F.expr("interval 1 hour"))
+        ).alias("hour"),
+    )
+    return grid.join(
+        hourly,
+        (grid.user_id == hourly.user_id) & (grid.hour == hourly.h),
+        "left",
+    ).select(
+        grid.user_id,
+        grid.hour,
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+    )
+
+
+@register(
     "sessionize",
     """
     WITH flagged AS (
