@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "ivf_topk",
     "multimodal_features",
     # pipeline assembly end-to-end
+    "curation_pipeline",
     "pipeline_status_accounting",
     "pipeline_star_formations",
 ]

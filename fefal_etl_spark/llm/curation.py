@@ -1,0 +1,69 @@
+"""End-to-end corpus curation (SURVEY.md §2.12 capstone): the standard
+LLM-pretraining preprocessing chain as ONE lazy DataFrame DAG —
+
+    quality gate (length/stopword stats)
+    → repetition gate (dup-line fraction, top-word dominance)
+    → exact-dedup keeper selection (md5 fingerprint window)
+    → deterministic stratified sample (per-language rates)
+
+Composing the individual operators keeps every stage declarative, so
+Catalyst fuses the narrow gates into the scan projection and the whole
+pipeline costs: one corpus scan + the word-dominance aggregation + the
+dedup window shuffle. Nothing materializes between stages.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from fefal_etl_spark.llm.sampling import stratified_sample
+from fefal_etl_spark.llm.text_analysis import (
+    doc_fingerprint,
+    quality_features,
+    repetition_features,
+)
+
+
+def curate_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    min_words: int = 10,
+    max_dup_line_frac: float = 0.3,
+    max_top_word_frac: float = 0.2,
+    sample_fractions: dict[str, float] | None = None,
+    default_fraction: float = 0.25,
+    salt: str = "curate",
+) -> DataFrame:
+    """Returns the curated (id, lang, n_words) set. Every decision is a
+    pure function of the row (plus the per-fingerprint keeper window), so
+    the output is deterministic across engines and repartitionings —
+    verified end-to-end against the DuckDB oracle twin."""
+    quality = quality_features(df, text_col).filter(F.col("n_words") >= min_words)
+    rep = repetition_features(df, id_col, text_col).select(
+        id_col, "dup_line_frac", "top_word_frac"
+    )
+    gated = (
+        quality.join(rep, on=id_col)
+        .filter(
+            (F.col("dup_line_frac") <= max_dup_line_frac)
+            & (F.col("top_word_frac") <= max_top_word_frac)
+        )
+    )
+    keeper_w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
+    deduped = (
+        gated.withColumn("__fp", doc_fingerprint(F.col(text_col)))
+        .withColumn("__rk", F.row_number().over(keeper_w))
+        .filter(F.col("__rk") == 1)
+    )
+    sampled = stratified_sample(
+        deduped,
+        key_col=id_col,
+        strata_col=lang_col,
+        fractions=sample_fractions or {},
+        default_fraction=default_fraction,
+        salt=salt,
+    )
+    return sampled.select(id_col, lang_col, "n_words")

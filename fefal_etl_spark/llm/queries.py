@@ -135,6 +135,74 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "curation_pipeline",
+    """
+    WITH q AS (
+        SELECT doc_id, lang, text,
+               CAST(CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+                    AS BIGINT) AS n_words
+        FROM documents
+    ),
+    rep_l AS (
+        SELECT doc_id,
+               1.0 - len(list_distinct(string_split(text, chr(10)))) /
+                     CAST(len(string_split(text, chr(10))) AS DOUBLE)
+                   AS dup_line_frac
+        FROM documents
+    ),
+    wcnt AS (
+        SELECT doc_id, w, count(*) AS c FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+            FROM documents) x
+        WHERE w <> '' GROUP BY doc_id, w
+    ),
+    rep_w AS (
+        SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS top_word_frac
+        FROM wcnt GROUP BY doc_id
+    ),
+    gated AS (
+        SELECT q.doc_id, q.lang, q.text, q.n_words
+        FROM q JOIN rep_l ON rep_l.doc_id = q.doc_id
+               LEFT JOIN rep_w ON rep_w.doc_id = q.doc_id
+        WHERE q.n_words >= 10
+          AND rep_l.dup_line_frac <= 0.3
+          AND rep_w.top_word_frac <= 0.2
+    ),
+    deduped AS (
+        SELECT doc_id, lang, n_words FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS rk
+            FROM gated) t
+        WHERE rk = 1
+    )
+    SELECT doc_id, lang, n_words FROM deduped
+    WHERE ('0x' || substr(md5('curate' || '|' || CAST(doc_id AS VARCHAR)),
+                          1, 15))::BIGINT % 10000
+          < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 10000 ELSE 2500 END
+    """,
+)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone — the full pretraining-curation chain as one lazy DAG:
+    quality gate → repetition gate → exact-dedup keeper → deterministic
+    stratified sample. One corpus scan, one word-dominance aggregation, one
+    dedup window shuffle; the narrow gates fuse into the scan projection."""
+    from fefal_etl_spark.llm.curation import curate_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    return curate_corpus(
+        docs,
+        min_words=10,
+        max_dup_line_frac=0.3,
+        max_top_word_frac=0.2,
+        sample_fractions={"en": 0.5, "de": 1.0},
+        default_fraction=0.25,
+        salt="curate",
+    )
+
+
+@register(
     "repetition_filter",
     """
     WITH l AS (
