@@ -1140,6 +1140,111 @@ def q_prefix_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rolling_revenue_90d",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+                RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS revenue_90d,
+           CAST(count(*) OVER (
+                PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+                RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS n_orders_90d
+    FROM orders
+    """,
+)
+def q_rolling_revenue_90d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE frame (SURVEY §2.5 frame specs): per customer, each
+    order's trailing-90-day revenue and order count. RANGE on epoch seconds
+    — value-based bounds, so same-timestamp rows aggregate together
+    (unlike a ROWS frame) and gaps are handled without a calendar grid."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp(F.col("o_orderdate")))
+        .rangeBetween(-90 * 86_400, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("revenue_90d"),
+        F.count(F.lit(1)).over(w).alias("n_orders_90d"),
+    )
+
+
+@register(
+    "fuzzy_entity_match",
+    """
+    WITH reg AS (SELECT n_nationkey AS id_entidades, lower(n_name) AS cand
+                 FROM nation),
+    probe AS (
+        SELECT n_nationkey AS probe_id,
+               CASE WHEN length(n_name) > 4
+                    THEN lower(substr(n_name, 1, 2) || substr(n_name, 4))
+                    ELSE lower(n_name) END AS noisy_name
+        FROM nation
+    ),
+    scored AS (
+        SELECT p.probe_id, p.noisy_name, r.id_entidades,
+               levenshtein(p.noisy_name, r.cand) AS dist
+        FROM probe p CROSS JOIN reg r
+    )
+    SELECT probe_id, noisy_name, id_entidades AS matched_id,
+           CAST(dist AS BIGINT) AS dist
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY probe_id ORDER BY dist, id_entidades) AS rk
+          FROM scored) t
+    WHERE rk = 1 AND dist <= 2
+    """,
+)
+def q_fuzzy_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity resolution — the edit-distance fallback stage J1's exact
+    composite key lacks: noisy names (planted one-char deletions) matched to
+    the registry by minimum levenshtein ≤ 2. Broadcast the registry and the
+    cross product stays map-side (|probe| × |registry| narrow work — the
+    fallback runs on the unmatched residue only, which is small by
+    construction)."""
+    nation = load_table(spark, sf_dir, "nation")
+    reg = nation.select(
+        F.col("n_nationkey").alias("id_entidades"),
+        F.lower(F.col("n_name")).alias("cand"),
+    )
+    probe = nation.select(
+        F.col("n_nationkey").alias("probe_id"),
+        F.when(
+            F.length("n_name") > 4,
+            F.lower(
+                F.concat(
+                    F.substring("n_name", 1, 2), F.expr("substr(n_name, 4)")
+                )
+            ),
+        )
+        .otherwise(F.lower(F.col("n_name")))
+        .alias("noisy_name"),
+    )
+    scored = probe.join(F.broadcast(reg)).withColumn(
+        "dist", F.levenshtein(F.col("noisy_name"), F.col("cand"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("dist").asc(), F.col("id_entidades").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter((F.col("rk") == 1) & (F.col("dist") <= 2))
+        .select(
+            "probe_id",
+            "noisy_name",
+            F.col("id_entidades").alias("matched_id"),
+            F.col("dist").cast("long").alias("dist"),
+        )
+    )
+
+
+@register(
     "order_analytics",
     """
     SELECT o_custkey, o_orderkey,
