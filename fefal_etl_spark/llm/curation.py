@@ -21,7 +21,6 @@ from fefal_etl_spark.llm.sampling import stratified_sample
 from fefal_etl_spark.llm.text_analysis import (
     doc_fingerprint,
     quality_features,
-    repetition_features,
 )
 
 
@@ -41,16 +40,38 @@ def curate_corpus(
     pure function of the row (plus the per-fingerprint keeper window), so
     the output is deterministic across engines and repartitionings —
     verified end-to-end against the DuckDB oracle twin."""
-    quality = quality_features(df, text_col).filter(F.col("n_words") >= min_words)
-    rep = repetition_features(df, id_col, text_col).select(
-        id_col, "dup_line_frac", "top_word_frac"
+    # The line-repetition gate is a narrow expression, so it fuses into the
+    # quality projection (one corpus scan serves both gates); only the
+    # word-dominance signal needs its own explode+aggregate branch. Keeps
+    # the pipeline at 2 scans instead of 3 (repetition_features standalone
+    # would rescan for the line stats).
+    lines = F.split(F.col(text_col), "\n")
+    dup_line_frac = (
+        1.0 - F.size(F.array_distinct(lines)) / F.size(lines).cast("double")
     )
-    gated = (
-        quality.join(rep, on=id_col)
+    quality = (
+        quality_features(df, text_col)
+        .withColumn("dup_line_frac", dup_line_frac)
         .filter(
-            (F.col("dup_line_frac") <= max_dup_line_frac)
-            & (F.col("top_word_frac") <= max_top_word_frac)
+            (F.col("n_words") >= min_words)
+            & (F.col("dup_line_frac") <= max_dup_line_frac)
         )
+    )
+    top_word = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias(
+                "__w"
+            ),
+        )
+        .filter(F.col("__w") != "")
+        .groupBy(id_col, "__w")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy(id_col)
+        .agg((F.max("__c").cast("double") / F.sum("__c")).alias("top_word_frac"))
+    )
+    gated = quality.join(top_word, on=id_col).filter(
+        F.col("top_word_frac") <= max_top_word_frac
     )
     keeper_w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
     deduped = (
