@@ -553,6 +553,27 @@ def q_range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "user_event_type_sets",
+    """
+    SELECT user_id,
+           list_sort(list_distinct(list(event_type))) AS event_types,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+    FROM events GROUP BY user_id
+    """,
+)
+def q_user_event_type_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation (collect_set) with deterministic ordering:
+    per-user sorted distinct event types. `sort_array` makes the
+    inherently unordered set aggregation engine-comparable; distinct-agg
+    count rides the same shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("event_type")).alias("event_types"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
+@register(
     "gap_fill_hourly",
     """
     WITH b AS (
