@@ -1373,6 +1373,29 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "json_roundtrip_scan",
+    "SELECT event_id, user_id, event_type, value FROM events",
+)
+def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-family — JSON-lines source: parquet→JSONL→schema'd JSON read must
+    reproduce the table exactly. Explicit schema (never inferSchema at
+    scale: inference is a full extra pass over the data). The JSONL copy is
+    materialized once per sf under .tmp/."""
+    import os
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = f"/root/repo/.tmp/json_events_{tag}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        ev.write.mode("overwrite").json(path)
+    return spark.read.schema(
+        "event_id long, user_id long, event_type string, value double"
+    ).json(path)
+
+
 # ==========================================================================
 # Registry accessors
 # ==========================================================================
