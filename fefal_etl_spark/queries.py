@@ -1396,6 +1396,53 @@ def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).json(path)
 
 
+@register(
+    "orc_roundtrip_scan",
+    "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders",
+)
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-family — ORC source (Spark-native columnar alternative to
+    parquet): parquet→ORC→read must reproduce the table exactly. Same
+    pushdown/pruning machinery as parquet. Materialized once per sf."""
+    import os
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = f"/root/repo/.tmp/orc_orders_{tag}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        orders.write.mode("overwrite").orc(path)
+    return spark.read.orc(path)
+
+
+@register(
+    "partitioned_scan",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    WHERE o_orderstatus = 'F'
+    """,
+)
+def q_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned layout + partition pruning — the core 100 TB
+    practice: the table is written `partitionBy(o_orderstatus)` once, and
+    the status filter prunes to ONE directory before any IO (shows up as
+    PartitionFilters in the scan, not a row filter)."""
+    import os
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = f"/root/repo/.tmp/part_orders_{tag}"
+    if not os.path.exists(path) or not os.listdir(path):
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+        ).write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
 # ==========================================================================
 # Registry accessors
 # ==========================================================================
