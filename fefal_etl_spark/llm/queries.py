@@ -23,6 +23,7 @@ from fefal_etl_spark.llm.similarity import (
     cosine_topk,
     ivf_assign,
     ivf_topk,
+    kmeans_assignments,
     lsh_bucketed_pairs,
 )
 from fefal_etl_spark.llm.text_analysis import (
@@ -641,6 +642,58 @@ def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_D2 = """list_dot_product(
         list_transform(range(1, len({a}) + 1), i -> {a}[i] - {b}[i]),
         list_transform(range(1, len({a}) + 1), i -> {a}[i] - {b}[i]))"""
+
+
+def _sql_kmeans_round(assign_name: str, cent_in: str, cent_out: str) -> str:
+    """One unrolled Lloyd's round: argmin assignment + per-dim mean.
+    Embedding dim is 64 in the driver testdata (checked at all sfs)."""
+    return f"""
+    {assign_name} AS (
+        SELECT vec_id, cid FROM (
+            SELECT e.vec_id, {cent_in}.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {_SQL_D2.format(a='e.v', b=f'{cent_in}.c')},
+                                {cent_in}.cid) AS rk
+            FROM e CROSS JOIN {cent_in}) t
+        WHERE rk = 1
+    ),
+    {cent_out} AS (
+        SELECT cid, list(m ORDER BY pos) AS c FROM (
+            SELECT a.cid, i.i AS pos, avg(e.v[i.i]) AS m
+            FROM {assign_name} a JOIN e USING (vec_id)
+            CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i
+            GROUP BY a.cid, i.i) z
+        GROUP BY cid
+    )"""
+
+
+@register(
+    "kmeans_assignments",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < 4),
+    {_sql_kmeans_round('a1', 'c0', 'c1')},
+    {_sql_kmeans_round('a2', 'c1', 'c2')},
+    final AS (
+        SELECT vec_id, cid FROM (
+            SELECT e.vec_id, c2.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {_SQL_D2.format(a='e.v', b='c2.c')}, c2.cid) AS rk
+            FROM e CROSS JOIN c2) t
+        WHERE rk = 1
+    )
+    SELECT vec_id, CAST(cid AS BIGINT) AS centroid_id FROM final
+    """,
+)
+def q_kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative algorithm template — Lloyd's k-means (k=4, 2 fixed rounds,
+    deterministic init): the loop unrolls into one lazy DAG of broadcast
+    argmin + per-dimension mean rounds; nothing touches the driver. Output
+    is the final assignment (robust to cross-engine float summation order;
+    oracle is the identical unrolled computation in DuckDB)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = kmeans_assignments(emb, k=4, iters=2)
+    return out.select("vec_id", F.col("centroid_id").cast("long"))
 
 
 @register(

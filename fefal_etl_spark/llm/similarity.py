@@ -178,6 +178,66 @@ def ivf_topk(
     )
 
 
+def kmeans_assignments(
+    corpus: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means with deterministic init (vectors 0..k-1) and a FIXED
+    iteration count — the iterative-algorithm template: each round is one
+    broadcast argmin assignment + one per-dimension mean aggregation; the
+    loop unrolls into a single lazy DAG (no driver-side data movement, no
+    RDD, nothing materialized between rounds — at many iterations insert a
+    checkpoint every few rounds to bound lineage depth).
+
+    Returns final (id, centroid_id) assignments — assignments rather than
+    centroid coordinates so results are robust to float summation order
+    across engines (argmin gaps dwarf ~1e-15 mean differences).
+
+    This is how the IVF centroids (`ivf_topk`) get refined in production
+    instead of the sampled-vectors shortcut.
+    """
+    e = corpus.select(F.col(id_col), as_double_vec(F.col(vec_col)).alias("__v"))
+    cent = e.filter(F.col(id_col) < k).select(
+        F.col(id_col).alias("__cid"), F.col("__v").alias("__c")
+    )
+
+    def assign(cent_df: DataFrame) -> DataFrame:
+        joined = e.join(F.broadcast(cent_df))
+        d2 = F.aggregate(
+            F.zip_with(F.col("__v"), F.col("__c"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        w = Window.partitionBy(id_col).orderBy(F.col("__d2").asc(), F.col("__cid").asc())
+        return (
+            joined.withColumn("__d2", d2)
+            .withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1)
+            .select(id_col, "__cid", "__v")
+        )
+
+    for _ in range(iters):
+        assigned = assign(cent)
+        cent = (
+            assigned.select("__cid", F.posexplode("__v").alias("__pos", "__x"))
+            .groupBy("__cid", "__pos")
+            .agg(F.avg("__x").alias("__m"))
+            .groupBy("__cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__pos", "__m"))),
+                    lambda s: s["__m"],
+                ).alias("__c")
+            )
+        )
+    return assign(cent).select(
+        F.col(id_col), F.col("__cid").alias("centroid_id")
+    )
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: DataFrame,
