@@ -694,6 +694,36 @@ def q_first_event_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_sliding",
+    f"""
+    SELECT ws AS window_start, event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           {DECSUM.format(x='value')} AS sum_value
+    FROM (
+        SELECT unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+                       date_trunc('hour', ts)]) AS ws,
+               event_type, value
+        FROM events
+    ) t
+    GROUP BY ws, event_type
+    """,
+)
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (2h length, 1h slide): each event lands in
+    two overlapping windows — Spark's `window()` plans this as an Expand
+    (one copy per covering window) before the aggregation, identical to the
+    Structured Streaming plan (SURVEY §2.11)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), decsum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "sum_value"
+        )
+    )
+
+
+@register(
     "events_hourly",
     f"""
     SELECT date_trunc('hour', ts) AS window_start, event_type,
