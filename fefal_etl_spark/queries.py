@@ -620,6 +620,49 @@ def q_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "session_windows_native",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id, ts,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM flagged
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, session_seq
+    """,
+)
+def q_session_windows_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native `session_window` (30-min inactivity gap) — the built-in that
+    replaces sessionize's manual lag + running-sum, and the exact operator
+    Structured Streaming uses for streaming sessionization. Window end =
+    last event + gap, matching the oracle's max(ts) + 30 min."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window(F.col("ts"), "30 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@register(
     "sessionize",
     """
     WITH flagged AS (
