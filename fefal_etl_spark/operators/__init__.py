@@ -2,9 +2,16 @@
 
 from fefal_etl_spark.operators.joins import (  # noqa: F401
     anti_join_new_keys,
+    asof_join,
     lookup_dim,
     prefix_join,
+    range_join,
     resolve_entities,
+)
+from fefal_etl_spark.operators.pandas_hooks import (  # noqa: F401
+    grouped_agg_udf,
+    grouped_apply,
+    running_counts_stateful,
 )
 from fefal_etl_spark.operators.dedup import (  # noqa: F401
     ROW_KEY,
