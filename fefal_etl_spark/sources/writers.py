@@ -65,6 +65,39 @@ def write_bucketed(
     writer.format("parquet").saveAsTable(table)
 
 
+def compact_parquet(
+    spark, path: str, target_file_mb: int = 512, partition_cols: list[str] | None = None
+) -> int:
+    """Small-file compaction — the maintenance op every long-running 100 TB
+    pipeline needs: streaming/incremental writes accumulate KB-sized files
+    whose per-file open/footer cost eventually dominates scans. Rewrites
+    ``path`` with file count sized from the data's actual bytes
+    (``target_file_mb`` per output file), preserving an optional
+    partitioning. Returns the number of output files requested.
+
+    Rewrite goes through a temp sibling directory + atomic-ish rename so a
+    crash never leaves ``path`` half-written (on object stores use a
+    manifest/table format instead — rename is not atomic there).
+    """
+    import math
+    import shutil
+
+    df = spark.read.parquet(path)
+    total_bytes = sum(
+        f.stat().st_size
+        for f in __import__("pathlib").Path(path).rglob("*.parquet")
+    )
+    n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+    tmp = path.rstrip("/") + "__compacting"
+    writer = df.repartition(n_files).write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return n_files
+
+
 def write_jdbc(
     df: DataFrame, url: str, table: str, mode: str = "append", **properties
 ) -> None:

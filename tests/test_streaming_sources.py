@@ -159,3 +159,21 @@ def test_excel_shim_gated(spark):
     if not has_openpyxl:
         with pytest.raises((NotImplementedError, Exception)):
             read_excel(spark, "/nonexistent.xlsx")
+
+
+def test_compact_parquet(spark, tmp_path):
+    from pathlib import Path
+
+    from fefal_etl_spark.sources.writers import compact_parquet
+
+    path = str(tmp_path / "frag")
+    df = spark.range(10_000).withColumn("v", F.col("id") * 2)
+    df.repartition(32).write.parquet(path)
+    before = len(list(Path(path).rglob("*.parquet")))
+    assert before >= 32
+    compact_parquet(spark, path, target_file_mb=512)
+    after = len(list(Path(path).rglob("*.parquet")))
+    assert after < before and after >= 1
+    back = spark.read.parquet(path)
+    assert back.count() == 10_000
+    assert back.agg(F.sum("v")).collect()[0][0] == df.agg(F.sum("v")).collect()[0][0]
