@@ -81,11 +81,11 @@ def compact_parquet(
     """
     import math
     import shutil
+    from pathlib import Path
 
     df = spark.read.parquet(path)
     total_bytes = sum(
-        f.stat().st_size
-        for f in __import__("pathlib").Path(path).rglob("*.parquet")
+        f.stat().st_size for f in Path(path).rglob("*.parquet")
     )
     n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
     tmp = path.rstrip("/") + "__compacting"
