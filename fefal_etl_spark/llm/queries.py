@@ -52,12 +52,21 @@ _CORPUS_SQL = """
 
 
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents ∪ planted near-dups in ONE scan: the union-of-two-scans
+    formulation reads the text column twice; exploding an original/planted
+    struct pair per row is a narrow Expand over a single scan (halves
+    corpus IO for every dedup query; semantics identical to the oracle's
+    UNION ALL)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    planted = docs.filter(F.col("doc_id") % 10 == 0).select(
+    orig = F.struct(F.col("doc_id"), F.col("text"))
+    planted = F.struct(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" planted near dup tail")).alias("text"),
     )
-    return docs.unionByName(planted)
+    rows = F.when(
+        F.col("doc_id") % 10 == 0, F.array(orig, planted)
+    ).otherwise(F.array(orig))
+    return docs.select(F.explode(rows).alias("r")).select("r.doc_id", "r.text")
 
 
 # --------------------------------------------------------------------------
