@@ -23,6 +23,19 @@ def hash_key(*cols) -> "F.Column":
     return F.xxhash64(*cols)
 
 
+def _anti_join_null_safe(new: DataFrame, existing: DataFrame, keys: list[str]) -> DataFrame:
+    """left_anti on natural keys, treating NULL == NULL: a plain equi anti
+    join never matches NULL-keyed rows, so an idempotent re-load would
+    re-insert them with fresh ids (dims with nullable key parts, e.g. the
+    availability dim's id_tipo_disp)."""
+    ex = existing.select(*keys)
+    cond = None
+    for k in keys:
+        c = new[k].eqNullSafe(ex[k])
+        cond = c if cond is None else cond & c
+    return new.join(ex, on=cond, how="left_anti")
+
+
 def upsert_dim_hash(
     existing: DataFrame | None,
     incoming: DataFrame,
@@ -37,7 +50,7 @@ def upsert_dim_hash(
     keys = [natural_key] if isinstance(natural_key, str) else list(natural_key)
     new = incoming.select(*keys).dropDuplicates(keys)
     if existing is not None:
-        new = new.join(existing.select(*keys), on=keys, how="left_anti")
+        new = _anti_join_null_safe(new, existing, keys)
     new = new.withColumn(id_col, hash_key(*[F.col(k) for k in keys]))
     if existing is None:
         return new.select(id_col, *keys)
@@ -59,7 +72,7 @@ def upsert_dim_sequential(
     keys = [natural_key] if isinstance(natural_key, str) else list(natural_key)
     new = incoming.select(*keys).dropDuplicates(keys)
     if existing is not None:
-        new = new.join(existing.select(*keys), on=keys, how="left_anti")
+        new = _anti_join_null_safe(new, existing, keys)
         offset_df = existing.agg(F.coalesce(F.max(id_col), F.lit(0)).alias("__off"))
     else:
         offset_df = None

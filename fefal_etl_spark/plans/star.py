@@ -210,8 +210,14 @@ def build_star(
         out["dim_disponibilidade_horaria"] = dim_hor
         long = unpivot_availability(valid, ID_INQ, disp_cols, var_name="orig")
         long = long.join(F.broadcast(matched), on="orig")
+        # null-safe: id_tipo_disp is NULL for headers without a matching
+        # tipo (or when no tipos dim is supplied) — a plain equi-join would
+        # silently drop every such fact row (NULL != NULL).
+        dim_cond = long["descricao_horario"].eqNullSafe(
+            dim_hor["descricao_horario"]
+        ) & long["id_tipo_disp"].eqNullSafe(dim_hor["id_tipo_disp"])
         out["fact_resposta_disponibilidade"] = long.join(
-            F.broadcast(dim_hor), on=["descricao_horario", "id_tipo_disp"]
-        ).select(ID_INQ, "id_horario", "tem_disponibilidade")
+            F.broadcast(dim_hor), on=dim_cond
+        ).select(long[ID_INQ], dim_hor["id_horario"], long["tem_disponibilidade"])
 
     return out

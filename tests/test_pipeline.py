@@ -191,3 +191,35 @@ def test_group_validation(config):
     assert any("overlap" in p for p in bad.validate(8))
     oob = PipelineConfig(year=1, groups={"a": GroupSpec(0, 5)})
     assert any("invalid" in p for p in oob.validate(8))
+
+
+def test_star_without_tipos_keeps_availability_facts(spark, config, fixtures):
+    # id_tipo_disp is NULL everywhere when no tipos dim is supplied; the
+    # null-safe dim join must still produce every availability fact row.
+    result, star_with = fixtures
+    star_without = build_star(result, tipos_disponibilidades=None,
+                              key_mode="sequential")
+    n_with = star_with["fact_resposta_disponibilidade"].count()
+    n_without = star_without["fact_resposta_disponibilidade"].count()
+    assert n_with > 0
+    assert n_without == n_with
+    assert (
+        star_without["dim_disponibilidade_horaria"]
+        .filter(F.col("id_tipo_disp").isNull()).count() > 0
+    )
+
+
+def test_upsert_idempotent_with_null_keys(spark):
+    from fefal_etl_spark.operators.upsert import upsert_dim_sequential
+
+    inc = spark.createDataFrame(
+        [("manha", 1), ("tarde", None), ("noite", None)],
+        "descricao string, tipo int",
+    )
+    first = upsert_dim_sequential(None, inc, ["descricao", "tipo"], "id")
+    again = upsert_dim_sequential(first, inc, ["descricao", "tipo"], "id")
+    # re-loading the same input must not re-insert the NULL-keyed rows
+    assert again.count() == first.count() == 3
+    assert sorted(r["id"] for r in again.collect()) == sorted(
+        r["id"] for r in first.collect()
+    )
