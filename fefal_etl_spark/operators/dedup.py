@@ -88,7 +88,20 @@ def classify_rows(
     order = order_by
     if order is None:
         order = [F.col(ROW_KEY)] if ROW_KEY in df.columns else [F.lit(1)]
-    w = Window.partitionBy(id_col).orderBy(*order)
+    # Skew guard: partitioning the window by id_col alone funnels EVERY
+    # NULL-id (unmatched/blank) row into one hash partition — at scale the
+    # unmatched residue can be a large fraction of the input. Their rank is
+    # never consulted (status short-circuits on isNull before rk), so give
+    # each NULL row its own partition key via the row key. The \x00 prefix
+    # cannot collide with a stringified real id.
+    if ROW_KEY in df.columns:
+        part = F.coalesce(
+            F.col(id_col).cast("string"),
+            F.concat(F.lit("\x00"), F.col(ROW_KEY).cast("string")),
+        )
+    else:
+        part = F.col(id_col)
+    w = Window.partitionBy(part).orderBy(*order)
     rk = F.row_number().over(w)
     blank = F.col(blank_col) if blank_col else F.lit(False)
     status = (
