@@ -122,6 +122,48 @@ def dedup_stream(
     return events.withWatermark("ts", watermark).dropDuplicates(keys)
 
 
+def stream_append_parquet(
+    stream_df: DataFrame, path: str, checkpoint: str
+) -> "object":
+    """Production file sink: append micro-batches to a parquet directory
+    with exactly-once delivery via the checkpoint + file-sink commit log —
+    restarting after a crash resumes from the last committed batch without
+    duplicating rows. Drains currently-available input (availableNow);
+    swap the trigger for a processing-time interval in continuous runs.
+
+    Small files accumulate one-per-batch-per-partition; schedule
+    `sources.writers.compact_parquet` on the output.
+    """
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def run_foreach_batch(
+    stream_df: DataFrame, batch_fn, checkpoint: str
+) -> "object":
+    """Custom-sink hook: ``batch_fn(batch_df, batch_id)`` runs once per
+    micro-batch with a BATCH DataFrame — the bridge for sinks Structured
+    Streaming lacks natively (JDBC upserts, dim merges, star-schema loads).
+    Exactly-once only if ``batch_fn`` is idempotent per ``batch_id`` (the
+    checkpoint replays the last uncommitted batch after a crash)."""
+    q = (
+        stream_df.writeStream.foreachBatch(batch_fn)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def run_to_memory_sink(
     stream_df: DataFrame, query_name: str, output_mode: str = "append"
 ) -> "object":

@@ -177,3 +177,40 @@ def test_compact_parquet(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == 10_000
     assert back.agg(F.sum("v")).collect()[0][0] == df.agg(F.sum("v")).collect()[0][0]
+
+
+def test_stream_parquet_sink_and_foreach_batch(spark, tmp_path):
+    from fefal_etl_spark.datasets import load_table
+    from fefal_etl_spark.streaming.events import (
+        read_event_stream,
+        run_foreach_batch,
+        stream_append_parquet,
+    )
+
+    src = str(tmp_path / "src")
+    ev = (
+        load_table(spark, "/root/testdata/sf0.001", "events")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .limit(300)
+    )
+    ev.repartition(3).write.parquet(src)  # 3 files → 3 micro-batches
+
+    out = str(tmp_path / "out")
+    stream_append_parquet(
+        read_event_stream(spark, src), out, str(tmp_path / "ckpt1")
+    )
+    assert spark.read.parquet(out).count() == 300
+    # re-running over the same input is a no-op (checkpoint: exactly-once)
+    stream_append_parquet(
+        read_event_stream(spark, src), out, str(tmp_path / "ckpt1")
+    )
+    assert spark.read.parquet(out).count() == 300
+
+    seen = []
+    run_foreach_batch(
+        read_event_stream(spark, src),
+        lambda bdf, bid: seen.append((bid, bdf.count())),
+        str(tmp_path / "ckpt2"),
+    )
+    assert sum(n for _, n in seen) == 300
+    assert len(seen) == 3  # maxFilesPerTrigger=1 → one batch per file
