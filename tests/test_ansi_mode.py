@@ -1,0 +1,29 @@
+"""The driver may run queries() on a default Spark 4 session — ANSI mode ON.
+The library's coercions are all try_* based, so every query must execute
+(not throw) under ANSI; full no-throw coverage of all 66 was verified
+manually, these pin the coercion-heavy representatives in CI."""
+
+import pytest
+
+from fefal_etl_spark.queries import get_queries
+
+REPRESENTATIVE = [
+    "validate_numeric",      # garbage → 0 coercion chain
+    "encodings_simnao",      # string → int encodings
+    "pct_rescale",           # numeric coerce + window rescale
+    "event_gaps",            # timestamp parse + duration
+    "pipeline_status_accounting",  # full EP2 chain
+]
+
+
+@pytest.fixture()
+def ansi_spark(spark):
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    yield spark
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+
+
+@pytest.mark.parametrize("name", REPRESENTATIVE)
+def test_query_runs_under_ansi(ansi_spark, name):
+    df = get_queries()[name](ansi_spark, "/root/testdata/sf0.001")
+    assert df.count() >= 0
