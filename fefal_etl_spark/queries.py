@@ -950,6 +950,37 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "customers_above_nation_avg",
+    """
+    SELECT c_custkey, c_nationkey, c_acctbal,
+           round(nation_avg, 4) AS nation_avg
+    FROM (
+        SELECT c_custkey, c_nationkey, c_acctbal,
+               avg(c_acctbal) OVER (PARTITION BY c_nationkey) AS nation_avg
+        FROM customer) t
+    WHERE c_acctbal > nation_avg
+    """,
+)
+def q_customers_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery shape (`WHERE x > (SELECT avg ... same group)`)
+    decorrelated to a windowed average — one shuffle on the group key
+    instead of a per-row subquery; the form Catalyst itself rewrites
+    correlated scalar subqueries into."""
+    cust = load_table(spark, sf_dir, "customer")
+    avg_w = F.avg("c_acctbal").over(Window.partitionBy("c_nationkey"))
+    return (
+        cust.withColumn("nation_avg", avg_w)
+        .filter(F.col("c_acctbal") > F.col("nation_avg"))
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            "c_acctbal",
+            F.round("nation_avg", 4).alias("nation_avg"),
+        )
+    )
+
+
+@register(
     "pivot_order_priority",
     """
     SELECT o_orderstatus,
