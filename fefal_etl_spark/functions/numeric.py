@@ -6,7 +6,7 @@ All coercions use ``try_cast`` so parse failures yield NULL (pandas
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -53,20 +53,26 @@ def rescale_to_100(
     ``rounding``: 'half_even' (default — numpy/pandas ``.round()`` parity,
     F17) or 'half_up' (SQL-standard ROUND; what DuckDB/Postgres do).
 
-    The global max is computed with an unpartitioned window aggregate: one
-    extra shuffle-free exchange to a single reduce, broadcast back — Spark
-    plans this as a cheap scalar subquery-like pattern; at 100 TB prefer this
-    over ``crossJoin(df.agg(max))`` (identical semantics, AQE handles both).
+    The global max is a partial-aggregated one-row frame broadcast back onto
+    every partition (``crossJoin(broadcast(agg))``): the data side stays
+    narrow — no exchange of the fact rows at all. The naive alternative,
+    ``max().over(Window.partitionBy())``, funnels the ENTIRE dataset through
+    a single window partition (one task) — harmless on toy data, fatal at
+    100 TB.
     """
     out = out or colname
     rounder = round_half_even if rounding == "half_even" else F.round
     coerced = to_numeric_coerce(F.col(colname))
     cleaned = F.when(coerced < 0, F.lit(None)).otherwise(coerced)
     tmp = df.withColumn("__pct_clean", cleaned)
-    w = Window.partitionBy()
-    max_pct = F.max("__pct_clean").over(w)
+    max_df = tmp.agg(F.max("__pct_clean").alias("__pct_max"))
+    max_pct = F.col("__pct_max")
     scaled = F.when(
         max_pct.isNotNull() & (max_pct > 0),
         rounder(F.col("__pct_clean") / max_pct * 100).cast("int"),
     ).otherwise(F.col("__pct_clean").cast("int"))
-    return tmp.withColumn(out, scaled).drop("__pct_clean")
+    return (
+        tmp.crossJoin(F.broadcast(max_df))
+        .withColumn(out, scaled)
+        .drop("__pct_clean", "__pct_max")
+    )
