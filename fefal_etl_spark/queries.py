@@ -1579,6 +1579,246 @@ def q_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ==========================================================================
+# Scale-pattern + optimizer-stress queries (SURVEY §2.3/§2.4 exposed
+# families, docs/SCALE.md patterns as first-class, oracle-checked ops)
+# ==========================================================================
+
+
+@register(
+    "salted_join_revenue",
+    """
+    SELECT o_orderpriority,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(24,4))) AS DOUBLE) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    """,
+)
+def q_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted equi-join (docs/SCALE.md salting pattern, operators.skew):
+    probe rows get a deterministic hash salt, the build side is replicated
+    once per salt, and the join key becomes (key, salt) — a hot orderkey
+    spreads over 8 sub-partitions instead of one straggler task. The oracle
+    is the PLAIN join: salting must be invisible in the result."""
+    from fefal_etl_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .select(F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority")
+    )
+    joined = salted_join(li, orders, on="l_orderkey", n_salts=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(24,4)"
+            )
+        )
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "full_outer_nation_activity",
+    """
+    WITH c AS (SELECT c_nationkey AS nk, CAST(count(*) AS BIGINT) AS n_cust
+               FROM customer GROUP BY c_nationkey),
+    s AS (SELECT s_nationkey AS nk, CAST(count(*) AS BIGINT) AS n_supp
+          FROM supplier WHERE s_acctbal > 5000 GROUP BY s_nationkey)
+    SELECT coalesce(c.nk, s.nk) AS nationkey,
+           coalesce(n_cust, 0) AS n_cust,
+           coalesce(n_supp, 0) AS n_supp
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    """,
+)
+def q_full_outer_nation_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join (SURVEY §2.3 exposed-for-free family): reconcile two
+    aggregates that each may miss keys; coalesce fills the gaps. At scale
+    both sides are already reduced by their groupBys before the join shuffle
+    (aggregate-then-join, never join-then-aggregate here)."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk_c"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 5000)
+        .groupBy(F.col("s_nationkey").alias("nk_s"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return cust.join(
+        supp, cust.nk_c == supp.nk_s, how="full_outer"
+    ).select(
+        F.coalesce("nk_c", "nk_s").alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+@register(
+    "order_count_distribution",
+    """
+    SELECT c_count, CAST(count(*) AS BIGINT) AS n_cust
+    FROM (
+        SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+        FROM customer c
+        LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    ) t
+    GROUP BY c_count
+    """,
+)
+def q_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join with an ON-clause-only predicate
+    (the filter must NOT drop customers — it drops matches), then a
+    two-level aggregation. Exercises outer-join null semantics +
+    count(col)-skips-nulls + re-aggregation of an aggregate."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority"
+    )
+    cond = (cust.c_custkey == orders.o_custkey) & (
+        orders.o_orderpriority != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, on=cond, how="left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("n_cust"))
+
+
+@register(
+    "shipping_priority",
+    """
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(24,4))) AS DOUBLE) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1995-03-15'
+      AND l_shipdate  > TIMESTAMP '1995-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective filters on all three tables are pushed to
+    the scans, the lineitem ⋈ orders shuffle join carries only surviving
+    rows, then top-10 by aggregated revenue (TakeOrderedAndProject — no full
+    sort at scale; deterministic via the orderkey tie-break)."""
+    cutoff = "1995-03-15"
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < cutoff
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(24,4)"
+                )
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "top_volume_orders",
+    """
+    SELECT c.c_name, o.o_custkey, o.o_orderkey, o.o_totalprice,
+           CAST(t.total_qty AS DOUBLE) AS total_qty
+    FROM (
+        SELECT l_orderkey,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+        FROM lineitem GROUP BY l_orderkey HAVING total_qty > 150
+    ) t
+    JOIN orders o ON t.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def q_top_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: aggregate-then-semi-filter (HAVING over a big
+    groupBy) feeding enrichment joins. The heavy reduction happens FIRST —
+    only qualifying orderkeys reach the orders/customer joins, the shape
+    that keeps Q18 tractable at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
+    )
+
+
+@register(
+    "embedding_hof_stats",
+    """
+    SELECT vec_id,
+           CAST(len(v) AS BIGINT) AS dims,
+           round(sqrt(list_dot_product(v, v)), 6) AS l2_norm,
+           round(list_aggregate(v, 'max'), 6) AS max_val,
+           round(list_aggregate(v, 'min'), 6) AS min_val,
+           CAST(len(list_filter(v, x -> x > 0)) AS BIGINT) AS n_pos
+    FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) e
+    """,
+)
+def q_embedding_hof_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions (SURVEY §2.9 array surface): per-row
+    aggregate/filter/size over `array<float>` — all JVM-side lambda
+    expressions inside whole-stage codegen, never a Python UDF. The
+    per-element work is embarrassingly parallel: zero shuffles."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    dot = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+    )
+    return emb.select(
+        "vec_id",
+        F.size(v).cast("long").alias("dims"),
+        F.round(F.sqrt(dot), 6).alias("l2_norm"),
+        F.round(F.array_max(v).cast("double"), 6).alias("max_val"),
+        F.round(F.array_min(v).cast("double"), 6).alias("min_val"),
+        F.size(F.filter(v, lambda x: x > 0)).cast("long").alias("n_pos"),
+    )
+
+
+# ==========================================================================
 # Registry accessors
 # ==========================================================================
 
