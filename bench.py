@@ -37,6 +37,8 @@ BENCH_QUERIES = [
     "range_join_windows",
     "sentence_explode",
     "top_orders",
+    "shipping_priority",
+    "top_volume_orders",
     # LLM-pipeline extensions
     "text_stats",
     "lang_id",
