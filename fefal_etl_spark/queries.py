@@ -1818,6 +1818,59 @@ def q_embedding_hof_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "bucketed_join_orders",
+    """
+    SELECT o_custkey, c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY o_custkey, c_mktsegment
+    """,
+)
+def q_bucketed_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-bucketed fact⋈dim join (sources/writers.py::write_bucketed): both
+    tables are bucketed on the join key at write time, so the repeated join
+    AND the follow-on groupBy on the same key run with ZERO exchanges — the
+    100 TB answer for joins that recur every pipeline run (plan asserted in
+    tests/test_scale.py::test_bucketed_join_no_exchange). Bucketed tables
+    are materialized once per sf; the oracle is the plain join — bucketing
+    must be invisible in the result."""
+    import os
+
+    from fefal_etl_spark.sources.writers import write_bucketed
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    t_orders, t_cust = f"b_orders_{tag}", f"b_customer_{tag}"
+    if not spark.catalog.tableExists(t_orders) or not spark.catalog.tableExists(
+        t_cust
+    ):
+        write_bucketed(
+            load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice"),
+            t_orders,
+            ["o_custkey"],
+            num_buckets=8,
+        )
+        write_bucketed(
+            load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
+            t_cust,
+            ["c_custkey"],
+            num_buckets=8,
+        )
+    orders = spark.table(t_orders)
+    cust = spark.table(t_cust)
+    return (
+        orders.join(cust.hint("merge"), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_custkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_spent"),
+        )
+    )
+
+
 # ==========================================================================
 # Registry accessors
 # ==========================================================================

@@ -59,6 +59,18 @@ def write_bucketed(
     every join/groupBy on ``bucket_cols`` between co-bucketed tables is
     exchange-free (verified by plan assertion in tests). The 100 TB answer
     for fact⋈fact joins that repeat every run."""
+    spark = df.sparkSession
+    if not spark.catalog.tableExists(table):
+        # A managed-table location can outlive the (in-memory) catalog entry
+        # across sessions; saveAsTable refuses to reuse it. Orphaned dir →
+        # remove before writing.
+        import shutil
+        from pathlib import Path
+
+        warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        loc = Path(warehouse.removeprefix("file:")) / table.lower()
+        if loc.exists():
+            shutil.rmtree(loc)
     writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
