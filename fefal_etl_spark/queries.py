@@ -1871,6 +1871,33 @@ def q_bucketed_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multi_distinct_order_stats",
+    """
+    SELECT o_orderpriority,
+           CAST(count(DISTINCT o_custkey)   AS BIGINT) AS n_custs,
+           CAST(count(DISTINCT o_orderdate) AS BIGINT) AS n_dates,
+           CAST(count(*)                   AS BIGINT) AS n_orders,
+           CAST(round(avg(o_totalprice), 4) AS DOUBLE) AS avg_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_multi_distinct_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple DISTINCT aggregates in one groupBy (SURVEY §2.4 exposed
+    family): Catalyst plans this via Expand (one row replica per distinct
+    group) + two-phase aggregation — each distinct column deduplicates
+    map-side before the shuffle. The scale trap this avoids: running N
+    separate distinct queries and joining, which re-scans the fact N times."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_custs"),
+        F.countDistinct("o_orderdate").alias("n_dates"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+    )
+
+
 # ==========================================================================
 # Registry accessors
 # ==========================================================================
