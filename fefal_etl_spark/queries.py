@@ -1938,6 +1938,48 @@ def q_conditional_agg_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "customer_spend_quartiles",
+    """
+    SELECT c_custkey, spend,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
+           CAST(round(percent_rank() OVER w, 6) AS DOUBLE) AS pct_rank,
+           CAST(round(cume_dist() OVER w, 6) AS DOUBLE) AS cum_dist
+    FROM (
+        SELECT o_custkey AS c_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        FROM orders GROUP BY o_custkey
+    ) t
+    WINDOW w AS (ORDER BY spend DESC, c_custkey)
+    """,
+)
+def q_customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-ranking window family (SURVEY §2.5 exposed ranking ops):
+    ntile/percent_rank/cume_dist over per-customer spend. The global ORDER
+    BY window is a single-partition sort — acceptable ONLY because the input
+    is pre-aggregated to one row per customer (cardinality = |customers|,
+    not |orders|); at 100 TB rank within a partition key or sample-estimate
+    quantile boundaries instead (docs/SCALE.md). Deterministic via the
+    custkey tie-break."""
+    spend = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("spend")
+        )
+    )
+    w = Window.orderBy(F.desc("spend"), "c_custkey")
+    return spend.select(
+        "c_custkey",
+        "spend",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).cast("double").alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).cast("double").alias("cum_dist"),
+    )
+
+
 # ==========================================================================
 # Registry accessors
 # ==========================================================================
