@@ -1980,6 +1980,43 @@ def q_customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "promo_revenue_share",
+    """
+    SELECT CAST(round(
+             100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                         THEN CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(24,4)) ELSE 0 END)
+             / SUM(CAST(l_extendedprice * (1 - l_discount)
+                        AS DECIMAL(24,4))), 6) AS DOUBLE) AS promo_share_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    """,
+)
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: broadcast the small dim (part) into the fact scan,
+    then ONE pass computes both the conditional and total revenue sums —
+    numerator and denominator never require separate scans. Decimal
+    accumulation keeps the ratio exact and order-insensitive."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(24,4)"
+    )
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return joined.agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0)))
+            / F.sum(rev),
+            6,
+        )
+        .cast("double")
+        .alias("promo_share_pct")
+    )
+
+
 # ==========================================================================
 # Registry accessors
 # ==========================================================================
