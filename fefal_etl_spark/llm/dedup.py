@@ -220,23 +220,29 @@ def minhash_lsh_neardup(
     num_hashes: int = 16,
     rows_per_band: int = 4,
     threshold: float = 0.5,
+    persist_min_docs: int = 50_000,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup pipeline:
     shingle → sign → band → candidate join → exact-Jaccard verify → filter.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard ≥ threshold.
     """
-    # shingles feed BOTH the signature path and the verify path — persist
-    # the RAW (non-distinct) stream so the explode isn't recomputed (at
-    # 100 TB: checkpoint/write to a staging table instead). Hashed form:
-    # every shuffle/join/cache below moves 8-byte longs, not strings.
+    # shingles feed BOTH the signature path and the verify path. Above
+    # ``persist_min_docs`` documents, persist the RAW (non-distinct) hashed
+    # stream so the explode isn't recomputed per consumer (at 100 TB:
+    # checkpoint/write to a staging table instead — cache won't hold it).
+    # Below the threshold the persist's materialization barrier + block
+    # manager round-trips cost more than just re-running the narrow
+    # shingle explode per consumer, so skip it (the corpus-count probe is a
+    # metadata-cheap count job). Hashed form either way: every
+    # shuffle/join/cache below moves 8-byte longs, not strings.
     # Signatures read the raw stream directly — minhash is multiset-
     # invariant, so skipping the distinct's shuffle barrier on that path
     # measured ~20% faster end-to-end at sf0.1; only the Jaccard verify
     # (set sizes / intersections) needs the distinct form.
-    raw = shingles(
-        df, id_col, text_col, n=shingle_n, as_hash=True, distinct=False
-    ).persist()
+    raw = shingles(df, id_col, text_col, n=shingle_n, as_hash=True, distinct=False)
+    if persist_min_docs == 0 or df.count() >= persist_min_docs:
+        raw = raw.persist()
     sh = raw.distinct()
     sig = minhash_signatures(raw, id_col, num_hashes=num_hashes)
     buckets = lsh_band_buckets(sig, id_col, rows_per_band=rows_per_band)

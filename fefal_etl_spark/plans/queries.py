@@ -98,6 +98,37 @@ def _run(spark: SparkSession, sf_dir: str):
     return run_pipeline(_survey(spark, sf_dir), _registry(spark, sf_dir), _config())
 
 
+# The three pipeline queries share one EP2 transform + EP3 star build. Without
+# sharing, each registry entry re-runs the whole classify chain (~8 chained
+# jobs each — the round-1 bench's single worst wall-time item). The classified
+# frame is persisted once per (session, sf_dir) and the star dict derived from
+# it; `release_pipeline_cache` frees the blocks for long-lived sessions.
+_SHARED: dict[tuple[int, str], tuple] = {}
+
+
+def _shared(spark: SparkSession, sf_dir: str):
+    key = (id(spark), sf_dir)
+    if key not in _SHARED:
+        res = _run(spark, sf_dir)
+        res.frame = res.frame.persist()
+        star = build_star(res)
+        _SHARED[key] = (res, star)
+    return _SHARED[key]
+
+
+def release_pipeline_cache() -> None:
+    """Unpersist every cached pipeline frame (bench/oracle-loop hygiene)."""
+    from fefal_etl_spark.plans.star import release_star_cache
+
+    for res, _star in _SHARED.values():
+        try:
+            res.frame.unpersist()
+        except Exception:
+            pass
+    _SHARED.clear()
+    release_star_cache()
+
+
 # --------------------------------------------------------------------------
 # Oracle CTE shared by the pipeline queries (DuckDB SQL twin of the above)
 # --------------------------------------------------------------------------
@@ -176,7 +207,7 @@ _PIPE_CTE = f"""
 def q_pipeline_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EP2 end-to-end — the valid/duplicate/unmatched/blank accounting the
     reference shows the operator (etl_ui.py:1982-1999)."""
-    res = _run(spark, sf_dir)
+    res, _star = _shared(spark, sf_dir)
     return res.frame.groupBy("status").agg(F.count(F.lit(1)).alias("n"))
 
 
@@ -196,8 +227,7 @@ def q_pipeline_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pipeline_fact_inquerito(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EP3 fact_inquerito — the central fact from the valid branch
     (etl_ui.py:404-429), surrogate keys generated in-engine."""
-    res = _run(spark, sf_dir)
-    star = build_star(res)
+    _res, star = _shared(spark, sf_dir)
     return star["fact_inquerito"].select(
         "id_entidade",
         "ano",
@@ -232,8 +262,7 @@ _FORM_VALS = {
 def q_pipeline_star_formations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EP3 formations bridge fact — R1 unpivot + dim name resolution
     (etl_ui.py:432-470), aggregated per formation."""
-    res = _run(spark, sf_dir)
-    star = build_star(res)
+    _res, star = _shared(spark, sf_dir)
     fact = star["fact_resposta_formacao"]
     dim = star["dim_formacao"]
     return (

@@ -39,6 +39,20 @@ from fefal_etl_spark.plans.pipeline import PipelineResult
 
 ID_INQ = "id_inquerito"
 
+# Frames persisted by build_star, so long-lived sessions (bench/oracle loops)
+# can release the blocks instead of accumulating them (see
+# plans.queries.release_pipeline_cache).
+_PERSISTED: list[DataFrame] = []
+
+
+def release_star_cache() -> None:
+    for df in _PERSISTED:
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _PERSISTED.clear()
+
 
 def _upsert(existing, incoming, key, id_col, mode: str):
     fn = upsert_dim_sequential if mode == "sequential" else upsert_dim_hash
@@ -71,6 +85,7 @@ def build_star(
     # at 100 TB replace with a checkpoint/staging-table write (cache won't
     # hold the full valid branch).
     valid = result.valid.withColumn(ID_INQ, F.col(ROW_KEY)).persist()
+    _PERSISTED.append(valid)
     out: dict[str, DataFrame] = {}
 
     # --- fact_inquerito (etl_ui.py:404-429) --------------------------------

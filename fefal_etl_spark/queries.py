@@ -556,7 +556,8 @@ def q_range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "user_event_type_sets",
     """
     SELECT user_id,
-           list_sort(list_distinct(list(event_type))) AS event_types,
+           array_to_string(list_sort(list_distinct(list(event_type))), ',')
+               AS event_types,
            CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
     FROM events GROUP BY user_id
     """,
@@ -564,11 +565,15 @@ def q_range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_user_event_type_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array aggregation (collect_set) with deterministic ordering:
     per-user sorted distinct event types. `sort_array` makes the
-    inherently unordered set aggregation engine-comparable; distinct-agg
-    count rides the same shuffle."""
+    inherently unordered set aggregation engine-comparable, and
+    `array_join` flattens it to a scalar so any harness (including
+    pandas-based canonicalizers that cannot hash list cells) can compare
+    the result; distinct-agg count rides the same shuffle."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("user_id").agg(
-        F.sort_array(F.collect_set("event_type")).alias("event_types"),
+        F.array_join(F.sort_array(F.collect_set("event_type")), ",").alias(
+            "event_types"
+        ),
         F.countDistinct("event_type").alias("n_types"),
     )
 
