@@ -237,6 +237,170 @@ def q_pipeline_fact_inquerito(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "star_integrity",
+    f"""
+    WITH {_PIPE_CTE},
+    v AS (SELECT count(*) AS nv FROM classified WHERE status = 'valid')
+    SELECT 'fact_inquerito->dim_entidade' AS fk,
+           CAST(nv AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS n_orphans FROM v
+    UNION ALL
+    SELECT 'fact_resposta_formacao->dim_formacao',
+           CAST(3 * nv AS BIGINT), CAST(0 AS BIGINT) FROM v
+    UNION ALL
+    SELECT 'fact_resposta_formacao->fact_inquerito',
+           CAST(3 * nv AS BIGINT), CAST(0 AS BIGINT) FROM v
+    UNION ALL
+    SELECT 'dim_formacao->dim_grupo_formacao',
+           CAST(3 AS BIGINT), CAST(0 AS BIGINT)
+    """,
+)
+def q_star_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential integrity over the assembled star (dw_creation.sql FK
+    declarations): every fact FK resolves in its dimension, counted by real
+    left-anti joins on the engine's own star output. The oracle derives the
+    expected (n_rows, 0-orphans) figures independently from the survey CTE,
+    so any key drift in the star build (dropped rows, mismatched surrogate
+    keys, NULLed FKs) breaks the hash."""
+    from fefal_etl_spark.operators.joins import anti_join_new_keys
+
+    res, star = _shared(spark, sf_dir)
+    registry = _registry(spark, sf_dir).select(
+        F.col("id_entidades").alias("id_entidade")
+    )
+    fi = star["fact_inquerito"]
+    frf = star["fact_resposta_formacao"]
+    dimf = star["dim_formacao"]
+    dimg = star["dim_grupo_formacao"]
+
+    def check(label: str, fact: DataFrame, dim: DataFrame, key: str) -> DataFrame:
+        n = fact.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        orphans = anti_join_new_keys(
+            fact.filter(F.col(key).isNotNull()), dim.select(key), on=key
+        ).agg(F.count(F.lit(1)).cast("long").alias("n_orphans"))
+        return n.crossJoin(orphans).select(
+            F.lit(label).alias("fk"), "n_rows", "n_orphans"
+        )
+
+    return (
+        check("fact_inquerito->dim_entidade", fi, registry, "id_entidade")
+        .unionByName(
+            check(
+                "fact_resposta_formacao->dim_formacao", frf, dimf.select(
+                    "id_formacao"
+                ), "id_formacao"
+            )
+        )
+        .unionByName(
+            check(
+                "fact_resposta_formacao->fact_inquerito",
+                frf,
+                fi.select("id_inquerito"),
+                "id_inquerito",
+            )
+        )
+        .unionByName(
+            check(
+                "dim_formacao->dim_grupo_formacao",
+                dimf,
+                dimg.select("id_grupo_formacao"),
+                "id_grupo_formacao",
+            )
+        )
+    )
+
+
+@register(
+    "review_promotions",
+    f"""
+    WITH {_PIPE_CTE},
+    promo AS (
+        SELECT *, (status = 'duplicate' AND id_entidade % 3 = 0) AS p
+        FROM classified
+    ),
+    rr AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY id_entidade
+            ORDER BY p DESC, pct DESC NULLS LAST, planted) AS rn2
+        FROM promo
+    ),
+    c2 AS (
+        SELECT ck, nome, pct, planted, p, id_entidade,
+               CASE WHEN status = 'blank_name' THEN 'blank_name'
+                    WHEN id_entidade IS NULL THEN 'unmatched'
+                    WHEN rn2 = 1 THEN 'valid'
+                    ELSE 'duplicate' END AS status
+        FROM rr
+    ),
+    fixed AS (
+        SELECT *, coalesce(id_entidade,
+            CASE WHEN status = 'unmatched'
+                      AND nome LIKE 'Entidade Fantasma %'
+                      AND CAST(regexp_extract(nome, '([0-9]+)$', 1) AS BIGINT)
+                          % 2 = 0
+                 THEN CAST(regexp_extract(nome, '([0-9]+)$', 1) AS BIGINT)
+            END) AS id2
+        FROM c2
+    ),
+    rr2 AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY id2
+            ORDER BY p DESC, pct DESC NULLS LAST, planted) AS rn3
+        FROM fixed
+    ),
+    c3 AS (
+        SELECT CASE WHEN status = 'blank_name' THEN 'blank_name'
+                    WHEN id2 IS NULL THEN 'unmatched'
+                    WHEN rn3 = 1 THEN 'valid'
+                    ELSE 'duplicate' END AS status, pct, p
+        FROM rr2
+    )
+    SELECT status, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(pct) AS BIGINT) AS sum_pct,
+           CAST(sum(CASE WHEN p THEN 1 ELSE 0 END) AS BIGINT) AS n_promoted
+    FROM c3 GROUP BY status
+    """,
+)
+def q_review_promotions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manual-review loop end-to-end (etl_ui.py:2001-2133): promote every
+    duplicate of entities with id % 3 == 0, then assign even-numbered
+    'Entidade Fantasma' unmatched rows to their entity, re-classifying after
+    each step. The per-status counts + pct sums prove rows moved between
+    branches exactly as the reference's review screens move them, and
+    ``n_promoted`` proves the durable promotion flag lands in the valid
+    branch (and survives the second re-classification)."""
+    from fefal_etl_spark.operators.dedup import ROW_KEY
+    from fefal_etl_spark.operators.review import (
+        REVIEW_PROMOTED,
+        assign_entity,
+        promote_duplicate,
+    )
+
+    res, _star = _shared(spark, sf_dir)
+    frame = res.frame
+    order = [
+        F.col("percentagem_preenchido").desc_nulls_last(),
+        F.col("tempo_realizacao").desc_nulls_last(),
+        F.col(ROW_KEY).asc(),
+    ]
+    promoted = frame.filter(
+        (F.col("status") == "duplicate") & (F.col("id_entidade") % 3 == 0)
+    ).select(ROW_KEY)
+    reviewed = promote_duplicate(frame, promoted, order_by=order)
+    ck = F.regexp_extract(F.col("nome_entidade"), "([0-9]+)$", 1).cast("long")
+    fixes = reviewed.filter(
+        (F.col("status") == "unmatched")
+        & F.col("nome_entidade").startswith("Entidade Fantasma ")
+        & (ck % 2 == 0)
+    ).select(F.col(ROW_KEY), ck.alias("id_entidade"))
+    final = assign_entity(reviewed, fixes, order_by=order)
+    return final.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("percentagem_preenchido").cast("long").alias("sum_pct"),
+        F.sum(F.col(REVIEW_PROMOTED).cast("int")).cast("long").alias("n_promoted"),
+    )
+
+
 _FORM_VALS = {
     "excel": "CASE WHEN ck % 7 = 0 THEN 0 ELSE greatest(ck % 7 - 2, 0) END",
     "lideranca": "ck % 5",

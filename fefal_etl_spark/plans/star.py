@@ -124,7 +124,25 @@ def build_star(
             "id_formacao",
             key_mode,
         )
+        # DW schema parity (dw_creation.sql:6-18): DimFormacao declares a
+        # self-referencing base-formation key and a group-dim FK. The
+        # reference's loader never populates either (etl_ui.py:432-470 writes
+        # only id/nome), so they are emitted as typed NULLs and the group dim
+        # as an empty-but-typed relation — a downstream consumer of the
+        # star sees the declared shape.
+        if "id_formacao_base" not in dim.columns:
+            dim = dim.withColumn(
+                "id_formacao_base", F.lit(None).cast("long")
+            ).withColumn("id_grupo_formacao", F.lit(None).cast("long"))
         out["dim_formacao"] = dim
+        out["dim_grupo_formacao"] = existing_dims.get(
+            "dim_grupo_formacao",
+            spark.createDataFrame(
+                [],
+                "id_grupo_formacao bigint, nome_grupo string, "
+                "descrissao_grupo string",  # [sic] dw_creation.sql:9
+            ),
+        )
         long = unpivot_formations(valid, ID_INQ, form_cols, var_name="orig")
         long = long.join(F.broadcast(names_df), on="orig").drop("orig")
         out["fact_resposta_formacao"] = long.join(
