@@ -20,6 +20,7 @@ from fefal_etl_spark.llm.dedup import (
 )
 from fefal_etl_spark.llm.multimodal import attach_media_column, extract_features
 from fefal_etl_spark.llm.similarity import (
+    gaussian_lsh_pairs,
     cosine_topk,
     ivf_assign,
     ivf_topk,
@@ -618,6 +619,105 @@ def q_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     out = lsh_bucketed_pairs(emb, threshold=0.0)
     return out.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+# The testdata embeddings are near-orthogonal random vectors (zero organic
+# cos ≥ 0.9 pairs — a vacuous recall gate), so the recall audit plants
+# near-dups exactly like the text-dedup corpus does: every 10th vector gains
+# a perturbed twin v + 0.35·rotate(v,1) (expected cosine ≈ 0.94, enough
+# variance that the truth set is decided by the exact join, not assumed).
+_EMB_CORPUS_SQL = """
+    emb_corpus AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000,
+               list_transform(range(1, 65),
+                   i -> embedding[i]::DOUBLE
+                        + 0.35 * embedding[i % 64 + 1]::DOUBLE)
+        FROM embeddings WHERE vec_id % 10 = 0
+    )
+"""
+
+
+def _emb_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    i = F.sequence(F.lit(1), F.lit(64))
+    perturbed = F.transform(
+        i,
+        lambda j: F.element_at(F.col("v"), j.cast("int"))
+        + 0.35 * F.element_at(F.col("v"), ((j % 64) + 1).cast("int")),
+    )
+    twins = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), perturbed.alias("v")
+    )
+    return emb.unionByName(twins)
+
+
+@register(
+    "gaussian_lsh_recall",
+    f"""
+    WITH {_EMB_CORPUS_SQL},
+    p AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM emb_corpus a JOIN emb_corpus b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.v, b.v) /
+              (sqrt(list_dot_product(a.v, a.v)) *
+               sqrt(list_dot_product(b.v, b.v))) >= 0.9
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_true,
+           TRUE AS recall_ok, TRUE AS precision_ok
+    FROM p
+    """,
+)
+def q_gaussian_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 recall hardening — seeded-Gaussian multi-table sign-LSH
+    (OR-construction, 8 tables × 6 bits) audited in-engine against the
+    exact all-pairs ground truth: the oracle pins the true-pair count and
+    asserts measured recall ≥ 0.9 and exact precision (every emitted pair
+    re-verified by cosine, so FP = 0 by construction). The all-pairs truth
+    join is audit-scale only; at corpus scale the LSH path IS the product.
+    """
+    from fefal_etl_spark.llm.similarity import dot, l2_norm
+
+    corpus = _emb_corpus(spark, sf_dir)
+    found = gaussian_lsh_pairs(corpus, vec_col="v", threshold=0.9).select(
+        "id_a", "id_b"
+    )
+    # per-row norm precomputed so the quadratic truth join folds one dot per
+    # pair, not three (float-identical to cosine(): same ops, same order)
+    e = corpus.withColumn("n", l2_norm(F.col("v")))
+    a = e.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na")
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb")
+    )
+    true_pairs = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(
+            dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")) >= 0.9
+        )
+        .select("id_a", "id_b")
+    )
+    hits = true_pairs.join(found, on=["id_a", "id_b"], how="left_semi")
+    fps = found.join(true_pairs, on=["id_a", "id_b"], how="left_anti")
+    n_true = true_pairs.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    n_hit = hits.agg(F.count(F.lit(1)).alias("__h"))
+    n_fp = fps.agg(F.count(F.lit(1)).alias("__fp"))
+    return (
+        n_true.crossJoin(n_hit)
+        .crossJoin(n_fp)
+        .select(
+            "n_true",
+            (
+                (F.col("n_true") == 0)
+                | (F.col("__h") / F.col("n_true") >= 0.9)
+            ).alias("recall_ok"),
+            (F.col("__fp") == 0).alias("precision_ok"),
+        )
+    )
 
 
 @register(

@@ -113,6 +113,109 @@ def lsh_bucketed_pairs(
     )
 
 
+def gaussian_planes(
+    n_tables: int, n_bits: int, dim: int, seed: int = 42
+) -> list[tuple[int, int, int, float]]:
+    """Seeded Gaussian hyperplanes as (table, bit, pos, weight) rows.
+
+    Generated driver-side with a fixed-seed RNG (constants, not data — the
+    planes ship inside the plan like any literal). Gaussian directions make
+    the sign-collision probability the classic 1 − θ/π regardless of how the
+    corpus is distributed across axes — the production upgrade over the
+    axis-subset signs of :func:`sign_lsh_bucket`.
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    w = rng.standard_normal((n_tables, n_bits, dim))
+    return [
+        (t, b, p, float(w[t, b, p]))
+        for t in range(n_tables)
+        for b in range(n_bits)
+        for p in range(dim)
+    ]
+
+
+def gaussian_lsh_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_tables: int = 8,
+    n_bits: int = 6,
+    seed: int = 42,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Multi-table sign-LSH near-neighbor pairs (OR-construction):
+    a pair is a candidate if it collides in ANY of ``n_tables`` independent
+    ``n_bits``-bit Gaussian sign buckets; candidates are verified with the
+    exact cosine. With p = 1 − θ/π per bit, the miss probability is
+    (1 − p^bits)^tables — 8×6 at cos ≥ 0.9 gives ≈ 2% expected misses
+    (tests pin ≥ 0.9 measured recall on the fixture corpus).
+
+    Shape: the projections are computed by posexploding the vectors once and
+    joining the broadcast plane table, then two partial-aggregated groupBys
+    assemble bit signs into per-table bucket ids — the same
+    explode→aggregate formulation that measured faster than a
+    tables×bits-wide aggregate for simhash (wide agg buffers fall out of
+    whole-stage codegen). The only joins keyed on data are the per-table
+    bucket self-join and the verify join — both sub-quadratic.
+    """
+    spark = corpus.sparkSession
+    planes = spark.createDataFrame(
+        gaussian_planes(n_tables, n_bits, dim, seed),
+        "t int, b int, pos int, w double",
+    )
+    v = corpus.select(
+        F.col(id_col), as_double_vec(F.col(vec_col)).alias("__v")
+    )
+    comps = v.select(
+        F.col(id_col), F.posexplode("__v").alias("pos", "x")
+    )
+    proj = (
+        comps.join(F.broadcast(planes), on="pos")
+        .groupBy(id_col, "t", "b")
+        .agg(F.sum(F.col("x") * F.col("w")).alias("s"))
+    )
+    bucket_bit = F.when(
+        F.col("s") >= 0, F.expr("shiftleft(cast(1 as bigint), cast(b as int))")
+    ).otherwise(F.lit(0).cast("long"))
+    buckets = proj.groupBy(id_col, "t").agg(F.sum(bucket_bit).alias("bucket"))
+    a = buckets.select(F.col(id_col).alias("id_a"), "t", "bucket")
+    b = buckets.select(F.col(id_col).alias("id_b"), "t", "bucket")
+    cand = (
+        a.join(b, on=["t", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # Precompute each row's norm ONCE before the pair join — the inline
+    # cosine() form re-folds both norms per candidate pair (measured 6×
+    # slower on the verify stage); dot/(na*nb) is the same float ops in the
+    # same order, so results are bit-identical.
+    vn = v.select(
+        F.col(id_col), "__v", l2_norm(F.col("__v")).alias("__n")
+    )
+    va = vn.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
+    )
+    vb = vn.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
+    )
+    sim = dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
+    return (
+        cand.join(va, on="id_a")
+        .join(vb, on="id_b")
+        .withColumn("cos_sim", sim)
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     centroids: DataFrame,
