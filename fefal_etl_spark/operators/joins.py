@@ -96,28 +96,37 @@ def prefix_join(
     When several types prefix-match, the reference keeps the first match in
     dict order; we keep the longest prefix (deterministic, order-free) —
     equivalent unless one type string is a prefix of another.
+
+    Multi-match resolution ranks within a materialized row identity (the
+    input's row key, added here if absent) — never within the full input
+    column tuple, which would silently collapse exactly-duplicate input
+    rows to one output row.
     """
+    from fefal_etl_spark.operators.dedup import ROW_KEY, with_row_key
+
+    had_key = ROW_KEY in answers.columns
+    keyed = answers if had_key else with_row_key(answers)
     t = F.broadcast(
         tipos.select(
             F.col(tipo_id).alias("__tipo_id"),
             normalize_text(F.concat(F.col(tipo_desc), F.lit(" -"))).alias("__prefix"),
         )
     )
-    joined = answers.join(
+    joined = keyed.join(
         t, on=normalize_text(F.col(answer_col)).startswith(t["__prefix"]), how="left"
     )
     from pyspark.sql import Window
 
-    w = (
-        Window.partitionBy(*[answers[c] for c in answers.columns])
-        .orderBy(F.length("__prefix").desc_nulls_last())
+    w = Window.partitionBy(keyed[ROW_KEY]).orderBy(
+        F.length("__prefix").desc_nulls_last()
     )
-    return (
+    out = (
         joined.withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") == 1)
         .drop("__rk", "__prefix")
         .withColumnRenamed("__tipo_id", tipo_id)
     )
+    return out if had_key else out.drop(ROW_KEY)
 
 
 def anti_join_new_keys(new: DataFrame, existing: DataFrame, on: str | list[str]) -> DataFrame:

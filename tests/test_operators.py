@@ -281,3 +281,44 @@ def test_range_join_semantics(spark):
     out = range_join(pts, wins, "ts", "w_start", "w_end", bucket_seconds=3600)
     got = sorted((r["pid"], r["wid"]) for r in out.collect())
     assert got == [(1, 0), (2, 0), (2, 1), (3, 1)]
+
+
+def test_prefix_join_preserves_duplicate_rows(spark):
+    """Exactly-duplicate input rows must each produce an output row (the
+    multi-match window ranks within a row key, not the full column tuple)."""
+    tipos = spark.createDataFrame(
+        [(1, "Dias úteis"), (2, "Dias")], "id_tipo_disp int, descricao_tipo_disp string"
+    )
+    answers = spark.createDataFrame(
+        [("Dias úteis - manhã [9h]",), ("Dias úteis - manhã [9h]",), ("Outro",)],
+        "orig string",
+    )
+    out = prefix_join(answers, tipos, "orig")
+    assert out.count() == 3  # both duplicates survive
+    matched = out.filter(F.col("orig").startswith("Dias")).collect()
+    assert all(r["id_tipo_disp"] == 1 for r in matched)  # longest prefix wins
+    assert out.filter(F.col("orig") == "Outro").collect()[0]["id_tipo_disp"] is None
+
+
+def test_write_excel_workbook_requires_openpyxl(spark, tmp_path):
+    """S6 multi-sheet export (etl_ui.py:2144-2159): writes a workbook when
+    openpyxl is present; degrades to NotImplementedError when absent."""
+    from fefal_etl_spark.sources.writers import write_excel_workbook
+
+    frames = {
+        "valid": spark.range(3).toDF("a"),
+        "duplicates": spark.range(2).toDF("a"),
+    }
+    path = str(tmp_path / "review.xlsx")
+    try:
+        import openpyxl  # noqa: F401
+    except ImportError:
+        import pytest as _pytest
+
+        with _pytest.raises(NotImplementedError):
+            write_excel_workbook(frames, path)
+        return
+    write_excel_workbook(frames, path)
+    import pandas as pd
+
+    assert set(pd.read_excel(path, sheet_name=None)) == {"valid", "duplicates"}
