@@ -115,7 +115,10 @@ def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
 
 
 def minhash_signatures(
-    shingle_df: DataFrame, id_col: str, num_hashes: int = 16
+    shingle_df: DataFrame,
+    id_col: str,
+    num_hashes: int = 16,
+    size_col: str | None = None,
 ) -> DataFrame:
     """Wide signatures (id, mh0..mh{k-1}): k min-hashes in ONE aggregation.
 
@@ -125,6 +128,11 @@ def minhash_signatures(
 
     Accepts string shingles or pre-hashed longs (``shingles(as_hash=True)``)
     — the reduction mod p is identical either way.
+
+    ``size_col`` additionally emits the per-doc DISTINCT shingle count in
+    the same shuffle (a count-distinct riding the existing groupBy) — the
+    |A| / |B| terms of the downstream Jaccard verify, for free instead of a
+    second full pass over the shingle stream.
     """
     from pyspark.sql.types import LongType
 
@@ -137,6 +145,8 @@ def minhash_signatures(
         F.min((F.lit(a) * F.col("__h") + F.lit(b)) % MINHASH_P).alias(f"mh{i}")
         for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
     ]
+    if size_col:
+        aggs.append(F.countDistinct("shingle").alias(size_col))
     return base.groupBy(id_col).agg(*aggs)
 
 
@@ -187,12 +197,32 @@ def lsh_candidate_pairs(bucket_df: DataFrame, id_col: str) -> DataFrame:
 
 
 def jaccard_verify(
-    pairs: DataFrame, shingle_df: DataFrame, id_col: str
+    pairs: DataFrame,
+    shingle_df: DataFrame,
+    id_col: str,
+    sizes: DataFrame | None = None,
+    filter_to_candidates: bool = True,
 ) -> DataFrame:
     """Exact Jaccard for candidate pairs via shingle-set joins:
     |A∩B| / (|A| + |B| − |A∩B|). Integer counts → one exact double division.
+
+    ``sizes`` (id, n_sh) may be supplied when the caller already has the
+    per-doc distinct-shingle counts (e.g. from the signature aggregation);
+    otherwise they are computed here. With ``filter_to_candidates`` the
+    shingle stream is first semi-joined to the ids that actually appear in
+    a candidate pair — at corpus scale candidates ≪ corpus, so the verify
+    joins then move only the shingles of near-duplicate suspects instead of
+    the whole corpus (AQE turns the id filter into a broadcast when small).
     """
-    sizes = shingle_df.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    if sizes is None:
+        sizes = shingle_df.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    if filter_to_candidates:
+        cand_ids = (
+            pairs.select(F.col("id_a").alias(id_col))
+            .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        shingle_df = shingle_df.join(cand_ids, on=id_col, how="left_semi")
     sa = shingle_df.select(F.col(id_col).alias("id_a"), "shingle")
     sb = shingle_df.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (
@@ -244,10 +274,17 @@ def minhash_lsh_neardup(
     if persist_min_docs == 0 or df.count() >= persist_min_docs:
         raw = raw.persist()
     sh = raw.distinct()
-    sig = minhash_signatures(raw, id_col, num_hashes=num_hashes)
-    buckets = lsh_band_buckets(sig, id_col, rows_per_band=rows_per_band)
+    # the per-doc set sizes ride the signature shuffle (countDistinct in the
+    # same groupBy) — one pass over the raw stream serves both LSH and the
+    # |A|/|B| terms of the verify
+    sig = minhash_signatures(raw, id_col, num_hashes=num_hashes, size_col="n_sh")
+    buckets = lsh_band_buckets(
+        sig.drop("n_sh"), id_col, rows_per_band=rows_per_band
+    )
     cand = lsh_candidate_pairs(buckets, id_col)
-    verified = jaccard_verify(cand, sh, id_col)
+    verified = jaccard_verify(
+        cand, sh, id_col, sizes=sig.select(id_col, "n_sh")
+    )
     return verified.filter(F.col("jaccard") >= threshold).select(
         "id_a", "id_b", "jaccard"
     )

@@ -37,6 +37,13 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # Coalesce post-shuffle partitions to the advisory byte size instead of
+    # maximizing parallelism (the Spark-docs-recommended setting): multi-stage
+    # DAGs over modest shuffle volumes otherwise pay per-task scheduling
+    # overhead on dozens of near-empty partitions (measured 2.44s → 1.88s on
+    # the minhash pipeline at sf0.1); at cluster scale partitions are sized
+    # by bytes either way.
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
     "spark.sql.adaptive.skewJoin.enabled": "true",
 }
 
