@@ -1,6 +1,6 @@
 """The driver may run queries() on a default Spark 4 session — ANSI mode ON.
 The library's coercions are all try_* based, so every query must execute
-(not throw) under ANSI; full no-throw coverage of all 78 was verified
+(not throw) under ANSI; full no-throw coverage of all 84 was verified
 manually, these pin the coercion-heavy representatives in CI."""
 
 import pytest
@@ -13,6 +13,8 @@ REPRESENTATIVE = [
     "pct_rescale",           # numeric coerce + window rescale
     "event_gaps",            # timestamp parse + duration
     "pipeline_status_accounting",  # full EP2 chain
+    "scalar_suite",          # coercion-heavy round-2 suite (F5-F19 + X1)
+    "review_promotions",     # review loop over the shared pipeline frame
 ]
 
 
