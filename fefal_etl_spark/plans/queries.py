@@ -311,6 +311,48 @@ def q_star_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "star_idempotent_reload",
+    """
+    SELECT * FROM (VALUES
+        ('reload', CAST(1 AS BIGINT), 'excel'),
+        ('reload', CAST(2 AS BIGINT), 'lideranca'),
+        ('reload', CAST(3 AS BIGINT), 'sem brackets'),
+        ('extend', CAST(1 AS BIGINT), 'excel'),
+        ('extend', CAST(2 AS BIGINT), 'lideranca'),
+        ('extend', CAST(3 AS BIGINT), 'sem brackets'),
+        ('extend', CAST(4 AS BIGINT), 'zumba')
+    ) t(op, id_formacao, nome_formacao)
+    """,
+)
+def q_star_idempotent_reload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7/A5 upsert-dim semantics under the driver gate (etl_ui.py:446-456
+    INSERT..RETURNING parity): re-building the star with its own dims as
+    ``existing_dims`` must yield byte-identical dims (idempotent re-load,
+    null-safe anti-join finds nothing new), and upserting a genuinely new
+    name must continue dense ids after COALESCE(MAX(id), 0) — the oracle
+    pins both relations literally."""
+    from fefal_etl_spark.operators.upsert import upsert_dim_sequential
+
+    _res, star = _shared(spark, sf_dir)
+    dim1 = star["dim_formacao"].select("id_formacao", "nome_formacao")
+    star2 = build_star(
+        _res, existing_dims={"dim_formacao": dim1}, key_mode="sequential"
+    )
+    reload_dim = star2["dim_formacao"].select("id_formacao", "nome_formacao")
+    extra = spark.createDataFrame([("zumba",)], "nome_formacao string")
+    extended = upsert_dim_sequential(
+        dim1, extra, "nome_formacao", "id_formacao"
+    ).select("id_formacao", "nome_formacao")
+
+    def tag(name: str, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("op"), "id_formacao", "nome_formacao"
+        )
+
+    return tag("reload", reload_dim).unionByName(tag("extend", extended))
+
+
+@register(
     "review_promotions",
     f"""
     WITH {_PIPE_CTE},

@@ -2233,7 +2233,8 @@ _DRIVER_PRIORITY = [
     "event_gaps", "stateful_running_counts", "asof_attribution",
     "range_join_windows", "user_event_type_sets", "sentence_explode",
     "prefix_theta_join", "anti_join_customers", "csv_roundtrip_scan",
-    "partitioned_scan", "top_orders", "gaussian_lsh_recall", "events_hourly",
+    "partitioned_scan", "top_orders", "gaussian_lsh_recall",
+    "star_idempotent_reload",
     "session_windows_native", "grouping_sets_orders", "salted_join_revenue",
     "bucketed_join_orders",
 ]
