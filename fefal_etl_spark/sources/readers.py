@@ -72,8 +72,7 @@ def read_jdbc(
 
     With ``partition_column`` the read is split into ``num_partitions``
     range-parallel queries — required for any JDBC table beyond toy size.
-    (Not exercised in tests: no database in this environment; dims are
-    parquet fixtures.)
+    (Exercised in tests/test_jdbc_sources.py against embedded Derby.)
     """
     reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
     if partition_column is not None:

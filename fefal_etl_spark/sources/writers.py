@@ -114,7 +114,8 @@ def write_jdbc(
     df: DataFrame, url: str, table: str, mode: str = "append", **properties
 ) -> None:
     """S5 — bulk JDBC append (batched inserts per partition), replacing the
-    reference's per-row INSERT loop. (Not exercised: no DB here.)"""
+    reference's per-row INSERT loop. (Exercised in tests/test_jdbc_sources.py
+    against embedded Derby.)"""
     writer = df.write.format("jdbc").option("url", url).option("dbtable", table)
     for k, v in properties.items():
         writer = writer.option(k, v)
