@@ -2022,6 +2022,49 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "jdbc_roundtrip_scan",
+    f"""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n,
+           {DECSUM.format(x='c_acctbal')} AS sum_bal
+    FROM customer WHERE c_custkey <= 300 GROUP BY c_mktsegment
+    """,
+)
+def q_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 JDBC scan + S5 JDBC sink through a real database: a customer
+    slice is bulk-written to embedded Derby (batched inserts — the
+    replacement for the reference's row-at-a-time INSERT..RETURNING loop,
+    etl_ui.py:412-429) and read back with a range-partitioned parallel scan
+    (4 range queries on c_custkey); the aggregate over the roundtripped
+    rows must match the oracle's direct scan. Derby ships with Spark, so
+    the exercised code path is the same `spark.read/write.format("jdbc")`
+    a production PostgreSQL deployment uses."""
+    from fefal_etl_spark.sources.readers import read_jdbc
+    from fefal_etl_spark.sources.writers import write_jdbc
+
+    driver = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+    url = "jdbc:derby:memory:fefal_q;create=true"
+    customer = load_table(spark, sf_dir, "customer")
+    slice_df = customer.filter(F.col("c_custkey") <= 300).select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    write_jdbc(slice_df, url, "cust_slice", mode="overwrite", driver=driver)
+    back = read_jdbc(
+        spark,
+        url,
+        "cust_slice",
+        partition_column="c_custkey",
+        num_partitions=4,
+        lower_bound=0,
+        upper_bound=301,
+        driver=driver,
+    )
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"), decsum("c_acctbal").alias("sum_bal")
+    )
+
+
 # ==========================================================================
 # Approximate sketch family (A-family extension): HLL count-distinct (both
 # the classic approx_count_distinct and the mergeable DataSketches HLL
@@ -2235,7 +2278,7 @@ _DRIVER_PRIORITY = [
     "prefix_theta_join", "anti_join_customers", "csv_roundtrip_scan",
     "partitioned_scan", "top_orders", "gaussian_lsh_recall",
     "star_idempotent_reload",
-    "session_windows_native", "grouping_sets_orders", "salted_join_revenue",
+    "session_windows_native", "grouping_sets_orders", "jdbc_roundtrip_scan",
     "bucketed_join_orders",
 ]
 
