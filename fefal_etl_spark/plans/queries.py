@@ -262,8 +262,6 @@ def q_star_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     expected (n_rows, 0-orphans) figures independently from the survey CTE,
     so any key drift in the star build (dropped rows, mismatched surrogate
     keys, NULLed FKs) breaks the hash."""
-    from fefal_etl_spark.operators.joins import anti_join_new_keys
-
     res, star = _shared(spark, sf_dir)
     registry = _registry(spark, sf_dir).select(
         F.col("id_entidades").alias("id_entidade")
@@ -274,13 +272,18 @@ def q_star_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimg = star["dim_grupo_formacao"]
 
     def check(label: str, fact: DataFrame, dim: DataFrame, key: str) -> DataFrame:
-        n = fact.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
-        orphans = anti_join_new_keys(
-            fact.filter(F.col(key).isNotNull()), dim.select(key), on=key
-        ).agg(F.count(F.lit(1)).cast("long").alias("n_orphans"))
-        return n.crossJoin(orphans).select(
-            F.lit(label).alias("fk"), "n_rows", "n_orphans"
+        # one broadcast left join + one aggregation per FK: total rows and
+        # unresolved non-NULL keys counted in the same pass (an agg +
+        # anti-join + crossJoin formulation costs 3 jobs per check)
+        hits = F.broadcast(
+            dim.select(key).dropDuplicates([key]).withColumn("__hit", F.lit(1))
         )
+        joined = fact.select(key).join(hits, on=key, how="left")
+        orphan = (F.col(key).isNotNull() & F.col("__hit").isNull()).cast("long")
+        return joined.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(orphan).cast("long").alias("n_orphans"),
+        ).select(F.lit(label).alias("fk"), "n_rows", "n_orphans")
 
     return (
         check("fact_inquerito->dim_entidade", fi, registry, "id_entidade")
