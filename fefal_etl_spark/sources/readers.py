@@ -5,9 +5,10 @@ The reference ingests one uploaded CSV/Excel file with pandas
 (etl_ui.py:63-67, 130-145). Engine mapping:
 
 - S1 CSV / parquet: native distributed scans (header→schema, pushdown).
-- S2 Excel: no core Spark reader — a *driver-side pandas shim* gated on
-  openpyxl, acceptable because survey xlsx files are KB–MB sized; never on
-  the distributed path.
+- S2 Excel: no core Spark reader — driver-side ingest (pandas/openpyxl
+  when available, stdlib zip+XML parser otherwise — sources.xlsx_minimal),
+  acceptable because survey xlsx files are KB–MB sized; never on the
+  distributed path.
 - S3 JDBC: ``spark.read.jdbc`` with predicate-partitioned parallel reads.
 - S4 Mongo config: plain JSON (see plans.config.PipelineConfig.from_json);
   config is metadata, not a data-plane source.
@@ -42,20 +43,40 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
 
 
 def read_excel(spark: SparkSession, path: str, sheet_name=0) -> DataFrame:
-    """S2 — Excel ingest via the pandas shim (driver-side; survey files are
-    small by construction — ~10³ rows, SURVEY.md §6). Raises a clear error
-    when openpyxl is unavailable (it is not bundled in this environment)."""
+    """S2 — Excel ingest (driver-side; survey files are small by
+    construction — ~10³ rows, SURVEY.md §6). Uses the pandas/openpyxl shim
+    when available, else the dependency-free stdlib parser
+    (sources.xlsx_minimal) — either way every value arrives as a string,
+    reproducing the reference's all-strings ingest (etl_ui.py:863: the
+    cleaning layer owns typing)."""
     try:
         import pandas as pd
 
         pdf = pd.read_excel(path, sheet_name=sheet_name)
-    except ImportError as e:
-        raise NotImplementedError(
-            "Excel ingest needs openpyxl (not installed); convert the survey "
-            "to CSV/parquet or install openpyxl"
-        ) from e
-    pdf = pdf.astype(str)  # reference parity: etl_ui.py:863
-    return spark.createDataFrame(pdf)
+        pdf = pdf.astype(str)  # reference parity: etl_ui.py:863
+        return spark.createDataFrame(pdf)
+    except ImportError:
+        pass
+    from fefal_etl_spark.sources.xlsx_minimal import read_workbook
+
+    book = read_workbook(path)
+    if isinstance(sheet_name, int):
+        rows = list(book.values())[sheet_name]
+    else:
+        rows = book[sheet_name]
+    if not rows:
+        raise ValueError(f"sheet {sheet_name!r} of {path} is empty")
+    header = ["" if c is None else str(c) for c in rows[0]]
+    width = len(header)
+    data = [
+        tuple(
+            ("" if i >= len(r) or r[i] is None else str(r[i]))
+            for i in range(width)
+        )
+        for r in rows[1:]
+    ]
+    schema = ", ".join(f"`{c}` string" for c in header)
+    return spark.createDataFrame(data, schema)
 
 
 def read_jdbc(

@@ -128,20 +128,25 @@ def write_excel_workbook(
     """S6 — multi-sheet review workbook (valid/duplicates/unmatched/all;
     etl_ui.py:2144-2159). Driver-side by design: review exports are small.
     ``max_rows`` guards against accidentally collecting a big frame."""
+    collected: dict[str, list[list[object]]] = {}
+    for sheet, df in frames.items():
+        rows = df.limit(max_rows + 1).collect()
+        if len(rows) > max_rows:
+            raise ValueError(
+                f"sheet '{sheet}' exceeds max_rows={max_rows}; "
+                "export parquet/CSV instead"
+            )
+        collected[sheet[:31]] = [list(df.columns)] + [list(r) for r in rows]
     try:
-        import pandas as pd  # noqa: F401
+        import pandas as pd
 
         with pd.ExcelWriter(path) as xw:
-            for sheet, df in frames.items():
-                pdf = df.limit(max_rows + 1).toPandas()
-                if len(pdf) > max_rows:
-                    raise ValueError(
-                        f"sheet '{sheet}' exceeds max_rows={max_rows}; "
-                        "export parquet/CSV instead"
-                    )
-                pdf.to_excel(xw, sheet_name=sheet[:31], index=False)
-    except ImportError as e:
-        raise NotImplementedError(
-            "Excel export needs openpyxl (not installed); use write_parquet/"
-            "write_csv"
-        ) from e
+            for sheet, grid in collected.items():
+                pd.DataFrame(grid[1:], columns=grid[0]).to_excel(
+                    xw, sheet_name=sheet, index=False
+                )
+    except ImportError:
+        # dependency-free fallback: stdlib zip+XML serializer
+        from fefal_etl_spark.sources.xlsx_minimal import write_workbook
+
+        write_workbook(path, collected)

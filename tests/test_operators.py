@@ -300,25 +300,38 @@ def test_prefix_join_preserves_duplicate_rows(spark):
     assert out.filter(F.col("orig") == "Outro").collect()[0]["id_tipo_disp"] is None
 
 
-def test_write_excel_workbook_requires_openpyxl(spark, tmp_path):
-    """S6 multi-sheet export (etl_ui.py:2144-2159): writes a workbook when
-    openpyxl is present; degrades to NotImplementedError when absent."""
+def test_excel_workbook_roundtrip(spark, tmp_path):
+    """S6 multi-sheet export + S2 ingest (etl_ui.py:2144-2159, 858-862):
+    works with or without openpyxl — the stdlib zip+XML fallback writes a
+    real workbook the reader (and Excel) can open."""
+    from pyspark.sql import functions as F
+
+    from fefal_etl_spark.sources.readers import read_excel
     from fefal_etl_spark.sources.writers import write_excel_workbook
 
     frames = {
-        "valid": spark.range(3).toDF("a"),
-        "duplicates": spark.range(2).toDF("a"),
+        "valid": spark.range(3).select(
+            F.col("id").alias("a"), F.concat(F.lit("x"), F.col("id")).alias("b")
+        ),
+        "duplicates": spark.range(2).select(F.col("id").alias("a")),
     }
     path = str(tmp_path / "review.xlsx")
-    try:
-        import openpyxl  # noqa: F401
-    except ImportError:
-        import pytest as _pytest
-
-        with _pytest.raises(NotImplementedError):
-            write_excel_workbook(frames, path)
-        return
     write_excel_workbook(frames, path)
-    import pandas as pd
 
-    assert set(pd.read_excel(path, sheet_name=None)) == {"valid", "duplicates"}
+    back = read_excel(spark, path, sheet_name="valid")
+    assert back.columns == ["a", "b"]
+    assert [tuple(r) for r in back.orderBy("a").collect()] == [
+        ("0", "x0"), ("1", "x1"), ("2", "x2")
+    ]
+    dups = read_excel(spark, path, sheet_name=1)
+    assert dups.count() == 2
+
+
+def test_excel_workbook_row_cap(spark, tmp_path):
+    from fefal_etl_spark.sources.writers import write_excel_workbook
+
+    big = spark.range(50).toDF("a")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_rows"):
+        write_excel_workbook({"s": big}, str(tmp_path / "b.xlsx"), max_rows=10)
