@@ -2023,6 +2023,43 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "excel_roundtrip_scan",
+    """
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(c_nationkey) AS BIGINT) AS sum_nk
+    FROM customer WHERE c_custkey <= 200 GROUP BY c_mktsegment
+    """,
+)
+def q_excel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 Excel scan + S6 Excel export through a real workbook file: a
+    customer slice is exported to .xlsx (multi-sheet writer,
+    etl_ui.py:2144-2159) and re-ingested all-strings (etl_ui.py:858-863),
+    then typed by the cleaning layer and aggregated — matching the oracle's
+    direct scan. Driver-side by design (survey workbooks are KB–MB); uses
+    pandas/openpyxl when installed, the stdlib zip+XML fallback otherwise."""
+    import os
+    import tempfile
+
+    from fefal_etl_spark.sources.readers import read_excel
+    from fefal_etl_spark.sources.writers import write_excel_workbook
+
+    customer = load_table(spark, sf_dir, "customer")
+    slice_df = customer.filter(F.col("c_custkey") <= 200).select(
+        "c_custkey", "c_mktsegment", "c_nationkey"
+    )
+    path = os.path.join(
+        tempfile.mkdtemp(prefix="fefal_xlsx_"), "customers.xlsx"
+    )
+    write_excel_workbook({"customers": slice_df}, path)
+    back = read_excel(spark, path, sheet_name="customers")
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("c_nationkey").try_cast("long")).alias("sum_nk"),
+    )
+
+
+@register(
     "jdbc_roundtrip_scan",
     f"""
     SELECT c_mktsegment,
