@@ -2127,9 +2127,13 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`approx_count_distinct`, rsd 1%), a mergeable DataSketches HLL sketch
     (`hll_sketch_agg` → `hll_sketch_estimate` — the buffer form that unions
     across partitions/days at 100 TB without re-scanning), and
-    `percentile_approx` (accuracy 10⁵ — exact below 10⁵ rows/group, bounded
-    error above). Each estimate is checked in-engine against the exact
-    aggregate computed in the same single shuffle."""
+    `percentile_approx` (rank error ≤ 1/accuracy). The count sketches are
+    checked against the exact distinct count (±5%); the approx median's
+    guarantee is on RANK, not value — it returns an actual sample whose
+    rank is near p·n, while exact `percentile` interpolates between
+    samples — so it is validated rank-wise: the estimate must land between
+    the exact 45th and 55th percentiles. All exacts and estimates ride the
+    same single shuffle."""
     orders = load_table(spark, sf_dir, "orders")
     g = orders.groupBy(F.col("o_orderpriority").alias("priority")).agg(
         F.countDistinct("o_custkey").cast("long").alias("n_exact"),
@@ -2138,7 +2142,8 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx(
             F.col("o_totalprice"), F.lit(0.5), F.lit(100_000)
         ).alias("p50a"),
-        F.expr("percentile(o_totalprice, 0.5)").alias("p50e"),
+        F.expr("percentile(o_totalprice, 0.45)").alias("p45"),
+        F.expr("percentile(o_totalprice, 0.55)").alias("p55"),
     )
 
     def within(est, exact, tol):
@@ -2149,7 +2154,7 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_exact",
         within(F.col("hll"), F.col("n_exact"), 0.05).alias("hll_ok"),
         within(F.col("sk"), F.col("n_exact"), 0.05).alias("sketch_ok"),
-        within(F.col("p50a"), F.col("p50e"), 0.01).alias("pctl_ok"),
+        F.col("p50a").between(F.col("p45"), F.col("p55")).alias("pctl_ok"),
     )
 
 
