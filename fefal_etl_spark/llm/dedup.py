@@ -271,7 +271,12 @@ def minhash_lsh_neardup(
     # measured ~20% faster end-to-end at sf0.1; only the Jaccard verify
     # (set sizes / intersections) needs the distinct form.
     raw = shingles(df, id_col, text_col, n=shingle_n, as_hash=True, distinct=False)
-    if persist_min_docs == 0 or df.count() >= persist_min_docs:
+    # one corpus-size probe gates BOTH scale-path extras: the shingle-stream
+    # persist and the verify-stage candidate semi-filter. Each pays one
+    # extra stage that only amortizes when the corpus dwarfs the candidate
+    # set; below the threshold the narrow recompute is cheaper.
+    at_scale = persist_min_docs == 0 or df.count() >= persist_min_docs
+    if at_scale:
         raw = raw.persist()
     sh = raw.distinct()
     # the per-doc set sizes ride the signature shuffle (countDistinct in the
@@ -283,7 +288,11 @@ def minhash_lsh_neardup(
     )
     cand = lsh_candidate_pairs(buckets, id_col)
     verified = jaccard_verify(
-        cand, sh, id_col, sizes=sig.select(id_col, "n_sh")
+        cand,
+        sh,
+        id_col,
+        sizes=sig.select(id_col, "n_sh"),
+        filter_to_candidates=at_scale,
     )
     return verified.filter(F.col("jaccard") >= threshold).select(
         "id_a", "id_b", "jaccard"
