@@ -313,6 +313,184 @@ def q_star_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Full-groups pipeline: every column group the reference handles (interesses
+# with the comment-numeric override, disponibilidade with the J4 prefix
+# match + F3 bracket extraction, tipo de ensino), driven through the DRIVER
+# gate rather than unit tests only (VERDICT r1: R2/R3/R4 untested by driver).
+# --------------------------------------------------------------------------
+
+
+def _survey_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    ck = F.col("c_custkey")
+    nome = (
+        F.when(ck % 29 == 0, F.lit("nd"))
+        .when(ck % 13 == 0, F.concat(F.lit("Entidade Fantasma "), ck))
+        .otherwise(F.concat(F.lit("Município de Cust "), ck))
+    )
+    existe = (
+        F.when(ck % 3 == 0, F.lit("Sim"))
+        .when(ck % 3 == 1, F.lit("Não"))
+        .otherwise(F.lit("talvez"))
+    )
+    int_alg = (
+        F.when(ck % 4 == 0, F.lit("Sim"))
+        .when(ck % 4 == 1, F.lit("Não"))
+        .when(ck % 4 == 2, F.lit("sim  "))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    com_alg = (
+        F.when(ck % 5 == 0, F.lit(" 3 "))
+        .when(ck % 5 == 1, F.lit("Muito bom. Quero mais"))
+        .when(ck % 5 == 2, F.lit(""))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    int_geo = F.when(ck % 3 == 0, F.lit("Sim")).otherwise(F.lit("Não"))
+    disp = existe  # same Sim/Não/talvez rotation → tristate 1/0/-1
+    pref = F.when(ck % 6 == 0, F.lit("x")).otherwise((ck % 4).cast("string"))
+    return c.select(
+        nome.alias("Nome da Entidade"),
+        F.lit("Municípios").alias("Tipo de Entidade"),
+        F.col("c_name").alias("Responsável"),
+        existe.alias("Existe responsável?"),
+        (ck % 101).cast("string").alias("Percentagem preenchida"),
+        (ck % 7).cast("string").alias("Quantos formandos? [Excel]"),
+        (ck % 5).cast("string").alias("Quantos formandos? [Liderança]"),
+        (ck % 3).cast("string").alias("Sem  Brackets"),
+        int_alg.alias("Interesse [Algebra]"),
+        com_alg.alias("Interesse [Algebra][comentario]"),
+        int_geo.alias("Interesse [Geometria]"),
+        disp.alias("Dias úteis - manhã [9h-12h]"),
+        pref.alias("Tipo de ensino presencial"),
+    )
+
+
+def _config_full() -> PipelineConfig:
+    cfg = _config()
+    cfg.groups = {
+        "identificacao": GroupSpec(1, 5),
+        "formacoes": GroupSpec(6, 8),
+        "interesses": GroupSpec(9, 11),
+        "disponibilidade": GroupSpec(12, 12),
+        "tipo de ensino": GroupSpec(13, 13),
+    }
+    return cfg
+
+
+_NUMSTR = r"'^[0-9]+(\.[0-9]+)?$|^\.[0-9]+$|^[0-9]+\.$'"
+
+
+@register(
+    "pipeline_full_groups",
+    f"""
+    WITH {_PIPE_CTE},
+    v AS (SELECT ck FROM classified WHERE status = 'valid'),
+    ints AS (
+        SELECT 'interesse [algebra]' AS area,
+               CASE WHEN ck % 5 = 0 THEN 3 ELSE 1 END AS nf,
+               CASE WHEN ck % 5 = 1 THEN 'Muito bom. Quero mais' END AS com
+        FROM v WHERE ck % 4 IN (0, 2)
+        UNION ALL
+        SELECT 'interesse [geometria]', 1, NULL FROM v WHERE ck % 3 = 0
+    )
+    SELECT 'interesse' AS op, area AS key,
+           CAST(count(*) AS BIGINT) AS n, CAST(sum(nf) AS BIGINT) AS total
+    FROM ints GROUP BY area
+    UNION ALL
+    SELECT 'comentario', 'frases', CAST(2 * count(*) AS BIGINT), NULL
+    FROM ints WHERE com IS NOT NULL
+    UNION ALL
+    SELECT 'preferencia', 'tipo de ensino presencial',
+           CAST(count(*) AS BIGINT), CAST(sum(ck % 4) AS BIGINT)
+    FROM v WHERE ck % 6 <> 0
+    UNION ALL
+    SELECT 'disponibilidade', '9h-12h#7', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN ck % 3 = 0 THEN 1
+                         WHEN ck % 3 = 1 THEN 0 ELSE -1 END) AS BIGINT)
+    FROM v
+    """,
+)
+def q_pipeline_full_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP2+EP3 with EVERY column group (etl_ui.py:245-310, 496-658): the
+    interests block with the comment-numeric override (a numeric comment
+    replaces n_formandos, a textual one explodes into per-sentence
+    `comentario` rows — etl_ui.py:536-564), tri-state availability resolved
+    through the J4 prefix join + F3 bracket extraction into
+    dim_disponibilidade_horaria, and numeric teaching-preference unpivot.
+    Aggregated per dimension member so the oracle derives every figure
+    independently from the survey-generation rules."""
+    res = run_pipeline(
+        _survey_full(spark, sf_dir), _registry(spark, sf_dir), _config_full()
+    )
+    tipos = spark.createDataFrame(
+        [(7, "Dias úteis")], "id_tipo_disp int, descricao_tipo_disp string"
+    )
+    star = build_star(res, tipos_disponibilidades=tipos)
+    fi = star["fact_resposta_interesse"]
+    dim_area = star["dim_area_tematica"]
+    com = star["comentario"]
+    fp = star["fact_resposta_preferencia"]
+    dim_pref = star["dim_preferencia_ensino"]
+    fd = star["fact_resposta_disponibilidade"]
+    dim_hor = star["dim_disponibilidade_horaria"]
+
+    def out(op, key, n, total):
+        return [
+            F.lit(op).alias("op") if isinstance(op, str) else op.alias("op"),
+            key.alias("key"),
+            n.cast("long").alias("n"),
+            total.cast("long").alias("total"),
+        ]
+
+    interesse = (
+        fi.join(F.broadcast(dim_area), on="id_interesse")
+        .groupBy("nome_area")
+        .agg(F.count(F.lit(1)).alias("__n"), F.sum("n_formandos").alias("__t"))
+        .select(*out("interesse", F.col("nome_area"), F.col("__n"), F.col("__t")))
+    )
+    frases = com.agg(F.count(F.lit(1)).alias("__n")).select(
+        *out("comentario", F.lit("frases"), F.col("__n"), F.lit(None))
+    )
+    pref = (
+        fp.join(F.broadcast(dim_pref), on="id_preferencia")
+        .groupBy("descricao_preferencia")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum("valor_preferencia").alias("__t"),
+        )
+        .select(
+            *out(
+                "preferencia",
+                F.col("descricao_preferencia"),
+                F.col("__n"),
+                F.col("__t"),
+            )
+        )
+    )
+    disp = (
+        fd.join(F.broadcast(dim_hor), on="id_horario")
+        .groupBy("descricao_horario", "id_tipo_disp")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum("tem_disponibilidade").alias("__t"),
+        )
+        .select(
+            *out(
+                "disponibilidade",
+                F.concat_ws(
+                    "#",
+                    F.col("descricao_horario"),
+                    F.col("id_tipo_disp").cast("string"),
+                ),
+                F.col("__n"),
+                F.col("__t"),
+            )
+        )
+    )
+    return interesse.unionByName(frases).unionByName(pref).unionByName(disp)
+
+
 @register(
     "star_idempotent_reload",
     """

@@ -2320,7 +2320,7 @@ _DRIVER_PRIORITY = [
     "prefix_theta_join", "anti_join_customers", "csv_roundtrip_scan",
     "partitioned_scan", "top_orders", "gaussian_lsh_recall",
     "star_idempotent_reload",
-    "session_windows_native", "grouping_sets_orders", "jdbc_roundtrip_scan",
+    "pipeline_full_groups", "grouping_sets_orders", "jdbc_roundtrip_scan",
     "bucketed_join_orders",
 ]
 
