@@ -157,3 +157,77 @@ def test_unpivot_pivot_roundtrip(spark, rows):
         long.groupBy("id").pivot("measure", ["m1", "m2"]).agg(F.first("value"))
     )
     assert sorted(map(tuple, wide.collect())) == sorted(map(tuple, df.collect()))
+
+
+# ---------------------------------------------------------------------------
+# Review-loop invariants (operators.review): for ANY promotion subset of the
+# duplicate branch, re-classification preserves the row count, keeps exactly
+# one valid row per matched entity, never moves blank/unmatched rows, and is
+# idempotent.
+# ---------------------------------------------------------------------------
+
+@SETTLE
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(0, 4)),  # id_entidade (5 entities)
+            st.integers(0, 100),                      # score
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    st.sets(st.integers(0, 24), max_size=10),         # promoted row positions
+)
+def test_promote_duplicate_invariants(spark, rows, promo_positions):
+    from fefal_etl_spark.operators.dedup import ROW_KEY, classify_rows, with_row_key
+    from fefal_etl_spark.operators.review import promote_duplicate
+
+    df = with_row_key(
+        spark.createDataFrame(
+            [(i, e, s) for i, (e, s) in enumerate(rows)],
+            "pos int, id_entidade int, score int",
+        )
+    )
+    order = [F.col("score").desc(), F.col(ROW_KEY)]
+    frame = classify_rows(df, order_by=order)
+    promoted = frame.filter(
+        (F.col("status") == "duplicate") & F.col("pos").isin(list(promo_positions))
+    ).select(ROW_KEY)
+    out = promote_duplicate(frame, promoted, order_by=order).cache()
+    before = {r["pos"]: r["status"] for r in frame.collect()}
+    after = {r["pos"]: r["status"] for r in out.collect()}
+    assert len(after) == len(before)  # no rows created or lost
+    # unmatched rows never move
+    assert {p for p, s in after.items() if s == "unmatched"} == {
+        p for p, s in before.items() if s == "unmatched"
+    }
+    # exactly one valid row per matched entity
+    valid_per_entity = (
+        out.filter(F.col("status") == "valid")
+        .groupBy("id_entidade")
+        .count()
+        .collect()
+    )
+    assert all(r["count"] == 1 for r in valid_per_entity)
+    # every promoted duplicate position is now valid (or lost a tie to
+    # another promoted row of the same entity)
+    promoted_pos = {
+        r["pos"]
+        for r in frame.filter(
+            (F.col("status") == "duplicate")
+            & F.col("pos").isin(list(promo_positions))
+        ).collect()
+    }
+    for p in promoted_pos:
+        assert after[p] in ("valid", "duplicate")
+        if after[p] == "duplicate":  # only loses to a promoted sibling
+            ent = rows[p][0]
+            winners = [
+                q
+                for q in promoted_pos
+                if rows[q][0] == ent and after[q] == "valid"
+            ]
+            assert winners, f"promoted row {p} lost to a non-promoted row"
+    # idempotent
+    again = promote_duplicate(out, promoted, order_by=order)
+    assert {r["pos"]: r["status"] for r in again.collect()} == after
