@@ -291,6 +291,43 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "train_test_split",
+    """
+    WITH b AS (
+        SELECT doc_id,
+               ('0x' || substr(md5('split' || '|' || CAST(doc_id AS VARCHAR)),
+                               1, 15))::BIGINT % 10000 AS bucket
+        FROM documents
+    )
+    SELECT CASE WHEN bucket < 1000 THEN 'test' ELSE 'train' END AS side,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(doc_id) AS BIGINT) AS min_id,
+           CAST(sum(doc_id) AS BIGINT) AS sum_ids
+    FROM b GROUP BY 1
+    """,
+)
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leak-proof train/eval split: side membership is a pure function of
+    the row key (salted md5 bucket), so a row can never migrate between
+    sides across reruns, engines, or repartitionings. The per-side id sums
+    pin the exact membership, not just the counts; disjointness and
+    exhaustiveness are structural (a bucket is < 1000 or not)."""
+    from fefal_etl_spark.llm.sampling import train_test_split
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    train, test = train_test_split(docs, "doc_id", test_fraction=0.1)
+
+    def side(name, df):
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("doc_id").cast("long").alias("min_id"),
+            F.sum("doc_id").cast("long").alias("sum_ids"),
+        ).select(F.lit(name).alias("side"), "n", "min_id", "sum_ids")
+
+    return side("train", train).unionByName(side("test", test))
+
+
+@register(
     "doc_fingerprints",
     """
     WITH w AS (
