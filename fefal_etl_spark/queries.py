@@ -2023,6 +2023,69 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "supplier_variety",
+    """
+    SELECT p_brand, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM part JOIN lineitem ON l_partkey = p_partkey
+    WHERE p_size >= 20 GROUP BY p_brand
+    """,
+)
+def q_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (adapted: no partsupp table in the testdata):
+    distinct-count after a filtered dim join. The part filter pushes into
+    the parquet scan, the dim side broadcasts into the fact scan, and the
+    distinct aggregation is a two-phase hash agg (partial per partition on
+    (brand, suppkey), final after one shuffle) — no row explosion."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") >= 20)
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.countDistinct("l_suppkey").cast("long").alias("n_suppliers"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "small_quantity_revenue",
+    """
+    SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))) / 7.0, 2)
+                AS DOUBLE) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#23'
+      AND l_quantity < (
+          SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+          WHERE l2.l_partkey = p_partkey)
+    """,
+)
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — correlated scalar subquery (per-part average
+    quantity threshold). Expressed as SQL so Catalyst's decorrelation
+    rewrites the subquery into an aggregate-then-join (one pass over
+    lineitem for the per-part averages, no per-row re-execution); the
+    brand filter prunes the part scan before anything joins."""
+    for t in ("lineitem", "part"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"__q17_{t}")
+    return spark.sql(
+        """
+        SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))) / 7.0, 2)
+                    AS DOUBLE) AS avg_yearly
+        FROM __q17_lineitem JOIN __q17_part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#23'
+          AND l_quantity < (
+              SELECT 0.2 * avg(l_quantity) FROM __q17_lineitem l2
+              WHERE l2.l_partkey = p_partkey)
+        """
+    )
+
+
+@register(
     "excel_roundtrip_scan",
     """
     SELECT c_mktsegment,
