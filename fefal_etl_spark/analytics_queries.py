@@ -1,0 +1,175 @@
+"""Product/event-analytics query shapes over the events table.
+
+The reference's event processing stops at windows/sessions (SURVEY §2.11);
+these add the three classic clickstream shapes a warehouse team would run on
+the same data — funnel conversion, cohort retention, and Markov-style
+event-transition counts — each expressed as one declarative plan (conditional
+aggregation, self-grouped date math, lag window) with a DuckDB oracle twin.
+
+Scale notes: all three are single-shuffle plans — funnel and retention hash
+on user_id, transitions hashes on user_id for the window then on the pair key
+for the count. No self-joins: the funnel uses conditional MIN aggregation
+instead of joining the events table once per stage (the naive 3-way self-join
+would shuffle the fact three times; the conditional-agg form shuffles once
+and scales linearly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fefal_etl_spark.datasets import load_table
+from fefal_etl_spark.queries import register
+
+# ==========================================================================
+# Funnel conversion: view → click → purchase, ordered by first occurrence
+# ==========================================================================
+
+
+@register(
+    "funnel_conversion",
+    """
+    WITH stages AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM events
+        GROUP BY user_id
+    )
+    SELECT
+        CAST(count(*) AS BIGINT) AS n_users,
+        CAST(count(t_view) AS BIGINT) AS n_view,
+        CAST(SUM(CASE WHEN t_click > t_view THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_view_click,
+        CAST(SUM(CASE WHEN t_purchase > t_click AND t_click > t_view
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click_purchase
+    FROM stages
+    """,
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis — strictly-ordered view→click→purchase conversion
+    counted from each user's *first* occurrence of every stage. One
+    conditional-MIN aggregation per user then one global rollup: two
+    shuffles total (user_id, then a single-row reduce), versus the naive
+    per-stage self-join that reads and shuffles the events fact once per
+    funnel stage. NULL timestamps (stage never reached) drop out of the
+    strict > comparisons on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_ts(stage: str) -> F.Column:
+        return F.min(F.when(F.col("event_type") == stage, F.col("ts")))
+
+    stages = ev.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    strict_chain = (F.col("t_purchase") > F.col("t_click")) & (
+        F.col("t_click") > F.col("t_view")
+    )
+    return stages.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").alias("n_view"),
+        F.sum(
+            F.when(F.col("t_click") > F.col("t_view"), 1).otherwise(0)
+        ).alias("n_view_click"),
+        F.sum(F.when(strict_chain, 1).otherwise(0)).alias("n_view_click_purchase"),
+    )
+
+
+# ==========================================================================
+# Cohort retention: first-activity-day cohorts × day offset
+# ==========================================================================
+
+
+@register(
+    "cohort_retention",
+    """
+    WITH firsts AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_day,
+               date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+        FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT CAST(cohort_day AS TIMESTAMP) AS cohort_day,
+           CAST(day_offset AS INT) AS day_offset,
+           CAST(count(*) AS BIGINT) AS active_users
+    FROM activity
+    WHERE day_offset <= 7
+    GROUP BY cohort_day, day_offset
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention — users grouped by first-seen day, counted as active
+    at each day offset ≤ 7. The cohort assignment is an aggregation on
+    user_id joined back to the fact (shuffle-aligned: both sides hash on
+    user_id, so AQE keeps them in one exchange), then a distinct + count on
+    (cohort, offset). The events table spans one month, so day-granularity
+    cohorts are the meaningful resolution (monthly cohorts would be one
+    group). At 100 TB the firsts-frame is per-user-small and the join stays
+    co-partitioned with the dedup that follows it."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.to_date("ts"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .filter(F.col("day_offset") <= 7)
+        .distinct()
+    )
+    return (
+        activity.groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+        # date → timestamp so the hash canonicalizer sees one dtype on both
+        # engines (pandas renders SQL DATE as Timestamp, Spark DATE as
+        # datetime.date — same values, different hash)
+        .withColumn("cohort_day", F.col("cohort_day").cast("timestamp_ntz"))
+    )
+
+
+# ==========================================================================
+# Event transitions: per-user ordered bigrams (Markov transition counts)
+# ==========================================================================
+
+
+@register(
+    "event_transitions",
+    """
+    WITH ordered AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        FROM events
+    )
+    SELECT prev_type, event_type AS next_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM ordered
+    WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-transition matrix — per-user lag() bigrams counted into a
+    Markov transition table. The window orders by (ts, event_id) so
+    same-timestamp events have a total order and the lag is deterministic
+    on both engines. One user_id shuffle for the window (within-partition
+    sort only — no global sort), one 25-group count. The 5×5 output is the
+    input to funnel diagnostics ("where do users go after an error?")."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

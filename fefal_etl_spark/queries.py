@@ -2396,14 +2396,18 @@ def _driver_order(d: dict) -> dict:
 
 def get_queries() -> dict[str, QueryFn]:
     # late imports so optional modules can extend the registry
+    import fefal_etl_spark.analytics_queries  # noqa: F401
     import fefal_etl_spark.llm.queries  # noqa: F401
     import fefal_etl_spark.plans.queries  # noqa: F401
+    import fefal_etl_spark.tpch_queries  # noqa: F401
 
     return _driver_order(dict(QUERIES))
 
 
 def get_oracles() -> dict[str, str]:
+    import fefal_etl_spark.analytics_queries  # noqa: F401
     import fefal_etl_spark.llm.queries  # noqa: F401
     import fefal_etl_spark.plans.queries  # noqa: F401
+    import fefal_etl_spark.tpch_queries  # noqa: F401
 
     return _driver_order(dict(ORACLES))
