@@ -88,3 +88,35 @@ def curate_corpus(
         salt=salt,
     )
     return sampled.select(id_col, lang_col, "n_words")
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing — standard pretraining-corpus redaction pass
+# --------------------------------------------------------------------------
+
+# RE2-safe patterns (no lookaround/backreferences) so the same regex text
+# runs in Spark (Java regex) and any RE2-based oracle/engine identically.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+\d[\d ]{6,}\d"
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails/phone numbers from ``text_col``; adds
+    ``{text_col}_scrubbed`` and ``n_pii`` (match count before redaction).
+
+    Pure narrow expressions — fuses into whatever scan feeds it; at 100 TB
+    this runs map-side at parquet-read speed with zero shuffles. The match
+    count is taken *before* replacement so overlapping redactions can't
+    hide each other.
+    """
+    c = F.col(text_col)
+    n_pii = (
+        F.size(F.regexp_extract_all(c, F.lit(EMAIL_RE), 0))
+        + F.size(F.regexp_extract_all(c, F.lit(PHONE_RE), 0))
+    ).cast("long")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(c, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return df.withColumn("n_pii", n_pii).withColumn(
+        f"{text_col}_scrubbed", scrubbed
+    )

@@ -939,3 +939,149 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = attach_media_column(docs, "doc_id", "text")
     return frame_sample_plan(media, every_n_bytes=256)
+
+
+# --------------------------------------------------------------------------
+# E3+: TF-IDF salient terms;  PII scrubbing;  SemDeDup cluster dedup
+# --------------------------------------------------------------------------
+
+
+@register(
+    "tfidf_top_terms",
+    """
+    WITH tokens AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM tokens GROUP BY doc_id, term),
+    dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, d.df,
+               tf.tf * ln(CAST(n_docs AS DOUBLE) / d.df) AS tfidf
+        FROM tf JOIN dfreq d USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, CAST(rk AS INT) AS rk, term, tf, df,
+           CAST(round(tfidf, 6) AS DOUBLE) AS tfidf
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY doc_id
+              ORDER BY tfidf DESC, df ASC, term ASC) AS rk
+          FROM scored) t
+    WHERE rk <= 3
+    """,
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 — per-document top-3 TF-IDF terms: explode→(doc,term) counts,
+    document frequency from the aggregated counts (strictly smaller second
+    shuffle), corpus size broadcast as a one-row frame, per-doc ranking
+    window with a total tie order."""
+    from fefal_etl_spark.llm.text_analysis import tfidf_top_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, id_col="doc_id", text_col="text", top_n=3)
+
+
+from fefal_etl_spark.llm.curation import EMAIL_RE, PHONE_RE  # noqa: E402
+
+
+@register(
+    "pii_scrub",
+    f"""
+    WITH seeded AS (
+        SELECT doc_id,
+               text || ' Contact: user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or +351 91' || CAST(doc_id AS VARCHAR)
+                    || ' 55 now.' AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{EMAIL_RE}'))
+              + len(regexp_extract_all(text, '{PHONE_RE}')) AS BIGINT) AS n_pii,
+           regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{PHONE_RE}', '<PHONE>', 'g') AS text_scrubbed
+    FROM seeded
+    """,
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 — PII redaction pass (emails + phone numbers → placeholder
+    tokens) over a corpus seeded with deterministic synthetic PII (the raw
+    testdata has none, so the planted contacts are what the scrubber must
+    find). Narrow expressions only — fuses into the scan."""
+    from fefal_etl_spark.llm.curation import scrub_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" Contact: user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +351 91"),
+            F.col("doc_id").cast("string"),
+            F.lit(" 55 now."),
+        ).alias("text"),
+    )
+    return scrub_pii(seeded, "text").select("doc_id", "n_pii", "text_scrubbed")
+
+
+_SQL_SEMDEDUP_COS = """list_dot_product(a.__va, b.__vb) /
+               (sqrt(list_dot_product(a.__va, a.__va)) *
+                sqrt(list_dot_product(b.__vb, b.__vb)))"""
+
+
+@register(
+    "semdedup_pairs",
+    f"""
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    plant AS (
+        SELECT vec_id + 10000 AS vec_id,
+               list_concat([v[1] * 1.1], v[2:]) AS v
+        FROM base WHERE vec_id % 10 = 0
+    ),
+    e AS (SELECT * FROM base UNION ALL SELECT * FROM plant),
+    c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < 4),
+    {_sql_kmeans_round('a1', 'c0', 'c1')},
+    {_sql_kmeans_round('a2', 'c1', 'c2')},
+    final AS (
+        SELECT vec_id, cid FROM (
+            SELECT e.vec_id, c2.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {_SQL_D2.format(a='e.v', b='c2.c')}, c2.cid) AS rk
+            FROM e CROSS JOIN c2) t
+        WHERE rk = 1
+    ),
+    m AS (SELECT e.vec_id, e.v, f.cid FROM e JOIN final f USING (vec_id))
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           CAST(a.cid AS BIGINT) AS centroid_id,
+           round({_SQL_SEMDEDUP_COS}, 6) AS cos_sim
+    FROM (SELECT vec_id, v AS __va, cid FROM m) a
+    JOIN (SELECT vec_id, v AS __vb, cid FROM m) b
+      ON a.cid = b.cid AND a.vec_id < b.vec_id
+    WHERE {_SQL_SEMDEDUP_COS} >= 0.95
+    """,
+)
+def q_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 — SemDeDup-style semantic dedup: k-means clusters the embedding
+    space (deterministic init, 2 unrolled Lloyd's rounds), exact cosine
+    verified only within clusters. The corpus is seeded with planted
+    near-dups (every 10th vector re-id'd with one dimension scaled 1.1 —
+    cosine ≈ 0.999) since the raw testdata has no organic pairs ≥ 0.95;
+    the query must recover exactly the planted set. Sub-quadratic: the
+    pair join never leaves a cluster."""
+    from fefal_etl_spark.llm.similarity import as_double_vec, semdedup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", as_double_vec(F.col("embedding")).alias("embedding"))
+    plant = base.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1) * 1.1),
+            F.slice("embedding", 2, 10_000),
+        ).alias("embedding"),
+    )
+    corpus = base.unionByName(plant)
+    out = semdedup_pairs(corpus, k=4, iters=2, threshold=0.95)
+    return out.select(
+        "id_a", "id_b", "centroid_id", F.round("cos_sim", 6).alias("cos_sim")
+    )

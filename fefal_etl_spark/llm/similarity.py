@@ -370,3 +370,51 @@ def ivf_assign(
         .filter(F.col("__rk") == 1)
         .drop("__rk", "__d2", "__c", "__v")
     )
+
+
+def semdedup_pairs(
+    corpus: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster the embedding space
+    with k-means, then verify exact cosine only *within* clusters — the
+    candidate set shrinks from N² to Σ|cluster|², same bucketed shape as
+    the LSH dedups but driven by learned structure instead of random
+    projections.
+
+    Output: (id_a, id_b, centroid_id, cos_sim) for same-cluster pairs with
+    cosine ≥ ``threshold``, id_a < id_b (id_a is the keeper under
+    lowest-id-wins). At 100 TB: k scales with corpus size (N/1000-ish) so
+    clusters stay bounded; the pair join shuffles once on centroid_id and
+    AQE splits skewed clusters. The k-means rounds are the iterative
+    template of :func:`kmeans_assignments` — one lazy DAG, nothing on the
+    driver.
+    """
+    assigned = kmeans_assignments(
+        corpus, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    e = (
+        corpus.select(F.col(id_col), as_double_vec(F.col(vec_col)).alias("__v"))
+        .join(assigned, id_col)
+    )
+    a = e.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__v").alias("__va"),
+        F.col("centroid_id"),
+    )
+    b = e.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__v").alias("__vb"),
+        F.col("centroid_id"),
+    )
+    return (
+        a.join(b, "centroid_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", cosine(F.col("__va"), F.col("__vb")))
+        .filter(F.col("cos_sim") >= F.lit(threshold))
+        .select("id_a", "id_b", "centroid_id", "cos_sim")
+    )

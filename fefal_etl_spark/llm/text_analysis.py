@@ -7,7 +7,7 @@ over the corpus scan: zero shuffles.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Small built-in stopword marker sets for the n-gram/stopword language-ID
@@ -212,4 +212,53 @@ def winnow_fingerprints(
     ).otherwise(F.array(F.array_min("_hs")))
     return hashed_df.select(id_col, mins.alias("_mins")).select(
         id_col, F.explode(F.array_distinct("_mins")).alias("fp")
+    )
+
+
+# --------------------------------------------------------------------------
+# TF-IDF — classic salient-term extraction over a corpus
+# --------------------------------------------------------------------------
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 3,
+) -> DataFrame:
+    """Top-``top_n`` TF-IDF terms per document (alpha tokens, natural-log
+    idf = ln(N/df)).
+
+    Plan: one explode over the corpus → (doc, term) counts (shuffle on the
+    composite key), document frequency derived from the *already aggregated*
+    term counts (second, strictly smaller shuffle on term), corpus size N
+    broadcast as a one-row frame. Ranking is a per-doc window over ≤vocab
+    rows. The tie order (score DESC, df ASC, term ASC) is total, so the
+    output is deterministic; exact score ties (equal tf and df) order by
+    term on both engines.
+    """
+    tokens = df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0)
+        ).alias("term"),
+    )
+    tf = tokens.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("__n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf") * F.log(F.col("__n_docs").cast("double") / F.col("df")),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top_n)
+        .select(id_col, "rk", "term", "tf", "df", F.round("tfidf", 6).alias("tfidf"))
     )

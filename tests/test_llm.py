@@ -263,3 +263,67 @@ def test_gaussian_lsh_recall_fixture_corpus(spark):
     recall = len(truth & found) / len(truth)
     assert recall >= 0.9, f"recall {recall:.3f} < 0.9 ({len(truth)} true pairs)"
     assert found <= truth  # exact-verify stage: no false positives
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    from fefal_etl_spark.llm.curation import scrub_pii
+
+    rows = [
+        (1, "write to alice.smith+x@mail.example.org or call +351 912 345 678 ok"),
+        (2, "no pii here at all"),
+        (3, "two mails a@b.io and c.d@e-f.com plus +1 555 0100 99"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in scrub_pii(df, "text").collect()}
+    assert out[1]["n_pii"] == 2
+    assert "<EMAIL>" in out[1]["text_scrubbed"]
+    assert "<PHONE>" in out[1]["text_scrubbed"]
+    assert "alice" not in out[1]["text_scrubbed"]
+    assert out[2]["n_pii"] == 0
+    assert out[2]["text_scrubbed"] == "no pii here at all"
+    assert out[3]["n_pii"] == 3
+    assert out[3]["text_scrubbed"].count("<EMAIL>") == 2
+
+
+def test_tfidf_top_terms_ranks_distinctive_words(spark):
+    from fefal_etl_spark.llm.text_analysis import tfidf_top_terms
+
+    rows = [
+        (1, "common common common zebra zebra unique"),
+        (2, "common common something else entirely"),
+        (3, "common words only here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tfidf_top_terms(df, top_n=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # 'common' appears in every doc -> idf = ln(1) = 0 -> never a top term
+    # ahead of any distinctive word
+    top1 = {d: rs[0]["term"] for d, rs in by_doc.items()}
+    assert top1[1] == "zebra"  # tf=2, df=1 beats unique tf=1
+    assert all(len(rs) == 2 for rs in by_doc.values())
+    for rs in by_doc.values():
+        assert [r["rk"] for r in rs] == [1, 2]
+
+
+def test_semdedup_finds_planted_cluster_pairs(spark):
+    from fefal_etl_spark.llm.similarity import semdedup_pairs
+
+    # two tight clusters far apart + one planted near-dup inside each
+    base = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [0.0, 0.0, 1.0, 0.0]),
+        (3, [0.0, 0.1, 0.9, 0.0]),
+        (10, [1.0, 0.001, 0.0, 0.0]),   # near-dup of 0
+        (11, [0.0, 0.001, 1.0, 0.0]),   # near-dup of 2
+    ]
+    df = spark.createDataFrame(base, "vec_id long, embedding array<double>")
+    pairs = semdedup_pairs(df, k=2, iters=2, threshold=0.999)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 10) in got
+    assert (2, 11) in got
+    # nothing across clusters
+    for a, b in got:
+        assert {a, b} <= {0, 1, 10} or {a, b} <= {2, 3, 11}
