@@ -1085,3 +1085,50 @@ def q_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "id_a", "id_b", "centroid_id", F.round("cos_sim", 6).alias("cos_sim")
     )
+
+
+@register(
+    "dup_clusters",
+    """
+    WITH RECURSIVE
+    e1 AS (SELECT doc_id AS src, doc_id + 1000000 AS dst
+           FROM documents WHERE doc_id % 10 = 0),
+    e2 AS (SELECT doc_id + 1000000 AS src, doc_id + 2000000 AS dst
+           FROM documents WHERE doc_id % 20 = 0),
+    edges AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2),
+    bidir AS (SELECT src AS a, dst AS b FROM edges
+              UNION ALL SELECT dst, src FROM edges),
+    nodes AS (SELECT DISTINCT a AS node FROM bidir),
+    reach(node, lbl) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT b.b, r.lbl FROM reach r JOIN bidir b ON b.a = r.node
+    )
+    SELECT CAST(node AS BIGINT) AS node,
+           CAST(min(lbl) AS BIGINT) AS component
+    FROM reach GROUP BY node
+    """,
+)
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 capstone — transitive closure of near-dup *pairs* into duplicate
+    *clusters* (connected components by min-label propagation,
+    llm/dedup.py::connected_components). The edge list plants two-hop
+    chains (A–A′ and A′–A″ for every 20th doc) so the closure genuinely
+    propagates: pairwise output alone would miss A≈A″. Oracle = recursive
+    CTE computing min-reachable-id per node. This is the step between any
+    pair generator (minhash/simhash/semdedup) and a dedup verdict."""
+    from fefal_etl_spark.llm.dedup import connected_components
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    e1 = docs.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") + 1000000).alias("dst")
+    )
+    e2 = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 1000000).alias("src"),
+        (F.col("doc_id") + 2000000).alias("dst"),
+    )
+    edges = e1.unionByName(e2)
+    out = connected_components(edges, iters=3)
+    return out.select(
+        F.col("node").cast("long"), F.col("component").cast("long")
+    )

@@ -660,3 +660,83 @@ def q_pipeline_star_formations(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_formandos").alias("total_formandos"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# SCD2 dimension merge (DW-parity extension of the S7 upsert family)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "scd2_dim_merge",
+    """
+    WITH base AS (
+        SELECT c_custkey, c_mktsegment,
+               TIMESTAMP '2020-01-01' AS valid_from,
+               CAST(NULL AS TIMESTAMP) AS valid_to,
+               true AS is_current
+        FROM customer
+    ),
+    snapshot AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 7 = 0 THEN c_mktsegment || '_V2'
+                    ELSE c_mktsegment END AS c_mktsegment
+        FROM customer
+        UNION ALL
+        SELECT c_custkey + 1000000, c_mktsegment
+        FROM customer WHERE c_custkey < 50
+    ),
+    changed AS (
+        SELECT b.c_custkey FROM base b JOIN snapshot s USING (c_custkey)
+        WHERE b.c_mktsegment IS DISTINCT FROM s.c_mktsegment
+    )
+    SELECT b.c_custkey, b.c_mktsegment, b.valid_from,
+           TIMESTAMP '2021-01-01' AS valid_to, false AS is_current
+    FROM base b JOIN changed USING (c_custkey)
+    UNION ALL
+    SELECT b.c_custkey, b.c_mktsegment, b.valid_from, b.valid_to, b.is_current
+    FROM base b ANTI JOIN changed USING (c_custkey)
+    UNION ALL
+    SELECT s.c_custkey, s.c_mktsegment,
+           TIMESTAMP '2021-01-01', CAST(NULL AS TIMESTAMP), true
+    FROM snapshot s
+    WHERE s.c_custkey IN (SELECT c_custkey FROM changed)
+       OR s.c_custkey NOT IN (SELECT c_custkey FROM base)
+    """,
+)
+def q_scd2_dim_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 type-2 dimension merge (extends the S7 upsert-dim family with
+    history): base dim snapshot vs a new snapshot that changes every 7th
+    segment and adds 50 new keys — changed rows close at the load
+    timestamp and reopen as new versions, new keys open, history passes
+    through. Null-safe change detection; idempotent on re-merge
+    (operators/upsert.py::scd2_merge)."""
+    from fefal_etl_spark.operators.upsert import scd2_merge
+
+    cust = load_table(spark, sf_dir, "customer")
+    base = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit("2020-01-01").cast("timestamp_ntz").alias("valid_from"),
+        F.lit(None).cast("timestamp_ntz").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    snapshot = cust.select(
+        "c_custkey",
+        F.when(
+            F.col("c_custkey") % 7 == 0, F.concat(F.col("c_mktsegment"), F.lit("_V2"))
+        )
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+    ).unionByName(
+        cust.filter(F.col("c_custkey") < 50).select(
+            (F.col("c_custkey") + 1000000).alias("c_custkey"), "c_mktsegment"
+        )
+    )
+    return scd2_merge(
+        base,
+        snapshot,
+        key="c_custkey",
+        tracked=["c_mktsegment"],
+        load_ts="2021-01-01",
+    )

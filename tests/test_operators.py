@@ -335,3 +335,57 @@ def test_excel_workbook_row_cap(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="max_rows"):
         write_excel_workbook({"s": big}, str(tmp_path / "b.xlsx"), max_rows=10)
+
+
+def test_connected_components_transitive_chain(spark):
+    from fefal_etl_spark.llm.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 20)],
+        "src long, dst long",
+    )
+    out = {r["node"]: r["component"] for r in connected_components(edges, iters=4).collect()}
+    # 4-node chain collapses to min id even though 1-4 is 3 hops
+    assert out[1] == out[2] == out[3] == out[4] == 1
+    assert out[10] == out[11] == 10
+    assert out[20] == 20
+
+
+def test_scd2_merge_versions_and_idempotency(spark):
+    from pyspark.sql import functions as F
+
+    from fefal_etl_spark.operators.upsert import scd2_merge
+
+    base = spark.createDataFrame(
+        [
+            (1, "A", "2020-01-01", None, True),
+            (2, "B", "2020-01-01", None, True),
+            (3, None, "2020-01-01", None, True),
+        ],
+        "k long, seg string, valid_from string, valid_to string, is_current boolean",
+    ).select(
+        "k", "seg",
+        F.col("valid_from").cast("timestamp_ntz").alias("valid_from"),
+        F.col("valid_to").cast("timestamp_ntz").alias("valid_to"),
+        "is_current",
+    )
+    snap = spark.createDataFrame(
+        [(1, "A"), (2, "B2"), (3, "C"), (4, "D")], "k long, seg string"
+    )
+    merged = scd2_merge(base, snap, key="k", tracked=["seg"], load_ts="2021-06-01")
+    rows = {(r["k"], r["is_current"]): r for r in merged.collect()}
+    # unchanged key 1: still one open row
+    assert rows[(1, True)]["seg"] == "A" and rows[(1, True)]["valid_to"] is None
+    # changed key 2: old value closed, new value open
+    assert rows[(2, False)]["seg"] == "B"
+    assert rows[(2, True)]["seg"] == "B2"
+    assert rows[(2, False)]["valid_to"] is not None
+    # NULL -> value change versions too (null-safe detection)
+    assert rows[(3, True)]["seg"] == "C"
+    assert rows[(3, False)]["seg"] is None
+    # brand-new key 4: open row
+    assert rows[(4, True)]["seg"] == "D"
+    # idempotent: merging the same snapshot again changes nothing
+    again = scd2_merge(merged, snap, key="k", tracked=["seg"], load_ts="2022-01-01")
+    assert again.count() == merged.count()
+    assert again.filter(F.col("valid_from") == "2022-01-01").count() == 0
