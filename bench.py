@@ -71,6 +71,19 @@ BENCH_QUERIES = [
     "pipeline_star_formations",
     "star_integrity",
     "review_promotions",
+    # round-3 additions: TPC-H topology stress, event analytics, corpus ops
+    "order_priority_check",
+    "volume_shipping",
+    "returned_item_customers",
+    "suppliers_kept_waiting",
+    "disjunctive_bracket_revenue",
+    "funnel_conversion",
+    "cohort_retention",
+    "event_transitions",
+    "tfidf_top_terms",
+    "semdedup_pairs",
+    "dup_clusters",
+    "scd2_dim_merge",
 ]
 
 

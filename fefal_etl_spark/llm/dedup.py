@@ -367,6 +367,12 @@ def connected_components(
     bidir = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     )
+    if iters > 1:
+        # every round joins the same edge frame — without this the source
+        # scan replays once per round (same persist convention as
+        # minhash_lsh_neardup: short-lived session, released on stop; at
+        # 100 TB use MEMORY_AND_DISK and unpersist after the last action)
+        bidir = bidir.persist()
     labels = (
         bidir.select(F.col("a").alias("node"))
         .distinct()

@@ -2385,6 +2385,12 @@ _DRIVER_PRIORITY = [
     "star_idempotent_reload",
     "pipeline_full_groups", "grouping_sets_orders", "jdbc_roundtrip_scan",
     "bucketed_join_orders",
+    # round-3 new-component carriers (SURVEY §2.14): cluster closure, SCD2,
+    # corpus ops, event analytics, hardest new TPC-H topologies
+    "dup_clusters", "scd2_dim_merge", "semdedup_pairs", "tfidf_top_terms",
+    "pii_scrub", "funnel_conversion", "cohort_retention", "event_transitions",
+    "suppliers_kept_waiting", "volume_shipping", "important_part_values",
+    "dormant_customer_balances",
 ]
 
 
