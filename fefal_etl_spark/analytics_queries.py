@@ -173,3 +173,116 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# ==========================================================================
+# Time-series downsampling: per-hour OHLC bars
+# ==========================================================================
+
+
+@register(
+    "events_ohlc",
+    """
+    WITH ranked AS (
+        SELECT user_id, date_trunc('hour', ts) AS bucket, value,
+               row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                  ORDER BY ts, event_id) AS rn_a,
+               row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM events
+    )
+    SELECT user_id, bucket,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM ranked
+    GROUP BY user_id, bucket
+    """,
+)
+def q_events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series downsampling — per (user, hour) OHLC bars (the rollup a
+    hypertable/metrics store continuously maintains). First/last are picked
+    by a total (ts, event_id) order so same-timestamp events can't flip
+    open/close between engines; high/low/count are order-insensitive. One
+    (user, hour)-keyed window + the aggregation on the same key — the
+    window shuffle satisfies the groupBy's distribution, so one exchange
+    total, and at scale this is exactly the incremental-rollup shape
+    (recompute only the buckets a late event touches)."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.date_trunc("hour", F.col("ts"))
+    wa = Window.partitionBy("user_id", "bucket").orderBy("ts", "event_id")
+    wd = Window.partitionBy("user_id", "bucket").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("bucket", bucket)
+        .withColumn("rn_a", F.row_number().over(wa))
+        .withColumn("rn_d", F.row_number().over(wd))
+        .groupBy("user_id", "bucket")
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+# ==========================================================================
+# EWMA smoothing: weighted rolling window via HOFs over a windowed list
+# ==========================================================================
+
+
+@register(
+    "ewma_smoothing",
+    """
+    WITH wl AS (
+        SELECT user_id, event_id,
+               list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS l
+        FROM events
+    )
+    SELECT user_id, event_id,
+           CAST(round(
+               list_reduce(
+                   list_transform(l, (x, i) -> x * pow(0.5, len(l) - i)),
+                   (acc, x2) -> acc + x2)
+               / ((1 - pow(0.5, len(l))) * 2.0), 6) AS DOUBLE) AS ewma10
+    FROM wl
+    """,
+)
+def q_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA smoothing (half-life decay over the trailing 10 events) — a
+    *weighted* rolling aggregate, which no built-in window function
+    expresses: `collect_list` over the row frame + a higher-order
+    transform/fold applies the per-position weights entirely JVM-side
+    (no UDF). The normalizer uses the closed-form geometric sum
+    (1-a^n)/(1-a). Left-fold summation on both engines keeps the float
+    result bit-comparable; output rounded to 6.
+    Scale: one user-keyed window shuffle; the frame is 10 elements, so
+    state per row is O(10) regardless of history length."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, 0)
+    )
+    wl = F.collect_list("value").over(w)
+    n = F.size(F.col("l"))
+    a = F.lit(0.5)
+    weighted = F.transform(
+        F.col("l"), lambda x, j: x * F.pow(a, (n - 1 - j).cast("double"))
+    )
+    num = F.aggregate(weighted, F.lit(0.0), lambda acc, x: acc + x)
+    den = (F.lit(1.0) - F.pow(a, n.cast("double"))) * 2.0
+    return (
+        ev.withColumn("l", wl)
+        .select(
+            "user_id",
+            "event_id",
+            F.round(num / den, 6).alias("ewma10"),
+        )
+    )
