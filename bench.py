@@ -84,6 +84,9 @@ BENCH_QUERIES = [
     "semdedup_pairs",
     "dup_clusters",
     "scd2_dim_merge",
+    "decontaminate_overlap",
+    "events_ohlc",
+    "ewma_smoothing",
 ]
 
 

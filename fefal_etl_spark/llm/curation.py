@@ -120,3 +120,36 @@ def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("n_pii", n_pii).withColumn(
         f"{text_col}_scrubbed", scrubbed
     )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share any
+    word ``n``-gram with the eval/benchmark set (the standard guard against
+    eval leakage into pretraining data).
+
+    Returns (id, n_overlap) for contaminated training docs — n_overlap =
+    number of *distinct* shared n-grams. Shingles travel as 60-bit md5
+    longs (8 bytes each, not ~60-byte strings). The eval side is
+    benchmark-sized by definition, so its distinct shingle set broadcasts:
+    the training corpus is never shuffled at all — the contamination scan
+    is one map-side semi-ish join at parquet-read speed, linear at 100 TB.
+    """
+    from fefal_etl_spark.llm.dedup import shingles
+
+    tr = shingles(train, id_col, text_col, n=n, as_hash=True)
+    ev = (
+        shingles(eval_df, id_col, text_col, n=n, as_hash=True)
+        .select("shingle")
+        .distinct()
+    )
+    return (
+        tr.join(F.broadcast(ev), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )

@@ -1132,3 +1132,83 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("node").cast("long"), F.col("component").cast("long")
     )
+
+
+@register(
+    "decontaminate_overlap",
+    """
+    WITH ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0),
+    inj AS (
+        SELECT doc_id AS eid,
+               array_to_string(
+                   (regexp_split_to_array(trim(lower(text)), '\\s+'))[1:10],
+                   ' ') AS frag
+        FROM ev
+    ),
+    tr AS (
+        SELECT d.doc_id,
+               CASE WHEN d.doc_id % 5 = 1
+                    THEN d.text || ' ' || i.frag
+                    ELSE d.text END AS text
+        FROM documents d
+        LEFT JOIN inj i ON i.eid = d.doc_id - (d.doc_id % 25)
+        WHERE d.doc_id % 25 <> 0
+    ),
+    g_tr AS (
+        SELECT DISTINCT doc_id, g FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, greatest(len(w) - 6, 1)),
+                                         i -> array_to_string(w[i:i+7], ' '))) AS g
+            FROM (SELECT doc_id,
+                         regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+                  FROM tr) x) y
+        WHERE g <> ''
+    ),
+    g_ev AS (
+        SELECT DISTINCT g FROM (
+            SELECT unnest(list_transform(range(1, greatest(len(w) - 6, 1)),
+                                         i -> array_to_string(w[i:i+7], ' '))) AS g
+            FROM (SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+                  FROM ev) x) y
+        WHERE g <> ''
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+    FROM g_tr JOIN g_ev USING (g)
+    GROUP BY doc_id
+    """,
+)
+def q_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 — benchmark decontamination: training docs sharing any word
+    8-gram with the eval set are flagged with their distinct-overlap
+    count. Every 25th doc is the eval set; every doc ≡1 (mod 5) is
+    *planted* contaminated by appending the first 10 words of its eval
+    partner — the query must recover exactly those (3 shared 8-grams
+    each, plus any organic collisions, identical on both engines). The
+    eval shingle set broadcasts; the training corpus is never shuffled
+    (llm/curation.py::decontaminate)."""
+    from fefal_etl_spark.llm.curation import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 25 == 0).select("doc_id", "text")
+    frag = F.concat_ws(
+        " ", F.slice(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), 1, 10)
+    )
+    inj = ev.select(F.col("doc_id").alias("__eid"), frag.alias("__frag"))
+    tr = (
+        docs.filter(F.col("doc_id") % 25 != 0)
+        .join(
+            F.broadcast(inj),
+            F.col("doc_id") - (F.col("doc_id") % 25) == F.col("__eid"),
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 5 == 1,
+                F.concat(F.col("text"), F.lit(" "), F.col("__frag")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    return decontaminate(tr, ev, n=8)

@@ -2390,7 +2390,8 @@ _DRIVER_PRIORITY = [
     "dup_clusters", "scd2_dim_merge", "semdedup_pairs", "tfidf_top_terms",
     "pii_scrub", "funnel_conversion", "cohort_retention", "event_transitions",
     "suppliers_kept_waiting", "volume_shipping", "important_part_values",
-    "dormant_customer_balances",
+    "dormant_customer_balances", "decontaminate_overlap", "events_ohlc",
+    "ewma_smoothing",
 ]
 
 

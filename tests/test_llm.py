@@ -327,3 +327,23 @@ def test_semdedup_finds_planted_cluster_pairs(spark):
     # nothing across clusters
     for a, b in got:
         assert {a, b} <= {0, 1, 10} or {a, b} <= {2, 3, 11}
+
+
+def test_decontaminate_flags_only_overlapping_docs(spark):
+    from fefal_etl_spark.llm.curation import decontaminate
+
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (2, "totally unrelated words that share nothing with the benchmark"),
+        ],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta iota lambda")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["n_overlap"] for r in decontaminate(train, eval_df, n=8).collect()}
+    # doc 1 shares exactly the 8-grams at positions 1..2 (words 1-8, 2-9);
+    # position 3 differs (kappa vs lambda)
+    assert out == {1: 2}
