@@ -231,3 +231,51 @@ def test_promote_duplicate_invariants(spark, rows, promo_positions):
     # idempotent
     again = promote_duplicate(out, promoted, order_by=order)
     assert {r["pos"]: r["status"] for r in again.collect()} == after
+
+
+def test_connected_components_matches_union_find(spark):
+    """Min-label propagation must agree with a driver-side union-find on
+    adversarial small graphs: a max-diameter path, duplicate + reversed
+    edges, self-loops, and multiple components in one edge list."""
+    from fefal_etl_spark.llm.dedup import connected_components
+
+    cases = [
+        # worst-case diameter: a path 0-1-2-...-7 given in scrambled order
+        [(6, 7), (0, 1), (4, 5), (2, 3), (1, 2), (5, 6), (3, 4)],
+        # duplicate edges, reversed duplicates, self-loop, two components
+        [(1, 2), (2, 1), (1, 2), (3, 3), (4, 5), (5, 6), (4, 6)],
+        # star + isolated self-loop
+        [(9, 1), (9, 2), (9, 3), (0, 0)],
+    ]
+    for edge_list in cases:
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        def union(a, b):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+
+        for a, b in edge_list:
+            union(a, b)
+        comp = {}
+        for n in list(parent):
+            comp.setdefault(find(n), set()).add(n)
+        truth = {}
+        for members in comp.values():
+            m = min(members)
+            for n in members:
+                truth[n] = m
+
+        edges = spark.createDataFrame(edge_list, "src long, dst long")
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(edges, iters=7).collect()
+        }
+        assert got == truth
