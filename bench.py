@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "decontaminate_overlap",
     "events_ohlc",
     "ewma_smoothing",
+    "purchase_attribution_join",
 ]
 
 

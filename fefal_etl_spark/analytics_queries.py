@@ -286,3 +286,41 @@ def q_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(num / den, 6).alias("ewma10"),
         )
     )
+
+
+# ==========================================================================
+# Stream-stream interval join, batch-verified (streaming/events.py)
+# ==========================================================================
+
+
+@register(
+    "purchase_attribution_join",
+    """
+    SELECT p.user_id,
+           p.event_id AS purchase_id,
+           v.event_id AS view_id,
+           p.value,
+           CAST(date_diff('second', v.ts, p.ts) AS BIGINT) AS lag_s
+    FROM events p
+    JOIN events v
+      ON v.user_id = p.user_id
+     AND v.ts <= p.ts
+     AND v.ts >= p.ts - INTERVAL 30 MINUTE
+    WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+    """,
+)
+def q_purchase_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join, exercised batch-side (SURVEY §2.11):
+    every purchase matched to the same user's views in the preceding 30
+    minutes — the exact transform `streaming/events.py::
+    purchase_view_attribution` runs under readStream with watermark-bounded
+    join state (stream==batch pinned by
+    tests/test_streaming_sources.py::test_purchase_view_attribution_stream_equals_batch).
+    Batch plan: user-keyed hash join with a time-range residual — never a
+    cartesian; both sides prune to their event_type at the scan."""
+    from fefal_etl_spark.streaming.events import purchase_view_attribution
+
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    return purchase_view_attribution(views, purchases, max_lag="30 minutes")

@@ -179,3 +179,51 @@ def run_to_memory_sink(
     )
     q.awaitTermination()
     return q
+
+
+def purchase_view_attribution(
+    views: DataFrame,
+    purchases: DataFrame,
+    max_lag: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join: each purchase is joined to the same
+    user's *view* events in the preceding ``max_lag`` window (click-to-buy
+    attribution). Batch/stream-shared like every transform here: on batch
+    frames it is a plain range-predicate join; under ``readStream`` the
+    watermarks plus the time-bound join condition let Spark expire both
+    join-state sides — an unbounded stream-stream join would otherwise
+    keep every row forever (state-bound is the whole design constraint of
+    streaming joins; SURVEY §2.11).
+
+    Output: one row per (purchase, matching view) with the view-to-purchase
+    lag in seconds.
+
+    Scale: state per key is bounded by watermark × event rate; the join
+    hashes both streams on user_id. Late views beyond the watermark are
+    dropped identically batch-vs-stream only when the batch side applies
+    the same bound — callers compare on drained (AvailableNow) runs.
+    """
+    v = views.select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("view_id"),
+    ).withWatermark("v_ts", watermark)
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value"),
+    ).withWatermark("p_ts", watermark)
+    cond = (
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {max_lag}"))
+    )
+    return p.join(v, cond).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "view_id",
+        F.col("value"),
+        (F.unix_timestamp("p_ts") - F.unix_timestamp("v_ts")).alias("lag_s"),
+    )

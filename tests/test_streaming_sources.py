@@ -214,3 +214,22 @@ def test_stream_parquet_sink_and_foreach_batch(spark, tmp_path):
     )
     assert sum(n for _, n in seen) == 300
     assert len(seen) == 3  # maxFilesPerTrigger=1 → one batch per file
+
+
+def test_purchase_view_attribution_stream_equals_batch(spark, event_dir):
+    from fefal_etl_spark.streaming.events import purchase_view_attribution
+
+    path, ev = event_dir
+    b_views = ev.filter(F.col("event_type") == "view")
+    b_purch = ev.filter(F.col("event_type") == "purchase")
+    batch = purchase_view_attribution(b_views, b_purch)
+    assert batch.count() > 0, "fixture must contain view->purchase pairs"
+
+    s = read_event_stream(spark, path)
+    s_views = s.filter(F.col("event_type") == "view")
+    s_purch = s.filter(F.col("event_type") == "purchase")
+    run_to_memory_sink(
+        purchase_view_attribution(s_views, s_purch), "t_attr", output_mode="append"
+    )
+    got = spark.table("t_attr")
+    assert _sorted_rows(got) == _sorted_rows(batch)
