@@ -2391,7 +2391,7 @@ _DRIVER_PRIORITY = [
     "pii_scrub", "funnel_conversion", "cohort_retention", "event_transitions",
     "suppliers_kept_waiting", "volume_shipping", "important_part_values",
     "dormant_customer_balances", "decontaminate_overlap", "events_ohlc",
-    "ewma_smoothing", "purchase_attribution_join",
+    "ewma_smoothing", "purchase_attribution_join", "null_semantics_suite",
 ]
 
 
@@ -2418,3 +2418,65 @@ def get_oracles() -> dict[str, str]:
     import fefal_etl_spark.tpch_queries  # noqa: F401
 
     return _driver_order(dict(ORACLES))
+
+
+@register(
+    "null_semantics_suite",
+    """
+    WITH t AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_totalprice END AS p,
+               CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                    ELSE o_orderpriority END AS pri
+        FROM orders WHERE o_orderkey <= 3000
+    )
+    SELECT coalesce(pri, '<null>') AS pri_key,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(p) AS BIGINT) AS n_nonnull,
+           CAST(count(DISTINCT p) AS BIGINT) AS n_distinct,
+           CAST(SUM(CAST(coalesce(p, 0) AS DECIMAL(18,2))) AS DOUBLE) AS sum_p,
+           CAST(SUM(CASE WHEN p IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_nullsafe_null,
+           CAST(count(nullif(pri, '1-URGENT')) AS BIGINT) AS n_not_urgent
+    FROM t
+    GROUP BY pri
+    """,
+)
+def q_null_semantics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-semantics parity pin (SURVEY §2.2 P6 family, engine-wide
+    contract): NULL group keys form their own group, count(col) skips
+    NULLs while count(*) doesn't, count(DISTINCT col) also excludes NULLs,
+    null-safe equality (eqNullSafe / IS NOT DISTINCT FROM) matches NULLs,
+    nullif() injects NULLs. One grouped pass; the oracle must agree on
+    every count — this is the suite that catches silent three-valued-logic
+    divergence between engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    t = orders.filter(F.col("o_orderkey") <= 3000).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit(None))
+        .otherwise(F.col("o_totalprice"))
+        .alias("p"),
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit(None))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("pri"),
+    )
+    return t.groupBy("pri").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("p").alias("n_nonnull"),
+        F.countDistinct("p").alias("n_distinct"),
+        F.sum(F.coalesce(F.col("p"), F.lit(0)).cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_p"),
+        F.sum(
+            F.when(F.col("p").eqNullSafe(F.lit(None).cast("double")), 1).otherwise(0)
+        ).alias("n_nullsafe_null"),
+        F.count(F.nullif(F.col("pri"), F.lit("1-URGENT"))).alias("n_not_urgent"),
+    ).select(
+        F.coalesce(F.col("pri"), F.lit("<null>")).alias("pri_key"),
+        "n_rows",
+        "n_nonnull",
+        "n_distinct",
+        "sum_p",
+        "n_nullsafe_null",
+        "n_not_urgent",
+    )
