@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "events_ohlc",
     "ewma_smoothing",
     "purchase_attribution_join",
+    "doc_chunks",
 ]
 
 

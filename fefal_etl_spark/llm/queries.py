@@ -1212,3 +1212,37 @@ def q_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return decontaminate(tr, ev, n=8)
+
+
+@register(
+    "doc_chunks",
+    """
+    WITH w AS (
+        SELECT doc_id,
+               regexp_split_to_array(
+                   regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS words
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id,
+               unnest(range(1, greatest(len(words), 1) + 1, 40)) AS chunk_pos,
+               words
+        FROM w
+    )
+    SELECT doc_id, CAST(chunk_pos AS INT) AS chunk_pos,
+           array_to_string(words[chunk_pos:chunk_pos+49], ' ') AS chunk,
+           CAST(len(words[chunk_pos:chunk_pos+49]) AS INT) AS n_words
+    FROM c
+    WHERE array_to_string(words[chunk_pos:chunk_pos+49], ' ') <> ''
+    """,
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 — context-window chunking: overlapping 50-word chunks at stride
+    40 (10-word overlap), the standard preprocessing for embedding /
+    training-example generation. Narrow fan-out only — the words array is
+    materialized once, the start sequence explodes against it, zero
+    shuffles (llm/text_analysis.py::chunk_documents)."""
+    from fefal_etl_spark.llm.text_analysis import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_words=50, stride=40)

@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from fefal_etl_spark.functions.text import ws_trim
+
 # Small built-in stopword marker sets for the n-gram/stopword language-ID
 # heuristic. Deliberately tiny and deterministic — this is a cheap router,
 # not a classifier; swap in fastText-style models via the pandas_udf hook
@@ -261,4 +263,43 @@ def tfidf_top_terms(
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= top_n)
         .select(id_col, "rk", "term", "tf", "df", F.round("tfidf", 6).alias("tfidf"))
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 50,
+    stride: int = 40,
+) -> DataFrame:
+    """Context-window chunking: split each document into overlapping
+    word-window chunks (``chunk_words`` long, ``stride`` apart → the last
+    ``chunk_words - stride`` words repeat in the next chunk), the standard
+    preprocessing step for embedding / training-example generation.
+
+    Pure expressions — a sequence of window starts exploded against a
+    slice of the materialized words array (the words array is projected
+    ONCE before the explode; see the shingles() CSE note). Zero shuffles:
+    chunking is a narrow fan-out that runs at scan speed and preserves the
+    input partitioning for whatever consumes the chunks.
+
+    Output: (id, chunk_pos, chunk, n_words) with chunk_pos = 1-based word
+    offset of the chunk start; partial tail chunks are kept.
+    """
+    w = F.split(ws_trim(F.col(text_col)), r"\s+")
+    ws = df.select(F.col(id_col), w.alias("__w"))
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size("__w"), F.lit(1)), F.lit(stride)
+    )
+    chunk = F.slice(F.col("__w"), F.col("chunk_pos"), chunk_words)
+    return (
+        ws.select(F.col(id_col), "__w", F.explode(starts).alias("chunk_pos"))
+        .select(
+            F.col(id_col),
+            "chunk_pos",
+            F.concat_ws(" ", chunk).alias("chunk"),
+            F.size(chunk).alias("n_words"),
+        )
+        .filter(F.col("chunk") != "")
     )

@@ -2391,7 +2391,7 @@ _DRIVER_PRIORITY = [
     "pii_scrub", "funnel_conversion", "cohort_retention", "event_transitions",
     "suppliers_kept_waiting", "volume_shipping", "important_part_values",
     "dormant_customer_balances", "decontaminate_overlap", "events_ohlc",
-    "ewma_smoothing", "purchase_attribution_join", "null_semantics_suite",
+    "ewma_smoothing", "purchase_attribution_join", "null_semantics_suite", "doc_chunks",
 ]
 
 

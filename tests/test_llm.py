@@ -347,3 +347,23 @@ def test_decontaminate_flags_only_overlapping_docs(spark):
     # doc 1 shares exactly the 8-grams at positions 1..2 (words 1-8, 2-9);
     # position 3 differs (kappa vs lambda)
     assert out == {1: 2}
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    from fefal_etl_spark.llm.text_analysis import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(1, 96))  # 95 words
+    df = spark.createDataFrame([(1, words), (2, ""), (3, "solo")],
+                               "doc_id long, text string")
+    out = chunk_documents(df, chunk_words=50, stride=40).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["doc_id"], []).append(r)
+    c1 = sorted(by[1], key=lambda r: r["chunk_pos"])
+    # starts at 1, 41, 81: full, full(55->50? no: 41..90), tail 81..95
+    assert [r["chunk_pos"] for r in c1] == [1, 41, 81]
+    assert [r["n_words"] for r in c1] == [50, 50, 15]
+    # overlap: chunk2 starts inside chunk1
+    assert c1[0]["chunk"].split()[40:] == c1[1]["chunk"].split()[:10]
+    assert 2 not in by          # empty text -> no chunks
+    assert by[3][0]["chunk"] == "solo" and by[3][0]["n_words"] == 1

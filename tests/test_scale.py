@@ -146,3 +146,34 @@ def test_range_join_plan_no_nested_loop(spark):
     # the join itself is hashable on __bucket — no quadratic fallback
     assert "BroadcastNestedLoopJoin" not in text, text
     assert "CartesianProduct" not in text, text
+
+
+def test_round3_plans_no_python_no_cartesian(spark):
+    """Round-3 plan-shape regression: none of the new query families may
+    regress into row-at-a-time Python or a cartesian product, the
+    decontamination train side must broadcast the eval set (never shuffle
+    the corpus), and the Q21 self-joins must stay orderkey-keyed SMJ/BHJ."""
+    from fefal_etl_spark.queries import get_queries
+
+    q = get_queries()
+    sf = "/root/testdata/sf0.001"
+    for name in (
+        "suppliers_kept_waiting",
+        "decontaminate_overlap",
+        "funnel_conversion",
+        "events_ohlc",
+        "ewma_smoothing",
+        "purchase_attribution_join",
+        "tfidf_top_terms",
+        "dup_clusters",
+        "scd2_dim_merge",
+    ):
+        text = plan_of(q[name](spark, sf))
+        assert "BatchEvalPython" not in text, name
+        assert "CartesianProduct" not in text, name
+    # decontaminate: the eval shingle set is the broadcast side
+    text = plan_of(q["decontaminate_overlap"](spark, sf))
+    assert "BroadcastHashJoin" in text, text
+    # attribution: user-keyed join with a range residual, no BNLJ
+    text = plan_of(q["purchase_attribution_join"](spark, sf))
+    assert "BroadcastNestedLoopJoin" not in text, text
