@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "ewma_smoothing",
     "purchase_attribution_join",
     "doc_chunks",
+    "pagerank_trade_graph",
 ]
 
 

@@ -324,3 +324,65 @@ def q_purchase_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     views = ev.filter(F.col("event_type") == "view")
     purchases = ev.filter(F.col("event_type") == "purchase")
     return purchase_view_attribution(views, purchases, max_lag="30 minutes")
+
+
+# ==========================================================================
+# PageRank (iterative propagation template #3) on the customer↔supplier graph
+# ==========================================================================
+
+
+@register(
+    "pagerank_trade_graph",
+    """
+    WITH raw AS (
+        SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS c,
+                        's:' || CAST(l_suppkey AS VARCHAR) AS s
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE o_orderkey <= 6000
+    ),
+    e AS (SELECT c AS src, s AS dst FROM raw UNION ALL SELECT s, c FROM raw),
+    nodes AS (SELECT DISTINCT src AS node FROM e),
+    n AS (SELECT count(*) AS nn FROM nodes),
+    deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+    r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn AS rank FROM nodes, n),
+    c1 AS (SELECT e.dst AS node, sum(r.rank / deg.d) AS contrib
+           FROM e JOIN r0 r ON r.node = e.src JOIN deg ON deg.src = e.src
+           GROUP BY e.dst),
+    r1 AS (SELECT nodes.node,
+                  (CAST(1.0 AS DOUBLE) - 0.85) / nn + 0.85 * coalesce(c1.contrib, 0.0) AS rank
+           FROM nodes CROSS JOIN n LEFT JOIN c1 ON c1.node = nodes.node),
+    c2 AS (SELECT e.dst AS node, sum(r.rank / deg.d) AS contrib
+           FROM e JOIN r1 r ON r.node = e.src JOIN deg ON deg.src = e.src
+           GROUP BY e.dst),
+    r2 AS (SELECT nodes.node,
+                  (CAST(1.0 AS DOUBLE) - 0.85) / nn + 0.85 * coalesce(c2.contrib, 0.0) AS rank
+           FROM nodes CROSS JOIN n LEFT JOIN c2 ON c2.node = nodes.node)
+    SELECT node, CAST(round(rank, 9) AS DOUBLE) AS rank FROM r2
+    """,
+)
+def q_pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative-propagation template #3 — PageRank (2 unrolled rounds,
+    d=0.85) over the bidirectional customer↔supplier trade graph derived
+    from co-occurrence in orders. Same design family as the k-means and
+    label-propagation templates: fixed rounds unroll into one lazy DAG,
+    the edge frame persists once, each round = two node-keyed shuffles.
+    Because the graph is bidirectional every node has out-edges, so the
+    dangling-mass term vanishes exactly. Ranks rounded to 9 (float sums
+    are order-dependent at ~1e-16; see operators/graph.py::pagerank)."""
+    from fefal_etl_spark.operators.graph import pagerank
+
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 6000)
+    li = load_table(spark, sf_dir, "lineitem")
+    raw = (
+        orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = raw.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+        raw.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    out = pagerank(edges, iters=2, damping=0.85)
+    return out.select("node", F.round("rank", 9).alias("rank"))

@@ -389,3 +389,25 @@ def test_scd2_merge_versions_and_idempotency(spark):
     again = scd2_merge(merged, snap, key="k", tracked=["seg"], load_ts="2022-01-01")
     assert again.count() == merged.count()
     assert again.filter(F.col("valid_from") == "2022-01-01").count() == 0
+
+
+def test_pagerank_star_graph(spark):
+    """On a star graph (everyone links to hub, hub links back), the hub
+    must outrank the leaves, ranks must be positive, and the two-round
+    values must match the hand-unrolled recurrence."""
+    from fefal_etl_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "hub"), ("b", "hub"), ("c", "hub"),
+         ("hub", "a"), ("hub", "b"), ("hub", "c")],
+        "src string, dst string",
+    )
+    r = {row["node"]: row["rank"] for row in pagerank(edges, iters=2).collect()}
+    assert set(r) == {"a", "b", "c", "hub"}
+    assert all(v > 0 for v in r.values())
+    assert r["hub"] > r["a"] == r["b"] == r["c"]
+    # hand-unrolled: N=4, r0=1/4; r1(hub)=0.15/4+0.85*3*(1/4)=0.675,
+    # r1(leaf)=0.15/4+0.85*(1/4)/3; r2(leaf)=0.15/4+0.85*r1(hub)/3
+    import math
+    r1_hub = 0.15 / 4 + 0.85 * 3 * (0.25 / 1)
+    assert math.isclose(r["a"], 0.15 / 4 + 0.85 * (r1_hub / 3), rel_tol=1e-12)
