@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "purchase_attribution_join",
     "doc_chunks",
     "pagerank_trade_graph",
+    "sequence_packing",
 ]
 
 

@@ -1246,3 +1246,48 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return chunk_documents(docs, chunk_words=50, stride=40)
+
+
+@register(
+    "sequence_packing",
+    f"""
+    WITH toks AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS BIGINT)
+                   AS n_tokens,
+               doc_id % 32 AS shard
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n_tokens, shard,
+               SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) - n_tokens AS s
+        FROM toks
+    )
+    SELECT doc_id, n_tokens, CAST(shard AS BIGINT) AS shard,
+           CAST(floor(s / 4096) AS BIGINT) AS bin_id,
+           CAST(s % 4096 AS BIGINT) AS bin_offset
+    FROM c
+    """,
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 — deterministic contiguous sequence packing: docs → fixed
+    4096-token training bins, sharded by id so the cumulative-sum window
+    is per-shard (never a global single-partition window). Pure function
+    of (id, token count): both engines agree bit-for-bit
+    (llm/sampling.py::pack_sequences)."""
+    from fefal_etl_spark.llm.sampling import pack_sequences
+    from fefal_etl_spark.llm.text_analysis import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    out = pack_sequences(toks, budget=4096, num_shards=32)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.col("shard").cast("long").alias("shard"),
+        "bin_id",
+        "bin_offset",
+    )

@@ -14,7 +14,7 @@ reproducible bit-for-bit in any engine with md5 (the DuckDB oracle twin).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from fefal_etl_spark.llm.dedup import md5_hash64
@@ -67,3 +67,45 @@ def train_test_split(
     can never migrate between sides across reruns or repartitions."""
     test_mask = sample_bucket(F.col(key_col), salt) < int(test_fraction * BUCKETS)
     return df.filter(~test_mask), df.filter(test_mask)
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    budget: int = 4096,
+    num_shards: int = 32,
+) -> DataFrame:
+    """Deterministic contiguous sequence packing: assign documents to
+    fixed-token-budget training bins. Docs are sharded by ``id % shards``,
+    ordered by id within the shard, and each doc lands in the bin where its
+    cumulative token count starts — the greedy contiguous strategy
+    (no doc splitting; bins may under-fill by at most one doc's tokens).
+
+    Output adds (shard, bin_id, bin_offset): bin_offset is the token
+    position where the doc starts inside its bin's running stream.
+
+    Scale: ONE shuffle on the shard key, a within-shard ordered cumsum —
+    never a global single-partition window; ``num_shards`` scales with the
+    cluster (any deterministic function of the id works). Packing is a
+    pure function of (id, token counts), so re-runs and both engines agree
+    bit-for-bit — no RNG, no driver state.
+    """
+    shard = (F.col(id_col) % num_shards).alias("shard")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum(F.col(token_col)).over(w) - F.col(token_col)).alias("__start")
+    return (
+        df.select(F.col(id_col), F.col(token_col), shard)
+        .withColumn("__start", start)
+        .select(
+            id_col,
+            token_col,
+            "shard",
+            F.floor(F.col("__start") / budget).cast("long").alias("bin_id"),
+            (F.col("__start") % budget).cast("long").alias("bin_offset"),
+        )
+    )

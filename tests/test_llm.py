@@ -367,3 +367,20 @@ def test_chunk_documents_overlap_and_tail(spark):
     assert c1[0]["chunk"].split()[40:] == c1[1]["chunk"].split()[:10]
     assert 2 not in by          # empty text -> no chunks
     assert by[3][0]["chunk"] == "solo" and by[3][0]["n_words"] == 1
+
+
+def test_pack_sequences_bins_and_offsets(spark):
+    from fefal_etl_spark.llm.sampling import pack_sequences
+
+    df = spark.createDataFrame(
+        [(0, 100), (32, 50), (64, 80), (1, 200)],  # shards: 0,0,0,1
+        "doc_id long, n_tokens long",
+    )
+    out = {r["doc_id"]: r for r in pack_sequences(df, budget=128, num_shards=32).collect()}
+    # shard 0 stream: doc0 starts at 0 (bin 0), doc32 at 100 (bin 0,
+    # offset 100), doc64 at 150 (bin 1, offset 22)
+    assert (out[0]["bin_id"], out[0]["bin_offset"]) == (0, 0)
+    assert (out[32]["bin_id"], out[32]["bin_offset"]) == (0, 100)
+    assert (out[64]["bin_id"], out[64]["bin_offset"]) == (1, 22)
+    # shard 1 independent stream
+    assert (out[1]["shard"], out[1]["bin_id"], out[1]["bin_offset"]) == (1, 0, 0)
