@@ -227,3 +227,26 @@ def purchase_view_attribution(
         F.col("value"),
         (F.unix_timestamp("p_ts") - F.unix_timestamp("v_ts")).alias("lag_s"),
     )
+
+
+def dedup_stream_within_watermark(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Time-bounded streaming dedup via ``dropDuplicatesWithinWatermark``
+    (Spark 3.5+): duplicates are only suppressed while their key is inside
+    the watermark horizon, after which state is GUARANTEED dropped — unlike
+    plain ``dropDuplicates`` whose state for never-expiring keys grows
+    forever when keys don't embed event time. This is the right dedup for
+    at-least-once sources (Kafka redelivery) where duplicates arrive close
+    together: state is bounded by watermark × key rate BY CONSTRUCTION.
+
+    Falls back to :func:`dedup_stream` semantics on batch frames (the API
+    is streaming-only, so the batch path uses plain dropDuplicates — same
+    result when all duplicates are within the horizon, which the tests
+    assert)."""
+    keys = keys or ["event_id"]
+    if not events.isStreaming:
+        return events.dropDuplicates(keys)
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)

@@ -233,3 +233,62 @@ def test_purchase_view_attribution_stream_equals_batch(spark, event_dir):
     )
     got = spark.table("t_attr")
     assert _sorted_rows(got) == _sorted_rows(batch)
+
+
+def test_dedup_within_watermark_stream_equals_batch(spark, event_dir):
+    from fefal_etl_spark.streaming.events import dedup_stream_within_watermark
+
+    path, ev = event_dir
+    # plant exact duplicate events (same event_id) close together in time
+    dup = ev.limit(50)
+    dup.write.mode("append").parquet(path)
+
+    batch = dedup_stream_within_watermark(
+        spark.read.parquet(path), keys=["event_id"]
+    )
+    assert batch.count() == ev.count()  # duplicates collapsed
+
+    s = read_event_stream(spark, path)
+    run_to_memory_sink(
+        dedup_stream_within_watermark(s, keys=["event_id"]), "t_wmdedup"
+    )
+    got = spark.table("t_wmdedup")
+    assert got.count() == ev.count()
+    assert got.select("event_id").distinct().count() == ev.count()
+
+
+def test_csv_corrupt_record_modes(spark, tmp_path):
+    """Source-layer robustness: the three Spark malformed-row policies on a
+    CSV with a broken line — PERMISSIVE captures it in _corrupt_record,
+    DROPMALFORMED silently drops it, FAILFAST raises."""
+    import pytest as _pytest
+
+    p = str(tmp_path / "bad.csv")
+    with open(p, "w") as f:
+        f.write("1,alpha,10.5\n2,beta,NOT_A_NUMBER\n3,gamma,7.25\n")
+    schema = "id INT, name STRING, score DOUBLE, _corrupt_record STRING"
+
+    permissive = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(p)
+        .cache()
+    )
+    rows = {r["id"]: r for r in permissive.collect()}
+    assert rows[1]["score"] == 10.5 and rows[1]["_corrupt_record"] is None
+    bad = [r for r in rows.values() if r["_corrupt_record"] is not None]
+    assert len(bad) == 1 and "NOT_A_NUMBER" in bad[0]["_corrupt_record"]
+    permissive.unpersist()
+
+    dropped = (
+        spark.read.schema("id INT, name STRING, score DOUBLE")
+        .option("mode", "DROPMALFORMED")
+        .csv(p)
+    )
+    assert sorted(r["id"] for r in dropped.collect()) == [1, 3]
+
+    with _pytest.raises(Exception):
+        spark.read.schema("id INT, name STRING, score DOUBLE").option(
+            "mode", "FAILFAST"
+        ).csv(p).collect()
