@@ -386,3 +386,62 @@ def q_pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = pagerank(edges, iters=2, damping=0.85)
     return out.select("node", F.round("rank", 9).alias("rank"))
+
+
+# ==========================================================================
+# Hierarchy traversal: ancestor paths over an implicit tree (recursive class)
+# ==========================================================================
+
+
+@register(
+    "hierarchy_paths",
+    """
+    WITH RECURSIVE nodes AS (
+        SELECT o_orderkey AS id FROM orders WHERE o_orderkey BETWEEN 1 AND 255
+    ),
+    walk(id, cur, path) AS (
+        SELECT id, id, CAST(id AS VARCHAR) FROM nodes
+        UNION ALL
+        SELECT w.id, w.cur // 2,
+               CAST(w.cur // 2 AS VARCHAR) || '/' || w.path
+        FROM walk w WHERE w.cur > 1
+    )
+    SELECT id, CAST(len(string_split(path, '/')) - 1 AS INT) AS depth, path
+    FROM walk
+    WHERE cur = 1
+    """,
+)
+def q_hierarchy_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical/recursive query class: root-to-node ancestor paths over
+    the implicit binary tree parent(n) = n/2 on order keys 1–255. Spark
+    has no recursive CTE, so the walk UNROLLS into 8 bounded climb rounds
+    (depth ≤ ⌊log₂ 255⌋) — here pure narrow arithmetic (zero joins, zero
+    shuffles); with an explicit parent table each round becomes one
+    broadcast join against the dim-sized parent map. The standard
+    fixed-depth hierarchy pattern (BOM explosion, org charts);
+    unbounded-depth goes through the connected-components-style loop.
+    Oracle = genuine recursive CTE."""
+    orders = load_table(spark, sf_dir, "orders")
+    nodes = orders.filter(F.col("o_orderkey").between(1, 255)).select(
+        F.col("o_orderkey").alias("id")
+    )
+    r = nodes.select(
+        "id", F.col("id").alias("cur"), F.col("id").cast("string").alias("path")
+    )
+    for _ in range(8):
+        parent = F.floor(F.col("cur") / 2)
+        r = r.select(
+            "id",
+            F.when(F.col("cur") > 1, parent).otherwise(F.col("cur")).alias("cur"),
+            F.when(
+                F.col("cur") > 1,
+                F.concat(parent.cast("string"), F.lit("/"), F.col("path")),
+            )
+            .otherwise(F.col("path"))
+            .alias("path"),
+        )
+    return r.filter(F.col("cur") == 1).select(
+        "id",
+        (F.size(F.split(F.col("path"), "/")) - 1).cast("int").alias("depth"),
+        "path",
+    )

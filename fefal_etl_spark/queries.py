@@ -2392,7 +2392,7 @@ _DRIVER_PRIORITY = [
     "suppliers_kept_waiting", "volume_shipping", "important_part_values",
     "dormant_customer_balances", "decontaminate_overlap", "events_ohlc",
     "ewma_smoothing", "purchase_attribution_join", "null_semantics_suite", "doc_chunks",
-    "pagerank_trade_graph", "sequence_packing",
+    "pagerank_trade_graph", "sequence_packing", "hierarchy_paths",
 ]
 
 
