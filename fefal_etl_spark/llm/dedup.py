@@ -81,8 +81,15 @@ def shingles(
     """
     w = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     ws = df.select(F.col(id_col), w.alias("__ws"))
+    # Guard docs shorter than n words: Spark's sequence(1, 0) is the
+    # DESCENDING [1, 0], not empty, so the unguarded form emits gram index
+    # 0 and out-of-range element_at lookups (ANSI: INVALID_ARRAY_INDEX).
+    starts = F.when(
+        F.size("__ws") >= n,
+        F.sequence(F.lit(1), F.size("__ws") - (n - 1)),
+    ).otherwise(F.array().cast("array<int>"))
     grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size("__ws") - (n - 1), F.lit(0))),
+        starts,
         lambda i: F.concat_ws(
             " ", *[F.element_at("__ws", (i + k).cast("int")) for k in range(n)]
         ),

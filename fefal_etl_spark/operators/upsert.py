@@ -114,6 +114,8 @@ def scd2_merge(
     this feeds a partition-overwrite or MERGE INTO sink; the transform
     itself is engine-pure and testable.
     """
+    if not tracked:
+        raise ValueError("scd2_merge requires at least one tracked column")
     open_rows = current.filter(F.col(is_current))
     closed_rows = current.filter(~F.col(is_current))
     ts = F.lit(load_ts).cast("timestamp_ntz")

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fefal_etl_spark.datasets import load_table
-from fefal_etl_spark.queries import DECSUM, decsum, register
+from fefal_etl_spark.queries import register
 
 # exact, order-insensitive revenue term: 2-dec price × trailing-2-dec discount
 REV = "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,4))) AS DOUBLE)"

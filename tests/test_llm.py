@@ -384,3 +384,22 @@ def test_pack_sequences_bins_and_offsets(spark):
     assert (out[64]["bin_id"], out[64]["bin_offset"]) == (1, 22)
     # shard 1 independent stream
     assert (out[1]["shard"], out[1]["bin_id"], out[1]["bin_offset"]) == (1, 0, 0)
+
+
+def test_shingles_short_docs_no_crash(spark):
+    """Docs shorter than n words must yield zero shingles, not a crash:
+    Spark's sequence(1, 0) is the descending [1, 0], so the unguarded
+    gram-start construction emitted index 0 (review finding, round 3)."""
+    from fefal_etl_spark.llm.curation import decontaminate
+    from fefal_etl_spark.llm.dedup import shingles
+
+    df = spark.createDataFrame(
+        [(1, "only three words"), (2, ""), (3, "a b c d e f g h exactly")],
+        "doc_id long, text string",
+    )
+    out = shingles(df, "doc_id", "text", n=8).collect()
+    assert {r["doc_id"] for r in out} == {3}  # 9 words -> 2 shingles
+    assert len(out) == 2
+    # end-to-end: decontaminate with short docs on either side survives
+    flagged = decontaminate(df, df.limit(1), n=8).collect()
+    assert flagged == []

@@ -238,7 +238,11 @@ def test_purchase_view_attribution_stream_equals_batch(spark, event_dir):
 def test_dedup_within_watermark_stream_equals_batch(spark, event_dir):
     from fefal_etl_spark.streaming.events import dedup_stream_within_watermark
 
-    path, ev = event_dir
+    src, ev = event_dir
+    # own directory (NOT the shared fixture path — appending duplicates
+    # there would corrupt every other event_dir test's input)
+    path = src + "_wmdedup"
+    ev.repartition(1).write.mode("overwrite").parquet(path)
     # plant exact duplicate events (same event_id) close together in time
     dup = ev.limit(50)
     dup.write.mode("append").parquet(path)
