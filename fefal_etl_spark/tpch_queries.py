@@ -628,3 +628,131 @@ def q_dormant_customer_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("totacctbal"),
         )
     )
+
+
+# ==========================================================================
+# Q2 shape — correlated MIN subquery over a join (min-cost supplier)
+# ==========================================================================
+
+
+@register(
+    "min_cost_supplier",
+    """
+    WITH cost AS (
+        SELECT l_partkey AS partkey, s_suppkey, s_name, s_acctbal, n_name
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pl
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+    )
+    SELECT p_partkey, p_name, s_name, n_name,
+           CAST(s_acctbal AS DOUBLE) AS s_acctbal
+    FROM part JOIN cost ON partkey = p_partkey
+    WHERE p_size <= 3
+      AND s_acctbal = (SELECT min(c2.s_acctbal) FROM cost c2
+                       WHERE c2.partkey = p_partkey)
+    ORDER BY p_partkey, s_suppkey
+    """,
+)
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape — correlated MIN subquery whose correlation runs over
+    a JOIN (per-part minimum supplier balance over the distinct
+    part-supplier relationship; partsupp's ps_supplycost substituted by
+    s_acctbal on the tables the testdata has). Catalyst decorrelates into
+    a per-part aggregate joined back — the cost relation is built once and
+    consumed by both the probe and the min side. Equality on the raw
+    column (no arithmetic) is float-safe. Deterministic order for ties:
+    (p_partkey, s_suppkey); 2-dec balances make exact min-equality ties
+    possible and both engines keep every tied supplier."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 3)
+    pl = li.select(F.col("l_partkey").alias("partkey"), "l_suppkey").distinct()
+    cost = (
+        pl.join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("partkey", "s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    min_cost = cost.groupBy(F.col("partkey").alias("__mk")).agg(
+        F.min("s_acctbal").alias("__min_bal")
+    )
+    return (
+        part.join(cost, F.col("partkey") == F.col("p_partkey"))
+        .join(
+            min_cost,
+            (F.col("__mk") == F.col("p_partkey"))
+            & (F.col("s_acctbal") == F.col("__min_bal")),
+        )
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            "n_name",
+            F.col("s_acctbal").cast("double").alias("s_acctbal"),
+        )
+        .orderBy("p_partkey", "s_name")
+    )
+
+
+# ==========================================================================
+# Q20 shape — nested semi-joins gated by an aggregated threshold
+# ==========================================================================
+
+
+@register(
+    "excess_stock_suppliers",
+    """
+    WITH shipped AS (
+        SELECT l_suppkey, l_partkey,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY l_suppkey, l_partkey
+    ),
+    green AS (SELECT p_partkey FROM part WHERE p_name LIKE '%red%'),
+    heavy AS (
+        SELECT DISTINCT l_suppkey FROM shipped
+        JOIN green ON p_partkey = l_partkey
+        WHERE qty > 50
+    )
+    SELECT s_name, n_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE EXISTS (SELECT 1 FROM heavy WHERE heavy.l_suppkey = s_suppkey)
+    ORDER BY s_name
+    """,
+)
+def q_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape — nested subquery chain collapsed into semi-joins:
+    suppliers who shipped > 50 units of any red-named part in 1996
+    (partsupp availability substituted by shipped quantity). The inner
+    part-name filter semi-joins into the aggregated (supp, part) frame,
+    then the distinct supplier set semi-joins into supplier — the big
+    lineitem fact is aggregated ONCE and never re-scanned per supplier
+    (what naive nested-IN execution would do)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    shipped = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty")
+    )
+    heavy = (
+        shipped.join(
+            F.broadcast(part.select("p_partkey")),
+            F.col("p_partkey") == F.col("l_partkey"),
+            "left_semi",
+        )
+        .filter(F.col("qty") > 50)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(heavy, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
