@@ -91,6 +91,8 @@ BENCH_QUERIES = [
     "doc_chunks",
     "pagerank_trade_graph",
     "sequence_packing",
+    "product_type_profit",
+    "min_cost_supplier",
 ]
 
 

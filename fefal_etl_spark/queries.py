@@ -2393,7 +2393,7 @@ _DRIVER_PRIORITY = [
     "dormant_customer_balances", "decontaminate_overlap", "events_ohlc",
     "ewma_smoothing", "purchase_attribution_join", "null_semantics_suite", "doc_chunks",
     "pagerank_trade_graph", "sequence_packing", "hierarchy_paths",
-    "min_cost_supplier", "excess_stock_suppliers",
+    "min_cost_supplier", "excess_stock_suppliers", "product_type_profit",
 ]
 
 

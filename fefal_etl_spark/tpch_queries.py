@@ -756,3 +756,58 @@ def q_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", "n_name")
         .orderBy("s_name")
     )
+
+
+# ==========================================================================
+# Q9 shape — product-type profit by nation and year
+# ==========================================================================
+
+
+@register(
+    "product_type_profit",
+    """
+    SELECT n_name AS nation, o_year,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4)))
+              - SUM(CAST(p_retailprice * l_quantity AS DECIMAL(28,4)))
+              AS DOUBLE) AS profit
+    FROM (
+        SELECT n_name, year(o_orderdate) AS o_year,
+               l_extendedprice, l_discount, p_retailprice, l_quantity
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%blue%'
+    ) profit_rows
+    GROUP BY nation, o_year
+    """,
+)
+def q_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape — product-type profit by supplier nation and order
+    year: 5-way join with a part-name LIKE filter, revenue minus cost as
+    two separately-DECIMAL-exact sums (no per-row mixed-scale arithmetic
+    to diverge between engines; partsupp's supplycost substituted by
+    p_retailprice × quantity). part prefiltered by the LIKE before its
+    broadcast; lineitem⋈orders is the one big shuffle; 25×n_years groups.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%blue%"))
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = F.sum(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,4)")
+    )
+    cost = F.sum((F.col("p_retailprice") * F.col("l_quantity")).cast("decimal(28,4)"))
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg((rev - cost).cast("double").alias("profit"))
+    )
