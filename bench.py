@@ -123,19 +123,39 @@ def main() -> None:
         assert n2 == n
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "bench_total_wall",
-                "value": round(sum(warm.values()), 3),
-                "unit": "sec",
-                "queries": warm,
-                "cold_value": round(sum(cold.values()), 3),
-                "cold_queries": cold,
-                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
-            }
-        )
-    )
+    sf_val = float(sf) if sf.replace(".", "", 1).isdigit() else sf
+    detail = {
+        "metric": "bench_total_wall",
+        "value": round(sum(warm.values()), 3),
+        "unit": "sec",
+        "queries": warm,
+        "cold_value": round(sum(cold.values()), 3),
+        "cold_queries": cold,
+        "n": len(names),
+        "sf": sf_val,
+    }
+    # Full per-query detail goes to a file (and an EARLY stdout line); the
+    # FINAL stdout line is kept compact (<2 KB) so the driver's tail capture
+    # can always parse it — round 2 lost the headline number to an oversized
+    # final line (BENCH_r02.json "parsed": null).
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_detail.json")
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1)
+    print(json.dumps(detail))
+    summary = {
+        "metric": "bench_total_wall",
+        "value": detail["value"],
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in warm.items()},
+        "cold_value": detail["cold_value"],
+        "n": len(names),
+        "sf": sf_val,
+    }
+    line = json.dumps(summary)
+    if len(line) > 2800:  # belt-and-braces: never exceed the tail window
+        summary.pop("queries")
+        line = json.dumps(summary)
+    print(line)
     spark.stop()
 
 
