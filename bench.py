@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "embedding_lsh_pairs",
     "ivf_topk",
     "multimodal_features",
+    "multimodal_decode",
     # pipeline assembly end-to-end (shared classified-frame cache)
     "curation_pipeline",
     "pipeline_status_accounting",

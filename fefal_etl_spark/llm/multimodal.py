@@ -2,11 +2,17 @@
 
 Images/audio/video are opaque ``binary`` payloads + a typed metadata struct.
 The Spark-side machinery — schema, partition-sized Arrow batches through
-``mapInPandas``, deterministic feature extraction — is real and tested; the
-actual codec decode is STUBBED (this container has no image/audio libraries):
-``decode_stub=True`` computes deterministic byte-level features, and
-``decode_stub=False`` raises ``NotImplementedError`` where a real
-PIL/torchaudio call would go.
+``mapInPandas``, deterministic feature extraction — is real and tested.
+
+The codec boundary has two modes:
+
+- ``decode_stub=True`` computes deterministic byte-level features without
+  interpreting the payload (any media type);
+- ``decode_stub=False`` REALLY decodes images through the dependency-free
+  numpy BMP/PPM codecs in :mod:`fefal_etl_spark.llm.media_codecs` and emits
+  pixel-level features (width/height/channels/pixel_sum). Formats beyond
+  BMP/P6-PPM (JPEG/PNG/audio/video) still raise — their codecs need
+  PIL/torchaudio, absent in this environment.
 
 Scale notes: ``mapInPandas`` streams Arrow record batches (bounded by
 ``spark.sql.execution.arrow.maxRecordsPerBatch``) so payload bytes never
@@ -56,6 +62,18 @@ FEATURE_SCHEMA = StructType(
     ]
 )
 
+# decode_stub=False features: everything integer-typed so oracle hashes are
+# exact (no float summarization of pixel data)
+DECODED_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("channels", LongType()),
+        StructField("pixel_sum", LongType()),
+    ]
+)
+
 
 def attach_media_column(
     df: DataFrame, id_col: str, text_col: str, media_type: str = "image"
@@ -78,24 +96,73 @@ def attach_media_column(
     )
 
 
-def extract_features(media_df: DataFrame, decode_stub: bool = True) -> DataFrame:
-    """Arrow-batched feature extraction over binary payloads via
-    ``mapInPandas`` — the real distributed plumbing a decoder plugs into.
+def attach_synth_images(
+    df: DataFrame, id_col: str, fmt: str = "bmp"
+) -> DataFrame:
+    """Media frame with REAL decodable image payloads, generated
+    deterministically from the id: width = 2 + id % 7, height = 2 + id % 5,
+    flat pixel k (row-major RGB) = (id*31 + k) % 256, encoded as BMP or PPM.
 
-    With ``decode_stub`` the "features" are deterministic byte-level stats
-    (length, md5, first byte); without it, the codec hook raises
-    ``NotImplementedError`` (no media libs in this environment).
+    The closed-form pixel pattern is what makes the decode path
+    oracle-checkable: DuckDB reproduces the decoded statistics analytically
+    (``multimodal_decode``) without ever seeing the binary. Encoding runs
+    distributed in ``mapInPandas`` like any real ingest-side transcoder.
     """
 
-    def _extract(batches):
+    def _gen(batches):
+        import pandas as pd
+
+        from fefal_etl_spark.llm.media_codecs import (
+            encode_bmp,
+            encode_ppm,
+            synth_image_array,
+        )
+
+        enc = encode_ppm if fmt == "ppm" else encode_bmp
+        mime = "image/x-portable-pixmap" if fmt == "ppm" else "image/bmp"
+        for pdf in batches:
+            ids = pdf["media_id"]
+            payloads = [
+                enc(synth_image_array(i, 2 + i % 7, 2 + i % 5)) for i in ids
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "media_type": "image",
+                    "payload": payloads,
+                    "meta": [
+                        {
+                            "source_uri": f"synthetic://{i}",
+                            "mime": mime,
+                            "n_bytes": len(p),
+                        }
+                        for i, p in zip(ids, payloads)
+                    ],
+                }
+            )
+
+    base = df.select(F.col(id_col).cast("long").alias("media_id"))
+    return base.mapInPandas(_gen, MEDIA_SCHEMA)
+
+
+def extract_features(media_df: DataFrame, decode_stub: bool = True) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads via
+    ``mapInPandas`` — the distributed plumbing plus a real decoder.
+
+    With ``decode_stub`` the "features" are deterministic byte-level stats
+    (length, md5, first byte; schema ``FEATURE_SCHEMA``). Without it, each
+    payload is decoded through the numpy BMP/PPM codecs and the output is
+    pixel-level (``DECODED_FEATURE_SCHEMA``: width/height/channels/
+    pixel_sum). Non-image formats raise ``ValueError`` from the codec —
+    a real deployment adds PIL/torchaudio branches inside the same
+    generator; the Arrow batching, schema handling, and partitioning are
+    unchanged by that swap.
+    """
+
+    def _extract_stub(batches):
         import pandas as pd
 
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real codec decode requires PIL/torchaudio — not available; "
-                    "use decode_stub=True"
-                )
             payloads = pdf["payload"]
             yield pd.DataFrame(
                 {
@@ -110,39 +177,82 @@ def extract_features(media_df: DataFrame, decode_stub: bool = True) -> DataFrame
                 }
             )
 
-    return media_df.mapInPandas(_extract, FEATURE_SCHEMA)
+    def _extract_decoded(batches):
+        import pandas as pd
+
+        from fefal_etl_spark.llm.media_codecs import decode_image
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                arr = decode_image(payload)
+                rows.append(
+                    (
+                        mid,
+                        arr.shape[1],
+                        arr.shape[0],
+                        arr.shape[2],
+                        int(arr.sum(dtype="int64")),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "channels", "pixel_sum"]
+            )
+
+    if decode_stub:
+        return media_df.mapInPandas(_extract_stub, FEATURE_SCHEMA)
+    return media_df.mapInPandas(_extract_decoded, DECODED_FEATURE_SCHEMA)
 
 
 def resize_payload(
-    media_df: DataFrame, target_bytes: int = 4096, decode_stub: bool = True
+    media_df: DataFrame,
+    target_bytes: int = 4096,
+    decode_stub: bool = True,
+    target_px: tuple[int, int] = (4, 3),
 ) -> DataFrame:
     """Resize hook: binary payload in → binary payload out, meta updated —
     the image-resize / audio-resample shape. The distributed plumbing
     (Arrow batches both directions, MEDIA_SCHEMA preserved, meta.n_bytes
-    rewritten) is real; the transform is STUBBED as deterministic
-    truncate-or-cycle-pad to ``target_bytes`` (a real deployment swaps the
-    stub for ``PIL.Image.resize`` / ``torchaudio.resample`` inside the
-    same generator). ``decode_stub=False`` raises ``NotImplementedError``
-    at the codec boundary.
+    rewritten) is identical in both modes.
+
+    With ``decode_stub`` the transform is a deterministic
+    truncate-or-cycle-pad to ``target_bytes`` (no payload interpretation).
+    With ``decode_stub=False`` each payload is REALLY decoded (numpy
+    BMP/PPM codecs), nearest-neighbor-resized to ``target_px`` = (width,
+    height) with the exact integer mapping ``src = dst * src_dim //
+    dst_dim``, and re-encoded in its original container — a PIL-based
+    deployment swaps only the three codec calls inside the generator.
     """
 
     def _resize(batches):
         import pandas as pd
 
+        if not decode_stub:
+            from fefal_etl_spark.llm.media_codecs import (
+                decode_image,
+                encode_like,
+                resize_nearest,
+            )
+
+            tw, th = target_px
+
         for pdf in batches:
             if not decode_stub:
-                raise NotImplementedError(
-                    "real codec resize requires PIL/torchaudio — not "
-                    "available; use decode_stub=True"
-                )
 
-            def fix(b):
-                if b is None or len(b) == 0:
-                    return b
-                if len(b) >= target_bytes:
-                    return bytes(b[:target_bytes])
-                reps = (target_bytes + len(b) - 1) // len(b)
-                return bytes((bytes(b) * reps)[:target_bytes])
+                def fix(b):
+                    if b is None or len(b) == 0:
+                        return b
+                    return encode_like(resize_nearest(decode_image(b), tw, th), b)
+
+            else:
+
+                def fix(b):
+                    if b is None or len(b) == 0:
+                        return b
+                    if len(b) >= target_bytes:
+                        return bytes(b[:target_bytes])
+                    reps = (target_bytes + len(b) - 1) // len(b)
+                    return bytes((bytes(b) * reps)[:target_bytes])
 
             payloads = pdf["payload"].map(fix)
             meta = pd.DataFrame(

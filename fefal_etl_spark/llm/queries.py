@@ -924,6 +924,70 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_decode",
+    """
+    SELECT media_id,
+           CAST(max(w) AS BIGINT) AS width,
+           CAST(max(h) AS BIGINT) AS height,
+           CAST(3 AS BIGINT) AS channels,
+           CAST(sum(v) AS BIGINT) AS pixel_sum
+    FROM (
+        SELECT doc_id AS media_id,
+               2 + doc_id % 7 AS w,
+               2 + doc_id % 5 AS h,
+               (doc_id*31
+                + unnest(range(0, (2 + doc_id % 7) * (2 + doc_id % 5) * 3))
+               ) % 256 AS v
+        FROM documents
+    ) t GROUP BY media_id
+    """,
+)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 — REAL image decode end-to-end: deterministic BMPs are encoded
+    per-doc in mapInPandas, then decoded by the numpy BMP codec
+    (``decode_stub=False``) into pixel-level features. The oracle never
+    decodes — it reproduces width/height/pixel_sum analytically from the
+    synth pattern, so any codec bug (stride padding, BGR order, bottom-up
+    rows) breaks the hash match."""
+    from fefal_etl_spark.llm.multimodal import attach_synth_images
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_synth_images(docs, "doc_id", fmt="bmp")
+    return extract_features(media, decode_stub=False)
+
+
+@register(
+    "multimodal_resize",
+    """
+    SELECT media_id,
+           CAST(4 AS BIGINT) AS width,
+           CAST(3 AS BIGINT) AS height,
+           CAST(3 AS BIGINT) AS channels,
+           CAST(sum(v) AS BIGINT) AS pixel_sum
+    FROM (
+        SELECT doc_id AS media_id,
+               (doc_id*31 + (
+                   ((k // 12) * (2 + doc_id % 5) // 3) * (2 + doc_id % 7)
+                   + ((k // 3) % 4) * (2 + doc_id % 7) // 4
+               ) * 3 + k % 3) % 256 AS v
+        FROM (SELECT doc_id, unnest(range(0, 36)) AS k FROM documents) g
+    ) t GROUP BY media_id
+    """,
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 — decode → nearest-neighbor resize (4×3) → re-encode → decode:
+    the full image-transform round trip through the PPM container. The
+    oracle replays the integer source-index mapping
+    ``src = dst * src_dim // dst_dim`` per output pixel analytically."""
+    from fefal_etl_spark.llm.multimodal import attach_synth_images, resize_payload
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_synth_images(docs, "doc_id", fmt="ppm")
+    resized = resize_payload(media, decode_stub=False, target_px=(4, 3))
+    return extract_features(resized, decode_stub=False)
+
+
+@register(
     "frame_sample",
     """
     SELECT media_id, CAST(o AS BIGINT) AS offset FROM (

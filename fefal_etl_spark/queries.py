@@ -2375,6 +2375,7 @@ _DRIVER_PRIORITY = [
     "ngram_jaccard_pairs", "simhash_fingerprints", "embedding_neardup",
     "embedding_topk", "embedding_lsh_pairs", "ivf_assign",
     "kmeans_assignments", "ivf_topk", "multimodal_features", "frame_sample",
+    "multimodal_decode", "multimodal_resize",
     # unique §2 component carriers
     "pricing_summary", "entity_resolution", "dedup_keep_best",
     "status_fork_counts", "unpivot_measures", "pct_rescale", "window_topk",

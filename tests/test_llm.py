@@ -134,11 +134,71 @@ def test_multimodal_features_roundtrip(spark):
     assert feats[1]["first_byte"] == ord("h")
 
 
-def test_multimodal_decode_stub_gate(spark):
-    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+def test_multimodal_decode_rejects_non_image(spark):
+    # decode_stub=False is a REAL decoder now; a non-image payload must
+    # fail loudly at the codec boundary, not be silently summarized
+    df = spark.createDataFrame([(1, "not an image")], "doc_id long, text string")
     media = attach_media_column(df, "doc_id", "text")
-    with pytest.raises(Exception, match="NotImplementedError|real codec"):
+    with pytest.raises(Exception, match="unrecognized image magic"):
         extract_features(media, decode_stub=False).collect()
+
+
+def test_multimodal_real_decode_bmp_and_ppm(spark):
+    import numpy as np
+
+    from fefal_etl_spark.llm.media_codecs import synth_image_array
+    from fefal_etl_spark.llm.multimodal import attach_synth_images
+
+    ids = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+    for fmt in ("bmp", "ppm"):
+        media = attach_synth_images(ids, "doc_id", fmt=fmt)
+        feats = {
+            r["media_id"]: r
+            for r in extract_features(media, decode_stub=False).collect()
+        }
+        for i in range(1, 8):
+            w, h = 2 + i % 7, 2 + i % 5
+            arr = synth_image_array(i, w, h)
+            assert feats[i]["width"] == w and feats[i]["height"] == h
+            assert feats[i]["channels"] == 3
+            assert feats[i]["pixel_sum"] == int(np.sum(arr, dtype="int64"))
+
+
+def test_media_codec_roundtrips():
+    import numpy as np
+
+    from fefal_etl_spark.llm.media_codecs import (
+        decode_bmp,
+        decode_image,
+        decode_ppm,
+        encode_bmp,
+        encode_ppm,
+        resize_nearest,
+        synth_image_array,
+    )
+
+    for w, h in [(1, 1), (2, 3), (5, 4), (7, 2), (8, 5)]:
+        a = synth_image_array(12345, w, h)
+        assert np.array_equal(decode_bmp(encode_bmp(a)), a)  # stride padding
+        assert np.array_equal(decode_ppm(encode_ppm(a)), a)
+        assert np.array_equal(decode_image(encode_bmp(a)), a)
+    # PPM header comments per Netpbm spec
+    p = b"P6\n# a comment\n 3 2\n255\n" + bytes(range(18))
+    assert decode_ppm(p).shape == (2, 3, 3)
+    # top-down BMP (negative height) decodes to the same image
+    bottom_up = bytearray(encode_bmp(synth_image_array(7, 3, 2)))
+    flipped = decode_bmp(bytes(bottom_up))
+    neg_h = bytearray(bottom_up)
+    neg_h[22:26] = (-2).to_bytes(4, "little", signed=True)
+    raw = np.frombuffer(bottom_up[54:], dtype=np.uint8).reshape(2, 12)
+    neg_h[54:] = np.ascontiguousarray(raw[::-1]).tobytes()
+    assert np.array_equal(decode_bmp(bytes(neg_h)), flipped)
+    # nearest-neighbor mapping is the documented floor formula
+    a = synth_image_array(99, 7, 5)
+    r = resize_nearest(a, 4, 3)
+    for yi in range(3):
+        for xi in range(4):
+            assert (r[yi, xi] == a[yi * 5 // 3, xi * 7 // 4]).all()
 
 
 def test_winnow_fingerprints_overlap_guarantee(spark):
@@ -229,8 +289,32 @@ def test_resize_payload_stub(spark):
     assert rows[3]["payload"] in (None, bytearray(b""), b"")  # empty passthrough
     # schema round-trips: output is still media-shaped (modulo nullability)
     assert out.schema.simpleString() == media.schema.simpleString()
-    with pytest.raises(Exception, match="NotImplementedError|real codec"):
+    with pytest.raises(Exception, match="unrecognized image magic"):
         resize_payload(media, decode_stub=False).collect()
+
+
+def test_resize_payload_real_decode(spark):
+    import numpy as np
+
+    from fefal_etl_spark.llm.media_codecs import resize_nearest, synth_image_array
+    from fefal_etl_spark.llm.multimodal import (
+        attach_synth_images,
+        extract_features,
+        resize_payload,
+    )
+
+    ids = spark.createDataFrame([(3,), (11,)], "doc_id long")
+    media = attach_synth_images(ids, "doc_id", fmt="ppm")
+    resized = resize_payload(media, decode_stub=False, target_px=(4, 3))
+    feats = {
+        r["media_id"]: r
+        for r in extract_features(resized, decode_stub=False).collect()
+    }
+    for i in (3, 11):
+        src = synth_image_array(i, 2 + i % 7, 2 + i % 5)
+        want = resize_nearest(src, 4, 3)
+        assert feats[i]["width"] == 4 and feats[i]["height"] == 3
+        assert feats[i]["pixel_sum"] == int(np.sum(want, dtype="int64"))
 
 
 def test_gaussian_lsh_recall_fixture_corpus(spark):
