@@ -44,10 +44,23 @@ def _col_letter(idx: int) -> str:
     return out
 
 
-def read_workbook(path: str) -> dict[str, list[list[str | None]]]:
+def read_workbook(
+    path: "str | bytes | bytearray | memoryview",
+) -> dict[str, list[list[str | None]]]:
     """All sheets as row-major cell grids (cell values as raw strings;
-    missing cells None). Sheet order follows the workbook part."""
-    with zipfile.ZipFile(path) as z:
+    missing cells None). Sheet order follows the workbook part.
+
+    Accepts a filesystem path OR the workbook bytes — the bytes form is what
+    the distributed ``binaryFile`` ingest path feeds from executors
+    (sources.readers.read_excel_dir)."""
+    import io
+
+    src = (
+        io.BytesIO(bytes(path))
+        if isinstance(path, (bytes, bytearray, memoryview))
+        else path
+    )
+    with zipfile.ZipFile(src) as z:
         shared: list[str] = []
         if "xl/sharedStrings.xml" in z.namelist():
             root = ET.fromstring(z.read("xl/sharedStrings.xml"))

@@ -327,6 +327,50 @@ def test_excel_workbook_roundtrip(spark, tmp_path):
     assert dups.count() == 2
 
 
+def test_excel_dir_distributed_matches_single_reads(spark, tmp_path):
+    """S2 distributed path: binaryFile + executor-side parse over a 3-file
+    directory must equal the union of three driver-side single reads."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from fefal_etl_spark.sources.readers import read_excel, read_excel_dir
+    from fefal_etl_spark.sources.writers import write_excel_workbook
+
+    expected = []
+    for i in range(3):
+        part = spark.range(i * 10, i * 10 + 10).select(
+            F.col("id").alias("k"), F.concat(F.lit("v"), F.col("id")).alias("v")
+        )
+        write_excel_workbook({"data": part}, str(tmp_path / f"p{i}.xlsx"))
+        expected.extend(
+            tuple(r) for r in read_excel(
+                spark, str(tmp_path / f"p{i}.xlsx"), sheet_name="data"
+            ).collect()
+        )
+
+    got = read_excel_dir(spark, str(tmp_path), sheet_name="data")
+    assert got.columns == ["k", "v"]
+    assert sorted(tuple(r) for r in got.collect()) == sorted(expected)
+    # executor-side parse, not driver: the plan is a MapInPandas over the
+    # binaryFile scan with no collect
+    assert "MapInPandas" in got._jdf.queryExecution().executedPlan().toString()
+
+    # lineage column
+    src = read_excel_dir(spark, str(tmp_path), sheet_name="data", with_source=True)
+    assert src.columns == ["k", "v", "_source_file"]
+    assert src.select("_source_file").distinct().count() == 3
+
+    # explicit columns skip the probe; a mismatched workbook fails loudly
+    write_excel_workbook(
+        {"data": spark.range(1).select(F.col("id").alias("other"))},
+        str(tmp_path / "bad.xlsx"),
+    )
+    with _pytest.raises(Exception, match="header"):
+        read_excel_dir(
+            spark, str(tmp_path), sheet_name="data", columns=["k", "v"]
+        ).count()
+
+
 def test_excel_workbook_row_cap(spark, tmp_path):
     from fefal_etl_spark.sources.writers import write_excel_workbook
 
