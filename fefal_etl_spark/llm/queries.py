@@ -1180,7 +1180,9 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     chains (A–A′ and A′–A″ for every 20th doc) so the closure genuinely
     propagates: pairwise output alone would miss A≈A″. Oracle = recursive
     CTE computing min-reachable-id per node. This is the step between any
-    pair generator (minhash/simhash/semdedup) and a dedup verdict."""
+    pair generator (minhash/simhash/semdedup) and a dedup verdict.
+    Runs in the default rounds-until-converged mode — correctness no
+    longer leans on these chains happening to be 2 hops deep."""
     from fefal_etl_spark.llm.dedup import connected_components
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
@@ -1192,7 +1194,7 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 2000000).alias("dst"),
     )
     edges = e1.unionByName(e2)
-    out = connected_components(edges, iters=3)
+    out = connected_components(edges)
     return out.select(
         F.col("node").cast("long"), F.col("component").cast("long")
     )

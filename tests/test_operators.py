@@ -395,6 +395,36 @@ def test_connected_components_transitive_chain(spark):
     assert out[20] == 20
 
 
+def test_connected_components_converges_past_old_fixed_rounds(spark):
+    """A diameter-6 chain: the round-2 fixed iters=4 under-merges it (node 7
+    can't see label 1 in 4 rounds of one-hop propagation); the default
+    convergence mode must fully collapse it — and a 40-node chain guards
+    against the cap being quietly too low."""
+    from fefal_etl_spark.llm.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(1, 7)]  # 1-2-3-...-7, diameter 6
+    edges = spark.createDataFrame(chain, "src long, dst long")
+    fixed4 = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, iters=4).collect()
+    }
+    assert fixed4[7] != 1  # documents the old behavior: under-merged
+    conv = {
+        r["node"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    assert all(conv[n] == 1 for n in range(1, 8))
+
+    long_chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 40)], "src long, dst long"
+    )
+    out = {
+        r["node"]: r["component"]
+        for r in connected_components(long_chain).collect()
+    }
+    assert all(v == 1 for v in out.values())
+
+
 def test_scd2_merge_versions_and_idempotency(spark):
     from pyspark.sql import functions as F
 
