@@ -148,6 +148,41 @@ def test_range_join_plan_no_nested_loop(spark):
     assert "CartesianProduct" not in text, text
 
 
+# The ONLY registry plans allowed to contain SortMergeJoin, each documented
+# in docs/SCALE.md (big×big legs, bucketed layout, audit-scale truth joins).
+# A new SMJ anywhere else is a plan regression: some dim join stopped
+# broadcasting or a shuffle appeared where a broadcast belongs.
+SMJ_WHITELIST = {
+    "bucketed_join_orders",       # exchange-free SMJ is the bucketing's point
+    "revenue_by_nation",          # orderkey-aligned fact×fact
+    "full_outer_nation_activity", # big×big full outer
+    "suppliers_kept_waiting",     # lineitem semi/anti self-joins
+    "pagerank_trade_graph",       # per-round node joins, both sides grow
+    "min_cost_supplier",          # derived×derived min-equality join
+    "gaussian_lsh_recall",        # audit-scale truth join
+    "star_idempotent_reload",     # reload-vs-dim truth join
+}
+
+
+def test_registry_smj_whitelist_and_no_row_python(spark):
+    """Full-registry plan gate (VERDICT r2 item 7): BatchEvalPython must be
+    0 everywhere, and SortMergeJoin may appear ONLY in the whitelisted
+    plans above — so 'every dim join broadcasts' can't silently rot."""
+    from fefal_etl_spark.queries import get_queries
+
+    q = get_queries()
+    sf = "/root/testdata/sf0.001"
+    offenders, python = [], []
+    for name, fn in q.items():
+        text = plan_of(fn(spark, sf))
+        if "BatchEvalPython" in text:
+            python.append(name)
+        if "SortMergeJoin" in text and name not in SMJ_WHITELIST:
+            offenders.append(name)
+    assert not python, f"row-at-a-time Python crept into: {python}"
+    assert not offenders, f"unwhitelisted SortMergeJoin in: {offenders}"
+
+
 def test_round3_plans_no_python_no_cartesian(spark):
     """Round-3 plan-shape regression: none of the new query families may
     regress into row-at-a-time Python or a cartesian product, the

@@ -30,12 +30,22 @@ def audit(name: str, text: str) -> list[str]:
     n_smj = len(re.findall(r"SortMergeJoin", text))
     n_bnlj = len(re.findall(r"BroadcastNestedLoopJoin", text))
     n_python = len(re.findall(r"BatchEvalPython", text))
-    n_arrow = len(re.findall(r"ArrowEvalPython|MapInPandas", text))
+    # every Arrow-vectorized Python surface counted separately so "0
+    # row-at-a-time Python" can't silently rot into "0 Python of any kind"
+    # (VERDICT r2 item 3: applyInPandas plans as FlatMapGroupsInPandas and
+    # was invisible to the old ArrowEvalPython|MapInPandas regex)
+    n_arrow_eval = len(re.findall(r"ArrowEvalPython", text))
+    n_map_pandas = len(re.findall(r"MapInPandas", text))
+    n_grouped_map = len(re.findall(r"FlatMapGroupsInPandas(?!WithState)", text))
+    n_grouped_state = len(re.findall(r"FlatMapGroupsInPandasWithState", text))
+    n_arrow = n_arrow_eval + n_map_pandas + n_grouped_map + n_grouped_state
     wsc = len(re.findall(r"WholeStageCodegen", text))
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", text)
     notes.append(
         f"exchanges={n_exchange} bhj={n_bhj} smj={n_smj} bnlj={n_bnlj} "
-        f"codegen_spans={wsc} python={n_python} arrow={n_arrow}"
+        f"codegen_spans={wsc} python={n_python} arrow={n_arrow} "
+        f"(arrow_eval={n_arrow_eval} map_in_pandas={n_map_pandas} "
+        f"grouped_map={n_grouped_map} grouped_state={n_grouped_state})"
     )
     if n_python:
         notes.append("!! row-at-a-time Python in plan")
