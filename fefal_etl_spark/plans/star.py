@@ -39,19 +39,26 @@ from fefal_etl_spark.plans.pipeline import PipelineResult
 
 ID_INQ = "id_inquerito"
 
-# Frames persisted by build_star, so long-lived sessions (bench/oracle loops)
-# can release the blocks instead of accumulating them (see
-# plans.queries.release_pipeline_cache).
-_PERSISTED: list[DataFrame] = []
+# Frames persisted by build_star, tagged with the owning application id so
+# long-lived sessions (bench/oracle loops) can release the blocks instead of
+# accumulating them, and a NEW application can drop entries whose blocks died
+# with a previous context (see plans.queries.release_pipeline_cache).
+_PERSISTED: list[tuple[str, DataFrame]] = []
 
 
-def release_star_cache() -> None:
-    for df in _PERSISTED:
+def release_star_cache(app_id: str | None = None) -> None:
+    """Unpersist tracked star frames — all of them, or (with ``app_id``)
+    only the ones owned by OTHER applications (dead-context cleanup)."""
+    keep: list[tuple[str, DataFrame]] = []
+    for owner, df in _PERSISTED:
+        if app_id is not None and owner == app_id:
+            keep.append((owner, df))
+            continue
         try:
             df.unpersist()
         except Exception:
             pass
-    _PERSISTED.clear()
+    _PERSISTED[:] = keep
 
 
 def _upsert(existing, incoming, key, id_col, mode: str):
@@ -85,7 +92,7 @@ def build_star(
     # at 100 TB replace with a checkpoint/staging-table write (cache won't
     # hold the full valid branch).
     valid = result.valid.withColumn(ID_INQ, F.col(ROW_KEY)).persist()
-    _PERSISTED.append(valid)
+    _PERSISTED.append((valid.sparkSession.sparkContext.applicationId, valid))
     out: dict[str, DataFrame] = {}
 
     # --- fact_inquerito (etl_ui.py:404-429) --------------------------------

@@ -223,3 +223,46 @@ def test_upsert_idempotent_with_null_keys(spark):
     assert sorted(r["id"] for r in again.collect()) == sorted(
         r["id"] for r in first.collect()
     )
+
+
+def test_shared_cache_keyed_by_application_id(spark):
+    """Two-sequential-sessions simulation (VERDICT r2 item 5): entries keyed
+    by a DEAD application id must be evicted (and their frames unpersisted)
+    the first time a new application populates the cache — id(spark) reuse
+    after GC can no longer serve a stale persisted frame."""
+    from types import SimpleNamespace
+
+    from fefal_etl_spark.plans import queries as pq
+    from fefal_etl_spark.plans import star as pstar
+
+    pq.release_pipeline_cache()
+    app_id = spark.sparkContext.applicationId
+
+    released = []
+    dead_frame = SimpleNamespace(unpersist=lambda: released.append("pipeline"))
+    pq._SHARED[("dead-app-123", "/some/sf")] = (
+        SimpleNamespace(frame=dead_frame),
+        {},
+    )
+    live_star = SimpleNamespace(unpersist=lambda: released.append("BUG-live"))
+    dead_star = SimpleNamespace(unpersist=lambda: released.append("star"))
+    pstar._PERSISTED.append((app_id, live_star))
+    pstar._PERSISTED.append(("dead-app-123", dead_star))
+
+    try:
+        res, star = pq._shared(spark, "/root/testdata/sf0.001")
+        # the dead application's entries are gone and were unpersisted …
+        assert ("dead-app-123", "/some/sf") not in pq._SHARED
+        assert sorted(released) == ["pipeline", "star"]
+        # … the live application's are intact, and the fresh entry is keyed
+        # by the real application id
+        assert any(df is live_star for _own, df in pstar._PERSISTED)
+        assert (app_id, "/root/testdata/sf0.001") in pq._SHARED
+        # a second lookup is a pure cache hit (same objects back)
+        res2, star2 = pq._shared(spark, "/root/testdata/sf0.001")
+        assert res2 is res and star2 is star
+    finally:
+        pstar._PERSISTED[:] = [
+            (o, d) for o, d in pstar._PERSISTED if d is not live_star
+        ]
+        pq.release_pipeline_cache()
