@@ -164,6 +164,44 @@ def run_foreach_batch(
     return q
 
 
+def jdbc_upsert_sink(url: str, table: str, key_cols: list[str], **properties):
+    """``foreachBatch`` sink: key-idempotent upsert into a JDBC table — the
+    reference's actual load topology (staging → dim/fact upserts into the
+    DW over JDBC, etl_ui.py:394-664) driven by a stream instead of a
+    button click.
+
+    Per micro-batch: dedupe the batch on ``key_cols``, anti-join against
+    the keys already in the table (only the key columns are read back —
+    column pruning pushes into the JDBC scan), bulk-append the remainder
+    (``sources.writers.write_jdbc``; Spark creates the table on the first
+    batch). Insert-only-new-keys makes the sink IDEMPOTENT per key, which
+    is what upgrades the checkpoint's at-least-once replay (a crash after
+    commit-to-DB but before checkpoint-commit replays the batch) into
+    exactly-once landed rows. Keys must be non-null; null-key dims go
+    through ``operators.upsert`` (null-safe) in a batch reload instead.
+
+    Single-writer assumption: anti-join + append is not transactional, so
+    one stream owns a target table (the reference's loader holds the same
+    assumption, one wizard run at a time).
+    """
+
+    def batch_fn(batch_df: DataFrame, batch_id: int) -> None:
+        from fefal_etl_spark.sources.readers import read_jdbc
+        from fefal_etl_spark.sources.writers import write_jdbc
+
+        incoming = batch_df.dropDuplicates(key_cols)
+        try:
+            existing = read_jdbc(
+                batch_df.sparkSession, url, table, **properties
+            ).select(*key_cols)
+            incoming = incoming.join(existing, on=key_cols, how="left_anti")
+        except Exception:
+            pass  # first batch: table not created yet
+        write_jdbc(incoming, url, table, mode="append", **properties)
+
+    return batch_fn
+
+
 def run_to_memory_sink(
     stream_df: DataFrame, query_name: str, output_mode: str = "append"
 ) -> "object":
