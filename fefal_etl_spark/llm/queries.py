@@ -1122,7 +1122,7 @@ _SQL_SEMDEDUP_COS = """list_dot_product(a.__va, b.__vb) /
     FROM (SELECT vec_id, v AS __va, cid FROM m) a
     JOIN (SELECT vec_id, v AS __vb, cid FROM m) b
       ON a.cid = b.cid AND a.vec_id < b.vec_id
-    WHERE {_SQL_SEMDEDUP_COS} >= 0.95
+    WHERE round({_SQL_SEMDEDUP_COS}, 9) >= 0.95
     """,
 )
 def q_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

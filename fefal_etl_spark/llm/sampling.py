@@ -79,11 +79,22 @@ def pack_sequences(
     """Deterministic contiguous sequence packing: assign documents to
     fixed-token-budget training bins. Docs are sharded by ``id % shards``,
     ordered by id within the shard, and each doc lands in the bin where its
-    cumulative token count starts — the greedy contiguous strategy
-    (no doc splitting; bins may under-fill by at most one doc's tokens).
+    cumulative token count STARTS (``bin_id = floor(start / budget)``).
+
+    Semantics (stream chunking, NOT bounded-bin packing): within a shard
+    the docs form one concatenated token stream and bins are its
+    consecutive ``budget``-token windows. A doc whose start lies near a
+    window boundary STRADDLES it — ``bin_offset + n_tokens`` may exceed
+    ``budget`` — which is exactly the GPT-style "concatenate then chunk"
+    pretraining layout (the chunker splits straddling docs at materialize
+    time). A consumer that instead needs every doc whole within a
+    hard-capped bin must run a sequential first-fit pass per shard
+    (``applyInPandas``); that fold is order-dependent and deliberately not
+    what this operator computes (ADVICE r2: the old docstring claimed
+    no-split under-filled bins, which this never was).
 
     Output adds (shard, bin_id, bin_offset): bin_offset is the token
-    position where the doc starts inside its bin's running stream.
+    position where the doc starts inside its bin's window.
 
     Scale: ONE shuffle on the shard key, a within-shard ordered cumsum —
     never a global single-partition window; ``num_shards`` scales with the

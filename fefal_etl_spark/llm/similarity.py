@@ -427,7 +427,13 @@ def semdedup_pairs(
         norms = np.linalg.norm(X, axis=1)
         sims = (X @ X.T) / np.outer(norms, norms)
         iu, ju = np.triu_indices(len(ids), k=1)
-        keep = sims[iu, ju] >= threshold
+        # threshold on a 9-dec rounding: the GEMM's summation order differs
+        # from the oracle's sequential fold, so a pair within a few ulps of
+        # the threshold could otherwise flip membership between engines
+        # (ADVICE r2); 9 decimals is far above double noise (~1e-16·dim)
+        # yet far below any meaningful similarity difference. The oracle
+        # applies the same rounding in its WHERE clause.
+        keep = np.round(sims[iu, ju], 9) >= threshold
         return pd.DataFrame(
             {
                 "id_a": ids[iu[keep]],

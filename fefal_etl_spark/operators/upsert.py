@@ -95,8 +95,20 @@ def scd2_merge(
     valid_from: str = "valid_from",
     valid_to: str = "valid_to",
     is_current: str = "is_current",
+    check_unique: bool = True,
 ) -> DataFrame:
     """Slowly-changing-dimension type-2 merge, pure DataFrame algebra.
+
+    PRECONDITION: ``updates`` must have UNIQUE keys — it is a snapshot (one
+    truth per key), not a changelog. A duplicate key would fan out the
+    full-outer join: the same open row lands in ``closed_now`` twice and
+    two conflicting open versions appear, silently corrupting the
+    dimension (ADVICE r2). With ``check_unique`` (default) a runtime guard
+    rides the merge itself — a per-key count is woven into the join key
+    expression via ``assert_true``, so a duplicate fails the job loudly
+    instead of corrupting, at the cost of one window pass over the
+    (small, snapshot-sized) updates side; disable only when uniqueness is
+    enforced upstream (e.g. the snapshot is itself a groupBy output).
 
     ``current`` carries (key, tracked..., valid_from, valid_to, is_current);
     ``updates`` is the new snapshot (key, tracked...). Result:
@@ -123,6 +135,22 @@ def scd2_merge(
     upd = updates.select(
         F.col(key).alias("__k"), *[F.col(c).alias(f"__u_{c}") for c in tracked]
     )
+    if check_unique:
+        from pyspark.sql.window import Window
+
+        n_per_key = F.count(F.lit(1)).over(Window.partitionBy("__k"))
+        guard = F.assert_true(
+            n_per_key == 1,
+            F.concat(
+                F.lit("scd2_merge: duplicate key in updates snapshot: "),
+                F.col("__k").cast("string"),
+            ),
+        )
+        # woven into the join key so column pruning can't drop the check
+        upd = upd.select(
+            F.when(guard.isNull(), F.col("__k")).alias("__k"),
+            *[F.col(f"__u_{c}") for c in tracked],
+        )
     joined = open_rows.join(upd, open_rows[key] == F.col("__k"), "full_outer")
 
     same = None

@@ -346,7 +346,7 @@ def q_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_partkey, CAST(value_dec AS DOUBLE) AS part_value
     FROM rv
-    WHERE value_dec > (SELECT SUM(value_dec) * 0.001 FROM rv)
+    WHERE value_dec * 1000 > (SELECT SUM(value_dec) FROM rv)
     """,
 )
 def q_important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -355,7 +355,12 @@ def q_important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-part sums — one extra single-row agg over the already-grouped frame,
     broadcast back as a literal-free crossJoin (the same agg+broadcast shape
     A2 rescale uses; no single-partition window). The grouped frame is
-    computed once and reused for both sides of the comparison.
+    computed once and reused for both sides of the comparison. The
+    "fraction of total" gate is the exact multiply-compare
+    ``value_dec * 1000 > SUM(value_dec)`` in DECIMAL on both engines —
+    multiplying by a double 0.001 would promote the threshold to double
+    and a part within ~1 ulp could flip membership between engines (the
+    same convention dormant_customer_balances follows).
     Scale: one shuffle for the partkey agg; the scalar side is one row."""
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier")
@@ -374,12 +379,10 @@ def q_important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("value_dec")
         )
     )
-    total = per_part.agg(
-        (F.sum("value_dec") * F.lit(0.001)).alias("__threshold")
-    )
+    total = per_part.agg(F.sum("value_dec").alias("__grand_total"))
     return (
         per_part.join(F.broadcast(total))
-        .filter(F.col("value_dec") > F.col("__threshold"))
+        .filter(F.col("value_dec") * F.lit(1000) > F.col("__grand_total"))
         .select("l_partkey", F.col("value_dec").cast("double").alias("part_value"))
     )
 
@@ -644,7 +647,7 @@ def q_dormant_customer_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN supplier ON s_suppkey = l_suppkey
         JOIN nation ON s_nationkey = n_nationkey
     )
-    SELECT p_partkey, p_name, s_name, n_name,
+    SELECT p_partkey, p_name, s_suppkey, s_name, n_name,
            CAST(s_acctbal AS DOUBLE) AS s_acctbal
     FROM part JOIN cost ON partkey = p_partkey
     WHERE p_size <= 3
@@ -661,7 +664,10 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     a per-part aggregate joined back — the cost relation is built once and
     consumed by both the probe and the min side. Equality on the raw
     column (no arithmetic) is float-safe. Deterministic order for ties:
-    (p_partkey, s_suppkey); 2-dec balances make exact min-equality ties
+    (p_partkey, s_suppkey) on BOTH engines, with s_suppkey in the output —
+    a tiebreak column the harness's order-insensitive compare can't see
+    would silently diverge the day a LIMIT or an order-sensitive check is
+    added (ADVICE r2). 2-dec balances make exact min-equality ties
     possible and both engines keep every tied supplier."""
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier")
@@ -686,11 +692,12 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "p_partkey",
             "p_name",
+            "s_suppkey",
             "s_name",
             "n_name",
             F.col("s_acctbal").cast("double").alias("s_acctbal"),
         )
-        .orderBy("p_partkey", "s_name")
+        .orderBy("p_partkey", "s_suppkey")
     )
 
 

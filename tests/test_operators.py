@@ -464,6 +464,22 @@ def test_scd2_merge_versions_and_idempotency(spark):
     assert again.count() == merged.count()
     assert again.filter(F.col("valid_from") == "2022-01-01").count() == 0
 
+    # a duplicate key in the snapshot fails LOUDLY instead of fanning out
+    # the full-outer join into a corrupted dimension (ADVICE r2)
+    import pytest as _pytest
+
+    dup_snap = spark.createDataFrame(
+        [(2, "B2"), (2, "B3")], "k long, seg string"
+    )
+    with _pytest.raises(Exception, match="duplicate key"):
+        scd2_merge(base, dup_snap, key="k", tracked=["seg"],
+                   load_ts="2021-06-01").collect()
+    # …and the guard can be waived when uniqueness is enforced upstream
+    waived = scd2_merge(base, dup_snap.dropDuplicates(["k"]), key="k",
+                        tracked=["seg"], load_ts="2021-06-01",
+                        check_unique=False)
+    assert waived.filter((F.col("k") == 2) & F.col("is_current")).count() == 1
+
 
 def test_pagerank_star_graph(spark):
     """On a star graph (everyone links to hub, hub links back), the hub
