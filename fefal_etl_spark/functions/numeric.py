@@ -76,3 +76,44 @@ def rescale_to_100(
         .withColumn(out, scaled)
         .drop("__pct_clean", "__pct_max")
     )
+
+
+def zscores_by_group(
+    df: "DataFrame",
+    value_col: str,
+    group_col: str,
+    out_col: str = "z",
+) -> "DataFrame":
+    """Per-group z-score standardization of an INTEGER measure with
+    integer-exact moments: z = (n·x − Σx) / sqrt(n·Σx² − (Σx)²), the
+    population-variance identity cleared of divisions so every intermediate
+    is an exact integer (DECIMAL(38,0) here, HUGEINT in a SQL twin). Both
+    engines then perform the SAME single double division and sqrt — which
+    is what makes z-scores hash-comparable at all; the textbook
+    (x − mean)/std evaluates mean and std in partition-dependent float
+    order. Constant groups (zero variance) get z = 0.
+
+    Scale: one groupBy on the group key + a broadcast join of the tiny
+    stats frame back onto the stream — never a whole-group window.
+    Intermediates stay exact while n·Σx² < 10³⁸ (e.g. 10¹⁰ docs of 10⁴
+    tokens² each ≈ 10²⁷ — comfortable; a 128-bit sum would be the next
+    step, which is exactly what DuckDB's HUGEINT twin does).
+    """
+    v = F.col(value_col).cast("decimal(38,0)")
+    stats = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("__n"),
+        F.sum(v).alias("__s1"),
+        F.sum(v * v).alias("__s2"),
+    )
+    num = (F.col("__n") * v - F.col("__s1")).cast("double")
+    den = F.sqrt(
+        (F.col("__n") * F.col("__s2") - F.col("__s1") * F.col("__s1")).cast(
+            "double"
+        )
+    )
+    z = F.when(den > 0, num / den).otherwise(F.lit(0.0))
+    return (
+        df.join(F.broadcast(stats), on=group_col)
+        .withColumn(out_col, z)
+        .drop("__n", "__s1", "__s2")
+    )

@@ -1357,3 +1357,82 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bin_id",
         "bin_offset",
     )
+
+
+# --------------------------------------------------------------------------
+# E2+: embedding int8 quantization;  E3+: per-source z-score normalization
+# --------------------------------------------------------------------------
+
+
+@register(
+    "embedding_quantize",
+    """
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (
+        SELECT vec_id, v,
+               CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+                    THEN 127.0 / list_max(list_transform(v, x -> abs(x)))
+                    ELSE 0.0 END AS scale
+        FROM base
+    )
+    SELECT vec_id, round(scale, 6) AS scale,
+           array_to_string(
+               list_transform(v, x -> CAST(round(x * scale) AS INT)), ','
+           ) AS q_str
+    FROM s
+    """,
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 — symmetric per-vector int8 quantization
+    (llm/similarity.py::quantize_embeddings): scale = 127/max|v|, codes
+    round(v·scale). Pure JVM higher-order expressions, zero shuffles; the
+    int8 codes are the 4-8× storage/IO lever for ANN at corpus scale. The
+    code array is emitted comma-joined (the harness's array-flattening
+    convention) and must match DuckDB's list_transform element-for-
+    element."""
+    from fefal_etl_spark.llm.similarity import quantize_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = quantize_embeddings(emb, id_col="vec_id", vec_col="embedding")
+    return out.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.array_join(F.col("q").cast("array<string>"), ",").alias("q_str"),
+    )
+
+
+@register(
+    "quality_zscores",
+    """
+    WITH stats AS (
+        SELECT source,
+               CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(n_chars) AS HUGEINT) AS s1,
+               CAST(sum(CAST(n_chars AS HUGEINT) * n_chars) AS HUGEINT) AS s2
+        FROM documents GROUP BY source
+    )
+    SELECT d.doc_id, d.source, d.n_chars,
+           round(CASE WHEN (n*s2 - s1*s1) > 0
+                      THEN CAST(n * d.n_chars - s1 AS DOUBLE)
+                           / sqrt(CAST(n*s2 - s1*s1 AS DOUBLE))
+                      ELSE 0.0 END, 6) AS z
+    FROM documents d JOIN stats USING (source)
+    """,
+)
+def q_quality_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 — per-source z-score standardization of doc length
+    (functions/numeric.py::zscores_by_group): moments cleared of divisions
+    so every intermediate is an exact integer (DECIMAL(38,0) in Spark,
+    HUGEINT in the oracle) and both engines perform the same single double
+    division + sqrt. The step a curation pipeline runs before thresholding
+    'too short/long for its source' — absolute length cuts are source-
+    relative at corpus scale."""
+    from fefal_etl_spark.functions.numeric import zscores_by_group
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    out = zscores_by_group(docs, value_col="n_chars", group_col="source")
+    return out.select(
+        "doc_id", "source", "n_chars", F.round("z", 6).alias("z")
+    )

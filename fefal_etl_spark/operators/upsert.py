@@ -188,3 +188,34 @@ def scd2_merge(
         .unionByName(closed_now)
         .unionByName(opened)
     )
+
+
+def apply_changelog(
+    changes: DataFrame,
+    key: str,
+    seq_cols: list[str],
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """CDC changelog → current snapshot: keep each key's LATEST event (by
+    ``seq_cols`` — commit timestamp, LSN, (ts, seq) pair, …) and drop keys
+    whose latest event is a delete. The companion to :func:`scd2_merge`:
+    SCD2 consumes snapshots and keeps history; this consumes an event
+    stream and produces the snapshot.
+
+    ``seq_cols`` must totally order each key's events (ties would make
+    "latest" nondeterministic — add a sequence/LSN column as tiebreak,
+    exactly what real CDC feeds carry).
+
+    Scale: one key-hashed shuffle for the ranking window; no self-join, no
+    driver state. Per-key event counts are usually small; a pathologically
+    hot key is an AQE-skew concern like any window. Works incrementally:
+    union yesterday's snapshot (as synthetic upserts at sequence −∞) with
+    today's changes and re-apply.
+    """
+    w = Window.partitionBy(key).orderBy(*[F.col(c).desc() for c in seq_cols])
+    return (
+        changes.withColumn("__rk", F.row_number().over(w))
+        .filter((F.col("__rk") == 1) & (F.col(op_col) != delete_op))
+        .drop("__rk")
+    )

@@ -759,3 +759,75 @@ def q_scd2_dim_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         tracked=["c_mktsegment"],
         load_ts="2021-01-01",
     )
+
+
+# --------------------------------------------------------------------------
+# CDC changelog → snapshot (the event-stream dual of the SCD2 snapshot merge)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "cdc_snapshot",
+    """
+    WITH changes AS (
+        SELECT o_orderkey AS order_key, 'I' AS op, o_orderdate AS ts,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(19,3)) AS price
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey, 'U', o_orderdate + INTERVAL 10 DAY,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                    * CAST(1.1 AS DECIMAL(2,1)) AS DECIMAL(19,3))
+        FROM orders WHERE o_orderkey % 5 = 0
+        UNION ALL
+        SELECT o_orderkey, 'D', o_orderdate + INTERVAL 20 DAY,
+               CAST(NULL AS DECIMAL(19,3))
+        FROM orders WHERE o_orderkey % 10 = 0
+    ),
+    latest AS (
+        SELECT *, row_number() OVER (PARTITION BY order_key
+                                     ORDER BY ts DESC) AS rk
+        FROM changes
+    )
+    SELECT order_key, op, CAST(price AS DOUBLE) AS price, ts AS last_ts
+    FROM latest WHERE rk = 1 AND op <> 'D'
+    """,
+)
+def q_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog apply (operators/upsert.py::apply_changelog) — the
+    event-stream dual of scd2_dim_merge: a synthetic insert/update/delete
+    feed over orders (every 5th key updated at +10d with a DECIMAL-exact
+    1.1× reprice, every 10th deleted at +20d) collapses to the
+    latest-wins snapshot. Keys ending in 0 must vanish, keys ending in 5
+    must carry the repriced update, everything else the original insert.
+    One key-hashed window; price arithmetic in DECIMAL on both engines so
+    the reprice can't drift."""
+    from fefal_etl_spark.operators.upsert import apply_changelog
+
+    orders = load_table(spark, sf_dir, "orders")
+    price_dec = F.col("o_totalprice").cast("decimal(18,2)")
+    base = orders.select(
+        F.col("o_orderkey").alias("order_key"),
+        F.lit("I").alias("op"),
+        F.col("o_orderdate").alias("ts"),
+        price_dec.cast("decimal(19,3)").alias("price"),
+    )
+    upd = orders.filter(F.col("o_orderkey") % 5 == 0).select(
+        F.col("o_orderkey").alias("order_key"),
+        F.lit("U").alias("op"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 10 DAY")).alias("ts"),
+        (price_dec * F.lit("1.1").cast("decimal(2,1)"))
+        .cast("decimal(19,3)")
+        .alias("price"),
+    )
+    dele = orders.filter(F.col("o_orderkey") % 10 == 0).select(
+        F.col("o_orderkey").alias("order_key"),
+        F.lit("D").alias("op"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 20 DAY")).alias("ts"),
+        F.lit(None).cast("decimal(19,3)").alias("price"),
+    )
+    changes = base.unionByName(upd).unionByName(dele)
+    snap = apply_changelog(changes, key="order_key", seq_cols=["ts"])
+    return snap.select(
+        "order_key", "op", F.col("price").cast("double").alias("price"),
+        F.col("ts").alias("last_ts"),
+    )

@@ -501,3 +501,76 @@ def test_pagerank_star_graph(spark):
     import math
     r1_hub = 0.15 / 4 + 0.85 * 3 * (0.25 / 1)
     assert math.isclose(r["a"], 0.15 / 4 + 0.85 * (r1_hub / 3), rel_tol=1e-12)
+
+
+def test_apply_changelog_latest_wins_and_deletes(spark):
+    from fefal_etl_spark.operators.upsert import apply_changelog
+
+    changes = spark.createDataFrame(
+        [
+            (1, "I", 10, "a"),
+            (1, "U", 20, "b"),     # latest for key 1 → survives as 'b'
+            (2, "I", 10, "x"),
+            (2, "D", 30, None),    # latest is delete → key 2 vanishes
+            (2, "U", 20, "y"),
+            (3, "D", 5, None),     # delete then re-insert → survives
+            (3, "I", 6, "z"),
+        ],
+        "k long, op string, seq long, val string",
+    )
+    snap = {r["k"]: r for r in
+            apply_changelog(changes, key="k", seq_cols=["seq"]).collect()}
+    assert set(snap) == {1, 3}
+    assert snap[1]["val"] == "b" and snap[1]["op"] == "U"
+    assert snap[3]["val"] == "z"
+    # incremental re-apply: yesterday's snapshot at seq -inf + new changes
+    prior = apply_changelog(changes, key="k", seq_cols=["seq"]).withColumn(
+        "seq", F.lit(-1).cast("long")
+    )
+    newer = spark.createDataFrame(
+        [(1, "D", 100, None), (4, "I", 100, "new")],
+        "k long, op string, seq long, val string",
+    )
+    snap2 = {r["k"]: r for r in apply_changelog(
+        prior.unionByName(newer), key="k", seq_cols=["seq"]
+    ).collect()}
+    assert set(snap2) == {3, 4}
+
+
+def test_quantize_embeddings_roundtrip_and_zero_vec(spark):
+    from fefal_etl_spark.llm.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [
+            (1, [0.5, -1.0, 0.25]),
+            (2, [0.0, 0.0, 0.0]),       # zero vector → scale 0, zero codes
+            (3, [2.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r["vec_id"]: r for r in
+            quantize_embeddings(df).collect()}
+    assert rows[1]["scale"] == 127.0  # 127 / 1.0
+    assert rows[1]["q"] == [64, -127, 32]  # round(0.5*127)=64 (HALF_UP)
+    assert rows[2]["scale"] == 0.0 and rows[2]["q"] == [0, 0, 0]
+    assert rows[3]["q"] == [127]
+    # max|q| is always 127 for non-zero vectors (symmetric scheme)
+    assert max(abs(v) for v in rows[1]["q"]) == 127
+
+
+def test_zscores_by_group_exact_and_constant_group(spark):
+    import math
+
+    from fefal_etl_spark.functions.numeric import zscores_by_group
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 3), ("b", 7), ("b", 7)],
+        "g string, x long",
+    )
+    rows = zscores_by_group(df, value_col="x", group_col="g").collect()
+    za = sorted(r["z"] for r in rows if r["g"] == "a")
+    # population std of [1,2,3] = sqrt(2/3); z = (x-2)/sqrt(2/3)
+    want = sorted((x - 2) / math.sqrt(2 / 3) for x in [1, 2, 3])
+    assert all(abs(g - w) < 1e-12 for g, w in zip(za, want))
+    # constant group → zero variance → z = 0, not NaN/null
+    assert all(r["z"] == 0.0 for r in rows if r["g"] == "b")
