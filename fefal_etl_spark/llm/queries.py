@@ -1436,3 +1436,47 @@ def q_quality_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "source", "n_chars", F.round("z", 6).alias("z")
     )
+
+
+@register(
+    "embedding_covariance",
+    """
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    comps AS (
+        SELECT vec_id, generate_subscripts(v, 1) AS i, unnest(v) AS x
+        FROM base
+    ),
+    nn AS (SELECT count(*) AS n FROM base),
+    sums AS (
+        SELECT i, SUM(CAST(x AS DECIMAL(38,18))) AS s FROM comps GROUP BY i
+    ),
+    prods AS (
+        SELECT a.i AS i, b.i AS j,
+               SUM(CAST(a.x * b.x AS DECIMAL(38,18))) AS sxy
+        FROM comps a JOIN comps b
+          ON a.vec_id = b.vec_id AND a.i <= b.i
+        GROUP BY a.i, b.i
+    )
+    SELECT CAST(p.i AS BIGINT) AS i, CAST(p.j AS BIGINT) AS j,
+           round(CAST(p.sxy AS DOUBLE) / n
+                 - (CAST(si.s AS DOUBLE) / n) * (CAST(sj.s AS DOUBLE) / n),
+                 6) + 0.0 AS cov
+    FROM prods p
+    JOIN sums si ON p.i = si.i
+    JOIN sums sj ON p.j = sj.i
+    CROSS JOIN nn
+    """,
+)
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 — distributed corpus covariance of the embedding column
+    (llm/similarity.py::covariance_matrix), the PCA/whitening statistic:
+    upper-triangle (i, j, cov) with every sum in DECIMAL(38,18) so both
+    engines reduce to identical exact sums before the one shared double
+    expression. The d×d result is what pca_project eigendecomposes
+    driver-side (tests) — corpus rows never reach the driver."""
+    from fefal_etl_spark.llm.similarity import covariance_matrix
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = covariance_matrix(emb, id_col="vec_id", vec_col="embedding")
+    # + 0.0 squashes IEEE negative zero, which would hash-differ from 0.0
+    return out.select("i", "j", (F.round("cov", 6) + F.lit(0.0)).alias("cov"))

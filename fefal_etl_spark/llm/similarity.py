@@ -470,3 +470,104 @@ def quantize_embeddings(
     )
     q = F.transform(F.col("__v"), lambda x: F.round(x * F.col("scale")).cast("int"))
     return scaled.select(id_col, "scale", q.alias("q"))
+
+
+def covariance_matrix(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Distributed covariance of an embedding column → (i, j, cov) for the
+    upper triangle (1-based, i ≤ j): cov = E[x_i·x_j] − E[x_i]·E[x_j].
+    The d×d covariance is the heart of PCA/whitening/Mahalanobis — the
+    statistics a curation pipeline needs over the full corpus.
+
+    Formulation: posexplode to (vec, i, x_i) components, vec-keyed
+    self-join for the i ≤ j products, per-(i,j) sums — with every sum in
+    DECIMAL(38,18) so partition order cannot flip low bits (the repo's
+    decsum convention; both engines then perform the identical double
+    arithmetic on identical exact sums). The shuffle is corpus × d²/2
+    product rows — bit-exact but shuffle-heavy. At 100 TB, when bit
+    parity with a SQL twin is not required, switch to per-partition numpy
+    GEMM partials (d×d per partition) tree-aggregated — shuffle volume
+    drops to partitions × d², the same hook `semdedup_pairs` uses.
+    """
+    base = df.select(F.col(id_col), as_double_vec(F.col(vec_col)).alias("__v"))
+    comps = base.select(
+        F.col(id_col), F.posexplode("__v").alias("i", "x")
+    ).select(F.col(id_col), (F.col("i") + 1).alias("i"), "x")  # 1-based
+    n_df = base.agg(F.count(F.lit(1)).alias("__n"))
+    sums = comps.groupBy("i").agg(
+        F.sum(F.col("x").cast("decimal(38,18)")).alias("s")
+    )
+    a = comps.select(F.col(id_col), F.col("i").alias("ia"), F.col("x").alias("xa"))
+    b = comps.select(F.col(id_col), F.col("i").alias("jb"), F.col("x").alias("xb"))
+    prods = (
+        a.join(b, on=id_col)
+        .filter(F.col("ia") <= F.col("jb"))
+        .groupBy(F.col("ia").alias("i"), F.col("jb").alias("j"))
+        .agg(F.sum((F.col("xa") * F.col("xb")).cast("decimal(38,18)")).alias("sxy"))
+    )
+    si = sums.select(F.col("i").alias("__i"), F.col("s").alias("si"))
+    sj = sums.select(F.col("i").alias("__j"), F.col("s").alias("sj"))
+    n = F.col("__n").cast("double")
+    cov = (
+        F.col("sxy").cast("double") / n
+        - (F.col("si").cast("double") / n) * (F.col("sj").cast("double") / n)
+    )
+    return (
+        prods.join(F.broadcast(si), prods["i"] == F.col("__i"))
+        .join(F.broadcast(sj), prods["j"] == F.col("__j"))
+        .crossJoin(F.broadcast(n_df))
+        .select(
+            F.col("i").cast("long").alias("i"),
+            F.col("j").cast("long").alias("j"),
+            cov.alias("cov"),
+        )
+    )
+
+
+def pca_project(
+    df: DataFrame,
+    n_components: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PCA projection: top-``n_components`` eigenvectors of the corpus
+    covariance, each vector projected onto them → (id, pc1..pcK).
+
+    The canonical big-data PCA split: the covariance (d×d, tiny) is
+    reduced DISTRIBUTED via :func:`covariance_matrix`, the
+    eigendecomposition runs driver-side in numpy (d×d — microseconds, no
+    data rows involved), and the projection matrix is broadcast back as
+    plan literals applied in one narrow higher-order pass. Nothing
+    corpus-sized ever reaches the driver. Eigenvector sign is fixed
+    (largest-|component| entry made positive) so results are
+    deterministic across BLAS builds.
+    """
+    import numpy as np
+
+    cov_rows = covariance_matrix(df, id_col=id_col, vec_col=vec_col).collect()
+    d = max(r["j"] for r in cov_rows)
+    C = np.zeros((d, d))
+    for r in cov_rows:
+        C[r["i"] - 1, r["j"] - 1] = r["cov"]
+        C[r["j"] - 1, r["i"] - 1] = r["cov"]
+    vals, vecs = np.linalg.eigh(C)  # ascending
+    top = vecs[:, ::-1][:, :n_components]  # columns = components
+    for k in range(top.shape[1]):  # deterministic sign
+        pivot = np.argmax(np.abs(top[:, k]))
+        if top[pivot, k] < 0:
+            top[:, k] = -top[:, k]
+    base = df.select(F.col(id_col), as_double_vec(F.col(vec_col)).alias("__v"))
+    projs = [
+        F.aggregate(
+            F.zip_with(
+                F.col("__v"),
+                F.array(*[F.lit(float(w)) for w in top[:, k]]),
+                lambda x, w: x * w,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias(f"pc{k + 1}")
+        for k in range(top.shape[1])
+    ]
+    return base.select(F.col(id_col), *projs)

@@ -2434,8 +2434,10 @@ _DRIVER_PRIORITY = [
     "ewma_smoothing", "purchase_attribution_join", "null_semantics_suite", "doc_chunks",
     "pagerank_trade_graph", "sequence_packing", "hierarchy_paths",
     "min_cost_supplier", "excess_stock_suppliers", "product_type_profit",
-    # round-3 session additions: CDC apply, int8 quantization, z-scores
+    # round-3 session additions: CDC apply, int8 quantization, z-scores,
+    # PCA covariance
     "cdc_snapshot", "embedding_quantize", "quality_zscores",
+    "embedding_covariance",
 ]
 
 

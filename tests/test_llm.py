@@ -487,3 +487,46 @@ def test_shingles_short_docs_no_crash(spark):
     # end-to-end: decontaminate with short docs on either side survives
     flagged = decontaminate(df, df.limit(1), n=8).collect()
     assert flagged == []
+
+
+def test_covariance_and_pca_project_match_numpy(spark):
+    """Distributed covariance must equal numpy's biased covariance on the
+    same rows, and the driver-eig + broadcast-projection PCA must
+    reproduce numpy's PCA up to the fixed sign convention."""
+    import numpy as np
+
+    from fefal_etl_spark.llm.similarity import covariance_matrix, pca_project
+
+    rng = np.random.default_rng(7)
+    t = rng.standard_normal(60)
+    X = np.stack(
+        [t, 2 * t + 0.01 * rng.standard_normal(60),
+         0.05 * rng.standard_normal(60), 0.05 * rng.standard_normal(60)],
+        axis=1,
+    )
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {(r["i"], r["j"]): r["cov"] for r in covariance_matrix(df).collect()}
+    C = np.cov(X, rowvar=False, bias=True)
+    for i in range(4):
+        for j in range(i, 4):
+            assert abs(got[(i + 1, j + 1)] - C[i, j]) < 1e-9, (i, j)
+
+    proj = pca_project(df, n_components=2)
+    rows = {r["vec_id"]: (r["pc1"], r["pc2"]) for r in proj.collect()}
+    vals, vecs = np.linalg.eigh(C)
+    top = vecs[:, ::-1][:, :2]
+    for k in range(2):
+        piv = np.argmax(np.abs(top[:, k]))
+        if top[piv, k] < 0:
+            top[:, k] = -top[:, k]
+    want = X @ top
+    for i in range(60):
+        assert abs(rows[i][0] - want[i, 0]) < 1e-6
+        assert abs(rows[i][1] - want[i, 1]) < 1e-6
+    # pc1 must dominate: it carries the planted [1,2,·,·] direction
+    var1 = np.var([rows[i][0] for i in range(60)])
+    var2 = np.var([rows[i][1] for i in range(60)])
+    assert var1 > 10 * var2
