@@ -94,6 +94,12 @@ BENCH_QUERIES = [
     "sequence_packing",
     "product_type_profit",
     "min_cost_supplier",
+    # round-3 session additions (data-bound; excel_dir_scan excluded — its
+    # wall time is fixture workbook construction, not query execution)
+    "cdc_snapshot",
+    "embedding_quantize",
+    "quality_zscores",
+    "embedding_covariance",
 ]
 
 
