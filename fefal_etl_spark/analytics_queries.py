@@ -445,3 +445,60 @@ def q_hierarchy_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.size(F.split(F.col("path"), "/")) - 1).cast("int").alias("depth"),
         "path",
     )
+
+
+# ==========================================================================
+# Dense time-grid gap filling: every (hour, event_type) cell, zeros filled
+# ==========================================================================
+
+
+@register(
+    "events_gapfill",
+    """
+    WITH ev AS (SELECT date_trunc('hour', ts) AS h, event_type FROM events),
+    counts AS (
+        SELECT h, event_type, CAST(count(*) AS BIGINT) AS n
+        FROM ev GROUP BY h, event_type
+    ),
+    bounds AS (SELECT min(h) AS lo, max(h) AS hi FROM ev),
+    grid AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+        FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM ev)
+    SELECT g.h AS hour, t.event_type, COALESCE(c.n, 0) AS n
+    FROM grid g
+    CROSS JOIN types t
+    LEFT JOIN counts c ON g.h = c.h AND t.event_type = c.event_type
+    """,
+)
+def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense time-grid gap filling — the resample step dashboards and
+    forecasting features need: a zero-count row for every (hour,
+    event_type) cell of the [min, max] range, even hours with no events.
+
+    Shape: hourly counts (one shuffle), a one-row min/max agg exploded
+    into the hour grid (`sequence` + explode — the grid is derived data,
+    never a driver loop), grid × distinct-types broadcast cross join,
+    left join of the counts back. The grid side is tiny (hours × types),
+    so the only data-sized cost stays the original count aggregation —
+    at 100 TB the dense frame is still hours × types, independent of the
+    event count."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
+    )
+    counts = ev.groupBy("h", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    bounds = ev.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    grid = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    types = ev.select("event_type").distinct()
+    return (
+        grid.crossJoin(F.broadcast(types))
+        .join(counts, on=["h", "event_type"], how="left")
+        .select(
+            F.col("h").alias("hour"),
+            "event_type",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        )
+    )
