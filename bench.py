@@ -100,6 +100,8 @@ BENCH_QUERIES = [
     "embedding_quantize",
     "quality_zscores",
     "embedding_covariance",
+    "events_gapfill",
+    "multimodal_resize",
 ]
 
 

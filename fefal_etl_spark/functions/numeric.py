@@ -104,7 +104,7 @@ def zscores_by_group(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("__n"),
         F.sum(v).alias("__s1"),
         F.sum(v * v).alias("__s2"),
-    )
+    ).withColumnRenamed(group_col, "__g")
     num = (F.col("__n") * v - F.col("__s1")).cast("double")
     den = F.sqrt(
         (F.col("__n") * F.col("__s2") - F.col("__s1") * F.col("__s1")).cast(
@@ -112,8 +112,13 @@ def zscores_by_group(
         )
     )
     z = F.when(den > 0, num / den).otherwise(F.lit(0.0))
+    # null-safe join back: groupBy emits a NULL-group stats row, and a plain
+    # equi-join would silently DROP every NULL-group input row
     return (
-        df.join(F.broadcast(stats), on=group_col)
+        df.join(
+            F.broadcast(stats),
+            on=F.col(group_col).eqNullSafe(F.col("__g")),
+        )
         .withColumn(out_col, z)
-        .drop("__n", "__s1", "__s2")
+        .drop("__g", "__n", "__s1", "__s2")
     )

@@ -195,10 +195,20 @@ def lsh_band_buckets(
     rows come from one small Expand (bands × docs rows).
 
     If the signature frame already carries fused ``band{j}`` columns
-    (``minhash_signatures(rows_per_band=...)``), they are exploded directly
-    — no md5 recompute here."""
-    band_cols = [c for c in sig_df.columns if c.startswith("band")]
-    if band_cols:
+    (``minhash_signatures(rows_per_band=...)``) AND their count matches the
+    requested banding, they are exploded directly — no md5 recompute here.
+    Detection is strict (``band<digits>`` exactly) so an unrelated column
+    like ``band_id`` can't misroute, and a mismatched ``rows_per_band``
+    falls through to recomputing from the minhashes instead of silently
+    returning the fused banding."""
+    import re as _re
+
+    band_cols = sorted(
+        (c for c in sig_df.columns if _re.fullmatch(r"band\d+", c)),
+        key=lambda c: int(c[4:]),
+    )
+    mh_cols = [c for c in sig_df.columns if _re.fullmatch(r"mh\d+", c)]
+    if band_cols and len(band_cols) == len(mh_cols) // rows_per_band:
         bands = F.array(
             *[
                 F.struct(F.lit(j).alias("band"), F.col(f"band{j}").alias("band_sig"))
@@ -208,7 +218,6 @@ def lsh_band_buckets(
         return sig_df.select(F.col(id_col), F.explode(bands).alias("b")).select(
             id_col, "b.band", "b.band_sig"
         )
-    mh_cols = [c for c in sig_df.columns if c.startswith("mh")]
     n_bands = len(mh_cols) // rows_per_band
     bands = F.array(
         *[
@@ -469,6 +478,7 @@ def connected_components(
 
     prev = None
     done = 0
+    converged = False
     while done < max_iters:
         for _ in range(min(check_every, max_iters - done)):
             labels = one_round(labels)
@@ -476,6 +486,16 @@ def connected_components(
         labels = labels.localCheckpoint(eager=True)
         cur = label_sum(labels)
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        # returning partially propagated labels would be the same
+        # silent-under-merge bug the convergence mode exists to kill, just
+        # with a bigger threshold — fail loudly instead
+        raise RuntimeError(
+            f"connected_components did not converge within max_iters={max_iters} "
+            f"rounds (graph diameter exceeds the cap); raise max_iters or use "
+            f"a small-star/large-star formulation for long-chain graphs"
+        )
     return labels.select("node", F.col("label").alias("component"))

@@ -99,8 +99,11 @@ def scd2_merge(
 ) -> DataFrame:
     """Slowly-changing-dimension type-2 merge, pure DataFrame algebra.
 
-    PRECONDITION: ``updates`` must have UNIQUE keys — it is a snapshot (one
-    truth per key), not a changelog. A duplicate key would fan out the
+    PRECONDITION: ``updates`` must have UNIQUE NON-NULL keys — it is a
+    snapshot (one truth per key), not a changelog. NULL-keyed update rows
+    identify no entity and are IGNORED by the merge (the full-outer
+    equality join routes them nowhere); the uniqueness guard accordingly
+    exempts them. A duplicate key would fan out the
     full-outer join: the same open row lands in ``closed_now`` twice and
     two conflicting open versions appear, silently corrupting the
     dimension (ADVICE r2). With ``check_unique`` (default) a runtime guard
@@ -139,8 +142,13 @@ def scd2_merge(
         from pyspark.sql.window import Window
 
         n_per_key = F.count(F.lit(1)).over(Window.partitionBy("__k"))
+        # NULL keys are exempt: the equality join never matches them anyway
+        # (each NULL-key row opens independently — the nullable-dim-key case
+        # _anti_join_null_safe exists for), and the window would otherwise
+        # lump every NULL into one "duplicate" partition and fail merges
+        # that used to work.
         guard = F.assert_true(
-            n_per_key == 1,
+            (n_per_key == 1) | F.col("__k").isNull(),
             F.concat(
                 F.lit("scd2_merge: duplicate key in updates snapshot: "),
                 F.col("__k").cast("string"),

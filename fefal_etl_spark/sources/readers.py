@@ -128,7 +128,11 @@ def read_excel_dir(
             raise ValueError(f"header row missing in {probe[0]['path']}")
         columns = ["" if c is None else str(c) for c in rows[0]]
     header = list(columns)
-    width = len(header)
+    if len(set(header)) != len(header):
+        # building the pandas frame keyed by name would silently overwrite
+        # the first duplicate column with the second — fail instead
+        dupes = sorted({c for c in header if header.count(c) > 1})
+        raise ValueError(f"duplicate column names in workbook header: {dupes}")
 
     def _parse(batches):
         import pandas as pd

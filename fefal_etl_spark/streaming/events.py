@@ -195,8 +195,17 @@ def jdbc_upsert_sink(url: str, table: str, key_cols: list[str], **properties):
                 batch_df.sparkSession, url, table, **properties
             ).select(*key_cols)
             incoming = incoming.join(existing, on=key_cols, how="left_anti")
-        except Exception:
-            pass  # first batch: table not created yet
+        except Exception as e:
+            # ONLY table-absent is a legitimate skip (first batch, table
+            # created by the append below). Any other read failure — DB
+            # restart, timeout, auth — must fail the batch: swallowing it
+            # would drop the anti-join and bulk-append duplicates, silently
+            # voiding the exactly-once guarantee. Matches Derby
+            # ("Table/View 'X' does not exist"), PostgreSQL ("relation ...
+            # does not exist"), MySQL ("... doesn't exist").
+            msg = str(e).lower()
+            if "exist" not in msg:
+                raise
         write_jdbc(incoming, url, table, mode="append", **properties)
 
     return batch_fn

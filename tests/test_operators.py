@@ -370,6 +370,13 @@ def test_excel_dir_distributed_matches_single_reads(spark, tmp_path):
             spark, str(tmp_path), sheet_name="data", columns=["k", "v"]
         ).count()
 
+    # duplicate column names would silently overwrite each other in the
+    # name-keyed pandas build — must be rejected up front
+    with _pytest.raises(ValueError, match="duplicate column"):
+        read_excel_dir(
+            spark, str(tmp_path), sheet_name="data", columns=["k", "k"]
+        )
+
 
 def test_excel_workbook_row_cap(spark, tmp_path):
     from fefal_etl_spark.sources.writers import write_excel_workbook
@@ -423,6 +430,12 @@ def test_connected_components_converges_past_old_fixed_rounds(spark):
         for r in connected_components(long_chain).collect()
     }
     assert all(v == 1 for v in out.values())
+
+    # hitting the cap unconverged must FAIL, not return under-merged labels
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iters=4)  # diameter 6 > cap 4
 
 
 def test_scd2_merge_versions_and_idempotency(spark):
@@ -479,6 +492,16 @@ def test_scd2_merge_versions_and_idempotency(spark):
                         tracked=["seg"], load_ts="2021-06-01",
                         check_unique=False)
     assert waived.filter((F.col("k") == 2) & F.col("is_current")).count() == 1
+    # NULL keys are exempt from the guard (they identify nothing, so two of
+    # them are not "duplicates"): the merge must SUCCEED, with the NULL-keyed
+    # update rows ignored per the documented key semantics
+    null_snap = spark.createDataFrame(
+        [(None, "X"), (None, "Y"), (1, "A")], "k long, seg string"
+    )
+    ok = scd2_merge(base, null_snap, key="k", tracked=["seg"],
+                    load_ts="2021-06-01")
+    assert ok.filter(F.col("k").isNull()).count() == 0  # ignored, no crash
+    assert ok.filter((F.col("k") == 1) & F.col("is_current")).count() == 1
 
 
 def test_pagerank_star_graph(spark):
@@ -574,3 +597,12 @@ def test_zscores_by_group_exact_and_constant_group(spark):
     assert all(abs(g - w) < 1e-12 for g, w in zip(za, want))
     # constant group → zero variance → z = 0, not NaN/null
     assert all(r["z"] == 0.0 for r in rows if r["g"] == "b")
+
+    # NULL group keys must survive the stats join (null-safe), not vanish
+    withnull = spark.createDataFrame(
+        [(None, 1), (None, 3), ("a", 5)], "g string, x long"
+    )
+    out = zscores_by_group(withnull, value_col="x", group_col="g").collect()
+    assert len(out) == 3
+    nz = sorted(r["z"] for r in out if r["g"] is None)
+    assert nz == [-1.0, 1.0]  # mean 2, pop std 1

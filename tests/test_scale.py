@@ -206,6 +206,16 @@ def test_round3_plans_no_python_no_cartesian(spark):
         text = plan_of(q[name](spark, sf))
         assert "BatchEvalPython" not in text, name
         assert "CartesianProduct" not in text, name
+    # connected components: the registry query (convergence mode) runs its
+    # rounds eagerly and returns a checkpoint scan, so its per-round join is
+    # INVISIBLE to plan-only gates — assert the round shape on the unrolled
+    # fixed-iters form instead (same one_round code path)
+    from fefal_etl_spark.llm.dedup import connected_components
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    text = plan_of(connected_components(edges, iters=3))
+    assert "BatchEvalPython" not in text, text
+    assert "CartesianProduct" not in text, text
     # decontaminate: the eval shingle set is the broadcast side
     text = plan_of(q["decontaminate_overlap"](spark, sf))
     assert "BroadcastHashJoin" in text, text

@@ -352,3 +352,22 @@ def test_foreach_batch_jdbc_star_load_exactly_once(spark, tmp_path):
     final = read_jdbc(spark, url, "fact_events", driver=driver)
     assert final.count() == n0 + 100
     assert final.select("event_id").distinct().count() == n0 + 100
+
+
+def test_jdbc_upsert_sink_propagates_non_missing_table_errors(spark):
+    """Only table-absent may be swallowed (first batch). Any other JDBC
+    read failure must abort the batch — silently skipping the anti-join
+    would append duplicates and void exactly-once."""
+    from fefal_etl_spark.streaming.events import jdbc_upsert_sink
+
+    batch = spark.createDataFrame([(1, "a")], "event_id long, v string")
+    # Derby without ;create=true on a database that was never created:
+    # 'Database ... not found' — NOT a table-absent error, must propagate
+    sink = jdbc_upsert_sink(
+        "jdbc:derby:memory:no_such_db_ever",
+        "t",
+        ["event_id"],
+        driver="org.apache.derby.iapi.jdbc.AutoloadedDriver",
+    )
+    with pytest.raises(Exception, match="(?i)not found|failed|error"):
+        sink(batch, 0)

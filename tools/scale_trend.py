@@ -66,10 +66,7 @@ def main() -> None:
         rows.append((name, t["0.001"], t["0.01"], t["0.1"], ratio))
 
     out = {
-        "queries": {
-            n: {**times[n], "ratio_100x": r} for n, *_t, r in
-            [(name, t001, t01, t01b, r) for name, t001, t01, t01b, r in rows]
-        },
+        "queries": {name: {**times[name], "ratio_100x": r} for name, *_ , r in rows},
         "note": "warm wall seconds per SF; ratio_100x = t(sf0.1)/t(sf0.001) "
         "against 100x input growth",
     }
