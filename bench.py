@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "embedding_covariance",
     "events_gapfill",
     "multimodal_resize",
+    "per_source_cap",
 ]
 
 

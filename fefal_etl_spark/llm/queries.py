@@ -1480,3 +1480,33 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = covariance_matrix(emb, id_col="vec_id", vec_col="embedding")
     # + 0.0 squashes IEEE negative zero, which would hash-differ from 0.0
     return out.select("i", "j", (F.round("cov", 6) + F.lit(0.0)).alias("cov"))
+
+
+@register(
+    "per_source_cap",
+    """
+    WITH h AS (
+        SELECT doc_id, source,
+               ('0x' || substr(md5('cap' || '|' || CAST(doc_id AS VARCHAR)),
+                               1, 15))::BIGINT AS hk
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY hk, doc_id) AS rk
+        FROM h
+    )
+    SELECT doc_id, source FROM ranked WHERE rk <= 15
+    """,
+)
+def q_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 — deterministic per-group cap (llm/sampling.py::per_group_cap):
+    at most 15 docs per source (sources carry 25+ docs, so the cap genuinely filters at every SF), selected by salted-hash rank — the
+    domain-balancing staple. The identical subset falls out of both
+    engines because rank order is the portable md5 hash with a key
+    tiebreak, never an RNG."""
+    from fefal_etl_spark.llm.sampling import per_group_cap
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return per_group_cap(docs, group_col="source", key_col="doc_id", cap=15)

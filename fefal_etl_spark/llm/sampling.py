@@ -120,3 +120,35 @@ def pack_sequences(
             (F.col("__start") % budget).cast("long").alias("bin_offset"),
         )
     )
+
+
+def per_group_cap(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    cap: int,
+    salt: str = "cap",
+) -> DataFrame:
+    """At most ``cap`` rows per group, chosen DETERMINISTICALLY — the
+    domain/source balancing staple ("no more than N documents per
+    domain"): rows are ranked inside each group by their salted key hash
+    (a reproducible uniform shuffle — no RNG, engine-portable) and rows
+    ranked past the cap are dropped. Re-runs, repartitions, and both
+    engines select the identical subset; a fresh ``salt`` draws an
+    independent cap sample.
+
+    Scale: one group-keyed shuffle for the ranking window. A pathologically
+    hot group (one domain = half the corpus) makes one heavy window
+    partition — cap such groups in two stages: pre-filter with
+    ``deterministic_sample`` at a rate ≈ cap/E[group size] to shed the
+    bulk narrow-side, then apply the exact window cap to the survivors.
+    """
+    rank = F.row_number().over(
+        Window.partitionBy(group_col).orderBy(
+            md5_hash64(
+                F.concat(F.lit(salt), F.lit("|"), F.col(key_col).cast("string"))
+            ),
+            F.col(key_col),  # total order even under a 60-bit hash collision
+        )
+    )
+    return df.withColumn("__rk", rank).filter(F.col("__rk") <= cap).drop("__rk")

@@ -2437,7 +2437,7 @@ _DRIVER_PRIORITY = [
     # round-3 session additions: CDC apply, int8 quantization, z-scores,
     # PCA covariance
     "cdc_snapshot", "embedding_quantize", "quality_zscores",
-    "embedding_covariance", "events_gapfill",
+    "embedding_covariance", "events_gapfill", "per_source_cap",
 ]
 
 

@@ -530,3 +530,30 @@ def test_covariance_and_pca_project_match_numpy(spark):
     var1 = np.var([rows[i][0] for i in range(60)])
     var2 = np.var([rows[i][1] for i in range(60)])
     assert var1 > 10 * var2
+
+
+def test_per_group_cap_deterministic_and_exact(spark):
+    from fefal_etl_spark.llm.sampling import per_group_cap
+
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 3)) for i in range(60)], "k long, g string"
+    )
+    out = per_group_cap(df, group_col="g", key_col="k", cap=5)
+    rows = out.collect()
+    from collections import Counter
+
+    counts = Counter(r["g"] for r in rows)
+    assert counts == {"g0": 5, "g1": 5, "g2": 5}
+    # deterministic: same subset on re-run and after repartition
+    again = per_group_cap(
+        df.repartition(13), group_col="g", key_col="k", cap=5
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    # a different salt draws a different (but equally sized) subset
+    other = per_group_cap(df, group_col="g", key_col="k", cap=5, salt="x")
+    assert sorted(r["k"] for r in other.collect()) != sorted(
+        r["k"] for r in rows
+    )
+    # groups under the cap pass through whole
+    small = per_group_cap(df, group_col="g", key_col="k", cap=100)
+    assert small.count() == 60
