@@ -279,3 +279,76 @@ def test_connected_components_matches_union_find(spark):
             for r in connected_components(edges, iters=7).collect()
         }
         assert got == truth
+
+
+@SETTLE
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=8),      # key
+            st.sampled_from(["I", "U", "D"]),           # op
+            st.integers(min_value=0, max_value=1000),   # seq (may tie across keys)
+            st.integers(min_value=-50, max_value=50),   # payload
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_apply_changelog_matches_dict_replay(spark, events):
+    """Latest-wins snapshot == a sequential dict replay of the same events
+    (ties on seq broken by a uniquifying event index, as real CDC feeds
+    do with an LSN)."""
+    from fefal_etl_spark.operators.upsert import apply_changelog
+
+    rows = [(k, op, seq, i, val) for i, (k, op, seq, val) in enumerate(events)]
+    df = spark.createDataFrame(
+        rows, "k long, op string, seq long, lsn long, val long"
+    )
+    got = {
+        r["k"]: (r["op"], r["seq"], r["lsn"], r["val"])
+        for r in apply_changelog(df, key="k", seq_cols=["seq", "lsn"]).collect()
+    }
+    replay: dict[int, tuple] = {}
+    for k, op, seq, lsn, val in sorted(rows, key=lambda r: (r[2], r[3])):
+        replay[k] = (op, seq, lsn, val)
+    want = {k: v for k, v in replay.items() if v[0] != "D"}
+    assert got == want
+
+
+@SETTLE
+@given(
+    st.lists(
+        st.lists(
+            st.floats(
+                min_value=-100, max_value=100,
+                allow_nan=False, allow_infinity=False, width=32,
+            ),
+            min_size=1,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_quantize_dequant_error_bound(spark, vecs):
+    """Symmetric int8 quantization invariants: codes in [-127, 127], zero
+    vectors -> zero scale and codes, and dequantization error per element
+    is at most 0.5/scale (the rounding half-step)."""
+    from fefal_etl_spark.llm.similarity import quantize_embeddings
+
+    width = len(vecs[0])
+    vecs = [v[:width] + [0.0] * (width - len(v)) for v in vecs]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    for i, v in enumerate(vecs):
+        scale, q = out[i]["scale"], out[i]["q"]
+        assert all(-127 <= c <= 127 for c in q)
+        if max(abs(x) for x in v) == 0:
+            assert scale == 0.0 and all(c == 0 for c in q)
+            continue
+        assert scale > 0
+        for x, c in zip(v, q):
+            assert abs(c / scale - x) <= 0.5 / scale + 1e-12
