@@ -2162,6 +2162,41 @@ def q_excel_dir_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "excel_dir_roundtrip",
+    """
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(c_nationkey) AS BIGINT) AS sum_nk
+    FROM customer WHERE c_custkey <= 400 GROUP BY c_mktsegment
+    """,
+)
+def q_excel_dir_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 DISTRIBUTED Excel export → S2 distributed ingest, end to end on
+    executors both ways: a customer slice fans out to one workbook per
+    market segment (grouped applyInPandas, sources.writers.write_excel_dir),
+    the directory is re-read with the binaryFile + mapInPandas path, and
+    the re-typed aggregate must equal the oracle's direct scan. No row
+    touches the driver in either direction."""
+    import tempfile
+
+    from fefal_etl_spark.sources.readers import read_excel_dir
+    from fefal_etl_spark.sources.writers import write_excel_dir
+
+    customer = load_table(spark, sf_dir, "customer")
+    part = customer.filter(F.col("c_custkey") <= 400).select(
+        "c_custkey", "c_mktsegment", "c_nationkey"
+    )
+    out_dir = tempfile.mkdtemp(prefix="fefal_xlsx_rt_")
+    manifest = write_excel_dir(part, out_dir, "c_mktsegment")
+    assert manifest.count() > 0  # materialize the export
+    back = read_excel_dir(spark, out_dir, sheet_name="data")
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("c_nationkey").try_cast("long")).alias("sum_nk"),
+    )
+
+
+@register(
     "jdbc_roundtrip_scan",
     f"""
     SELECT c_mktsegment,
@@ -2424,7 +2459,7 @@ _DRIVER_PRIORITY = [
     "partitioned_scan", "top_orders", "gaussian_lsh_recall",
     "star_idempotent_reload",
     "pipeline_full_groups", "grouping_sets_orders", "jdbc_roundtrip_scan",
-    "bucketed_join_orders", "excel_dir_scan",
+    "bucketed_join_orders", "excel_dir_scan", "excel_dir_roundtrip",
     # round-3 new-component carriers (SURVEY §2.14): cluster closure, SCD2,
     # corpus ops, event analytics, hardest new TPC-H topologies
     "dup_clusters", "scd2_dim_merge", "semdedup_pairs", "tfidf_top_terms",

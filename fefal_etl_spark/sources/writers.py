@@ -150,3 +150,61 @@ def write_excel_workbook(
         from fefal_etl_spark.sources.xlsx_minimal import write_workbook
 
         write_workbook(path, collected)
+
+
+def write_excel_dir(
+    df: DataFrame,
+    path: str,
+    partition_col: str,
+    sheet_name: str = "data",
+    max_rows_per_file: int = 100_000,
+) -> DataFrame:
+    """S6 at scale — DISTRIBUTED Excel export: one workbook per
+    ``partition_col`` value, serialized ON THE EXECUTORS by the
+    dependency-free zip+XML writer (sources.xlsx_minimal) inside a
+    grouped ``applyInPandas``. The dual of :func:`readers.read_excel_dir`:
+    N groups parallelize N-wide and no workbook's rows ever pass through
+    the driver (the driver-side :func:`write_excel_workbook` stays the
+    right tool for small multi-sheet review exports).
+
+    Returns the written manifest (partition, path, n_rows) — a real
+    DataFrame, so the export is lazily planned and the manifest is the
+    action. ``path`` must be on storage every executor can reach (local
+    FS in local mode, a shared mount/DFS on a cluster). Partition values
+    are sanitized into filenames; ``max_rows_per_file`` fails a group
+    loudly rather than silently producing a workbook Excel can't open
+    (the format caps at 1,048,576 rows).
+    """
+    import os
+    import re
+
+    os.makedirs(path, exist_ok=True)
+    cols = df.columns
+
+    def _write(key, pdf):
+        import os
+
+        import pandas as pd
+
+        from fefal_etl_spark.sources.xlsx_minimal import write_workbook
+
+        val = str(key[0])
+        if len(pdf) > max_rows_per_file:
+            raise ValueError(
+                f"partition {val!r} has {len(pdf)} rows > "
+                f"max_rows_per_file={max_rows_per_file}"
+            )
+        safe = re.sub(r"[^A-Za-z0-9_.-]", "_", val) or "_"
+        fp = os.path.join(path, f"{safe}.xlsx")
+        grid = [list(cols)] + [
+            ["" if v is None else str(v) for v in row]
+            for row in pdf[cols].itertuples(index=False, name=None)
+        ]
+        write_workbook(fp, {sheet_name: grid})
+        return pd.DataFrame(
+            [{"partition": val, "path": fp, "n_rows": len(pdf)}]
+        )
+
+    return df.groupBy(partition_col).applyInPandas(
+        _write, "partition string, path string, n_rows long"
+    )

@@ -606,3 +606,40 @@ def test_zscores_by_group_exact_and_constant_group(spark):
     assert len(out) == 3
     nz = sorted(r["z"] for r in out if r["g"] is None)
     assert nz == [-1.0, 1.0]  # mean 2, pop std 1
+
+
+def test_write_excel_dir_roundtrip_distributed(spark, tmp_path):
+    """S6 distributed export → S2 distributed ingest round trip: one
+    workbook per segment written from executors, read back with
+    read_excel_dir, content identical to the source."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from fefal_etl_spark.sources.readers import read_excel_dir
+    from fefal_etl_spark.sources.writers import write_excel_dir
+
+    df = spark.createDataFrame(
+        [(i, "seg%d" % (i % 3), "v/%d" % i) for i in range(30)],
+        "k long, seg string, v string",
+    )
+    out_dir = str(tmp_path / "xl")
+    manifest = {r["partition"]: r for r in
+                write_excel_dir(df, out_dir, "seg").collect()}
+    assert set(manifest) == {"seg0", "seg1", "seg2"}
+    assert all(r["n_rows"] == 10 for r in manifest.values())
+    assert all(os.path.exists(r["path"]) for r in manifest.values())
+    # the export runs on executors (grouped Arrow hook), not the driver
+    plan = write_excel_dir(df, out_dir, "seg")._jdf.queryExecution()
+    assert "FlatMapGroupsInPandas" in plan.executedPlan().toString()
+
+    back = read_excel_dir(spark, out_dir, sheet_name="data")
+    got = sorted((r["k"], r["seg"], r["v"]) for r in back.collect())
+    want = sorted((str(r["k"]), r["seg"], r["v"]) for r in df.collect())
+    assert got == want
+
+    # oversized partition fails loudly, never a silently broken workbook
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="max_rows_per_file"):
+        write_excel_dir(df, out_dir, "seg", max_rows_per_file=5).collect()
