@@ -499,3 +499,118 @@ def connected_components(
             f"a small-star/large-star formulation for long-chain graphs"
         )
     return labels.select("node", F.col("label").alias("component"))
+
+
+def segment_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    segment_words: int = 20,
+) -> DataFrame:
+    """Passage-level exact deduplication (the RefinedWeb/CCNet "repeated
+    paragraph removal" shape, expressed over fixed word windows because
+    the corpus has no newline structure): split each document into
+    consecutive ``segment_words``-word segments, keep only the globally
+    FIRST occurrence of every distinct segment (order = (doc_id,
+    seg_idx) — also removes within-document repetition), and reassemble
+    each document from its surviving segments in original order.
+
+    Returns (id, clean_text, n_segments, n_kept) for documents with at
+    least one surviving segment; a document whose every segment already
+    appeared elsewhere disappears — exactly the boilerplate-collapse
+    behavior paragraph dedup exists for.
+
+    Scale: the explode is narrow (segments are a partition of the words
+    array, so total exploded payload ≈ corpus size, unlike overlapping
+    shingles); the single wide stage is the first-occurrence window,
+    which shuffles BY SEGMENT TEXT — content-addressed, so it load
+    balances regardless of document skew. At 100 TB the shuffle payload
+    can be halved by ranking on (md5(segment), doc_id, seg_idx) and
+    rejoining winners to segment text, at the cost of treating 60-bit
+    hash collisions as duplicates; this formulation stays exact. The
+    reassembly groupBy shuffles by doc id — the same key the explode
+    preserved, so AQE coalesces it cheaply.
+    """
+    from fefal_etl_spark.functions.text import ws_trim
+
+    words = F.split(ws_trim(F.col(text_col)), r"\s+")
+    nseg = F.ceil(F.size("__w") / F.lit(segment_words)).cast("int")
+    seg = F.concat_ws(
+        " ", F.slice(F.col("__w"), F.col("seg_idx") * segment_words + 1, segment_words)
+    )
+    segs = (
+        df.select(F.col(id_col), words.alias("__w"))
+        .select(
+            F.col(id_col),
+            F.size("__w").alias("__nw"),
+            F.explode(F.sequence(F.lit(0), nseg - 1)).alias("seg_idx"),
+            F.col("__w"),
+        )
+        .select(
+            F.col(id_col),
+            "seg_idx",
+            (F.ceil(F.col("__nw") / F.lit(segment_words))).cast("long").alias("__nseg"),
+            seg.alias("__seg"),
+        )
+        .filter(F.col("__seg") != "")
+    )
+    from pyspark.sql import Window
+
+    first = F.row_number().over(
+        Window.partitionBy("__seg").orderBy(F.col(id_col), F.col("seg_idx"))
+    )
+    kept = segs.withColumn("__rn", first).filter(F.col("__rn") == 1)
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("seg_idx", "__seg"))),
+        lambda x: x["__seg"],
+    )
+    return kept.groupBy(id_col).agg(
+        F.concat_ws(" ", ordered).alias("clean_text"),
+        F.max("__nseg").alias("n_segments"),
+        F.count("*").cast("long").alias("n_kept"),
+    )
+
+
+def canonicalize_clusters(
+    docs: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "n_chars",
+) -> DataFrame:
+    """The dedup VERDICT step: collapse duplicate clusters to one keeper
+    each. Near-dup pairs (from minhash/simhash/semdedup) become components
+    via ``connected_components``; every document outside any component is
+    its own singleton cluster; within each cluster the KEEPER is the
+    highest-``quality_col`` document (ties → lowest id — deterministic,
+    engine-portable). This is the piece between pair generation and an
+    actual deduplicated corpus: emit (component, keeper_id, cluster_size)
+    and semi-join the corpus on keeper_id to materialize it.
+
+    Scale: components run on the EDGE list (tiny vs the corpus); the
+    corpus itself sees one broadcast-able left join (components ≤ 2·pairs
+    rows) and one window partitioned by component — cluster-sized
+    partitions, never corpus-sized.
+    """
+    from pyspark.sql import Window
+
+    comp = connected_components(edges)
+    labeled = docs.join(
+        F.broadcast(comp), docs[id_col] == comp["node"], "left"
+    ).select(
+        F.col(id_col),
+        F.col(quality_col),
+        F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("component").orderBy(
+            F.col(quality_col).desc(), F.col(id_col).asc()
+        )
+    )
+    return (
+        labeled.withColumn("__rk", rk)
+        .groupBy("component")
+        .agg(
+            F.max(F.when(F.col("__rk") == 1, F.col(id_col))).alias("keeper_id"),
+            F.count("*").cast("long").alias("cluster_size"),
+        )
+    )

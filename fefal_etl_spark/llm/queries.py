@@ -1510,3 +1510,267 @@ def q_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     return per_group_cap(docs, group_col="source", key_col="doc_id", cap=15)
+
+
+@register(
+    "segment_dedup",
+    """
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text || ' planted near dup tail'
+        FROM documents WHERE doc_id % 10 = 0
+    ),
+    w AS (
+        SELECT doc_id,
+               regexp_split_to_array(
+                   regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS words
+        FROM corpus
+    ),
+    s AS (
+        SELECT doc_id,
+               CAST(unnest(range(0, CAST(ceil(len(words) / 20.0) AS BIGINT)))
+                   AS INT) AS seg_idx,
+               CAST(ceil(len(words) / 20.0) AS BIGINT) AS nseg,
+               words
+        FROM w
+    ),
+    seg AS (
+        SELECT doc_id, seg_idx, nseg,
+               array_to_string(words[seg_idx*20+1 : seg_idx*20+20], ' ') AS seg
+        FROM s
+        WHERE array_to_string(words[seg_idx*20+1 : seg_idx*20+20], ' ') <> ''
+    ),
+    r AS (
+        SELECT doc_id, seg_idx, nseg, seg,
+               row_number() OVER (PARTITION BY seg
+                                  ORDER BY doc_id, seg_idx) AS rn
+        FROM seg
+    )
+    SELECT doc_id,
+           string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text,
+           CAST(max(nseg) AS BIGINT) AS n_segments,
+           CAST(count(*) AS BIGINT) AS n_kept
+    FROM r WHERE rn = 1
+    GROUP BY doc_id
+    """,
+)
+def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 — passage-level exact dedup (llm/dedup.py::segment_dedup), the
+    RefinedWeb "repeated paragraph removal" shape over 20-word windows:
+    only the globally first occurrence of each segment survives and
+    documents are reassembled from their surviving segments. Run over the
+    planted-dup corpus, every planted copy collapses to just its altered
+    tail segment while originals pass through intact. The explode is a
+    partition of the words array (payload ≈ corpus size, not shingle
+    fan-out); the wide stage shuffles by segment text — content-addressed,
+    document-skew-proof."""
+    from fefal_etl_spark.llm.dedup import segment_dedup
+
+    return segment_dedup(_corpus(spark, sf_dir), segment_words=20)
+
+
+@register(
+    "temperature_resample",
+    """
+    WITH c AS (SELECT source, count(*) AS n_g FROM documents GROUP BY source),
+    t AS (SELECT SUM(CAST(floor(sqrt(n_g)) AS BIGINT)) AS w_tot,
+                 SUM(n_g) AS n_tot FROM c),
+    d AS (SELECT c.source, c.n_g,
+                 CAST(floor(sqrt(c.n_g)) AS BIGINT) AS w_g,
+                 t.w_tot, (t.n_tot * 50) // 100 AS t_tgt
+          FROM c, t),
+    b AS (SELECT doc_id, source,
+                 ('0x' || substr(md5('temp' || '|' || CAST(doc_id AS VARCHAR)),
+                                 1, 15))::BIGINT % 10000 AS bucket
+          FROM documents)
+    SELECT b.doc_id, b.source
+    FROM b JOIN d USING (source)
+    WHERE CAST(bucket AS HUGEINT) * w_tot * n_g
+          < CAST(10000 AS HUGEINT) * t_tgt * w_g
+    """,
+)
+def q_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 — α=0.5 temperature domain mixing (llm/sampling.py::
+    temperature_resample): a deterministic ≈50% corpus sample whose
+    per-source share is ∝ √(source size) — small domains boosted, big
+    domains damped, the mBERT/XLM-R rebalancing recipe. The keep decision
+    is an all-integer multiply-compare in DECIMAL(38,0)/HUGEINT (no float
+    threshold to disagree about); the corpus sees one broadcast join plus
+    a narrow filter, never a shuffle."""
+    from fefal_etl_spark.llm.sampling import temperature_resample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    out = temperature_resample(
+        docs, key_col="doc_id", group_col="source", target_pct=50, salt="temp"
+    )
+    return out.select("doc_id", "source")
+
+
+@register(
+    "dedup_canonicalize",
+    """
+    WITH RECURSIVE
+    corpus AS (
+        SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000,
+               CAST(length(text || ' planted near dup tail') AS BIGINT)
+        FROM documents WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id + 2000000,
+               CAST(length(text || ' planted near dup tail extended') AS BIGINT)
+        FROM documents WHERE doc_id % 20 = 0
+    ),
+    e1 AS (SELECT doc_id AS src, doc_id + 1000000 AS dst
+           FROM documents WHERE doc_id % 10 = 0),
+    e2 AS (SELECT doc_id + 1000000 AS src, doc_id + 2000000 AS dst
+           FROM documents WHERE doc_id % 20 = 0),
+    edges AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2),
+    bidir AS (SELECT src AS a, dst AS b FROM edges
+              UNION ALL SELECT dst, src FROM edges),
+    nodes AS (SELECT DISTINCT a AS node FROM bidir),
+    reach(node, lbl) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT b.b, r.lbl FROM reach r JOIN bidir b ON b.a = r.node
+    ),
+    comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node),
+    lab AS (
+        SELECT c.doc_id, c.n_chars,
+               coalesce(p.component, c.doc_id) AS component
+        FROM corpus c LEFT JOIN comp p ON p.node = c.doc_id
+    ),
+    r AS (
+        SELECT doc_id, component,
+               row_number() OVER (PARTITION BY component
+                                  ORDER BY n_chars DESC, doc_id ASC) AS rk
+        FROM lab
+    )
+    SELECT CAST(component AS BIGINT) AS component,
+           CAST(max(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT) AS keeper_id,
+           CAST(count(*) AS BIGINT) AS cluster_size
+    FROM r GROUP BY component
+    """,
+)
+def q_dedup_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 capstone — the dedup VERDICT (llm/dedup.py::
+    canonicalize_clusters): near-dup pairs → connected components →
+    one keeper per cluster (highest n_chars, ties → lowest id), singletons
+    included. Planted 2- and 3-deep chains exercise real transitive
+    merging; the keeper is the extended planted copy for 3-clusters.
+    Components run on the tiny edge list; the corpus sees one broadcast
+    left join and a cluster-partitioned window — never a corpus-wide
+    shuffle by content."""
+    from fefal_etl_spark.llm.dedup import canonicalize_clusters
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    plant1 = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat("text", F.lit(" planted near dup tail")).alias("text"),
+    )
+    plant2 = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat("text", F.lit(" planted near dup tail extended")).alias("text"),
+    )
+    corpus = docs.unionByName(plant1).unionByName(plant2).select(
+        "doc_id", F.length("text").cast("long").alias("n_chars")
+    )
+    e1 = docs.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") + 1000000).alias("dst")
+    )
+    e2 = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 1000000).alias("src"),
+        (F.col("doc_id") + 2000000).alias("dst"),
+    )
+    out = canonicalize_clusters(corpus, e1.unionByName(e2))
+    return out.select(
+        F.col("component").cast("long"),
+        F.col("keeper_id").cast("long"),
+        "cluster_size",
+    )
+
+
+@register(
+    "training_shards",
+    f"""
+    WITH s AS (
+        SELECT doc_id,
+               ('0x' || substr(md5('shard' || '|' || CAST(doc_id AS VARCHAR)),
+                               1, 15))::BIGINT % 64 AS shard,
+               CAST(len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS BIGINT)
+                   AS n_tokens
+        FROM documents
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(min(doc_id) AS BIGINT) AS first_doc
+    FROM s GROUP BY shard
+    """,
+)
+def q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 — deterministic training-shard layout (llm/sampling.py::
+    shard_assign): every document lands in one of 64 shards by a pure
+    md5 function of its id — the reproducible global shuffle + sharded
+    export pretraining loaders expect (feed the same column to
+    ``partitionBy`` + ``maxRecordsPerFile`` to materialize). The query
+    audits the layout: per-shard doc and token totals — one
+    map-side-combinable aggregation, balance guaranteed by the hash."""
+    from fefal_etl_spark.llm.sampling import shard_assign
+    from fefal_etl_spark.llm.text_analysis import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            shard_assign(F.col("doc_id"), num_shards=64).alias("shard"),
+            token_count(F.col("text")).alias("n_tokens"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+        )
+        .select(F.col("shard").cast("long"), "n_docs", "n_tokens", "first_doc")
+    )
+
+
+@register(
+    "vocab_coverage",
+    """
+    WITH toks AS (
+        SELECT doc_id, t FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
+            FROM documents) x
+        WHERE t <> ''
+    ),
+    cnts AS (SELECT t, count(*) AS cnt FROM toks GROUP BY t),
+    v AS (
+        SELECT t AS v FROM (
+            SELECT t, row_number() OVER (ORDER BY cnt DESC, t ASC) AS rk
+            FROM cnts) x
+        WHERE rk <= 25
+    ),
+    j AS (SELECT toks.doc_id, v.v FROM toks LEFT JOIN v ON toks.t = v.v)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(v) AS BIGINT) AS n_in_vocab,
+           CAST(count(v) AS DOUBLE) / count(*) AS coverage
+    FROM j GROUP BY doc_id
+    """,
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 — corpus-relative vocabulary coverage (llm/text_analysis.py::
+    vocab_coverage): top-25 word vocabulary by total count (deterministic
+    tie-break), then per-doc fraction of tokens covered — the cheap
+    out-of-domain/noise gate before model-based quality filters. Token
+    counts shuffle by WORD (vocab-sized, tiny); the vocabulary broadcasts
+    back; per-doc counts shuffle by id with map-side partials. Coverage
+    is one correctly-rounded double division — engines agree exactly."""
+    from fefal_etl_spark.llm.text_analysis import vocab_coverage
+
+    docs = load_table(spark, sf_dir, "documents")
+    return vocab_coverage(docs, vocab_size=25)

@@ -122,6 +122,83 @@ def pack_sequences(
     )
 
 
+def temperature_resample(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    target_pct: int = 50,
+    salt: str = "temp",
+) -> DataFrame:
+    """Temperature-flattened domain mixing (the multilingual/multi-source
+    rebalancing staple, e.g. the α=0.5 sampling of mBERT/XLM-R): draw a
+    deterministic sample of ≈``target_pct``% of the corpus whose per-group
+    share is proportional to √(group size) instead of group size, boosting
+    small domains and damping dominant ones.
+
+    Exactness across engines: the keep decision is an ALL-INTEGER
+    multiply-compare. With n_g = group count, w_g = ⌊√n_g⌋, W = Σ w_g,
+    N = Σ n_g, T = N·target_pct/100 (integer division), a row is kept iff
+
+        bucket · W · n_g  <  BUCKETS · T · w_g
+
+    — the exact form of "bucket/BUCKETS < (T·w_g/W)/n_g" with zero
+    divisions, so there is no float threshold for the two engines to
+    disagree about (same convention as dormant_customer_balances).
+    ⌊√n⌋ via floor(sqrt(n)) is exact for n < 2^52 in both engines (IEEE
+    sqrt is correctly rounded; perfect squares hit exactly). Products are
+    carried in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) so the compare
+    survives 10¹²-row groups where BIGINT would overflow.
+
+    Scale: one tiny groupBy for the per-group counts, one one-row total,
+    broadcast-joined back; the corpus itself sees only a narrow filter —
+    no corpus shuffle. Groups with a keep rate ≥ 1 keep every row
+    (rhs ≥ BUCKETS·lhs-max), small groups are upsampled only to full
+    retention (classic cap — this operator never duplicates rows).
+    """
+    dec = "decimal(38,0)"
+    counts = df.groupBy(group_col).agg(F.count("*").alias("__n_g"))
+    totals = counts.agg(
+        F.sum(F.floor(F.sqrt(F.col("__n_g"))).cast("long")).alias("__w_tot"),
+        F.sum("__n_g").alias("__n_tot"),
+    )
+    dims = (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            F.col(group_col).alias("__grp"),
+            F.col("__n_g"),
+            F.floor(F.sqrt(F.col("__n_g"))).cast("long").alias("__w_g"),
+            "__w_tot",
+            F.expr(f"CAST(__n_tot * {target_pct} DIV 100 AS BIGINT)").alias("__t"),
+        )
+    )
+    bucket = sample_bucket(F.col(key_col), salt)
+    lhs = bucket.cast(dec) * F.col("__w_tot").cast(dec) * F.col("__n_g").cast(dec)
+    rhs = (
+        F.lit(BUCKETS).cast(dec)
+        * F.col("__t").cast(dec)
+        * F.col("__w_g").cast(dec)
+    )
+    return (
+        df.join(F.broadcast(dims), df[group_col] == dims["__grp"])
+        .filter(lhs < rhs)
+        .drop("__grp", "__n_g", "__w_g", "__w_tot", "__t")
+    )
+
+
+def shard_assign(key: Column, num_shards: int = 64, salt: str = "shard") -> Column:
+    """Stable training-shard id in [0, num_shards): a pure function of the
+    row key, so the shard layout — and therefore the training-data order —
+    is reproducible across reruns, engines, and cluster sizes. Feed this to
+    ``DataFrameWriter.partitionBy`` (with ``maxRecordsPerFile`` for
+    bounded file sizes) to materialize the sharded corpus; the md5 mix
+    also serves as the deterministic global shuffle (within-shard order by
+    the same hash) that pretraining loaders expect."""
+    return (
+        md5_hash64(F.concat(F.lit(salt), F.lit("|"), key.cast("string")))
+        % num_shards
+    )
+
+
 def per_group_cap(
     df: DataFrame,
     group_col: str,

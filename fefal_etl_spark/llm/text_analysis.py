@@ -303,3 +303,58 @@ def chunk_documents(
         )
         .filter(F.col("chunk") != "")
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 25,
+) -> DataFrame:
+    """Vocabulary coverage scoring: build the corpus-level top-``vocab_size``
+    word vocabulary (by total occurrence count; ties → lexicographically
+    first — a deterministic, engine-portable rank) and score every document
+    by the fraction of its tokens covered by that vocabulary. Low coverage
+    flags out-of-domain / noisy / wrong-language documents against the
+    corpus's own distribution — the cheap first-pass quality gate before
+    model-based filters.
+
+    Two aggregations, both map-side-combinable: (1) token counts shuffle
+    by WORD (vocabulary-sized cardinality, tiny), top-k via one window
+    over that small frame; (2) per-doc coverage shuffles by doc id over
+    (doc, in_vocab) partial counts. The vocabulary broadcast-joins back —
+    the corpus is never shuffled by content. Coverage = in/total is one
+    double division of two exact integers (correctly rounded IEEE — both
+    engines agree bit-for-bit).
+
+    Output: (id, n_tokens, n_in_vocab, coverage), docs with ≥1 token.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(words(F.lower(F.col(text_col)))).alias("__t")
+    ).filter(F.col("__t") != "")
+    vocab = (
+        toks.groupBy("__t")
+        .agg(F.count("*").alias("__cnt"))
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.orderBy(F.col("__cnt").desc(), F.col("__t").asc())
+            ),
+        )
+        .filter(F.col("__rk") <= vocab_size)
+        .select(F.col("__t").alias("__v"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), toks["__t"] == vocab["__v"], "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.count("__v").cast("long").alias("n_in_vocab"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "n_in_vocab",
+            (F.col("n_in_vocab") / F.col("n_tokens")).alias("coverage"),
+        )
+    )

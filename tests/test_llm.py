@@ -557,3 +557,114 @@ def test_per_group_cap_deterministic_and_exact(spark):
     # groups under the cap pass through whole
     small = per_group_cap(df, group_col="g", key_col="k", cap=100)
     assert small.count() == 60
+
+
+def test_segment_dedup_removes_repeats_and_keeps_first(spark):
+    from fefal_etl_spark.llm.dedup import segment_dedup
+
+    seg_a = " ".join(f"a{i}" for i in range(20))
+    seg_b = " ".join(f"b{i}" for i in range(20))
+    seg_c = " ".join(f"c{i}" for i in range(20))
+    rows = [
+        # doc 1: A B — both first occurrences, kept whole
+        (1, f"{seg_a} {seg_b}"),
+        # doc 2: A C — A already seen in doc 1, only C survives
+        (2, f"{seg_a} {seg_c}"),
+        # doc 3: B B — cross-doc dup AND within-doc repeat: nothing survives
+        (3, f"{seg_b} {seg_b}"),
+        # doc 4: C + 5-word tail — tail is its own (partial) segment
+        (4, f"{seg_c} tail words only here now"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in segment_dedup(df, segment_words=20).collect()
+    }
+    assert out[1]["clean_text"] == f"{seg_a} {seg_b}"
+    assert out[1]["n_segments"] == 2 and out[1]["n_kept"] == 2
+    assert out[2]["clean_text"] == seg_c
+    assert out[2]["n_kept"] == 1
+    assert 3 not in out  # fully deduplicated doc disappears
+    assert out[4]["clean_text"] == "tail words only here now"
+    assert out[4]["n_segments"] == 2 and out[4]["n_kept"] == 1
+
+
+def test_temperature_resample_flattens_and_caps(spark):
+    from pyspark.sql import functions as F
+
+    from fefal_etl_spark.llm.sampling import temperature_resample
+
+    # 1600 docs in 'big', 25 in 'small': α=0.5 weights 40 vs 5 → the small
+    # group's target rate (T·w/W)/n = (812·5/45)/25 ≈ 3.6 caps at 1.0
+    # (keep all), the big group thins to ≈(812·40/45)/1600 ≈ 0.45.
+    rows = [(i, "big") for i in range(1600)] + [
+        (10_000 + i, "small") for i in range(25)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = temperature_resample(
+        df, key_col="doc_id", group_col="source", target_pct=50
+    )
+    by_src = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_src["small"] == 25  # rate ≥ 1 keeps every row, never duplicates
+    assert 0.35 * 1600 < by_src["big"] < 0.55 * 1600  # thinned toward target
+    # determinism: a second run selects the identical ids
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in temperature_resample(
+            df, key_col="doc_id", group_col="source", target_pct=50
+        ).collect()
+    )
+    assert a == b
+
+
+def test_canonicalize_clusters_keeper_and_singletons(spark):
+    from fefal_etl_spark.llm.dedup import canonicalize_clusters
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (9, 5)], ["doc_id", "n_chars"]
+    )
+    edges = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])
+    out = {r["component"]: r for r in canonicalize_clusters(docs, edges).collect()}
+    # cluster {1,2,3}: quality tie 2 vs 3 → lowest id wins
+    assert out[1]["keeper_id"] == 2 and out[1]["cluster_size"] == 3
+    # untouched doc is its own singleton
+    assert out[9]["keeper_id"] == 9 and out[9]["cluster_size"] == 1
+
+
+def test_shard_assign_balance_and_write_layout(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from fefal_etl_spark.llm.sampling import shard_assign
+
+    df = spark.range(0, 6400).select(
+        F.col("id").alias("doc_id"),
+        shard_assign(F.col("id"), num_shards=64).alias("shard"),
+    )
+    sizes = [r["n"] for r in df.groupBy("shard").agg(F.count("*").alias("n")).collect()]
+    assert len(sizes) == 64
+    assert max(sizes) < 2.0 * min(sizes)  # hash balance at 100 rows/shard
+    # the write path: partitionBy(shard) materializes one dir per shard
+    out = str(tmp_path / "shards")
+    df.write.partitionBy("shard").parquet(out)
+    back = spark.read.parquet(out)
+    assert back.count() == 6400
+    assert back.select("shard").distinct().count() == 64
+
+
+def test_vocab_coverage_scores_oov_docs_low(spark):
+    from fefal_etl_spark.llm.text_analysis import vocab_coverage
+
+    rows = [(i, "common words repeat here") for i in range(10)] + [
+        (100, "zz qq xx vv"),  # fully out-of-vocabulary
+        (101, "common words zz qq"),  # half covered
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in vocab_coverage(df, vocab_size=4).collect()}
+    assert out[0]["coverage"] == 1.0
+    assert out[100]["coverage"] == 0.0
+    assert abs(out[101]["coverage"] - 0.5) < 1e-12
+    assert out[101]["n_tokens"] == 4 and out[101]["n_in_vocab"] == 2
