@@ -103,6 +103,13 @@ BENCH_QUERIES = [
     "events_gapfill",
     "multimodal_resize",
     "per_source_cap",
+    # corpus-curation additions: passage dedup, domain mixing, dedup verdict,
+    # shard layout, vocabulary coverage
+    "segment_dedup",
+    "temperature_resample",
+    "dedup_canonicalize",
+    "training_shards",
+    "vocab_coverage",
 ]
 
 

