@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "dedup_canonicalize",
     "training_shards",
     "vocab_coverage",
+    "zorder_layout",
 ]
 
 

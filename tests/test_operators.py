@@ -643,3 +643,60 @@ def test_write_excel_dir_roundtrip_distributed(spark, tmp_path):
 
     with _pytest.raises(Exception, match="max_rows_per_file"):
         write_excel_dir(df, out_dir, "seg", max_rows_per_file=5).collect()
+
+
+def test_zorder_key_matches_python_interleave(spark):
+    from pyspark.sql import functions as F
+
+    from fefal_etl_spark.operators.layout import zorder_key
+
+    def morton(a, b, bits=16):
+        z = 0
+        for k in range(bits):
+            z += ((a >> k) & 1) << (2 * k)
+            z += ((b >> k) & 1) << (2 * k + 1)
+        return z
+
+    rows = [(0, 0), (1, 0), (0, 1), (65535, 65535), (12345, 54321), (7, 42)]
+    df = spark.createDataFrame(rows, ["a", "b"]).withColumn(
+        "z", zorder_key(F.col("a"), F.col("b"))
+    )
+    for r in df.collect():
+        assert r["z"] == morton(r["a"], r["b"]), (r["a"], r["b"])
+
+
+def test_zorder_write_layout_shrinks_per_file_spans(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from fefal_etl_spark.operators.layout import zorder_key
+
+    # two independent uniform dimensions: a naive single-column sort leaves
+    # the other dimension's per-file span at ~full range; z-order bounds both
+    n, files = 4096, 16
+    df = spark.range(n).select(
+        (F.col("id") * 2654435761 % 4096).alias("a"),
+        (F.col("id") * 40503 % 4096).alias("b"),
+    )
+    out = str(tmp_path / "zordered")
+    (
+        df.withColumn("z", zorder_key(F.col("a"), F.col("b"), bits=12))
+        .repartitionByRange(files, "z")
+        .sortWithinPartitions("z")
+        .write.parquet(out)
+    )
+    spans = (
+        spark.read.parquet(out)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(
+            (F.max("a") - F.min("a")).alias("sa"),
+            (F.max("b") - F.min("b")).alias("sb"),
+        )
+        .collect()
+    )
+    assert len(spans) == files
+    mean_sa = sum(r["sa"] for r in spans) / len(spans)
+    mean_sb = sum(r["sb"] for r in spans) / len(spans)
+    # global span is 4095 in each dimension; z-bands bound BOTH dimensions
+    # (16 files = 4 leading z-bits = each dim quartered, plus range-boundary
+    # straddle) — the property a single-column sort cannot deliver
+    assert mean_sa < 4095 * 0.6 and mean_sb < 4095 * 0.6, (mean_sa, mean_sb)
