@@ -36,6 +36,9 @@ TREND_QUERIES = [
     "min_cost_supplier",
     "dup_clusters",
     "tfidf_top_terms",
+    # round-3 continuation: the two heaviest new curation operators
+    "dedup_canonicalize",
+    "segment_dedup",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
