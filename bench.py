@@ -111,6 +111,10 @@ BENCH_QUERIES = [
     "training_shards",
     "vocab_coverage",
     "zorder_layout",
+    # data-quality family + lexical diversity
+    "table_profile",
+    "dq_checks",
+    "token_diversity",
 ]
 
 

@@ -1774,3 +1774,35 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return vocab_coverage(docs, vocab_size=25)
+
+
+@register(
+    "token_diversity",
+    """
+    WITH toks AS (
+        SELECT doc_id, t FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
+            FROM documents) x
+        WHERE t <> ''
+    ),
+    pw AS (SELECT doc_id, t, count(*) AS c FROM toks GROUP BY doc_id, t)
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(count(*) AS DOUBLE) / sum(c) AS ttr,
+           round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6) AS entropy
+    FROM pw GROUP BY doc_id
+    """,
+)
+def q_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 — lexical diversity (llm/text_analysis.py::token_diversity):
+    type-token ratio and unigram entropy per document, the
+    Gopher-family repetitiousness gate. Two map-side-combinable
+    aggregations keyed by doc id; TTR is exact integer arithmetic,
+    entropy rounds to 6 decimals on both engines (summation-order ulp
+    caveat documented in the operator)."""
+    from fefal_etl_spark.llm.text_analysis import token_diversity
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_diversity(docs)

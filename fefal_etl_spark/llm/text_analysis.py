@@ -358,3 +358,40 @@ def vocab_coverage(
             (F.col("n_in_vocab") / F.col("n_tokens")).alias("coverage"),
         )
     )
+
+
+def token_diversity(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Lexical-diversity scoring (the Gopher-family repetitiousness
+    signals): per document, token count, distinct-token count, type-token
+    ratio, and unigram Shannon entropy (bits). Low TTR/entropy = degenerate
+    repetitive text; the cheap gate before perplexity-based filters.
+
+    One (doc, word) count aggregation then one per-doc roll-up — both
+    map-side-combinable, shuffle keyed by doc id.
+
+    Exactness: n_tokens/n_types/ttr are integer counts and one correctly
+    rounded division — bit-exact across engines. Entropy sums
+    ``c·log2(c)`` over a doc's distinct words in engine-dependent order,
+    so the last few double ulps may differ; it is rounded to 6 decimals on
+    both sides, which resolves identically unless a true value sits within
+    ~1e-15 of a rounding boundary (same documented boundary caveat as
+    ``semdedup_pairs``' cosine threshold).
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(words(F.lower(F.col(text_col)))).alias("__t")
+    ).filter(F.col("__t") != "")
+    per_word = toks.groupBy(id_col, "__t").agg(F.count("*").alias("__c"))
+    return per_word.groupBy(id_col).agg(
+        F.sum("__c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        (F.count("*") / F.sum("__c")).alias("ttr"),
+        F.round(
+            F.log2(F.sum("__c"))
+            - F.sum(F.col("__c") * F.log2("__c")) / F.sum("__c"),
+            6,
+        ).alias("entropy"),
+    )

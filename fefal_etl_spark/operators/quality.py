@@ -1,0 +1,91 @@
+"""Data-quality operators: column profiling and constraint checks.
+
+The reference pipeline embeds ad-hoc data-quality decisions (bad-name row
+filter etl_ui.py:232-268, >0 gates, null handling); production warehouses
+run the same logic as a declarative DQ suite over every load. Both
+operators here compute EVERYTHING in one pass over the table — the number
+of checks/columns adds expression width, never extra scans or shuffles —
+which is the only formulation that survives a 100 TB fact table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Column-level profile: one row per column with row/null/distinct
+    counts and string-rendered min/max — the standard ingest health report
+    (nullability drift, cardinality explosions, out-of-range values show
+    up here before they corrupt a load).
+
+    ONE aggregation job for every column: the per-column stats are struct
+    fields of a single agg row, exploded to rows afterwards (driver-side
+    width, zero extra scans). ``countDistinct`` per column rewrites to an
+    Expand — cost grows with column count, so at 100 TB swap exact
+    distinct for ``approx_count_distinct`` (one HLL sketch per column,
+    single pass, no Expand); the exact form is kept here because the
+    DuckDB oracle must agree on the value.
+    """
+    aggs = []
+    for c in cols:
+        aggs.append(
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                (F.count(F.lit(1)) - F.count(c)).cast("long").alias("n_nulls"),
+                F.countDistinct(c).cast("long").alias("n_distinct"),
+                # min/max in the column's own type, rendered AFTER the agg
+                # (string-min of an int column would be lexicographic)
+                F.min(F.col(c)).cast("string").alias("min_val"),
+                F.max(F.col(c)).cast("string").alias("max_val"),
+            ).alias(f"__p_{c}")
+        )
+    one = df.agg(*aggs)
+    stacked = one.select(
+        F.explode(F.array(*[F.col(f"__p_{c}") for c in cols])).alias("p")
+    )
+    return stacked.select("p.*")
+
+
+def dq_checks(df: DataFrame, checks: dict[str, Column]) -> DataFrame:
+    """Row-level constraint suite: each check is a boolean Column (true =
+    row passes); output is (check, n_rows, n_violations) per check — the
+    gate a load job asserts on before publishing a partition.
+
+    All checks evaluate in ONE aggregation over one scan (conditional
+    sums); a NULL check result counts as a violation (three-valued logic
+    must not let unknowns slip through a gate).
+    """
+    aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
+    for name, cond in checks.items():
+        aggs.append(
+            F.sum(F.when(cond, 0).otherwise(1)).cast("long").alias(f"__v_{name}")
+        )
+    one = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("check"),
+                F.col("__n").alias("n_rows"),
+                F.col(f"__v_{name}").alias("n_violations"),
+            )
+            for name in checks
+        ]
+    )
+    return one.select(F.explode(rows).alias("r")).select("r.*")
+
+
+def uniqueness_violations(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Key-uniqueness audit: (n_rows, n_distinct_keys, n_violations) where
+    n_violations = rows beyond the first per duplicated key. One
+    map-side-combinable count per key then one tiny roll-up — at 100 TB
+    this is the same single shuffle any exact distinct count pays.
+    """
+    per_key = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__c"))
+    return per_key.agg(
+        F.sum("__c").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_keys"),
+        F.sum(F.col("__c") - 1).cast("long").alias("n_violations"),
+    )

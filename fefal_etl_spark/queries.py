@@ -2603,3 +2603,145 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").bitwiseAND(F.lit(65535)).alias("b"),
     )
     return zorder_stats(ev, "a", "b", bits=16, bucket_bits=6)
+
+
+@register(
+    "table_profile",
+    """
+    WITH t AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+               CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                    ELSE 'Clerk#' || CAST(o_orderkey % 1000 AS VARCHAR)
+               END AS clerk
+        FROM orders
+    )
+    SELECT 'o_orderkey' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count(o_orderkey) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           CAST(min(o_orderkey) AS VARCHAR) AS min_val,
+           CAST(max(o_orderkey) AS VARCHAR) AS max_val FROM t
+    UNION ALL
+    SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+           count(DISTINCT o_custkey),
+           CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR) FROM t
+    UNION ALL
+    SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+           count(DISTINCT o_orderstatus),
+           min(o_orderstatus), max(o_orderstatus) FROM t
+    UNION ALL
+    SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+           count(DISTINCT o_orderpriority),
+           min(o_orderpriority), max(o_orderpriority) FROM t
+    UNION ALL
+    SELECT 'clerk', count(*), count(*) - count(clerk),
+           count(DISTINCT clerk), min(clerk), max(clerk) FROM t
+    """,
+)
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ — column-level ingest profile (operators/quality.py::
+    profile_columns): row/null/distinct counts + min/max per column, ONE
+    aggregation over one scan regardless of column count (stats are struct
+    fields of a single agg row, exploded after). A nullable derived column
+    is planted so the null-count path is genuinely exercised. At 100 TB
+    the exact distincts swap for approx_count_distinct (noted in the
+    operator docstring); exact here so the oracle can agree on values."""
+    from fefal_etl_spark.operators.quality import profile_columns
+
+    orders = load_table(spark, sf_dir, "orders")
+    t = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None))
+        .otherwise(F.concat(F.lit("Clerk#"), (F.col("o_orderkey") % 1000).cast("string")))
+        .alias("clerk"),
+    )
+    return profile_columns(
+        t, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "clerk"]
+    )
+
+
+@register(
+    "dq_checks",
+    """
+    WITH t AS (
+        SELECT CASE WHEN l_orderkey % 97 = 0 THEN NULL ELSE l_quantity END AS qty,
+               CASE WHEN l_partkey % 101 = 0 THEN 0.99 ELSE l_discount END AS disc,
+               l_returnflag, l_shipdate, l_orderkey, l_linenumber
+        FROM lineitem
+    ),
+    checks AS (
+        SELECT 'qty_positive' AS "check",
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN qty > 0 THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_violations FROM t
+        UNION ALL
+        SELECT 'discount_range', count(*),
+               CAST(SUM(CASE WHEN disc BETWEEN 0 AND 0.5 THEN 0 ELSE 1 END)
+                    AS BIGINT) FROM t
+        UNION ALL
+        SELECT 'flag_domain', count(*),
+               CAST(SUM(CASE WHEN l_returnflag IN ('A','N','R') THEN 0 ELSE 1 END)
+                    AS BIGINT) FROM t
+        UNION ALL
+        SELECT 'ship_in_range', count(*),
+               CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '1990-01-01'
+                             THEN 0 ELSE 1 END) AS BIGINT)
+        FROM t
+    ),
+    dup AS (
+        SELECT l_orderkey, l_linenumber FROM t
+        UNION ALL
+        SELECT l_orderkey, l_linenumber FROM t WHERE l_orderkey % 499 = 0
+    ),
+    pk AS (
+        SELECT 'pk_unique' AS "check",
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+                    AS BIGINT) AS n_violations
+        FROM dup
+    )
+    SELECT * FROM checks UNION ALL SELECT * FROM pk
+    """,
+)
+def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ — declarative constraint suite (operators/quality.py::dq_checks,
+    uniqueness_violations): range/domain/NULL gates evaluate as ONE
+    conditional-sum aggregation over one scan (a NULL check result counts
+    as a violation — three-valued logic can't sneak unknowns past a
+    gate); key uniqueness is the one check that genuinely needs a key
+    shuffle, appended as its own row over a corpus with planted duplicate
+    keys. Violations are planted deterministically (negative/NULL
+    quantities, out-of-range discounts) so every gate is exercised."""
+    from fefal_etl_spark.operators.quality import dq_checks, uniqueness_violations
+
+    li = load_table(spark, sf_dir, "lineitem")
+    t = li.select(
+        F.when(F.col("l_orderkey") % 97 == 0, F.lit(None))
+        .otherwise(F.col("l_quantity"))
+        .alias("qty"),
+        F.when(F.col("l_partkey") % 101 == 0, F.lit(0.99))
+        .otherwise(F.col("l_discount"))
+        .alias("disc"),
+        "l_returnflag",
+        "l_shipdate",
+        "l_orderkey",
+        "l_linenumber",
+    )
+    checks = dq_checks(
+        t,
+        {
+            "qty_positive": F.col("qty") > 0,
+            "discount_range": (F.col("disc") >= 0) & (F.col("disc") <= 0.5),
+            "flag_domain": F.col("l_returnflag").isin("A", "N", "R"),
+            "ship_in_range": F.col("l_shipdate") >= F.lit("1990-01-01").cast("timestamp"),
+        },
+    )
+    dup = t.select("l_orderkey", "l_linenumber").unionByName(
+        t.filter(F.col("l_orderkey") % 499 == 0).select("l_orderkey", "l_linenumber")
+    )
+    pk = uniqueness_violations(dup, ["l_orderkey", "l_linenumber"]).select(
+        F.lit("pk_unique").alias("check"), "n_rows", "n_violations"
+    )
+    return checks.unionByName(pk)

@@ -700,3 +700,50 @@ def test_zorder_write_layout_shrinks_per_file_spans(spark, tmp_path):
     # (16 files = 4 leading z-bits = each dim quartered, plus range-boundary
     # straddle) — the property a single-column sort cannot deliver
     assert mean_sa < 4095 * 0.6 and mean_sb < 4095 * 0.6, (mean_sa, mean_sb)
+
+
+def test_profile_columns_counts_and_minmax(spark):
+    from fefal_etl_spark.operators.quality import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b"), (10, "a")], ["k", "s"]
+    )
+    out = {r["col_name"]: r for r in profile_columns(df, ["k", "s"]).collect()}
+    assert out["k"]["n_rows"] == 4 and out["k"]["n_nulls"] == 0
+    assert out["k"]["n_distinct"] == 3
+    # min/max computed in the column's type, THEN rendered (not "10" < "2")
+    assert out["k"]["min_val"] == "1" and out["k"]["max_val"] == "10"
+    assert out["s"]["n_nulls"] == 1 and out["s"]["n_distinct"] == 2
+
+
+def test_dq_checks_null_counts_as_violation(spark):
+    from pyspark.sql import functions as F
+
+    from fefal_etl_spark.operators.quality import dq_checks, uniqueness_violations
+
+    df = spark.createDataFrame(
+        [(1.0,), (None,), (-3.0,), (2.0,)], "x double"
+    )
+    out = {r["check"]: r for r in dq_checks(df, {"x_pos": F.col("x") > 0}).collect()}
+    # -3 fails, NULL is unknown -> must count as a violation too
+    assert out["x_pos"]["n_rows"] == 4 and out["x_pos"]["n_violations"] == 2
+
+    dup = spark.createDataFrame([(1, 1), (1, 1), (1, 2), (2, 1)], ["a", "b"])
+    u = uniqueness_violations(dup, ["a", "b"]).collect()[0]
+    assert u["n_rows"] == 4 and u["n_distinct_keys"] == 3 and u["n_violations"] == 1
+
+
+def test_token_diversity_degenerate_vs_varied(spark):
+    import math
+
+    from fefal_etl_spark.llm.text_analysis import token_diversity
+
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam"), (2, "one two three four")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in token_diversity(df).collect()}
+    assert out[1]["n_types"] == 1 and out[1]["entropy"] == 0.0
+    assert out[1]["ttr"] == 0.25
+    assert out[2]["ttr"] == 1.0
+    assert abs(out[2]["entropy"] - round(math.log2(4), 6)) < 1e-9
