@@ -50,6 +50,25 @@ def read_event_stream(
     )
 
 
+def enrich_with_dim(
+    events: DataFrame, dim: DataFrame, on: str, how: str = "left"
+) -> DataFrame:
+    """Stream-static enrichment: join the event stream against a static
+    dimension (the lookup-table decoration every event pipeline runs before
+    aggregating). Structured Streaming supports this join natively — the
+    static side is planned per micro-batch, and ``F.broadcast`` pins the
+    hash-join strategy so the STREAM side is never shuffled by the join
+    (state-free, unlike stream-stream joins: no watermark is required and
+    no join state accumulates).
+
+    At scale the dim refreshes by re-reading a path each micro-batch
+    (file-source static frames re-list on access) or via a foreachBatch
+    that re-resolves the dim; either way the stream side's plan is a
+    map-side broadcast hash join at event-arrival speed.
+    """
+    return events.join(F.broadcast(dim), on=on, how=how)
+
+
 def hourly_counts(
     events: DataFrame, watermark: str = "2 hours", window: str = "1 hour"
 ) -> DataFrame:

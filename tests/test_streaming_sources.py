@@ -371,3 +371,30 @@ def test_jdbc_upsert_sink_propagates_non_missing_table_errors(spark):
     )
     with pytest.raises(Exception, match="(?i)not found|failed|error"):
         sink(batch, 0)
+
+
+def test_enrich_with_dim_stream_equals_batch(spark, event_dir):
+    from pyspark.sql import functions as F
+
+    from fefal_etl_spark.streaming.events import enrich_with_dim
+
+    path, batch_ev = event_dir
+    dim = spark.createDataFrame(
+        [("view", 0.0), ("click", 1.0), ("purchase", 5.0)],
+        ["event_type", "weight"],
+    )
+    stream = read_event_stream(spark, path)
+    enriched = enrich_with_dim(stream, dim, on="event_type").groupBy(
+        "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("weight").alias("weight"),
+    )
+    run_to_memory_sink(enriched, "t_enriched", output_mode="complete")
+    got = spark.sql("SELECT * FROM t_enriched")
+    want = (
+        enrich_with_dim(batch_ev, dim, on="event_type")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("weight").alias("weight"))
+    )
+    assert _sorted_rows(got) == _sorted_rows(want)
