@@ -2444,12 +2444,16 @@ _DRIVER_PRIORITY = [
     "pipeline_star_formations", "star_integrity", "review_promotions",
     "approx_sketches", "scalar_suite", "set_ops_suite",
     # E1-E4 LLM-pipeline block
-    "text_stats", "lang_id", "curation_pipeline", "repetition_filter",
+    "text_stats", "lang_id", "curation_pipeline",
     "stratified_sample", "doc_fingerprints", "exact_dedup", "minhash_neardup",
-    "ngram_jaccard_pairs", "simhash_fingerprints", "embedding_neardup",
-    "embedding_topk", "embedding_lsh_pairs", "ivf_assign",
-    "kmeans_assignments", "ivf_topk", "multimodal_features", "frame_sample",
-    "multimodal_decode", "multimodal_resize",
+    "simhash_fingerprints", "embedding_neardup",
+    "embedding_topk", "ivf_assign",
+    "ivf_topk", "multimodal_features",
+    "multimodal_decode",
+    # round-3 continuation components (SURVEY §2.16): passage dedup,
+    # domain mixing, dedup verdict, z-order layout, DQ suite, diversity
+    "segment_dedup", "temperature_resample", "dedup_canonicalize",
+    "zorder_layout", "dq_checks", "token_diversity",
     # unique §2 component carriers
     "pricing_summary", "entity_resolution", "dedup_keep_best",
     "status_fork_counts", "unpivot_measures", "pct_rescale", "window_topk",
@@ -2473,6 +2477,11 @@ _DRIVER_PRIORITY = [
     # PCA covariance
     "cdc_snapshot", "embedding_quantize", "quality_zscores",
     "embedding_covariance", "events_gapfill", "per_source_cap",
+    # family alternates displaced from the 50-prefix by the §2.16 carriers
+    # (their components keep in-prefix representatives)
+    "repetition_filter", "ngram_jaccard_pairs", "embedding_lsh_pairs",
+    "kmeans_assignments", "frame_sample", "multimodal_resize",
+    "training_shards", "vocab_coverage", "table_profile",
 ]
 
 
