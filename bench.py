@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "table_profile",
     "dq_checks",
     "token_diversity",
+    "heavy_hitters",
 ]
 
 

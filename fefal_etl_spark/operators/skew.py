@@ -15,7 +15,7 @@ Three tools for the three big-join regimes at 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -71,3 +71,34 @@ def repartition_for_join(
     if num_partitions:
         return df.repartition(num_partitions, *[F.col(k) for k in keys])
     return df.repartition(*[F.col(k) for k in keys])
+
+
+def heavy_hitters(
+    df: DataFrame, key_col: str, top_n: int = 10
+) -> DataFrame:
+    """Skew DIAGNOSIS — the audit that decides which keys need
+    ``salted_join``/AQE skew handling: per-key row counts, the global
+    share of each, and the key's rank; only the ``top_n`` heaviest keys
+    return (count desc, key asc — deterministic).
+
+    One map-side-combinable count per key, a one-row total broadcast back,
+    then ``TakeOrderedAndProject`` for the top-N (never a global sort). At
+    100 TB swap the exact per-key count for a Count-min/Misra-Gries pass
+    only if the KEY CARDINALITY itself is the bottleneck — the exact
+    groupBy moves one row per distinct key, which is almost always fine.
+    """
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    total = counts.agg(F.sum("n_rows").alias("__tot"))
+    ranked = (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("n_rows").desc(), F.col(key_col).asc())
+            ),
+        )
+        .filter(F.col("rank") <= top_n)
+    )
+    return ranked.select(
+        key_col, "n_rows", (F.col("n_rows") / F.col("__tot")).alias("frac"), "rank"
+    )

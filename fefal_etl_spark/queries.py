@@ -2754,3 +2754,37 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("pk_unique").alias("check"), "n_rows", "n_violations"
     )
     return checks.unionByName(pk)
+
+
+@register(
+    "heavy_hitters",
+    """
+    WITH c AS (
+        SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_rows FROM orders
+        GROUP BY o_custkey
+    ),
+    t AS (SELECT SUM(n_rows) AS tot FROM c),
+    r AS (
+        SELECT o_custkey, n_rows,
+               row_number() OVER (ORDER BY n_rows DESC, o_custkey ASC) AS rank
+        FROM c
+    )
+    SELECT o_custkey, n_rows,
+           CAST(n_rows AS DOUBLE) / (SELECT tot FROM t) AS frac,
+           CAST(rank AS INT) AS rank
+    FROM r WHERE rank <= 10
+    """,
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnosis (operators/skew.py::heavy_hitters) — the audit that
+    feeds `salted_join`/AQE decisions: the 10 heaviest o_custkey values
+    with row counts and global share. Per-key counts are one
+    map-side-combinable aggregation; the top-N executes as
+    TakeOrderedAndProject over the key-cardinality frame (never a global
+    sort of the fact)."""
+    from fefal_etl_spark.operators.skew import heavy_hitters
+
+    orders = load_table(spark, sf_dir, "orders")
+    return heavy_hitters(orders, "o_custkey", top_n=10).select(
+        "o_custkey", "n_rows", "frac", F.col("rank").cast("int")
+    )

@@ -747,3 +747,14 @@ def test_token_diversity_degenerate_vs_varied(spark):
     assert out[1]["ttr"] == 0.25
     assert out[2]["ttr"] == 1.0
     assert abs(out[2]["entropy"] - round(math.log2(4), 6)) < 1e-9
+
+
+def test_heavy_hitters_ranks_planted_skew(spark):
+    from fefal_etl_spark.operators.skew import heavy_hitters
+
+    rows = [(1,)] * 50 + [(2,)] * 30 + [(k,) for k in range(10, 30)]
+    df = spark.createDataFrame(rows, ["k"])
+    out = heavy_hitters(df, "k", top_n=3).collect()
+    assert [r["k"] for r in out] == [1, 2, 10]  # ties broken by key asc
+    assert out[0]["n_rows"] == 50 and abs(out[0]["frac"] - 0.5) < 1e-12
+    assert [r["rank"] for r in out] == [1, 2, 3]
