@@ -116,6 +116,8 @@ BENCH_QUERIES = [
     "dq_checks",
     "token_diversity",
     "heavy_hitters",
+    "dup_clusters_star",
+    "incremental_rollup",
 ]
 
 

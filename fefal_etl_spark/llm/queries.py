@@ -1806,3 +1806,54 @@ def q_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return token_diversity(docs)
+
+
+@register(
+    "dup_clusters_star",
+    """
+    WITH RECURSIVE
+    ids AS (SELECT doc_id FROM documents),
+    chain AS (
+        SELECT doc_id AS src, doc_id + 1 AS dst FROM ids
+        WHERE doc_id < 60 AND (doc_id + 1) IN (SELECT doc_id FROM ids)
+    ),
+    pairs AS (
+        SELECT doc_id AS src, doc_id + 1000000 AS dst FROM ids
+        WHERE doc_id % 10 = 0 AND doc_id >= 100
+    ),
+    edges AS (SELECT * FROM chain UNION ALL SELECT * FROM pairs),
+    bidir AS (SELECT src AS a, dst AS b FROM edges
+              UNION ALL SELECT dst, src FROM edges),
+    nodes AS (SELECT DISTINCT a AS node FROM bidir),
+    reach(node, lbl) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT b.b, r.lbl FROM reach r JOIN bidir b ON b.a = r.node
+    )
+    SELECT CAST(node AS BIGINT) AS node,
+           CAST(min(lbl) AS BIGINT) AS component
+    FROM reach GROUP BY node
+    """,
+)
+def q_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 — connected components via alternating small-star/large-star
+    (llm/dedup.py::connected_components_star, Kiveris et al. SoCC'14):
+    the O(log n)-round form for unbounded-diameter graphs. The planted
+    edge list is a 61-node CHAIN (diameter 60 — min-label propagation
+    would need 60 shuffles; the star form stabilizes in ~6 two-shuffle
+    rounds) plus disjoint near-dup pairs. Oracle = the same recursive-CTE
+    closure as `dup_clusters`."""
+    from fefal_etl_spark.llm.dedup import connected_components_star
+
+    ids = load_table(spark, sf_dir, "documents").select("doc_id")
+    nxt = ids.select((F.col("doc_id")).alias("k"))
+    chain = (
+        ids.filter(F.col("doc_id") < 60)
+        .join(nxt, F.col("doc_id") + 1 == F.col("k"), "left_semi")
+        .select(F.col("doc_id").alias("src"), (F.col("doc_id") + 1).alias("dst"))
+    )
+    pairs = ids.filter((F.col("doc_id") % 10 == 0) & (F.col("doc_id") >= 100)).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") + 1000000).alias("dst")
+    )
+    out = connected_components_star(chain.unionByName(pairs))
+    return out.select(F.col("node").cast("long"), F.col("component").cast("long"))

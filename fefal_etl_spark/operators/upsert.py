@@ -227,3 +227,37 @@ def apply_changelog(
         .filter((F.col("__rk") == 1) & (F.col(op_col) != delete_op))
         .drop("__rk")
     )
+
+
+def merge_aggregates(
+    prev: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    merge_fns: dict[str, str],
+) -> DataFrame:
+    """Incremental aggregate maintenance: combine yesterday's aggregate
+    table with a freshly-aggregated delta batch WITHOUT rescanning
+    history — the pattern that turns an O(history) nightly rollup into an
+    O(delta) one. ``merge_fns`` maps each aggregate column to its merge
+    semigroup: ``sum`` (also merges counts), ``min``, ``max``. Averages
+    and ratios must be stored as (sum, count) pairs and derived on read —
+    they do not merge (flagged loudly rather than silently mis-merged).
+
+    union + re-aggregate rather than a full-outer join: one shuffle on
+    the group keys either way, but the union form needs no NULL-coalesce
+    per column, handles keys present on either side symmetrically, and
+    keeps map-side partial aggregation. At 100 TB the shuffle moves ≤
+    |prev keys| + |delta keys| aggregate rows, never raw history.
+    """
+    allowed = {"sum", "min", "max"}
+    bad = {c: f for c, f in merge_fns.items() if f not in allowed}
+    if bad:
+        raise ValueError(
+            f"non-mergeable aggregate columns {bad}: store avg/ratio as "
+            f"(sum, count) and derive on read"
+        )
+    both = prev.select(*keys, *merge_fns).unionByName(
+        delta.select(*keys, *merge_fns)
+    )
+    aggs = [getattr(F, fn)(c).alias(c) for c, fn in merge_fns.items()]
+    return both.groupBy(*keys).agg(*aggs)

@@ -2788,3 +2788,52 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(orders, "o_custkey", top_n=10).select(
         "o_custkey", "n_rows", "frac", F.col("rank").cast("int")
     )
+
+
+@register(
+    "incremental_rollup",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           CAST(min(event_id) AS BIGINT) AS first_event,
+           max(value) AS max_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse maintenance — incremental rollup refresh
+    (operators/upsert.py::merge_aggregates): history is aggregated once,
+    a new delta batch is aggregated alone (O(delta), not O(history)), and
+    the two aggregate tables merge by their semigroups (sum/min/max; the
+    DECIMAL sum keeps the merge bit-exact and order-insensitive). The
+    oracle computes the full rollup from scratch — the merge must equal
+    the recompute exactly, which is the correctness contract that lets a
+    nightly job skip the history rescan."""
+    from fefal_etl_spark.operators.upsert import merge_aggregates
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def rollup(df):
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+            F.min("event_id").cast("long").alias("first_event"),
+            F.max("value").alias("max_value"),
+        )
+
+    prev = rollup(ev.filter(F.col("event_id") % 4 != 0))
+    delta = rollup(ev.filter(F.col("event_id") % 4 == 0))
+    merged = merge_aggregates(
+        prev,
+        delta,
+        keys=["event_type"],
+        merge_fns={"n": "sum", "sum_value": "sum", "first_event": "min", "max_value": "max"},
+    )
+    return merged.select(
+        "event_type",
+        F.col("n").cast("long"),
+        F.col("sum_value").cast("double"),
+        "first_event",
+        "max_value",
+    )

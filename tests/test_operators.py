@@ -758,3 +758,32 @@ def test_heavy_hitters_ranks_planted_skew(spark):
     assert [r["k"] for r in out] == [1, 2, 10]  # ties broken by key asc
     assert out[0]["n_rows"] == 50 and abs(out[0]["frac"] - 0.5) < 1e-12
     assert [r["rank"] for r in out] == [1, 2, 3]
+
+
+def test_merge_aggregates_equals_recompute_and_rejects_avg(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from fefal_etl_spark.operators.upsert import merge_aggregates
+
+    rows = [("a", i, float(i)) for i in range(10)] + [("b", 100, 5.0)]
+    df = spark.createDataFrame(rows, ["g", "k", "v"])
+
+    def roll(d):
+        return d.groupBy("g").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("v").cast("decimal(18,2)")).alias("s"),
+            F.min("k").cast("long").alias("mn"),
+        )
+
+    merged = merge_aggregates(
+        roll(df.filter(F.col("k") < 5)),
+        roll(df.filter(F.col("k") >= 5)),
+        keys=["g"],
+        merge_fns={"n": "sum", "s": "sum", "mn": "min"},
+    )
+    want = {tuple(r) for r in roll(df).collect()}
+    got = {tuple(r) for r in merged.collect()}
+    assert got == want  # merge == full recompute, incl. 'b' on one side only
+    with pytest.raises(ValueError, match="non-mergeable"):
+        merge_aggregates(roll(df), roll(df), ["g"], {"n": "avg"})
