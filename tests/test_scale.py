@@ -161,6 +161,8 @@ SMJ_WHITELIST = {
     "min_cost_supplier",          # derived×derived min-equality join
     "gaussian_lsh_recall",        # audit-scale truth join
     "star_idempotent_reload",     # reload-vs-dim truth join
+    "dup_clusters_star",          # node×parent resolution: both sides are
+                                  # node-cardinality at scale — SMJ correct
 }
 
 
