@@ -2837,3 +2837,57 @@ def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "first_event",
         "max_value",
     )
+
+
+@register(
+    "schema_evolution_scan",
+    """
+    WITH merged AS (
+        SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority
+        FROM orders WHERE o_orderkey % 2 = 0
+        UNION ALL
+        SELECT o_orderkey, CAST(NULL AS DOUBLE), o_orderpriority
+        FROM orders WHERE o_orderkey % 2 = 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(o_totalprice) AS BIGINT) AS n_price,
+           CAST(count(o_orderpriority) AS BIGINT) AS n_priority,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key
+    FROM merged
+    """,
+)
+def q_schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8+ — schema-drift tolerant scan: two parquet batches written with
+    DIFFERENT schemas (an old batch lacking a column the new batch added,
+    and vice versa) read back as ONE frame via ``mergeSchema`` —
+    missing columns surface as typed NULLs, the lakehouse schema-evolution
+    contract. The oracle replays the drift as a UNION ALL with NULL
+    padding; counts over the union pin the exact NULL-fill semantics.
+    Footer merging is a driver-side metadata operation (cost ∝ file
+    count, not data); at 100 TB pin the canonical schema in a metastore
+    and pass it explicitly instead of re-inferring per read."""
+    import os
+
+    orders = load_table(spark, sf_dir, "orders")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = f"/root/repo/.tmp/schema_evo_{tag}"
+    if not os.path.exists(os.path.join(path, "b2", "_SUCCESS")):
+        orders.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_totalprice"
+        ).write.mode("overwrite").parquet(os.path.join(path, "b1"))
+        orders.filter(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey", "o_orderpriority"
+        ).write.mode("overwrite").parquet(os.path.join(path, "b2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(path, "b1"), os.path.join(path, "b2")
+    )
+    return merged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count("o_totalprice").cast("long").alias("n_price"),
+        F.count("o_orderpriority").cast("long").alias("n_priority"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+        F.min("o_orderkey").cast("long").alias("min_key"),
+    )
