@@ -1857,3 +1857,63 @@ def q_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = connected_components_star(chain.unionByName(pairs))
     return out.select(F.col("node").cast("long"), F.col("component").cast("long"))
+
+
+@register(
+    "quantized_rerank_topk",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    qz AS (
+        SELECT vec_id, v,
+               CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+                    THEN 127.0 / list_max(list_transform(v, x -> abs(x)))
+                    ELSE 0.0 END AS scale
+        FROM e
+    ),
+    codes AS (
+        SELECT vec_id, v,
+               list_transform(v, x -> CAST(round(x * scale) AS BIGINT)) AS q
+        FROM qz
+    ),
+    qs AS (SELECT vec_id AS query_id, q AS qq, v AS qv FROM codes
+           WHERE vec_id < 3),
+    scored AS (
+        SELECT qs.query_id, c.vec_id,
+               CAST(list_dot_product(c.q, qs.qq) AS BIGINT) AS int_score,
+               list_dot_product(c.v, qs.qv) /
+               (sqrt(list_dot_product(c.v, c.v)) *
+                sqrt(list_dot_product(qs.qv, qs.qv))) AS cs
+        FROM codes c CROSS JOIN qs WHERE c.vec_id <> qs.query_id
+    ),
+    pre AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY int_score DESC, vec_id) AS prk
+        FROM scored
+    )
+    SELECT query_id, vec_id, int_score,
+           round(cs, 6) AS cos_sim, CAST(rk AS BIGINT) AS rk
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY cs DESC, vec_id) AS rk
+          FROM pre WHERE prk <= 20) t
+    WHERE rk <= 5
+    """,
+)
+def q_quantized_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 — int8-prefiltered ANN with float re-rank
+    (llm/similarity.py::quantized_rerank_topk): candidates scored by the
+    INTEGER code dot product (exact 64-bit math — bit-identical across
+    engines), top-20 per query kept, exact cosine re-ranks to top-5.
+    This is the end-to-end payoff of the V20 quantization lever: the
+    prefilter stage reads 4-8× fewer bytes at scale and composes with the
+    IVF bucket restriction."""
+    from fefal_etl_spark.llm.similarity import quantized_rerank_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = quantized_rerank_topk(emb, queries, prefilter=20, k=5)
+    return out.select(
+        "query_id", "vec_id", "int_score",
+        F.round("cos_sim", 6).alias("cos_sim"), "rk",
+    )

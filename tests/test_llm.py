@@ -698,3 +698,30 @@ def test_connected_components_star_matches_propagation(spark):
             for r in connected_components_star(edges).collect()
         }
         assert got == want
+
+
+def test_quantized_prefilter_keeps_true_neighbors(spark):
+    from pyspark.sql import functions as F
+
+    from fefal_etl_spark.llm.similarity import cosine_topk, quantized_rerank_topk
+
+    # int8 codes preserve direction well enough that the float top-3 must
+    # survive a 10-wide integer prefilter on a 64-dim corpus
+    import math
+    rows = []
+    for i in range(50):
+        vec = [math.sin(0.1 * i * (d + 1)) for d in range(16)]
+        rows.append((i, vec))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    qs = df.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    truth = {
+        r["vec_id"]
+        for r in cosine_topk(df, qs, k=3).collect()
+    }
+    got = {
+        r["vec_id"]
+        for r in quantized_rerank_topk(df, qs, prefilter=10, k=3).collect()
+    }
+    assert truth == got
