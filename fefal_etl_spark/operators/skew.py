@@ -89,15 +89,20 @@ def heavy_hitters(
     """
     counts = df.groupBy(key_col).agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
     total = counts.agg(F.sum("n_rows").alias("__tot"))
+    # orderBy().limit() plans as TakeOrderedAndProject (per-partition heap +
+    # driver merge of top_n·partitions rows) — NOT a row_number over an
+    # unpartitioned window, which would sort the whole key-cardinality
+    # frame in one partition. Rank is assigned afterwards on the tiny
+    # top_n-row result.
+    top = counts.orderBy(F.col("n_rows").desc(), F.col(key_col).asc()).limit(top_n)
     ranked = (
-        counts.crossJoin(F.broadcast(total))
+        top.crossJoin(F.broadcast(total))
         .withColumn(
             "rank",
             F.row_number().over(
                 Window.orderBy(F.col("n_rows").desc(), F.col(key_col).asc())
             ),
         )
-        .filter(F.col("rank") <= top_n)
     )
     return ranked.select(
         key_col, "n_rows", (F.col("n_rows") / F.col("__tot")).alias("frac"), "rank"
