@@ -332,16 +332,14 @@ def vocab_coverage(
     toks = df.select(
         F.col(id_col), F.explode(words(F.lower(F.col(text_col)))).alias("__t")
     ).filter(F.col("__t") != "")
+    # top-K via orderBy().limit() = TakeOrderedAndProject (per-partition
+    # heap + driver merge), never an unpartitioned row_number window that
+    # would sort the whole vocabulary in one partition
     vocab = (
         toks.groupBy("__t")
         .agg(F.count("*").alias("__cnt"))
-        .withColumn(
-            "__rk",
-            F.row_number().over(
-                Window.orderBy(F.col("__cnt").desc(), F.col("__t").asc())
-            ),
-        )
-        .filter(F.col("__rk") <= vocab_size)
+        .orderBy(F.col("__cnt").desc(), F.col("__t").asc())
+        .limit(vocab_size)
         .select(F.col("__t").alias("__v"))
     )
     return (
