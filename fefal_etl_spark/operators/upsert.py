@@ -261,3 +261,27 @@ def merge_aggregates(
     )
     aggs = [getattr(F, fn)(c).alias(c) for c, fn in merge_fns.items()]
     return both.groupBy(*keys).agg(*aggs)
+
+
+def dim_as_of(
+    dim: DataFrame,
+    ts: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Point-in-time read over an SCD2 dimension: the version of each key
+    that was valid at ``ts`` (``valid_from <= ts < valid_to``, open rows
+    have NULL ``valid_to``). The time-travel query that makes SCD2 history
+    worth storing — joins facts to the dimension AS OF the fact's own
+    date instead of today's attributes.
+
+    A narrow filter: predicate pushdown carries it into the dimension
+    scan, and on a lake partitioned/Z-ordered by validity range it prunes
+    files. Exactly one version per key survives by SCD2's non-overlap
+    invariant (enforced at merge time, not re-checked here).
+    """
+    t = F.lit(ts).cast(dim.schema[valid_from].dataType)
+    return dim.filter(
+        (F.col(valid_from) <= t)
+        & (F.col(valid_to).isNull() | (t < F.col(valid_to)))
+    )

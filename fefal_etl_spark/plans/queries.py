@@ -831,3 +831,106 @@ def q_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "order_key", "op", F.col("price").cast("double").alias("price"),
         F.col("ts").alias("last_ts"),
     )
+
+
+@register(
+    "scd2_as_of",
+    """
+    WITH base AS (
+        SELECT c_custkey, c_mktsegment,
+               TIMESTAMP '2020-01-01' AS valid_from,
+               CAST(NULL AS TIMESTAMP) AS valid_to,
+               true AS is_current
+        FROM customer
+    ),
+    snapshot AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 7 = 0 THEN c_mktsegment || '_V2'
+                    ELSE c_mktsegment END AS c_mktsegment
+        FROM customer
+        UNION ALL
+        SELECT c_custkey + 1000000, c_mktsegment
+        FROM customer WHERE c_custkey < 50
+    ),
+    changed AS (
+        SELECT b.c_custkey FROM base b JOIN snapshot s USING (c_custkey)
+        WHERE b.c_mktsegment IS DISTINCT FROM s.c_mktsegment
+    ),
+    merged AS (
+        SELECT b.c_custkey, b.c_mktsegment, b.valid_from,
+               TIMESTAMP '2021-01-01' AS valid_to, false AS is_current
+        FROM base b JOIN changed USING (c_custkey)
+        UNION ALL
+        SELECT b.c_custkey, b.c_mktsegment, b.valid_from, b.valid_to,
+               b.is_current
+        FROM base b ANTI JOIN changed USING (c_custkey)
+        UNION ALL
+        SELECT s.c_custkey, s.c_mktsegment,
+               TIMESTAMP '2021-01-01', CAST(NULL AS TIMESTAMP), true
+        FROM snapshot s
+        WHERE s.c_custkey IN (SELECT c_custkey FROM changed)
+           OR s.c_custkey NOT IN (SELECT c_custkey FROM base)
+    ),
+    pit AS (
+        SELECT 'before' AS as_of, * FROM merged
+        WHERE valid_from <= TIMESTAMP '2020-06-01'
+          AND (valid_to IS NULL OR TIMESTAMP '2020-06-01' < valid_to)
+        UNION ALL
+        SELECT 'after', * FROM merged
+        WHERE valid_from <= TIMESTAMP '2021-06-01'
+          AND (valid_to IS NULL OR TIMESTAMP '2021-06-01' < valid_to)
+    )
+    SELECT as_of,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_keys,
+           CAST(SUM(CASE WHEN c_mktsegment LIKE '%_V2' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_v2
+    FROM pit GROUP BY as_of
+    """,
+)
+def q_scd2_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 time travel (operators/upsert.py::dim_as_of): the same merged
+    dimension read AS OF two dates — before the merge load no key shows a
+    _V2 segment and the 50 added keys are absent; after it every 7th key
+    resolves to its _V2 version. One version per key at each date (n_rows
+    == n_keys) pins the non-overlap invariant end to end. The as-of
+    predicate is a narrow pushdown filter — at scale it prunes
+    validity-partitioned files."""
+    from fefal_etl_spark.operators.upsert import dim_as_of, scd2_merge
+
+    cust = load_table(spark, sf_dir, "customer")
+    base = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit("2020-01-01").cast("timestamp_ntz").alias("valid_from"),
+        F.lit(None).cast("timestamp_ntz").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    snapshot = cust.select(
+        "c_custkey",
+        F.when(
+            F.col("c_custkey") % 7 == 0,
+            F.concat(F.col("c_mktsegment"), F.lit("_V2")),
+        )
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+    ).unionByName(
+        cust.filter(F.col("c_custkey") < 50).select(
+            (F.col("c_custkey") + 1000000).alias("c_custkey"), "c_mktsegment"
+        )
+    )
+    merged = scd2_merge(
+        base, snapshot, key="c_custkey", tracked=["c_mktsegment"],
+        load_ts="2021-01-01",
+    )
+
+    def stats(tag: str, ts: str) -> DataFrame:
+        return dim_as_of(merged, ts).agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct("c_custkey").cast("long").alias("n_keys"),
+            F.sum(
+                F.when(F.col("c_mktsegment").endswith("_V2"), 1).otherwise(0)
+            ).cast("long").alias("n_v2"),
+        ).select(F.lit(tag).alias("as_of"), "n_rows", "n_keys", "n_v2")
+
+    return stats("before", "2020-06-01").unionByName(stats("after", "2021-06-01"))
