@@ -119,6 +119,8 @@ BENCH_QUERIES = [
     "incremental_rollup",
     "quantized_rerank_topk",
     "schema_evolution_scan",
+    "unigram_logprob",
+    "scd2_as_of",
     # dup_clusters_star is excluded like ngram_jaccard_pairs: at bench SF its
     # wall time is ~6 iterative rounds of fixed scheduling cost (the
     # algorithm exists for O(log n) ROUNDS at web scale, demonstrated by the

@@ -1917,3 +1917,38 @@ def q_quantized_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "vec_id", "int_score",
         F.round("cos_sim", 6).alias("cos_sim"), "rk",
     )
+
+
+@register(
+    "unigram_logprob",
+    """
+    WITH toks AS (
+        SELECT doc_id, t FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
+            FROM documents) x
+        WHERE t <> ''
+    ),
+    model AS (SELECT t, count(*) AS c FROM toks GROUP BY t),
+    tot AS (SELECT SUM(c) AS n FROM model),
+    scored AS (
+        SELECT toks.doc_id,
+               -log2(CAST(model.c AS DOUBLE) / (SELECT n FROM tot)) AS nll
+        FROM toks JOIN model USING (t)
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(nll), 6) AS mean_nll
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 — corpus-unigram negative-log-likelihood scoring
+    (llm/text_analysis.py::unigram_logprob): the perplexity-gate dataflow
+    (fit distribution → broadcast → score) with the corpus's own unigram
+    model. Model fit shuffles at vocabulary cardinality; scoring is a
+    broadcast join + per-doc mean (round-6 both engines)."""
+    from fefal_etl_spark.llm.text_analysis import unigram_logprob
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_logprob(docs)

@@ -393,3 +393,42 @@ def token_diversity(
             6,
         ).alias("entropy"),
     )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-unigram log-probability scoring — the cheap stand-in for the
+    CCNet/Gopher perplexity gate: learn the corpus's own unigram
+    distribution p(w), then score each document by its mean
+    −log₂ p(w) over tokens. Documents far from the corpus distribution
+    (noise, wrong language, boilerplate-free gibberish) score high; fluent
+    in-domain text scores low. A real LM refines this; the dataflow — fit
+    a distribution on one pass, broadcast it, score on a second — is
+    identical.
+
+    Shuffle profile: the model fit moves one row per distinct word
+    (vocabulary cardinality); the scoring pass broadcast-joins the model
+    and aggregates per doc with map-side partials. Mean −log₂ p sums
+    doubles in engine order → rounded to 6 decimals on both sides (the
+    documented boundary caveat, as in ``token_diversity``).
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(words(F.lower(F.col(text_col)))).alias("__t")
+    ).filter(F.col("__t") != "")
+    model = toks.groupBy("__t").agg(F.count("*").alias("__c"))
+    total = model.agg(F.sum("__c").alias("__n"))
+    scored = (
+        toks.join(F.broadcast(model), "__t")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            (-F.log2(F.col("__c") / F.col("__n"))).alias("__nll"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.round(F.avg("__nll"), 6).alias("mean_nll"),
+    )

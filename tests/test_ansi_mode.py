@@ -1,6 +1,6 @@
 """The driver may run queries() on a default Spark 4 session — ANSI mode ON.
 The library's coercions are all try_* based, so every query must execute
-(not throw) under ANSI; full no-throw coverage of all 130 (round 3 final) was verified
+(not throw) under ANSI; full no-throw coverage of all 147 (round 3 final) was verified
 manually, these pin the coercion-heavy representatives in CI."""
 
 import pytest

@@ -725,3 +725,16 @@ def test_quantized_prefilter_keeps_true_neighbors(spark):
         for r in quantized_rerank_topk(df, qs, prefilter=10, k=3).collect()
     }
     assert truth == got
+
+
+def test_unigram_logprob_flags_rare_token_docs(spark):
+    from fefal_etl_spark.llm.text_analysis import unigram_logprob
+
+    rows = [(i, "common common common common") for i in range(20)] + [
+        (100, "rareword common common common"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in unigram_logprob(df).collect()}
+    # the doc carrying the corpus-rare token must score strictly higher
+    assert out[100]["mean_nll"] > out[0]["mean_nll"]
+    assert out[0]["n_tokens"] == 4
