@@ -667,9 +667,14 @@ def connected_components_star(
     cur = e0.filter(F.col("u") != F.col("v")).distinct().localCheckpoint(eager=True)
 
     def fingerprint(d: DataFrame) -> tuple:
+        # per-edge 64-bit hash summed in DECIMAL(38,0): order-insensitive
+        # set identity that (a) cannot overflow under ANSI for any realistic
+        # edge count (< 1e19 rows) — a linear u·K+v sum throws on 60-bit
+        # node ids — and (b) is not invariant under endpoint swaps between
+        # edges, unlike a linear form where {(5,1),(4,2)} == {(5,2),(4,1)}
         row = d.agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("u") * 1_000_003 + F.col("v")).alias("s"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("s"),
         ).collect()[0]
         return (row["n"], row["s"])
 

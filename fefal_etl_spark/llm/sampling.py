@@ -23,12 +23,19 @@ from fefal_etl_spark.llm.dedup import md5_hash64
 BUCKETS = 10_000
 
 
+def salted_bucket(key: Column, salt: str, modulus: int) -> Column:
+    """The shared portable bucketing primitive: md5(salt|key) % modulus.
+    Every deterministic sampler/sharder in this module derives from this
+    ONE expression so a change to the hash convention lands everywhere."""
+    k = F.concat(F.lit(salt), F.lit("|"), key.cast("string"))
+    return md5_hash64(k) % modulus
+
+
 def sample_bucket(key: Column, salt: str = "") -> Column:
     """Stable bucket in [0, BUCKETS) for a row key. ``salt`` decorrelates
     independent samples drawn from the same keys (each salt is a fresh
     hash function)."""
-    k = F.concat(F.lit(salt), F.lit("|"), key.cast("string"))
-    return md5_hash64(k) % BUCKETS
+    return salted_bucket(key, salt, BUCKETS)
 
 
 def deterministic_sample(
@@ -193,10 +200,7 @@ def shard_assign(key: Column, num_shards: int = 64, salt: str = "shard") -> Colu
     bounded file sizes) to materialize the sharded corpus; the md5 mix
     also serves as the deterministic global shuffle (within-shard order by
     the same hash) that pretraining loaders expect."""
-    return (
-        md5_hash64(F.concat(F.lit(salt), F.lit("|"), key.cast("string")))
-        % num_shards
-    )
+    return salted_bucket(key, salt, num_shards)
 
 
 def per_group_cap(

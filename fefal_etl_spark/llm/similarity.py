@@ -599,17 +599,25 @@ def quantized_rerank_topk(
     (they are the compressed vector column). Output (query_id, id,
     int_score, cos_sim, rk).
     """
-    cq = quantize_embeddings(corpus, id_col, vec_col).join(
-        corpus.select(F.col(id_col), as_double_vec(F.col(vec_col)).alias("__v")),
-        id_col,
-    )
-    qq = quantize_embeddings(queries, query_id_col, vec_col).join(
-        queries.select(
-            F.col(query_id_col), as_double_vec(F.col(vec_col)).alias("__qv")
-        ),
-        query_id_col,
-    ).select(
-        query_id_col, F.col("q").alias("__qq"), "__qv"
+    def _with_codes(df, idc, vec_alias, code_alias):
+        # quantization inlined as chained projections on ONE (id, vec)
+        # frame — a quantize_embeddings + id-join formulation would rescan
+        # and shuffle the corpus just to re-attach the float vector it
+        # already read (review finding; identical codes either way)
+        base = df.select(F.col(idc), as_double_vec(F.col(vec_col)).alias(vec_alias))
+        amax = F.array_max(F.transform(F.col(vec_alias), lambda x: F.abs(x)))
+        scaled = base.withColumn(
+            "__scale",
+            F.when(amax > 0, F.lit(127.0) / amax).otherwise(F.lit(0.0)),
+        )
+        code = F.transform(
+            F.col(vec_alias), lambda x: F.round(x * F.col("__scale")).cast("int")
+        )
+        return scaled.withColumn(code_alias, code).drop("__scale")
+
+    cq = _with_codes(corpus, id_col, "__v", "q")
+    qq = _with_codes(queries, query_id_col, "__qv", "__qq").select(
+        query_id_col, "__qq", "__qv"
     )
     joined = cq.join(F.broadcast(qq), F.col(id_col) != F.col(query_id_col))
     int_score = F.aggregate(

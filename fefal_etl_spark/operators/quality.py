@@ -60,8 +60,13 @@ def dq_checks(df: DataFrame, checks: dict[str, Column]) -> DataFrame:
     """
     aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
     for name, cond in checks.items():
+        # coalesce: SUM over zero rows is NULL — an empty load must report
+        # 0 violations, not None (a `if row.n_violations:` gate would
+        # otherwise publish on None)
         aggs.append(
-            F.sum(F.when(cond, 0).otherwise(1)).cast("long").alias(f"__v_{name}")
+            F.coalesce(F.sum(F.when(cond, 0).otherwise(1)), F.lit(0))
+            .cast("long")
+            .alias(f"__v_{name}")
         )
     one = df.agg(*aggs)
     rows = F.array(
@@ -85,7 +90,9 @@ def uniqueness_violations(df: DataFrame, key_cols: list[str]) -> DataFrame:
     """
     per_key = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__c"))
     return per_key.agg(
-        F.sum("__c").cast("long").alias("n_rows"),
+        F.coalesce(F.sum("__c"), F.lit(0)).cast("long").alias("n_rows"),
         F.count(F.lit(1)).cast("long").alias("n_distinct_keys"),
-        F.sum(F.col("__c") - 1).cast("long").alias("n_violations"),
+        F.coalesce(F.sum(F.col("__c") - 1), F.lit(0))
+        .cast("long")
+        .alias("n_violations"),
     )

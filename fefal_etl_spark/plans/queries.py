@@ -883,7 +883,8 @@ def q_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT as_of,
            CAST(count(*) AS BIGINT) AS n_rows,
            CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_keys,
-           CAST(SUM(CASE WHEN c_mktsegment LIKE '%_V2' THEN 1 ELSE 0 END)
+           CAST(SUM(CASE WHEN right(c_mktsegment, 3) = '_V2'
+                          THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_v2
     FROM pit GROUP BY as_of
     """,

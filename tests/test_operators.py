@@ -787,3 +787,15 @@ def test_merge_aggregates_equals_recompute_and_rejects_avg(spark):
     assert got == want  # merge == full recompute, incl. 'b' on one side only
     with pytest.raises(ValueError, match="non-mergeable"):
         merge_aggregates(roll(df), roll(df), ["g"], {"n": "avg"})
+
+
+def test_dq_checks_empty_input_reports_zero_not_null(spark):
+    from pyspark.sql import functions as F
+
+    from fefal_etl_spark.operators.quality import dq_checks, uniqueness_violations
+
+    empty = spark.createDataFrame([], "x double")
+    row = dq_checks(empty, {"x_pos": F.col("x") > 0}).collect()[0]
+    assert row["n_rows"] == 0 and row["n_violations"] == 0  # not None
+    u = uniqueness_violations(empty.select(F.col("x").alias("k")), ["k"]).collect()[0]
+    assert u["n_rows"] == 0 and u["n_violations"] == 0
