@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     # corpus-curation additions: passage dedup, domain mixing, dedup verdict,
     # shard layout, vocabulary coverage
     "segment_dedup",
+    "substring_dup_spans",
     "temperature_resample",
     "dedup_canonicalize",
     "training_shards",

@@ -728,3 +728,87 @@ def connected_components_star(
     return nodes.join(parents, nodes["node"] == parents["u"], "left").select(
         "node", F.coalesce("component", "node").alias("component")
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 15,
+) -> DataFrame:
+    """Substring-level duplicate spans (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better" — the ExactSubstr
+    deduplicator, at word granularity): find every ``k``-word window whose
+    content occurs ≥2 times anywhere in the corpus (cross-doc OR repeated
+    within one doc), then merge the flagged windows per document into
+    maximal removable spans.
+
+    Reference scope: the reference engine has no substring dedup; this is
+    a §2.12 E1 extension mandated by the training-data-pipeline brief
+    (exact dedup operates at document level — etl_ui.py:201-213 dedups
+    whole rows; this operates *inside* the text).
+
+    Plan (2 shuffles, both keyed far below corpus row-width):
+
+    1. Narrow fan-out: words array materialized once per doc, window
+       starts exploded against it, each window reduced to its md5 hex —
+       the full text column never shuffles, only (id, pos, 32-byte hash).
+    2. Shuffle 1 — ``Window.partitionBy(hash)`` occurrence count (a
+       single hash-partitioned exchange; no groupBy+join back, which
+       would shuffle the same data twice). Windows with count ≥ 2 are
+       duplicated. Boilerplate-heavy corpora (license headers) skew the
+       hash key; AQE skew handling splits those partitions.
+    3. Shuffle 2 — per-doc interval merge: running ``max(end)`` over the
+       preceding flagged windows; a window opens a new span when its
+       start clears the running max by ≥2 (adjacent spans merge). This is
+       the classic islands pattern — one window spec, no self-join.
+
+    Output: (id, span_start, span_end, span_words, n_windows) — 1-based
+    word offsets, one row per maximal duplicated span. Empty at k >
+    longest repeated run. Downstream removal is a slice-and-reassemble
+    over the words array semi-joined to these spans.
+    """
+    from pyspark.sql import Window
+
+    w = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    ws = df.select(F.col(id_col), w.alias("__w")).filter(F.size("__w") >= k)
+    starts = F.sequence(F.lit(1), F.size("__w") - F.lit(k - 1))
+    hashed = (
+        ws.select(F.col(id_col), "__w", F.explode(starts).alias("pos"))
+        .select(
+            F.col(id_col),
+            F.col("pos"),
+            F.md5(F.concat_ws(" ", F.slice(F.col("__w"), F.col("pos"), k))).alias(
+                "__h"
+            ),
+        )
+    )
+    flagged = (
+        hashed.withColumn(
+            "__cnt", F.count("*").over(Window.partitionBy("__h"))
+        )
+        .filter(F.col("__cnt") >= 2)
+        .select(
+            F.col(id_col),
+            F.col("pos").alias("__s"),
+            (F.col("pos") + F.lit(k - 1)).alias("__e"),
+        )
+    )
+    order = Window.partitionBy(id_col).orderBy("__s", "__e")
+    prev_max = F.max("__e").over(
+        order.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = flagged.withColumn(
+        "__new",
+        F.when(prev_max.isNull() | (F.col("__s") > prev_max + 1), 1).otherwise(0),
+    ).withColumn("__island", F.sum("__new").over(order))
+    return (
+        islands.groupBy(id_col, "__island")
+        .agg(
+            F.min("__s").cast("int").alias("span_start"),
+            F.max("__e").cast("int").alias("span_end"),
+            (F.max("__e") - F.min("__s") + 1).cast("int").alias("span_words"),
+            F.count("*").alias("n_windows"),
+        )
+        .drop("__island")
+    )

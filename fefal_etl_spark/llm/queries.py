@@ -553,6 +553,65 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_corpus(spark, sf_dir), "doc_id", "text", bits=60)
 
 
+_SPAN_K = 15
+
+
+@register(
+    "substring_dup_spans",
+    f"""
+    WITH {_CORPUS_SQL},
+    w AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+        FROM corpus
+    ),
+    win AS (
+        SELECT doc_id, unnest(range(1, len(ws) - {_SPAN_K} + 2)) AS pos, ws
+        FROM w WHERE len(ws) >= {_SPAN_K}
+    ),
+    hw AS (
+        SELECT doc_id, pos,
+               md5(array_to_string(ws[pos:pos+{_SPAN_K - 1}], ' ')) AS h
+        FROM win
+    ),
+    fl AS (
+        SELECT doc_id, pos AS s, pos + {_SPAN_K - 1} AS e
+        FROM (SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY h) AS cnt FROM hw) x
+        WHERE cnt >= 2
+    ),
+    m AS (
+        SELECT doc_id, s, e,
+               MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS pm
+        FROM fl
+    ),
+    g AS (
+        SELECT doc_id, s, e,
+               SUM(CASE WHEN pm IS NULL OR s > pm + 1 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY s, e) AS island
+        FROM m
+    )
+    SELECT doc_id, CAST(MIN(s) AS INT) AS span_start,
+           CAST(MAX(e) AS INT) AS span_end,
+           CAST(MAX(e) - MIN(s) + 1 AS INT) AS span_words,
+           CAST(COUNT(*) AS BIGINT) AS n_windows
+    FROM g GROUP BY doc_id, island
+    """,
+)
+def q_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 — substring-level duplicate spans (ExactSubstr dedup, Lee et al.
+    2022, at word granularity): every 15-word window occurring ≥2 times
+    anywhere in the corpus is flagged, and flagged windows merge per doc
+    into maximal removable spans. On the planted corpus each doc_id % 10
+    == 0 original and its +1000000 copy share their full window set, so
+    both emit one whole-doc span (plus any organic repeats — identical on
+    both engines). Two shuffles total: one hash-partitioned occurrence
+    count, one per-doc interval merge (llm/dedup.py::duplicate_spans)."""
+    from fefal_etl_spark.llm.dedup import duplicate_spans
+
+    return duplicate_spans(_corpus(spark, sf_dir), "doc_id", "text", k=_SPAN_K)
+
+
 @register(
     "embedding_neardup",
     """

@@ -738,3 +738,33 @@ def test_unigram_logprob_flags_rare_token_docs(spark):
     # the doc carrying the corpus-rare token must score strictly higher
     assert out[100]["mean_nll"] > out[0]["mean_nll"]
     assert out[0]["n_tokens"] == 4
+
+
+def test_duplicate_spans_cross_doc_within_doc_and_merging(spark):
+    from fefal_etl_spark.llm.dedup import duplicate_spans
+
+    rows = [
+        # doc1 shares a..e with doc2 (one merged span) and f g h with doc5
+        # (a second, disjoint span — the u1..u3 gap keeps the islands apart)
+        (1, "a b c d e u1 u2 u3 f g h"),
+        (2, "x x a b c d e y z w"),
+        (3, "p1 p2 p3 p4 p5"),  # unique — no spans
+        (4, "m n o k k m n o k k"),  # within-doc repeat; adjacent merge → whole doc
+        (5, "q r s t u v w2 f g h"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r["doc_id"], r["span_start"], r["span_end"]): (
+            r["span_words"],
+            r["n_windows"],
+        )
+        for r in duplicate_spans(df, "doc_id", "text", k=3).collect()
+    }
+    assert out == {
+        (1, 1, 5): (5, 3),  # windows abc,bcd,cde merged
+        (1, 9, 11): (3, 1),  # fgh — new island (gap ≥ 2 from prev span)
+        (2, 3, 7): (5, 3),
+        (4, 1, 10): (10, 6),  # mno,nok,okk each ×2 within the doc; spans touch → merge
+        (5, 8, 10): (3, 1),
+    }
+    assert not any(d == 3 for d, _, _ in out)
