@@ -812,3 +812,57 @@ def duplicate_spans(
         )
         .drop("__island")
     )
+
+
+def remove_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Rewrite documents with their duplicate spans excised — the consumer
+    stage of :func:`duplicate_spans` (together they are the ExactSubstr
+    deduplicator of Lee et al. 2022; like the released tool, EVERY
+    occurrence of a duplicated span is removed, not all-but-one — simpler,
+    and the paper reports the training effect is equivalent).
+
+    ``spans`` must carry (id, span_start, span_end) in 1-based word
+    offsets over the whitespace tokenization of ``text_col`` (case
+    changes don't move word boundaries, so spans detected on lowercased
+    text apply to the original text unchanged).
+
+    Plan: spans collapse to one array per doc (reuses the per-doc
+    partitioning :func:`duplicate_spans` already produced — no extra
+    exchange), then one doc-keyed join back to the corpus; the rewrite
+    itself is pure higher-order functions (transform-with-index →
+    exists-over-spans filter → concat_ws), zero Python, zero extra
+    shuffles. Docs with no spans pass through verbatim; fully-duplicated
+    docs survive as empty strings (count them with ``clean_text = ''``).
+
+    Output: (id, clean_text, n_words, n_words_removed).
+    """
+    sp = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__sp")
+    )
+    w = F.split(F.trim(F.col(text_col)), r"\s+")
+    joined = df.join(sp, id_col, "left").select(
+        F.col(id_col),
+        w.alias("__w"),
+        F.coalesce(F.col("__sp"), F.array()).alias("__sp"),
+    )
+    indexed = F.transform(
+        F.col("__w"), lambda x, i: F.struct(x.alias("w"), (i + 1).alias("p"))
+    )
+    kept = F.filter(
+        indexed,
+        lambda s: ~F.exists(
+            F.col("__sp"),
+            lambda r: (s["p"] >= r["span_start"]) & (s["p"] <= r["span_end"]),
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.concat_ws(" ", F.transform(kept, lambda s: s["w"])).alias("clean_text"),
+        F.size("__w").cast("int").alias("n_words"),
+        (F.size("__w") - F.size(kept)).cast("int").alias("n_words_removed"),
+    )

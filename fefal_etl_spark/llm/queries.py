@@ -555,11 +555,9 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SPAN_K = 15
 
-
-@register(
-    "substring_dup_spans",
-    f"""
-    WITH {_CORPUS_SQL},
+# Shared CTE chain: word windows → hash-occurrence counts → flagged
+# windows → islands → merged spans (twin of llm/dedup.py::duplicate_spans)
+_SQL_SPANS = f"""
     w AS (
         SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
         FROM corpus
@@ -590,12 +588,23 @@ _SPAN_K = 15
                SUM(CASE WHEN pm IS NULL OR s > pm + 1 THEN 1 ELSE 0 END)
                    OVER (PARTITION BY doc_id ORDER BY s, e) AS island
         FROM m
+    ),
+    spans AS (
+        SELECT doc_id, CAST(MIN(s) AS INT) AS span_start,
+               CAST(MAX(e) AS INT) AS span_end,
+               CAST(MAX(e) - MIN(s) + 1 AS INT) AS span_words,
+               CAST(COUNT(*) AS BIGINT) AS n_windows
+        FROM g GROUP BY doc_id, island
     )
-    SELECT doc_id, CAST(MIN(s) AS INT) AS span_start,
-           CAST(MAX(e) AS INT) AS span_end,
-           CAST(MAX(e) - MIN(s) + 1 AS INT) AS span_words,
-           CAST(COUNT(*) AS BIGINT) AS n_windows
-    FROM g GROUP BY doc_id, island
+"""
+
+
+@register(
+    "substring_dup_spans",
+    f"""
+    WITH {_CORPUS_SQL},
+    {_SQL_SPANS}
+    SELECT doc_id, span_start, span_end, span_words, n_windows FROM spans
     """,
 )
 def q_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -610,6 +619,53 @@ def q_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fefal_etl_spark.llm.dedup import duplicate_spans
 
     return duplicate_spans(_corpus(spark, sf_dir), "doc_id", "text", k=_SPAN_K)
+
+
+@register(
+    "substring_dedup_rewrite",
+    f"""
+    WITH {_CORPUS_SQL},
+    {_SQL_SPANS},
+    pos AS (
+        SELECT doc_id, ws,
+               unnest(range(1, len(ws) + 1)) AS p
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+              FROM corpus) t
+    ),
+    kept AS (
+        SELECT doc_id, ws[p] AS word, p FROM pos pp
+        WHERE NOT EXISTS (
+            SELECT 1 FROM spans s
+            WHERE s.doc_id = pp.doc_id
+              AND pp.p BETWEEN s.span_start AND s.span_end)
+    ),
+    agg AS (
+        SELECT doc_id, string_agg(word, ' ' ORDER BY p) AS clean_text,
+               COUNT(*) AS n_kept
+        FROM kept GROUP BY doc_id
+    )
+    SELECT w2.doc_id,
+           COALESCE(agg.clean_text, '') AS clean_text,
+           CAST(len(w2.ws) AS INT) AS n_words,
+           CAST(len(w2.ws) - COALESCE(agg.n_kept, 0) AS INT) AS n_words_removed
+    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+          FROM corpus) w2
+    LEFT JOIN agg USING (doc_id)
+    """,
+)
+def q_substring_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 — the ExactSubstr rewrite stage: documents with every duplicated
+    15-word span excised (llm/dedup.py::remove_spans). Docs without spans
+    pass through verbatim; the planted whole-doc duplicates collapse to
+    empty strings (all occurrences removed, matching the released
+    deduplicate-text-datasets tool). The rewrite itself is pure
+    higher-order functions over the words array — the only shuffles are
+    the two inside span detection plus one doc-keyed join back."""
+    from fefal_etl_spark.llm.dedup import duplicate_spans, remove_spans
+
+    corpus = _corpus(spark, sf_dir)
+    spans = duplicate_spans(corpus, "doc_id", "text", k=_SPAN_K)
+    return remove_spans(corpus, spans, "doc_id", "text")
 
 
 @register(

@@ -768,3 +768,23 @@ def test_duplicate_spans_cross_doc_within_doc_and_merging(spark):
         (5, 8, 10): (3, 1),
     }
     assert not any(d == 3 for d, _, _ in out)
+
+
+def test_remove_spans_rewrites_and_passes_through(spark):
+    from fefal_etl_spark.llm.dedup import duplicate_spans, remove_spans
+
+    rows = [
+        (1, "A b c d e u1 u2 u3 f g h"),  # case preserved in output
+        (2, "x x a b c d e y z w"),
+        (3, "p1 p2 p3 p4 p5"),  # no spans — verbatim pass-through
+        (4, "m n o k k m n o k k"),  # fully duplicated → empty rewrite
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = duplicate_spans(df, "doc_id", "text", k=3)
+    out = {r["doc_id"]: r for r in remove_spans(df, spans).collect()}
+    assert out[1]["clean_text"] == "u1 u2 u3 f g h"  # span [1,5] cut, case kept
+    assert out[1]["n_words"] == 11 and out[1]["n_words_removed"] == 5
+    assert out[2]["clean_text"] == "x x y z w"
+    assert out[3]["clean_text"] == "p1 p2 p3 p4 p5"
+    assert out[3]["n_words_removed"] == 0
+    assert out[4]["clean_text"] == "" and out[4]["n_words_removed"] == 10
