@@ -1316,6 +1316,75 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cluster_safe_split",
+    """
+    WITH RECURSIVE
+    e1 AS (SELECT doc_id AS src, doc_id + 1000000 AS dst
+           FROM documents WHERE doc_id % 10 = 0),
+    e2 AS (SELECT doc_id + 1000000 AS src, doc_id + 2000000 AS dst
+           FROM documents WHERE doc_id % 20 = 0),
+    edges AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2),
+    bidir AS (SELECT src AS a, dst AS b FROM edges
+              UNION ALL SELECT dst, src FROM edges),
+    enodes AS (SELECT DISTINCT a AS node FROM bidir),
+    reach(node, lbl) AS (
+        SELECT node, node FROM enodes
+        UNION
+        SELECT b.b, r.lbl FROM reach r JOIN bidir b ON b.a = r.node
+    ),
+    comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node),
+    universe AS (
+        SELECT doc_id FROM documents
+        UNION ALL SELECT doc_id + 1000000 FROM documents WHERE doc_id % 10 = 0
+        UNION ALL SELECT doc_id + 2000000 FROM documents WHERE doc_id % 20 = 0
+    ),
+    labeled AS (
+        SELECT u.doc_id,
+               CAST(COALESCE(c.component, u.doc_id) AS BIGINT) AS component
+        FROM universe u LEFT JOIN comp c ON c.node = u.doc_id
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, component,
+           CASE WHEN ('0x' || substr(md5('split' || '|' ||
+                          CAST(component AS VARCHAR)), 1, 15))::BIGINT
+                     % 10000 < 1000
+                THEN 'test' ELSE 'train' END AS side
+    FROM labeled
+    """,
+)
+def q_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/test split (llm/sampling.py::cluster_safe_split):
+    near-dup CLUSTERS, not documents, are the unit of split assignment —
+    the planted A–A′–A″ chains (same edge list as `dup_clusters`) must
+    land wholly on one side, which a doc-keyed split cannot guarantee
+    (near-dup twins of test docs leaking into train is the contamination
+    vector decontamination scans can't see). Components run on the edge
+    list only; the corpus sees one doc-keyed join + a narrow hash filter.
+    Row-level output pins the exact membership of every doc."""
+    from fefal_etl_spark.llm.sampling import cluster_safe_split
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    e1 = docs.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") + 1000000).alias("dst")
+    )
+    e2 = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 1000000).alias("src"),
+        (F.col("doc_id") + 2000000).alias("dst"),
+    )
+    universe = docs.unionByName(
+        docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id")
+        )
+    ).unionByName(
+        docs.filter(F.col("doc_id") % 20 == 0).select(
+            (F.col("doc_id") + 2000000).alias("doc_id")
+        )
+    )
+    return cluster_safe_split(
+        universe, e1.unionByName(e2), "doc_id", test_fraction=0.1
+    )
+
+
+@register(
     "decontaminate_overlap",
     """
     WITH ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0),

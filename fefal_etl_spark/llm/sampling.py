@@ -233,3 +233,43 @@ def per_group_cap(
         )
     )
     return df.withColumn("__rk", rank).filter(F.col("__rk") <= cap).drop("__rk")
+
+
+def cluster_safe_split(
+    df: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    test_fraction: float = 0.1,
+    salt: str = "split",
+) -> DataFrame:
+    """Leakage-safe train/test split: near-duplicate documents must never
+    straddle the split (a doc-level split leaks test content into train
+    through its near-dup twins — the contamination vector benchmark-level
+    decontamination can't see). Membership is decided per duplicate
+    CLUSTER: connected components over the near-dup pair list, then the
+    salted-md5 bucket of the COMPONENT id picks the side, so a whole
+    cluster lands together; singletons (no edges) fall back to their own
+    id and reproduce :func:`train_test_split` exactly.
+
+    Scale shape: components are computed on the EDGE list only (≪ corpus
+    — only docs with at least one near-dup pair appear), then joined back
+    to the corpus once on the doc key; the corpus itself never enters the
+    iteration. Split membership stays a pure function of (salt, component
+    min-id), invariant to partitioning, rerun, and engine.
+
+    Output: (id, component, side∈{train,test}).
+    """
+    from fefal_etl_spark.llm.dedup import connected_components
+
+    comp = connected_components(edges)
+    labeled = df.join(comp, df[id_col] == comp["node"], "left").select(
+        df[id_col],
+        F.coalesce(F.col("component"), df[id_col]).cast("long").alias("component"),
+    )
+    bucket = sample_bucket(F.col("component"), salt)
+    return labeled.withColumn(
+        "side",
+        F.when(bucket < int(test_fraction * BUCKETS), F.lit("test")).otherwise(
+            F.lit("train")
+        ),
+    )

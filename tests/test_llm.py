@@ -788,3 +788,29 @@ def test_remove_spans_rewrites_and_passes_through(spark):
     assert out[3]["clean_text"] == "p1 p2 p3 p4 p5"
     assert out[3]["n_words_removed"] == 0
     assert out[4]["clean_text"] == "" and out[4]["n_words_removed"] == 10
+
+
+def test_cluster_safe_split_never_straddles_clusters(spark):
+    from fefal_etl_spark.llm.sampling import cluster_safe_split, train_test_split
+
+    # 3 chained clusters of diameter 2 + 94 singletons
+    docs = spark.range(0, 100).withColumnRenamed("id", "doc_id")
+    edges = spark.createDataFrame(
+        [(0, 10), (10, 20), (1, 11), (11, 21), (2, 12), (12, 22)],
+        "src long, dst long",
+    )
+    out = cluster_safe_split(docs, edges, "doc_id", test_fraction=0.3).collect()
+    side = {r["doc_id"]: r["side"] for r in out}
+    comp = {r["doc_id"]: r["component"] for r in out}
+    # every member of a chain shares the component AND the side
+    for a, b, c in [(0, 10, 20), (1, 11, 21), (2, 12, 22)]:
+        assert comp[a] == comp[b] == comp[c] == a
+        assert side[a] == side[b] == side[c]
+    # singletons fall back to their own id and reproduce train_test_split
+    singles = docs.filter(~F.col("doc_id").isin([0, 10, 20, 1, 11, 21, 2, 12, 22]))
+    train, test = train_test_split(singles, "doc_id", test_fraction=0.3)
+    expect_test = {r["doc_id"] for r in test.collect()}
+    for r in out:
+        if r["component"] == r["doc_id"] and r["doc_id"] not in (0, 1, 2):
+            assert (r["side"] == "test") == (r["doc_id"] in expect_test)
+    assert {r["side"] for r in out} == {"train", "test"}

@@ -163,6 +163,10 @@ SMJ_WHITELIST = {
     "star_idempotent_reload",     # reload-vs-dim truth join
     "dup_clusters_star",          # node×parent resolution: both sides are
                                   # node-cardinality at scale — SMJ correct
+    "cluster_safe_split",         # corpus×components: in a dup-heavy corpus
+                                  # the component map approaches corpus
+                                  # cardinality — SMJ is the safe static
+                                  # shape; AQE demotes to BHJ when small
 }
 
 
