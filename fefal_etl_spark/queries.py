@@ -2447,13 +2447,14 @@ _DRIVER_PRIORITY = [
     "text_stats", "lang_id", "curation_pipeline",
     "stratified_sample", "doc_fingerprints", "exact_dedup", "minhash_neardup",
     "simhash_fingerprints", "embedding_neardup",
-    "embedding_topk", "ivf_assign",
-    "ivf_topk", "multimodal_features",
+    "embedding_topk", "ivf_topk",
     "multimodal_decode",
     # round-3 continuation components (SURVEY §2.16): passage dedup,
     # domain mixing, dedup verdict, z-order layout, DQ suite, diversity
     "segment_dedup", "temperature_resample", "dedup_canonicalize",
     "zorder_layout", "dq_checks", "token_diversity",
+    # V43–V45: substring-level (ExactSubstr) dedup + cluster-safe split
+    "substring_dup_spans", "cluster_safe_split",
     # unique §2 component carriers
     "pricing_summary", "entity_resolution", "dedup_keep_best",
     "status_fork_counts", "unpivot_measures", "pct_rescale", "window_topk",
@@ -2480,7 +2481,8 @@ _DRIVER_PRIORITY = [
     # family alternates displaced from the 50-prefix by the §2.16 carriers
     # (their components keep in-prefix representatives)
     "repetition_filter", "ngram_jaccard_pairs", "embedding_lsh_pairs",
-    "kmeans_assignments", "frame_sample", "multimodal_resize",
+    "kmeans_assignments", "ivf_assign", "multimodal_features",
+    "frame_sample", "multimodal_resize",
     "training_shards", "vocab_coverage", "table_profile",
 ]
 
