@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     # shard layout, vocabulary coverage
     "segment_dedup",
     "substring_dup_spans",
+    "sparse_cosine_pairs",
     "temperature_resample",
     "dedup_canonicalize",
     "training_shards",

@@ -1161,6 +1161,64 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(docs, id_col="doc_id", text_col="text", top_n=3)
 
 
+@register(
+    "sparse_cosine_pairs",
+    f"""
+    WITH {_CORPUS_SQL},
+    tokens AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+        FROM corpus
+    ),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM tokens GROUP BY doc_id, term),
+    dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM corpus),
+    w AS (
+        SELECT doc_id, term, tf * (CAST(1000000 AS BIGINT) // df) AS w
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n
+        WHERE df * 100 <= n_docs * 10
+    ),
+    norms AS (
+        SELECT doc_id, SUM(CAST(w AS HUGEINT) * CAST(w AS HUGEINT)) AS norm2
+        FROM w GROUP BY doc_id
+    ),
+    p AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               SUM(CAST(a.w AS HUGEINT) * CAST(b.w AS HUGEINT)) AS dot,
+               CAST(count(*) AS BIGINT) AS n_shared_terms
+        FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+           n_shared_terms,
+           round(CAST(dot AS DOUBLE)
+                 / sqrt(CAST(na.norm2 AS DOUBLE) * CAST(nb.norm2 AS DOUBLE)),
+                 6) AS cos_sim
+    FROM p
+    JOIN norms na ON na.doc_id = p.id_a
+    JOIN norms nb ON nb.doc_id = p.id_b
+    WHERE round(CAST(dot AS DOUBLE)
+                / sqrt(CAST(na.norm2 AS DOUBLE) * CAST(nb.norm2 AS DOUBLE)),
+                6) >= 0.6
+    """,
+)
+def q_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 lexical — DF-pruned inverted-index cosine pairs
+    (llm/similarity.py::sparse_cosine_pairs): docs meet only through
+    shared terms; terms in >10% of the corpus are pruned by an integer
+    compare BEFORE the posting-list self-join, bounding per-term fan-out.
+    Weights are integers (tf · scale DIV df), so dots/norms are exact
+    DECIMAL/HUGEINT sums — no float summation-order hazard; the planted
+    near-dup pairs surface at cos ≈ 1. Only the final cast/sqrt/divide of
+    exact integers is floating point (correctly rounded, engine-identical;
+    round-6 convention on both sides)."""
+    from fefal_etl_spark.llm.similarity import sparse_cosine_pairs
+
+    return sparse_cosine_pairs(
+        _corpus(spark, sf_dir), "doc_id", "text", max_df_pct=10, threshold=0.6
+    )
+
+
 from fefal_etl_spark.llm.curation import EMAIL_RE, PHONE_RE  # noqa: E402
 
 

@@ -644,3 +644,96 @@ def quantized_rerank_topk(
         .filter(F.col("rk") <= k)
         .select(query_id_col, id_col, "int_score", "cos_sim", "rk")
     )
+
+
+def sparse_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df_pct: int = 10,
+    threshold: float = 0.6,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """DF-pruned inverted-index cosine similarity join — the classic
+    MapReduce sparse-vector similarity pattern (Elsayed/Lin/Oard 2008
+    pairwise-document-similarity; the lexical complement of the dense
+    embedding ANN family in this module).
+
+    Every doc becomes a sparse term-weight vector; candidate pairs come
+    from joining the INVERTED INDEX to itself on the term key, so two
+    docs meet only through terms they share. The scale lever is the
+    document-frequency prune: terms present in more than ``max_df_pct``%
+    of the corpus are dropped BEFORE the self-join (an integer compare,
+    ``df * 100 <= n_docs * max_df_pct``), which (a) bounds per-term join
+    fan-out at (max_df)² and kills the boilerplate-term quadratic
+    blow-up, and (b) removes exactly the terms that carry no similarity
+    signal — the IDF intuition applied as a hard gate.
+
+    Exactness across engines: weights are INTEGERS — w = tf · (scale DIV
+    df), floor division — so dot products and norms are exact DECIMAL(38,0)
+    sums immune to float summation order (the failure mode semdedup_pairs
+    documents). The only float ops are the final correctly-rounded
+    cast/sqrt/divide of exact integers, identical in any IEEE engine;
+    cos_sim is rounded to 6 decimals on both sides and the threshold is
+    applied to the ROUNDED value.
+
+    Shuffles: (doc,term) tf groupBy → term-keyed df groupBy (vocab
+    cardinality) → term-keyed posting self-join → pair-keyed dot groupBy
+    → doc-keyed norm joins. No corpus-width payload ever shuffles — only
+    (id, term-hashable, integer weight) tuples.
+
+    Output: (id_a, id_b, n_shared_terms, cos_sim) for rounded
+    cos_sim ≥ threshold, id_a < id_b.
+    """
+    dec = "decimal(38,0)"
+    tokens = df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0)
+        ).alias("term"),
+    )
+    tf = tokens.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = df.agg(F.count("*").alias("n_docs"))
+    w = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") * 100 <= F.col("n_docs") * max_df_pct)
+        .select(
+            F.col(id_col),
+            "term",
+            (F.col("tf") * F.expr(f"CAST({scale} AS BIGINT) DIV df")).alias("w"),
+        )
+    )
+    norms = w.groupBy(id_col).agg(
+        F.sum((F.col("w").cast(dec) * F.col("w").cast(dec))).alias("norm2")
+    )
+    a, b = w.alias("a"), w.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col(f"a.term") == F.col(f"b.term"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(
+            F.sum(F.col("a.w").cast(dec) * F.col("b.w").cast(dec)).alias("__dot"),
+            F.count("*").alias("n_shared_terms"),
+        )
+    )
+    na = norms.select(F.col(id_col).alias("id_a"), F.col("norm2").alias("__na"))
+    nb = norms.select(F.col(id_col).alias("id_b"), F.col("norm2").alias("__nb"))
+    cos = F.round(
+        F.col("__dot").cast("double")
+        / F.sqrt(F.col("__na").cast("double") * F.col("__nb").cast("double")),
+        6,
+    )
+    return (
+        pairs.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn("cos_sim", cos)
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "n_shared_terms", "cos_sim")
+    )

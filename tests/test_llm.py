@@ -814,3 +814,24 @@ def test_cluster_safe_split_never_straddles_clusters(spark):
         if r["component"] == r["doc_id"] and r["doc_id"] not in (0, 1, 2):
             assert (r["side"] == "test") == (r["doc_id"] in expect_test)
     assert {r["side"] for r in out} == {"train", "test"}
+
+
+def test_sparse_cosine_pairs_prunes_boilerplate_and_matches_exactly(spark):
+    from fefal_etl_spark.llm.similarity import sparse_cosine_pairs
+
+    # "common" is in all 4 docs (df=4 > 50% of 4) → pruned before the
+    # self-join; without pruning every pair would share it
+    rows = [
+        (1, "common alpha beta gamma delta"),
+        (2, "common alpha beta gamma epsilon"),
+        (3, "common zeta eta theta"),
+        (4, "common mu nu xi"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sparse_cosine_pairs(df, max_df_pct=50, threshold=0.4).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    assert r["n_shared_terms"] == 3  # alpha/beta/gamma; never "common"
+    # integer weights make this exact: dot 3·(5e5)², norms 1.75e12 → 3/7
+    assert r["cos_sim"] == round(3 / 7, 6)
