@@ -116,6 +116,8 @@ BENCH_QUERIES = [
     # data-quality family + lexical diversity
     "table_profile",
     "dq_checks",
+    "price_histogram",
+    "copurchase_triangles",
     "token_diversity",
     "heavy_hitters",
     "incremental_rollup",

@@ -72,3 +72,74 @@ def pagerank(
             )
         )
     return r
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts over an undirected graph — the local
+    clustering signal behind community/spam detection on co-occurrence
+    graphs. Input edges may arrive in any orientation with duplicates;
+    they are canonicalized (least, greatest) and de-duplicated first.
+
+    Scale shape — the degree-ordered orientation trick (Suri & Vassilvitskii
+    WWW'11 "Counting Triangles and the Curse of the Last Reducer"): each
+    undirected edge is directed from its lower-(degree, id) endpoint to the
+    higher one, so every wedge is enumerated exactly once AT ITS
+    LOWEST-DEGREE VERTEX. The wedge join's per-key fan-out is out-degree²,
+    and orientation bounds out-degree by O(√m) — a star node of degree d
+    costs d² wedges un-oriented but only ~m oriented. The closing check is
+    one equi-join of wedges against oriented edges on the (b, c) pair key.
+    Every triangle is found exactly once; per-node counts explode each
+    triangle to its three corners and aggregate (map-side combinable).
+
+    Output: (node, n_triangles) for nodes in at least one triangle.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("__du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("__dv"))
+    # orient: src2 → dst2 iff (deg, id) of src2 < (deg, id) of dst2
+    u_first = (F.col("__du") < F.col("__dv")) | (
+        (F.col("__du") == F.col("__dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        und.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+            F.when(u_first, F.col("__dv")).otherwise(F.col("__du")).alias("__db"),
+        )
+    )
+    e1 = oriented.select("a", F.col("b").alias("b1"), F.col("__db").alias("__d1"))
+    e2 = oriented.select("a", F.col("b").alias("b2"), F.col("__db").alias("__d2"))
+    # wedges at the lowest-ordered vertex a, with (deg,id)-ordered legs
+    wedge_ord = (F.col("__d1") < F.col("__d2")) | (
+        (F.col("__d1") == F.col("__d2")) & (F.col("b1") < F.col("b2"))
+    )
+    wedges = e1.join(e2, "a").filter(wedge_ord)
+    closing = oriented.select(
+        F.col("a").alias("b1"), F.col("b").alias("b2")
+    )
+    tri = wedges.join(closing, ["b1", "b2"]).select(
+        F.col("a").alias("x"), F.col("b1").alias("y"), F.col("b2").alias("z")
+    )
+    corners = (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+    )
+    return corners.groupBy("node").agg(F.count("*").alias("n_triangles"))

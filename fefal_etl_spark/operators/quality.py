@@ -96,3 +96,43 @@ def uniqueness_violations(df: DataFrame, key_cols: list[str]) -> DataFrame:
         .cast("long")
         .alias("n_violations"),
     )
+
+
+def equi_width_histogram(
+    df: DataFrame, col: str, buckets: int = 20, scale: int = 100
+) -> DataFrame:
+    """Exact equi-width histogram of a numeric column — the profiling /
+    skew-diagnosis companion to `profile_columns` (a histogram is what
+    turns min/max into a usable distribution for choosing range-partition
+    bounds, spotting outliers, and sizing salting).
+
+    Engine-exact by construction: values are first quantized to integer
+    units (``round(x·scale)`` — one multiply + correctly-rounded round,
+    identical in any IEEE engine), then the bucket id is the ALL-INTEGER
+    ``(c - lo) · buckets DIV (hi - lo + 1)`` — no float width for two
+    engines to disagree on, and the +1 keeps the max value inside the
+    last bucket without a clamp.
+
+    Scale: one min/max aggregation (map-side combinable) broadcast back
+    as a one-row frame, then one groupBy on the bucket id — at most
+    ``buckets`` groups, so the shuffle is as small as a shuffle gets.
+    Empty buckets produce no row (sparse output).
+
+    Output: (bucket, n, lo_units, hi_units) — lo/hi are the actual
+    min/max quantized values inside each bucket.
+    """
+    c = F.round(F.col(col) * scale, 0).cast("long")
+    mm = df.agg(F.min(c).alias("__lo"), F.max(c).alias("__hi"))
+    bucket = F.when(F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(
+        F.expr(f"CAST((__c - __lo) * {buckets} DIV (__hi - __lo + 1) AS INT)")
+    )
+    return (
+        df.select(c.alias("__c"))
+        .crossJoin(F.broadcast(mm))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("__c").alias("lo_units"),
+            F.max("__c").alias("hi_units"),
+        )
+    )

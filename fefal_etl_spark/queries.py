@@ -2674,6 +2674,96 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "copurchase_triangles",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    ew AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS w
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    ),
+    e AS (SELECT u, v FROM ew WHERE w >= 2),
+    tri AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM e e1
+        JOIN e e2 ON e2.u = e1.v
+        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    corners AS (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    )
+    SELECT CAST(node AS BIGINT) AS node,
+           CAST(count(*) AS BIGINT) AS n_triangles
+    FROM corners GROUP BY 1
+    """,
+)
+def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph analytics — per-part triangle counts on the frequent
+    co-purchase graph (operators/graph.py::triangle_counts): parts
+    co-occurring in ≥2 distinct orders form an edge (the support prune
+    that keeps a basket graph sparse — raw co-occurrence is quadratic in
+    basket size and mostly noise), then triangles are counted with the
+    degree-ordered orientation so the wedge fan-out at hub parts is
+    bounded (the WWW'11 'last reducer' fix). The oracle enumerates
+    triangles naively with id-ordering — the triangle SET is
+    orientation-invariant, so both agree while the Spark plan carries
+    the at-scale shape."""
+    from fefal_etl_spark.operators.graph import triangle_counts
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("src", "dst")
+    )
+    return triangle_counts(edges)
+
+
+@register(
+    "price_histogram",
+    """
+    WITH c AS (
+        SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS c
+        FROM lineitem
+    ),
+    mm AS (SELECT min(c) AS lo, max(c) AS hi FROM c)
+    SELECT CAST((c - lo) * 20 // (hi - lo + 1) AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           min(c) AS lo_units, max(c) AS hi_units
+    FROM c CROSS JOIN mm GROUP BY 1
+    """,
+)
+def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ — exact 20-bucket equi-width histogram of l_extendedprice
+    (operators/quality.py::equi_width_histogram). Values quantize to
+    integer cents, the bucket id is an all-integer multiply-DIV (no float
+    width for the engines to disagree on), and the whole distribution
+    costs one min/max agg broadcast + one ≤20-group shuffle — the
+    profiling step that picks range-partition bounds and flags skew
+    before a big sort/join."""
+    from fefal_etl_spark.operators.quality import equi_width_histogram
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return equi_width_histogram(li, "l_extendedprice", buckets=20, scale=100)
+
+
+@register(
     "dq_checks",
     """
     WITH t AS (

@@ -799,3 +799,39 @@ def test_dq_checks_empty_input_reports_zero_not_null(spark):
     assert row["n_rows"] == 0 and row["n_violations"] == 0  # not None
     u = uniqueness_violations(empty.select(F.col("x").alias("k")), ["k"]).collect()[0]
     assert u["n_rows"] == 0 and u["n_violations"] == 0
+
+
+def test_equi_width_histogram_exact_buckets(spark):
+    from fefal_etl_spark.operators.quality import equi_width_histogram
+
+    # values 0.00..0.99 in cents = 0..99; 10 buckets of exactly 10 each
+    df = spark.range(0, 100).select((F.col("id") / 100.0).alias("x"))
+    out = {r["bucket"]: r for r in
+           equi_width_histogram(df, "x", buckets=10, scale=100).collect()}
+    assert sorted(out) == list(range(10))
+    for b, r in out.items():
+        assert r["n"] == 10
+        assert (r["lo_units"], r["hi_units"]) == (b * 10, b * 10 + 9)
+    # constant column degenerates to one bucket, no divide-by-zero
+    one = spark.createDataFrame([(5.0,), (5.0,)], "x double")
+    rows = equi_width_histogram(one, "x", buckets=10).collect()
+    assert len(rows) == 1 and rows[0]["bucket"] == 0 and rows[0]["n"] == 2
+
+
+def test_triangle_counts_oriented_enumeration(spark):
+    from fefal_etl_spark.operators.graph import triangle_counts
+
+    # K4 on {1,2,3,4} (4 triangles, each node in 3) + pendant 5 + a
+    # duplicate and a reversed edge that canonicalization must absorb
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (3, 4), (4, 5)],
+        "src long, dst long",
+    )
+    out = {r["node"]: r["n_triangles"] for r in triangle_counts(edges).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}  # pendant 5 absent
+    # two triangles sharing an edge: counts 1,2,2,1
+    edges2 = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (2, 4), (3, 4)], "src long, dst long"
+    )
+    out2 = {r["node"]: r["n_triangles"] for r in triangle_counts(edges2).collect()}
+    assert out2 == {1: 1, 2: 2, 3: 2, 4: 1}

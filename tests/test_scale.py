@@ -167,6 +167,10 @@ SMJ_WHITELIST = {
                                   # the component map approaches corpus
                                   # cardinality — SMJ is the safe static
                                   # shape; AQE demotes to BHJ when small
+    "copurchase_triangles",       # orderkey-keyed fact×fact self-join for
+                                  # co-occurrence pairs + wedge/closing
+                                  # joins whose sides are edge-cardinality
+                                  # — all genuinely big×big at scale
 }
 
 
