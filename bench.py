@@ -125,6 +125,12 @@ BENCH_QUERIES = [
     "schema_evolution_scan",
     "unigram_logprob",
     "scd2_as_of",
+    # round-3 additions: audio decode, content-defined chunking, sliding
+    # distinct, time-series interpolation
+    "audio_frame_energy",
+    "cdc_chunks",
+    "rolling_distinct_users",
+    "events_interpolate",
     # dup_clusters_star is excluded like ngram_jaccard_pairs: at bench SF its
     # wall time is ~6 iterative rounds of fixed scheduling cost (the
     # algorithm exists for O(log n) ROUNDS at web scale, demonstrated by the

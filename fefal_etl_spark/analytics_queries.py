@@ -502,3 +502,193 @@ def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n"), F.lit(0)).alias("n"),
         )
     )
+
+
+# ==========================================================================
+# Rolling 7-day distinct users (V50): sliding COUNT(DISTINCT) by fan-out
+# ==========================================================================
+
+
+@register(
+    "rolling_distinct_users",
+    """
+    WITH ud AS (
+        SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d, user_id
+        FROM events
+    ),
+    bounds AS (SELECT min(d) AS lo, max(d) AS hi FROM ud),
+    contrib AS (
+        SELECT user_id,
+               CAST(unnest(generate_series(
+                   CAST(d AS TIMESTAMP),
+                   CAST(d AS TIMESTAMP) + INTERVAL 6 DAY,
+                   INTERVAL 1 DAY)) AS DATE) AS day
+        FROM ud
+    )
+    SELECT CAST(day AS TIMESTAMP) AS day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS active_users_7d
+    FROM contrib
+    WHERE day BETWEEN (SELECT lo FROM bounds) AND (SELECT hi FROM bounds)
+    GROUP BY day
+    """,
+)
+def q_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window COUNT(DISTINCT) — 7-day rolling active users per day,
+    the engagement metric every product warehouse computes and the shape
+    SQL windows cannot express (no DISTINCT over a RANGE frame).
+
+    Spark-first formulation: collapse events to distinct (user, day) pairs
+    FIRST (one shuffle; output is users x active-days, orders of magnitude
+    below the event count), then fan each pair out to the <=7 window days
+    it contributes to (`sequence` + explode — a narrow x7 expansion of the
+    already-collapsed table, never of the raw events), and count distinct
+    users per window day. The distinct-before-fanout ordering is the scale
+    decision: fanning out raw events first would 7x the full fact table
+    through a shuffle, while this plan's second shuffle carries <= 7 rows
+    per user-day. Window days outside the observed [min, max] range are
+    clipped to match the dense-grid convention of `events_gapfill`."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        F.to_date(F.col("ts")).alias("d"), "user_id"
+    ).distinct()
+    bounds = ud.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence("d", F.date_add("d", 6), F.expr("INTERVAL 1 DAY"))
+        ).alias("day"),
+    )
+    return (
+        contrib.join(
+            F.broadcast(bounds),
+            (F.col("day") >= F.col("lo")) & (F.col("day") <= F.col("hi")),
+        )
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("active_users_7d"))
+        # date → timestamp: one dtype for the hash canonicalizer (see
+        # cohort_retention)
+        .withColumn("day", F.col("day").cast("timestamp_ntz"))
+    )
+
+
+# ==========================================================================
+# Time-series linear interpolation over the dense hourly grid (V51)
+# ==========================================================================
+
+
+@register(
+    "events_interpolate",
+    """
+    WITH ev AS (
+        SELECT date_trunc('hour', ts) AS h, event_type, value FROM events
+    ),
+    series AS (
+        SELECT h, event_type, min(value) AS v
+        FROM ev GROUP BY h, event_type
+    ),
+    bounds AS (SELECT min(h) AS lo, max(h) AS hi FROM ev),
+    grid AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+        FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM ev),
+    dense AS (
+        SELECT g.h, t.event_type, s.v
+        FROM grid g
+        CROSS JOIN types t
+        LEFT JOIN series s ON g.h = s.h AND t.event_type = s.event_type
+    ),
+    bracketed AS (
+        SELECT h, event_type, v,
+               last_value(v IGNORE NULLS) OVER w_past AS pv,
+               last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+                   OVER w_past AS ph,
+               first_value(v IGNORE NULLS) OVER w_future AS nv,
+               first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+                   OVER w_future AS nh
+        FROM dense
+        WINDOW w_past AS (PARTITION BY event_type ORDER BY h
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               w_future AS (PARTITION BY event_type ORDER BY h
+                            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT h AS hour, event_type,
+           round(CASE
+               WHEN v IS NOT NULL THEN v
+               WHEN pv IS NULL THEN nv
+               WHEN nv IS NULL THEN pv
+               ELSE pv + (nv - pv)
+                    * (epoch(h) - epoch(ph)) / (epoch(nh) - epoch(ph))
+           END, 6) AS v_interp,
+           (v IS NULL) AS was_gap
+    FROM bracketed
+    """,
+)
+def q_events_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of missing cells in a regular time series — the
+    resampling step that turns raw events into model-ready feature grids.
+    Builds the same dense (hour x type) grid as `events_gapfill`, then
+    fills each empty cell from its bracketing observations:
+    v = prev + (next - prev) * (t - t_prev) / (t_next - t_prev), with
+    nearest-side fill at the series edges.
+
+    The per-hour aggregate is MIN (order-insensitive and exact on doubles)
+    rather than AVG, whose summation order would differ between engines;
+    the interpolation expression is written with the identical operation
+    order on both sides so the IEEE results agree bit-for-bit before the
+    round(6).
+
+    Scale: the heavy step is the hourly aggregation (one shuffle of the
+    fact); everything after runs on the tiny dense grid (hours x types),
+    where two ignore-nulls windows per type locate the bracketing
+    observations in one pass each — no self-join of the series against
+    itself, no per-gap iteration."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("hour", F.col("ts")).alias("h"), "event_type", "value"
+    )
+    series = ev.groupBy("h", "event_type").agg(F.min("value").alias("v"))
+    bounds = ev.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    grid = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    types = ev.select("event_type").distinct()
+    dense = grid.crossJoin(F.broadcast(types)).join(
+        series, on=["h", "event_type"], how="left"
+    )
+    w_past = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_future = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    marked_h = F.when(F.col("v").isNotNull(), F.col("h"))
+    bracketed = dense.select(
+        "h",
+        "event_type",
+        "v",
+        F.last("v", ignorenulls=True).over(w_past).alias("pv"),
+        F.last(marked_h, ignorenulls=True).over(w_past).alias("ph"),
+        F.first("v", ignorenulls=True).over(w_future).alias("nv"),
+        F.first(marked_h, ignorenulls=True).over(w_future).alias("nh"),
+    )
+    frac = (
+        F.unix_timestamp("h") - F.unix_timestamp("ph")
+    ).cast("double") / (F.unix_timestamp("nh") - F.unix_timestamp("ph")).cast(
+        "double"
+    )
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * frac)
+    )
+    return bracketed.select(
+        F.col("h").alias("hour"),
+        "event_type",
+        F.round(interp, 6).alias("v_interp"),
+        F.col("v").isNull().alias("was_gap"),
+    )

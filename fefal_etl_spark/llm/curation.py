@@ -163,3 +163,73 @@ def decontaminate(
         .groupBy(id_col)
         .agg(F.countDistinct("shingle").alias("n_overlap"))
     )
+
+
+def content_defined_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 4,
+    modulus: int = 16,
+) -> DataFrame:
+    """Content-defined chunking (the Rabin/FastCDC family, word
+    granularity): a chunk boundary falls AFTER word *i* wherever the hash
+    of the trailing ``window``-word run satisfies ``h % modulus == 0``.
+    Because boundaries depend only on local content — never on byte
+    offsets — an edit near the top of a document shifts at most the chunks
+    it touches, so downstream chunk-hash dedup (storage or RAG-cache style)
+    keeps matching everything after the edit; fixed-size chunking would
+    re-key the whole tail. Expected chunk length ≈ ``modulus`` words.
+
+    Production CDC adds min/max chunk-size clamps (FastCDC's normalized
+    chunking); those are sequential-scan semantics deliberately out of
+    scope here — the pure content rule is what keeps the operator
+    expressible as windows and therefore shuffle-bounded.
+
+    Returns (id, chunk_id, n_words, chunk_md5). Scale: ONE doc-keyed
+    shuffle — the boundary flag (3-deep lag) and the running chunk counter
+    share the same window sort — then a (doc, chunk) aggregation that
+    reuses the doc partitioning; text never shuffles corpus-wide, and the
+    rolling hash is JVM-side md5 (portable so an oracle can replay the
+    boundary decisions bit-for-bit)."""
+    words = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.filter(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+                lambda w: w != "",
+            )
+        ).alias("pos", "w"),
+    )
+    w_ord = Window.partitionBy(id_col).orderBy("pos")
+    lag_cols = [F.lag("w", d).over(w_ord) for d in range(window - 1, 0, -1)]
+    run = F.concat_ws(" ", *lag_cols, F.col("w"))
+    h = F.conv(F.substring(F.md5(run), 1, 8), 16, 10).cast("long")
+    boundary = F.when(
+        (F.col("pos") >= window - 1) & (h % modulus == 0), F.lit(1)
+    ).otherwise(F.lit(0))
+    flagged = words.select(
+        id_col, "pos", "w", boundary.alias("b")
+    )
+    # chunk id of word j = boundaries strictly before j (frame ends 1 PRECEDING)
+    w_prior = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    chunked = flagged.select(
+        id_col,
+        "pos",
+        "w",
+        F.coalesce(F.sum("b").over(w_prior), F.lit(0)).alias("chunk_id"),
+    )
+    ordered_text = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "w"))),
+            lambda s: s["w"],
+        ),
+        " ",
+    )
+    return (
+        chunked.groupBy(id_col, "chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.md5(ordered_text).alias("chunk_md5"),
+        )
+    )

@@ -171,3 +171,78 @@ def synth_image_array(seed: int, width: int, height: int) -> np.ndarray:
     decoded pixel statistics without running a decoder."""
     flat = (int(seed) * 31 + np.arange(width * height * 3)) % 256
     return flat.astype(np.uint8).reshape(height, width, 3)
+
+
+# --------------------------------------------------------------------------
+# WAV (RIFF / PCM) — the audio leg of the E4 decode boundary
+# --------------------------------------------------------------------------
+#
+# Canonical 44-byte RIFF/WAVE layout (public spec: the Microsoft/IBM WAVE
+# format, mirrored by every audio tool): "RIFF" <size> "WAVE" "fmt " chunk
+# (PCM audio_format=1, channels, sample rate, byte rate, block align, bits)
+# then a "data" chunk of little-endian samples. Only mono 16-bit PCM is
+# implemented — the simplest honest decode path, same philosophy as the
+# 24-bit BMP codec above.
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """1-D int16 sample array → mono 16-bit PCM WAV bytes."""
+    samples = np.asarray(samples, dtype="<i2")
+    if samples.ndim != 1:
+        raise ValueError(f"expected 1-D int16 samples, got shape {samples.shape}")
+    data = samples.tobytes()
+    byte_rate = sample_rate * 2  # mono, 2 bytes/sample
+    fmt = (
+        b"fmt "
+        + _u32(16)  # PCM fmt chunk is 16 bytes
+        + _u16(1)  # audio_format = 1 (PCM, no compression)
+        + _u16(1)  # channels (mono)
+        + _u32(sample_rate)
+        + _u32(byte_rate)
+        + _u16(2)  # block align = channels * bytes/sample
+        + _u16(16)  # bits per sample
+    )
+    body = b"WAVE" + fmt + b"data" + _u32(len(data)) + data
+    return b"RIFF" + _u32(len(body)) + body
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """Mono 16-bit PCM WAV bytes → (int16 sample array, sample_rate).
+
+    Walks the RIFF chunk list (tolerates extra chunks like LIST/INFO
+    between fmt and data, per the spec) rather than assuming the canonical
+    44-byte offset."""
+    buf = memoryview(data)
+    if len(buf) < 12 or bytes(buf[:4]) != b"RIFF" or bytes(buf[8:12]) != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    sample_rate = None
+    samples = None
+    while pos + 8 <= len(buf):
+        cid = bytes(buf[pos : pos + 4])
+        size = int.from_bytes(buf[pos + 4 : pos + 8], "little")
+        body = buf[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_format = int.from_bytes(body[0:2], "little")
+            channels = int.from_bytes(body[2:4], "little")
+            sample_rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            if audio_format != 1 or channels != 1 or bits != 16:
+                raise ValueError(
+                    "only mono 16-bit PCM supported "
+                    f"(fmt={audio_format}, ch={channels}, bits={bits})"
+                )
+        elif cid == b"data":
+            samples = np.frombuffer(body, dtype="<i2").copy()
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if sample_rate is None or samples is None:
+        raise ValueError("missing fmt or data chunk")
+    return samples, sample_rate
+
+
+def synth_audio_array(seed: int, n_samples: int) -> np.ndarray:
+    """Deterministic test waveform: sample k = ((seed*37 + k*k) % 4096)
+    - 2048 — all-integer (no trig/float), so a SQL oracle reproduces frame
+    energies exactly with ``unnest(range(...))`` arithmetic."""
+    k = np.arange(int(n_samples), dtype=np.int64)
+    return (((int(seed) * 37 + k * k) % 4096) - 2048).astype(np.int16)

@@ -74,6 +74,18 @@ DECODED_FEATURE_SCHEMA = StructType(
     ]
 )
 
+# audio decode features: one row per fixed-length frame, all-integer so the
+# oracle's closed-form replay hashes exactly (energy = Σ s², peak = max|s|)
+AUDIO_FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_id", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("energy", LongType()),
+        StructField("peak", LongType()),
+    ]
+)
+
 
 def attach_media_column(
     df: DataFrame, id_col: str, text_col: str, media_type: str = "image"
@@ -143,6 +155,88 @@ def attach_synth_images(
 
     base = df.select(F.col(id_col).cast("long").alias("media_id"))
     return base.mapInPandas(_gen, MEDIA_SCHEMA)
+
+
+def attach_synth_audio(df: DataFrame, id_col: str, sample_rate: int = 16000) -> DataFrame:
+    """Media frame with REAL decodable mono 16-bit PCM WAV payloads,
+    generated deterministically from the id: n_samples = 64 + id % 97,
+    sample k = ((id*37 + k*k) % 4096) - 2048.
+
+    The integer closed form is what makes the audio decode path
+    oracle-checkable — DuckDB replays per-frame energy/peak analytically
+    (``audio_frame_energy``) without parsing a byte of RIFF. Encoding runs
+    distributed in ``mapInPandas`` like a real ingest-side transcoder."""
+
+    def _gen(batches):
+        import pandas as pd
+
+        from fefal_etl_spark.llm.media_codecs import encode_wav, synth_audio_array
+
+        for pdf in batches:
+            ids = pdf["media_id"]
+            payloads = [
+                encode_wav(synth_audio_array(i, 64 + i % 97), sample_rate)
+                for i in ids
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "media_type": "audio",
+                    "payload": payloads,
+                    "meta": [
+                        {
+                            "source_uri": f"synthetic://{i}.wav",
+                            "mime": "audio/wav",
+                            "n_bytes": len(p),
+                        }
+                        for i, p in zip(ids, payloads)
+                    ],
+                }
+            )
+
+    base = df.select(F.col(id_col).cast("long").alias("media_id"))
+    return base.mapInPandas(_gen, MEDIA_SCHEMA)
+
+
+def audio_frame_features(media_df: DataFrame, frame_len: int = 32) -> DataFrame:
+    """REAL audio decode → fixed-length frame features, the audio leg of the
+    E4 boundary (V49). Each WAV payload is parsed by the numpy RIFF/PCM16
+    codec, sliced into ``frame_len``-sample frames (last frame may be
+    partial), and reduced to all-integer statistics: ``energy`` = Σ s²
+    (the squared-magnitude frame energy every VAD/silence-trim gate starts
+    from) and ``peak`` = max |s|.
+
+    Scale: one ``mapInPandas`` pass, no shuffle — output is ~n_samples/
+    frame_len rows per clip, so downstream silence filtering happens on a
+    frame table orders of magnitude smaller than the waveform bytes. Frame
+    math is numpy-vectorized per batch (cumsum-free reshape + pad)."""
+
+    def _frames(batches):
+        import numpy as np
+        import pandas as pd
+
+        from fefal_etl_spark.llm.media_codecs import decode_wav
+
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "frame_id", "n_samples", "energy", "peak")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                samples, _rate = decode_wav(payload)
+                n = len(samples)
+                n_frames = (n + frame_len - 1) // frame_len
+                padded = np.zeros(n_frames * frame_len, dtype=np.int64)
+                padded[:n] = samples.astype(np.int64)
+                grid = padded.reshape(n_frames, frame_len)
+                out["media_id"].extend([mid] * n_frames)
+                out["frame_id"].extend(range(n_frames))
+                counts = np.full(n_frames, frame_len, dtype=np.int64)
+                if n % frame_len:
+                    counts[-1] = n % frame_len
+                out["n_samples"].extend(counts)
+                out["energy"].extend((grid * grid).sum(axis=1))
+                out["peak"].extend(np.abs(grid).max(axis=1))
+            yield pd.DataFrame(out)
+
+    return media_df.mapInPandas(_frames, AUDIO_FRAME_SCHEMA)
 
 
 def extract_features(media_df: DataFrame, decode_stub: bool = True) -> DataFrame:

@@ -1103,6 +1103,93 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_chunks",
+    """
+    WITH docs AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                           x -> x <> '') AS wa
+        FROM documents
+    ),
+    positioned AS (
+        SELECT doc_id, unnest(range(0, len(wa))) AS pos, wa FROM docs
+    ),
+    words AS (SELECT doc_id, pos, wa[pos + 1] AS w FROM positioned),
+    flagged AS (
+        SELECT doc_id, pos, w,
+               CASE WHEN pos >= 3
+                         AND ('0x' || substr(md5(
+                                 lag(w, 3) OVER w_ord || ' ' ||
+                                 lag(w, 2) OVER w_ord || ' ' ||
+                                 lag(w, 1) OVER w_ord || ' ' || w), 1, 8)
+                             )::BIGINT % 16 = 0
+                    THEN 1 ELSE 0 END AS b
+        FROM words
+        WINDOW w_ord AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    chunked AS (
+        SELECT doc_id, pos, w,
+               COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS chunk_id
+        FROM flagged
+    )
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           md5(string_agg(w, ' ' ORDER BY pos)) AS chunk_md5
+    FROM chunked GROUP BY doc_id, chunk_id
+    """,
+)
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V52 — content-defined chunking (Rabin/FastCDC family, word
+    granularity): boundaries fall where the rolling 4-word hash ≡ 0
+    (mod 16), so chunk identity survives edits elsewhere in the document —
+    the property that makes chunk-level dedup caches incremental. One
+    doc-keyed shuffle (lag + running counter share a window sort) + a
+    (doc, chunk) assembly aggregation."""
+    from fefal_etl_spark.llm.curation import content_defined_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = content_defined_chunks(docs, "doc_id", "text", window=4, modulus=16)
+    return out.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        "n_words",
+        "chunk_md5",
+    )
+
+
+@register(
+    "audio_frame_energy",
+    """
+    SELECT media_id, CAST(frame_id AS BIGINT) AS frame_id,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(s*s) AS BIGINT) AS energy,
+           CAST(max(abs(s)) AS BIGINT) AS peak
+    FROM (
+        SELECT doc_id AS media_id, k // 32 AS frame_id,
+               ((doc_id*37 + k*k) % 4096) - 2048 AS s
+        FROM (SELECT doc_id, unnest(range(0, 64 + doc_id % 97)) AS k
+              FROM documents) g
+    ) t
+    GROUP BY media_id, frame_id
+    """,
+)
+def q_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 audio leg (V49) — REAL RIFF/PCM16 decode end-to-end: deterministic
+    mono WAVs are encoded per-doc in mapInPandas, decoded by the numpy WAV
+    codec, and reduced to per-frame integer energy/peak (the VAD /
+    silence-trim primitives). The oracle never parses RIFF — it replays the
+    closed-form waveform analytically, so any codec bug (chunk walking,
+    sample width, endianness) breaks the hash match."""
+    from fefal_etl_spark.llm.multimodal import attach_synth_audio, audio_frame_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_synth_audio(docs, "doc_id")
+    return audio_frame_features(media, frame_len=32)
+
+
+@register(
     "frame_sample",
     """
     SELECT media_id, CAST(o AS BIGINT) AS offset FROM (

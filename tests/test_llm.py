@@ -164,6 +164,58 @@ def test_multimodal_real_decode_bmp_and_ppm(spark):
             assert feats[i]["pixel_sum"] == int(np.sum(arr, dtype="int64"))
 
 
+def test_wav_codec_roundtrip_and_chunk_walk():
+    import numpy as np
+
+    from fefal_etl_spark.llm.media_codecs import (
+        decode_wav,
+        encode_wav,
+        synth_audio_array,
+    )
+
+    for seed, n in [(0, 1), (3, 64), (11, 161), (42, 100)]:
+        s = synth_audio_array(seed, n)
+        out, rate = decode_wav(encode_wav(s, 8000))
+        assert rate == 8000
+        assert np.array_equal(out, s)
+    # spec tolerance: an extra LIST chunk between fmt and data must be
+    # skipped by the chunk walker, not break the parse
+    s = synth_audio_array(7, 50)
+    b = encode_wav(s)
+    extra = b"LIST" + (4).to_bytes(4, "little") + b"INFO"
+    patched = b[:36] + extra + b[36:]
+    patched = b"RIFF" + (len(patched) - 8).to_bytes(4, "little") + patched[8:]
+    out, _ = decode_wav(patched)
+    assert np.array_equal(out, s)
+    # loud failure on unsupported shapes
+    stereoish = bytearray(encode_wav(s))
+    stereoish[22:24] = (2).to_bytes(2, "little")  # channels = 2
+    with pytest.raises(ValueError, match="mono 16-bit PCM"):
+        decode_wav(bytes(stereoish))
+
+
+def test_audio_frame_features_match_closed_form(spark):
+    import numpy as np
+
+    from fefal_etl_spark.llm.media_codecs import synth_audio_array
+    from fefal_etl_spark.llm.multimodal import attach_synth_audio, audio_frame_features
+
+    ids = spark.createDataFrame([(i,) for i in (0, 1, 33, 96)], "doc_id long")
+    media = attach_synth_audio(ids, "doc_id")
+    rows = audio_frame_features(media, frame_len=32).collect()
+    by_key = {(r["media_id"], r["frame_id"]): r for r in rows}
+    for i in (0, 1, 33, 96):
+        s = synth_audio_array(i, 64 + i % 97).astype(np.int64)
+        n_frames = (len(s) + 31) // 32
+        assert sum(1 for k in by_key if k[0] == i) == n_frames
+        for f in range(n_frames):
+            chunk = s[f * 32 : (f + 1) * 32]
+            r = by_key[(i, f)]
+            assert r["n_samples"] == len(chunk)
+            assert r["energy"] == int((chunk * chunk).sum())
+            assert r["peak"] == int(np.abs(chunk).max())
+
+
 def test_media_codec_roundtrips():
     import numpy as np
 
@@ -835,3 +887,40 @@ def test_sparse_cosine_pairs_prunes_boilerplate_and_matches_exactly(spark):
     assert r["n_shared_terms"] == 3  # alpha/beta/gamma; never "common"
     # integer weights make this exact: dot 3·(5e5)², norms 1.75e12 → 3/7
     assert r["cos_sim"] == round(3 / 7, 6)
+
+
+def test_cdc_chunks_edit_locality(spark):
+    """The CDC property fixed-size chunking lacks: an edit near the head
+    re-keys only the chunks it touches — tail chunk hashes survive."""
+    from fefal_etl_spark.llm.curation import content_defined_chunks
+
+    base = " ".join(f"word{i % 53}tok{i % 17}" for i in range(400))
+    edited = "CHANGED " + base
+    df = spark.createDataFrame(
+        [(1, base), (2, edited)], "doc_id long, text string"
+    )
+    out = content_defined_chunks(df, "doc_id", "text").collect()
+    h1 = {r["chunk_md5"] for r in out if r["doc_id"] == 1}
+    h2 = {r["chunk_md5"] for r in out if r["doc_id"] == 2}
+    shared = h1 & h2
+    # the overwhelming majority of chunks must re-match despite the edit
+    assert len(shared) >= max(1, int(0.7 * len(h1)))
+    # and the edited head produced at least one differing chunk
+    assert h2 - h1
+    # expected chunk length ~ modulus: sanity-band on mean chunk size
+    n_words = sum(r["n_words"] for r in out if r["doc_id"] == 1)
+    assert n_words == 400
+
+
+def test_cdc_chunks_deterministic_and_complete(spark):
+    from fefal_etl_spark.llm.curation import content_defined_chunks
+
+    df = spark.createDataFrame(
+        [(7, "  Alpha beta GAMMA  delta epsilon zeta eta theta  ")],
+        "doc_id long, text string",
+    )
+    rows = content_defined_chunks(df, "doc_id", "text").collect()
+    # every word lands in exactly one chunk; ids are dense from 0
+    assert sum(r["n_words"] for r in rows) == 8
+    ids = sorted(r["chunk_id"] for r in rows)
+    assert ids == list(range(len(ids)))

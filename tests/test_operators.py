@@ -835,3 +835,35 @@ def test_triangle_counts_oriented_enumeration(spark):
     )
     out2 = {r["node"]: r["n_triangles"] for r in triangle_counts(edges2).collect()}
     assert out2 == {1: 1, 2: 2, 3: 2, 4: 1}
+
+
+def test_events_interpolate_fills_gap_linearly(spark):
+    """Planted series: hours 0,3 observed (v=1.0, 4.0) → hours 1,2 must
+    interpolate to 2.0, 3.0; edges copy the nearest observation."""
+    import datetime
+
+    import __spark_entry__ as entry
+
+    rows = [
+        (1, datetime.datetime(2024, 1, 1, 0, 30), 9, "a", 1.0, "{}"),
+        (2, datetime.datetime(2024, 1, 1, 3, 10), 9, "a", 4.0, "{}"),
+        (3, datetime.datetime(2024, 1, 1, 1, 0), 9, "b", 7.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string"
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+        out = entry.queries()["events_interpolate"](spark, d).collect()
+    got = {(r["hour"].hour, r["event_type"]): (r["v_interp"], r["was_gap"]) for r in out}
+    assert got[(0, "a")] == (1.0, False)
+    assert got[(1, "a")] == (2.0, True)
+    assert got[(2, "a")] == (3.0, True)
+    assert got[(3, "a")] == (4.0, False)
+    # type b observed only at hour 1: nearest-side fill everywhere
+    assert got[(0, "b")] == (7.0, True)
+    assert got[(1, "b")] == (7.0, False)
+    assert got[(3, "b")] == (7.0, True)
