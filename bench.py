@@ -131,6 +131,10 @@ BENCH_QUERIES = [
     "cdc_chunks",
     "rolling_distinct_users",
     "events_interpolate",
+    "ppjoin_pairs",
+    "containment_neardup",
+    "bpe_pair_stats",
+    "value_outliers_mad",
     # dup_clusters_star is excluded like ngram_jaccard_pairs: at bench SF its
     # wall time is ~6 iterative rounds of fixed scheduling cost (the
     # algorithm exists for O(log n) ROUNDS at web scale, demonstrated by the

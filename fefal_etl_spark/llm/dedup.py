@@ -23,7 +23,7 @@ seeds differ between engines and would make oracle checking impossible.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from fefal_etl_spark.llm.text_analysis import doc_fingerprint
@@ -865,4 +865,115 @@ def remove_spans(
         F.concat_ws(" ", F.transform(kept, lambda s: s["w"])).alias("clean_text"),
         F.size("__w").cast("int").alias("n_words"),
         (F.size("__w") - F.size(kept)).cast("int").alias("n_words_removed"),
+    )
+
+
+def ppjoin_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    n: int = 3,
+) -> DataFrame:
+    """Prefix-filtered set-similarity self-join (the PPJoin family — Xiao,
+    Wang, Lin, Yu WWW'08; Chaudhuri et al. ICDE'06 SSJoin): exact shingle-set
+    Jaccard >= threshold WITHOUT all-pairs, by a frequency-ordered prefix
+    filter. Set elements are the same hashed word n-grams the minhash path
+    uses (single words are not discriminative — on the synthetic corpus
+    nearly all doc pairs share >=50% of their VOCABULARY while 3-gram sets
+    isolate true near-dups). Each doc's distinct shingles are ranked by
+    ascending global document frequency (rarest first, hash as tiebreak —
+    a total order, so prefixes are deterministic); two sets with Jaccard >= t MUST
+    share a token inside their first ``|s| - ceil(t*|s|) + 1`` tokens, so
+    only prefix tokens generate candidates and the candidate join carries
+    the corpus's RAREST tokens — exactly the ones with bounded posting
+    lists. Complements minhash-LSH (probabilistic, fixed-cost signatures)
+    with an EXACT-recall candidate generator.
+
+    The prefix length uses all-integer arithmetic — threshold is taken as
+    the rational round(t*1000)/1000 and ceil(n*p/q) computed as
+    (n*p + q - 1) DIV q — and the final gate is the integer cross-multiply
+    ``n_inter * q >= p * (n_a + n_b - n_inter)``: no float threshold for
+    two engines to disagree on. Jaccard in the output is the one exact
+    double division.
+
+    Scale: one vocab-cardinality shuffle for document frequencies, one
+    doc-keyed window for the prefix ranks, a candidate join whose fan-out
+    per token is df² only for tokens rare enough to appear in prefixes
+    (hub/boilerplate tokens rank last and never join), then
+    ``jaccard_verify`` restricted to candidates. Returns (id_a, id_b,
+    jaccard) with id_a < id_b.
+    """
+    p = int(round(threshold * 1000))
+    q = 1000
+    tokens = shingles(df, id_col, text_col, n=n, as_hash=True)
+    sizes = tokens.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    dfs = tokens.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w_rank = Window.partitionBy(id_col).orderBy("df", "shingle")
+    ranked = (
+        tokens.join(dfs, "shingle")
+        .select(id_col, "shingle", F.row_number().over(w_rank).alias("rn"))
+        .join(sizes, id_col)
+    )
+    # prefix_len = n - ceil(n*p/q) + 1 — integral DIV, never float division
+    # (a double x/1000 can round up across an integer boundary)
+    prefix_len = F.expr(f"n_sh - ((n_sh * {p} + {q - 1}) DIV {q}) + 1")
+    prefix = ranked.filter(F.col("rn") <= prefix_len).select(id_col, "shingle")
+    pa = prefix.select(F.col(id_col).alias("id_a"), "shingle")
+    pb = prefix.select(F.col(id_col).alias("id_b"), "shingle")
+    cands = (
+        pa.join(pb, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    verified = jaccard_verify(cands, tokens, id_col, sizes=sizes)
+    gate = F.col("n_inter") * q >= p * (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return verified.filter(gate).select("id_a", "id_b", "jaccard")
+
+
+def containment_neardup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.9,
+    max_df: int = 10,
+    n: int = 3,
+) -> DataFrame:
+    """Asymmetric containment dedup: C(A,B) = |A∩B| / min(|A|,|B|) ≥ t —
+    catches the pair Jaccard misses by construction: a short document
+    quoted inside a much longer one has near-1 containment but Jaccard
+    ≈ |A|/|B| (arbitrarily low), so a Jaccard gate can never find
+    quote/expansion duplicates without also flooding on unrelated pairs.
+
+    Candidates come from the df-pruned inverted index (pairs sharing any
+    shingle rarer than ``max_df`` docs): a true containment-t pair shares
+    ≥ t·min(|A|,|B|) shingles, so it is missed only if ALL of those are
+    corpus boilerplate — the same recall argument as the sparse-cosine
+    join. The gate is the integer cross-multiply
+    ``n_inter · 1000 ≥ round(t·1000) · min(n_a, n_b)``; the output
+    containment is the one exact double division.
+
+    Scale: shingle df counts (vocab shuffle), candidate join carried only
+    by rare shingles (fan-out ≤ max_df² per shingle), exact verify
+    restricted to candidates via ``jaccard_verify``."""
+    p = int(round(threshold * 1000))
+    tokens = shingles(df, id_col, text_col, n=n, as_hash=True)
+    sizes = tokens.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    dfs = tokens.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    rare = tokens.join(dfs.filter(F.col("df") <= max_df), "shingle")
+    ra = rare.select(F.col(id_col).alias("id_a"), "shingle")
+    rb = rare.select(F.col(id_col).alias("id_b"), "shingle")
+    cands = (
+        ra.join(rb, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    verified = jaccard_verify(cands, tokens, id_col, sizes=sizes)
+    min_sz = F.least(F.col("n_a"), F.col("n_b"))
+    return (
+        verified.filter(F.col("n_inter") * 1000 >= p * min_sz)
+        .withColumn("containment", F.col("n_inter").cast("double") / min_sz)
+        .select("id_a", "id_b", "n_inter", "n_a", "n_b", "containment")
     )

@@ -1103,6 +1103,135 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bpe_pair_stats",
+    """
+    WITH vocab AS (
+        SELECT w, count(*) AS freq FROM (
+            SELECT unnest(list_filter(
+                regexp_split_to_array(trim(lower(text)), '\\s+'),
+                x -> x <> '')) AS w
+            FROM documents) t
+        GROUP BY w
+    ),
+    pairs AS (
+        SELECT substr(w, CAST(i AS INT), 2) AS pair, freq
+        FROM (SELECT w, freq, unnest(range(1, length(w))) AS i
+              FROM vocab WHERE length(w) >= 2) x
+    )
+    SELECT pair, CAST(sum(freq) AS BIGINT) AS n
+    FROM pairs GROUP BY pair ORDER BY n DESC, pair LIMIT 50
+    """,
+)
+def q_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V55 — the counting step of BPE tokenizer training: adjacent
+    character-pair frequencies weighted by word frequency, top-50 merge
+    candidates. The 100 TB decomposition is corpus → vocab ONCE (one
+    vocab-cardinality shuffle), then all pair math on the collapsed
+    vocabulary — the corpus is never touched again across merge rounds."""
+    from fefal_etl_spark.llm.text_analysis import bpe_pair_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_pair_counts(docs, "text", top_n=50)
+
+
+@register(
+    "containment_neardup",
+    f"""
+    WITH {_CORPUS_SQL},
+    {_SQL_SHINGLES},
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+    dfs AS (SELECT shingle, count(*) AS df FROM shingles GROUP BY shingle),
+    rare AS (
+        SELECT t.doc_id, t.shingle
+        FROM shingles t JOIN dfs d ON t.shingle = d.shingle AND d.df <= 10
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM rare a JOIN rare b ON a.shingle = b.shingle
+                               AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+        SELECT c.id_a, c.id_b, count(*) AS n_inter
+        FROM cand c
+        JOIN shingles wa ON wa.doc_id = c.id_a
+        JOIN shingles wb ON wb.doc_id = c.id_b AND wb.shingle = wa.shingle
+        GROUP BY c.id_a, c.id_b
+    )
+    SELECT i.id_a, i.id_b, CAST(i.n_inter AS BIGINT) AS n_inter,
+           CAST(sa.n_sh AS BIGINT) AS n_a, CAST(sb.n_sh AS BIGINT) AS n_b,
+           CAST(i.n_inter AS DOUBLE) / least(sa.n_sh, sb.n_sh) AS containment
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE i.n_inter * 1000 >= 900 * least(sa.n_sh, sb.n_sh)
+    """,
+)
+def q_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V56 — asymmetric containment dedup C(A,B) = |A∩B| / min(|A|,|B|)
+    ≥ 0.9: catches quote/expansion duplicates whose Jaccard is arbitrarily
+    low (short doc inside long doc). Candidates from the df-pruned
+    inverted index; integer cross-multiply gate; exact-division output."""
+    from fefal_etl_spark.llm.dedup import containment_neardup
+
+    return containment_neardup(
+        _corpus(spark, sf_dir), "doc_id", "text", threshold=0.9, max_df=10
+    )
+
+
+@register(
+    "ppjoin_pairs",
+    f"""
+    WITH {_CORPUS_SQL},
+    {_SQL_SHINGLES},
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+    dfs AS (SELECT shingle, count(*) AS df FROM shingles GROUP BY shingle),
+    ranked AS (
+        SELECT t.doc_id, t.shingle,
+               row_number() OVER (PARTITION BY t.doc_id
+                                  ORDER BY d.df, t.shingle) AS rn,
+               s.n_sh
+        FROM shingles t
+        JOIN dfs d ON t.shingle = d.shingle
+        JOIN sizes s ON t.doc_id = s.doc_id
+    ),
+    prefix AS (
+        SELECT doc_id, shingle FROM ranked
+        WHERE rn <= n_sh - ((n_sh * 500 + 999) // 1000) + 1
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM prefix a JOIN prefix b ON a.shingle = b.shingle
+                                   AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+        SELECT c.id_a, c.id_b, count(*) AS n_inter
+        FROM cand c
+        JOIN shingles wa ON wa.doc_id = c.id_a
+        JOIN shingles wb ON wb.doc_id = c.id_b AND wb.shingle = wa.shingle
+        GROUP BY c.id_a, c.id_b
+    )
+    SELECT i.id_a, i.id_b,
+           CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE i.n_inter * 1000 >= 500 * (sa.n_sh + sb.n_sh - i.n_inter)
+    """,
+)
+def q_ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V53 — prefix-filtered EXACT set-similarity self-join (PPJoin family):
+    3-gram-shingle-set Jaccard ≥ 0.5 with candidates generated only by each doc's
+    rarest ``|s| - ceil(t|s|) + 1`` tokens (frequency-ordered prefix
+    filter, 100% recall by the pigeonhole bound). The exact-recall
+    complement to the probabilistic minhash-LSH path; integer prefix
+    arithmetic and an integer cross-multiply gate keep both engines
+    bit-identical."""
+    from fefal_etl_spark.llm.dedup import ppjoin_pairs
+
+    return ppjoin_pairs(_corpus(spark, sf_dir), "doc_id", "text", threshold=0.5)
+
+
+@register(
     "cdc_chunks",
     """
     WITH docs AS (

@@ -432,3 +432,50 @@ def unigram_logprob(
         F.count("*").cast("long").alias("n_tokens"),
         F.round(F.avg("__nll"), 6).alias("mean_nll"),
     )
+
+
+def bpe_pair_counts(
+    df: DataFrame, text_col: str = "text", top_n: int = 50
+) -> DataFrame:
+    """The counting step of byte-pair-encoding tokenizer training (Sennrich
+    et al. 2016): adjacent character-pair frequencies weighted by word
+    frequency, the statistic each BPE merge round maximizes.
+
+    Classic BPE iterates on the VOCABULARY (word, freq), which is tiny
+    after the corpus collapse — so the distributed work is exactly one
+    vocab-cardinality shuffle (word counts with map-side combine); the
+    per-word pair explosion then runs on the collapsed vocab, not the
+    corpus, and the final pair aggregation is alphabet²-bounded. This is
+    the correct 100 TB decomposition: corpus → vocab once, train merges on
+    vocab (driver- or executor-side, both fine at |V| ≈ 10⁶), broadcast
+    the merge table back to tokenize.
+
+    Returns the ``top_n`` (pair, n) rows, deterministically tie-broken by
+    pair string — the next merge candidate list."""
+    vocab = (
+        df.select(
+            F.explode(
+                F.filter(
+                    F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+                    lambda w: w != "",
+                )
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = vocab.filter(F.length("w") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.substr(F.col("w"), i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(top_n)
+    )

@@ -136,3 +136,56 @@ def equi_width_histogram(
             F.max("__c").alias("hi_units"),
         )
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: float = 3.0,
+    stat_round: int | None = None,
+) -> DataFrame:
+    """Robust per-group outlier detection by Median Absolute Deviation:
+    flag rows where |x − median| > k · 1.4826 · MAD (1.4826 scales MAD to
+    σ under normality — the standard robust z-score). Unlike mean/stddev
+    gates, a handful of extreme values cannot drag the threshold (50%
+    breakdown point), which is the property that matters on raw event
+    streams where the outliers ARE the contamination.
+
+    Two grouped percentile aggregations (median of x, then median of
+    |x − med|) + one broadcast join back — the group stats frame is
+    group-cardinality-small. Exact `percentile` keeps oracle parity; at
+    100 TB swap in `approx_percentile(…, 0.5, 10000)` for one-pass sketch
+    medians (documented trade: ±ε quantile error, no sort).
+
+    Returns the input rows that breach the gate, plus (group median, mad,
+    robust_z). Groups with MAD = 0 (constant bulk) flag any x ≠ median.
+    ``stat_round`` rounds median and MAD to that many decimals BEFORE the
+    gate — engines interpolate percentiles with differently-ordered IEEE
+    expressions, and an ulp at the gate flips boundary rows (oracle-parity
+    queries pass 6).
+    """
+    def _r(c):
+        return F.round(c, stat_round) if stat_round is not None else c
+
+    med = df.groupBy(*group_cols).agg(
+        _r(F.expr(f"percentile({value_col}, 0.5)")).alias("__med")
+    )
+    with_med = df.join(F.broadcast(med), group_cols)
+    mad = (
+        with_med.groupBy(*group_cols)
+        .agg(
+            _r(F.expr(f"percentile(abs({value_col} - __med), 0.5)")).alias("__mad")
+        )
+    )
+    scored = with_med.join(F.broadcast(mad), group_cols)
+    dev = F.abs(F.col(value_col) - F.col("__med"))
+    gate = dev > F.lit(k) * F.lit(1.4826) * F.col("__mad")
+    robust_z = F.when(
+        F.col("__mad") > 0, dev / (F.lit(1.4826) * F.col("__mad"))
+    )
+    return (
+        scored.filter(gate)
+        .withColumn("robust_z", robust_z)
+        .withColumnsRenamed({"__med": "group_median", "__mad": "group_mad"})
+    )

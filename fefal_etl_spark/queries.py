@@ -2983,3 +2983,56 @@ def q_schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sum_price"),
         F.min("o_orderkey").cast("long").alias("min_key"),
     )
+
+
+@register(
+    "value_outliers_mad",
+    """
+    WITH med AS (
+        SELECT event_type, round(quantile_cont(value, 0.5), 6) AS m
+        FROM events GROUP BY event_type
+    ),
+    wm AS (
+        SELECT e.event_id, e.event_type, e.value, m.m
+        FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type, round(quantile_cont(abs(value - m), 0.5), 6) AS md
+        FROM wm GROUP BY event_type
+    )
+    SELECT w.event_id, w.event_type, w.value,
+           w.m AS group_median, d.md AS group_mad,
+           CASE WHEN d.md > 0
+                THEN round(abs(w.value - w.m) / (1.4826 * d.md), 6) END
+               AS robust_z
+    FROM wm w JOIN mad d USING (event_type)
+    WHERE abs(w.value - w.m) > 3.0 * 1.4826 * d.md
+    """,
+)
+def q_value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V54 — robust per-group outlier gate by Median Absolute Deviation:
+    |x − median| > 3 · 1.4826 · MAD. The 50%-breakdown-point alternative to
+    mean/σ z-scores (quality_zscores), where extreme values cannot drag
+    their own threshold. Median and MAD are rounded to 6 decimals BEFORE
+    the gate on both engines — Spark's percentile interpolates
+    (1−f)·a + f·b while DuckDB's quantile_cont computes a + (b−a)·f, and
+    an ulp of difference at the gate would flip boundary rows.
+
+    Scale: two grouped exact-percentile aggregations + broadcast joins
+    back (group-stats frames are type-cardinality-small); at 100 TB swap
+    `approx_percentile` sketches for the exact medians (documented in
+    operators/quality.py::mad_outliers)."""
+    from fefal_etl_spark.operators.quality import mad_outliers
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    out = mad_outliers(ev, ["event_type"], "value", k=3.0, stat_round=6)
+    return out.select(
+        "event_id",
+        "event_type",
+        "value",
+        "group_median",
+        "group_mad",
+        F.round("robust_z", 6).alias("robust_z"),
+    )

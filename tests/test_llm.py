@@ -924,3 +924,68 @@ def test_cdc_chunks_deterministic_and_complete(spark):
     assert sum(r["n_words"] for r in rows) == 8
     ids = sorted(r["chunk_id"] for r in rows)
     assert ids == list(range(len(ids)))
+
+
+def test_ppjoin_exact_recall_superset_of_lsh(spark, corpus):
+    """PPJoin's prefix filter has 100% recall at its threshold, so its pair
+    set must contain every pair minhash-LSH (probabilistic) reports at the
+    same Jaccard gate."""
+    from fefal_etl_spark.llm.dedup import minhash_lsh_neardup, ppjoin_pairs
+
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ppjoin_pairs(corpus, "doc_id", "text", threshold=0.5).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_neardup(
+            corpus, "doc_id", "text", num_hashes=16, rows_per_band=4, threshold=0.5
+        ).collect()
+    }
+    assert set(lsh) <= set(exact)
+    # identical exact-Jaccard values where both report the pair
+    for k in lsh:
+        assert exact[k] == lsh[k]
+    # the exact-dup pair is present with jaccard 1.0
+    assert exact[(1, 4)] == 1.0
+
+
+def test_containment_catches_quote_that_jaccard_misses(spark):
+    """A short doc quoted inside a much longer one: containment ≈ 1 but
+    Jaccard ≈ |A|/|B| — the pair only the asymmetric gate can find."""
+    from fefal_etl_spark.llm.dedup import containment_neardup, ppjoin_pairs
+
+    quote = "the seven league boots stride over the misty mountain tops tonight"
+    filler = " ".join(f"filler{i}word{i*7%13} extra{i%5}" for i in range(60))
+    rows = [
+        (1, quote),
+        (2, filler + " " + quote + " " + filler.upper().lower()),
+        (3, "entirely unrelated text about query planners and shuffles today"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cont = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_neardup(df, "doc_id", "text", threshold=0.9).collect()
+    }
+    assert (1, 2) in cont and cont[(1, 2)] == 1.0
+    assert all(3 not in k for k in cont)
+    # the symmetric Jaccard gate at 0.5 cannot see this pair
+    jac = {
+        (r["id_a"], r["id_b"])
+        for r in ppjoin_pairs(df, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert (1, 2) not in jac
+
+
+def test_bpe_pair_counts_weighted_by_word_freq(spark):
+    from fefal_etl_spark.llm.text_analysis import bpe_pair_counts
+
+    # "ab" appears in 'ab' (3 docs) and 'abc' (1 doc) → weight 4
+    df = spark.createDataFrame(
+        [(1, "ab ab xy"), (2, "ab abc"), (3, "xy q")], "doc_id long, text string"
+    )
+    got = {r["pair"]: r["n"] for r in bpe_pair_counts(df, "text").collect()}
+    assert got["ab"] == 4   # freq('ab')=3 + freq('abc')=1
+    assert got["bc"] == 1
+    assert got["xy"] == 2
+    assert "q" not in got   # single-char words contribute no pairs
