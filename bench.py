@@ -135,6 +135,10 @@ BENCH_QUERIES = [
     "containment_neardup",
     "bpe_pair_stats",
     "value_outliers_mad",
+    "bigram_logprob",
+    "quality_rank_blend",
+    "tombstone_cascade",
+    "positional_index",
     # dup_clusters_star is excluded like ngram_jaccard_pairs: at bench SF its
     # wall time is ~6 iterative rounds of fixed scheduling cost (the
     # algorithm exists for O(log n) ROUNDS at web scale, demonstrated by the

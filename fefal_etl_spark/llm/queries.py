@@ -9,7 +9,7 @@ those planted pairs (plus any organic ones).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fefal_etl_spark.datasets import load_table
@@ -1100,6 +1100,58 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = attach_synth_images(docs, "doc_id", fmt="ppm")
     resized = resize_payload(media, decode_stub=False, target_px=(4, 3))
     return extract_features(resized, decode_stub=False)
+
+
+@register(
+    "bigram_logprob",
+    """
+    WITH docs AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                           x -> x <> '') AS wa
+        FROM documents
+    ),
+    positioned AS (
+        SELECT doc_id, unnest(range(0, len(wa))) AS pos, wa FROM docs
+    ),
+    stream AS (
+        SELECT doc_id, pos, wa[pos + 1] AS w,
+               lag(wa[pos + 1]) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM positioned
+    ),
+    uni AS (SELECT w, count(*) AS cu FROM stream GROUP BY w),
+    tot AS (SELECT sum(cu) AS n FROM uni),
+    big AS (SELECT prev, w, count(*) AS cbg FROM stream
+            WHERE prev IS NOT NULL GROUP BY prev, w),
+    ctx AS (SELECT prev, sum(cbg) AS cctx FROM big GROUP BY prev),
+    scored AS (
+        SELECT s.doc_id,
+               CASE WHEN s.prev IS NULL
+                    THEN -log2(CAST(u.cu AS DOUBLE) / t.n)
+                    ELSE -log2(0.75 * (CAST(b.cbg AS DOUBLE) / c.cctx)
+                               + 0.25 * (CAST(u.cu AS DOUBLE) / t.n))
+               END AS nll
+        FROM stream s
+        JOIN uni u ON s.w = u.w
+        CROSS JOIN tot t
+        LEFT JOIN big b ON s.prev = b.prev AND s.w = b.w
+        LEFT JOIN ctx c ON s.prev = c.prev
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(nll), 6) AS mean_nll
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V57 — interpolated bigram LM scoring (Jelinek-Mercer λ=0.75): the
+    word-ORDER-sensitive perplexity gate unigram scoring is blind to.
+    Bigram model fit and its join back are keyed identically (AQE reuses
+    the exchange); the model is deliberately NOT force-broadcast — at
+    100 TB observed bigrams outgrow the driver."""
+    from fefal_etl_spark.llm.text_analysis import bigram_logprob
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_logprob(docs)
 
 
 @register(
@@ -2410,3 +2462,190 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return unigram_logprob(docs)
+
+
+@register(
+    "quality_rank_blend",
+    """
+    WITH feats AS (
+        SELECT doc_id, n_chars,
+               len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                               x -> x <> '')) AS n_words,
+               CAST(len(list_distinct(list_filter(
+                   regexp_split_to_array(trim(lower(text)), '\\s+'),
+                   x -> x <> ''))) AS DOUBLE)
+                   / greatest(len(list_filter(
+                         regexp_split_to_array(trim(lower(text)), '\\s+'),
+                         x -> x <> '')), 1) AS ttr
+        FROM documents
+    )
+    SELECT doc_id,
+           round(percent_rank() OVER (ORDER BY n_chars), 6) AS pr_chars,
+           round(percent_rank() OVER (ORDER BY n_words), 6) AS pr_words,
+           round(percent_rank() OVER (ORDER BY ttr), 6) AS pr_ttr,
+           round((percent_rank() OVER (ORDER BY n_chars)
+                  + percent_rank() OVER (ORDER BY n_words)
+                  + percent_rank() OVER (ORDER BY ttr)) / 3, 6) AS blend
+    FROM feats
+    """,
+)
+def q_quality_rank_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V58 — rank-normalized quality fusion: three signals (chars, words,
+    type-token ratio) each mapped to its empirical percent-rank, blended
+    by mean — the scale-free way to combine signals with incomparable
+    units (CCNet mixes perplexity buckets the same way).
+
+    The SQL-window formulation (`percent_rank() OVER (ORDER BY v)`) is a
+    GLOBAL sort into ONE partition — the classic scale trap. This plan
+    instead computes each signal's CDF on its DISTINCT-VALUE table:
+    per-value counts (a shuffle at value cardinality, ≪ docs), a running
+    sum over the tiny value table, and a broadcast join back — bit-equal
+    to percent_rank's (rank−1)/(n−1) with min-rank tie semantics, while
+    the corpus is never globally sorted. The oracle deliberately USES the
+    window form: two formulations, one semantics."""
+    from fefal_etl_spark.llm.text_analysis import words
+
+    docs = load_table(spark, sf_dir, "documents")
+    wa = F.filter(words(F.lower(F.col("text"))), lambda w: w != "")
+    feats = docs.select(
+        "doc_id",
+        "n_chars",
+        F.size(wa).cast("long").alias("n_words"),
+        (
+            F.size(F.array_distinct(wa)).cast("double")
+            / F.greatest(F.size(wa), F.lit(1))
+        ).alias("ttr"),
+    )
+    n_total = feats.count()
+
+    def pct_rank(col_name: str) -> DataFrame:
+        """(value → percent_rank) via distinct-value CDF: exact twin of
+        percent_rank() without the single-partition global sort."""
+        vals = feats.groupBy(col_name).agg(F.count(F.lit(1)).alias("__c"))
+        w_cum = (
+            Window.orderBy(col_name)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return vals.select(
+            col_name,
+            (
+                F.coalesce(F.sum("__c").over(w_cum), F.lit(0)).cast("double")
+                / F.lit(max(n_total - 1, 1))
+            ).alias(f"__pr_{col_name}"),
+        )
+
+    out = feats
+    for c in ("n_chars", "n_words", "ttr"):
+        out = out.join(F.broadcast(pct_rank(c)), c)
+    return out.select(
+        "doc_id",
+        F.round(F.col("__pr_n_chars"), 6).alias("pr_chars"),
+        F.round(F.col("__pr_n_words"), 6).alias("pr_words"),
+        F.round(F.col("__pr_ttr"), 6).alias("pr_ttr"),
+        F.round(
+            (F.col("__pr_n_chars") + F.col("__pr_n_words") + F.col("__pr_ttr"))
+            / 3,
+            6,
+        ).alias("blend"),
+    )
+
+
+@register(
+    "tombstone_cascade",
+    """
+    WITH tombstones AS (
+        SELECT doc_id FROM documents WHERE doc_id % 13 = 7
+    ),
+    fps AS (
+        SELECT doc_id FROM (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                               x -> x <> '') AS ws
+            FROM documents) w
+        CROSS JOIN LATERAL (SELECT unnest(range(1, greatest(len(ws) - 1, 1))) AS i) g
+        WHERE len(ws) >= 3
+    )
+    SELECT 'documents' AS table_name,
+           CAST(count(*) AS BIGINT) AS rows_before,
+           CAST(count(*) FILTER (WHERE doc_id % 13 <> 7) AS BIGINT) AS rows_after,
+           CAST(count(*) FILTER (WHERE doc_id % 13 = 7) AS BIGINT) AS rows_deleted
+    FROM documents
+    UNION ALL
+    SELECT 'trigram_postings',
+           CAST(count(*) AS BIGINT),
+           CAST(count(*) FILTER (WHERE doc_id % 13 <> 7) AS BIGINT),
+           CAST(count(*) FILTER (WHERE doc_id % 13 = 7) AS BIGINT)
+    FROM fps
+    """,
+)
+def q_tombstone_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V59 — right-to-erasure tombstone propagation: a tombstone key set is
+    broadcast anti-joined through the base table AND every derived table
+    (here the trigram posting stream) in one pass each, with a per-table
+    deletion audit row. At 100 TB the tombstone set broadcasts (it is
+    human-scale), each table is scanned ONCE map-side — no shuffles at
+    all — and the audit row is a map-side-combinable conditional agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    tomb = F.col("doc_id") % 13 == 7
+    base_audit = docs.agg(
+        F.lit("documents").alias("table_name"),
+        F.count(F.lit(1)).alias("rows_before"),
+        F.count(F.when(~tomb, 1)).alias("rows_after"),
+        F.count(F.when(tomb, 1)).alias("rows_deleted"),
+    )
+    from fefal_etl_spark.llm.dedup import shingles
+
+    postings = shingles(docs, "doc_id", "text", n=3, distinct=False)
+    post_audit = postings.agg(
+        F.lit("trigram_postings").alias("table_name"),
+        F.count(F.lit(1)).alias("rows_before"),
+        F.count(F.when(~tomb, 1)).alias("rows_after"),
+        F.count(F.when(tomb, 1)).alias("rows_deleted"),
+    )
+    return base_audit.unionByName(post_audit)
+
+
+@register(
+    "positional_index",
+    """
+    WITH docs AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                           x -> x <> '') AS wa
+        FROM documents
+    ),
+    positioned AS (
+        SELECT doc_id, unnest(range(0, len(wa))) AS pos, wa FROM docs
+    ),
+    words AS (SELECT doc_id, pos, wa[pos + 1] AS w FROM positioned)
+    SELECT w AS term, doc_id, CAST(count(*) AS BIGINT) AS tf,
+           list_sort(list(pos)) AS positions
+    FROM words GROUP BY term, doc_id
+    """,
+)
+def q_positional_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V60 — positional inverted-index build: (term, doc, tf, sorted
+    position list), the structure phrase search, proximity scoring, and
+    span-level decontamination read. One (term, doc)-keyed shuffle with
+    map-side partial collect_list; position arrays stay bounded by per-doc
+    term frequency. At 100 TB write it `partitionBy(bucket(term))` so
+    query-time term lookups prune to one bucket."""
+    docs = load_table(spark, sf_dir, "documents")
+    words_pos = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                lambda w: w != "",
+            )
+        ).alias("pos", "w"),
+    )
+    return (
+        words_pos.groupBy(F.col("w").alias("term"), F.col("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.sort_array(F.collect_list(F.col("pos").cast("long"))).alias(
+                "positions"
+            ),
+        )
+    )

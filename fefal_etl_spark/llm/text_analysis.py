@@ -479,3 +479,67 @@ def bpe_pair_counts(
         .orderBy(F.col("n").desc(), "pair")
         .limit(top_n)
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.75,
+) -> DataFrame:
+    """Interpolated bigram language-model scoring — one rung up the
+    perplexity-gate ladder from :func:`unigram_logprob`: each token after
+    the first is scored by p = λ·p(w|prev) + (1−λ)·p(w) (Jelinek-Mercer
+    interpolation, the classic smoothing that never assigns zero to an
+    unseen bigram because the unigram term floors it); the first token
+    backs off to the unigram alone. Documents whose word ORDER is unlike
+    the corpus (shuffled text, concatenated fragments, tables) now score
+    high even when their vocabulary is in-domain — the failure mode a
+    unigram gate is blind to.
+
+    Shuffle profile: unigram fit at vocab cardinality; bigram fit +
+    context totals at observed-bigram cardinality (the model join back to
+    the token stream is keyed identically to the fit, so AQE reuses the
+    exchange); scoring aggregates per doc with map-side partials. The
+    bigram model is NOT force-broadcast — at 100 TB observed bigrams
+    outgrow the driver and the co-partitioned hash join is the right
+    plan. Mean −log₂ p is engine-order summation → round-6 both sides
+    (the documented caveat shared with ``unigram_logprob``).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.filter(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+                lambda w: w != "",
+            )
+        ).alias("pos", "w"),
+    )
+    w_ord = Window.partitionBy(id_col).orderBy("pos")
+    stream = toks.withColumn("prev", F.lag("w").over(w_ord))
+    uni = stream.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
+    total = uni.agg(F.sum("cu").alias("n"))
+    big = (
+        stream.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "w")
+        .agg(F.count(F.lit(1)).alias("cbg"))
+    )
+    ctx = big.groupBy("prev").agg(F.sum("cbg").alias("cctx"))
+    scored = (
+        stream.join(F.broadcast(uni), "w")
+        .crossJoin(F.broadcast(total))
+        .join(big, ["prev", "w"], "left")
+        .join(ctx, "prev", "left")
+    )
+    p_uni = F.col("cu").cast("double") / F.col("n")
+    p_int = (
+        F.lit(lam) * (F.col("cbg").cast("double") / F.col("cctx"))
+        + F.lit(1.0 - lam) * p_uni
+    )
+    nll = F.when(F.col("prev").isNull(), -F.log2(p_uni)).otherwise(
+        -F.log2(p_int)
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.round(F.avg(nll), 6).alias("mean_nll"),
+    )

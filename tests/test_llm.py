@@ -989,3 +989,28 @@ def test_bpe_pair_counts_weighted_by_word_freq(spark):
     assert got["bc"] == 1
     assert got["xy"] == 2
     assert "q" not in got   # single-char words contribute no pairs
+
+
+def test_bigram_logprob_penalizes_word_order(spark):
+    """Same vocabulary, scrambled order → higher bigram NLL; the unigram
+    gate cannot distinguish the two docs."""
+    from fefal_etl_spark.llm.text_analysis import bigram_logprob, unigram_logprob
+
+    # corpus dominated by documents sharing natural bigrams; the scrambled
+    # doc reuses doc 1's exact words in an order whose bigrams appear
+    # nowhere else (and never repeat, so the self-trained model can't
+    # learn the scramble as its own dialect)
+    animals = ["cat", "dog", "fox", "owl", "hen", "pig", "ram", "bat"]
+    naturals = [
+        (i + 1, f"the {a} sat on the mat and the {a} ran to the barn")
+        for i, a in enumerate(animals)
+    ]
+    w = naturals[0][1].split()
+    scrambled = " ".join(w[::3] + w[1::3] + w[2::3])
+    df = spark.createDataFrame(
+        naturals + [(99, scrambled)], "doc_id long, text string"
+    )
+    bg = {r["doc_id"]: r["mean_nll"] for r in bigram_logprob(df).collect()}
+    ug = {r["doc_id"]: r["mean_nll"] for r in unigram_logprob(df).collect()}
+    assert bg[99] > bg[1]
+    assert abs(ug[1] - ug[99]) < 1e-9  # unigram blind to order
