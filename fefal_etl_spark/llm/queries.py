@@ -1195,7 +1195,7 @@ def q_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfs AS (SELECT shingle, count(*) AS df FROM shingles GROUP BY shingle),
     rare AS (
         SELECT t.doc_id, t.shingle
-        FROM shingles t JOIN dfs d ON t.shingle = d.shingle AND d.df <= 10
+        FROM shingles t JOIN dfs d ON t.shingle = d.shingle AND d.df <= 4
     ),
     cand AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -1226,7 +1226,7 @@ def q_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fefal_etl_spark.llm.dedup import containment_neardup
 
     return containment_neardup(
-        _corpus(spark, sf_dir), "doc_id", "text", threshold=0.9, max_df=10
+        _corpus(spark, sf_dir), "doc_id", "text", threshold=0.9, max_df=4
     )
 
 
@@ -1247,13 +1247,17 @@ def q_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN sizes s ON t.doc_id = s.doc_id
     ),
     prefix AS (
-        SELECT doc_id, shingle FROM ranked
-        WHERE rn <= n_sh - ((n_sh * 500 + 999) // 1000) + 1
+        SELECT doc_id, shingle, rn, n_sh FROM ranked
+        WHERE rn <= n_sh - ((n_sh * 800 + 999) // 1000) + 1
     ),
     cand AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM prefix a JOIN prefix b ON a.shingle = b.shingle
                                    AND a.doc_id < b.doc_id
+        WHERE a.n_sh * 1000 >= 800 * b.n_sh
+          AND b.n_sh * 1000 >= 800 * a.n_sh
+          AND (1 + least(a.n_sh - a.rn, b.n_sh - b.rn)) * 1800
+              >= 800 * (a.n_sh + b.n_sh)
     ),
     inter AS (
         SELECT c.id_a, c.id_b, count(*) AS n_inter
@@ -1267,12 +1271,12 @@ def q_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM inter i
     JOIN sizes sa ON sa.doc_id = i.id_a
     JOIN sizes sb ON sb.doc_id = i.id_b
-    WHERE i.n_inter * 1000 >= 500 * (sa.n_sh + sb.n_sh - i.n_inter)
+    WHERE i.n_inter * 1000 >= 800 * (sa.n_sh + sb.n_sh - i.n_inter)
     """,
 )
 def q_ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V53 — prefix-filtered EXACT set-similarity self-join (PPJoin family):
-    3-gram-shingle-set Jaccard ≥ 0.5 with candidates generated only by each doc's
+    3-gram-shingle-set Jaccard ≥ 0.8 with candidates generated only by each doc's
     rarest ``|s| - ceil(t|s|) + 1`` tokens (frequency-ordered prefix
     filter, 100% recall by the pigeonhole bound). The exact-recall
     complement to the probabilistic minhash-LSH path; integer prefix
@@ -1280,7 +1284,7 @@ def q_ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical."""
     from fefal_etl_spark.llm.dedup import ppjoin_pairs
 
-    return ppjoin_pairs(_corpus(spark, sf_dir), "doc_id", "text", threshold=0.5)
+    return ppjoin_pairs(_corpus(spark, sf_dir), "doc_id", "text", threshold=0.8)
 
 
 @register(
