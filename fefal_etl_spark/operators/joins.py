@@ -196,6 +196,8 @@ def asof_join(
     left_ts: str = "ts",
     right_ts: str = "ts",
     right_cols: dict[str, str] | None = None,
+    direction: str = "backward",
+    tolerance_seconds: int | None = None,
 ) -> DataFrame:
     """Backward as-of join: each left row gets the latest right row with the
     same key and ``right_ts <= left_ts`` (inclusive), left-outer — NULLs
@@ -217,7 +219,18 @@ def asof_join(
     timestamp is always emitted under ``right_cols.get(right_ts,
     "right_" + right_ts)``. Right rows duplicated on (key, ts) should be
     deduped by the caller if tie-breaking must be deterministic.
+
+    ``direction="forward"`` flips the match to the EARLIEST right row with
+    ``right_ts >= left_ts`` (the "next event" join — attribution to the
+    following purchase, next sensor reading): same union-then-window plan
+    with a following-frame ``first(ignorenulls)`` and the tag order
+    flipped so an equal-timestamp right row is still visible.
+    ``tolerance_seconds`` NULLs the match when |left_ts − matched_ts|
+    exceeds it (kdb/pandas ``tolerance`` semantics) — a narrow
+    post-projection, no change to the shuffle shape.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     keys = [on] if isinstance(on, str) else list(on)
     if right_cols is None:
         right_cols = {
@@ -247,24 +260,51 @@ def asof_join(
         F.col(right_ts).alias("__r_ts"),
     )
     unioned = l_tagged.unionByName(r_tagged)
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(F.col("__t").asc(), F.col("__side").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    if direction == "backward":
+        # right (side 0) sorts BEFORE left at equal t → inclusive match
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("__t").asc(), F.col("__side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+
+        def pick(c):
+            return F.last(c, ignorenulls=True).over(w)
+
+    else:
+        # left (side 1) sorts BEFORE right at equal t → the following-frame
+        # first() still sees an equal-timestamp right row (inclusive)
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("__t").asc(), F.col("__side").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+
+        def pick(c):
+            return F.first(c, ignorenulls=True).over(w)
+
     filled = unioned.select(
         "*",
-        *[
-            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"__m_{c}")
-            for c in payload
-        ],
-        F.last(F.col("__r_ts"), ignorenulls=True).over(w).alias("__m_ts"),
+        *[pick(F.col(f"__r_{c}")).alias(f"__m_{c}") for c in payload],
+        pick(F.col("__r_ts")).alias("__m_ts"),
     )
     out_left = [c for c in left.columns if c not in keys and c != left_ts]
+    if tolerance_seconds is not None:
+        within = (
+            F.abs(F.unix_timestamp(F.col("__t")) - F.unix_timestamp("__m_ts"))
+            <= tolerance_seconds
+        )
+        match_cols = [
+            F.when(within, F.col(f"__m_{c}")).alias(right_cols[c])
+            for c in payload
+        ] + [F.when(within, F.col("__m_ts")).alias(right_cols[right_ts])]
+    else:
+        match_cols = [
+            F.col(f"__m_{c}").alias(right_cols[c]) for c in payload
+        ] + [F.col("__m_ts").alias(right_cols[right_ts])]
     return filled.filter(F.col("__side") == 1).select(
         *keys,
         F.col("__t").alias(left_ts),
         *out_left,
-        *[F.col(f"__m_{c}").alias(right_cols[c]) for c in payload],
-        F.col("__m_ts").alias(right_cols[right_ts]),
+        *match_cols,
     )

@@ -285,3 +285,111 @@ def dim_as_of(
         (F.col(valid_from) <= t)
         & (F.col(valid_to).isNull() | (t < F.col(valid_to)))
     )
+
+
+def merge_into(
+    target: DataFrame,
+    source: DataFrame,
+    on: list[str],
+    update_cols: list[str] | None = None,
+    delete_condition=None,
+    insert: bool = True,
+    check_unique: bool = True,
+) -> DataFrame:
+    """General MERGE INTO (the Delta/Iceberg/ANSI lakehouse primitive) as
+    pure DataFrame algebra over schema-aligned frames:
+
+    - matched + ``delete_condition`` (a Column over the SOURCE schema,
+      evaluated before the join) → row removed;
+    - matched otherwise → target row with ``update_cols`` taken from the
+      source (the WHEN MATCHED THEN UPDATE SET clause; default: every
+      non-key column);
+    - source-only keys → inserted (WHEN NOT MATCHED THEN INSERT), gated by
+      ``insert``;
+    - target-only rows stream through untouched.
+
+    PRECONDITION (guarded like :func:`scd2_merge`): source keys are UNIQUE
+    — a duplicate would fan the join out and write two conflicting
+    versions of one row. With ``check_unique`` an ``assert_true`` window
+    guard rides the source side and fails loudly.
+
+    Scale: ONE full-outer key-hashed join — the merge never touches rows
+    twice, never collects, and the target side streams through the join
+    partition-parallel. On a real lake this is the transform behind a
+    partition-overwrite or copy-on-write commit; at 100 TB pair it with
+    partition pruning so only affected partitions re-write (the
+    read-side twin of Delta's dynamic file skipping).
+    """
+    keys = list(on)
+    upd = update_cols if update_cols is not None else [
+        c for c in target.columns if c not in keys
+    ]
+    missing = [c for c in upd if c not in source.columns]
+    if missing:
+        raise ValueError(f"update_cols not in source: {missing}")
+
+    src = source
+    if check_unique:
+        from pyspark.sql.window import Window
+
+        n_per_key = F.count(F.lit(1)).over(Window.partitionBy(*keys))
+        guard = F.assert_true(
+            n_per_key == 1, F.lit("merge_into: duplicate key in source")
+        )
+        # woven into the first join key so column pruning can't drop it
+        # (a withColumn+drop guard is pruned away — scd2_merge lesson)
+        k0 = keys[0]
+        src = src.select(
+            F.when(guard.isNull(), F.col(k0)).alias(k0),
+            *[c for c in source.columns if c != k0],
+        )
+
+    t = target.select(
+        *[F.col(k).alias(f"__tk_{k}") for k in keys],
+        *[F.col(c).alias(f"__t_{c}") for c in target.columns if c not in keys],
+        F.lit(True).alias("__in_t"),
+    )
+    # delete_condition is evaluated against SOURCE columns before the join
+    # (the caller writes it over the source schema, not join-internal names)
+    del_flag = (
+        delete_condition if delete_condition is not None else F.lit(False)
+    )
+    s = src.select(
+        *[F.col(k).alias(f"__sk_{k}") for k in keys],
+        *[F.col(c).alias(f"__s_{c}") for c in source.columns if c not in keys],
+        del_flag.alias("__del"),
+        F.lit(True).alias("__in_s"),
+    )
+    cond = None
+    for k in keys:
+        eq = F.col(f"__tk_{k}") == F.col(f"__sk_{k}")
+        cond = eq if cond is None else (cond & eq)
+    joined = t.join(s, cond, "full_outer")
+    in_t = F.col("__in_t").isNotNull()
+    in_s = F.col("__in_s").isNotNull()
+
+    if delete_condition is not None:
+        joined = joined.filter(
+            ~(in_t & in_s & F.coalesce(F.col("__del"), F.lit(False)))
+        )
+    if not insert:
+        joined = joined.filter(in_t)
+
+    out_cols = []
+    for k in keys:
+        out_cols.append(
+            F.coalesce(F.col(f"__tk_{k}"), F.col(f"__sk_{k}")).alias(k)
+        )
+    for c in target.columns:
+        if c in keys:
+            continue
+        if c in upd and c in source.columns:
+            # matched → source value; target-only → target; source-only → source
+            v = F.when(in_s, F.col(f"__s_{c}")).otherwise(F.col(f"__t_{c}"))
+        elif c in source.columns:
+            # not updated on match, but needed for inserts
+            v = F.when(in_t, F.col(f"__t_{c}")).otherwise(F.col(f"__s_{c}"))
+        else:
+            v = F.col(f"__t_{c}")
+        out_cols.append(v.alias(c))
+    return joined.select(*out_cols)

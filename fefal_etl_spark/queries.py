@@ -3036,3 +3036,154 @@ def q_value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         "group_mad",
         F.round("robust_z", 6).alias("robust_z"),
     )
+
+
+@register(
+    "asof_forward_tolerance",
+    """
+    WITH v AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+    ),
+    p AS (
+        SELECT user_id, ts, max(event_id) AS purchase_event_id
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    )
+    SELECT v.event_id, v.user_id, v.ts,
+           CASE WHEN m.purchase_ts IS NOT NULL
+                     AND epoch(m.purchase_ts) - epoch(v.ts) <= 1800
+                THEN m.purchase_event_id END AS purchase_event_id,
+           CASE WHEN m.purchase_ts IS NOT NULL
+                     AND epoch(m.purchase_ts) - epoch(v.ts) <= 1800
+                THEN m.purchase_ts END AS purchase_ts
+    FROM v LEFT JOIN LATERAL (
+        SELECT purchase_event_id, ts AS purchase_ts
+        FROM p WHERE p.user_id = v.user_id AND p.ts >= v.ts
+        ORDER BY p.ts LIMIT 1
+    ) m ON TRUE
+    """,
+)
+def q_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join with tolerance — each view matched to the user's
+    NEXT purchase, invalidated when it lands more than 30 min later
+    (kdb/pandas `tolerance` semantics: match nearest first, THEN gate —
+    distinct from 'nearest within window'). Same union-then-window plan as
+    the backward as-of: one key shuffle, a following-frame
+    first(ignorenulls), no range explosion; the tolerance is a narrow
+    post-projection. The oracle is a correlated LATERAL probe — correct at
+    oracle scale, quadratic at cluster scale, which is exactly why the
+    windowed form is the operator."""
+    from fefal_etl_spark.operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("purchase_event_id"))
+    )
+    return asof_join(
+        views,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols={
+            "purchase_event_id": "purchase_event_id",
+            "ts": "purchase_ts",
+        },
+        direction="forward",
+        tolerance_seconds=1800,
+    ).select("event_id", "user_id", "ts", "purchase_event_id", "purchase_ts")
+
+
+@register(
+    "events_latency_bands",
+    """
+    SELECT event_type, date_trunc('hour', ts) AS hour,
+           CAST(count(*) AS BIGINT) AS n,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.9), 6) AS p90,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events
+    GROUP BY event_type, hour
+    """,
+)
+def q_events_latency_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile bands per (type, hour) — the SLO dashboard aggregation
+    (p50/p90/p99 latency per service per hour). Exact interpolated
+    percentiles in ONE grouped aggregation (grid = types × hours, tiny);
+    at 100 TB swap `approx_percentile(value, array(...), 10000)` for the
+    one-pass mergeable sketch — same plan shape, bounded error."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        )
+    )
+
+
+@register(
+    "merge_into_orders",
+    """
+    WITH t AS (
+        SELECT o_orderkey, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderkey % 3 <> 0
+    ),
+    s AS (
+        SELECT o_orderkey,
+               CAST(round(CAST(o_totalprice AS DECIMAL(18,2))
+                          * CAST(1.1 AS DECIMAL(2,1)), 2) AS DOUBLE)
+                   AS o_totalprice,
+               o_orderstatus
+        FROM orders WHERE o_orderkey % 2 = 0
+    )
+    SELECT COALESCE(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+           CASE WHEN s.o_orderkey IS NOT NULL
+                THEN s.o_totalprice ELSE t.o_totalprice END AS o_totalprice,
+           CASE WHEN s.o_orderkey IS NOT NULL
+                THEN s.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus
+    FROM t FULL OUTER JOIN s ON t.o_orderkey = s.o_orderkey
+    WHERE NOT (t.o_orderkey IS NOT NULL AND s.o_orderkey IS NOT NULL
+               AND s.o_orderstatus = 'F')
+    """,
+)
+def q_merge_into_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V63 — general MERGE INTO (operators/upsert.py::merge_into), the
+    Delta/Iceberg/ANSI lakehouse write primitive as one full-outer
+    key-hashed join: matched 'F'-status source rows DELETE, other matches
+    UPDATE price/status from the source, source-only keys INSERT,
+    target-only rows stream through. Source-key uniqueness guarded by an
+    assert_true window (the scd2_merge fan-out lesson, ADVICE r2)."""
+    from fefal_etl_spark.operators.upsert import merge_into
+
+    orders = load_table(spark, sf_dir, "orders")
+    target = orders.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    # DECIMAL-exact price bump: round(double*1.1, 2) lands on .005
+    # half-cases whose rounding direction differs between engines
+    source = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        F.round(
+            F.col("o_totalprice").cast("decimal(18,2)")
+            * F.lit("1.1").cast("decimal(2,1)"),
+            2,
+        )
+        .cast("double")
+        .alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    return merge_into(
+        target,
+        source,
+        on=["o_orderkey"],
+        delete_condition=F.col("o_orderstatus") == "F",
+    )

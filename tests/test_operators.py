@@ -867,3 +867,83 @@ def test_events_interpolate_fills_gap_linearly(spark):
     assert got[(0, "b")] == (7.0, True)
     assert got[(1, "b")] == (7.0, False)
     assert got[(3, "b")] == (7.0, True)
+
+
+def test_merge_into_clause_semantics(spark):
+    from fefal_etl_spark.operators.upsert import merge_into
+
+    target = spark.createDataFrame(
+        [(1, 10.0, "keep"), (2, 20.0, "upd"), (3, 30.0, "del")],
+        "k long, v double, tag string",
+    )
+    source = spark.createDataFrame(
+        [(2, 99.0, "upd"), (3, 0.0, "DELETE"), (4, 40.0, "new")],
+        "k long, v double, tag string",
+    )
+    out = {
+        r["k"]: r
+        for r in merge_into(
+            target,
+            source,
+            on=["k"],
+            delete_condition=F.col("tag") == "DELETE",
+        ).collect()
+    }
+    assert set(out) == {1, 2, 4}        # 3 deleted
+    assert out[1]["v"] == 10.0           # target-only passthrough
+    assert out[2]["v"] == 99.0           # matched update
+    assert out[4]["v"] == 40.0           # not-matched insert
+    # insert=False drops the source-only row instead
+    out2 = {
+        r["k"]
+        for r in merge_into(target, source, on=["k"], insert=False).collect()
+    }
+    assert out2 == {1, 2, 3}
+
+
+def test_merge_into_duplicate_source_key_fails_loudly(spark):
+    import pytest as _pytest
+
+    from fefal_etl_spark.operators.upsert import merge_into
+
+    target = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    dup = spark.createDataFrame([(1, 2.0), (1, 3.0)], "k long, v double")
+    with _pytest.raises(Exception, match="duplicate key"):
+        merge_into(target, dup, on=["k"]).collect()
+
+
+def test_asof_forward_and_tolerance(spark):
+    import datetime as dt
+
+    from fefal_etl_spark.operators.joins import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, t0), (2, t0 + dt.timedelta(seconds=100))],
+        "id long, ts timestamp_ntz",
+    )
+    right = spark.createDataFrame(
+        [(1, t0, 7.0), (1, t0 + dt.timedelta(seconds=50), 8.0)],
+        "id long, ts timestamp_ntz, x double",
+    )
+    left = left.withColumn("key", F.lit(1)).drop("id").withColumnRenamed("key", "id") \
+        if False else left.withColumn("id", F.lit(1))
+    fwd = {
+        r["ts"]: (r["right_x"], r["right_ts"])
+        for r in asof_join(
+            left, right, on="id", direction="forward"
+        ).collect()
+    }
+    # equal-timestamp right row is matched inclusively
+    assert fwd[t0] == (7.0, t0)
+    # no following right row → NULL match
+    assert fwd[t0 + dt.timedelta(seconds=100)] == (None, None)
+    # tolerance gates out a too-distant backward match
+    tol = {
+        r["ts"]: r["right_x"]
+        for r in asof_join(
+            left, right, on="id", direction="backward", tolerance_seconds=10
+        ).collect()
+    }
+    assert tol[t0] == 7.0                              # exact hit within 10s
+    assert tol[t0 + dt.timedelta(seconds=100)] is None  # 50s gap > 10s tol
