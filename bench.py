@@ -142,6 +142,7 @@ BENCH_QUERIES = [
     "asof_forward_tolerance",
     "events_latency_bands",
     "merge_into_orders",
+    "purchase_attribution_outer",
     # dup_clusters_star is excluded like ngram_jaccard_pairs: at bench SF its
     # wall time is ~6 iterative rounds of fixed scheduling cost (the
     # algorithm exists for O(log n) ROUNDS at web scale, demonstrated by the

@@ -692,3 +692,36 @@ def q_events_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(interp, 6).alias("v_interp"),
         F.col("v").isNull().alias("was_gap"),
     )
+
+
+@register(
+    "purchase_attribution_outer",
+    """
+    SELECT p.user_id,
+           p.event_id AS purchase_id,
+           v.event_id AS view_id,
+           p.value,
+           CAST(date_diff('second', v.ts, p.ts) AS BIGINT) AS lag_s
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON v.user_id = p.user_id
+     AND v.ts <= p.ts
+     AND v.ts >= p.ts - INTERVAL 30 MINUTE
+    """,
+)
+def q_purchase_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join, batch-side twin: purchases
+    with no view in the preceding 30 min survive with NULL view columns —
+    under readStream the null-padded row is emitted only once the
+    watermark proves no match can still arrive (the state-eviction
+    contract outer streaming joins hang on; stream==batch pinned in
+    tests/test_streaming_sources.py). Same user-keyed hash join with a
+    time-range residual as the inner form."""
+    from fefal_etl_spark.streaming.events import purchase_view_attribution
+
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    return purchase_view_attribution(
+        views, purchases, max_lag="30 minutes", how="left_outer"
+    )

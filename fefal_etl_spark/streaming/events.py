@@ -252,6 +252,7 @@ def purchase_view_attribution(
     purchases: DataFrame,
     max_lag: str = "30 minutes",
     watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: each purchase is joined to the same
     user's *view* events in the preceding ``max_lag`` window (click-to-buy
@@ -269,7 +270,15 @@ def purchase_view_attribution(
     hashes both streams on user_id. Late views beyond the watermark are
     dropped identically batch-vs-stream only when the batch side applies
     the same bound — callers compare on drained (AvailableNow) runs.
+
+    ``how="left_outer"`` keeps unmatched purchases with NULL view columns —
+    in streaming mode the null-padded row is emitted only once the
+    watermark proves no matching view can still arrive (the state-eviction
+    contract outer stream-stream joins hang on); on batch frames it is a
+    plain outer join, so drained runs still compare equal.
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"how must be inner|left_outer, got {how!r}")
     v = views.select(
         F.col("user_id").alias("v_user"),
         F.col("ts").alias("v_ts"),
@@ -286,7 +295,7 @@ def purchase_view_attribution(
         & (F.col("v_ts") <= F.col("p_ts"))
         & (F.col("v_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {max_lag}"))
     )
-    return p.join(v, cond).select(
+    return p.join(v, cond, how).select(
         F.col("p_user").alias("user_id"),
         "purchase_id",
         "view_id",

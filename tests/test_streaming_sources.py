@@ -398,3 +398,56 @@ def test_enrich_with_dim_stream_equals_batch(spark, event_dir):
         .agg(F.count(F.lit(1)).alias("n"), F.max("weight").alias("weight"))
     )
     assert _sorted_rows(got) == _sorted_rows(want)
+
+
+def test_purchase_view_attribution_outer_stream_equals_batch(spark, event_dir):
+    """LEFT OUTER stream-stream join: unmatched purchases must appear with
+    NULL view columns once the watermark passes — on a drained
+    (AvailableNow) run the result equals the batch outer join exactly.
+
+    A trailing MATCHED sentinel pair (view then purchase 1 min later, 3 h
+    after the real data) advances both input watermarks past every real
+    event so unmatched-purchase state can evict; without it the null rows
+    near the stream's end stay in state forever — the inherent watermark
+    semantics, not a bug."""
+    import datetime as _dt
+
+    from fefal_etl_spark.streaming.events import purchase_view_attribution
+
+    src, ev0 = event_dir
+    path = src + "_outer"
+    ev0.repartition(1).write.mode("overwrite").parquet(path)
+    max_ts = ev0.agg(F.max("ts")).collect()[0][0]
+    sentinel = spark.createDataFrame(
+        [
+            (9_000_001, max_ts + _dt.timedelta(hours=3), 999, "view", 0.0, "{}"),
+            (
+                9_000_002,
+                max_ts + _dt.timedelta(hours=3, minutes=1),
+                999,
+                "purchase",
+                0.0,
+                "{}",
+            ),
+        ],
+        ev0.schema,
+    )
+    sentinel.write.mode("append").parquet(path)
+    ev = spark.read.parquet(path)
+    b_views = ev.filter(F.col("event_type") == "view")
+    b_purch = ev.filter(F.col("event_type") == "purchase")
+    batch = purchase_view_attribution(b_views, b_purch, how="left_outer")
+    n_unmatched = batch.filter(F.col("view_id").isNull()).count()
+    assert n_unmatched > 0, "fixture must contain purchases with no prior view"
+
+    st = read_event_stream(spark, path)
+    s_views = st.filter(F.col("event_type") == "view")
+    s_purch = st.filter(F.col("event_type") == "purchase")
+    run_to_memory_sink(
+        purchase_view_attribution(s_views, s_purch, how="left_outer"),
+        "t_attr_outer",
+        output_mode="append",
+    )
+    got = spark.table("t_attr_outer")
+    assert _sorted_rows(got) == _sorted_rows(batch)
+    assert got.filter(F.col("view_id").isNull()).count() == n_unmatched
