@@ -143,6 +143,9 @@ BENCH_QUERIES = [
     "events_latency_bands",
     "merge_into_orders",
     "purchase_attribution_outer",
+    "value_winsorize",
+    "pareto_orders",
+    "pmi_collocations",
     # dup_clusters_star is excluded like ngram_jaccard_pairs: at bench SF its
     # wall time is ~6 iterative rounds of fixed scheduling cost (the
     # algorithm exists for O(log n) ROUNDS at web scale, demonstrated by the

@@ -2653,3 +2653,50 @@ def q_positional_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "pmi_collocations",
+    """
+    WITH docs AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                           x -> x <> '') AS wa
+        FROM documents
+    ),
+    positioned AS (
+        SELECT doc_id, unnest(range(0, len(wa))) AS pos, wa FROM docs
+    ),
+    stream AS (
+        SELECT doc_id, pos, wa[pos + 1] AS w,
+               lag(wa[pos + 1]) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM positioned
+    ),
+    uni AS (SELECT w, count(*) AS cu FROM stream GROUP BY w),
+    n_tot AS (SELECT sum(cu) AS n FROM uni),
+    big AS (
+        SELECT prev AS w1, w AS w2, count(*) AS cab
+        FROM stream WHERE prev IS NOT NULL
+        GROUP BY prev, w HAVING count(*) >= 5
+    ),
+    m_tot AS (SELECT count(*) AS m FROM stream WHERE prev IS NOT NULL)
+    SELECT b.w1, b.w2, CAST(b.cab AS BIGINT) AS n_pair,
+           round(log2((CAST(b.cab AS DOUBLE) / m.m)
+                      / ((CAST(a1.cu AS DOUBLE) / t.n)
+                         * (CAST(a2.cu AS DOUBLE) / t.n))), 6) AS pmi
+    FROM big b
+    JOIN uni a1 ON a1.w = b.w1
+    JOIN uni a2 ON a2.w = b.w2
+    CROSS JOIN n_tot t CROSS JOIN m_tot m
+    ORDER BY pmi DESC, b.w1, b.w2 LIMIT 50
+    """,
+)
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V66 — PMI collocation mining (the word2vec phrase-pass statistic):
+    top-50 adjacent pairs by log₂(p(ab)/(p(a)p(b))), min-count 5. Rounded
+    PMI + lexicographic tiebreak keeps the top-N cut identical across
+    engines."""
+    from fefal_etl_spark.llm.text_analysis import pmi_collocations
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pmi_collocations(docs, "doc_id", "text", min_count=5, top_n=50)

@@ -543,3 +543,69 @@ def bigram_logprob(
         F.count(F.lit(1)).cast("long").alias("n_tokens"),
         F.round(F.avg(nll), 6).alias("mean_nll"),
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+    top_n: int = 50,
+) -> DataFrame:
+    """Pointwise-mutual-information collocation mining — the corpus
+    statistic behind multi-word-expression detection and phrase-aware
+    tokenization (word2vec's phrase pass uses the same score):
+    PMI(a,b) = log₂( p(ab) / (p(a)·p(b)) ) over adjacent word pairs,
+    gated by ``min_count`` (PMI is noise-dominated on rare pairs).
+
+    Shuffle profile: one doc-keyed window for adjacency, then unigram and
+    bigram aggregations at vocab/observed-bigram cardinality; the two
+    marginal joins hit the tiny count tables. Output ordering is by PMI
+    ROUNDED to 6 with a (w1, w2) tiebreak — a raw double sort would let
+    one-ulp engine differences reorder the top-N cut."""
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.filter(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+                lambda w: w != "",
+            )
+        ).alias("pos", "w"),
+    )
+    w_ord = Window.partitionBy(id_col).orderBy("pos")
+    stream = toks.withColumn("prev", F.lag("w").over(w_ord))
+    uni = stream.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
+    n_tot = uni.agg(F.sum("cu").alias("n"))
+    big = (
+        stream.filter(F.col("prev").isNotNull())
+        .groupBy(F.col("prev").alias("w1"), F.col("w").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("cab"))
+        .filter(F.col("cab") >= min_count)
+    )
+    m_tot = (
+        stream.filter(F.col("prev").isNotNull())
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("cu").alias("ca"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("cu").alias("cb"))
+    pmi = F.log2(
+        (F.col("cab").cast("double") / F.col("m"))
+        / (
+            (F.col("ca").cast("double") / F.col("n"))
+            * (F.col("cb").cast("double") / F.col("n"))
+        )
+    )
+    return (
+        big.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(n_tot))
+        .crossJoin(F.broadcast(m_tot))
+        .select(
+            "w1",
+            "w2",
+            F.col("cab").alias("n_pair"),
+            F.round(pmi, 6).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(top_n)
+    )

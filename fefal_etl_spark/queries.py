@@ -3187,3 +3187,101 @@ def q_merge_into_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         on=["o_orderkey"],
         delete_condition=F.col("o_orderstatus") == "F",
     )
+
+
+@register(
+    "value_winsorize",
+    """
+    WITH bounds AS (
+        SELECT event_type,
+               round(quantile_cont(value, 0.01), 6) AS p01,
+               round(quantile_cont(value, 0.99), 6) AS p99
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           CASE WHEN e.value < b.p01 THEN b.p01
+                WHEN e.value > b.p99 THEN b.p99
+                ELSE e.value END AS value_winsorized,
+           (e.value < b.p01 OR e.value > b.p99) AS clipped
+    FROM events e JOIN bounds b USING (event_type)
+    """,
+)
+def q_value_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization — clip each value into its group's
+    [p01, p99] band, the standard tail-taming step before training-feature
+    normalization (unlike dropping outliers, every row survives with a
+    bounded value). Percentile bounds rounded to 6 BEFORE clipping so
+    cross-engine interpolation ulps can't flip boundary rows (the
+    value_outliers_mad convention). One grouped percentile agg + a
+    broadcast join back; approx_percentile is the documented 100 TB swap."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    bounds = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.01)"), 6).alias("p01"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+    j = ev.join(F.broadcast(bounds), "event_type")
+    clipped_v = (
+        F.when(F.col("value") < F.col("p01"), F.col("p01"))
+        .when(F.col("value") > F.col("p99"), F.col("p99"))
+        .otherwise(F.col("value"))
+    )
+    return j.select(
+        "event_id",
+        "event_type",
+        "value",
+        clipped_v.alias("value_winsorized"),
+        ((F.col("value") < F.col("p01")) | (F.col("value") > F.col("p99"))).alias(
+            "clipped"
+        ),
+    )
+
+
+@register(
+    "pareto_orders",
+    """
+    WITH pts AS (
+        SELECT o_orderkey, o_totalprice, o_orderdate
+        FROM orders WHERE o_orderstatus = 'O'
+    ),
+    ranked AS (
+        SELECT *,
+               max(o_totalprice) OVER (
+                   ORDER BY o_orderdate, o_totalprice DESC, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS best_earlier
+        FROM pts
+    )
+    SELECT o_orderkey, o_totalprice, o_orderdate
+    FROM ranked
+    WHERE best_earlier IS NULL OR o_totalprice > best_earlier
+    """,
+)
+def q_pareto_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto frontier (skyline): open orders not dominated in
+    (earlier date, higher price) — dominated means another order is at
+    least as early AND strictly pricier (date ties resolved by the sort
+    putting the pricier first). The classic quadratic all-pairs dominance
+    test collapses to ONE running-max window over the date order: a point
+    survives iff it beats every earlier point's best price.
+
+    Scale note: the frontier needs a global date order — at 100 TB this is
+    a rangepartition sort, and the two-pass variant (per-partition local
+    frontier, then frontier-of-frontiers over the ~tiny union) keeps the
+    global pass at frontier cardinality; the single-window form here is
+    the oracle-parity formulation."""
+    orders = load_table(spark, sf_dir, "orders")
+    pts = orders.filter(F.col("o_orderstatus") == "O").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    w = Window.orderBy(
+        F.col("o_orderdate").asc(),
+        F.col("o_totalprice").desc(),
+        F.col("o_orderkey").asc(),
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    ranked = pts.withColumn("best_earlier", F.max("o_totalprice").over(w))
+    return ranked.filter(
+        F.col("best_earlier").isNull()
+        | (F.col("o_totalprice") > F.col("best_earlier"))
+    ).select("o_orderkey", "o_totalprice", "o_orderdate")
