@@ -146,6 +146,8 @@ BENCH_QUERIES = [
     "value_winsorize",
     "pareto_orders",
     "pmi_collocations",
+    "event_type_chisq",
+    "hll_rollup",
     # dup_clusters_star is excluded like ngram_jaccard_pairs: at bench SF its
     # wall time is ~6 iterative rounds of fixed scheduling cost (the
     # algorithm exists for O(log n) ROUNDS at web scale, demonstrated by the

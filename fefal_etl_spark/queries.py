@@ -3285,3 +3285,92 @@ def q_pareto_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("best_earlier").isNull()
         | (F.col("o_totalprice") > F.col("best_earlier"))
     ).select("o_orderkey", "o_totalprice", "o_orderdate")
+
+
+@register(
+    "event_type_chisq",
+    """
+    WITH obs AS (
+        SELECT event_type AS r, hour(ts) AS c, count(*) AS o
+        FROM events GROUP BY 1, 2
+    ),
+    rt AS (SELECT r, sum(o) AS row_tot FROM obs GROUP BY r),
+    ct AS (SELECT c, sum(o) AS col_tot FROM obs GROUP BY c),
+    n AS (SELECT sum(o) AS n FROM obs),
+    cells AS (
+        SELECT o.o AS ob,
+               CAST(rt.row_tot AS DOUBLE) * ct.col_tot / n.n AS e
+        FROM obs o JOIN rt ON o.r = rt.r JOIN ct ON o.c = ct.c CROSS JOIN n
+    )
+    SELECT round(sum((ob - e) * (ob - e) / e), 6) AS chi2,
+           CAST((SELECT count(*) FROM rt) - 1 AS BIGINT)
+               * CAST((SELECT count(*) FROM ct) - 1 AS BIGINT) AS dof,
+           CAST(sum(ob) AS BIGINT) AS n
+    FROM cells
+    """,
+)
+def q_event_type_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """χ² independence statistic for event_type × hour-of-day — the
+    categorical-drift / A-A sanity test a data-quality suite runs on
+    event streams. Observed counts are one grouped agg; expected counts
+    come from broadcast row/column marginals; the statistic is a single
+    map-side-combinable sum. Σ(O−E)²/E sums doubles in engine order —
+    round-6 (the token_diversity caveat), safe at this magnitude."""
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        F.col("event_type").alias("r"), F.hour("ts").alias("c")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rt = obs.groupBy("r").agg(F.sum("o").alias("row_tot"))
+    ct = obs.groupBy("c").agg(F.sum("o").alias("col_tot"))
+    n = obs.agg(F.sum("o").alias("n"))
+    cells = (
+        obs.join(F.broadcast(rt), "r")
+        .join(F.broadcast(ct), "c")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "o",
+            (
+                F.col("row_tot").cast("double") * F.col("col_tot") / F.col("n")
+            ).alias("e"),
+        )
+    )
+    dof = (
+        rt.count() - 1
+    ) * (ct.count() - 1)
+    return cells.agg(
+        F.round(
+            F.sum((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")),
+            6,
+        ).alias("chi2"),
+        F.lit(dof).cast("long").alias("dof"),
+        F.sum("o").cast("long").alias("n"),
+    )
+
+
+@register("hll_rollup")  # rows-only: sketch bytes are not SQL-replayable
+def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup — THE 100 TB distinct-count pattern: one
+    HLL sketch per day (`hll_sketch_agg`, Apache DataSketches), monthly
+    distinct users by UNIONING the daily sketches (`hll_union_agg`) —
+    never re-touching the raw events. Re-aggregation cost is
+    days × sketch-size, not row count; the daily sketch table is the
+    materialized view a dashboard reads. No oracle: sketch estimates are
+    implementation-specific (DuckDB's HLL differs) — accuracy is pinned
+    by a unit test instead (daily-union and whole-corpus estimates both
+    within 5% of exact and within 2% of each other — not bit-identical:
+    the union can promote sparse sketches to dense HLL_8)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sk")
+    )
+    per_day = daily.select(
+        F.col("day").cast("timestamp_ntz").alias("period"),
+        F.expr("hll_sketch_estimate(sk)").cast("long").alias("est_users"),
+    )
+    monthly = daily.agg(
+        F.expr("hll_union_agg(sk)").alias("sk")
+    ).select(
+        F.lit(None).cast("timestamp_ntz").alias("period"),
+        F.expr("hll_sketch_estimate(sk)").cast("long").alias("est_users"),
+    )
+    return per_day.unionByName(monthly)

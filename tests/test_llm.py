@@ -1014,3 +1014,36 @@ def test_bigram_logprob_penalizes_word_order(spark):
     ug = {r["doc_id"]: r["mean_nll"] for r in unigram_logprob(df).collect()}
     assert bg[99] > bg[1]
     assert abs(ug[1] - ug[99]) < 1e-9  # unigram blind to order
+
+
+def test_hll_rollup_accuracy_and_merge(spark):
+    """Sketch estimates must be within 5% of exact, and the union of daily
+    sketches must equal one sketch over everything (mergeability — the
+    whole point of the rollup)."""
+    import datetime as dt
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1 + i % 10, i % 24), i % 700, "view", 1.0, "{}")
+        for i in range(5000)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    )
+    daily = df.groupBy(F.to_date("ts").alias("day")).agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sk")
+    )
+    merged = daily.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").cast("long").alias("est")
+    ).collect()[0]["est"]
+    direct = df.agg(
+        F.expr("hll_sketch_estimate(hll_sketch_agg(user_id))").cast("long").alias("est")
+    ).collect()[0]["est"]
+    exact = df.select("user_id").distinct().count()
+    # mergeable: union of parts estimates the same cardinality as one
+    # sketch of the whole (not bit-identical — the union can promote the
+    # sparse representation to dense HLL_8, shifting the estimator)
+    assert abs(merged - direct) / exact < 0.02
+    assert abs(merged - exact) / exact < 0.05
+    assert abs(direct - exact) / exact < 0.05
