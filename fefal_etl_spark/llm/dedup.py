@@ -415,6 +415,23 @@ def hamming_distance(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def _reliable_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Checkpoint that survives block eviction: ``localCheckpoint`` keeps
+    its blocks in the block manager, where memory pressure (e.g. a long
+    session running many cached queries) can EVICT them — and because the
+    lineage is truncated, a lost block is unrecoverable and the job dies
+    with a shuffle-fetch error (observed as a rare full-test-suite flake).
+    A reliable ``checkpoint`` writes to the checkpoint dir instead; the
+    dir is set lazily to a session-scoped temp dir when the caller hasn't
+    configured one (at cluster scale point it at durable storage)."""
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is None:
+        import tempfile
+
+        sc.setCheckpointDir(tempfile.mkdtemp(prefix="fefal_ckpt_"))
+    return df.checkpoint(eager=eager)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -432,9 +449,10 @@ def connected_components(
     rounds: min-label propagation only ever DECREASES labels, so the label
     sum is strictly monotone and "sum unchanged" ⇔ "no label moved" — a
     one-row aggregate, not a join against the previous state. Between
-    checks the frame is ``localCheckpoint``-ed, which both materializes the
-    round and truncates lineage (at cluster scale use a reliable
-    ``checkpoint`` dir; same template as the k-means loop). This replaces
+    checks the frame is reliably ``checkpoint``-ed (materializes the round,
+    truncates lineage, and survives block-manager eviction — a
+    ``localCheckpoint`` here was a rare full-suite flake: evicted blocks
+    are unrecoverable once lineage is gone). This replaces
     the round-2 fixed ``iters=4``, which silently under-merged any cluster
     with diameter > 4 (VERDICT r2 "what's wrong" item 4; the
     diameter-6-chain test pins the fix). ``iters`` forces a fixed round
@@ -491,7 +509,7 @@ def connected_components(
         for _ in range(min(check_every, max_iters - done)):
             labels = one_round(labels)
             done += 1
-        labels = labels.localCheckpoint(eager=True)
+        labels = _reliable_checkpoint(labels, eager=True)
         cur = label_sum(labels)
         if cur == prev:
             converged = True
@@ -664,7 +682,7 @@ def connected_components_star(
         .distinct()
         .persist()
     )
-    cur = e0.filter(F.col("u") != F.col("v")).distinct().localCheckpoint(eager=True)
+    cur = _reliable_checkpoint(e0.filter(F.col("u") != F.col("v")).distinct(), eager=True)
 
     def fingerprint(d: DataFrame) -> tuple:
         # per-edge 64-bit hash summed in DECIMAL(38,0): order-insensitive
@@ -712,7 +730,7 @@ def connected_components_star(
     for _ in range(max_rounds):
         # lazy checkpoint: the fingerprint action below materializes the
         # round AND caches it — one job per round instead of two
-        cur = small_star(large_star(cur)).localCheckpoint(eager=False)
+        cur = _reliable_checkpoint(small_star(large_star(cur)), eager=False)
         fp = fingerprint(cur)
         if fp == prev:
             converged = True

@@ -171,6 +171,14 @@ SMJ_WHITELIST = {
                                   # co-occurrence pairs + wedge/closing
                                   # joins whose sides are edge-cardinality
                                   # — all genuinely big×big at scale
+    "merge_into_orders",          # MERGE's full-outer target×source: both
+                                  # sides are table-scale by definition —
+                                  # SMJ is the only safe static shape
+    "containment_neardup",        # corpus-shingles×rare-shingle-index
+                                  # join: the rare index is corpus-
+                                  # derived (not a dim) and grows with
+                                  # the corpus — big×big, SMJ correct;
+                                  # AQE demotes to BHJ when small
 }
 
 
