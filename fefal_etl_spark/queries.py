@@ -2455,11 +2455,21 @@ _DRIVER_PRIORITY = [
     "zorder_layout", "dq_checks", "token_diversity",
     # V43–V45: substring-level (ExactSubstr) dedup + cluster-safe split
     "substring_dup_spans", "cluster_safe_split",
-    # unique §2 component carriers
+    # §2.17 this-session carriers (never driver-verified before; earlier
+    # components displaced below already hold green CORRECTNESS_r02 rows)
+    "audio_frame_energy", "cdc_chunks", "ppjoin_pairs",
+    "containment_neardup", "bigram_logprob", "merge_into_orders",
+    "asof_forward_tolerance", "rolling_distinct_users", "events_interpolate",
+    "value_outliers_mad", "quality_rank_blend", "pmi_collocations",
+    "purchase_attribution_outer", "positional_index",
+    # unique §2 component carriers (core)
     "pricing_summary", "entity_resolution", "dedup_keep_best",
-    "status_fork_counts", "unpivot_measures", "pct_rescale", "window_topk",
-    "event_gaps", "stateful_running_counts", "asof_attribution",
-    "range_join_windows", "user_event_type_sets", "sentence_explode",
+    "status_fork_counts", "unpivot_measures", "window_topk",
+    "asof_attribution", "sentence_explode",
+    # §2 carriers displaced from the 50-prefix by the §2.17 block — their
+    # components keep green driver rows from CORRECTNESS_r02
+    "pct_rescale", "event_gaps", "stateful_running_counts",
+    "range_join_windows", "user_event_type_sets",
     "prefix_theta_join", "anti_join_customers", "csv_roundtrip_scan",
     "partitioned_scan", "top_orders", "gaussian_lsh_recall",
     "star_idempotent_reload",
