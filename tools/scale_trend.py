@@ -39,6 +39,13 @@ TREND_QUERIES = [
     # round-3 continuation: the two heaviest new curation operators
     "dedup_canonicalize",
     "segment_dedup",
+    # §2.17 session: exact similarity joins + the heaviest new analytics
+    "ppjoin_pairs",
+    "containment_neardup",
+    "copurchase_triangles",
+    "bigram_logprob",
+    "cdc_chunks",
+    "positional_index",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
