@@ -148,6 +148,9 @@ BENCH_QUERIES = [
     "pmi_collocations",
     "event_type_chisq",
     "hll_rollup",
+    "perplexity_buckets",
+    "k_anonymity_audit",
+    "contrastive_pairs",
     # dup_clusters_star is excluded like ngram_jaccard_pairs: at bench SF its
     # wall time is ~6 iterative rounds of fixed scheduling cost (the
     # algorithm exists for O(log n) ROUNDS at web scale, demonstrated by the

@@ -2700,3 +2700,119 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return pmi_collocations(docs, "doc_id", "text", min_count=5, top_n=50)
+
+
+@register(
+    "perplexity_buckets",
+    """
+    WITH toks AS (
+        SELECT doc_id, t FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
+            FROM documents) x
+        WHERE t <> ''
+    ),
+    model AS (SELECT t, count(*) AS c FROM toks GROUP BY t),
+    tot AS (SELECT SUM(c) AS n FROM model),
+    scored AS (
+        SELECT toks.doc_id,
+               -log2(CAST(model.c AS DOUBLE) / (SELECT n FROM tot)) AS nll
+        FROM toks JOIN model USING (t)
+    ),
+    doc_scores AS (
+        SELECT doc_id, round(avg(nll), 6) AS mean_nll
+        FROM scored GROUP BY doc_id
+    ),
+    cuts AS (
+        SELECT round(quantile_cont(mean_nll, 1.0/3.0), 6) AS c1,
+               round(quantile_cont(mean_nll, 2.0/3.0), 6) AS c2
+        FROM doc_scores
+    )
+    SELECT d.doc_id, d.mean_nll,
+           CASE WHEN d.mean_nll <= c.c1 THEN 'head'
+                WHEN d.mean_nll <= c.c2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM doc_scores d CROSS JOIN cuts c
+    """,
+)
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V69 — CCNet-style perplexity bucketing: documents split into
+    head/middle/tail terciles of their LM score (here the corpus-unigram
+    NLL of `unigram_logprob`; a real pipeline swaps in a KenLM/Wikipedia
+    perplexity — the DATAFLOW is identical: score → global tercile cuts →
+    broadcast-gate). Tercile cuts rounded to 6 before the gate (the
+    value_outliers_mad convention); per-doc scores are already round-6 so
+    both engines bucket identical values. Cuts are a one-row aggregate
+    broadcast back — no global sort of the corpus."""
+    from fefal_etl_spark.llm.text_analysis import unigram_logprob
+
+    docs = load_table(spark, sf_dir, "documents")
+    scores = unigram_logprob(docs).select("doc_id", "mean_nll")
+    cuts = scores.agg(
+        F.round(F.expr("percentile(mean_nll, 1.0/3.0)"), 6).alias("c1"),
+        F.round(F.expr("percentile(mean_nll, 2.0/3.0)"), 6).alias("c2"),
+    )
+    bucket = (
+        F.when(F.col("mean_nll") <= F.col("c1"), F.lit("head"))
+        .when(F.col("mean_nll") <= F.col("c2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return scores.crossJoin(F.broadcast(cuts)).select(
+        "doc_id", "mean_nll", bucket.alias("bucket")
+    )
+
+
+@register(
+    "contrastive_pairs",
+    """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (
+        SELECT vec_id, label, v,
+               concat(CASE WHEN v[1]  >= 0 THEN '1' ELSE '0' END,
+                      CASE WHEN v[9]  >= 0 THEN '1' ELSE '0' END,
+                      CASE WHEN v[17] >= 0 THEN '1' ELSE '0' END,
+                      CASE WHEN v[25] >= 0 THEN '1' ELSE '0' END,
+                      CASE WHEN v[33] >= 0 THEN '1' ELSE '0' END,
+                      CASE WHEN v[41] >= 0 THEN '1' ELSE '0' END) AS bkt
+        FROM e
+    ),
+    a AS (
+        SELECT vec_id AS anchor_id, label AS albl, v AS av, bkt AS ab
+        FROM b WHERE vec_id < 20
+    ),
+    pos AS (
+        SELECT a.anchor_id, c.vec_id AS pair_id, 'pos' AS kind,
+               list_dot_product(c.v, a.av)
+                 / (sqrt(list_dot_product(c.v, c.v))
+                    * sqrt(list_dot_product(a.av, a.av))) AS cs
+        FROM a JOIN b c ON c.label = a.albl AND c.vec_id <> a.anchor_id
+    ),
+    neg AS (
+        SELECT a.anchor_id, c.vec_id AS pair_id, 'neg' AS kind,
+               list_dot_product(c.v, a.av)
+                 / (sqrt(list_dot_product(c.v, c.v))
+                    * sqrt(list_dot_product(a.av, a.av))) AS cs
+        FROM a JOIN b c ON c.bkt = a.ab AND c.label <> a.albl
+    ),
+    ranked AS (
+        SELECT anchor_id, pair_id, kind, cs,
+               CAST(row_number() OVER (
+                   PARTITION BY anchor_id, kind ORDER BY cs DESC, pair_id
+               ) AS BIGINT) AS rk
+        FROM (SELECT * FROM pos UNION ALL SELECT * FROM neg) u
+    )
+    SELECT anchor_id, pair_id, kind, round(cs, 6) AS cos_sim, rk
+    FROM ranked
+    WHERE (kind = 'pos' AND rk <= 1) OR (kind = 'neg' AND rk <= 2)
+    """,
+)
+def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V71 — contrastive pair mining for embedding fine-tuning: nearest
+    same-label positive + 2 hardest same-LSH-bucket different-label
+    negatives per anchor. The bucket restriction supplies hard (not
+    random) negatives AND keeps the negative search bucket-joined rather
+    than all-pairs at scale."""
+    from fefal_etl_spark.llm.similarity import contrastive_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return contrastive_pairs(emb)

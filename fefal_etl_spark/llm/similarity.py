@@ -737,3 +737,79 @@ def sparse_cosine_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "n_shared_terms", "cos_sim")
     )
+
+
+def contrastive_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    n_neg: int = 2,
+    max_anchor_id: int = 20,
+    bucket_dims: tuple[int, ...] = (1, 9, 17, 25, 33, 41),
+) -> DataFrame:
+    """Contrastive training-pair mining — the data-prep step behind
+    embedding-model fine-tuning (SimCSE/SBERT-style): for each anchor, its
+    nearest SAME-label vector as the positive and its ``n_neg`` nearest
+    DIFFERENT-label vectors *from the same sign-LSH bucket* as hard
+    negatives. The bucket restriction is the point: random negatives are
+    trivially far (no gradient signal); same-bucket ones are the
+    geometrically-confusable impostors a contrastive loss learns from —
+    and it is also the scale lever, because the negative search joins
+    bucket-to-bucket instead of all-pairs.
+
+    Output: (anchor_id, pair_id, kind 'pos'|'neg', cos_sim, rk).
+    Scale: anchors broadcast; positive join blocks on label, negative join
+    on (bucket, ≠label); per-anchor windows rank candidates. Deterministic:
+    cosine ties broken by id."""
+    base = emb.select(
+        F.col(id_col),
+        F.col(label_col).alias("__lbl"),
+        as_double_vec(F.col(vec_col)).alias("__v"),
+        sign_lsh_bucket(F.col(vec_col), dims=bucket_dims).alias("__b"),
+    )
+    anchors = base.filter(F.col(id_col) < max_anchor_id).select(
+        F.col(id_col).alias("anchor_id"),
+        F.col("__lbl").alias("__albl"),
+        F.col("__v").alias("__av"),
+        F.col("__b").alias("__ab"),
+    )
+    sim = cosine(F.col("__v"), F.col("__av"))
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    pos = (
+        base.join(
+            F.broadcast(anchors),
+            (F.col("__lbl") == F.col("__albl"))
+            & (F.col(id_col) != F.col("anchor_id")),
+        )
+        .withColumn("cos_sim", sim)
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 1)
+        .select(
+            "anchor_id",
+            F.col(id_col).alias("pair_id"),
+            F.lit("pos").alias("kind"),
+            F.round("cos_sim", 6).alias("cos_sim"),
+            "rk",
+        )
+    )
+    neg = (
+        base.join(
+            F.broadcast(anchors),
+            (F.col("__b") == F.col("__ab"))
+            & (F.col("__lbl") != F.col("__albl")),
+        )
+        .withColumn("cos_sim", sim)
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= n_neg)
+        .select(
+            "anchor_id",
+            F.col(id_col).alias("pair_id"),
+            F.lit("neg").alias("kind"),
+            F.round("cos_sim", 6).alias("cos_sim"),
+            "rk",
+        )
+    )
+    return pos.unionByName(neg)

@@ -3384,3 +3384,32 @@ def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("hll_sketch_estimate(sk)").cast("long").alias("est_users"),
     )
     return per_day.unionByName(monthly)
+
+
+@register(
+    "k_anonymity_audit",
+    """
+    WITH grouped AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(count(*) AS BIGINT) AS group_size
+        FROM customer GROUP BY 1, 2
+    )
+    SELECT CAST(c_nationkey AS INT) AS c_nationkey, c_mktsegment, group_size,
+           group_size < 5 AS below_k
+    FROM grouped
+    """,
+)
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V70 — k-anonymity audit over quasi-identifiers (nation × market
+    segment): any equivalence class smaller than k re-identifies its
+    members, the check privacy review runs before releasing training
+    data derived from user records. One grouped count (map-side
+    combinable) + a narrow flag; the generalization step that FIXES
+    violations (coarsening quasi-identifiers until all classes ≥ k) is a
+    driver-side lattice search over this same audit output."""
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .withColumn("below_k", F.col("group_size") < 5)
+    )
