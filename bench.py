@@ -151,6 +151,8 @@ BENCH_QUERIES = [
     "perplexity_buckets",
     "k_anonymity_audit",
     "contrastive_pairs",
+    "table_diff",
+    "event_path_mining",
     # dup_clusters_star is excluded like ngram_jaccard_pairs: at bench SF its
     # wall time is ~6 iterative rounds of fixed scheduling cost (the
     # algorithm exists for O(log n) ROUNDS at web scale, demonstrated by the

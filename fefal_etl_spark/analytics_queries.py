@@ -725,3 +725,50 @@ def q_purchase_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return purchase_view_attribution(
         views, purchases, max_lag="30 minutes", how="left_outer"
     )
+
+
+@register(
+    "event_path_mining",
+    """
+    WITH ordered AS (
+        SELECT user_id, event_type,
+               lag(event_type, 2) OVER w AS t1,
+               lag(event_type, 1) OVER w AS t2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT t1 || '>' || t2 || '>' || event_type AS path,
+           CAST(count(*) AS BIGINT) AS n
+    FROM ordered
+    WHERE t1 IS NOT NULL
+    GROUP BY path
+    ORDER BY n DESC, path
+    LIMIT 25
+    """,
+)
+def q_event_path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential path mining — top 3-step event paths across users (the
+    'how do users actually reach purchase' question funnels assume an
+    answer to). Per-user lag window (one user-keyed shuffle, total order
+    by (ts, event_id)) → path-string count → TakeOrderedAndProject top-25
+    with deterministic (count, path) ordering. Longer patterns (PrefixSpan
+    territory) iterate this same shape per pattern length."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    paths = (
+        ev.select(
+            F.lag("event_type", 2).over(w).alias("t1"),
+            F.lag("event_type", 1).over(w).alias("t2"),
+            "event_type",
+        )
+        .filter(F.col("t1").isNotNull())
+        .select(
+            F.concat_ws(">", "t1", "t2", "event_type").alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(25)
+    )

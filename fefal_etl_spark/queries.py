@@ -3413,3 +3413,82 @@ def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("group_size"))
         .withColumn("below_k", F.col("group_size") < 5)
     )
+
+
+@register(
+    "table_diff",
+    """
+    WITH t AS (
+        SELECT o_orderkey, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderkey % 11 <> 0
+    ),
+    s AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 = 0
+                    THEN CAST(round(CAST(o_totalprice AS DECIMAL(18,2))
+                                    + CAST(1.00 AS DECIMAL(18,2)), 2) AS DOUBLE)
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderstatus
+        FROM orders WHERE o_orderkey % 13 <> 0
+    ),
+    j AS (
+        SELECT COALESCE(t.o_orderkey, s.o_orderkey) AS k,
+               t.o_orderkey IS NOT NULL AS in_a,
+               s.o_orderkey IS NOT NULL AS in_b,
+               t.o_totalprice IS NOT DISTINCT FROM s.o_totalprice
+                 AND t.o_orderstatus IS NOT DISTINCT FROM s.o_orderstatus AS same
+        FROM t FULL OUTER JOIN s ON t.o_orderkey = s.o_orderkey
+    )
+    SELECT CAST(count(*) FILTER (WHERE in_a AND NOT in_b) AS BIGINT) AS only_in_a,
+           CAST(count(*) FILTER (WHERE in_b AND NOT in_a) AS BIGINT) AS only_in_b,
+           CAST(count(*) FILTER (WHERE in_a AND in_b AND same) AS BIGINT) AS unchanged,
+           CAST(count(*) FILTER (WHERE in_a AND in_b AND NOT same) AS BIGINT) AS changed
+    FROM j
+    """,
+)
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V72 — snapshot reconciliation (data-diff): two versions of a table
+    compared by key into added/removed/changed/unchanged counts — the
+    audit every migration, backfill, and replication pipeline runs before
+    swapping a snapshot live. One full-outer key join + null-safe column
+    comparison + a map-side conditional rollup; at 100 TB add a
+    per-partition pre-hash (md5 of concatenated row) so unchanged
+    partitions compare by one hash row instead of row-by-row."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderkey") % 11 != 0).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    bumped = F.round(
+        F.col("o_totalprice").cast("decimal(18,2)")
+        + F.lit("1.00").cast("decimal(18,2)"),
+        2,
+    ).cast("double")
+    b = orders.filter(F.col("o_orderkey") % 13 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, bumped)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    ta = a.select(
+        F.col("o_orderkey").alias("ka"),
+        F.col("o_totalprice").alias("pa"),
+        F.col("o_orderstatus").alias("sa"),
+    )
+    tb = b.select(
+        F.col("o_orderkey").alias("kb"),
+        F.col("o_totalprice").alias("pb"),
+        F.col("o_orderstatus").alias("sb"),
+    )
+    j = ta.join(tb, F.col("ka") == F.col("kb"), "full_outer")
+    in_a = F.col("ka").isNotNull()
+    in_b = F.col("kb").isNotNull()
+    same = F.col("pa").eqNullSafe(F.col("pb")) & F.col("sa").eqNullSafe(
+        F.col("sb")
+    )
+    return j.agg(
+        F.count(F.when(in_a & ~in_b, 1)).alias("only_in_a"),
+        F.count(F.when(in_b & ~in_a, 1)).alias("only_in_b"),
+        F.count(F.when(in_a & in_b & same, 1)).alias("unchanged"),
+        F.count(F.when(in_a & in_b & ~same, 1)).alias("changed"),
+    )
