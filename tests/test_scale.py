@@ -179,6 +179,8 @@ SMJ_WHITELIST = {
                                   # derived (not a dim) and grows with
                                   # the corpus — big×big, SMJ correct;
                                   # AQE demotes to BHJ when small
+    "table_diff",                 # snapshot-vs-snapshot full outer:
+                                  # both sides are the table itself
 }
 
 
