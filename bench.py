@@ -153,6 +153,9 @@ BENCH_QUERIES = [
     "contrastive_pairs",
     "table_diff",
     "event_path_mining",
+    "geo_radius_join",
+    "copurchase_lift",
+    "weighted_sample",
     # dup_clusters_star is excluded like ngram_jaccard_pairs: at bench SF its
     # wall time is ~6 iterative rounds of fixed scheduling cost (the
     # algorithm exists for O(log n) ROUNDS at web scale, demonstrated by the

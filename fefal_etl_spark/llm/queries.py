@@ -2816,3 +2816,34 @@ def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return contrastive_pairs(emb)
+
+
+@register(
+    "weighted_sample",
+    """
+    WITH keys AS (
+        SELECT doc_id, n_chars AS weight,
+               round(ln((('0x' || substr(md5('wsamp|' || CAST(doc_id AS VARCHAR)),
+                                         1, 13))::BIGINT + 1)
+                        / 4503599627370496.0) / n_chars, 9) AS sample_key
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, weight, sample_key,
+               CAST(row_number() OVER (ORDER BY sample_key DESC, doc_id)
+                    AS BIGINT) AS rk
+        FROM keys
+    )
+    SELECT doc_id, weight, sample_key, rk FROM ranked WHERE rk <= 100
+    """,
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V76 — deterministic weighted sampling (Efraimidis-Spirakis A-ES):
+    top-100 documents by ln(u)/weight with hash-derived u — importance
+    sampling ∝ n_chars that replays bit-for-bit across engines, runs, and
+    partitionings. Top-k is TakeOrderedAndProject; keys round-9 before
+    ranking (libm ln ulps must not reorder the cut)."""
+    from fefal_etl_spark.llm.sampling import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_sample(docs, "doc_id", "n_chars", k=100)

@@ -273,3 +273,49 @@ def cluster_safe_split(
             F.lit("train")
         ),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "wsamp",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (the
+    Efraimidis-Spirakis A-ES scheme): each row draws a reproducible
+    uniform u from an md5 of (salt, id) and competes with key
+    ln(u)/weight — the top-k keys are a weighted sample, exactly as if
+    rows were drawn one by one with probability ∝ weight. The standard
+    tool for importance-weighted data mixing (sample documents ∝ quality
+    score) when the RNG must be replayable across engines and runs.
+
+    All randomness is hash-derived (no RNG state): u = (h+1)/2⁵² from 13
+    md5 hex digits, so the sample is a pure function of (salt, id,
+    weight) — re-partitioning or re-running cannot change it. Keys are
+    rounded to 9 decimals before ranking (ln is libm — one ulp must not
+    reorder the cut) with the id as tiebreak. Top-k is
+    TakeOrderedAndProject (no global sort); weights must be > 0.
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string"))),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h + 1) / F.lit(float(2**52))
+    key = F.round(F.log(u) / F.col(weight_col), 9)
+    top = (
+        df.select(
+            F.col(id_col),
+            F.col(weight_col).alias("weight"),
+            key.alias("sample_key"),
+        )
+        .orderBy(F.col("sample_key").desc(), F.col(id_col))
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("sample_key").desc(), F.col(id_col))
+    return top.withColumn("rk", F.row_number().over(w).cast("long"))

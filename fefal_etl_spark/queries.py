@@ -3492,3 +3492,188 @@ def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(in_a & in_b & same, 1)).alias("unchanged"),
         F.count(F.when(in_a & in_b & ~same, 1)).alias("changed"),
     )
+
+
+@register(
+    "geo_radius_join",
+    """
+    WITH cust_pts AS (
+        SELECT c_custkey AS cust_id,
+               (c_custkey * 37 % 18000) / 100.0 - 90.0 AS lat,
+               (c_custkey * 73 % 36000) / 100.0 - 180.0 AS lon
+        FROM customer
+    ),
+    supp_pts AS (
+        SELECT s_suppkey AS supp_id,
+               (s_suppkey * 41 % 18000) / 100.0 - 90.0 AS lat,
+               (s_suppkey * 59 % 36000) / 100.0 - 180.0 AS lon
+        FROM supplier
+    ),
+    supp_cells AS (
+        SELECT s.supp_id, s.lat, s.lon,
+               CAST(floor(s.lat / 0.5) AS BIGINT) + dx.d AS cell_lat,
+               CAST(floor(s.lon / 0.5) AS BIGINT) + dy.d AS cell_lon
+        FROM supp_pts s
+        CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dx
+        CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dy
+    ),
+    cust_cells AS (
+        SELECT cust_id, lat, lon,
+               CAST(floor(lat / 0.5) AS BIGINT) AS cell_lat,
+               CAST(floor(lon / 0.5) AS BIGINT) AS cell_lon
+        FROM cust_pts
+    ),
+    cand AS (
+        SELECT c.cust_id, s.supp_id,
+               round(2 * 6371.0 * asin(sqrt(
+                   pow(sin(radians(s.lat - c.lat) / 2), 2)
+                   + cos(radians(c.lat)) * cos(radians(s.lat))
+                     * pow(sin(radians(s.lon - c.lon) / 2), 2)
+               )), 3) AS dist_km
+        FROM cust_cells c
+        JOIN supp_cells s
+          ON c.cell_lat = s.cell_lat AND c.cell_lon = s.cell_lon
+    )
+    SELECT cust_id, supp_id, dist_km
+    FROM cand WHERE dist_km <= 50.0
+    """,
+)
+def q_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V74 — spatial radius join via grid bucketing: points snapped to
+    0.5° cells (~55 km), one side exploded to its 3×3 cell neighborhood,
+    candidates meet through a plain EQUI-join on the cell key, exact
+    haversine filters to ≤50 km. This is THE scale pattern for spatial
+    joins — a raw distance-predicate join is a cartesian; the grid bounds
+    per-cell fan-out by local point density (skewed cities → AQE skew
+    split, or subdivide hot cells). Distance rounded to 3 decimals
+    (meter precision) BEFORE the gate: sin/cos/asin libm ulps must not
+    flip boundary pairs. Synthetic deterministic coordinates (hash-derived
+    from keys — the testdata has no geo columns); the pole/antimeridian
+    cell wrap is out of scope and documented."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust_id"),
+        ((F.col("c_custkey") * 37 % 18000) / 100.0 - 90.0).alias("lat"),
+        ((F.col("c_custkey") * 73 % 36000) / 100.0 - 180.0).alias("lon"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("supp_id"),
+        ((F.col("s_suppkey") * 41 % 18000) / 100.0 - 90.0).alias("lat"),
+        ((F.col("s_suppkey") * 59 % 36000) / 100.0 - 180.0).alias("lon"),
+    )
+    offsets = F.explode(
+        F.expr("array(-1L, 0L, 1L)")
+    )
+    supp_cells = (
+        supp.withColumn("dx", offsets)
+        .withColumn("dy", F.explode(F.expr("array(-1L, 0L, 1L)")))
+        .select(
+            "supp_id",
+            F.col("lat").alias("s_lat"),
+            F.col("lon").alias("s_lon"),
+            (F.floor(F.col("lat") / 0.5) + F.col("dx")).alias("cell_lat"),
+            (F.floor(F.col("lon") / 0.5) + F.col("dy")).alias("cell_lon"),
+        )
+    )
+    cust_cells = cust.select(
+        "cust_id",
+        F.col("lat").alias("c_lat"),
+        F.col("lon").alias("c_lon"),
+        F.floor(F.col("lat") / 0.5).alias("cell_lat"),
+        F.floor(F.col("lon") / 0.5).alias("cell_lon"),
+    )
+    dist = F.round(
+        2
+        * 6371.0
+        * F.asin(
+            F.sqrt(
+                F.pow(F.sin(F.radians(F.col("s_lat") - F.col("c_lat")) / 2), 2)
+                + F.cos(F.radians(F.col("c_lat")))
+                * F.cos(F.radians(F.col("s_lat")))
+                * F.pow(F.sin(F.radians(F.col("s_lon") - F.col("c_lon")) / 2), 2)
+            )
+        ),
+        3,
+    )
+    return (
+        cust_cells.join(supp_cells, ["cell_lat", "cell_lon"])
+        .withColumn("dist_km", dist)
+        .filter(F.col("dist_km") <= 50.0)
+        .select("cust_id", "supp_id", "dist_km")
+    )
+
+
+@register(
+    "copurchase_lift",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n_orders AS (SELECT count(DISTINCT l_orderkey) AS n FROM li),
+    item_supp AS (SELECT l_partkey, count(*) AS n_item FROM li GROUP BY 1),
+    pair_supp AS (
+        SELECT a.l_partkey AS item_a, b.l_partkey AS item_b,
+               count(*) AS n_pair
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 3
+    )
+    SELECT p.item_a, p.item_b, CAST(p.n_pair AS BIGINT) AS n_pair,
+           round(CAST(p.n_pair AS DOUBLE) / ia.n_item, 6) AS confidence,
+           round(CAST(p.n_pair AS DOUBLE) * n.n / (ia.n_item * ib.n_item), 6)
+               AS lift
+    FROM pair_supp p
+    JOIN item_supp ia ON ia.l_partkey = p.item_a
+    JOIN item_supp ib ON ib.l_partkey = p.item_b
+    CROSS JOIN n_orders n
+    ORDER BY lift DESC, item_a, item_b
+    LIMIT 25
+    """,
+)
+def q_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V75 — association-rule scoring (market-basket): support/confidence/
+    lift for frequently co-purchased part pairs (support ≥ 3). The pair
+    aggregation reuses the triangle query's orderkey-keyed self-join; item
+    marginals broadcast back; lift = P(ab)/(P(a)P(b)) from exact integer
+    counts with one rounded division each. Engine-stable top-25 via
+    rounded lift + id tiebreaks."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = li.select("l_orderkey").distinct().count()
+    item = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
+    a, b = li.alias("a"), li.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("item_a"),
+            F.col("b.l_partkey").alias("item_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= 3)
+    )
+    ia = item.select(F.col("l_partkey").alias("item_a"), F.col("n_item").alias("n_a"))
+    ib = item.select(F.col("l_partkey").alias("item_b"), F.col("n_item").alias("n_b"))
+    return (
+        pair.join(F.broadcast(ia), "item_a")
+        .join(F.broadcast(ib), "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "n_pair",
+            F.round(F.col("n_pair").cast("double") / F.col("n_a"), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                F.col("n_pair").cast("double")
+                * n_orders
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "item_a", "item_b")
+        .limit(25)
+    )

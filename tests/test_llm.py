@@ -1047,3 +1047,23 @@ def test_hll_rollup_accuracy_and_merge(spark):
     assert abs(merged - direct) / exact < 0.02
     assert abs(merged - exact) / exact < 0.05
     assert abs(direct - exact) / exact < 0.05
+
+
+def test_weighted_sample_respects_weights(spark):
+    """With weight ratio ~100:1, heavy ids must dominate the sample; the
+    sample is a pure function of (salt, id, weight) — rerun-identical."""
+    from fefal_etl_spark.llm.sampling import weighted_sample
+
+    rows = [(i, 1000 if i < 50 else 10) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    out1 = weighted_sample(df, "doc_id", "w", k=40).collect()
+    out2 = weighted_sample(df, "doc_id", "w", k=40).collect()
+    assert [r["doc_id"] for r in out1] == [r["doc_id"] for r in out2]
+    heavy = sum(1 for r in out1 if r["doc_id"] < 50)
+    # 50 heavy ids carry 50k weight vs 9.5k for 950 light ones (~84%);
+    # with k=40 the heavy share must be clearly dominant
+    assert heavy >= 20
+    # ranks are dense and ordering matches the key
+    ks = [r["sample_key"] for r in out1]
+    assert ks == sorted(ks, reverse=True)
+    assert [r["rk"] for r in out1] == list(range(1, 41))
