@@ -2462,12 +2462,15 @@ _DRIVER_PRIORITY = [
     "asof_forward_tolerance", "rolling_distinct_users", "events_interpolate",
     "value_outliers_mad", "quality_rank_blend", "pmi_collocations",
     "purchase_attribution_outer", "positional_index",
+    "geo_radius_join", "weighted_sample", "table_diff", "perplexity_buckets",
+    "contrastive_pairs", "copurchase_lift", "event_path_mining",
+    "k_anonymity_audit",
     # unique §2 component carriers (core)
-    "pricing_summary", "entity_resolution", "dedup_keep_best",
-    "status_fork_counts", "unpivot_measures", "window_topk",
-    "asof_attribution", "sentence_explode",
+    "pricing_summary", "entity_resolution",
     # §2 carriers displaced from the 50-prefix by the §2.17 block — their
     # components keep green driver rows from CORRECTNESS_r02
+    "dedup_keep_best", "status_fork_counts", "unpivot_measures",
+    "window_topk", "asof_attribution", "sentence_explode",
     "pct_rescale", "event_gaps", "stateful_running_counts",
     "range_join_windows", "user_event_type_sets",
     "prefix_theta_join", "anti_join_customers", "csv_roundtrip_scan",
