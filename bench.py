@@ -156,6 +156,11 @@ BENCH_QUERIES = [
     "geo_radius_join",
     "copurchase_lift",
     "weighted_sample",
+    "cdc_extract",
+    "events_trend_slope",
+    "hybrid_skew_revenue",
+    "matryoshka_recall",
+    "ab_test_ztest",
     # dup_clusters_star is excluded like ngram_jaccard_pairs: at bench SF its
     # wall time is ~6 iterative rounds of fixed scheduling cost (the
     # algorithm exists for O(log n) ROUNDS at web scale, demonstrated by the

@@ -2847,3 +2847,87 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return weighted_sample(docs, "doc_id", "n_chars", k=100)
+
+
+@register(
+    "matryoshka_recall",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    dims AS (SELECT unnest([8, 16, 32, 64]) AS d),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+    sims AS (
+        SELECT dm.d, q.query_id, e.vec_id,
+               list_dot_product(e.v[1:dm.d], q.qv[1:dm.d])
+                 / (sqrt(list_dot_product(e.v[1:dm.d], e.v[1:dm.d]))
+                    * sqrt(list_dot_product(q.qv[1:dm.d], q.qv[1:dm.d])))
+                   AS cs
+        FROM e CROSS JOIN q CROSS JOIN dims dm
+        WHERE e.vec_id <> q.query_id
+    ),
+    ranked AS (
+        SELECT d, query_id, vec_id,
+               row_number() OVER (PARTITION BY d, query_id
+                                  ORDER BY cs DESC, vec_id) AS rk
+        FROM sims
+    ),
+    top AS (SELECT d, query_id, vec_id FROM ranked WHERE rk <= 10),
+    truth AS (SELECT query_id, vec_id FROM top WHERE d = 64),
+    overlap AS (
+        SELECT t.d, CAST(count(*) AS BIGINT) AS n_hits
+        FROM top t JOIN truth u
+          ON t.query_id = u.query_id AND t.vec_id = u.vec_id
+        GROUP BY t.d
+    )
+    SELECT CAST(d AS INT) AS dims, n_hits,
+           round(CAST(n_hits AS DOUBLE) / 100, 6) AS recall_at_10
+    FROM overlap
+    """,
+)
+def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V80 — Matryoshka-truncation quality audit: recall@10 of cosine
+    search over the first 8/16/32 dimensions vs the full-64 truth — the
+    measurement behind the modern 'store a prefix, rerank with the tail'
+    embedding-cost lever (MRL embeddings are trained so prefixes work;
+    this audit tells you how far YOUR vectors can be cut). Integer hit
+    counts, one division at the end; per-(dim, query) windows over a
+    broadcast query set."""
+    from fefal_etl_spark.llm.similarity import as_double_vec, cosine
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_vec(F.col("embedding")).alias("v")
+    )
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    dims = spark.range(0).sparkSession.createDataFrame(
+        [(8,), (16,), (32,), (64,)], "d int"
+    )
+    sims = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .crossJoin(F.broadcast(dims))
+        .select(
+            "d",
+            "query_id",
+            "vec_id",
+            cosine(
+                F.slice(F.col("v"), 1, F.col("d")),
+                F.slice(F.col("qv"), 1, F.col("d")),
+            ).alias("cs"),
+        )
+    )
+    w = Window.partitionBy("d", "query_id").orderBy(
+        F.col("cs").desc(), F.col("vec_id")
+    )
+    top = sims.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 10)
+    truth = top.filter(F.col("d") == 64).select("query_id", "vec_id")
+    overlap = (
+        top.join(F.broadcast(truth), ["query_id", "vec_id"])
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return overlap.select(
+        F.col("d").alias("dims"),
+        "n_hits",
+        F.round(F.col("n_hits").cast("double") / 100, 6).alias("recall_at_10"),
+    )

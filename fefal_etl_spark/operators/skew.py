@@ -107,3 +107,50 @@ def heavy_hitters(
     return ranked.select(
         key_col, "n_rows", (F.col("n_rows") / F.col("__tot")).alias("frac"), "rank"
     )
+
+
+def hybrid_skew_join(
+    probe: DataFrame,
+    build: DataFrame,
+    on: str,
+    hot_keys: DataFrame | None = None,
+    top_n_hot: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Hybrid hot-key isolation join — the third classic skew weapon
+    alongside salting and AQE: split the probe by key frequency, join the
+    HOT slice against a broadcast of the (tiny) matching build rows, join
+    the COLD remainder with a normal shuffle, and union. The hot keys are
+    the ones a shuffle cannot spread (every copy of key K lands in one
+    partition by definition); isolating them converts the straggler
+    partition into a map-side broadcast join while the well-distributed
+    bulk keeps the plain plan.
+
+    ``hot_keys`` (one column named ``on``) defaults to the probe's
+    ``top_n_hot`` most frequent keys (`heavy_hitters` is the production
+    feeder — compute once, reuse). Semantics are exactly the plain join
+    for ``inner`` and ``left`` (property-tested); the build side must be
+    key-unique for `left` to avoid double-fanout, as with any join.
+
+    Scale: one pass over the probe for the frequency top-N (skippable
+    when hot_keys is supplied), broadcast of hot build rows (≤ top_n_hot
+    keys' worth), and the cold shuffle that was already being paid —
+    minus its stragglers.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
+    if hot_keys is None:
+        hot_keys = (
+            probe.groupBy(on)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .orderBy(F.col("__n").desc(), F.col(on))
+            .limit(top_n_hot)
+            .select(on)
+        )
+    hot = F.broadcast(hot_keys)
+    probe_hot = probe.join(hot, on, "left_semi")
+    probe_cold = probe.join(hot, on, "left_anti")
+    build_hot = build.join(hot, on, "left_semi")
+    out_hot = probe_hot.join(F.broadcast(build_hot), on, how)
+    out_cold = probe_cold.join(build, on, how)
+    return out_hot.unionByName(out_cold)

@@ -3680,3 +3680,264 @@ def q_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), "item_a", "item_b")
         .limit(25)
     )
+
+
+@register(
+    "cdc_extract",
+    """
+    WITH t AS (
+        SELECT o_orderkey, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderkey % 11 <> 0
+    ),
+    s AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 = 0
+                    THEN CAST(round(CAST(o_totalprice AS DECIMAL(18,2))
+                                    + CAST(1.00 AS DECIMAL(18,2)), 2) AS DOUBLE)
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderstatus
+        FROM orders WHERE o_orderkey % 13 <> 0
+    )
+    SELECT COALESCE(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+           CASE WHEN t.o_orderkey IS NULL THEN 'I'
+                WHEN s.o_orderkey IS NULL THEN 'D'
+                ELSE 'U' END AS op,
+           s.o_totalprice AS new_price, s.o_orderstatus AS new_status,
+           t.o_totalprice AS old_price, t.o_orderstatus AS old_status
+    FROM t FULL OUTER JOIN s ON t.o_orderkey = s.o_orderkey
+    WHERE t.o_orderkey IS NULL OR s.o_orderkey IS NULL
+       OR NOT (t.o_totalprice IS NOT DISTINCT FROM s.o_totalprice
+               AND t.o_orderstatus IS NOT DISTINCT FROM s.o_orderstatus)
+    """,
+)
+def q_cdc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V77 — changefeed extraction, the inverse of `cdc_snapshot`: diff two
+    snapshots into a minimal I/U/D event stream (unchanged rows emit
+    nothing), with old/new images for downstream consumers. Same
+    full-outer key join as `table_diff`, different projection — feeding
+    this stream back through `cdc_snapshot`'s latest-wins apply
+    reconstructs snapshot B from A (the round-trip is the correctness
+    argument, pinned in tests)."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderkey") % 11 != 0).select(
+        F.col("o_orderkey").alias("ka"),
+        F.col("o_totalprice").alias("old_price"),
+        F.col("o_orderstatus").alias("old_status"),
+    )
+    bumped = F.round(
+        F.col("o_totalprice").cast("decimal(18,2)")
+        + F.lit("1.00").cast("decimal(18,2)"),
+        2,
+    ).cast("double")
+    b = orders.filter(F.col("o_orderkey") % 13 != 0).select(
+        F.col("o_orderkey").alias("kb"),
+        F.when(F.col("o_orderkey") % 7 == 0, bumped)
+        .otherwise(F.col("o_totalprice"))
+        .alias("new_price"),
+        F.col("o_orderstatus").alias("new_status"),
+    )
+    j = a.join(b, F.col("ka") == F.col("kb"), "full_outer")
+    same = F.col("old_price").eqNullSafe(F.col("new_price")) & F.col(
+        "old_status"
+    ).eqNullSafe(F.col("new_status"))
+    op = (
+        F.when(F.col("ka").isNull(), F.lit("I"))
+        .when(F.col("kb").isNull(), F.lit("D"))
+        .otherwise(F.lit("U"))
+    )
+    return (
+        j.filter(F.col("ka").isNull() | F.col("kb").isNull() | ~same)
+        .select(
+            F.coalesce(F.col("ka"), F.col("kb")).alias("o_orderkey"),
+            op.alias("op"),
+            "new_price",
+            "new_status",
+            "old_price",
+            "old_status",
+        )
+    )
+
+
+@register(
+    "events_trend_slope",
+    """
+    WITH pts AS (
+        SELECT event_type,
+               CAST(epoch(date_trunc('hour', ts)) AS BIGINT) / 3600 AS x,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    moments AS (
+        SELECT event_type,
+               CAST(count(*) AS DECIMAL(38,0)) AS n,
+               CAST(sum(x) AS DECIMAL(38,0)) AS sx,
+               CAST(sum(y) AS DECIMAL(38,0)) AS sy,
+               CAST(sum(x * y) AS DECIMAL(38,0)) AS sxy,
+               CAST(sum(x * x) AS DECIMAL(38,0)) AS sxx
+        FROM pts GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_points,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 9) AS slope_per_hour
+    FROM moments
+    """,
+)
+def q_events_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V78 — per-group least-squares trend slope (is traffic growing?):
+    slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) over (hour, count) points. The
+    V21/V22 trick: every moment is an EXACT integer/DECIMAL sum — both
+    engines do ONE identical double division at the end, so there is no
+    float-summation-order hazard at all. Two grouped aggs (hourly counts,
+    then 5 map-side-combinable moments) — no window, no sort."""
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.groupBy(
+        "event_type",
+        (F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / 3600)
+        .cast("long")
+        .alias("x"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    d38 = "decimal(38,0)"
+    moments = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum("x").cast(d38).alias("sx"),
+        F.sum("y").cast(d38).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast(d38).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast(d38).alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return moments.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_points"),
+        F.round(num / den, 9).alias("slope_per_hour"),
+    )
+
+
+@register(
+    "hybrid_skew_revenue",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def q_hybrid_skew_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V79 — hybrid hot-key isolation join (operators/skew.py::
+    hybrid_skew_join): the probe's top-16 hottest keys join a broadcast of
+    their build rows while the cold bulk keeps the plain shuffle — the
+    skew weapon for keys a shuffle cannot spread. Semantics are exactly
+    the plain join (the oracle IS the plain join; equality also
+    property-tested), so the query proves the rewrite is transparent."""
+    from fefal_etl_spark.operators.skew import hybrid_skew_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k"), "l_extendedprice"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), "o_orderpriority"
+    )
+    joined = hybrid_skew_join(li, orders, "k", how="inner")
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+@register(
+    "ab_test_ztest",
+    """
+    WITH assigned AS (
+        SELECT DISTINCT user_id,
+               ('0x' || substr(md5('ab1|' || CAST(user_id AS VARCHAR)), 1, 8)
+               )::BIGINT % 2 AS grp
+        FROM events
+    ),
+    converted AS (
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    ),
+    cells AS (
+        SELECT a.grp,
+               CAST(count(*) AS BIGINT) AS n_users,
+               CAST(count(c.user_id) AS BIGINT) AS n_converted
+        FROM assigned a LEFT JOIN converted c ON a.user_id = c.user_id
+        GROUP BY a.grp
+    ),
+    wide AS (
+        SELECT
+            max(CASE WHEN grp = 0 THEN n_users END) AS n0,
+            max(CASE WHEN grp = 0 THEN n_converted END) AS c0,
+            max(CASE WHEN grp = 1 THEN n_users END) AS n1,
+            max(CASE WHEN grp = 1 THEN n_converted END) AS c1
+        FROM cells
+    )
+    SELECT n0, c0, n1, c1,
+           round(CAST(c0 AS DOUBLE) / n0, 6) AS rate_a,
+           round(CAST(c1 AS DOUBLE) / n1, 6) AS rate_b,
+           round((CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+                 / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                        * (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                        * (1.0 / n0 + 1.0 / n1)), 6) AS z_score
+    FROM wide
+    """,
+)
+def q_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V81 — two-proportion z-test over a deterministic hash-bucketed A/B
+    assignment: conversion-rate lift with its pooled-variance z statistic
+    — the experimentation readout a product warehouse serves daily. The
+    assignment is a pure function of (salt, user_id) (same md5-uniform
+    family as the sampling splits — reproducible, re-randomizable by
+    salt); every input to the statistic is an exact integer count, the
+    z expression is written with identical operation order on both
+    engines, rounded to 6."""
+    ev = load_table(spark, sf_dir, "events")
+    grp = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ab1|"), F.col("user_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    assigned = ev.select("user_id").distinct().select("user_id", grp.alias("grp"))
+    converted = (
+        ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+        .withColumn("__c", F.lit(1))
+    )
+    cells = (
+        assigned.join(F.broadcast(converted), "user_id", "left")
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.count("__c").alias("n_converted"),
+        )
+    )
+    wide = cells.agg(
+        F.max(F.when(F.col("grp") == 0, F.col("n_users"))).alias("n0"),
+        F.max(F.when(F.col("grp") == 0, F.col("n_converted"))).alias("c0"),
+        F.max(F.when(F.col("grp") == 1, F.col("n_users"))).alias("n1"),
+        F.max(F.when(F.col("grp") == 1, F.col("n_converted"))).alias("c1"),
+    )
+    p0 = F.col("c0").cast("double") / F.col("n0")
+    p1 = F.col("c1").cast("double") / F.col("n1")
+    pool = (F.col("c0") + F.col("c1")).cast("double") / (F.col("n0") + F.col("n1"))
+    z = (p1 - p0) / F.sqrt(
+        pool * (1 - pool) * (1.0 / F.col("n0") + 1.0 / F.col("n1"))
+    )
+    return wide.select(
+        "n0",
+        "c0",
+        "n1",
+        "c1",
+        F.round(p0, 6).alias("rate_a"),
+        F.round(p1, 6).alias("rate_b"),
+        F.round(z, 6).alias("z_score"),
+    )

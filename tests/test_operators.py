@@ -947,3 +947,35 @@ def test_asof_forward_and_tolerance(spark):
     }
     assert tol[t0] == 7.0                              # exact hit within 10s
     assert tol[t0 + dt.timedelta(seconds=100)] is None  # 50s gap > 10s tol
+
+
+def test_hybrid_skew_join_equals_plain_join(spark):
+    from fefal_etl_spark.operators.skew import hybrid_skew_join
+
+    # 80% of probe rows share key 1; keys 500+ never match
+    probe = spark.range(2000).select(
+        F.when(F.col("id") % 5 != 0, F.lit(1))
+        .otherwise(F.col("id") + 400)
+        .alias("k"),
+        F.col("id").alias("v"),
+    )
+    build = spark.range(500).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("w")
+    )
+    for how in ("inner", "left"):
+        plain = probe.join(build, "k", how).select("k", "v", "w")
+        hybrid = hybrid_skew_join(probe, build, "k", how=how).select(
+            "k", "v", "w"
+        )
+        assert sorted(map(tuple, plain.collect())) == sorted(
+            map(tuple, hybrid.collect())
+        ), how
+    # the hot slice really broadcasts: plan contains a BroadcastHashJoin
+    # AND the cold path keeps a non-broadcast join
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        hybrid_skew_join(probe, build, "k").explain("formatted")
+    assert "BroadcastHashJoin" in buf.getvalue()
