@@ -2442,9 +2442,8 @@ _DRIVER_PRIORITY = [
     # pipeline capstones + round-2 surface
     "pipeline_status_accounting", "pipeline_fact_inquerito",
     "pipeline_star_formations", "star_integrity", "review_promotions",
-    "approx_sketches", "scalar_suite", "set_ops_suite",
     # E1-E4 LLM-pipeline block
-    "text_stats", "lang_id", "curation_pipeline",
+    "curation_pipeline",
     "stratified_sample", "doc_fingerprints", "exact_dedup", "minhash_neardup",
     "simhash_fingerprints", "embedding_neardup",
     "embedding_topk", "ivf_topk",
@@ -2464,9 +2463,13 @@ _DRIVER_PRIORITY = [
     "purchase_attribution_outer", "positional_index",
     "geo_radius_join", "weighted_sample", "table_diff", "perplexity_buckets",
     "contrastive_pairs", "copurchase_lift", "event_path_mining",
-    "k_anonymity_audit",
+    "k_anonymity_audit", "cdc_extract", "events_trend_slope",
+    "hybrid_skew_revenue", "matryoshka_recall", "ab_test_ztest",
     # unique §2 component carriers (core)
     "pricing_summary", "entity_resolution",
+    # r2-green carriers displaced from the 50-prefix by §2.17/V77-V81
+    "approx_sketches", "scalar_suite", "set_ops_suite",
+    "text_stats", "lang_id",
     # §2 carriers displaced from the 50-prefix by the §2.17 block — their
     # components keep green driver rows from CORRECTNESS_r02
     "dedup_keep_best", "status_fork_counts", "unpivot_measures",
