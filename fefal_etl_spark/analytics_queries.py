@@ -618,7 +618,7 @@ def q_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
                WHEN pv IS NULL THEN nv
                WHEN nv IS NULL THEN pv
                ELSE pv + (nv - pv)
-                    * (epoch(h) - epoch(ph)) / (epoch(nh) - epoch(ph))
+                    * ((epoch(h) - epoch(ph)) / (epoch(nh) - epoch(ph)))
            END, 6) AS v_interp,
            (v IS NULL) AS was_gap
     FROM bracketed

@@ -192,14 +192,11 @@ def content_defined_chunks(
     reuses the doc partitioning; text never shuffles corpus-wide, and the
     rolling hash is JVM-side md5 (portable so an oracle can replay the
     boundary decisions bit-for-bit)."""
+    from fefal_etl_spark.llm.text_analysis import nonempty_words
+
     words = df.select(
         F.col(id_col),
-        F.posexplode(
-            F.filter(
-                F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
-                lambda w: w != "",
-            )
-        ).alias("pos", "w"),
+        F.posexplode(nonempty_words(F.col(text_col))).alias("pos", "w"),
     )
     w_ord = Window.partitionBy(id_col).orderBy("pos")
     lag_cols = [F.lag("w", d).over(w_ord) for d in range(window - 1, 0, -1)]

@@ -423,13 +423,31 @@ def _reliable_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
     with a shuffle-fetch error (observed as a rare full-test-suite flake).
     A reliable ``checkpoint`` writes to the checkpoint dir instead; the
     dir is set lazily to a session-scoped temp dir when the caller hasn't
-    configured one (at cluster scale point it at durable storage)."""
+    configured one, and that temp dir is removed at interpreter exit (the
+    checkpoint files themselves outlive their RDDs by design — long-lived
+    sessions should set ``spark.cleaner.referenceTracking.cleanCheckpoints``
+    and a durable checkpoint location instead).
+
+    The frame is persisted before checkpointing: ``checkpoint`` runs the
+    write as a SEPARATE job, which would otherwise recompute the full
+    lineage a second time (Spark's own docs recommend persisting first).
+    Under ``eager`` the cache is dropped right after — the data is safely
+    on disk; lazy checkpoints stay cached until their first action, after
+    which eviction is harmless (the checkpoint file backs recovery)."""
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is None:
+        import atexit
+        import shutil
         import tempfile
 
-        sc.setCheckpointDir(tempfile.mkdtemp(prefix="fefal_ckpt_"))
-    return df.checkpoint(eager=eager)
+        d = tempfile.mkdtemp(prefix="fefal_ckpt_")
+        sc.setCheckpointDir(d)
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+    df = df.persist()
+    out = df.checkpoint(eager=eager)
+    if eager:
+        df.unpersist()
+    return out
 
 
 def connected_components(
@@ -728,8 +746,11 @@ def connected_components_star(
     prev = fingerprint(cur)
     converged = False
     for _ in range(max_rounds):
-        # lazy checkpoint: the fingerprint action below materializes the
-        # round AND caches it — one job per round instead of two
+        # lazy checkpoint over a persisted round: the fingerprint action
+        # materializes the cache, and the deferred checkpoint-write job
+        # reads those cached blocks instead of recomputing the round's
+        # lineage (the persist inside _reliable_checkpoint is what keeps
+        # this at ~one compute of the round, not two)
         cur = _reliable_checkpoint(small_star(large_star(cur)), eager=False)
         fp = fingerprint(cur)
         if fp == prev:

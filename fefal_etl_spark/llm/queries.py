@@ -2507,10 +2507,10 @@ def q_quality_rank_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
     to percent_rank's (rank−1)/(n−1) with min-rank tie semantics, while
     the corpus is never globally sorted. The oracle deliberately USES the
     window form: two formulations, one semantics."""
-    from fefal_etl_spark.llm.text_analysis import words
+    from fefal_etl_spark.llm.text_analysis import nonempty_words
 
     docs = load_table(spark, sf_dir, "documents")
-    wa = F.filter(words(F.lower(F.col("text"))), lambda w: w != "")
+    wa = nonempty_words(F.col("text"))
     feats = docs.select(
         "doc_id",
         "n_chars",
@@ -2520,6 +2520,10 @@ def q_quality_rank_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.greatest(F.size(wa), F.lit(1))
         ).alias("ttr"),
     )
+    # persisted: feats feeds the count, three per-signal CDFs, and the
+    # output spine — uncached, the per-doc tokenize/TTR projection would
+    # re-evaluate ~5× (code-review finding)
+    feats = feats.persist()
     n_total = feats.count()
 
     def pct_rank(col_name: str) -> DataFrame:
@@ -2635,14 +2639,11 @@ def q_positional_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     term frequency. At 100 TB write it `partitionBy(bucket(term))` so
     query-time term lookups prune to one bucket."""
     docs = load_table(spark, sf_dir, "documents")
+    from fefal_etl_spark.llm.text_analysis import nonempty_words
+
     words_pos = docs.select(
         "doc_id",
-        F.posexplode(
-            F.filter(
-                F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
-                lambda w: w != "",
-            )
-        ).alias("pos", "w"),
+        F.posexplode(nonempty_words(F.col("text"))).alias("pos", "w"),
     )
     return (
         words_pos.groupBy(F.col("w").alias("term"), F.col("doc_id"))
@@ -2879,7 +2880,8 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY t.d
     )
     SELECT CAST(d AS INT) AS dims, n_hits,
-           round(CAST(n_hits AS DOUBLE) / 100, 6) AS recall_at_10
+           round(CAST(n_hits AS DOUBLE)
+                 / (SELECT count(*) FROM truth), 6) AS recall_at_10
     FROM overlap
     """,
 )
@@ -2899,9 +2901,7 @@ def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
-    dims = spark.range(0).sparkSession.createDataFrame(
-        [(8,), (16,), (32,), (64,)], "d int"
-    )
+    dims = spark.createDataFrame([(8,), (16,), (32,), (64,)], "d int")
     sims = (
         emb.crossJoin(F.broadcast(queries))
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -2926,8 +2926,14 @@ def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("d")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
-    return overlap.select(
+    # denominator = the ACTUAL truth-set size (a one-row agg broadcast
+    # back), not an assumed 10×10 — small SFs or <10 candidates per query
+    # would silently understate recall with a hardcoded constant
+    truth_n = truth.agg(F.count(F.lit(1)).alias("__tn"))
+    return overlap.crossJoin(F.broadcast(truth_n)).select(
         F.col("d").alias("dims"),
         "n_hits",
-        F.round(F.col("n_hits").cast("double") / 100, 6).alias("recall_at_10"),
+        F.round(
+            F.col("n_hits").cast("double") / F.col("__tn"), 6
+        ).alias("recall_at_10"),
     )

@@ -239,13 +239,27 @@ def asof_join(
     right_cols = {right_ts: f"right_{right_ts}", **right_cols}
 
     payload = [c for c in right_cols if c != right_ts]
+    # The whole right row travels as ONE nullable struct so the window
+    # match is row-ATOMIC: per-column first/last(ignorenulls) would pick
+    # each payload column from the nearest row where THAT column is
+    # non-null, stitching values from different right rows into one match
+    # whenever a payload value is legitimately NULL (and letting the
+    # tolerance gate validate a timestamp while emitting another row's
+    # payload) — the confirmed frankenrow bug this struct eliminates.
+    r_struct_type = (
+        "struct<"
+        + ",".join(
+            f"{c}:{right.schema[c].dataType.simpleString()}"
+            for c in (*payload, right_ts)
+        )
+        + ">"
+    )
     l_tagged = left.select(
         *keys,
         F.col(left_ts).alias("__t"),
         F.lit(1).alias("__side"),
         *[F.col(c) for c in left.columns if c not in keys and c != left_ts],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in payload],
-        F.lit(None).cast(right.schema[right_ts].dataType).alias("__r_ts"),
+        F.lit(None).cast(r_struct_type).alias("__r"),
     )
     r_tagged = right.select(
         *keys,
@@ -256,8 +270,9 @@ def asof_join(
             for c in left.columns
             if c not in keys and c != left_ts
         ],
-        *[F.col(c).alias(f"__r_{c}") for c in payload],
-        F.col(right_ts).alias("__r_ts"),
+        F.struct(
+            *[F.col(c) for c in payload], F.col(right_ts).alias(right_ts)
+        ).alias("__r"),
     )
     unioned = l_tagged.unionByName(r_tagged)
     if direction == "backward":
@@ -283,25 +298,21 @@ def asof_join(
         def pick(c):
             return F.first(c, ignorenulls=True).over(w)
 
-    filled = unioned.select(
-        "*",
-        *[pick(F.col(f"__r_{c}")).alias(f"__m_{c}") for c in payload],
-        pick(F.col("__r_ts")).alias("__m_ts"),
-    )
+    filled = unioned.select("*", pick(F.col("__r")).alias("__m"))
     out_left = [c for c in left.columns if c not in keys and c != left_ts]
+    m = F.col("__m")
     if tolerance_seconds is not None:
         within = (
-            F.abs(F.unix_timestamp(F.col("__t")) - F.unix_timestamp("__m_ts"))
+            F.abs(
+                F.unix_timestamp(F.col("__t"))
+                - F.unix_timestamp(m[right_ts])
+            )
             <= tolerance_seconds
         )
-        match_cols = [
-            F.when(within, F.col(f"__m_{c}")).alias(right_cols[c])
-            for c in payload
-        ] + [F.when(within, F.col("__m_ts")).alias(right_cols[right_ts])]
-    else:
-        match_cols = [
-            F.col(f"__m_{c}").alias(right_cols[c]) for c in payload
-        ] + [F.col("__m_ts").alias(right_cols[right_ts])]
+        m = F.when(within, m)
+    match_cols = [m[c].alias(right_cols[c]) for c in payload] + [
+        m[right_ts].alias(right_cols[right_ts])
+    ]
     return filled.filter(F.col("__side") == 1).select(
         *keys,
         F.col("__t").alias(left_ts),

@@ -926,8 +926,7 @@ def test_asof_forward_and_tolerance(spark):
         [(1, t0, 7.0), (1, t0 + dt.timedelta(seconds=50), 8.0)],
         "id long, ts timestamp_ntz, x double",
     )
-    left = left.withColumn("key", F.lit(1)).drop("id").withColumnRenamed("key", "id") \
-        if False else left.withColumn("id", F.lit(1))
+    left = left.withColumn("id", F.lit(1))
     fwd = {
         r["ts"]: (r["right_x"], r["right_ts"])
         for r in asof_join(
@@ -979,3 +978,35 @@ def test_hybrid_skew_join_equals_plain_join(spark):
     with redirect_stdout(buf):
         hybrid_skew_join(probe, build, "k").explain("formatted")
     assert "BroadcastHashJoin" in buf.getvalue()
+
+
+def test_asof_match_is_row_atomic_with_null_payload(spark):
+    """Regression (code-review confirmed bug): a right row whose payload
+    column is NULL must NOT have its timestamp paired with a later row's
+    payload value — the match is one row, taken or not taken atomically."""
+    import datetime as dt
+
+    from fefal_etl_spark.operators.joins import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame([(1, t0)], "id long, ts timestamp_ntz")
+    right = spark.createDataFrame(
+        [(1, t0 + dt.timedelta(seconds=10), None),
+         (1, t0 + dt.timedelta(seconds=100), 5.0)],
+        "id long, ts timestamp_ntz, x double",
+    )
+    # forward + 30s tolerance: nearest row is +10s (within tolerance, x NULL);
+    # the old per-column fill leaked x=5.0 from the +100s row
+    row = asof_join(
+        left, right, on="id", direction="forward", tolerance_seconds=30
+    ).collect()[0]
+    assert row["right_ts"] == t0 + dt.timedelta(seconds=10)
+    assert row["right_x"] is None
+    # backward direction, same atomicity: latest row at-or-before is taken
+    # whole even when its payload is NULL
+    left2 = spark.createDataFrame(
+        [(1, t0 + dt.timedelta(seconds=20))], "id long, ts timestamp_ntz"
+    )
+    row2 = asof_join(left2, right, on="id", direction="backward").collect()[0]
+    assert row2["right_ts"] == t0 + dt.timedelta(seconds=10)
+    assert row2["right_x"] is None
