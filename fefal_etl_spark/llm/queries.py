@@ -2520,11 +2520,13 @@ def q_quality_rank_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.greatest(F.size(wa), F.lit(1))
         ).alias("ttr"),
     )
-    # persisted: feats feeds the count, three per-signal CDFs, and the
+    # persisted: feats feeds the total, three per-signal CDFs, and the
     # output spine — uncached, the per-doc tokenize/TTR projection would
     # re-evaluate ~5× (code-review finding)
     feats = feats.persist()
-    n_total = feats.count()
+    # one-row broadcast total, NOT a driver-side count(): an eager action
+    # at plan-construction time would run an extra job on every call
+    totals = feats.agg(F.count(F.lit(1)).alias("__nt"))
 
     def pct_rank(col_name: str) -> DataFrame:
         """(value → percent_rank) via distinct-value CDF: exact twin of
@@ -2534,11 +2536,11 @@ def q_quality_rank_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
             Window.orderBy(col_name)
             .rowsBetween(Window.unboundedPreceding, -1)
         )
-        return vals.select(
+        return vals.crossJoin(F.broadcast(totals)).select(
             col_name,
             (
                 F.coalesce(F.sum("__c").over(w_cum), F.lit(0)).cast("double")
-                / F.lit(max(n_total - 1, 1))
+                / F.greatest(F.col("__nt") - 1, F.lit(1))
             ).alias(f"__pr_{col_name}"),
         )
 

@@ -3350,16 +3350,31 @@ def q_event_type_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("e"),
         )
     )
-    dof = (
-        rt.count() - 1
-    ) * (ct.count() - 1)
-    return cells.agg(
-        F.round(
-            F.sum((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")),
-            6,
-        ).alias("chi2"),
-        F.lit(dof).cast("long").alias("dof"),
-        F.sum("o").cast("long").alias("n"),
+    # dof from one-row broadcast aggs — driver-side .count() calls at
+    # plan-construction time would run two extra jobs per invocation
+    dims = rt.agg(F.count(F.lit(1)).alias("__nr")).crossJoin(
+        ct.agg(F.count(F.lit(1)).alias("__nc"))
+    )
+    return (
+        cells.agg(
+            F.round(
+                F.sum(
+                    (F.col("o") - F.col("e"))
+                    * (F.col("o") - F.col("e"))
+                    / F.col("e")
+                ),
+                6,
+            ).alias("chi2"),
+            F.sum("o").cast("long").alias("n"),
+        )
+        .crossJoin(F.broadcast(dims))
+        .select(
+            "chi2",
+            ((F.col("__nr") - 1) * (F.col("__nc") - 1))
+            .cast("long")
+            .alias("dof"),
+            "n",
+        )
     )
 
 
@@ -3645,7 +3660,11 @@ def q_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
-    n_orders = li.select("l_orderkey").distinct().count()
+    # one-row broadcast agg, NOT a driver-side count(): an eager action at
+    # plan-construction time would run a full extra job on every call
+    n_orders = li.agg(
+        F.countDistinct("l_orderkey").alias("__n_orders")
+    )
     item = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
     a, b = li.alias("a"), li.alias("b")
     pair = (
@@ -3666,6 +3685,7 @@ def q_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pair.join(F.broadcast(ia), "item_a")
         .join(F.broadcast(ib), "item_b")
+        .crossJoin(F.broadcast(n_orders))
         .select(
             "item_a",
             "item_b",
@@ -3675,7 +3695,7 @@ def q_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.round(
                 F.col("n_pair").cast("double")
-                * n_orders
+                * F.col("__n_orders")
                 / (F.col("n_a") * F.col("n_b")),
                 6,
             ).alias("lift"),
