@@ -2689,6 +2689,53 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared co-purchase staging frames: the distinct (order, part) relation and
+# the pair-count table feed BOTH graph queries (triangles, lift) — built and
+# persisted once per (applicationId, sf_dir), same pattern and staleness
+# rules as plans/queries._SHARED (id-keyed caches can serve dead sessions).
+_COPURCHASE: dict[tuple[str, str], tuple] = {}
+
+
+def _copurchase_frames(spark: SparkSession, sf_dir: str):
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _COPURCHASE:
+        for k in [k for k in _COPURCHASE if k[0] != key[0]]:
+            for f in _COPURCHASE.pop(k):
+                try:
+                    f.unpersist()
+                except Exception:
+                    pass
+        li = (
+            load_table(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_partkey")
+            .distinct()
+            .persist()
+        )
+        a, b = li.alias("a"), li.alias("b")
+        # persist the SUPPORT-FILTERED pair table (thousands of rows), not
+        # the raw one (~10⁶): an InMemoryRelation's size statistic is the
+        # unfiltered cache, which blocks auto-broadcast in every consumer
+        # join downstream (measured: triangles 4.6 s → 7.3 s with the raw
+        # cache, back under 2 s with the filtered one). The expensive
+        # self-join+agg still runs exactly once, at materialization.
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+            )
+            .groupBy(
+                F.col("a.l_partkey").alias("src"),
+                F.col("b.l_partkey").alias("dst"),
+            )
+            .agg(F.count(F.lit(1)).alias("w"))
+            .filter(F.col("w") >= 2)
+            .persist()
+        )
+        _COPURCHASE[key] = (li, pairs)
+    return _COPURCHASE[key]
+
+
 @register(
     "copurchase_triangles",
     """
@@ -2729,25 +2776,8 @@ def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the at-scale shape."""
     from fefal_etl_spark.operators.graph import triangle_counts
 
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
-        )
-        .agg(F.count("*").alias("w"))
-        .filter(F.col("w") >= 2)
-        .select("src", "dst")
-    )
+    _li, pairs = _copurchase_frames(spark, sf_dir)
+    edges = pairs.select("src", "dst")  # cache is already support>=2
     return triangle_counts(edges)
 
 
@@ -3655,31 +3685,18 @@ def q_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     marginals broadcast back; lift = P(ab)/(P(a)P(b)) from exact integer
     counts with one rounded division each. Engine-stable top-25 via
     rounded lift + id tiebreaks."""
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
+    li, pairs = _copurchase_frames(spark, sf_dir)
     # one-row broadcast agg, NOT a driver-side count(): an eager action at
     # plan-construction time would run a full extra job on every call
     n_orders = li.agg(
         F.countDistinct("l_orderkey").alias("__n_orders")
     )
     item = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
-    a, b = li.alias("a"), li.alias("b")
-    pair = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("item_a"),
-            F.col("b.l_partkey").alias("item_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_pair"))
-        .filter(F.col("n_pair") >= 3)
-    )
+    pair = pairs.select(
+        F.col("src").alias("item_a"),
+        F.col("dst").alias("item_b"),
+        F.col("w").alias("n_pair"),
+    ).filter(F.col("n_pair") >= 3)
     ia = item.select(F.col("l_partkey").alias("item_a"), F.col("n_item").alias("n_a"))
     ib = item.select(F.col("l_partkey").alias("item_b"), F.col("n_item").alias("n_b"))
     return (
