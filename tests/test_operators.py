@@ -1010,3 +1010,54 @@ def test_asof_match_is_row_atomic_with_null_payload(spark):
     row2 = asof_join(left2, right, on="id", direction="backward").collect()[0]
     assert row2["right_ts"] == t0 + dt.timedelta(seconds=10)
     assert row2["right_x"] is None
+
+
+def test_cdc_extract_roundtrip_reconstructs_target(spark):
+    """The changelog extracted by diffing snapshots A→B, applied onto A as
+    a latest-wins event stream, must reconstruct B exactly (the docstring's
+    round-trip contract for `cdc_extract`)."""
+    import __spark_entry__ as entry
+
+    from fefal_etl_spark.operators.upsert import apply_changelog
+
+    sf = "/root/testdata/sf0.001"
+    changes = entry.queries()["cdc_extract"](spark, sf)
+
+    from fefal_etl_spark.datasets import load_table
+
+    orders = load_table(spark, sf, "orders")
+    a = orders.filter(F.col("o_orderkey") % 11 != 0).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    bumped = F.round(
+        F.col("o_totalprice").cast("decimal(18,2)")
+        + F.lit("1.00").cast("decimal(18,2)"),
+        2,
+    ).cast("double")
+    b = orders.filter(F.col("o_orderkey") % 13 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, bumped)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    # A as synthetic upserts at seq 0, the changelog at seq 1 → latest wins
+    stream = a.select(
+        "o_orderkey",
+        F.lit("U").alias("op"),
+        F.col("o_totalprice").alias("new_price"),
+        F.col("o_orderstatus").alias("new_status"),
+        F.lit(0).alias("seq"),
+    ).unionByName(
+        changes.select(
+            "o_orderkey", "op", "new_price", "new_status", F.lit(1).alias("seq")
+        )
+    )
+    rebuilt = apply_changelog(stream, "o_orderkey", ["seq"]).select(
+        "o_orderkey",
+        F.col("new_price").alias("o_totalprice"),
+        F.col("new_status").alias("o_orderstatus"),
+    )
+    assert sorted(map(tuple, rebuilt.collect())) == sorted(
+        map(tuple, b.collect())
+    )
