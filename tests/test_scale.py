@@ -181,6 +181,8 @@ SMJ_WHITELIST = {
                                   # AQE demotes to BHJ when small
     "table_diff",                 # snapshot-vs-snapshot full outer:
                                   # both sides are the table itself
+    "cdc_extract",                # same snapshot×snapshot full outer as
+                                  # table_diff, different projection
 }
 
 
