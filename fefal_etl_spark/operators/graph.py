@@ -75,7 +75,10 @@ def pagerank(
 
 
 def triangle_counts(
-    edges: DataFrame, src: str = "src", dst: str = "dst"
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    persist_oriented: bool = True,
 ) -> DataFrame:
     """Per-node triangle counts over an undirected graph — the local
     clustering signal behind community/spam detection on co-occurrence
@@ -123,13 +126,17 @@ def triangle_counts(
             F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
             F.when(u_first, F.col("__dv")).otherwise(F.col("__du")).alias("__db"),
         )
+    )
+    if persist_oriented:
         # referenced three times (both wedge legs + the closing check):
         # un-persisted, Catalyst re-expands the whole dedup+degree+orient
-        # chain per reference (measured 47 scans / 26 broadcasts at sf0.1,
-        # ~2× the wall time). Edge-cardinality frame — same deliberate
-        # persist convention as connected_components' bidir edges.
-        .persist()
-    )
+        # chain per reference (measured 47 scans / 26 broadcasts at
+        # sf0.1, ~2× the wall time). Edge-cardinality frame; the cached
+        # blocks are released by Spark's ContextCleaner once the returned
+        # plan is GC'd (referenceTracking default) — callers invoking
+        # this in a tight loop who want deterministic cleanup can pass
+        # persist_oriented=False.
+        oriented = oriented.persist()
     e1 = oriented.select("a", F.col("b").alias("b1"), F.col("__db").alias("__d1"))
     e2 = oriented.select("a", F.col("b").alias("b2"), F.col("__db").alias("__d2"))
     # wedges at the lowest-ordered vertex a, with (deg,id)-ordered legs

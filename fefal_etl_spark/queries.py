@@ -2736,6 +2736,19 @@ def _copurchase_frames(spark: SparkSession, sf_dir: str):
     return _COPURCHASE[key]
 
 
+def release_copurchase_cache() -> None:
+    """Free the persisted co-purchase staging frames — the
+    `release_pipeline_cache` analogue for long-lived sessions (the cache
+    is otherwise application-lifetime; in short-lived bench/oracle runs
+    the context teardown frees it)."""
+    for k in list(_COPURCHASE):
+        for f in _COPURCHASE.pop(k):
+            try:
+                f.unpersist()
+            except Exception:
+                pass
+
+
 @register(
     "copurchase_triangles",
     """
