@@ -352,3 +352,122 @@ def test_quantize_dequant_error_bound(spark, vecs):
         assert scale > 0
         for x, c in zip(v, q):
             assert abs(c / scale - x) <= 0.5 / scale + 1e-12
+
+
+# word pool for similarity-join properties: small vocabulary forces real
+# overlaps between generated docs
+WORDS = st.lists(
+    st.sampled_from(
+        ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta",
+         "iota", "kappa"]
+    ),
+    min_size=3,
+    max_size=14,
+)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(WORDS, min_size=2, max_size=7))
+def test_ppjoin_matches_bruteforce_jaccard(spark, docs):
+    """PPJoin must return EXACTLY the pairs whose 3-gram shingle-set
+    Jaccard clears the threshold — same result as brute-force all-pairs,
+    for any corpus (100% recall AND precision)."""
+    from fefal_etl_spark.llm.dedup import ppjoin_pairs
+
+    texts = [" ".join(ws) for ws in docs]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ppjoin_pairs(df, "doc_id", "text", threshold=0.5).collect()
+    }
+
+    def shingle_set(ws):
+        return {
+            " ".join(ws[i : i + 3]) for i in range(len(ws) - 2)
+        } if len(ws) >= 3 else set()
+
+    expect = {}
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            a, b = shingle_set(docs[i]), shingle_set(docs[j])
+            if not a or not b:
+                continue
+            jac = len(a & b) / len(a | b)
+            # integer cross-multiply gate, exactly as the operator
+            if len(a & b) * 1000 >= 500 * len(a | b):
+                expect[(i, j)] = jac
+    assert set(got) == set(expect)
+    for k, v in expect.items():
+        assert abs(got[k] - v) < 1e-12
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(st.tuples(st.integers(0, 8), st.integers(0, 99)),
+             min_size=0, max_size=10),
+    st.lists(st.tuples(st.integers(0, 8), st.integers(0, 99),
+                       st.booleans()),
+             min_size=0, max_size=10),
+)
+def test_merge_into_matches_dict_reference(spark, target_rows, source_rows):
+    """merge_into == the obvious dict-based reference merge, for any
+    target/source (unique keys enforced by construction)."""
+    from fefal_etl_spark.operators.upsert import merge_into
+
+    tgt = {k: v for k, v in target_rows}
+    src = {}
+    for k, v, d in source_rows:
+        src[k] = (v, d)  # last wins -> unique keys
+    target = spark.createDataFrame(
+        [(k, v) for k, v in tgt.items()] or [(None, None)], "k long, v long"
+    ).filter(F.col("k").isNotNull())
+    source = spark.createDataFrame(
+        [(k, v, d) for k, (v, d) in src.items()] or [(None, None, None)],
+        "k long, v long, del boolean",
+    ).filter(F.col("k").isNotNull())
+    out = merge_into(
+        target,
+        source,
+        on=["k"],
+        update_cols=["v"],
+        delete_condition=F.col("del"),
+    ).collect()
+
+    ref = dict(tgt)
+    for k, (v, d) in src.items():
+        if k in ref and d:
+            del ref[k]          # WHEN MATCHED AND del THEN DELETE
+        elif k in ref:
+            ref[k] = v          # WHEN MATCHED THEN UPDATE
+        else:
+            ref[k] = v          # WHEN NOT MATCHED THEN INSERT
+                                # (delete clause only applies on match)
+    got = {r["k"]: r["v"] for r in out}
+    assert got == ref
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(WORDS, min_size=1, max_size=5))
+def test_cdc_chunks_partition_documents_exactly(spark, docs):
+    """Chunks are a PARTITION of each document's words: word counts sum to
+    the doc's token count and chunk ids are dense from 0."""
+    from fefal_etl_spark.llm.curation import content_defined_chunks
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    rows = content_defined_chunks(df, "doc_id", "text").collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, ws in enumerate(docs):
+        chunks = by_doc.get(i, [])
+        assert sum(c["n_words"] for c in chunks) == len(ws)
+        ids = sorted(c["chunk_id"] for c in chunks)
+        assert ids == list(range(len(ids)))
