@@ -161,6 +161,8 @@ BENCH_QUERIES = [
     "hybrid_skew_revenue",
     "matryoshka_recall",
     "ab_test_ztest",
+    "bounce_rate_daily",
+    "rfm_segments",
     # dup_clusters_star is excluded like ngram_jaccard_pairs: at bench SF its
     # wall time is ~6 iterative rounds of fixed scheduling cost (the
     # algorithm exists for O(log n) ROUNDS at web scale, demonstrated by the

@@ -772,3 +772,156 @@ def q_event_path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "path")
         .limit(25)
     )
+
+
+@register(
+    "bounce_rate_daily",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM flagged
+    ),
+    per_session AS (
+        SELECT user_id, session_seq,
+               CAST(min(ts) AS DATE) AS day,
+               count(*) AS n_events
+        FROM sess GROUP BY user_id, session_seq
+    )
+    SELECT CAST(day AS TIMESTAMP) AS day,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(count(*) FILTER (WHERE n_events = 1) AS BIGINT) AS n_bounces,
+           round(CAST(count(*) FILTER (WHERE n_events = 1) AS DOUBLE)
+                 / count(*), 6) AS bounce_rate
+    FROM per_session GROUP BY day
+    """,
+)
+def q_bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V82 — daily bounce rate: share of 30-min-gap sessions containing a
+    single event, keyed by session-start day — the engagement KPI sitting
+    one aggregation above `sessionize` (same lag + running-sum
+    sessionization, one user-keyed window shuffle, then a day rollup from
+    exact integer counts)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    new_sess = F.when(
+        F.lag("ts").over(w).isNull()
+        | (
+            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+            > 1800
+        ),
+        1,
+    ).otherwise(0)
+    sess = ev.withColumn("new_sess", new_sess).withColumn(
+        "session_seq", F.sum("new_sess").over(w_run)
+    )
+    per_session = sess.groupBy("user_id", "session_seq").agg(
+        F.to_date(F.min("ts")).alias("day"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return (
+        per_session.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.count(F.when(F.col("n_events") == 1, 1)).alias("n_bounces"),
+        )
+        .select(
+            F.col("day").cast("timestamp_ntz").alias("day"),
+            "n_sessions",
+            "n_bounces",
+            F.round(
+                F.col("n_bounces").cast("double") / F.col("n_sessions"), 6
+            ).alias("bounce_rate"),
+        )
+    )
+
+
+@register(
+    "rfm_segments",
+    """
+    WITH base AS (
+        SELECT o_custkey,
+               max(o_orderdate) AS last_order,
+               count(*) AS frequency,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS monetary
+        FROM orders GROUP BY o_custkey
+    ),
+    anchor AS (SELECT max(o_orderdate) AS now FROM orders),
+    rfm AS (
+        SELECT o_custkey,
+               date_diff('day', last_order, (SELECT now FROM anchor))
+                   AS recency_days,
+               frequency, monetary
+        FROM base
+    ),
+    cuts AS (
+        SELECT round(quantile_cont(recency_days, 0.5), 6) AS r_med,
+               round(quantile_cont(frequency, 0.5), 6) AS f_med,
+               round(quantile_cont(monetary, 0.5), 6) AS m_med
+        FROM rfm
+    )
+    SELECT o_custkey, CAST(recency_days AS BIGINT) AS recency_days,
+           CAST(frequency AS BIGINT) AS frequency, monetary,
+           concat(CASE WHEN recency_days <= r_med THEN 'R+' ELSE 'R-' END,
+                  CASE WHEN frequency   >  f_med THEN 'F+' ELSE 'F-' END,
+                  CASE WHEN monetary    >  m_med THEN 'M+' ELSE 'M-' END)
+               AS segment
+    FROM rfm CROSS JOIN cuts
+    """,
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V83 — RFM customer segmentation: recency/frequency/monetary per
+    customer split at the (rounded-before-gating) medians into 8 segments
+    — the classic CRM rollup. One custkey aggregation, a one-row anchor +
+    one-row cuts broadcast back; DECIMAL-exact monetary sums."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("monetary"),
+    )
+    anchor = orders.agg(F.max("o_orderdate").alias("now"))
+    rfm = base.crossJoin(F.broadcast(anchor)).select(
+        "o_custkey",
+        F.datediff(F.col("now"), F.col("last_order")).alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+    cuts = rfm.agg(
+        F.round(F.expr("percentile(recency_days, 0.5)"), 6).alias("r_med"),
+        F.round(F.expr("percentile(frequency, 0.5)"), 6).alias("f_med"),
+        F.round(F.expr("percentile(monetary, 0.5)"), 6).alias("m_med"),
+    )
+    seg = F.concat(
+        F.when(F.col("recency_days") <= F.col("r_med"), F.lit("R+")).otherwise(
+            F.lit("R-")
+        ),
+        F.when(F.col("frequency") > F.col("f_med"), F.lit("F+")).otherwise(
+            F.lit("F-")
+        ),
+        F.when(F.col("monetary") > F.col("m_med"), F.lit("M+")).otherwise(
+            F.lit("M-")
+        ),
+    )
+    return rfm.crossJoin(F.broadcast(cuts)).select(
+        "o_custkey",
+        F.col("recency_days").cast("long").alias("recency_days"),
+        F.col("frequency").cast("long").alias("frequency"),
+        "monetary",
+        seg.alias("segment"),
+    )

@@ -2465,6 +2465,7 @@ _DRIVER_PRIORITY = [
     "contrastive_pairs", "copurchase_lift", "event_path_mining",
     "k_anonymity_audit", "cdc_extract", "events_trend_slope",
     "hybrid_skew_revenue", "matryoshka_recall", "ab_test_ztest",
+    "bounce_rate_daily", "rfm_segments",
     # unique §2 component carriers (core)
     "pricing_summary", "entity_resolution",
     # r2-green carriers displaced from the 50-prefix by §2.17/V77-V81
