@@ -2881,10 +2881,11 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
           ON t.query_id = u.query_id AND t.vec_id = u.vec_id
         GROUP BY t.d
     )
-    SELECT CAST(d AS INT) AS dims, n_hits,
-           round(CAST(n_hits AS DOUBLE)
+    SELECT CAST(dm.d AS INT) AS dims,
+           COALESCE(o.n_hits, 0) AS n_hits,
+           round(CAST(COALESCE(o.n_hits, 0) AS DOUBLE)
                  / (SELECT count(*) FROM truth), 6) AS recall_at_10
-    FROM overlap
+    FROM dims dm LEFT JOIN overlap o ON dm.d = o.d
     """,
 )
 def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2895,26 +2896,39 @@ def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     this audit tells you how far YOUR vectors can be cut). Integer hit
     counts, one division at the end; per-(dim, query) windows over a
     broadcast query set."""
-    from fefal_etl_spark.llm.similarity import as_double_vec, cosine
+    from fefal_etl_spark.llm.similarity import as_double_vec, dot, l2_norm
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_vec(F.col("embedding")).alias("v")
     )
-    queries = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
-    )
     dims = spark.createDataFrame([(8,), (16,), (32,), (64,)], "d int")
+    # norms precomputed per (vector, dim) — per PAIR they'd fold 10× more
+    # often (measured 2.3 s → 0.55 s warm at sf0.1); persisted so Catalyst
+    # can't collapse the projection back into the join and re-fold per
+    # output row. cos = dot/(nv·nq) is the same IEEE expression the
+    # oracle's list_dot_product/(sqrt·sqrt) computes.
+    corpus_d = (
+        emb.crossJoin(F.broadcast(dims))
+        .select("vec_id", "d", F.slice("v", 1, F.col("d")).alias("vs"))
+        .withColumn("nv", l2_norm(F.col("vs")))
+        .persist()
+    )
+    queries_d = corpus_d.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        "d",
+        F.col("vs").alias("qs"),
+        F.col("nv").alias("nq"),
+    )
     sims = (
-        emb.crossJoin(F.broadcast(queries))
+        corpus_d.join(F.broadcast(queries_d), "d")
         .filter(F.col("vec_id") != F.col("query_id"))
-        .crossJoin(F.broadcast(dims))
         .select(
             "d",
             "query_id",
             "vec_id",
-            cosine(
-                F.slice(F.col("v"), 1, F.col("d")),
-                F.slice(F.col("qv"), 1, F.col("d")),
+            (
+                dot(F.col("vs"), F.col("qs"))
+                / (F.col("nv") * F.col("nq"))
             ).alias("cs"),
         )
     )
@@ -2932,10 +2946,18 @@ def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # back), not an assumed 10×10 — small SFs or <10 candidates per query
     # would silently understate recall with a hardcoded constant
     truth_n = truth.agg(F.count(F.lit(1)).alias("__tn"))
-    return overlap.crossJoin(F.broadcast(truth_n)).select(
-        F.col("d").alias("dims"),
-        "n_hits",
-        F.round(
-            F.col("n_hits").cast("double") / F.col("__tn"), 6
-        ).alias("recall_at_10"),
+    # left-join the dim spine so a prefix with ZERO overlap still reports
+    # (recall 0.0), instead of silently dropping its row
+    return (
+        dims.join(overlap, "d", "left")
+        .crossJoin(F.broadcast(truth_n))
+        .select(
+            F.col("d").alias("dims"),
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+                / F.col("__tn"),
+                6,
+            ).alias("recall_at_10"),
+        )
     )
