@@ -2949,7 +2949,7 @@ def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # left-join the dim spine so a prefix with ZERO overlap still reports
     # (recall 0.0), instead of silently dropping its row
     return (
-        dims.join(overlap, "d", "left")
+        dims.join(F.broadcast(overlap), "d", "left")
         .crossJoin(F.broadcast(truth_n))
         .select(
             F.col("d").alias("dims"),
