@@ -163,6 +163,8 @@ BENCH_QUERIES = [
     "ab_test_ztest",
     "bounce_rate_daily",
     "rfm_segments",
+    "incremental_join_view",
+    "null_imputation",
     # dup_clusters_star is excluded like ngram_jaccard_pairs: at bench SF its
     # wall time is ~6 iterative rounds of fixed scheduling cost (the
     # algorithm exists for O(log n) ROUNDS at web scale, demonstrated by the

@@ -3995,3 +3995,109 @@ def q_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p1, 6).alias("rate_b"),
         F.round(z, 6).alias("z_score"),
     )
+
+
+@register(
+    "incremental_join_view",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def q_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V84 — incremental maintenance of a JOIN view: the materialized
+    aggregate revenue-by-priority view is refreshed as
+    merge(agg(history ⋈ dim), agg(Δ ⋈ dim)) — only the DELTA joins and
+    aggregates at refresh time, O(Δ) instead of O(history). Legal because
+    the fact split is disjoint and the aggregates are merge semigroups
+    (DECIMAL sums + counts via `merge_aggregates`); the oracle IS the full
+    recompute, so the query proves incremental == full. At 100 TB this is
+    the difference between a nightly view refresh that rescans the fact
+    table and one that touches yesterday's partition."""
+    from fefal_etl_spark.operators.upsert import merge_aggregates
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), "o_orderpriority"
+    )
+    cut = F.lit("1995-01-01").cast("timestamp_ntz")
+
+    def view_agg(fact):
+        return (
+            fact.select(F.col("l_orderkey").alias("k"), "l_extendedprice")
+            .join(orders, "k")
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias(
+                    "__rev_dec"
+                ),
+            )
+        )
+
+    history = view_agg(li.filter(F.col("l_shipdate") < cut))
+    delta = view_agg(li.filter(F.col("l_shipdate") >= cut))
+    merged = merge_aggregates(
+        history,
+        delta,
+        keys=["o_orderpriority"],
+        merge_fns={"n_items": "sum", "__rev_dec": "sum"},
+    )
+    return merged.select(
+        "o_orderpriority",
+        "n_items",
+        F.col("__rev_dec").cast("double").alias("revenue"),
+    )
+
+
+@register(
+    "null_imputation",
+    """
+    WITH planted AS (
+        SELECT l_orderkey, l_linenumber, l_returnflag,
+               CASE WHEN l_orderkey % 97 = 0 THEN NULL
+                    ELSE l_quantity END AS qty
+        FROM lineitem
+    ),
+    meds AS (
+        SELECT l_returnflag, round(quantile_cont(qty, 0.5), 6) AS med
+        FROM planted WHERE qty IS NOT NULL GROUP BY l_returnflag
+    )
+    SELECT p.l_orderkey, p.l_linenumber, p.l_returnflag,
+           COALESCE(p.qty, m.med) AS qty_imputed,
+           (p.qty IS NULL) AS was_imputed
+    FROM planted p JOIN meds m ON p.l_returnflag = m.l_returnflag
+    """,
+)
+def q_null_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V85 — per-group median imputation: planted NULLs (orderkey % 97)
+    filled with their return-flag group's median quantity, flagged — the
+    feature-cleaning step between DQ detection (`dq_checks`) and model
+    input. Medians computed over NON-NULL values only, rounded before the
+    fill (the percentile-parity convention); one grouped percentile agg +
+    a broadcast join back."""
+    li = load_table(spark, sf_dir, "lineitem")
+    planted = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.when(F.col("l_orderkey") % 97 == 0, F.lit(None)).otherwise(
+            F.col("l_quantity")
+        ).alias("qty"),
+    )
+    meds = (
+        planted.filter(F.col("qty").isNotNull())
+        .groupBy("l_returnflag")
+        .agg(F.round(F.expr("percentile(qty, 0.5)"), 6).alias("med"))
+    )
+    return planted.join(F.broadcast(meds), "l_returnflag").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.coalesce(F.col("qty"), F.col("med")).alias("qty_imputed"),
+        F.col("qty").isNull().alias("was_imputed"),
+    )
