@@ -75,8 +75,20 @@ def get_spark(
     partitions (initial partition num can stay high).
     """
     cpus = default_parallelism()
+    # Driver heap: Spark's 1g default is sized for a thin cluster driver,
+    # not a local[N] JVM that is simultaneously driver AND all executors.
+    # Long shared sessions (the test suite, bench loops) accumulate
+    # broadcasts/cached plans and OOM the 1g heap late in the run
+    # (observed: Task serialization failed: java.lang.OutOfMemoryError
+    # after ~170 suite tests). Sized well below the box but far above the
+    # workload; override with SPARK_GRAFT_DRIVER_MEM.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
     builder = (
         SparkSession.builder.appName(app_name)
+        .config("spark.driver.memory", driver_mem)
+        # reliable-checkpoint files are deleted when their RDD is GC'd
+        # (pairs with llm/dedup._reliable_checkpoint's temp-dir cleanup)
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
