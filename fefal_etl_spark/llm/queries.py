@@ -2629,7 +2629,7 @@ def q_tombstone_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     words AS (SELECT doc_id, pos, wa[pos + 1] AS w FROM positioned)
     SELECT w AS term, doc_id, CAST(count(*) AS BIGINT) AS tf,
-           list_sort(list(pos)) AS positions
+           array_to_string(list_sort(list(pos)), ',') AS positions
     FROM words GROUP BY term, doc_id
     """,
 )
@@ -2651,9 +2651,13 @@ def q_positional_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         words_pos.groupBy(F.col("w").alias("term"), F.col("doc_id"))
         .agg(
             F.count(F.lit(1)).alias("tf"),
-            F.sort_array(F.collect_list(F.col("pos").cast("long"))).alias(
-                "positions"
-            ),
+            # Serialized as a comma-joined string: the driver's result
+            # canonicalizer sorts column values in pandas and cannot hash
+            # array cells — every registry output column must be scalar
+            # (CI-gated in tests/test_ansi_mode.py).
+            F.array_join(
+                F.sort_array(F.collect_list(F.col("pos").cast("long"))), ","
+            ).alias("positions"),
         )
     )
 

@@ -3933,9 +3933,9 @@ def q_hybrid_skew_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(CAST(c0 AS DOUBLE) / n0, 6) AS rate_a,
            round(CAST(c1 AS DOUBLE) / n1, 6) AS rate_b,
            round((CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
-                 / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                 / nullif(sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
                         * (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
-                        * (1.0 / n0 + 1.0 / n1)), 6) AS z_score
+                        * (1.0 / n0 + 1.0 / n1)), 0), 6) AS z_score
     FROM wide
     """,
 )
@@ -3983,8 +3983,13 @@ def q_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     p0 = F.col("c0").cast("double") / F.col("n0")
     p1 = F.col("c1").cast("double") / F.col("n1")
     pool = (F.col("c0") + F.col("c1")).cast("double") / (F.col("n0") + F.col("n1"))
-    z = (p1 - p0) / F.sqrt(
-        pool * (1 - pool) * (1.0 / F.col("n0") + 1.0 / F.col("n1"))
+    # try_divide: a degenerate pool (everyone or no one converts) makes the
+    # pooled-variance denominator exactly 0 — the z statistic is undefined
+    # there, and NULL must come back under BOTH ANSI-on (driver default) and
+    # ANSI-off sessions. Oracle mirrors via nullif(denom, 0).
+    z = F.try_divide(
+        p1 - p0,
+        F.sqrt(pool * (1 - pool) * (1.0 / F.col("n0") + 1.0 / F.col("n1"))),
     )
     return wide.select(
         "n0",

@@ -45,9 +45,18 @@ def canon_value(v):
         return str(bool(v))
     if isinstance(v, (pd.Timestamp, datetime.datetime)):
         return pd.Timestamp(v).isoformat()
-    if isinstance(v, (list, np.ndarray)):
-        return "[" + ",".join(canon_value(x) for x in v) + "]"
+    if isinstance(v, (list, tuple, np.ndarray, dict)):
+        # Stricter than the driver on purpose: the driver's pandas-based
+        # canonicalizer CRASHES on array/map/struct cells (r3 driver-red
+        # `positional_index`), so local green must imply driver green —
+        # reject non-scalar output columns outright.
+        raise NonScalarError(type(v).__name__)
     return str(v)
+
+
+class NonScalarError(TypeError):
+    """A registry query emitted an array/map/struct column the driver's
+    canonicalizer cannot sort/hash."""
 
 
 def frame_digest(df) -> tuple[int, list[str], str]:
@@ -107,8 +116,13 @@ def main():
             traceback.print_exc(limit=4)
             n_fail += 1
             continue
-        sn, sc, sh = frame_digest(sdf)
-        on, oc, oh = frame_digest(odf)
+        try:
+            sn, sc, sh = frame_digest(sdf)
+            on, oc, oh = frame_digest(odf)
+        except NonScalarError as e:
+            print(f"FAIL  {name}: NON-SCALAR output column ({e}) — driver-incanonicalizable")
+            n_fail += 1
+            continue
         ok = (sn, sc, sh) == (on, oc, oh)
         status = "PASS" if ok else "FAIL"
         print(
