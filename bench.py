@@ -186,6 +186,8 @@ def main() -> None:
     # warm the JVM + parquet footers once (excluded from timing)
     queries["top_orders"](spark, sf_dir).count()
 
+    from fefal_etl_spark.cache import release_tracked
+
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}
     for name in names:
@@ -197,6 +199,11 @@ def main() -> None:
         n2 = queries[name](spark, sf_dir).count()
         warm[name] = round(time.time() - t0, 3)
         assert n2 == n
+        # free per-call scratch persists AFTER the warm pass (the warm run
+        # re-persists the same analyzed plan, so the cold pass's blocks are
+        # reused, then released here) — stops cached-block accumulation
+        # across the 120+-query loop (ADVICE r3)
+        release_tracked()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "", 1).isdigit() else sf

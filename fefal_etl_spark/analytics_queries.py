@@ -778,7 +778,7 @@ def q_event_path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bounce_rate_daily",
     """
     WITH flagged AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                CASE WHEN lag(ts) OVER w IS NULL
                          OR date_diff('second', lag(ts) OVER w, ts) > 1800
                     THEN 1 ELSE 0 END AS new_sess
@@ -787,7 +787,7 @@ def q_event_path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sess AS (
         SELECT user_id, ts,
-               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                    ROWS UNBOUNDED PRECEDING) AS session_seq
         FROM flagged
     ),
@@ -813,7 +813,10 @@ def q_bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer counts)."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    w_run = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+    # event_id tiebreak matches w: with duplicate (user_id, ts) rows a
+    # ts-only ROWS frame would assign session_seq nondeterministically
+    # (and could diverge from the oracle, which shares the tiebreak).
+    w_run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     new_sess = F.when(

@@ -339,23 +339,29 @@ def minhash_lsh_neardup(
     # shuffle/join/cache below moves 8-byte longs, not strings. At 100 TB
     # swap the cache for a checkpoint / staging table (docs/SCALE.md) —
     # the distinct stream is corpus-sized and won't fit in memory.
-    sh = shingles(
-        df, id_col, text_col, n=shingle_n, as_hash=True, distinct=True
-    ).persist()
+    from fefal_etl_spark.cache import track
+
+    sh = track(
+        shingles(
+            df, id_col, text_col, n=shingle_n, as_hash=True, distinct=True
+        ).persist()
+    )
     # the per-doc set sizes ride the signature shuffle (count(1) in the
     # same groupBy), and the LSH band md5s are fused into the same post-agg
     # projection — one pass over the shingle stream serves LSH bucketing
     # AND the |A|/|B| terms of the verify. The signature frame is one row
     # per doc (~18 longs), so persisting it is nearly free and stops the
     # bucket self-join's two sides from re-running the aggregation.
-    sig = minhash_signatures(
-        sh,
-        id_col,
-        num_hashes=num_hashes,
-        size_col="n_sh",
-        input_distinct=True,
-        rows_per_band=rows_per_band,
-    ).persist()
+    sig = track(
+        minhash_signatures(
+            sh,
+            id_col,
+            num_hashes=num_hashes,
+            size_col="n_sh",
+            input_distinct=True,
+            rows_per_band=rows_per_band,
+        ).persist()
+    )
     buckets = lsh_band_buckets(sig, id_col, rows_per_band=rows_per_band)
     cand = lsh_candidate_pairs(buckets, id_col)
     # the verify-stage candidate semi-filter only amortizes when the corpus
@@ -495,7 +501,9 @@ def connected_components(
     # every round joins the same edge frame — without this the source scan
     # replays once per round (short-lived session convention; at 100 TB use
     # MEMORY_AND_DISK and unpersist after the last action)
-    bidir = bidir.persist()
+    from fefal_etl_spark.cache import track
+
+    bidir = track(bidir.persist())
     labels = (
         bidir.select(F.col("a").alias("node"))
         .distinct()
@@ -694,7 +702,9 @@ def connected_components_star(
     e0 = edges.select(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
     )
-    nodes = (
+    from fefal_etl_spark.cache import track
+
+    nodes = track(
         e0.select(F.col("u").alias("node"))
         .unionByName(e0.select(F.col("v").alias("node")))
         .distinct()

@@ -495,7 +495,11 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from fefal_etl_spark.llm.dedup import shingles
 
-    sh = shingles(_corpus(spark, sf_dir), "doc_id", "text", as_hash=True).persist()
+    from fefal_etl_spark.cache import track
+
+    sh = track(
+        shingles(_corpus(spark, sf_dir), "doc_id", "text", as_hash=True).persist()
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
         sh.select(F.col("doc_id").alias("id_a"), "shingle")
@@ -2522,8 +2526,11 @@ def q_quality_rank_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # persisted: feats feeds the total, three per-signal CDFs, and the
     # output spine — uncached, the per-doc tokenize/TTR projection would
-    # re-evaluate ~5× (code-review finding)
-    feats = feats.persist()
+    # re-evaluate ~5× (code-review finding); tracked so harness loops can
+    # release the blocks after materialization (cache.release_tracked)
+    from fefal_etl_spark.cache import track
+
+    feats = track(feats.persist())
     # one-row broadcast total, NOT a driver-side count(): an eager action
     # at plan-construction time would run an extra job on every call
     totals = feats.agg(F.count(F.lit(1)).alias("__nt"))
@@ -2911,7 +2918,9 @@ def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # can't collapse the projection back into the join and re-fold per
     # output row. cos = dot/(nv·nq) is the same IEEE expression the
     # oracle's list_dot_product/(sqrt·sqrt) computes.
-    corpus_d = (
+    from fefal_etl_spark.cache import track
+
+    corpus_d = track(
         emb.crossJoin(F.broadcast(dims))
         .select("vec_id", "d", F.slice("v", 1, F.col("d")).alias("vs"))
         .withColumn("nv", l2_norm(F.col("vs")))

@@ -409,9 +409,13 @@ def semdedup_pairs(
     # the verify once more — without the persist the upstream scan/union
     # replays ~8×. Tiny footprint (id + dense vector); same
     # short-lived-session persist convention as minhash_lsh_neardup.
-    base = corpus.select(
-        F.col(id_col), as_double_vec(F.col(vec_col)).alias("__v")
-    ).persist()
+    from fefal_etl_spark.cache import track
+
+    base = track(
+        corpus.select(
+            F.col(id_col), as_double_vec(F.col(vec_col)).alias("__v")
+        ).persist()
+    )
     assigned = kmeans_assignments(
         base, k=k, iters=iters, id_col=id_col, vec_col="__v"
     )

@@ -36,8 +36,12 @@ def pagerank(
     callers round for cross-engine comparison (float sums are
     order-dependent at the 1e-16 level, far below any sane rounding).
     """
-    e = edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst")).persist()
-    nodes = (
+    from fefal_etl_spark.cache import track
+
+    e = track(
+        edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst")).persist()
+    )
+    nodes = track(
         e.select(F.col("e_src").alias("node"))
         .unionByName(e.select(F.col("e_dst").alias("node")))
         .distinct()

@@ -302,12 +302,14 @@ def asof_join(
     out_left = [c for c in left.columns if c not in keys and c != left_ts]
     m = F.col("__m")
     if tolerance_seconds is not None:
-        within = (
-            F.abs(
-                F.unix_timestamp(F.col("__t"))
-                - F.unix_timestamp(m[right_ts])
-            )
-            <= tolerance_seconds
+        # Interval comparison (not unix_timestamp, which truncates to whole
+        # seconds and would mis-gate boundary matches on sub-second data):
+        # |l - r| as a day-time interval keeps microsecond precision, works
+        # for TIMESTAMP and TIMESTAMP_NTZ alike, and involves no session-tz
+        # conversion. greatest(d, -d) is |d| (intervals have no abs()).
+        delta = F.col("__t") - m[right_ts]
+        within = F.greatest(delta, -delta) <= F.expr(
+            f"INTERVAL '{float(tolerance_seconds):.6f}' SECOND"
         )
         m = F.when(within, m)
     match_cols = [m[c].alias(right_cols[c]) for c in payload] + [

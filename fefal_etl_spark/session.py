@@ -104,5 +104,26 @@ def get_spark(
         builder = builder.master(f"local[{cpus}]")
     for k, v in (extra_confs or {}).items():
         builder = builder.config(k, v)
+    # spark.driver.memory only takes effect when THIS call launches the
+    # process's first JVM; if a SparkContext already exists (e.g. an
+    # embedding harness created one before get_spark), getOrCreate
+    # silently ignores it and the heap sizing above does not apply — warn
+    # instead of failing silently (ADVICE r3).
+    from pyspark import SparkContext
+
+    pre_existing = SparkContext._active_spark_context is not None
     spark = builder.getOrCreate()
+    if pre_existing:
+        actual = spark.sparkContext.getConf().get("spark.driver.memory", "1g")
+        if actual != driver_mem:
+            import warnings
+
+            warnings.warn(
+                f"get_spark reused an existing SparkContext with "
+                f"spark.driver.memory={actual} (requested {driver_mem}); "
+                "set SPARK_GRAFT_DRIVER_MEM before any context is created "
+                "to size the driver heap",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     return apply_runtime_confs(spark)

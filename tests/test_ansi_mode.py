@@ -49,3 +49,6 @@ def test_query_driver_parity(ansi_spark, name):
     # count() lets Spark prune projections whose evaluation would throw.
     rows = df.collect()
     assert len(rows) >= 0
+    from fefal_etl_spark.cache import release_tracked
+
+    release_tracked()

@@ -92,6 +92,8 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')"
         )
 
+    from fefal_etl_spark.cache import release_tracked
+
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     names = args.names or list(queries)
@@ -100,6 +102,7 @@ def main():
         t0 = time.time()
         try:
             sdf = queries[name](spark, args.sf).toPandas()
+            release_tracked()
         except Exception:
             print(f"FAIL  {name}: SPARK ERROR")
             traceback.print_exc(limit=8)
