@@ -321,6 +321,7 @@ def minhash_lsh_neardup(
     rows_per_band: int = 4,
     threshold: float = 0.5,
     persist_min_docs: int = 50_000,
+    filter_to_candidates: bool | None = None,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup pipeline:
     shingle → sign → band → candidate join → exact-Jaccard verify → filter.
@@ -366,8 +367,15 @@ def minhash_lsh_neardup(
     cand = lsh_candidate_pairs(buckets, id_col)
     # the verify-stage candidate semi-filter only amortizes when the corpus
     # dwarfs the candidate set — one extra stage that is pure overhead on
-    # small corpora, so it stays gated on a metadata-cheap count probe.
-    at_scale = persist_min_docs == 0 or df.count() >= persist_min_docs
+    # small corpora. Callers that already know the corpus size pass
+    # ``filter_to_candidates`` explicitly (the probe count is an extra job
+    # on EVERY invocation — measured ~0.2 s of the warm bench budget);
+    # otherwise it stays gated on a metadata-cheap count probe.
+    if filter_to_candidates is None:
+        filter_to_candidates = (
+            persist_min_docs == 0 or df.count() >= persist_min_docs
+        )
+    at_scale = filter_to_candidates
     verified = jaccard_verify(
         cand,
         sh,

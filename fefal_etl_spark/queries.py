@@ -2197,6 +2197,50 @@ def q_excel_dir_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "xls_scan",
+    """
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+           n_name,
+           CAST(n_regionkey AS BIGINT) AS n_regionkey
+    FROM nation
+    """,
+)
+def q_xls_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 legacy ``.xls`` (BIFF8/CFB) ingest — the last reference format
+    family member (etl_ui.py:861 accepts .xls via pd.read_excel). A
+    hand-assembled spec fixture workbook embedding the 25 fixed nation
+    rows as LITERALS across mixed record encodings (RK ints, NUMBER
+    doubles, shared strings — sources/xls_fixture.py) is decoded by the
+    dependency-free CFB+BIFF8 parser (sources/xls_biff.py) and re-typed;
+    the oracle replays the REAL nation parquet. The fixture bytes never
+    see the parquet and the parser never sees the oracle — if the decoder
+    mangles any record type, the hashes diverge. Read path only by
+    design: the engine exports xlsx/csv/parquet, never .xls
+    (SURVEY.md §8's roundtrip objection applies to encoding)."""
+    import os
+    import tempfile
+
+    from fefal_etl_spark.sources.readers import read_xls
+    from fefal_etl_spark.sources.xls_fixture import nation_xls_bytes
+
+    path = _XLS_FIXTURE.get("path")
+    if path is None or not os.path.exists(path):
+        path = os.path.join(tempfile.mkdtemp(prefix="fefal_xls_"), "nation.xls")
+        with open(path, "wb") as f:
+            f.write(nation_xls_bytes())
+        _XLS_FIXTURE["path"] = path
+    back = read_xls(spark, path, sheet_name="nation")
+    return back.select(
+        F.col("n_nationkey").try_cast("long").alias("n_nationkey"),
+        "n_name",
+        F.col("n_regionkey").try_cast("long").alias("n_regionkey"),
+    )
+
+
+_XLS_FIXTURE: dict[str, str] = {}
+
+
+@register(
     "jdbc_roundtrip_scan",
     f"""
     SELECT c_mktsegment,
@@ -2439,68 +2483,90 @@ def q_set_ops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 # already represented (extra family members, alternates, display variants)
 # and follow in registration order.
 _DRIVER_PRIORITY = [
-    # pipeline capstones + round-2 surface
-    "pipeline_status_accounting", "pipeline_fact_inquerito",
-    "pipeline_star_formations", "star_integrity", "review_promotions",
-    # E1-E4 LLM-pipeline block
-    "curation_pipeline",
-    "stratified_sample", "doc_fingerprints", "exact_dedup", "minhash_neardup",
-    "simhash_fingerprints", "embedding_neardup",
-    "embedding_topk", "ivf_topk",
-    "multimodal_decode",
-    # round-3 continuation components (SURVEY §2.16): passage dedup,
-    # domain mixing, dedup verdict, z-order layout, DQ suite, diversity
-    "segment_dedup", "temperature_resample", "dedup_canonicalize",
-    "zorder_layout", "dq_checks", "token_diversity",
-    # V43–V45: substring-level (ExactSubstr) dedup + cluster-safe split
-    "substring_dup_spans", "cluster_safe_split",
-    # §2.17 this-session carriers (never driver-verified before; earlier
-    # components displaced below already hold green CORRECTNESS_r02 rows)
-    "audio_frame_energy", "cdc_chunks", "ppjoin_pairs",
-    "containment_neardup", "bigram_logprob", "merge_into_orders",
-    "asof_forward_tolerance", "rolling_distinct_users", "events_interpolate",
-    "value_outliers_mad", "quality_rank_blend", "pmi_collocations",
-    "purchase_attribution_outer", "positional_index",
-    "geo_radius_join", "weighted_sample", "table_diff", "perplexity_buckets",
-    "contrastive_pairs", "copurchase_lift", "event_path_mining",
-    "k_anonymity_audit", "cdc_extract", "events_trend_slope",
-    "hybrid_skew_revenue", "matryoshka_recall", "ab_test_ztest",
-    "bounce_rate_daily", "rfm_segments",
-    # unique §2 component carriers (core)
-    "pricing_summary", "entity_resolution",
-    # r2-green carriers displaced from the 50-prefix by §2.17/V77-V81
-    "approx_sketches", "scalar_suite", "set_ops_suite",
-    "text_stats", "lang_id",
-    # §2 carriers displaced from the 50-prefix by the §2.17 block — their
-    # components keep green driver rows from CORRECTNESS_r02
-    "dedup_keep_best", "status_fork_counts", "unpivot_measures",
-    "window_topk", "asof_attribution", "sentence_explode",
-    "pct_rescale", "event_gaps", "stateful_running_counts",
-    "range_join_windows", "user_event_type_sets",
-    "prefix_theta_join", "anti_join_customers", "csv_roundtrip_scan",
-    "partitioned_scan", "top_orders", "gaussian_lsh_recall",
-    "star_idempotent_reload",
-    "pipeline_full_groups", "grouping_sets_orders", "jdbc_roundtrip_scan",
-    "bucketed_join_orders", "excel_dir_scan", "excel_dir_roundtrip",
-    # round-3 new-component carriers (SURVEY §2.14): cluster closure, SCD2,
-    # corpus ops, event analytics, hardest new TPC-H topologies
-    "dup_clusters", "scd2_dim_merge", "semdedup_pairs", "tfidf_top_terms",
-    "pii_scrub", "funnel_conversion", "cohort_retention", "event_transitions",
-    "suppliers_kept_waiting", "volume_shipping", "important_part_values",
-    "dormant_customer_balances", "decontaminate_overlap", "events_ohlc",
-    "ewma_smoothing", "purchase_attribution_join", "null_semantics_suite", "doc_chunks",
-    "pagerank_trade_graph", "sequence_packing", "hierarchy_paths",
-    "min_cost_supplier", "excess_stock_suppliers", "product_type_profit",
-    # round-3 session additions: CDC apply, int8 quantization, z-scores,
-    # PCA covariance
-    "cdc_snapshot", "embedding_quantize", "quality_zscores",
-    "embedding_covariance", "events_gapfill", "per_source_cap",
-    # family alternates displaced from the 50-prefix by the §2.16 carriers
-    # (their components keep in-prefix representatives)
-    "repetition_filter", "ngram_jaccard_pairs", "embedding_lsh_pairs",
-    "kmeans_assignments", "ivf_assign", "multimodal_features",
-    "frame_sample", "multimodal_resize",
-    "training_shards", "vocab_coverage", "table_profile",
+    # Round-4 rotation (docs/QUERIES.md): the driver samples the FIRST 50
+    # registry entries, so the prefix carries (a) the two r3 driver-red
+    # queries, now fixed, which must earn driver-green rows, (b) the new
+    # xls_scan component, and (c) 47 queries that have never had a driver
+    # row in rounds 1-3 (judge-green only) — rotating least-driver-validated
+    # components into the hard gate each round (VERDICT r3 item 6).
+    "ab_test_ztest",
+    "positional_index",
+    "xls_scan",
+    "bounce_rate_daily",
+    "rfm_segments",
+    "excel_dir_scan",
+    "excel_dir_roundtrip",
+    "dup_clusters",
+    "scd2_dim_merge",
+    "semdedup_pairs",
+    "tfidf_top_terms",
+    "pii_scrub",
+    "funnel_conversion",
+    "cohort_retention",
+    "event_transitions",
+    "suppliers_kept_waiting",
+    "volume_shipping",
+    "important_part_values",
+    "dormant_customer_balances",
+    "decontaminate_overlap",
+    "events_ohlc",
+    "ewma_smoothing",
+    "purchase_attribution_join",
+    "null_semantics_suite",
+    "doc_chunks",
+    "pagerank_trade_graph",
+    "sequence_packing",
+    "hierarchy_paths",
+    "min_cost_supplier",
+    "excess_stock_suppliers",
+    "product_type_profit",
+    "cdc_snapshot",
+    "embedding_quantize",
+    "quality_zscores",
+    "embedding_covariance",
+    "events_gapfill",
+    "per_source_cap",
+    "multimodal_resize",
+    "training_shards",
+    "vocab_coverage",
+    "table_profile",
+    "top_volume_orders",
+    "embedding_hof_stats",
+    "multi_distinct_order_stats",
+    "conditional_agg_priority",
+    "customer_spend_quartiles",
+    "promo_revenue_share",
+    "supplier_variety",
+    "small_quantity_revenue",
+    "excel_roundtrip_scan",
+    # remaining never-driver-sampled queries (next rotation candidates)
+    "copurchase_triangles",
+    "price_histogram",
+    "heavy_hitters",
+    "incremental_rollup",
+    "schema_evolution_scan",
+    "events_latency_bands",
+    "value_winsorize",
+    "pareto_orders",
+    "event_type_chisq",
+    "hll_rollup",
+    "incremental_join_view",
+    "null_imputation",
+    "train_test_split",
+    "substring_dedup_rewrite",
+    "bpe_pair_stats",
+    "sparse_cosine_pairs",
+    "dup_clusters_star",
+    "quantized_rerank_topk",
+    "unigram_logprob",
+    "tombstone_cascade",
+    "scd2_as_of",
+    "order_priority_check",
+    "forecast_revenue_change",
+    "nation_market_share",
+    "returned_item_customers",
+    "top_supplier_revenue",
+    "disjunctive_bracket_revenue",
 ]
 
 

@@ -80,6 +80,36 @@ def read_excel(spark: SparkSession, path: str, sheet_name=0) -> DataFrame:
     return spark.createDataFrame(data, schema)
 
 
+def read_xls(spark: SparkSession, path: str, sheet_name: "int | str" = 0) -> DataFrame:
+    """S2 — legacy ``.xls`` (BIFF8) ingest, reference parity for
+    etl_ui.py:861's ``pd.read_excel`` accepting ``.xls`` uploads. Driver-
+    side like :func:`read_excel` (survey workbooks are KB–MB); the parser
+    is the dependency-free CFB+BIFF8 reader (sources.xls_biff), validated
+    against hand-assembled spec fixtures rather than a write-path
+    roundtrip. All values arrive as strings (etl_ui.py:863 convention);
+    first row is the header."""
+    from fefal_etl_spark.sources.xls_biff import read_workbook
+
+    book = read_workbook(path)
+    if isinstance(sheet_name, int):
+        rows = list(book.values())[sheet_name]
+    else:
+        rows = book[sheet_name]
+    if not rows:
+        raise ValueError(f"sheet {sheet_name!r} of {path} is empty")
+    header = ["" if c is None else str(c) for c in rows[0]]
+    width = len(header)
+    data = [
+        tuple(
+            ("" if i >= len(r) or r[i] is None else str(r[i]))
+            for i in range(width)
+        )
+        for r in rows[1:]
+    ]
+    schema = ", ".join(f"`{c}` string" for c in header)
+    return spark.createDataFrame(data, schema)
+
+
 def read_excel_dir(
     spark: SparkSession,
     path: str,
