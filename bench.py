@@ -165,6 +165,12 @@ BENCH_QUERIES = [
     "rfm_segments",
     "incremental_join_view",
     "null_imputation",
+    # round-4 additions: edit-distance dedup, corpus-statistics fit,
+    # financial-digit DQ audit, DSIR importance weights
+    "levenshtein_neardup",
+    "zipf_fit",
+    "benford_digits",
+    "dsir_importance",
     # dup_clusters_star is excluded like ngram_jaccard_pairs: at bench SF its
     # wall time is ~6 iterative rounds of fixed scheduling cost (the
     # algorithm exists for O(log n) ROUNDS at web scale, demonstrated by the

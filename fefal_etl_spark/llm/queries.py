@@ -2985,3 +2985,237 @@ def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_10"),
         )
     )
+
+
+@register(
+    "levenshtein_neardup",
+    f"""
+    WITH {_CORPUS_SQL},
+    keyed AS (
+        SELECT doc_id, text, len(text) AS n_chars,
+               array_to_string(
+                   list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                               x -> x <> '')[1:3], ' ') AS block
+        FROM corpus
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+    FROM keyed a JOIN keyed b
+      ON a.block = b.block AND a.doc_id < b.doc_id
+         AND abs(a.n_chars - b.n_chars) <= 30
+    WHERE levenshtein(a.text, b.text) <= 30
+    """,
+)
+def q_levenshtein_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V87 — edit-distance near-dup with prefix blocking: pairs sharing a
+    3-word prefix block and within ±30 chars of each other, kept when
+    levenshtein ≤ 30. The character-level complement to the token-level
+    (MinHash/PPJoin) and semantic (SemDeDup) dedup families — it catches
+    small in-place edits (typo fixes, suffix stamps) that shift every
+    token n-gram. Recovers exactly the planted tail pairs (tail = 22
+    edits).
+
+    Scale: the quadratic is confined to prefix-blocks (corpus-frequency
+    bounded, like PPJoin's prefix filter) AND a length gate that rides the
+    equi-join; Spark's levenshtein threshold arg (4th line) early-exits
+    the DP at 31 — the O(len·k) band instead of O(len²) — and the -1
+    sentinel is filtered before output so values stay exact distances. At
+    100 TB block keys get a df-cap like the PPJoin prefix index
+    (docs/SCALE.md)."""
+    corpus = _corpus(spark, sf_dir)
+    from fefal_etl_spark.llm.text_analysis import nonempty_words
+
+    keyed = corpus.select(
+        "doc_id",
+        "text",
+        F.length("text").alias("n_chars"),
+        F.concat_ws(" ", F.slice(nonempty_words(F.col("text")), 1, 3)).alias(
+            "block"
+        ),
+    )
+    a = keyed.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("text").alias("t_a"),
+        F.col("n_chars").alias("n_a"),
+        "block",
+    )
+    b = keyed.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("text").alias("t_b"),
+        F.col("n_chars").alias("n_b"),
+        "block",
+    )
+    pairs = a.join(b, "block").filter(
+        (F.col("id_a") < F.col("id_b"))
+        & (F.abs(F.col("n_a") - F.col("n_b")) <= 30)
+    )
+    dist = F.levenshtein(F.col("t_a"), F.col("t_b"), 31)
+    return (
+        pairs.select("id_a", "id_b", dist.alias("dist"))
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= 30))
+        .select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))
+    )
+
+
+@register(
+    "zipf_fit",
+    """
+    WITH docs AS (
+        SELECT list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                           x -> x <> '') AS wa
+        FROM documents
+    ),
+    freq AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS f
+        FROM (SELECT unnest(wa) AS w FROM docs) x GROUP BY w
+    ),
+    ranked AS (
+        SELECT f, row_number() OVER (ORDER BY f DESC, w ASC) AS rk FROM freq
+    ),
+    top AS (SELECT * FROM ranked WHERE rk <= 500)
+    SELECT CAST(count(*) AS BIGINT) AS n_terms,
+           round(regr_slope(ln(CAST(f AS DOUBLE)), ln(CAST(rk AS DOUBLE))), 6)
+               AS zipf_slope,
+           round(regr_intercept(ln(CAST(f AS DOUBLE)), ln(CAST(rk AS DOUBLE))), 6)
+               AS zipf_intercept,
+           round(regr_r2(ln(CAST(f AS DOUBLE)), ln(CAST(rk AS DOUBLE))), 6)
+               AS r2
+    FROM top
+    """,
+)
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V88 — Zipf's-law fit over the corpus vocabulary: OLS slope /
+    intercept / R² of ln(freq) against ln(rank) for the top-500 terms —
+    the classic sanity check that a scraped corpus has natural-language
+    token statistics (synthetic/spammy corpora flatten the tail; slope
+    far from ≈ −1 flags them). One vocab-keyed count shuffle, one
+    row_number over the 500-row head (freq-desc, term-asc tiebreak so both
+    engines rank ties identically), then a single-row regr_* aggregate —
+    the regression runs over 500 rows regardless of corpus size, so the
+    fit itself is O(1) at 100 TB and the only data-bound stage is the
+    word count."""
+    from fefal_etl_spark.llm.text_analysis import nonempty_words
+
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(nonempty_words(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    ranked = freq.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.col("f").desc(), F.col("w")))
+    ).filter(F.col("rk") <= 500)
+    lf = F.log(F.col("f").cast("double"))
+    lr = F.log(F.col("rk").cast("double"))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.round(F.regr_slope(lf, lr), 6).alias("zipf_slope"),
+        F.round(F.regr_intercept(lf, lr), 6).alias("zipf_intercept"),
+        F.round(F.regr_r2(lf, lr), 6).alias("r2"),
+    )
+
+
+@register(
+    "dsir_importance",
+    """
+    WITH docs AS (
+        SELECT doc_id, lang,
+               list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                           x -> x <> '') AS wa
+        FROM documents
+    ),
+    words AS (
+        SELECT doc_id, lang,
+               ('0x' || substr(md5(w), 1, 15))::BIGINT % 1024 AS b
+        FROM (SELECT doc_id, lang, unnest(wa) AS w FROM docs) x
+    ),
+    raw_counts AS (SELECT b, count(*) AS cr FROM words GROUP BY b),
+    tgt_counts AS (
+        SELECT b, count(*) AS ct FROM words WHERE lang = 'en' GROUP BY b
+    ),
+    totals AS (
+        SELECT (SELECT sum(cr) FROM raw_counts) AS nr,
+               (SELECT coalesce(sum(ct), 0) FROM tgt_counts) AS nt
+    ),
+    ratio AS (
+        SELECT r.b,
+               CAST(round((ln((coalesce(t.ct, 0) + 1.0)
+                               / (tot.nt + 1024.0))
+                           - ln((r.cr + 1.0) / (tot.nr + 1024.0))) * 1e9)
+                    AS BIGINT) AS lr9
+        FROM raw_counts r LEFT JOIN tgt_counts t ON r.b = t.b
+        CROSS JOIN totals tot
+    )
+    SELECT w.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(sum(ratio.lr9) / 1e9, 6) AS log_weight
+    FROM words w JOIN ratio ON w.b = ratio.b
+    GROUP BY w.doc_id
+    """,
+)
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V90 — DSIR-style importance weights (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): hashed
+    unigram features (1024 md5 buckets), Laplace-smoothed bucket
+    distributions for the TARGET (lang='en' docs — the high-resource
+    proxy) vs the RAW corpus, and per-doc log importance weight
+    Σ log(p_target(b)/p_raw(b)) — the score DSIR resamples pretraining
+    data by.
+
+    Cross-engine exactness: the per-bucket log-ratio is rounded to 1e-9
+    and summed as INT64 — integer addition is associative, so the per-doc
+    sum is identical under any partial-aggregation order (a float Σ would
+    drift between Spark's tree aggregation and DuckDB's sequential fold).
+
+    Scale: the bucket tables are FIXED SIZE (1024 rows — broadcast), the
+    totals are one-row broadcasts, and the only corpus-bound stages are
+    the word explode and the doc-keyed sum — no vocabulary-sized shuffle
+    at all, which is exactly why DSIR hashes features instead of using
+    raw n-grams."""
+    from fefal_etl_spark.llm.dedup import md5_hash64
+    from fefal_etl_spark.llm.text_analysis import nonempty_words
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(nonempty_words(F.col("text"))).alias("w"),
+    ).select("doc_id", "lang", (md5_hash64(F.col("w")) % 1024).alias("b"))
+    raw_counts = words.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    tgt_counts = (
+        words.filter(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    totals = raw_counts.agg(F.sum("cr").alias("nr")).crossJoin(
+        tgt_counts.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("nt"))
+    )
+    ratio = (
+        raw_counts.join(tgt_counts, "b", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            F.round(
+                (
+                    F.log(
+                        (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0))
+                        / (F.col("nt") + F.lit(1024.0))
+                    )
+                    - F.log(
+                        (F.col("cr") + F.lit(1.0)) / (F.col("nr") + F.lit(1024.0))
+                    )
+                )
+                * 1e9
+            )
+            .cast("long")
+            .alias("lr9"),
+        )
+    )
+    return (
+        words.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum("lr9") / 1e9, 6).alias("log_weight"),
+        )
+    )

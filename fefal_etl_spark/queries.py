@@ -2492,6 +2492,8 @@ _DRIVER_PRIORITY = [
     "ab_test_ztest",
     "positional_index",
     "xls_scan",
+    # round-4 new components (V87-V90)
+    "levenshtein_neardup", "zipf_fit", "benford_digits", "dsir_importance",
     "bounce_rate_daily",
     "rfm_segments",
     "excel_dir_scan",
@@ -4171,4 +4173,66 @@ def q_null_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         F.coalesce(F.col("qty"), F.col("med")).alias("qty_imputed"),
         F.col("qty").isNull().alias("was_imputed"),
+    )
+
+
+@register(
+    "benford_digits",
+    """
+    WITH cents AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c
+        FROM orders WHERE o_totalprice > 0
+    ),
+    digits AS (
+        SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        FROM cents
+    ),
+    tot AS (SELECT count(*) AS n FROM digits)
+    SELECT digit,
+           CAST(count(*) AS BIGINT) AS n_obs,
+           round(CAST(count(*) AS DOUBLE) / (SELECT n FROM tot), 6)
+               AS obs_share,
+           round(log10(1.0 + 1.0 / digit), 6) AS benford_share,
+           round(abs(CAST(count(*) AS DOUBLE) / (SELECT n FROM tot)
+                     - log10(1.0 + 1.0 / digit)), 6) AS abs_dev
+    FROM digits GROUP BY digit
+    """,
+)
+def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V89 — Benford's-law leading-digit audit over order totals: observed
+    first-significant-digit shares vs the log10(1 + 1/d) expectation —
+    the classic fraud/synthetic-data screen for financial columns (DQ
+    family, alongside dq_checks / value_outliers_mad). TPC-H-ish uniform
+    prices deliberately FAIL Benford — the audit's point is the deviation
+    column, not conformance.
+
+    The leading digit is extracted from the INT64 cent-string, never via
+    floor(log10(x)) on a double (log10 at power-of-ten boundaries can land
+    a hair under the integer and shift the digit — the string of an
+    integer is identical on every engine). One scan, a 9-row aggregate,
+    a one-row total broadcast: fully data-parallel at any scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    digits = orders.filter(F.col("o_totalprice") > 0).select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+            1,
+            1,
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    tot = digits.agg(F.count(F.lit(1)).alias("__n"))
+    obs = F.col("n_obs").cast("double") / F.col("__n")
+    exp = F.log10(1.0 + 1.0 / F.col("digit"))
+    return (
+        digits.groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n_obs",
+            F.round(obs, 6).alias("obs_share"),
+            F.round(exp, 6).alias("benford_share"),
+            F.round(F.abs(obs - exp), 6).alias("abs_dev"),
+        )
     )
