@@ -171,6 +171,13 @@ BENCH_QUERIES = [
     "zipf_fit",
     "benford_digits",
     "dsir_importance",
+    # round-4 second batch: KS drift test, Count-Min sketch, seasonal
+    # decomposition, skyline operator, quantile-normalization calibration
+    "ks_test_value",
+    "countmin_freq",
+    "seasonal_decompose",
+    "skyline_parts",
+    "quantile_normalize",
     # dup_clusters_star is excluded like ngram_jaccard_pairs: at bench SF its
     # wall time is ~6 iterative rounds of fixed scheduling cost (the
     # algorithm exists for O(log n) ROUNDS at web scale, demonstrated by the

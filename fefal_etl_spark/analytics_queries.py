@@ -928,3 +928,310 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "monetary",
         seg.alias("segment"),
     )
+
+
+# ==========================================================================
+# V91 — two-sample Kolmogorov–Smirnov test (view vs purchase values)
+# ==========================================================================
+
+
+@register(
+    "ks_test_value",
+    """
+    WITH s AS (
+        SELECT round(value, 2) AS v,
+               CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS s
+        FROM events WHERE event_type IN ('view', 'purchase')
+    ),
+    g AS (
+        SELECT v,
+               SUM(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS c0,
+               SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS c1
+        FROM s GROUP BY v
+    ),
+    c AS (
+        SELECT SUM(c0) OVER (ORDER BY v) AS cum0,
+               SUM(c1) OVER (ORDER BY v) AS cum1
+        FROM g
+    ),
+    t AS (SELECT SUM(c0) AS n0, SUM(c1) AS n1 FROM g),
+    d AS (
+        SELECT n0, n1,
+               max(abs(CAST(cum0 AS DOUBLE) / n0
+                       - CAST(cum1 AS DOUBLE) / n1)) AS ks
+        FROM c, t GROUP BY n0, n1
+    )
+    SELECT CAST(n0 AS BIGINT) AS n_view,
+           CAST(n1 AS BIGINT) AS n_purchase,
+           round(ks, 6) AS ks_d,
+           round(least(1.0, 2 * exp(-2.0 * ks * ks * n0 * n1 / (n0 + n1))), 6)
+               AS p_approx,
+           ks > 1.358 * sqrt(CAST(n0 + n1 AS DOUBLE) / (n0 * n1)) AS reject_05
+    FROM d
+    """,
+)
+def q_ks_test_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V91 — two-sample Kolmogorov–Smirnov test between the `value`
+    distributions of view vs purchase events: D = sup|F_view − F_purchase|
+    over the pooled grid, the Smirnov asymptotic p ≈ 2·exp(−2D²·n0n1/(n0+n1))
+    clamped to 1, and the α = 0.05 critical-value decision
+    (c(α) = 1.358·sqrt((n0+n1)/(n0n1))). The distribution-free complement to
+    the parametric z-test (V81) and the χ² independence test — the
+    standard drift check between two data slices before mixing them into a
+    training corpus.
+
+    Scale: values are quantized to a 2-decimal grid FIRST (one hash
+    aggregation), so the ordered ECDF window runs over |grid| rows (bounded
+    by value-range × 100, independent of row count), not over N events —
+    the classic sort-free trick that makes exact-on-the-grid KS feasible at
+    100 TB. Totals ride a one-row broadcast crossJoin; no full sort of the
+    raw data anywhere."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    g = (
+        ev.select(
+            F.round("value", 2).alias("v"),
+            F.when(F.col("event_type") == "view", 0).otherwise(1).alias("s"),
+        )
+        .groupBy("v")
+        .agg(
+            F.sum(F.when(F.col("s") == 0, 1).otherwise(0)).alias("c0"),
+            F.sum(F.when(F.col("s") == 1, 1).otherwise(0)).alias("c1"),
+        )
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = g.select(
+        F.sum("c0").over(w).alias("cum0"), F.sum("c1").over(w).alias("cum1")
+    )
+    tot = g.agg(F.sum("c0").alias("n0"), F.sum("c1").alias("n1"))
+    d = (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("n0", "n1")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("cum0").cast("double") / F.col("n0")
+                    - F.col("cum1").cast("double") / F.col("n1")
+                )
+            ).alias("ks")
+        )
+    )
+    n0, n1, ks = F.col("n0"), F.col("n1"), F.col("ks")
+    return d.select(
+        n0.cast("long").alias("n_view"),
+        n1.cast("long").alias("n_purchase"),
+        F.round(ks, 6).alias("ks_d"),
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(2.0)
+                * F.exp(F.lit(-2.0) * ks * ks * n0 * n1 / (n0 + n1)),
+            ),
+            6,
+        ).alias("p_approx"),
+        (
+            ks
+            > F.lit(1.358) * F.sqrt((n0 + n1).cast("double") / (n0 * n1))
+        ).alias("reject_05"),
+    )
+
+
+# ==========================================================================
+# V92 — Count-Min sketch frequency estimation (user event counts)
+# ==========================================================================
+
+
+@register(
+    "countmin_freq",
+    """
+    WITH keys AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+    hashed AS (
+        SELECT k, j,
+               ('0x' || substr(md5('cm' || j || '|' || k), 1, 15))::BIGINT
+                   % 64 AS bucket
+        FROM keys, (SELECT unnest([0, 1, 2, 3]) AS j)
+    ),
+    sketch AS (
+        SELECT j, bucket, CAST(count(*) AS BIGINT) AS cnt
+        FROM hashed GROUP BY j, bucket
+    ),
+    exact AS (
+        SELECT k, CAST(count(*) AS BIGINT) AS exact_n
+        FROM keys GROUP BY k
+    ),
+    top AS (
+        SELECT k, exact_n,
+               row_number() OVER (ORDER BY exact_n DESC, k ASC) AS rk
+        FROM exact
+    ),
+    probes AS (
+        SELECT t.k, t.exact_n, p.j,
+               ('0x' || substr(md5('cm' || p.j || '|' || t.k), 1, 15))::BIGINT
+                   % 64 AS bucket
+        FROM top t, (SELECT unnest([0, 1, 2, 3]) AS j) p
+        WHERE t.rk <= 20
+    ),
+    est AS (
+        SELECT pr.k, pr.exact_n, min(s.cnt) AS est_n
+        FROM probes pr JOIN sketch s
+          ON s.j = pr.j AND s.bucket = pr.bucket
+        GROUP BY pr.k, pr.exact_n
+    )
+    SELECT k AS user_key, exact_n, est_n,
+           est_n - exact_n AS overestimate,
+           est_n >= exact_n AS cm_ok
+    FROM est
+    """,
+)
+def q_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V92 — Count-Min sketch (d = 4 rows × w = 64 buckets, portable
+    md5-derived bucket hashing) over per-user event counts, audited
+    against exact counts for the top-20 heaviest users: the estimate is
+    min over the 4 row-counters, always ≥ exact (the one-sided CM
+    guarantee, asserted per-row in `cm_ok`), with the observed
+    overestimate from bucket collisions exposed. Complements the HLL /
+    quantile sketches in `approx_sketches` with the frequency-sketch
+    family (heavy-hitter estimation without a per-key groupBy).
+
+    Scale: the sketch is d·w = 256 counters regardless of input size —
+    one hash aggregation with a 256-row result that broadcast-joins
+    against the probe keys; counters are mergeable across
+    partitions/days (sum of sketches = sketch of union), which is the
+    whole point at 100 TB: per-shard sketches union without re-scanning.
+    The exact top-20 here is the audit harness, not the production path."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("k")
+    )
+    j = F.explode(F.array([F.lit(i) for i in range(4)])).alias("j")
+
+    def bucket(jcol, kcol):
+        raw = F.concat(F.lit("cm"), jcol.cast("string"), F.lit("|"), kcol)
+        return (
+            F.conv(F.substring(F.md5(raw), 1, 15), 16, 10).cast("long") % 64
+        )
+
+    hashed = ev.select("k", j).select(
+        "k", "j", bucket(F.col("j"), F.col("k")).alias("bucket")
+    )
+    sketch = hashed.groupBy("j", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    exact = ev.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("exact_n"))
+    top = (
+        exact.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.col("exact_n").desc(), F.col("k"))
+            ),
+        )
+        .filter(F.col("rk") <= 20)
+        .drop("rk")
+    )
+    probes = top.select("k", "exact_n", j).select(
+        "k", "exact_n", "j", bucket(F.col("j"), F.col("k")).alias("bucket")
+    )
+    est = (
+        probes.join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy("k", "exact_n")
+        .agg(F.min("cnt").alias("est_n"))
+    )
+    return est.select(
+        F.col("k").alias("user_key"),
+        "exact_n",
+        "est_n",
+        (F.col("est_n") - F.col("exact_n")).alias("overestimate"),
+        (F.col("est_n") >= F.col("exact_n")).alias("cm_ok"),
+    )
+
+
+# ==========================================================================
+# V93 — seasonal decomposition: linear trend + day-of-week seasonality
+# ==========================================================================
+
+
+@register(
+    "seasonal_decompose",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               avg(value) AS daily_mean
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    anchor AS (SELECT min(d) AS d0 FROM daily),
+    idx AS (
+        SELECT event_type, d, daily_mean,
+               CAST(d - d0 AS BIGINT) AS day_idx,
+               date_part('dow', d) AS dow
+        FROM daily, anchor
+    ),
+    trend AS (
+        SELECT event_type,
+               regr_slope(daily_mean, CAST(day_idx AS DOUBLE)) AS slope,
+               regr_intercept(daily_mean, CAST(day_idx AS DOUBLE)) AS icept
+        FROM idx GROUP BY event_type
+    ),
+    resid AS (
+        SELECT i.event_type, i.dow,
+               i.daily_mean - (t.icept + t.slope * i.day_idx) AS r,
+               t.slope
+        FROM idx i JOIN trend t ON i.event_type = t.event_type
+    )
+    SELECT event_type, CAST(dow AS INT) AS dow,
+           CAST(count(*) AS BIGINT) AS n_days,
+           round(any_value(slope), 6) AS trend_slope,
+           round(avg(r), 6) AS seasonal,
+           round(stddev_samp(r), 6) AS remainder_std
+    FROM resid GROUP BY event_type, dow
+    """,
+)
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V93 — classical additive decomposition of the per-type daily value
+    series: OLS linear trend (regr_slope/intercept over day index), then
+    day-of-week seasonal component = mean of the detrended residual per
+    (event_type, dow), and remainder spread = within-group stddev of the
+    residual. The batch version of what a monitoring pipeline runs to
+    separate "traffic grows" from "weekends dip" from "something broke" —
+    and the seasonality-aware complement to `events_trend_slope` (V78)
+    and `ewma_smoothing`.
+
+    Scale: the raw fact is reduced to the (type × date) daily grid in one
+    hash aggregation — every later stage (regression, residual join,
+    seasonal rollup) runs on the bounded grid (|types|·|days| rows), with
+    the 5-row trend table broadcast back. Day-of-week parity: Spark
+    `dayofweek` is 1-based Sunday, DuckDB `date_part('dow')` is 0-based
+    Sunday — the Spark side subtracts 1."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.avg("value").alias("daily_mean"))
+    anchor = daily.agg(F.min("d").alias("d0"))
+    idx = daily.crossJoin(F.broadcast(anchor)).select(
+        "event_type",
+        "daily_mean",
+        F.datediff("d", "d0").cast("long").alias("day_idx"),
+        (F.dayofweek("d") - 1).alias("dow"),
+    )
+    trend = idx.groupBy("event_type").agg(
+        F.regr_slope(
+            F.col("daily_mean"), F.col("day_idx").cast("double")
+        ).alias("slope"),
+        F.regr_intercept(
+            F.col("daily_mean"), F.col("day_idx").cast("double")
+        ).alias("icept"),
+    )
+    resid = idx.join(F.broadcast(trend), "event_type").select(
+        "event_type",
+        "dow",
+        (
+            F.col("daily_mean")
+            - (F.col("icept") + F.col("slope") * F.col("day_idx"))
+        ).alias("r"),
+        "slope",
+    )
+    return resid.groupBy("event_type", F.col("dow").cast("int").alias("dow")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.round(F.any_value(F.col("slope")), 6).alias("trend_slope"),
+        F.round(F.avg("r"), 6).alias("seasonal"),
+        F.round(F.stddev_samp("r"), 6).alias("remainder_std"),
+    )

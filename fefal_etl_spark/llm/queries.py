@@ -3219,3 +3219,65 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("lr9") / 1e9, 6).alias("log_weight"),
         )
     )
+
+
+# ==========================================================================
+# V95 — cross-source quantile normalization (calibration mapping)
+# ==========================================================================
+
+
+@register(
+    "quantile_normalize",
+    """
+    WITH ranked AS (
+        SELECT source,
+               percent_rank() OVER (ORDER BY n_chars, doc_id) AS gpr,
+               ntile(10) OVER (PARTITION BY source
+                               ORDER BY n_chars, doc_id) AS local_decile
+        FROM documents
+    )
+    SELECT source, CAST(local_decile AS INT) AS local_decile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(gpr), 6) AS avg_global_pr,
+           round(min(gpr), 6) AS min_global_pr,
+           round(max(gpr), 6) AS max_global_pr
+    FROM ranked GROUP BY source, local_decile
+    """,
+)
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V95 — cross-source quantile normalization: maps each source's local
+    length deciles onto the GLOBAL percent_rank scale, yielding the
+    calibration table (source, local_decile) → global-quantile span. This
+    is how heterogeneous quality/length scores are made comparable before
+    corpus mixing — a source whose decile 10 only reaches global rank 0.4
+    produces systematically shorter documents, and per-source thresholds
+    must be calibrated through exactly this mapping (the quantile-mapping
+    step of per-source quality gating à la DataComp/FineWeb).
+
+    Determinism: both window orderings carry doc_id as the tiebreak, so
+    percent_rank and ntile assignment are identical across engines.
+
+    Scale: percent_rank's global sort is the textbook non-scalable step —
+    at 100 TB the same mapping is built from a percentile_approx grid
+    (KLL sketch, one pass, mergeable) instead of an exact global rank;
+    the exact form here doubles as that path's correctness oracle. The
+    per-source ntile windows hash-partition by source and sort locally —
+    those scale as-is."""
+    docs = load_table(spark, sf_dir, "documents")
+    ranked = docs.select(
+        "source",
+        F.percent_rank()
+        .over(Window.orderBy("n_chars", "doc_id"))
+        .alias("gpr"),
+        F.ntile(10)
+        .over(Window.partitionBy("source").orderBy("n_chars", "doc_id"))
+        .alias("local_decile"),
+    )
+    return ranked.groupBy(
+        "source", F.col("local_decile").cast("int").alias("local_decile")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.avg("gpr"), 6).alias("avg_global_pr"),
+        F.round(F.min("gpr"), 6).alias("min_global_pr"),
+        F.round(F.max("gpr"), 6).alias("max_global_pr"),
+    )

@@ -2492,8 +2492,10 @@ _DRIVER_PRIORITY = [
     "ab_test_ztest",
     "positional_index",
     "xls_scan",
-    # round-4 new components (V87-V90)
+    # round-4 new components (V87-V95)
     "levenshtein_neardup", "zipf_fit", "benford_digits", "dsir_importance",
+    "ks_test_value", "countmin_freq", "seasonal_decompose", "skyline_parts",
+    "quantile_normalize",
     "bounce_rate_daily",
     "rfm_segments",
     "excel_dir_scan",
@@ -4234,5 +4236,85 @@ def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(obs, 6).alias("obs_share"),
             F.round(exp, 6).alias("benford_share"),
             F.round(F.abs(obs - exp), 6).alias("abs_dev"),
+        )
+    )
+
+
+# ==========================================================================
+# V94 — skyline (Pareto-frontier) operator: cheapest-and-smallest parts
+# ==========================================================================
+
+
+@register(
+    "skyline_parts",
+    """
+    WITH pts AS (
+        SELECT p_retailprice AS pr, p_size AS sz,
+               CAST(count(*) AS BIGINT) AS n_parts
+        FROM part GROUP BY p_retailprice, p_size
+    )
+    SELECT pr AS p_retailprice, CAST(sz AS INT) AS p_size, n_parts
+    FROM pts p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM pts q
+        WHERE q.pr <= p.pr AND q.sz <= p.sz
+          AND (q.pr < p.pr OR q.sz < p.sz)
+    )
+    """,
+)
+def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V94 — skyline / Pareto-frontier operator (Börzsönyi et al., ICDE
+    2001): the parts not dominated on (price ↓, size ↓) — no other
+    distinct (price, size) point is ≤ on both and < on one. A classic
+    OLAP operator Spark lacks natively, expressed sort-free-of-N:
+
+    1. collapse to distinct (price, size) points with multiplicity (one
+       hash aggregation — the only full-data shuffle);
+    2. COARSE PRUNE: bucket price into 100-wide bands, take min(size)
+       per band, running-min over strictly-lower bands (a few hundred
+       rows on the driver-free path) — any point whose size ≥ the
+       lower-band min is dominated by a strictly-cheaper point and is
+       discarded before the exact pass;
+    3. EXACT: one ordered window over the pruned candidates — sorted by
+       (price, size), a point survives iff its size < min(size of all
+       predecessors); with distinct points every predecessor is
+       strictly cheaper or equal-price-smaller, so the running-min test
+       is exactly the domination test.
+
+    The oracle deliberately uses the *independent* NOT EXISTS quadratic
+    formulation, so the window algebra is checked against the textbook
+    definition rather than itself. Scale: stage 2's band grid is
+    value-range-bounded (not N-bounded) and stage 3's global window runs
+    only on band-survivors — the standard distributed-skyline shape
+    (local prune, tiny global merge). At 100 TB the band width adapts
+    from the price histogram (docs/SCALE.md)."""
+    part = load_table(spark, sf_dir, "part")
+    pts = part.groupBy(
+        F.col("p_retailprice").alias("pr"), F.col("p_size").alias("sz")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_parts"))
+
+    banded = pts.withColumn("band", F.floor(F.col("pr") / 100.0))
+    band_min = banded.groupBy("band").agg(F.min("sz").alias("bmin"))
+    wband = Window.orderBy("band").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prev_min = band_min.select(
+        "band", F.min("bmin").over(wband).alias("lower_min")
+    )
+    cand = banded.join(F.broadcast(prev_min), "band").filter(
+        F.col("lower_min").isNull() | (F.col("sz") < F.col("lower_min"))
+    )
+
+    wpt = Window.orderBy("pr", "sz").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    rmin = F.min("sz").over(wpt)
+    return (
+        cand.select("pr", "sz", "n_parts", rmin.alias("rmin"))
+        .filter(F.col("rmin").isNull() | (F.col("sz") < F.col("rmin")))
+        .select(
+            F.col("pr").alias("p_retailprice"),
+            F.col("sz").cast("int").alias("p_size"),
+            "n_parts",
         )
     )
