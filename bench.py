@@ -178,6 +178,9 @@ BENCH_QUERIES = [
     "seasonal_decompose",
     "skyline_parts",
     "quantile_normalize",
+    "bloom_prune_join",
+    "time_weighted_avg",
+    "funnel_latency",
     # dup_clusters_star is excluded like ngram_jaccard_pairs: at bench SF its
     # wall time is ~6 iterative rounds of fixed scheduling cost (the
     # algorithm exists for O(log n) ROUNDS at web scale, demonstrated by the

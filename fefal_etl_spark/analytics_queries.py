@@ -1235,3 +1235,152 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("r"), 6).alias("seasonal"),
         F.round(F.stddev_samp("r"), 6).alias("remainder_std"),
     )
+
+
+# ==========================================================================
+# V97 — time-weighted average (TWAP) over irregular event series
+# ==========================================================================
+
+
+@register(
+    "time_weighted_avg",
+    """
+    WITH ev AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               epoch_us(ts) AS t_us,
+               CAST(round(value * 100) AS BIGINT) AS v100,
+               event_id
+        FROM events
+    ),
+    seg AS (
+        SELECT event_type, d, v100,
+               coalesce(
+                   lead(t_us) OVER (PARTITION BY event_type, d
+                                    ORDER BY t_us, event_id),
+                   epoch_us(CAST(d + INTERVAL 1 DAY AS TIMESTAMP))
+               ) - t_us AS w_us
+        FROM ev
+    )
+    SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(CAST(SUM(CAST(v100 AS DECIMAL(38, 0))
+                          * CAST(w_us AS DECIMAL(38, 0))) AS DOUBLE)
+                 / CAST(SUM(CAST(w_us AS DECIMAL(38, 0))) AS DOUBLE)
+                 / 100.0, 6) AS twap,
+           round(avg(CAST(v100 AS DOUBLE)) / 100.0, 6) AS plain_avg
+    FROM seg GROUP BY event_type, d
+    """,
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V97 — time-weighted average price (TWAP) per (event_type, day)
+    over the irregularly-spaced event series: each value holds from its
+    timestamp until the next event (the last one until midnight), and
+    the day's TWAP is Σ(value·duration)/Σ(duration) — the estimator that
+    is invariant to sampling density, vs the plain mean (also emitted)
+    which over-weights bursts. The standard aggregation for sensor /
+    price / metric series whose emission rate is itself bursty.
+
+    Exactness: timestamps enter as INT64 microseconds (`unix_micros` /
+    `epoch_us` — both engines see the same µs after the ns→µs
+    normalization) and values as INT64 cents, so weights and the
+    Σ(v·w) accumulator are DECIMAL(38,0)-exact in both engines —
+    summation order cannot drift the result; the only float ops are the
+    two final divisions. Scale: one hash partition by (type, day) with a
+    local sort for lead() — the same shuffle any per-day rollup pays;
+    no global sort, no self-join."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").alias("d"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+        F.round(F.col("value") * 100).cast("long").alias("v100"),
+        "event_id",
+    )
+    w = Window.partitionBy("event_type", "d").orderBy("t_us", "event_id")
+    day_end_us = F.unix_micros(
+        F.date_add(F.col("d"), 1).cast("timestamp")
+    )
+    seg = ev.select(
+        "event_type",
+        "d",
+        "v100",
+        (
+            F.coalesce(F.lead("t_us").over(w), day_end_us) - F.col("t_us")
+        ).alias("w_us"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    return seg.groupBy(
+        "event_type", F.date_format("d", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(
+            F.sum(dec("v100") * dec("w_us")).cast("double")
+            / F.sum(dec("w_us")).cast("double")
+            / 100.0,
+            6,
+        ).alias("twap"),
+        F.round(F.avg(F.col("v100").cast("double")) / 100.0, 6).alias(
+            "plain_avg"
+        ),
+    )
+
+
+# ==========================================================================
+# V98 — funnel latency: time-to-convert percentiles
+# ==========================================================================
+
+
+@register(
+    "funnel_latency",
+    """
+    WITH stages AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+                   AS tv,
+               min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+                   AS tp
+        FROM events GROUP BY user_id
+    ),
+    conv AS (
+        SELECT (tp - tv) / 60000000.0 AS delta_min
+        FROM stages WHERE tv IS NOT NULL AND tp IS NOT NULL AND tp > tv
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_converted,
+           round(quantile_cont(delta_min, 0.5), 6) AS p50_min,
+           round(quantile_cont(delta_min, 0.9), 6) AS p90_min,
+           round(avg(delta_min), 6) AS mean_min
+    FROM conv
+    """,
+)
+def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V98 — funnel latency distribution: minutes from each user's FIRST
+    view to their FIRST purchase (strictly after it), summarized as
+    p50 / p90 / mean time-to-convert. The "how fast", complementing
+    `funnel_conversion`'s "how many" — the percentile form is what SLA
+    and campaign dashboards actually plot, and the p90/p50 spread flags
+    heavy-tailed conversion behavior that a mean alone hides.
+
+    Exactness: stage timestamps reduce via conditional MIN on INT64
+    microseconds; delta becomes float only in the final minute
+    conversion, and `percentile`/`quantile_cont` share the same linear-
+    interpolation definition across engines. Scale: identical shape to
+    funnel_conversion — one user_id hash aggregation then a one-row
+    reduce; no per-stage self-joins, no sort of the raw fact (the exact
+    percentile sorts |converted users| deltas, and swaps for
+    percentile_approx/KLL at 100 TB)."""
+    ev = load_table(spark, sf_dir, "events")
+    t_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    stages = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", t_us)).alias("tv"),
+        F.min(F.when(F.col("event_type") == "purchase", t_us)).alias("tp"),
+    )
+    conv = stages.filter(
+        F.col("tv").isNotNull()
+        & F.col("tp").isNotNull()
+        & (F.col("tp") > F.col("tv"))
+    ).select(((F.col("tp") - F.col("tv")) / 60000000.0).alias("delta_min"))
+    return conv.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.round(F.expr("percentile(delta_min, 0.5)"), 6).alias("p50_min"),
+        F.round(F.expr("percentile(delta_min, 0.9)"), 6).alias("p90_min"),
+        F.round(F.avg("delta_min"), 6).alias("mean_min"),
+    )

@@ -2492,10 +2492,11 @@ _DRIVER_PRIORITY = [
     "ab_test_ztest",
     "positional_index",
     "xls_scan",
-    # round-4 new components (V87-V95)
+    # round-4 new components (V87-V98)
     "levenshtein_neardup", "zipf_fit", "benford_digits", "dsir_importance",
     "ks_test_value", "countmin_freq", "seasonal_decompose", "skyline_parts",
-    "quantile_normalize",
+    "quantile_normalize", "bloom_prune_join", "time_weighted_avg",
+    "funnel_latency",
     "bounce_rate_daily",
     "rfm_segments",
     "excel_dir_scan",
@@ -4317,4 +4318,159 @@ def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sz").cast("int").alias("p_size"),
             "n_parts",
         )
+    )
+
+
+# ==========================================================================
+# V96 — Bloom-filter semi-join pruning (portable bitset, audited FPR)
+# ==========================================================================
+
+
+@register(
+    "bloom_prune_join",
+    """
+    WITH build AS (
+        SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS k
+        FROM customer WHERE c_acctbal > 9000
+    ),
+    bits AS (
+        SELECT DISTINCT
+               ('0x' || substr(md5('bf' || j || '|' || k), 1, 15))::BIGINT
+                   % 2048 AS pos
+        FROM build, (SELECT unnest([0, 1, 2]) AS j)
+    ),
+    probe AS (SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS k FROM orders),
+    probe_pos AS (
+        SELECT p.k,
+               ('0x' || substr(md5('bf' || h.j || '|' || p.k), 1, 15))
+                   ::BIGINT % 2048 AS pos
+        FROM probe p, (SELECT unnest([0, 1, 2]) AS j) h
+    ),
+    probed AS (
+        SELECT pp.k, count(b.pos) AS hits
+        FROM probe_pos pp LEFT JOIN bits b ON b.pos = pp.pos
+        GROUP BY pp.k
+    ),
+    flags AS (
+        SELECT pr.k,
+               pr.hits = 3 AS bloom_pass,
+               bu.k IS NOT NULL AS is_member
+        FROM probed pr LEFT JOIN build bu ON pr.k = bu.k
+    ),
+    agg AS (
+        SELECT
+            (SELECT count(*) FROM build) AS n_build,
+            count(*) AS n_probe,
+            SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS n_true,
+            SUM(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS n_pass,
+            SUM(CASE WHEN bloom_pass AND NOT is_member THEN 1 ELSE 0 END)
+                AS n_fp,
+            SUM(CASE WHEN is_member AND NOT bloom_pass THEN 1 ELSE 0 END)
+                AS n_missed
+        FROM flags
+    )
+    SELECT CAST(n_build AS BIGINT) AS n_build,
+           CAST(n_probe AS BIGINT) AS n_probe,
+           CAST(n_true AS BIGINT) AS n_true,
+           CAST(n_pass AS BIGINT) AS n_pass,
+           CAST(n_fp AS BIGINT) AS n_false_pos,
+           CAST(n_missed AS BIGINT) AS n_missed,
+           CASE WHEN n_probe - n_true > 0
+                THEN round(CAST(n_fp AS DOUBLE) / (n_probe - n_true), 6)
+           END AS fpr_observed,
+           round(pow(1 - exp(-3.0 * n_build / 2048), 3), 6) AS fpr_expected
+    FROM agg
+    """,
+)
+def q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V96 — Bloom-filter semi-join pruning with a portable bitset:
+    build a k = 3 / m = 2048 Bloom filter over the high-balance customer
+    keys (md5-derived bit positions, identical in both engines), probe
+    every distinct orders custkey through it, and audit the filter's
+    contract against the exact semi-join: zero false NEGATIVES
+    (`n_missed` must be 0 — the guarantee that makes Bloom pruning safe),
+    observed false-positive rate alongside the analytic
+    (1 − e^(−kn/m))^k expectation. This is the explicit form of what
+    Spark's runtime-bloom-filter rewrite (spark.sql.optimizer.runtime.
+    bloomFilter) injects under a shuffle join — materialized as data so
+    the pruning power is measurable.
+
+    Scale: the bitset is |bits| ≤ k·n_build distinct positions out of a
+    fixed universe m — a broadcast regardless of fact size; the probe
+    side needs no shuffle at all in the production shape (map-side
+    membership test against the broadcast bitmap before the join's
+    exchange — exactly where it pays at 100 TB: rows dropped BEFORE the
+    shuffle). The audit's exact semi-join exists to grade the filter,
+    not as the production path. m scales as ~1.44·k·n_build/ln2 to hold
+    the FPR; the bitmap stays KB-scale for million-key dims."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    build = (
+        customer.filter(F.col("c_acctbal") > 9000)
+        .select(F.col("c_custkey").cast("string").alias("k"))
+        .distinct()
+    )
+    j = F.explode(F.array([F.lit(i) for i in range(3)])).alias("j")
+
+    def pos(jcol, kcol):
+        raw = F.concat(F.lit("bf"), jcol.cast("string"), F.lit("|"), kcol)
+        return (
+            F.conv(F.substring(F.md5(raw), 1, 15), 16, 10).cast("long")
+            % 2048
+        )
+
+    bits = (
+        build.select(j, "k")
+        .select(pos(F.col("j"), F.col("k")).alias("pos"))
+        .distinct()
+    )
+    probe = orders.select(
+        F.col("o_custkey").cast("string").alias("k")
+    ).distinct()
+    probed = (
+        probe.select("k", j)
+        .select("k", pos(F.col("j"), F.col("k")).alias("pos"))
+        .join(
+            F.broadcast(bits.withColumn("hit", F.lit(1))), "pos", "left"
+        )
+        .groupBy("k")
+        .agg(F.count("hit").alias("hits"))
+    )
+    flags = probed.join(
+        F.broadcast(build.withColumn("member", F.lit(1))), "k", "left"
+    ).select(
+        (F.col("hits") == 3).alias("bloom_pass"),
+        F.col("member").isNotNull().alias("is_member"),
+    )
+    n_build_df = build.agg(F.count(F.lit(1)).alias("n_build"))
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("n_probe"),
+        F.sum(F.when(F.col("is_member"), 1).otherwise(0)).alias("n_true"),
+        F.sum(F.when(F.col("bloom_pass"), 1).otherwise(0)).alias("n_pass"),
+        F.sum(
+            F.when(F.col("bloom_pass") & ~F.col("is_member"), 1).otherwise(0)
+        ).alias("n_fp"),
+        F.sum(
+            F.when(F.col("is_member") & ~F.col("bloom_pass"), 1).otherwise(0)
+        ).alias("n_missed"),
+    ).crossJoin(F.broadcast(n_build_df))
+    denom = (F.col("n_probe") - F.col("n_true")).cast("double")
+    return agg.select(
+        F.col("n_build").cast("long").alias("n_build"),
+        F.col("n_probe").cast("long").alias("n_probe"),
+        F.col("n_true").cast("long").alias("n_true"),
+        F.col("n_pass").cast("long").alias("n_pass"),
+        F.col("n_fp").cast("long").alias("n_false_pos"),
+        F.col("n_missed").cast("long").alias("n_missed"),
+        F.when(
+            denom > 0, F.round(F.col("n_fp").cast("double") / denom, 6)
+        ).alias("fpr_observed"),
+        F.round(
+            F.pow(
+                F.lit(1.0)
+                - F.exp(F.lit(-3.0) * F.col("n_build") / F.lit(2048.0)),
+                F.lit(3.0),
+            ),
+            6,
+        ).alias("fpr_expected"),
     )
