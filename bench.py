@@ -181,6 +181,8 @@ BENCH_QUERIES = [
     "bloom_prune_join",
     "time_weighted_avg",
     "funnel_latency",
+    "graph_bfs_levels",
+    "dpp_partition_join",
     # dup_clusters_star is excluded like ngram_jaccard_pairs: at bench SF its
     # wall time is ~6 iterative rounds of fixed scheduling cost (the
     # algorithm exists for O(log n) ROUNDS at web scale, demonstrated by the

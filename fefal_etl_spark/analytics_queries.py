@@ -1384,3 +1384,80 @@ def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(delta_min, 0.9)"), 6).alias("p90_min"),
         F.round(F.avg("delta_min"), 6).alias("mean_min"),
     )
+
+
+# ==========================================================================
+# V99 — distributed BFS: hop levels over the trade graph
+# ==========================================================================
+
+
+@register(
+    "graph_bfs_levels",
+    """
+    WITH RECURSIVE raw AS (
+        SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS c,
+                        's:' || CAST(l_suppkey AS VARCHAR) AS s
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE o_orderkey <= 6000
+    ),
+    e AS (SELECT c AS src, s AS dst FROM raw UNION ALL SELECT s, c FROM raw),
+    seed AS (
+        SELECT 'c:' || CAST(min(o_custkey) AS VARCHAR) AS node
+        FROM orders WHERE o_orderkey <= 6000
+    ),
+    bfs(node, lvl) AS (
+        SELECT node, 0 FROM seed
+        UNION
+        SELECT e.dst, bfs.lvl + 1
+        FROM bfs JOIN e ON e.src = bfs.node
+        WHERE bfs.lvl < 4
+    )
+    SELECT node, CAST(min(lvl) AS INT) AS level
+    FROM bfs GROUP BY node
+    """,
+)
+def q_graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V99 — distributed breadth-first search: shortest hop distance
+    (≤ 4) from the lowest-custkey customer to every reachable node of
+    the bidirectional customer↔supplier trade graph (same edge
+    derivation as `pagerank_trade_graph`). Level 1 = the customer's
+    suppliers, level 2 = customers sharing a supplier, etc. — the
+    reachability/radius primitive under supply-chain blast-radius and
+    fraud-ring queries, and the engine's iterative-traversal template
+    #4 (after CC, k-means, PageRank): per round one frontier⋈edges join
+    + distinct + anti-join vs visited, EARLY-EXIT on an empty frontier.
+
+    The oracle is DuckDB's WITH RECURSIVE with min(lvl) — the textbook
+    recursive-SQL definition, independently derived from the same edge
+    set, so the frontier algebra is checked against the declarative
+    semantics. Scale: frontier size, not graph size, bounds each
+    round's shuffle; `operators/graph.py::bfs_levels` documents the
+    checkpoint cadence for diameter-unbounded graphs. The seed is a
+    one-row aggregate scalar (same bounded-collect class as the CC
+    convergence check)."""
+    from fefal_etl_spark.operators.graph import bfs_levels
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") <= 6000
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    raw = (
+        orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias(
+                "c"
+            ),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias(
+                "s"
+            ),
+        )
+        .distinct()
+    )
+    edges = raw.select(
+        F.col("c").alias("src"), F.col("s").alias("dst")
+    ).unionByName(raw.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+    source = (
+        orders.agg(F.min("o_custkey").alias("k")).first()["k"]
+    )
+    out = bfs_levels(edges, f"c:{source}", max_hops=4)
+    return out.select("node", F.col("level").cast("int").alias("level"))

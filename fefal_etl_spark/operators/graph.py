@@ -160,3 +160,54 @@ def triangle_counts(
         .unionAll(tri.select(F.col("z").alias("node")))
     )
     return corners.groupBy("node").agg(F.count("*").alias("n_triangles"))
+
+
+def bfs_levels(
+    edges: DataFrame,
+    source: str,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 4,
+) -> DataFrame:
+    """Frontier-expansion breadth-first search: hop distance from
+    ``source`` to every node reachable in ≤ ``max_hops``, as
+    (node, level). Level = length of the SHORTEST path (a node enters
+    `visited` the first round it appears and is anti-joined out of every
+    later frontier).
+
+    Scale: the canonical Pregel-style BFS on DataFrames — each round is
+    one src-keyed join (frontier ⋈ edges) + distinct + anti-join against
+    the visited set; the frontier and visited frames persist per round
+    and the loop exits EARLY on an empty frontier (one count() action
+    per round — a scalar, bounded by ``max_hops``, the same
+    convergence-check shape as connected_components). For
+    diameter-unbounded traversals at 100 TB, checkpoint visited every
+    few rounds to cut lineage, exactly like the CC template
+    (llm/dedup.py); frontier size — not graph size — bounds each
+    round's shuffle."""
+    from fefal_etl_spark.cache import track
+
+    e = track(
+        edges.select(
+            F.col(src).alias("e_src"), F.col(dst).alias("e_dst")
+        ).persist()
+    )
+    spark = edges.sparkSession
+    visited = track(
+        spark.createDataFrame([(source, 0)], "node string, level int").persist()
+    )
+    frontier = visited
+    for lvl in range(1, max_hops + 1):
+        nxt = track(
+            frontier.join(e, F.col("node") == F.col("e_src"))
+            .select(F.col("e_dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .withColumn("level", F.lit(lvl))
+            .persist()
+        )
+        if not nxt.take(1):  # early exit: frontier exhausted
+            break
+        visited = track(visited.unionByName(nxt).persist())
+        frontier = nxt
+    return visited

@@ -2496,7 +2496,7 @@ _DRIVER_PRIORITY = [
     "levenshtein_neardup", "zipf_fit", "benford_digits", "dsir_importance",
     "ks_test_value", "countmin_freq", "seasonal_decompose", "skyline_parts",
     "quantile_normalize", "bloom_prune_join", "time_weighted_avg",
-    "funnel_latency",
+    "funnel_latency", "graph_bfs_levels", "dpp_partition_join",
     "bounce_rate_daily",
     "rfm_segments",
     "excel_dir_scan",
@@ -4473,4 +4473,86 @@ def q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             6,
         ).alias("fpr_expected"),
+    )
+
+
+# ==========================================================================
+# V100 — dynamic partition pruning: dim-filter prunes fact partitions
+# ==========================================================================
+
+
+@register(
+    "dpp_partition_join",
+    """
+    WITH fact AS (
+        SELECT strftime(o_orderdate, '%Y-%m') AS o_month, o_totalprice
+        FROM orders
+    ),
+    dim AS (
+        SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS o_month,
+               strftime(o_orderdate, '%Y') || '-Q' ||
+                   CAST((month(o_orderdate) + 2) // 3 AS VARCHAR) AS quarter
+        FROM orders
+    )
+    SELECT f.o_month,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(f.o_totalprice AS DECIMAL(24,4))) AS DOUBLE)
+               AS revenue
+    FROM fact f JOIN dim d ON f.o_month = d.o_month
+    WHERE d.quarter = '1995-Q2'
+    GROUP BY f.o_month
+    """,
+)
+def q_dpp_partition_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V100 — dynamic partition pruning, demonstrated as data: the orders
+    fact is laid out Hive-partitioned by month (written once per sf to
+    .tmp, like `partitioned_scan`), the month-dimension carries the
+    quarter attribute, and the query filters the DIM on quarter —
+    a predicate the fact scan cannot see statically. Spark's DPP rewrite
+    turns the broadcast dim into a runtime IN-filter on the fact's
+    partition column (`dynamicpruningexpression` in the scan's
+    PartitionFilters — asserted in tests/test_scale.py), so only the 3
+    matching month directories are read.
+
+    This is THE load-bearing optimization for star-schema queries at
+    100 TB: static pruning handles literal predicates, DPP handles the
+    ones that only exist after a dim filter — without it, a
+    quarter-constrained join scans all 80 month partitions. The oracle
+    computes the same join over the flat table, proving pruning is
+    semantically invisible. Sum is DECIMAL-exact before the final double
+    cast."""
+    import os
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    fact_path = f"/root/repo/.tmp/dpp_orders_{tag}"
+    if not os.path.exists(fact_path) or not os.listdir(fact_path):
+        load_table(spark, sf_dir, "orders").select(
+            "o_totalprice",
+            F.date_format("o_orderdate", "yyyy-MM").alias("o_month"),
+        ).write.mode("overwrite").partitionBy("o_month").parquet(fact_path)
+    fact = spark.read.parquet(fact_path)
+    dim = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.date_format("o_orderdate", "yyyy-MM").alias("o_month"),
+            F.concat(
+                F.date_format("o_orderdate", "yyyy"),
+                F.lit("-Q"),
+                F.ceil(F.month("o_orderdate") / 3.0).cast("string"),
+            ).alias("quarter"),
+        )
+        .distinct()
+    )
+    return (
+        fact.join(
+            F.broadcast(dim.filter(F.col("quarter") == "1995-Q2")),
+            "o_month",
+        )
+        .groupBy("o_month")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(24,4)"))
+            .cast("double")
+            .alias("revenue"),
+        )
     )

@@ -183,6 +183,12 @@ SMJ_WHITELIST = {
                                   # both sides are the table itself
     "cdc_extract",                # same snapshot×snapshot full outer as
                                   # table_diff, different projection
+    "graph_bfs_levels",           # frontier×edges per BFS round: edges are
+                                  # fact-derived and the frontier approaches
+                                  # node cardinality on dense graphs —
+                                  # big×big, SMJ is the safe static shape;
+                                  # AQE demotes to BHJ when the frontier
+                                  # is actually small
 }
 
 
@@ -244,3 +250,16 @@ def test_round3_plans_no_python_no_cartesian(spark):
     # attribution: user-keyed join with a range residual, no BNLJ
     text = plan_of(q["purchase_attribution_join"](spark, sf))
     assert "BroadcastNestedLoopJoin" not in text, text
+
+
+def test_dpp_partition_join_prunes_dynamically(spark):
+    """dpp_partition_join (V100) must actually trigger Spark's dynamic
+    partition pruning: the quarter filter lives on the DIM, so the fact
+    scan's PartitionFilters must carry a dynamicpruningexpression — if
+    this regresses, the query silently degrades to scanning all month
+    partitions (the exact failure DPP exists to prevent at 100 TB)."""
+    from fefal_etl_spark.queries import get_queries
+
+    df = get_queries()["dpp_partition_join"](spark, "/root/testdata/sf0.001")
+    text = plan_of(df)
+    assert "dynamicpruning" in text.lower(), text
