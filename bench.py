@@ -183,6 +183,9 @@ BENCH_QUERIES = [
     "funnel_latency",
     "graph_bfs_levels",
     "dpp_partition_join",
+    "rrf_fusion",
+    "decayed_user_value",
+    "bootstrap_ci",
     # dup_clusters_star is excluded like ngram_jaccard_pairs: at bench SF its
     # wall time is ~6 iterative rounds of fixed scheduling cost (the
     # algorithm exists for O(log n) ROUNDS at web scale, demonstrated by the

@@ -1461,3 +1461,206 @@ def q_graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = bfs_levels(edges, f"c:{source}", max_hops=4)
     return out.select("node", F.col("level").cast("int").alias("level"))
+
+
+# ==========================================================================
+# V102 — exponentially time-decayed user value (associative decay sum)
+# ==========================================================================
+
+
+@register(
+    "decayed_user_value",
+    """
+    WITH anchor AS (SELECT max(epoch_us(ts)) AS t_max FROM events),
+    terms AS (
+        SELECT user_id,
+               CAST(round(value * exp(-ln(2) * (t_max - epoch_us(ts))
+                                      / (7.0 * 86400000000.0)) * 1e9)
+                    AS BIGINT) AS dv9,
+               CAST(round(value * 100) AS BIGINT) AS v100
+        FROM events, anchor
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(SUM(v100) / 100.0, 2) AS raw_value,
+           round(SUM(dv9) / 1e9, 6) AS decayed_value
+    FROM terms GROUP BY user_id
+    """,
+)
+def q_decayed_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V102 — exponentially time-decayed lifetime value per user:
+    Σ value·2^(−age/7d) with age measured from the corpus max timestamp
+    (7-day half-life) — the standard recency-weighted engagement /
+    LTV score, and the batch twin of a streaming decayed counter. Raw
+    (undecayed) total emitted alongside for the decay ratio.
+
+    Exactness: each decay term is computed from INT64 microseconds and
+    scaled to an INT64 (×1e9, rounded) BEFORE aggregation — the
+    associativity armor (DSIR/RRF pattern): integer partial sums cannot
+    drift with partition order, while each exp() term itself is computed
+    from identical inputs on both engines. Scale: decay-from-a-fixed-
+    anchor makes the sum a plain one-shuffle user_id aggregation (no
+    window, no order dependence); refreshing the anchor T→T' later only
+    needs multiplying stored sums by 2^(−ΔT/7d) — the associative-decay
+    property that makes this maintainable incrementally at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    anchor = ev.agg(
+        F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("t_max")
+    )
+    t_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    decay = F.exp(
+        -F.log(F.lit(2.0))
+        * (F.col("t_max") - t_us)
+        / (7.0 * 86400000000.0)
+    )
+    terms = ev.crossJoin(F.broadcast(anchor)).select(
+        "user_id",
+        F.round(F.col("value") * decay * 1e9).cast("long").alias("dv9"),
+        F.round(F.col("value") * 100).cast("long").alias("v100"),
+    )
+    return terms.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.sum("v100") / 100.0, 2).alias("raw_value"),
+        F.round(F.sum("dv9") / 1e9, 6).alias("decayed_value"),
+    )
+
+
+# ==========================================================================
+# V103 — Poisson-bootstrap confidence interval (hash-deterministic)
+# ==========================================================================
+
+
+@register(
+    "bootstrap_ci",
+    """
+    WITH reps AS (SELECT unnest(range(100)) AS b),
+    w AS (
+        SELECT b,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS x100,
+               CASE
+                 WHEN u < 0.36787944117144233 THEN 0
+                 WHEN u < 0.7357588823428847  THEN 1
+                 WHEN u < 0.9196986029286058  THEN 2
+                 WHEN u < 0.9810118431238462  THEN 3
+                 WHEN u < 0.9963401531726563  THEN 4
+                 ELSE 5
+               END AS wt
+        FROM (
+            SELECT o.o_totalprice, r.b,
+                   (('0x' || substr(md5('boot' || r.b || '|'
+                        || CAST(o.o_orderkey AS VARCHAR)), 1, 15))::BIGINT)
+                       / 1152921504606846976.0 AS u
+            FROM orders o, reps r
+        )
+    ),
+    means AS (
+        SELECT b,
+               CAST(SUM(wt * x100) AS DOUBLE)
+                   / (100.0 * SUM(wt)) AS rep_mean
+        FROM w GROUP BY b HAVING SUM(wt) > 0
+    ),
+    base AS (
+        SELECT avg(o_totalprice) AS sample_mean,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders
+    )
+    SELECT n_orders,
+           CAST(100 AS BIGINT) AS n_replicates,
+           round(sample_mean, 6) AS sample_mean,
+           round(quantile_cont(rep_mean, 0.025), 6) AS ci_lo,
+           round(quantile_cont(rep_mean, 0.975), 6) AS ci_hi,
+           quantile_cont(rep_mean, 0.025) <= sample_mean
+               AND sample_mean <= quantile_cont(rep_mean, 0.975) AS covers
+    FROM means, base
+    GROUP BY n_orders, sample_mean
+    """,
+)
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V103 — Poisson bootstrap (Chamandy et al., Google 2012) 95% CI
+    for the mean order total: every (order, replicate) pair draws a
+    deterministic Poisson(1) weight from an md5-derived uniform
+    (inverse-CDF thresholds e^(−1)·Σ1/k!, capped at 5 ≈ the 99.96th
+    percentile), so each of the 100 replicates is a weighted mean and
+    the CI is the 2.5/97.5 percentile of replicate means. THE way to
+    bootstrap at scale: no resampling shuffle, no data movement — the
+    weight is a pure hash function computed map-side, replicates are
+    one groupBy(b), and the whole thing is embarrassingly parallel
+    (this is also the building block of the bag-of-little-bootstraps).
+
+    Exactness: weights are INT, values INT64 cents, so Σ(w·x) is an
+    exact integer aggregation in both engines (order-proof); each
+    replicate mean becomes double only in one final division, and the
+    uniform itself is an exact 60-bit md5 ratio identical across
+    engines. Scale: cost is B× the map work but ONE extra shuffle of
+    B·|groups| rows; B trades precision for cost explicitly."""
+    orders = load_table(spark, sf_dir, "orders")
+    b = F.explode(F.sequence(F.lit(0), F.lit(99))).alias("b")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("boot"),
+                        F.col("b").cast("string"),
+                        F.lit("|"),
+                        F.col("o_orderkey").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(1152921504606846976.0)
+    ).alias("u")
+    thresholds = [
+        0.36787944117144233,
+        0.7357588823428847,
+        0.9196986029286058,
+        0.9810118431238462,
+        0.9963401531726563,
+    ]
+    wt = F.when(F.col("u") < thresholds[0], 0)
+    for i, t in enumerate(thresholds[1:], start=1):
+        wt = wt.when(F.col("u") < t, i)
+    wt = wt.otherwise(5)
+    w = orders.select("o_totalprice", "o_orderkey", b).select(
+        "b",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("x100"),
+        u,
+    ).select("b", "x100", wt.alias("wt"))
+    means = (
+        w.groupBy("b")
+        .agg(
+            F.sum(F.col("wt") * F.col("x100")).alias("swx"),
+            F.sum("wt").alias("sw"),
+        )
+        .filter(F.col("sw") > 0)
+        .select(
+            (
+                F.col("swx").cast("double") / (100.0 * F.col("sw"))
+            ).alias("rep_mean")
+        )
+    )
+    base = orders.agg(
+        F.avg("o_totalprice").alias("sample_mean"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+    )
+    ci = means.agg(
+        F.expr("percentile(rep_mean, 0.025)").alias("lo"),
+        F.expr("percentile(rep_mean, 0.975)").alias("hi"),
+    )
+    return (
+        ci.crossJoin(F.broadcast(base)).select(
+            "n_orders",
+            F.lit(100).cast("long").alias("n_replicates"),
+            F.round(F.col("sample_mean"), 6).alias("sample_mean"),
+            F.round(F.col("lo"), 6).alias("ci_lo"),
+            F.round(F.col("hi"), 6).alias("ci_hi"),
+            (
+                (F.col("lo") <= F.col("sample_mean"))
+                & (F.col("sample_mean") <= F.col("hi"))
+            ).alias("covers"),
+        )
+    )

@@ -3281,3 +3281,85 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("gpr"), 6).alias("min_global_pr"),
         F.round(F.max("gpr"), 6).alias("max_global_pr"),
     )
+
+
+# ==========================================================================
+# V101 — reciprocal-rank fusion of multi-query retrieval lists
+# ==========================================================================
+
+
+@register(
+    "rrf_fusion",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+    sims AS (
+        SELECT q.query_id, e.vec_id,
+               list_dot_product(e.v, q.qv) /
+               (sqrt(list_dot_product(e.v, e.v))
+                * sqrt(list_dot_product(q.qv, q.qv))) AS cos_sim
+        FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id
+    ),
+    ranked AS (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, vec_id) AS rk
+        FROM sims
+    ),
+    lists AS (SELECT * FROM ranked WHERE rk <= 100),
+    fused AS (
+        SELECT vec_id,
+               SUM(CAST(round(1e12 / (60 + rk)) AS BIGINT)) AS rrf_scaled,
+               CAST(count(*) AS BIGINT) AS n_lists,
+               CAST(min(rk) AS BIGINT) AS best_rank
+        FROM lists GROUP BY vec_id
+    )
+    SELECT vec_id, round(rrf_scaled / 1e12, 6) AS rrf_score,
+           n_lists, best_rank
+    FROM (SELECT *, row_number() OVER (
+              ORDER BY rrf_scaled DESC, vec_id) AS frk
+          FROM fused) t
+    WHERE frk <= 20
+    """,
+)
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V101 — reciprocal-rank fusion (Cormack et al. 2009) across the
+    top-100 retrieval lists of 3 query vectors: RRF(d) = Σ_q 1/(60 +
+    rank_q(d)), the standard score-free way to merge rankings from
+    multiple retrievers or query rewrites (the hybrid-search primitive
+    behind every RAG stack that mixes dense + rewritten queries). Top-20
+    fused items with how many lists carried each and its best single
+    rank.
+
+    Exactness: each 1/(60+rk) term is scaled to an INT64 (round(1e12/x))
+    before the groupBy sum — the same associativity armor as DSIR's
+    log-ratio accumulator: integer partial aggregation cannot drift with
+    partition order, and both engines compute identical terms from
+    identical integer ranks. Scale: per-query rankings come from the
+    brute-force top-k here (the oracle-checkable baseline); at 100 TB
+    they swap for `ivf_topk` lists and the fusion stays the same
+    vec_id-keyed sum over |queries|·k rows — tiny regardless of corpus
+    size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    lists = cosine_topk(emb, queries, k=100)
+    fused = lists.groupBy("vec_id").agg(
+        F.sum(
+            F.round(F.lit(1e12) / (F.lit(60) + F.col("rk"))).cast("long")
+        ).alias("rrf_scaled"),
+        F.count(F.lit(1)).cast("long").alias("n_lists"),
+        F.min("rk").cast("long").alias("best_rank"),
+    )
+    wf = Window.orderBy(F.col("rrf_scaled").desc(), F.col("vec_id"))
+    return (
+        fused.withColumn("frk", F.row_number().over(wf))
+        .filter(F.col("frk") <= 20)
+        .select(
+            "vec_id",
+            F.round(F.col("rrf_scaled") / 1e12, 6).alias("rrf_score"),
+            "n_lists",
+            "best_rank",
+        )
+    )

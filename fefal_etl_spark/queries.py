@@ -2497,6 +2497,7 @@ _DRIVER_PRIORITY = [
     "ks_test_value", "countmin_freq", "seasonal_decompose", "skyline_parts",
     "quantile_normalize", "bloom_prune_join", "time_weighted_avg",
     "funnel_latency", "graph_bfs_levels", "dpp_partition_join",
+    "rrf_fusion", "decayed_user_value", "bootstrap_ci",
     "bounce_rate_daily",
     "rfm_segments",
     "excel_dir_scan",
