@@ -1,0 +1,206 @@
+"""Unit tests for the round-4 operator additions, beyond the oracle gate:
+library-level properties the sf-fixture oracles can't isolate — BFS early
+exit and shortest-path semantics on a hand-built graph, the Bloom filter's
+no-false-negative contract on adversarial key sets, skyline vs brute-force
+domination on random points, and TWAP weight conservation (weights within a
+day must sum exactly to the day's remaining span).
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import functions as F
+
+
+def test_bfs_levels_shortest_paths_and_early_exit(spark):
+    """Hand-built graph: a 4-chain with a shortcut plus a disconnected
+    node. Levels must be SHORTEST hop counts (the shortcut wins), the
+    disconnected node must be absent, and max_hops larger than the
+    diameter must not loop (early exit on empty frontier)."""
+    from fefal_etl_spark.operators.graph import bfs_levels
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b"),
+            ("b", "c"),
+            ("c", "d"),
+            ("a", "d"),  # shortcut: d is 1 hop, not 3
+            ("x", "y"),  # disconnected from a
+        ],
+        "src string, dst string",
+    )
+    out = {
+        r["node"]: r["level"]
+        for r in bfs_levels(edges, "a", max_hops=10).collect()
+    }
+    assert out == {"a": 0, "b": 1, "d": 1, "c": 2}
+
+
+def test_bfs_levels_respects_max_hops(spark):
+    from fefal_etl_spark.operators.graph import bfs_levels
+
+    chain = spark.createDataFrame(
+        [(f"n{i}", f"n{i+1}") for i in range(6)], "src string, dst string"
+    )
+    out = {
+        r["node"]: r["level"]
+        for r in bfs_levels(chain, "n0", max_hops=3).collect()
+    }
+    assert out == {"n0": 0, "n1": 1, "n2": 2, "n3": 3}
+
+
+def test_bloom_filter_never_false_negative(spark):
+    """The safety contract of bloom_prune_join: every true member must
+    pass the filter, for an adversarial key set (keys chosen to collide
+    in a 2048-bit universe at high load)."""
+
+    def pos(jcol, kcol):
+        raw = F.concat(F.lit("bf"), jcol.cast("string"), F.lit("|"), kcol)
+        return (
+            F.conv(F.substring(F.md5(raw), 1, 15), 16, 10).cast("long")
+            % 2048
+        )
+
+    build = spark.range(0, 900).select(
+        F.col("id").cast("string").alias("k")
+    )
+    j = F.explode(F.array([F.lit(i) for i in range(3)])).alias("j")
+    bits = (
+        build.select(j, "k")
+        .select(pos(F.col("j"), F.col("k")).alias("pos"))
+        .distinct()
+    )
+    # probe with the build keys themselves: all must pass
+    probed = (
+        build.select("k", j)
+        .select("k", pos(F.col("j"), F.col("k")).alias("pos"))
+        .join(F.broadcast(bits.withColumn("hit", F.lit(1))), "pos", "left")
+        .groupBy("k")
+        .agg(F.count("hit").alias("hits"))
+    )
+    n_missed = probed.filter(F.col("hits") < 3).count()
+    assert n_missed == 0
+
+
+def test_skyline_matches_bruteforce(spark):
+    """The banded-prune + running-min window skyline must equal the
+    O(n²) domination definition on deterministic pseudo-random points
+    (including duplicated points and ties on one dimension)."""
+    import random
+
+    rng = random.Random(42)
+    pts = [
+        (round(rng.uniform(900, 1100), 2), rng.randint(1, 50))
+        for _ in range(300)
+    ] + [(1000.0, 10), (1000.0, 10), (950.0, 10), (1000.0, 5)]
+
+    def dominated(p, others):
+        return any(
+            q[0] <= p[0] and q[1] <= p[1] and (q[0] < p[0] or q[1] < p[1])
+            for q in others
+        )
+
+    distinct = sorted(set(pts))
+    expected = sorted(p for p in distinct if not dominated(p, distinct))
+
+    df = spark.createDataFrame(pts, "pr double, sz int")
+    from pyspark.sql import Window
+
+    pdf = df.groupBy("pr", "sz").count()
+    banded = pdf.withColumn("band", F.floor(F.col("pr") / 100.0))
+    band_min = banded.groupBy("band").agg(F.min("sz").alias("bmin"))
+    wband = Window.orderBy("band").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prev_min = band_min.select(
+        "band", F.min("bmin").over(wband).alias("lower_min")
+    )
+    cand = banded.join(F.broadcast(prev_min), "band").filter(
+        F.col("lower_min").isNull() | (F.col("sz") < F.col("lower_min"))
+    )
+    wpt = Window.orderBy("pr", "sz").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    got = sorted(
+        (r["pr"], r["sz"])
+        for r in cand.select(
+            "pr", "sz", F.min("sz").over(wpt).alias("rmin")
+        )
+        .filter(F.col("rmin").isNull() | (F.col("sz") < F.col("rmin")))
+        .collect()
+    )
+    assert got == expected
+
+
+def test_twap_weights_cover_day_exactly(spark):
+    """Within each (type, day) group the lead-based hold durations must
+    sum exactly to (midnight − first event): INT64 µs arithmetic, no
+    float drift, no gaps, no overlaps."""
+    from fefal_etl_spark.datasets import load_table
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_type",
+        F.to_date("ts").alias("d"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+        "event_id",
+    )
+    w = Window.partitionBy("event_type", "d").orderBy("t_us", "event_id")
+    day_end_us = F.unix_micros(F.date_add(F.col("d"), 1).cast("timestamp"))
+    seg = ev.select(
+        "event_type",
+        "d",
+        "t_us",
+        (
+            F.coalesce(F.lead("t_us").over(w), day_end_us) - F.col("t_us")
+        ).alias("w_us"),
+        day_end_us.alias("end_us"),
+    )
+    bad = (
+        seg.groupBy("event_type", "d")
+        .agg(
+            F.sum("w_us").alias("total_w"),
+            (F.max("end_us") - F.min("t_us")).alias("span"),
+        )
+        .filter(F.col("total_w") != F.col("span"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_poisson_bootstrap_weight_distribution(spark):
+    """The md5-derived Poisson(1) weights must be deterministic across
+    invocations and close to the true pmf (mean ≈ 1) over a large key
+    set — the property that makes replicate means unbiased."""
+    thresholds = [
+        0.36787944117144233,
+        0.7357588823428847,
+        0.9196986029286058,
+        0.9810118431238462,
+        0.9963401531726563,
+    ]
+    keys = spark.range(0, 20000)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("boot0|"), F.col("id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(1152921504606846976.0)
+    ).alias("u")
+    wt = F.when(F.col("u") < thresholds[0], 0)
+    for i, t in enumerate(thresholds[1:], start=1):
+        wt = wt.when(F.col("u") < t, i)
+    wt = wt.otherwise(5)
+    df = keys.select(u).select(wt.alias("wt"))
+    row1 = df.agg(
+        F.avg("wt").alias("mean"), F.sum("wt").alias("total")
+    ).first()
+    row2 = df.agg(F.sum("wt").alias("total")).first()
+    assert row1["total"] == row2["total"]  # deterministic
+    assert abs(row1["mean"] - 1.0) < 0.03  # Poisson(1) mean (capped at 5)
