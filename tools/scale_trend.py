@@ -46,6 +46,13 @@ TREND_QUERIES = [
     "bigram_logprob",
     "cdc_chunks",
     "positional_index",
+    # round-4: the heaviest new operators (per-replicate fan-out, iterative
+    # BFS rounds, edit-distance blocks, sketch fan-out)
+    "bootstrap_ci",
+    "graph_bfs_levels",
+    "levenshtein_neardup",
+    "countmin_freq",
+    "dsir_importance",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
