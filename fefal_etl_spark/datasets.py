@@ -56,3 +56,21 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register each table as a temp view for spark.sql() access."""
     for name, df in load_tables(spark, sf_dir).items():
         df.createOrReplaceTempView(name)
+
+
+def fan_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """``load_table`` + repartition to the session's default parallelism.
+
+    For operators whose per-row MAP work (word/shingle explodes, n-gram
+    hashing, edit-distance DP, per-replicate fan-out) far exceeds the
+    scanned bytes: Spark sizes scan splits by input bytes, so a small or
+    single-row-group parquet arrives as ONE split and the whole map stage
+    runs on one core until the first shuffle. The explicit repartition
+    decouples map parallelism from input splits for a |rows|-shuffle that
+    is noise next to the generated work (measured 3.7× on
+    levenshtein_neardup, ~8× as part of the bootstrap_ci fix). At 100 TB
+    scans have plentiful splits and AQE coalesces the extra exchange away
+    — use it only where generated-work-per-input-byte is high."""
+    return load_table(spark, sf_dir, name).repartition(
+        spark.sparkContext.defaultParallelism
+    )

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from fefal_etl_spark.datasets import load_table
+from fefal_etl_spark.datasets import fan_table, load_table
 from fefal_etl_spark.llm.dedup import (
     exact_dup_groups,
     minhash_lsh_neardup,
@@ -71,7 +71,18 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = F.when(
         F.col("doc_id") % 10 == 0, F.array(orig, planted)
     ).otherwise(F.array(orig))
-    return docs.select(F.explode(rows).alias("r")).select("r.doc_id", "r.text")
+    # Repartition BEFORE the per-doc heavy lifting: the test parquet is a
+    # single row group, so every downstream map stage (shingling, banded
+    # levenshtein DP, prefix blocks) would otherwise run on ONE core until
+    # its first shuffle — the same input-bytes-vs-generated-work mismatch
+    # fixed in bootstrap_ci. A |docs|-row shuffle is noise; the win is
+    # 3.7× on levenshtein_neardup. At 100 TB the scan has plentiful
+    # splits and this is a cheap near-no-op (AQE coalesces it away).
+    return (
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .select(F.explode(rows).alias("r"))
+        .select("r.doc_id", "r.text")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -363,7 +374,7 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3 — winnowing rolling-hash fingerprints (word 3-grams, window 4),
     exploded to (doc_id, fp) rows: the plagiarism/partial-overlap index a
     whole-doc hash can't build. Narrow projections + explode — no shuffle."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_table(spark, sf_dir, "documents")
     return winnow_fingerprints(docs, "doc_id", "text", k=3, window=4)
 
 
@@ -1783,7 +1794,7 @@ def q_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     (llm/curation.py::decontaminate)."""
     from fefal_etl_spark.llm.curation import decontaminate
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_table(spark, sf_dir, "documents")
     ev = docs.filter(F.col("doc_id") % 25 == 0).select("doc_id", "text")
     frag = F.concat_ws(
         " ", F.slice(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), 1, 10)
@@ -3175,7 +3186,7 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fefal_etl_spark.llm.dedup import md5_hash64
     from fefal_etl_spark.llm.text_analysis import nonempty_words
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_table(spark, sf_dir, "documents")
     words = docs.select(
         "doc_id",
         "lang",
