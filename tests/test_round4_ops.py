@@ -204,3 +204,75 @@ def test_poisson_bootstrap_weight_distribution(spark):
     row2 = df.agg(F.sum("wt").alias("total")).first()
     assert row1["total"] == row2["total"]  # deterministic
     assert abs(row1["mean"] - 1.0) < 0.03  # Poisson(1) mean (capped at 5)
+
+
+def test_transform_with_state_batch_equivalence(spark):
+    """Spark 4 transformWithStateInPandas operator (user_type_counts_tws):
+    final per-user update must equal the batch aggregate. Skipped where
+    google.protobuf (required by the tws Python worker) is unavailable —
+    the operator is env-gated, not stubbed."""
+    import pytest
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf not available in this environment")
+
+    from pyspark.sql import Window
+    from fefal_etl_spark.operators.pandas_hooks import user_type_counts_tws
+
+    sf = "/root/testdata/sf0.001"
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.format("parquet")
+            .schema("event_id long, user_id long, event_type string")
+            .option("pathGlobFilter", "events.parquet")
+            .load(sf)
+        )
+        q = (
+            user_type_counts_tws(stream)
+            .writeStream.format("memory")
+            .queryName("tws_test_sink")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("n_events_total").desc()
+    )
+    got = {
+        r["user_id"]: (r["n_events_total"], r["n_types_total"])
+        for r in spark.table("tws_test_sink")
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .collect()
+    }
+    from fefal_etl_spark.datasets import load_table
+
+    exp = {
+        r["user_id"]: (r["n"], r["t"])
+        for r in load_table(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("event_type").alias("t"),
+        )
+        .collect()
+    }
+    assert got == exp
