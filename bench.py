@@ -186,6 +186,8 @@ BENCH_QUERIES = [
     "rrf_fusion",
     "decayed_user_value",
     "bootstrap_ci",
+    "quantile_sketch_audit",
+    "boolean_retrieval",
     # dup_clusters_star is excluded like ngram_jaccard_pairs: at bench SF its
     # wall time is ~6 iterative rounds of fixed scheduling cost (the
     # algorithm exists for O(log n) ROUNDS at web scale, demonstrated by the

@@ -1,0 +1,149 @@
+"""CLI entry point — the operational face of the engine.
+
+The reference is an interactive Streamlit wizard (etl_ui.py:832-2209); this
+engine replaces that flow with `PipelineConfig` dataclasses (SURVEY §3), and
+this module gives operators the batch-invocable surface a scheduler
+(Airflow/cron/spark-submit) actually calls:
+
+    python -m fefal_etl_spark query <name> [--sf DIR] [--out DIR] [--limit N]
+    python -m fefal_etl_spark list [--grep SUBSTR]
+    python -m fefal_etl_spark pipeline --survey F --registry F --config F \
+        --out DIR [--year Y]
+
+`query` runs any registry entry (the same callables the driver/bench use)
+and prints or writes the result; `pipeline` runs the EP2 transform chain on
+real input files (csv / parquet / xlsx / legacy xls chosen by extension) and
+lands every status branch as parquet under --out.
+
+Everything stays lazy until the single write/show at the end — the CLI adds
+no collect-based staging of its own.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _reader_for(path: str):
+    from fefal_etl_spark.sources import readers
+
+    ext = os.path.splitext(path)[1].lower()
+    if ext in (".parquet", ""):
+        return readers.read_parquet
+    if ext == ".csv":
+        return readers.read_csv
+    if ext == ".xlsx":
+        return readers.read_excel
+    if ext == ".xls":
+        return readers.read_xls
+    raise SystemExit(f"unsupported input extension: {path}")
+
+
+def _load_config(path: str, year: int | None):
+    from fefal_etl_spark.plans.config import GroupSpec, PipelineConfig
+
+    with open(path) as f:
+        raw = json.load(f)
+    groups = {
+        name: GroupSpec(int(g["start"]), int(g["end"]))
+        for name, g in raw.get("groups", {}).items()
+    }
+    kwargs = {
+        k: raw[k]
+        for k in (
+            "rename_map",
+            "entity_type_map",
+            "comment_keys",
+            "formando_keys",
+            "default_entity_type",
+        )
+        if k in raw
+    }
+    return PipelineConfig(
+        year=year if year is not None else int(raw.get("year", 0)),
+        groups=groups,
+        **kwargs,
+    )
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="python -m fefal_etl_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    q = sub.add_parser("query", help="run a registry query")
+    q.add_argument("name")
+    q.add_argument("--sf", default=os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    q.add_argument("--out", help="write result parquet here instead of showing")
+    q.add_argument("--limit", type=int, default=20)
+
+    ls = sub.add_parser("list", help="list registry queries")
+    ls.add_argument("--grep", default="")
+
+    pl = sub.add_parser("pipeline", help="run the EP2 pipeline on input files")
+    pl.add_argument("--survey", required=True)
+    pl.add_argument("--registry", required=True)
+    pl.add_argument("--config", required=True)
+    pl.add_argument("--out", required=True)
+    pl.add_argument("--year", type=int)
+
+    args = ap.parse_args(argv)
+
+    from fefal_etl_spark.queries import get_queries
+
+    if args.cmd == "list":
+        for name in get_queries():
+            if args.grep in name:
+                print(name)
+        return 0
+
+    from fefal_etl_spark.session import get_spark
+
+    spark = get_spark(f"cli-{args.cmd}")
+    spark.sparkContext.setLogLevel("WARN")
+    try:
+        if args.cmd == "query":
+            queries = get_queries()
+            if args.name not in queries:
+                raise SystemExit(
+                    f"unknown query '{args.name}' "
+                    f"(try: python -m fefal_etl_spark list)"
+                )
+            df = queries[args.name](spark, args.sf)
+            if args.out:
+                df.write.mode("overwrite").parquet(args.out)
+                print(f"wrote {args.out}")
+            else:
+                df.show(args.limit, truncate=False)
+        elif args.cmd == "pipeline":
+            from fefal_etl_spark.plans.pipeline import run_pipeline
+
+            survey = _reader_for(args.survey)(spark, args.survey)
+            registry = _reader_for(args.registry)(spark, args.registry)
+            config = _load_config(args.config, args.year)
+            problems = config.validate(len(survey.columns))
+            if problems:
+                raise SystemExit("config invalid: " + "; ".join(problems))
+            result = run_pipeline(survey, registry, config)
+            for status in ("valid", "duplicate", "unmatched", "blank_name"):
+                dest = os.path.join(args.out, status)
+                result.branch(status).write.mode("overwrite").parquet(dest)
+            from pyspark.sql import functions as F
+
+            counts = {
+                r["status"]: r["n"]
+                for r in result.frame.groupBy("status")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
+            print(json.dumps({"out": args.out, "status_counts": counts}))
+    finally:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

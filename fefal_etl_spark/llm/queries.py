@@ -3377,3 +3377,123 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "best_rank",
         )
     )
+
+
+# ==========================================================================
+# V105 — KLL-sketch quantile audit (the 100 TB path for quantile_normalize)
+# ==========================================================================
+
+
+@register(
+    "quantile_sketch_audit",
+    """
+    WITH stats AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               quantile_cont(n_chars, 0.23) AS lo_exact,
+               quantile_cont(n_chars, 0.27) AS hi_exact,
+               quantile_cont(n_chars, 0.48) AS lo_exact2,
+               quantile_cont(n_chars, 0.52) AS hi_exact2,
+               quantile_cont(n_chars, 0.73) AS lo_exact3,
+               quantile_cont(n_chars, 0.77) AS hi_exact3
+        FROM documents GROUP BY source
+    )
+    SELECT source, n_docs,
+           TRUE AS q25_ok, TRUE AS q50_ok, TRUE AS q75_ok
+    FROM stats
+    """,
+)
+def q_quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V105 — the promised 100 TB path for `quantile_normalize`, made
+    concrete and auditable: per-source quartile boundaries from
+    `percentile_approx` (Spark's KLL-style rank sketch — one pass,
+    mergeable across partitions/shards, no global sort) checked RANK-WISE
+    against the exact distribution: each sketch quartile must land inside
+    the exact ±2%-rank window (the documented guarantee is on RANK, not
+    value — same audit discipline as `approx_sketches`). The oracle
+    asserts the booleans, which are engine-invariant facts about Spark's
+    sketch; the exact windows come from the same SQL percentile both
+    engines agree on.
+
+    Scale: this is the plan that replaces the global percent_rank sort —
+    per-source sketches build map-side and merge in one shuffle of
+    sketch-sized buffers; the exact windows exist only in the audit."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.percentile_approx("n_chars", 0.25, 100000).alias("a25"),
+        F.percentile_approx("n_chars", 0.50, 100000).alias("a50"),
+        F.percentile_approx("n_chars", 0.75, 100000).alias("a75"),
+        F.expr("percentile(n_chars, 0.23)").alias("lo1"),
+        F.expr("percentile(n_chars, 0.27)").alias("hi1"),
+        F.expr("percentile(n_chars, 0.48)").alias("lo2"),
+        F.expr("percentile(n_chars, 0.52)").alias("hi2"),
+        F.expr("percentile(n_chars, 0.73)").alias("lo3"),
+        F.expr("percentile(n_chars, 0.77)").alias("hi3"),
+    )
+    return g.select(
+        "source",
+        "n_docs",
+        F.col("a25").between(F.col("lo1"), F.col("hi1")).alias("q25_ok"),
+        F.col("a50").between(F.col("lo2"), F.col("hi2")).alias("q50_ok"),
+        F.col("a75").between(F.col("lo3"), F.col("hi3")).alias("q75_ok"),
+    )
+
+
+# ==========================================================================
+# V106 — conjunctive boolean retrieval over an inverted index
+# ==========================================================================
+
+
+@register(
+    "boolean_retrieval",
+    """
+    WITH postings AS (
+        SELECT DISTINCT doc_id, w
+        FROM (
+            SELECT doc_id,
+                   unnest(list_filter(
+                       regexp_split_to_array(trim(lower(text)), '\\s+'),
+                       x -> x <> '')) AS w
+            FROM documents
+        )
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_matched
+    FROM postings
+    WHERE w IN ('spark', 'join', 'window')
+    GROUP BY doc_id
+    HAVING count(*) = 3
+    """,
+)
+def q_boolean_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V106 — conjunctive (AND) boolean retrieval: documents containing
+    ALL query terms, answered from term postings — the classic
+    inverted-index primitive under every filtered search / faceted
+    retrieval stack, complementing the ranked retrieval family (tf-idf,
+    cosine top-k, RRF). Expressed as postings ∩ via groupBy-count:
+    explode distinct (doc, term), keep query terms, a doc matches iff it
+    carries all |q| of them.
+
+    Scale: the IN filter prunes the exploded postings BEFORE the
+    doc-keyed shuffle (only rows for the 3 query terms survive — the
+    moral equivalent of reading 3 posting lists, not the corpus); the
+    aggregation state is one count per candidate doc. Smallest-list-
+    first intersection order — the textbook optimization — is what the
+    filter-then-shuffle plan does implicitly: the shuffle volume is the
+    SUM of the matched posting lists, and docs missing any term are
+    dropped by the HAVING count, never materialized as misses."""
+    from fefal_etl_spark.llm.text_analysis import nonempty_words
+
+    docs = load_table(spark, sf_dir, "documents")
+    postings = (
+        docs.select(
+            "doc_id", F.explode(nonempty_words(F.col("text"))).alias("w")
+        )
+        .filter(F.col("w").isin("spark", "join", "window"))
+        .distinct()
+    )
+    return (
+        postings.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_terms_matched"))
+        .filter(F.col("n_terms_matched") == 3)
+    )
