@@ -188,6 +188,8 @@ BENCH_QUERIES = [
     "bootstrap_ci",
     "quantile_sketch_audit",
     "boolean_retrieval",
+    "session_funnel",
+    "minhash_jaccard_sources",
     # dup_clusters_star is excluded like ngram_jaccard_pairs: at bench SF its
     # wall time is ~6 iterative rounds of fixed scheduling cost (the
     # algorithm exists for O(log n) ROUNDS at web scale, demonstrated by the

@@ -1694,3 +1694,101 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("covers"),
         )
     )
+
+
+# ==========================================================================
+# V107 — within-session funnel: ordered conversion inside one session
+# ==========================================================================
+
+
+@register(
+    "session_funnel",
+    """
+    WITH ordered AS (
+        SELECT user_id, event_type, epoch_us(ts) AS t_us, event_id,
+               CASE WHEN epoch_us(ts)
+                         - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                   ORDER BY ts, event_id)
+                         > 1800000000
+                         OR lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                    ORDER BY ts, event_id)
+                            IS NULL
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+    ),
+    sess AS (
+        SELECT user_id, event_type, t_us,
+               SUM(new_sess) OVER (PARTITION BY user_id
+                                   ORDER BY t_us, event_id) AS sess_seq
+        FROM ordered
+    ),
+    per_sess AS (
+        SELECT user_id, sess_seq,
+               min(CASE WHEN event_type = 'view' THEN t_us END) AS tv,
+               min(CASE WHEN event_type = 'purchase' THEN t_us END) AS tp
+        FROM sess GROUP BY user_id, sess_seq
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN tv IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_with_view,
+           CAST(SUM(CASE WHEN tp > tv THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_converted,
+           round(CAST(SUM(CASE WHEN tp > tv THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS session_cvr
+    FROM per_sess
+    """,
+)
+def q_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V107 — within-session funnel: conversion counted only when the
+    first purchase follows the first view INSIDE THE SAME 30-minute-gap
+    session — the composition of sessionization (lag-gap flag →
+    running-sum session id, `sessionize`'s shape) with conditional-MIN
+    funnel staging (`funnel_conversion`'s shape). User-level funnels
+    overcount intent (a Tuesday view does not 'convert' into a Friday
+    purchase); session-scoping is how product analytics actually reports
+    CVR.
+
+    Determinism: both windows order by (ts/t_us, event_id) — the r3
+    ADVICE tie-break discipline — so session assignment is identical
+    across engines. Scale: two windows over the SAME (user_id) hash
+    partition (one sort, reused), then a (user, session) aggregation and
+    a one-row reduce — no self-joins, no global sort; the session-id
+    running sum is the standard sessionization plan at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    t_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    ordered = ev.select(
+        "user_id", "event_type", t_us.alias("t_us"), "event_id"
+    ).withColumn(
+        "new_sess",
+        F.when(
+            F.lag("t_us").over(w).isNull()
+            | ((F.col("t_us") - F.lag("t_us").over(w)) > 1_800_000_000),
+            1,
+        ).otherwise(0),
+    )
+    sess = ordered.withColumn(
+        "sess_seq",
+        F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    per_sess = sess.groupBy("user_id", "sess_seq").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("t_us"))).alias(
+            "tv"
+        ),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("t_us"))
+        ).alias("tp"),
+    )
+    conv = F.when(F.col("tp") > F.col("tv"), 1).otherwise(0)
+    return per_sess.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum(F.when(F.col("tv").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_with_view"),
+        F.sum(conv).cast("long").alias("n_converted"),
+        F.round(
+            F.sum(conv).cast("double") / F.count(F.lit(1)), 6
+        ).alias("session_cvr"),
+    )

@@ -3497,3 +3497,180 @@ def q_boolean_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_terms_matched"))
         .filter(F.col("n_terms_matched") == 3)
     )
+
+
+# ==========================================================================
+# V108 — MinHash Jaccard estimation between source vocabularies, audited
+# ==========================================================================
+
+
+@register(
+    "minhash_jaccard_sources",
+    """
+    WITH vocab AS (
+        SELECT DISTINCT source, w
+        FROM (
+            SELECT source,
+                   unnest(list_filter(
+                       regexp_split_to_array(trim(lower(text)), '\\s+'),
+                       x -> x <> '')) AS w
+            FROM documents
+        )
+    ),
+    hashed AS (
+        SELECT source, w,
+               ('0x' || substr(md5('mh' || '|' || w), 1, 15))::BIGINT AS h
+        FROM vocab
+    ),
+    sigs AS (
+        SELECT source, j,
+               min(('0x' || substr(md5('mh' || j || '|' || w), 1, 15))
+                       ::BIGINT) AS mh
+        FROM vocab, (SELECT unnest(range(16)) AS j)
+        GROUP BY source, j
+    ),
+    est AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS DOUBLE)
+                   / 16 AS j_est
+        FROM sigs a JOIN sigs b ON a.j = b.j AND a.source < b.source
+        GROUP BY a.source, b.source
+    ),
+    exact AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(count(*) AS DOUBLE) AS n_inter,
+               CAST((SELECT count(*) FROM vocab v
+                     WHERE v.source = a.source) AS DOUBLE) AS n_a,
+               CAST((SELECT count(*) FROM vocab v
+                     WHERE v.source = b.source) AS DOUBLE) AS n_b
+        FROM vocab a JOIN vocab b ON a.w = b.w AND a.source < b.source
+        GROUP BY a.source, b.source
+    ),
+    joined AS (
+        SELECT e.src_a, e.src_b,
+               x.n_inter / (x.n_a + x.n_b - x.n_inter) AS j_exact,
+               e.j_est
+        FROM est e JOIN exact x
+          ON e.src_a = x.src_a AND e.src_b = x.src_b
+    )
+    SELECT src_a, src_b,
+           round(j_exact, 6) AS j_exact,
+           round(j_est, 6) AS j_est,
+           abs(j_est - j_exact) <= 0.3 AS mh_ok
+    FROM joined
+    """,
+)
+def q_minhash_jaccard_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V108 — MinHash Jaccard ESTIMATION at the source level: each
+    source's vocabulary is sketched to 16 portable min-hashes, pairwise
+    signature agreement estimates vocabulary Jaccard, and the estimate
+    is audited against the exact |∩|/|∪| with the ±0.3 tolerance a
+    16-hash sketch guarantees w.h.p. (σ = √(J(1−J)/16) ≤ 0.125). This is
+    the set-similarity ESTIMATOR use of MinHash — corpus-overlap
+    dashboards, source-dedup triage — distinct from `minhash_neardup`'s
+    banded LSH candidate generation; the sketch values themselves are
+    engine-replayed (portable md5), so j_est hash-matches exactly, not
+    just the booleans.
+
+    Scale: per-source signatures are 16 numbers built in ONE vocab-keyed
+    aggregation (min over hashed words, map-side combinable and
+    mergeable across shards — union of sets = elementwise min of
+    sketches); the pairwise comparison runs on |sources|² signature
+    pairs, never on vocabularies. The exact side exists only as the
+    audit at test SF."""
+    from fefal_etl_spark.llm.text_analysis import nonempty_words
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(
+            "source", F.explode(nonempty_words(F.col("text"))).alias("w")
+        )
+        .distinct()
+    )
+    j = F.explode(F.sequence(F.lit(0), F.lit(15))).alias("j")
+    hashed = vocab.select("source", "w", j).select(
+        "source",
+        "j",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("mh"),
+                        F.col("j").cast("string"),
+                        F.lit("|"),
+                        F.col("w"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    sigs = hashed.groupBy("source", "j").agg(F.min("h").alias("mh"))
+    a = sigs.select(
+        F.col("source").alias("src_a"), "j", F.col("mh").alias("mh_a")
+    )
+    b = sigs.select(
+        F.col("source").alias("src_b"), "j", F.col("mh").alias("mh_b")
+    )
+    est = (
+        a.join(b, "j")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("mh_a") == F.col("mh_b"), 1).otherwise(0)
+                ).cast("double")
+                / 16
+            ).alias("j_est")
+        )
+    )
+    sizes = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    va = vocab.select(F.col("source").alias("src_a"), "w")
+    vb = vocab.select(F.col("source").alias("src_b"), "w")
+    inter = (
+        va.join(vb, "w")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("double").alias("n_inter"))
+    )
+    exact = (
+        inter.join(
+            F.broadcast(
+                sizes.select(
+                    F.col("source").alias("src_a"),
+                    F.col("n").cast("double").alias("n_a"),
+                )
+            ),
+            "src_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col("source").alias("src_b"),
+                    F.col("n").cast("double").alias("n_b"),
+                )
+            ),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            (
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            ).alias("j_exact"),
+        )
+    )
+    return est.join(exact, ["src_a", "src_b"]).select(
+        "src_a",
+        "src_b",
+        F.round("j_exact", 6).alias("j_exact"),
+        F.round("j_est", 6).alias("j_est"),
+        (F.abs(F.col("j_est") - F.col("j_exact")) <= 0.3).alias("mh_ok"),
+    )

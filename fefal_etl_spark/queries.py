@@ -2498,7 +2498,8 @@ _DRIVER_PRIORITY = [
     "quantile_normalize", "bloom_prune_join", "time_weighted_avg",
     "funnel_latency", "graph_bfs_levels", "dpp_partition_join",
     "rrf_fusion", "decayed_user_value", "bootstrap_ci",
-    "quantile_sketch_audit", "boolean_retrieval",
+    "quantile_sketch_audit", "boolean_retrieval", "session_funnel",
+    "minhash_jaccard_sources",
     "bounce_rate_daily",
     "rfm_segments",
     "excel_dir_scan",

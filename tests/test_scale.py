@@ -183,6 +183,12 @@ SMJ_WHITELIST = {
                                   # both sides are the table itself
     "cdc_extract",                # same snapshot×snapshot full outer as
                                   # table_diff, different projection
+    "minhash_jaccard_sources",    # the exact-Jaccard AUDIT side joins
+                                  # vocab×vocab on word (corpus-derived,
+                                  # big×big) — test-SF truth scaffolding
+                                  # like gaussian_lsh_recall; the sketch
+                                  # path being audited never joins
+                                  # vocabularies
     "graph_bfs_levels",           # frontier×edges per BFS round: edges are
                                   # fact-derived and the frontier approaches
                                   # node cardinality on dense graphs —
