@@ -941,7 +941,8 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH s AS (
         SELECT round(value, 2) AS v,
                CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS s
-        FROM events WHERE event_type IN ('view', 'purchase')
+        FROM events
+        WHERE event_type IN ('view', 'purchase') AND value IS NOT NULL
     ),
     g AS (
         SELECT v,
@@ -986,8 +987,12 @@ def q_ks_test_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     the classic sort-free trick that makes exact-on-the-grid KS feasible at
     100 TB. Totals ride a one-row broadcast crossJoin; no full sort of the
     raw data anywhere."""
+    # NULL values are excluded on BOTH engines: an ECDF is undefined for
+    # NULL, and engine-default NULL ordering differs (Spark windows sort
+    # NULLs first, DuckDB last) — leaving them in would diverge the grid.
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("view", "purchase")
+        & F.col("value").isNotNull()
     )
     g = (
         ev.select(
@@ -1026,13 +1031,26 @@ def q_ks_test_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least(
                 F.lit(1.0),
                 F.lit(2.0)
-                * F.exp(F.lit(-2.0) * ks * ks * n0 * n1 / (n0 + n1)),
+                * F.exp(
+                    F.lit(-2.0)
+                    * ks
+                    * ks
+                    * n0.cast("double")
+                    * n1.cast("double")
+                    / (n0 + n1).cast("double")
+                ),
             ),
             6,
         ).alias("p_approx"),
         (
+            # n0*n1 as double: a long*long product overflows (ANSI throw)
+            # once both arms exceed ~3e9 rows — the scale this runs at
             ks
-            > F.lit(1.358) * F.sqrt((n0 + n1).cast("double") / (n0 * n1))
+            > F.lit(1.358)
+            * F.sqrt(
+                (n0 + n1).cast("double")
+                / (n0.cast("double") * n1.cast("double"))
+            )
         ).alias("reject_05"),
     )
 
@@ -1105,11 +1123,11 @@ def q_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = F.explode(F.array([F.lit(i) for i in range(4)])).alias("j")
 
+    from fefal_etl_spark.llm.dedup import md5_hash64
+
     def bucket(jcol, kcol):
-        raw = F.concat(F.lit("cm"), jcol.cast("string"), F.lit("|"), kcol)
-        return (
-            F.conv(F.substring(F.md5(raw), 1, 15), 16, 10).cast("long") % 64
-        )
+        # same portable seeded-hash helper as the dedup family (md5_hash64)
+        return md5_hash64(kcol, F.concat(F.lit("cm"), jcol.cast("string"))) % 64
 
     hashed = ev.select("k", j).select(
         "k", "j", bucket(F.col("j"), F.col("k")).alias("bucket")

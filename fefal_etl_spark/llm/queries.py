@@ -3517,11 +3517,6 @@ def q_boolean_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM documents
         )
     ),
-    hashed AS (
-        SELECT source, w,
-               ('0x' || substr(md5('mh' || '|' || w), 1, 15))::BIGINT AS h
-        FROM vocab
-    ),
     sigs AS (
         SELECT source, j,
                min(('0x' || substr(md5('mh' || j || '|' || w), 1, 15))

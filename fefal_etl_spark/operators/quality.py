@@ -189,3 +189,51 @@ def mad_outliers(
         .withColumn("robust_z", robust_z)
         .withColumnsRenamed({"__med": "group_median", "__mad": "group_mad"})
     )
+
+
+def skyline_2d(
+    points: DataFrame,
+    x: str,
+    y: str,
+    band_width: float = 100.0,
+) -> DataFrame:
+    """2-D skyline (Pareto frontier, minimize both): the distinct (x, y)
+    points not dominated by any other (≤ on both, < on one). Returns the
+    input columns plus ``n_points`` (multiplicity of the frontier point).
+
+    The distributed-skyline shape (Börzsönyi et al., ICDE 2001): one hash
+    aggregation to distinct points, a coarse prune against the running
+    minimum of strictly-lower x-bands (band grid is value-range-bounded —
+    target ~1k bands via ``band_width``), then one ordered window over the
+    band-survivors only: sorted by (x, y), a point survives iff its y is
+    strictly below every predecessor's. Shared by `skyline_parts` and the
+    brute-force equivalence test (tests/test_round4_ops.py), so the query
+    and the verified algebra cannot drift apart."""
+    from pyspark.sql import Window
+
+    pts = points.groupBy(
+        F.col(x).alias("__x"), F.col(y).alias("__y")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_points"))
+    banded = pts.withColumn("__band", F.floor(F.col("__x") / band_width))
+    band_min = banded.groupBy("__band").agg(F.min("__y").alias("__bmin"))
+    wband = Window.orderBy("__band").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prev_min = band_min.select(
+        "__band", F.min("__bmin").over(wband).alias("__lower_min")
+    )
+    cand = banded.join(F.broadcast(prev_min), "__band").filter(
+        F.col("__lower_min").isNull()
+        | (F.col("__y") < F.col("__lower_min"))
+    )
+    wpt = Window.orderBy("__x", "__y").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    rmin = F.min("__y").over(wpt)
+    return (
+        cand.select("__x", "__y", "n_points", rmin.alias("__rmin"))
+        .filter(F.col("__rmin").isNull() | (F.col("__y") < F.col("__rmin")))
+        .select(
+            F.col("__x").alias(x), F.col("__y").alias(y), "n_points"
+        )
+    )

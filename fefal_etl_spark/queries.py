@@ -4292,35 +4292,14 @@ def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     only on band-survivors — the standard distributed-skyline shape
     (local prune, tiny global merge). At 100 TB the band width adapts
     from the price histogram (docs/SCALE.md)."""
+    from fefal_etl_spark.operators.quality import skyline_2d
+
     part = load_table(spark, sf_dir, "part")
-    pts = part.groupBy(
-        F.col("p_retailprice").alias("pr"), F.col("p_size").alias("sz")
-    ).agg(F.count(F.lit(1)).cast("long").alias("n_parts"))
-
-    banded = pts.withColumn("band", F.floor(F.col("pr") / 100.0))
-    band_min = banded.groupBy("band").agg(F.min("sz").alias("bmin"))
-    wband = Window.orderBy("band").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    prev_min = band_min.select(
-        "band", F.min("bmin").over(wband).alias("lower_min")
-    )
-    cand = banded.join(F.broadcast(prev_min), "band").filter(
-        F.col("lower_min").isNull() | (F.col("sz") < F.col("lower_min"))
-    )
-
-    wpt = Window.orderBy("pr", "sz").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    rmin = F.min("sz").over(wpt)
-    return (
-        cand.select("pr", "sz", "n_parts", rmin.alias("rmin"))
-        .filter(F.col("rmin").isNull() | (F.col("sz") < F.col("rmin")))
-        .select(
-            F.col("pr").alias("p_retailprice"),
-            F.col("sz").cast("int").alias("p_size"),
-            "n_parts",
-        )
+    out = skyline_2d(part, "p_retailprice", "p_size", band_width=100.0)
+    return out.select(
+        "p_retailprice",
+        F.col("p_size").cast("int").alias("p_size"),
+        F.col("n_points").alias("n_parts"),
     )
 
 
@@ -4415,12 +4394,12 @@ def q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = F.explode(F.array([F.lit(i) for i in range(3)])).alias("j")
 
+    from fefal_etl_spark.llm.dedup import md5_hash64
+
     def pos(jcol, kcol):
-        raw = F.concat(F.lit("bf"), jcol.cast("string"), F.lit("|"), kcol)
-        return (
-            F.conv(F.substring(F.md5(raw), 1, 15), 16, 10).cast("long")
-            % 2048
-        )
+        # portable seeded hash shared with the whole dedup family —
+        # md5('bf{j}|{k}'), the exact recipe the oracle replays
+        return md5_hash64(kcol, F.concat(F.lit("bf"), jcol.cast("string"))) % 2048
 
     bits = (
         build.select(j, "k")

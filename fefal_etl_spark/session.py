@@ -114,8 +114,25 @@ def get_spark(
     pre_existing = SparkContext._active_spark_context is not None
     spark = builder.getOrCreate()
     if pre_existing:
+        def _mem_bytes(v: str) -> int:
+            # JavaUtils-style suffix parse so '8g' == '8192m' == '8388608k'
+            # compares equal instead of spuriously warning on spelling
+            v = v.strip().lower()
+            mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+            if v and v[-1] == "b" and len(v) > 1 and v[-2] in mult:
+                v = v[:-1]
+            if v and v[-1] in mult:
+                try:
+                    return int(v[:-1]) * mult[v[-1]]
+                except ValueError:
+                    return -1
+            try:
+                return int(v)  # bare bytes
+            except ValueError:
+                return -1
+
         actual = spark.sparkContext.getConf().get("spark.driver.memory", "1g")
-        if actual != driver_mem:
+        if _mem_bytes(actual) != _mem_bytes(driver_mem):
             import warnings
 
             warnings.warn(

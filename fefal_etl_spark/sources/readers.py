@@ -43,6 +43,42 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def _grid_to_df(
+    spark: SparkSession,
+    book: "dict[str, list[list]]",
+    sheet_name: "int | str",
+    path: str,
+) -> DataFrame:
+    """Shared grid→DataFrame tail of the driver-side Excel readers: header
+    row becomes all-string column names (duplicates rejected up front —
+    Spark would otherwise defer the failure to the first select-by-name
+    with AMBIGUOUS_REFERENCE), short rows pad with ''. StructType schema,
+    not a hand-built DDL string, so header cells containing backticks or
+    commas cannot break parsing."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    if isinstance(sheet_name, int):
+        rows = list(book.values())[sheet_name]
+    else:
+        rows = book[sheet_name]
+    if not rows:
+        raise ValueError(f"sheet {sheet_name!r} of {path} is empty")
+    header = ["" if c is None else str(c) for c in rows[0]]
+    dupes = sorted({c for c in header if header.count(c) > 1})
+    if dupes:
+        raise ValueError(f"duplicate column names in workbook header: {dupes}")
+    width = len(header)
+    data = [
+        tuple(
+            ("" if i >= len(r) or r[i] is None else str(r[i]))
+            for i in range(width)
+        )
+        for r in rows[1:]
+    ]
+    schema = StructType([StructField(c, StringType()) for c in header])
+    return spark.createDataFrame(data, schema)
+
+
 def read_excel(spark: SparkSession, path: str, sheet_name=0) -> DataFrame:
     """S2 — Excel ingest (driver-side; survey files are small by
     construction — ~10³ rows, SURVEY.md §6). Uses the pandas/openpyxl shim
@@ -60,24 +96,7 @@ def read_excel(spark: SparkSession, path: str, sheet_name=0) -> DataFrame:
         pass
     from fefal_etl_spark.sources.xlsx_minimal import read_workbook
 
-    book = read_workbook(path)
-    if isinstance(sheet_name, int):
-        rows = list(book.values())[sheet_name]
-    else:
-        rows = book[sheet_name]
-    if not rows:
-        raise ValueError(f"sheet {sheet_name!r} of {path} is empty")
-    header = ["" if c is None else str(c) for c in rows[0]]
-    width = len(header)
-    data = [
-        tuple(
-            ("" if i >= len(r) or r[i] is None else str(r[i]))
-            for i in range(width)
-        )
-        for r in rows[1:]
-    ]
-    schema = ", ".join(f"`{c}` string" for c in header)
-    return spark.createDataFrame(data, schema)
+    return _grid_to_df(spark, read_workbook(path), sheet_name, path)
 
 
 def read_xls(spark: SparkSession, path: str, sheet_name: "int | str" = 0) -> DataFrame:
@@ -90,24 +109,7 @@ def read_xls(spark: SparkSession, path: str, sheet_name: "int | str" = 0) -> Dat
     first row is the header."""
     from fefal_etl_spark.sources.xls_biff import read_workbook
 
-    book = read_workbook(path)
-    if isinstance(sheet_name, int):
-        rows = list(book.values())[sheet_name]
-    else:
-        rows = book[sheet_name]
-    if not rows:
-        raise ValueError(f"sheet {sheet_name!r} of {path} is empty")
-    header = ["" if c is None else str(c) for c in rows[0]]
-    width = len(header)
-    data = [
-        tuple(
-            ("" if i >= len(r) or r[i] is None else str(r[i]))
-            for i in range(width)
-        )
-        for r in rows[1:]
-    ]
-    schema = ", ".join(f"`{c}` string" for c in header)
-    return spark.createDataFrame(data, schema)
+    return _grid_to_df(spark, read_workbook(path), sheet_name, path)
 
 
 def read_excel_dir(

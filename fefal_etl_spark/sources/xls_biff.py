@@ -184,6 +184,10 @@ def _num_str(v: float) -> str:
     values print without '.0' (how xlsx stores them and xlsx_minimal
     returns them); 15 significant digits otherwise (Excel's own display
     precision)."""
+    if v != v or v in (float("inf"), float("-inf")):
+        # int(inf) raises OverflowError and int(nan) ValueError — surface
+        # corrupt payloads as the module's documented error type instead
+        raise ValueError(f"non-finite number in cell payload: {v!r}")
     if v == int(v) and abs(v) < 1e15:
         return str(int(v))
     return repr(v) if len(repr(v)) <= 17 else format(v, ".15g")
@@ -278,12 +282,29 @@ def _short_unistr(b: bytes, off: int) -> tuple[str, int]:
 
 
 def _unistr(b: bytes, off: int) -> str:
-    """XLUnicodeString (u16 length): LABEL / STRING payloads."""
+    """XLUnicodeString / XLUnicodeRichExtendedString (u16 length): LABEL /
+    STRING payloads. LABEL actually carries the rich-extended form
+    ([MS-XLS] 2.5.293): fRichSt (0x08) prepends a u16 format-run count and
+    fExtSt (0x04) a u32 extension size BEFORE the character array — both
+    must be skipped or the text decodes shifted. Strings whose character
+    array does not fit the record (CONTINUE-split, >~8.2 KB) are rejected
+    explicitly rather than silently truncated."""
     cch = _u16(b, off)
     flags = b[off + 2]
+    pos = off + 3
+    if flags & 0x08:  # fRichSt: cRun format runs follow the text
+        pos += 2
+    if flags & 0x04:  # fExtSt: cbExtRst phonetic block follows the text
+        pos += 4
+    nbytes = 2 * cch if flags & 0x01 else cch
+    if pos + nbytes > len(b):
+        raise ValueError(
+            "string cell spans a CONTINUE record (unsupported in the "
+            "read-only BIFF8 path)"
+        )
     if flags & 0x01:
-        return b[off + 3 : off + 3 + 2 * cch].decode("utf-16-le")
-    return b[off + 3 : off + 3 + cch].decode("latin-1")
+        return b[pos : pos + nbytes].decode("utf-16-le")
+    return b[pos : pos + nbytes].decode("latin-1")
 
 
 _BOOL_STR = {0: "FALSE", 1: "TRUE"}
@@ -312,6 +333,15 @@ def read_workbook(path: "str | bytes | bytearray | memoryview") -> dict[str, lis
     pos0, op, payload = next(it)
     if op != _BOF:
         raise ValueError("workbook stream does not start with BOF")
+    vers = _u16(payload, 0)
+    if vers != 0x0600:
+        # BIFF5/95 'Book' streams share the BOF opcode but use different
+        # string layouts (no Unicode flags byte) — decoding them as BIFF8
+        # would return silently garbled text, so reject explicitly.
+        raise ValueError(
+            f"unsupported BIFF version 0x{vers:04x}: only BIFF8 "
+            "(Excel 97+) .xls files are supported"
+        )
     pending_sst: bytes | None = None
     sst_continues: list[bytes] = []
     for pos, op, payload in it:

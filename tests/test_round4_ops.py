@@ -104,31 +104,11 @@ def test_skyline_matches_bruteforce(spark):
     distinct = sorted(set(pts))
     expected = sorted(p for p in distinct if not dominated(p, distinct))
 
-    df = spark.createDataFrame(pts, "pr double, sz int")
-    from pyspark.sql import Window
+    from fefal_etl_spark.operators.quality import skyline_2d
 
-    pdf = df.groupBy("pr", "sz").count()
-    banded = pdf.withColumn("band", F.floor(F.col("pr") / 100.0))
-    band_min = banded.groupBy("band").agg(F.min("sz").alias("bmin"))
-    wband = Window.orderBy("band").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    prev_min = band_min.select(
-        "band", F.min("bmin").over(wband).alias("lower_min")
-    )
-    cand = banded.join(F.broadcast(prev_min), "band").filter(
-        F.col("lower_min").isNull() | (F.col("sz") < F.col("lower_min"))
-    )
-    wpt = Window.orderBy("pr", "sz").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
+    df = spark.createDataFrame(pts, "pr double, sz int")
     got = sorted(
-        (r["pr"], r["sz"])
-        for r in cand.select(
-            "pr", "sz", F.min("sz").over(wpt).alias("rmin")
-        )
-        .filter(F.col("rmin").isNull() | (F.col("sz") < F.col("rmin")))
-        .collect()
+        (r["pr"], r["sz"]) for r in skyline_2d(df, "pr", "sz").collect()
     )
     assert got == expected
 

@@ -62,3 +62,56 @@ def test_read_xls_spark(spark, tmp_path):
     assert len(rows) == 25
     assert rows["24"]["n_name"] == "NATION_24"
     assert rows["24"]["n_regionkey"] == "4"
+
+
+def test_rejects_biff5_version():
+    """A BIFF5/95 workbook (vers 0x0500 in BOF) must be rejected outright:
+    its string records have no Unicode-flags byte, so decoding it with
+    BIFF8 layouts would return silently garbled text."""
+    data = nation_xls_bytes()
+    # the workbook stream begins with BOF: op(2) len(2) vers(2) — patch the
+    # version word inside the CFB sector payload
+    import struct as _s
+
+    bof_sig = _s.pack("<HH", 0x0809, 16) + _s.pack("<H", 0x0600)
+    idx = data.find(bof_sig)
+    assert idx > 0
+    patched = (
+        data[: idx + 4] + _s.pack("<H", 0x0500) + data[idx + 6 :]
+    )
+    with pytest.raises(ValueError, match="BIFF8"):
+        read_workbook(patched)
+
+
+def test_unistr_rich_and_ext_flags():
+    """LABEL payloads carrying the rich (0x08) / ext (0x04) flags must skip
+    the cRun / cbExtRst fields before the character array."""
+    import struct as _s
+
+    from fefal_etl_spark.sources.xls_biff import _unistr
+
+    text = "Hello"
+    # rich compressed: cch, flags=0x08, cRun=2, chars, runs(4 bytes each)
+    b = _s.pack("<HBH", len(text), 0x08, 2) + text.encode("latin-1") + b"\x00" * 8
+    assert _unistr(b, 0) == text
+    # ext utf-16: cch, flags=0x05, cbExtRst=4, chars, ext block
+    b = (
+        _s.pack("<HBI", len(text), 0x05, 4)
+        + text.encode("utf-16-le")
+        + b"\x00" * 4
+    )
+    assert _unistr(b, 0) == text
+    # truncated char array (CONTINUE-split) must raise, not silently clip
+    b = _s.pack("<HB", 10, 0x00) + b"abc"
+    with pytest.raises(ValueError, match="CONTINUE"):
+        _unistr(b, 0)
+
+
+def test_num_str_rejects_non_finite():
+    from fefal_etl_spark.sources.xls_biff import _num_str
+
+    with pytest.raises(ValueError, match="non-finite"):
+        _num_str(float("inf"))
+    with pytest.raises(ValueError, match="non-finite"):
+        _num_str(float("nan"))
+    assert _num_str(3.0) == "3"
