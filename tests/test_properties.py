@@ -471,3 +471,84 @@ def test_cdc_chunks_partition_documents_exactly(spark, docs):
         assert sum(c["n_words"] for c in chunks) == len(ws)
         ids = sorted(c["chunk_id"] for c in chunks)
         assert ids == list(range(len(ids)))
+
+
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.floats(
+                min_value=0.0,
+                max_value=500.0,
+                allow_nan=False,
+                allow_infinity=False,
+            ).map(lambda x: round(x, 1)),
+            st.integers(min_value=0, max_value=40),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@SETTLE
+def test_skyline_2d_matches_bruteforce(spark, pts):
+    """operators.quality.skyline_2d (banded prune + running-min window)
+    must equal the O(n²) domination definition for arbitrary point sets —
+    duplicates, ties on either axis, single-band and cross-band layouts."""
+    from fefal_etl_spark.operators.quality import skyline_2d
+
+    def dominated(p, others):
+        return any(
+            q[0] <= p[0] and q[1] <= p[1] and (q[0] < p[0] or q[1] < p[1])
+            for q in others
+        )
+
+    distinct = sorted(set(pts))
+    expected = sorted(p for p in distinct if not dominated(p, distinct))
+    df = spark.createDataFrame(pts, "x double, y int")
+    got = sorted(
+        (r["x"], r["y"]) for r in skyline_2d(df, "x", "y").collect()
+    )
+    assert got == expected
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=0, max_value=9),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    hops=st.integers(min_value=1, max_value=4),
+)
+@SETTLE
+def test_bfs_levels_matches_python_bfs(spark, edges, hops):
+    """operators.graph.bfs_levels must return exactly the textbook BFS
+    levels (dict-based reference) for arbitrary small directed graphs,
+    any max_hops, source fixed to node '0'."""
+    from collections import deque
+
+    from fefal_etl_spark.operators.graph import bfs_levels
+
+    adj: dict[str, set[str]] = {}
+    for a, b in edges:
+        adj.setdefault(str(a), set()).add(str(b))
+    expected = {"0": 0}
+    dq = deque([("0", 0)])
+    while dq:
+        node, lvl = dq.popleft()
+        if lvl >= hops:
+            continue
+        for nxt in adj.get(node, ()):
+            if nxt not in expected:
+                expected[nxt] = lvl + 1
+                dq.append((nxt, lvl + 1))
+
+    df = spark.createDataFrame(
+        [(str(a), str(b)) for a, b in edges], "src string, dst string"
+    )
+    got = {
+        r["node"]: r["level"]
+        for r in bfs_levels(df, "0", max_hops=hops).collect()
+    }
+    assert got == expected
