@@ -128,6 +128,12 @@ def main(argv: list[str] | None = None) -> int:
             if problems:
                 raise SystemExit("config invalid: " + "; ".join(problems))
             result = run_pipeline(survey, registry, config)
+            # persist: the classified frame feeds four branch writes plus
+            # the status-count collect — without it each action re-runs
+            # the whole ingest+classify DAG, and the valid/duplicate fork
+            # tie-breaks on a row key that is NOT stable across
+            # independent recomputations
+            result.frame.persist()
             for status in ("valid", "duplicate", "unmatched", "blank_name"):
                 dest = os.path.join(args.out, status)
                 result.branch(status).write.mode("overwrite").parquet(dest)
@@ -139,6 +145,7 @@ def main(argv: list[str] | None = None) -> int:
                 .agg(F.count("*").alias("n"))
                 .collect()
             }
+            result.frame.unpersist()
             print(json.dumps({"out": args.out, "status_counts": counts}))
     finally:
         spark.stop()

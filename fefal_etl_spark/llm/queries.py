@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from fefal_etl_spark.datasets import fan_table, load_table
 from fefal_etl_spark.llm.dedup import (
     exact_dup_groups,
+    md5_hash64,
     minhash_lsh_neardup,
     simhash,
 )
@@ -62,7 +63,7 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     struct pair per row is a narrow Expand over a single scan (halves
     corpus IO for every dedup query; semantics identical to the oracle's
     UNION ALL)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = fan_table(spark, sf_dir, "documents").select("doc_id", "text")
     orig = F.struct(F.col("doc_id"), F.col("text"))
     planted = F.struct(
         (F.col("doc_id") + 1000000).alias("doc_id"),
@@ -71,17 +72,11 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = F.when(
         F.col("doc_id") % 10 == 0, F.array(orig, planted)
     ).otherwise(F.array(orig))
-    # Repartition BEFORE the per-doc heavy lifting: the test parquet is a
-    # single row group, so every downstream map stage (shingling, banded
-    # levenshtein DP, prefix blocks) would otherwise run on ONE core until
-    # its first shuffle — the same input-bytes-vs-generated-work mismatch
-    # fixed in bootstrap_ci. A |docs|-row shuffle is noise; the win is
-    # 3.7× on levenshtein_neardup. At 100 TB the scan has plentiful
-    # splits and this is a cheap near-no-op (AQE coalesces it away).
-    return (
-        docs.repartition(spark.sparkContext.defaultParallelism)
-        .select(F.explode(rows).alias("r"))
-        .select("r.doc_id", "r.text")
+    # fan_table repartitions BEFORE the per-doc heavy lifting (shingling,
+    # banded levenshtein DP, prefix blocks) — see datasets.fan_table for
+    # the measured rationale (3.7× on levenshtein_neardup).
+    return docs.select(F.explode(rows).alias("r")).select(
+        "r.doc_id", "r.text"
     )
 
 
@@ -3387,20 +3382,10 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "quantile_sketch_audit",
     """
-    WITH stats AS (
-        SELECT source,
-               CAST(count(*) AS BIGINT) AS n_docs,
-               quantile_cont(n_chars, 0.23) AS lo_exact,
-               quantile_cont(n_chars, 0.27) AS hi_exact,
-               quantile_cont(n_chars, 0.48) AS lo_exact2,
-               quantile_cont(n_chars, 0.52) AS hi_exact2,
-               quantile_cont(n_chars, 0.73) AS lo_exact3,
-               quantile_cont(n_chars, 0.77) AS hi_exact3
-        FROM documents GROUP BY source
-    )
-    SELECT source, n_docs,
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
            TRUE AS q25_ok, TRUE AS q50_ok, TRUE AS q75_ok
-    FROM stats
+    FROM documents GROUP BY source
     """,
 )
 def q_quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3408,35 +3393,56 @@ def q_quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     concrete and auditable: per-source quartile boundaries from
     `percentile_approx` (Spark's KLL-style rank sketch — one pass,
     mergeable across partitions/shards, no global sort) checked RANK-WISE
-    against the exact distribution: each sketch quartile must land inside
-    the exact ±2%-rank window (the documented guarantee is on RANK, not
-    value — same audit discipline as `approx_sketches`). The oracle
-    asserts the booleans, which are engine-invariant facts about Spark's
-    sketch; the exact windows come from the same SQL percentile both
-    engines agree on.
+    against the group itself: the returned value v must have rank
+    coverage overlapping the target window, i.e.
+    count(x ≤ v) ≥ (p − ε)·n − 1 and count(x < v) ≤ (p + ε)·n + 1 with
+    ε = 0.02 plus one position of discreteness slack. This is the
+    sketch's actual contract (the guarantee is on RANK, not value) and —
+    unlike an exact-percentile VALUE window — it cannot go vacuously
+    false on small or gappy groups where interpolated values fall
+    between data points. The oracle asserts the booleans (engine-
+    invariant facts about Spark's sketch) plus the group sizes.
 
-    Scale: this is the plan that replaces the global percent_rank sort —
-    per-source sketches build map-side and merge in one shuffle of
-    sketch-sized buffers; the exact windows exist only in the audit."""
-    docs = load_table(spark, sf_dir, "documents")
-    g = docs.groupBy("source").agg(
+    Scale: per-source sketches build map-side and merge in one shuffle
+    of sketch-sized buffers; the rank audit is one broadcast of the
+    |sources|-row quartile table back onto the fact and a conditional-
+    count aggregation — the same shape the production calibration join
+    uses."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+    quart = docs.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.percentile_approx("n_chars", 0.25, 100000).alias("a25"),
         F.percentile_approx("n_chars", 0.50, 100000).alias("a50"),
         F.percentile_approx("n_chars", 0.75, 100000).alias("a75"),
-        F.expr("percentile(n_chars, 0.23)").alias("lo1"),
-        F.expr("percentile(n_chars, 0.27)").alias("hi1"),
-        F.expr("percentile(n_chars, 0.48)").alias("lo2"),
-        F.expr("percentile(n_chars, 0.52)").alias("hi2"),
-        F.expr("percentile(n_chars, 0.73)").alias("lo3"),
-        F.expr("percentile(n_chars, 0.77)").alias("hi3"),
     )
-    return g.select(
+    joined = docs.join(F.broadcast(quart), "source")
+    ranks = joined.groupBy("source").agg(
+        *[
+            agg
+            for q in ("a25", "a50", "a75")
+            for agg in (
+                F.sum(
+                    F.when(F.col("n_chars") <= F.col(q), 1).otherwise(0)
+                ).alias(f"le_{q}"),
+                F.sum(
+                    F.when(F.col("n_chars") < F.col(q), 1).otherwise(0)
+                ).alias(f"lt_{q}"),
+            )
+        ]
+    )
+
+    def ok(q: str, p: float):
+        n = F.col("n_docs").cast("double")
+        lo = (p - 0.02) * n - 1
+        hi = (p + 0.02) * n + 1
+        return (F.col(f"le_{q}") >= lo) & (F.col(f"lt_{q}") <= hi)
+
+    return quart.join(ranks, "source").select(
         "source",
         "n_docs",
-        F.col("a25").between(F.col("lo1"), F.col("hi1")).alias("q25_ok"),
-        F.col("a50").between(F.col("lo2"), F.col("hi2")).alias("q50_ok"),
-        F.col("a75").between(F.col("lo3"), F.col("hi3")).alias("q75_ok"),
+        ok("a25", 0.25).alias("q25_ok"),
+        ok("a50", 0.50).alias("q50_ok"),
+        ok("a75", 0.75).alias("q75_ok"),
     )
 
 
@@ -3586,24 +3592,10 @@ def q_minhash_jaccard_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = vocab.select("source", "w", j).select(
         "source",
         "j",
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.lit("mh"),
-                        F.col("j").cast("string"),
-                        F.lit("|"),
-                        F.col("w"),
-                    )
-                ),
-                1,
-                15,
-            ),
-            16,
-            10,
-        )
-        .cast("long")
-        .alias("h"),
+        # the family-wide portable seeded hash: md5('mh{j}|{w}'), 15 hex
+        md5_hash64(
+            F.col("w"), F.concat(F.lit("mh"), F.col("j").cast("string"))
+        ).alias("h"),
     )
     sigs = hashed.groupBy("source", "j").agg(F.min("h").alias("mh"))
     a = sigs.select(

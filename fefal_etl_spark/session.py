@@ -127,7 +127,9 @@ def get_spark(
                 except ValueError:
                     return -1
             try:
-                return int(v)  # bare bytes
+                # Spark parses suffix-less spark.driver.memory as MiB
+                # (JavaUtils.byteStringAsMb), not bytes
+                return int(v) << 20
             except ValueError:
                 return -1
 

@@ -64,6 +64,10 @@ def _grid_to_df(
     if not rows:
         raise ValueError(f"sheet {sheet_name!r} of {path} is empty")
     header = ["" if c is None else str(c) for c in rows[0]]
+    # blank header cells (trailing empty columns are common in real
+    # exports) get positional names — pandas does the same ('Unnamed: N');
+    # only genuine duplicate NAMES are rejected
+    header = [c if c else f"_c{i}" for i, c in enumerate(header)]
     dupes = sorted({c for c in header if header.count(c) > 1})
     if dupes:
         raise ValueError(f"duplicate column names in workbook header: {dupes}")
@@ -193,10 +197,17 @@ def read_excel_dir(
                     out["_source_file"] = src
                 yield out
 
-    schema = ", ".join(f"`{c}` string" for c in header)
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    # StructType, not a hand-built DDL string: header cells containing
+    # backticks or commas must not break schema parsing (same hardening
+    # as _grid_to_df)
+    fields = [StructField(c, StringType()) for c in header]
     if with_source:
-        schema += ", `_source_file` string"
-    return bin_df.select("path", "content").mapInPandas(_parse, schema)
+        fields.append(StructField("_source_file", StringType()))
+    return bin_df.select("path", "content").mapInPandas(
+        _parse, StructType(fields)
+    )
 
 
 def read_jdbc(
