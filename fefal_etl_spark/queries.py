@@ -2483,49 +2483,18 @@ def q_set_ops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 # already represented (extra family members, alternates, display variants)
 # and follow in registration order.
 _DRIVER_PRIORITY = [
-    # Round-4 rotation (docs/QUERIES.md): the driver samples the FIRST 50
-    # registry entries, so the prefix carries (a) the two r3 driver-red
-    # queries, now fixed, which must earn driver-green rows, (b) the new
-    # xls_scan component, and (c) 47 queries that have never had a driver
-    # row in rounds 1-3 (judge-green only) — rotating least-driver-validated
-    # components into the hard gate each round (VERDICT r3 item 6).
-    "ab_test_ztest",
-    "positional_index",
-    "xls_scan",
-    # round-4 new components (V87-V98)
-    "levenshtein_neardup", "zipf_fit", "benford_digits", "dsir_importance",
-    "ks_test_value", "countmin_freq", "seasonal_decompose", "skyline_parts",
-    "quantile_normalize", "bloom_prune_join", "time_weighted_avg",
-    "funnel_latency", "graph_bfs_levels", "dpp_partition_join",
-    "rrf_fusion", "decayed_user_value", "bootstrap_ci",
-    "quantile_sketch_audit", "boolean_retrieval", "session_funnel",
-    "minhash_jaccard_sources",
-    "bounce_rate_daily",
-    "rfm_segments",
-    "excel_dir_scan",
-    "excel_dir_roundtrip",
-    "dup_clusters",
-    "scd2_dim_merge",
-    "semdedup_pairs",
-    "tfidf_top_terms",
-    "pii_scrub",
-    "funnel_conversion",
-    "cohort_retention",
-    "event_transitions",
-    "suppliers_kept_waiting",
-    "volume_shipping",
-    "important_part_values",
-    "dormant_customer_balances",
-    "decontaminate_overlap",
-    "events_ohlc",
-    "ewma_smoothing",
-    "purchase_attribution_join",
-    "null_semantics_suite",
-    "doc_chunks",
-    "pagerank_trade_graph",
-    "sequence_packing",
-    "hierarchy_paths",
-    "min_cost_supplier",
+    # Round-5 rotation (docs/QUERIES.md): the driver samples the FIRST 50
+    # registry entries each round.  After rounds 1-4, 165 of 213 registry
+    # queries have at least one driver-green CORRECTNESS row; the 48 below
+    # are exactly the remainder (never driver-sampled — judge-verified
+    # and/or local-oracle-green only).  The r5 prefix is that full set plus
+    # the new round-5 components, so that after this round EVERY registry
+    # query has a driver row (VERDICT r4 item 1).
+    # --- new round-5 components ---
+    "table_commit_isolation",
+    "table_time_travel",
+    # --- the 48 never-driver-sampled queries (r1-r4 union of
+    # CORRECTNESS_r0{1..4}.json keys excluded) ---
     "excess_stock_suppliers",
     "product_type_profit",
     "cdc_snapshot",
@@ -2547,7 +2516,6 @@ _DRIVER_PRIORITY = [
     "supplier_variety",
     "small_quantity_revenue",
     "excel_roundtrip_scan",
-    # remaining never-driver-sampled queries (next rotation candidates)
     "copurchase_triangles",
     "price_histogram",
     "heavy_hitters",
