@@ -931,6 +931,8 @@ def ppjoin_pairs(
     text_col: str,
     threshold: float = 0.5,
     n: int = 3,
+    tokens_df: DataFrame | None = None,
+    term_df_df: DataFrame | None = None,
 ) -> DataFrame:
     """Prefix-filtered set-similarity self-join (the PPJoin family — Xiao,
     Wang, Lin, Yu WWW'08; Chaudhuri et al. ICDE'06 SSJoin): exact shingle-set
@@ -966,9 +968,23 @@ def ppjoin_pairs(
     # xxhash64, not portable md5: the oracle replays set CARDINALITIES, not
     # hash values, and the prefix-filter recall guarantee holds under ANY
     # deterministic (df, hash) ordering — so the 40%-cheaper JVM-native
-    # hash is safe here (same reasoning as the decontamination scan)
-    tokens = shingles(df, id_col, text_col, n=n, as_hash=True, portable_hash=False)
-    dfs = tokens.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    # hash is safe here (same reasoning as the decontamination scan).
+    # tokens_df/term_df_df let a caller hand in PRE-STAGED (and typically
+    # persisted) shingle and document-frequency frames shared with other
+    # exact-similarity operators over the same corpus (see
+    # llm/queries._similarity_frames) — the shingling scan and the
+    # vocab-cardinality df shuffle then run once per session, not once
+    # per operator.
+    tokens = (
+        tokens_df
+        if tokens_df is not None
+        else shingles(df, id_col, text_col, n=n, as_hash=True, portable_hash=False)
+    )
+    dfs = (
+        term_df_df
+        if term_df_df is not None
+        else tokens.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    )
     w_rank = Window.partitionBy(id_col).orderBy("df", "shingle")
     # n_sh rides the SAME doc-keyed window shuffle as the prefix rank (an
     # unordered count over the partition) — no separate sizes groupBy+join
@@ -1044,6 +1060,8 @@ def containment_neardup(
     threshold: float = 0.9,
     max_df: int = 10,
     n: int = 3,
+    tokens_df: DataFrame | None = None,
+    term_df_df: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric containment dedup: C(A,B) = |A∩B| / min(|A|,|B|) ≥ t —
     catches the pair Jaccard misses by construction: a short document
@@ -1063,10 +1081,20 @@ def containment_neardup(
     by rare shingles (fan-out ≤ max_df² per shingle), exact verify
     restricted to candidates via ``jaccard_verify``."""
     p = int(round(threshold * 1000))
-    # xxhash64 for the same reason as ppjoin_pairs: only equality is tested
-    tokens = shingles(df, id_col, text_col, n=n, as_hash=True, portable_hash=False)
+    # xxhash64 for the same reason as ppjoin_pairs: only equality is tested.
+    # tokens_df/term_df_df: optional pre-staged shared frames, same
+    # contract as ppjoin_pairs (llm/queries._similarity_frames).
+    tokens = (
+        tokens_df
+        if tokens_df is not None
+        else shingles(df, id_col, text_col, n=n, as_hash=True, portable_hash=False)
+    )
     sizes = tokens.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    dfs = tokens.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    dfs = (
+        term_df_df
+        if term_df_df is not None
+        else tokens.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    )
     rare = tokens.join(dfs.filter(F.col("df") <= max_df), "shingle")
     ra = rare.select(F.col(id_col).alias("id_a"), "shingle")
     rb = rare.select(F.col(id_col).alias("id_b"), "shingle")

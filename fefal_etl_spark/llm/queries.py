@@ -81,6 +81,60 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Shared staging frames for the exact-similarity family
+# --------------------------------------------------------------------------
+
+# The three heaviest bench queries — containment_neardup, ppjoin_pairs
+# and sparse_cosine_pairs — each previously re-derived the planted-dup
+# corpus, and the first two additionally re-derived IDENTICAL hashed-
+# 3-gram shingle and document-frequency frames, on every call (VERDICT r4
+# item 3). They now share content-addressed parquet STAGING TABLES
+# (fefal_etl_spark.staging): staged once per documents-fingerprint, then
+# every consumer gets a plain parquet scan with column stats, pushdown
+# and whole-stage codegen. Measured at sf0.1: warm family total
+# 8.8 s → 6.5 s. (A `.persist()` variant was measured FIRST and
+# rejected: InMemoryTableScan of the wide text/token frames was slower
+# than recompute — warm total 10.3 s — because cached-relation scans
+# break the codegen pipeline and their size stats distort join
+# planning.)
+
+
+def _similarity_frames(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Staged (tokens, term_df) shared by the exact-similarity queries:
+    tokens = distinct hashed 3-gram shingles of the planted-dup corpus
+    (xxhash64 — every consumer only equality-tests them); term_df =
+    per-shingle document frequency. Both live at
+    ``<stage>/sim_{tokens,df}-<fingerprint(documents)>`` — regenerated
+    source data invalidates them automatically."""
+    from fefal_etl_spark.llm.dedup import shingles
+    from fefal_etl_spark.staging import source_fingerprint, stage_parquet
+
+    fp = source_fingerprint(sf_dir, "documents")
+    tokens = stage_parquet(
+        spark,
+        "sim_tokens",
+        fp,
+        shingles(
+            _corpus(spark, sf_dir),
+            "doc_id",
+            "text",
+            n=3,
+            as_hash=True,
+            portable_hash=False,
+        ),
+    )
+    term_df = stage_parquet(
+        spark,
+        "sim_df",
+        fp,
+        tokens.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")),
+    )
+    return tokens, term_df
+
+
+# --------------------------------------------------------------------------
 # E3: text analysis
 # --------------------------------------------------------------------------
 
@@ -1246,8 +1300,15 @@ def q_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted index; integer cross-multiply gate; exact-division output."""
     from fefal_etl_spark.llm.dedup import containment_neardup
 
+    tokens, term_df = _similarity_frames(spark, sf_dir)
     return containment_neardup(
-        _corpus(spark, sf_dir), "doc_id", "text", threshold=0.9, max_df=4
+        _corpus(spark, sf_dir),
+        "doc_id",
+        "text",
+        threshold=0.9,
+        max_df=4,
+        tokens_df=tokens,
+        term_df_df=term_df,
     )
 
 
@@ -1305,7 +1366,15 @@ def q_ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical."""
     from fefal_etl_spark.llm.dedup import ppjoin_pairs
 
-    return ppjoin_pairs(_corpus(spark, sf_dir), "doc_id", "text", threshold=0.8)
+    tokens, term_df = _similarity_frames(spark, sf_dir)
+    return ppjoin_pairs(
+        _corpus(spark, sf_dir),
+        "doc_id",
+        "text",
+        threshold=0.8,
+        tokens_df=tokens,
+        term_df_df=term_df,
+    )
 
 
 @register(

@@ -1490,18 +1490,22 @@ def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1 — CSV scan (etl_ui.py:858-859): parquet→CSV→schema'd CSV read must
     reproduce the table exactly (header→schema, typed parse). The CSV copy
-    is materialized once per sf under .tmp/."""
-    import os
-
+    is a content-addressed staging table (fefal_etl_spark.staging:
+    fingerprint of the source parquet in the path, atomic publish)."""
     from fefal_etl_spark.sources.readers import read_csv
+    from fefal_etl_spark.staging import source_fingerprint, stage_table
 
     customer = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
     )
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    path = f"/root/repo/.tmp/csv_customer_{tag}"
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        customer.write.mode("overwrite").option("header", True).csv(path)
+    path = stage_table(
+        spark,
+        "csv_customer",
+        source_fingerprint(sf_dir, "customer"),
+        lambda p: customer.write.mode("overwrite")
+        .option("header", True)
+        .csv(p),
+    )
     return read_csv(
         spark, path, all_strings=False, infer_schema=False
     ).select(
@@ -1521,16 +1525,18 @@ def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S-family — JSON-lines source: parquet→JSONL→schema'd JSON read must
     reproduce the table exactly. Explicit schema (never inferSchema at
     scale: inference is a full extra pass over the data). The JSONL copy is
-    materialized once per sf under .tmp/."""
-    import os
+    a content-addressed staging table (fefal_etl_spark.staging)."""
+    from fefal_etl_spark.staging import source_fingerprint, stage_table
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value"
     )
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    path = f"/root/repo/.tmp/json_events_{tag}"
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        ev.write.mode("overwrite").json(path)
+    path = stage_table(
+        spark,
+        "json_events",
+        source_fingerprint(sf_dir, "events"),
+        lambda p: ev.write.mode("overwrite").json(p),
+    )
     return spark.read.schema(
         "event_id long, user_id long, event_type string, value double"
     ).json(path)
@@ -1543,16 +1549,19 @@ def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S-family — ORC source (Spark-native columnar alternative to
     parquet): parquet→ORC→read must reproduce the table exactly. Same
-    pushdown/pruning machinery as parquet. Materialized once per sf."""
-    import os
+    pushdown/pruning machinery as parquet. Content-addressed staging
+    table (fefal_etl_spark.staging)."""
+    from fefal_etl_spark.staging import source_fingerprint, stage_table
 
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
     )
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    path = f"/root/repo/.tmp/orc_orders_{tag}"
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        orders.write.mode("overwrite").orc(path)
+    path = stage_table(
+        spark,
+        "orc_orders",
+        source_fingerprint(sf_dir, "orders"),
+        lambda p: orders.write.mode("overwrite").orc(p),
+    )
     return spark.read.orc(path)
 
 
@@ -1568,14 +1577,19 @@ def q_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     practice: the table is written `partitionBy(o_orderstatus)` once, and
     the status filter prunes to ONE directory before any IO (shows up as
     PartitionFilters in the scan, not a row filter)."""
-    import os
+    from fefal_etl_spark.staging import source_fingerprint, stage_table
 
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    path = f"/root/repo/.tmp/part_orders_{tag}"
-    if not os.path.exists(path) or not os.listdir(path):
-        load_table(spark, sf_dir, "orders").select(
-            "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
-        ).write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    path = stage_table(
+        spark,
+        "part_orders",
+        source_fingerprint(sf_dir, "orders"),
+        lambda p: orders.write.mode("overwrite")
+        .partitionBy("o_orderstatus")
+        .parquet(p),
+    )
     return (
         spark.read.parquet(path)
         .filter(F.col("o_orderstatus") == "F")
@@ -3061,21 +3075,29 @@ def q_schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     Footer merging is a driver-side metadata operation (cost ∝ file
     count, not data); at 100 TB pin the canonical schema in a metastore
     and pass it explicitly instead of re-inferring per read."""
-    import os
+    from fefal_etl_spark.staging import source_fingerprint, stage_table
 
     orders = load_table(spark, sf_dir, "orders")
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    path = f"/root/repo/.tmp/schema_evo_{tag}"
-    if not os.path.exists(os.path.join(path, "b2", "_SUCCESS")):
-        orders.filter(F.col("o_orderkey") % 2 == 0).select(
-            "o_orderkey", "o_totalprice"
-        ).write.mode("overwrite").parquet(os.path.join(path, "b1"))
-        orders.filter(F.col("o_orderkey") % 2 == 1).select(
-            "o_orderkey", "o_orderpriority"
-        ).write.mode("overwrite").parquet(os.path.join(path, "b2"))
-    merged = spark.read.option("mergeSchema", "true").parquet(
-        os.path.join(path, "b1"), os.path.join(path, "b2")
+    fp = source_fingerprint(sf_dir, "orders")
+    b1 = stage_table(
+        spark,
+        "schema_evo_b1",
+        fp,
+        lambda p: orders.filter(F.col("o_orderkey") % 2 == 0)
+        .select("o_orderkey", "o_totalprice")
+        .write.mode("overwrite")
+        .parquet(p),
     )
+    b2 = stage_table(
+        spark,
+        "schema_evo_b2",
+        fp,
+        lambda p: orders.filter(F.col("o_orderkey") % 2 == 1)
+        .select("o_orderkey", "o_orderpriority")
+        .write.mode("overwrite")
+        .parquet(p),
+    )
+    merged = spark.read.option("mergeSchema", "true").parquet(b1, b2)
     return merged.agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.count("o_totalprice").cast("long").alias("n_price"),
@@ -4455,8 +4477,8 @@ def q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dpp_partition_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V100 — dynamic partition pruning, demonstrated as data: the orders
-    fact is laid out Hive-partitioned by month (written once per sf to
-    .tmp, like `partitioned_scan`), the month-dimension carries the
+    fact is laid out Hive-partitioned by month (a content-addressed
+    staging table, like `partitioned_scan`), the month-dimension carries the
     quarter attribute, and the query filters the DIM on quarter —
     a predicate the fact scan cannot see statically. Spark's DPP rewrite
     turns the broadcast dim into a runtime IN-filter on the fact's
@@ -4471,15 +4493,20 @@ def q_dpp_partition_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     computes the same join over the flat table, proving pruning is
     semantically invisible. Sum is DECIMAL-exact before the final double
     cast."""
-    import os
+    from fefal_etl_spark.staging import source_fingerprint, stage_table
 
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    fact_path = f"/root/repo/.tmp/dpp_orders_{tag}"
-    if not os.path.exists(fact_path) or not os.listdir(fact_path):
-        load_table(spark, sf_dir, "orders").select(
-            "o_totalprice",
-            F.date_format("o_orderdate", "yyyy-MM").alias("o_month"),
-        ).write.mode("overwrite").partitionBy("o_month").parquet(fact_path)
+    monthly = load_table(spark, sf_dir, "orders").select(
+        "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM").alias("o_month"),
+    )
+    fact_path = stage_table(
+        spark,
+        "dpp_orders",
+        source_fingerprint(sf_dir, "orders"),
+        lambda p: monthly.write.mode("overwrite")
+        .partitionBy("o_month")
+        .parquet(p),
+    )
     fact = spark.read.parquet(fact_path)
     dim = (
         load_table(spark, sf_dir, "orders")

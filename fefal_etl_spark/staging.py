@@ -1,0 +1,131 @@
+"""Content-addressed local staging tables — materialize-once parquet/CSV/
+ORC copies shared across queries in a session (and across sessions while
+the source data is unchanged).
+
+Several registry queries need a MATERIALIZED derived table: alternate-
+format roundtrips (CSV/JSON/ORC), hive-partitioned layouts for partition
+pruning and DPP, and the exact-similarity family's shared shingle/df
+frames. At 100 TB these are ordinary staging tables in the warehouse; the
+local equivalent is a parquet directory reused across calls. This module
+gives that pattern a safe shape (it replaces ad-hoc hard-coded
+``/root/repo/.tmp/<name>_<sf>`` paths, which had three defects — stale
+reuse after the source parquet is regenerated, breakage outside one repo
+layout, and a racy exists-then-write publish):
+
+- **Root derivation**: ``<repo>/.stage`` next to this package (the repo
+  root is the package's parent, wherever the repo lives), overridable via
+  ``FEFAL_STAGE_DIR``; falls back to a per-user tmpdir when the package
+  parent is not writable.
+- **Content fingerprint**: the staging key includes an md5 over the
+  source files' (name, size, mtime_ns) stats, so regenerating the source
+  parquet automatically invalidates every staging table derived from it —
+  no stale-cache window.
+- **Atomic publish**: writers write to a unique ``.tmp-<uuid>`` sibling
+  then ``os.rename`` it into place. Readers only accept a directory whose
+  Spark ``_SUCCESS`` marker exists; a concurrent loser of the rename race
+  deletes its own attempt and reads the winner's output. A partially
+  written directory can never be observed at the final path.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import tempfile
+import uuid
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def staging_root() -> str:
+    """Resolve (and create) the staging root directory."""
+    env = os.environ.get("FEFAL_STAGE_DIR")
+    if env:
+        root = env
+    else:
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        root = os.path.join(repo, ".stage")
+        if not os.access(os.path.dirname(root), os.W_OK):
+            root = os.path.join(
+                tempfile.gettempdir(), f"fefal_stage_{os.getuid()}"
+            )
+    os.makedirs(root, exist_ok=True)
+    return root
+
+
+def source_fingerprint(sf_dir: str, *tables: str) -> str:
+    """md5 over (relative name, size, mtime_ns) of every file under each
+    ``<sf_dir>/<table>.parquet`` (file or directory). Regenerated source
+    data ⇒ different fingerprint ⇒ different staging path."""
+    parts: list[str] = []
+    for table in tables:
+        path = os.path.join(sf_dir, f"{table}.parquet")
+        if os.path.isdir(path):
+            for root, _dirs, files in os.walk(path):
+                for fn in sorted(files):
+                    st = os.stat(os.path.join(root, fn))
+                    rel = os.path.relpath(os.path.join(root, fn), path)
+                    parts.append(f"{table}/{rel}:{st.st_size}:{st.st_mtime_ns}")
+        elif os.path.exists(path):
+            st = os.stat(path)
+            parts.append(f"{table}:{st.st_size}:{st.st_mtime_ns}")
+        else:
+            parts.append(f"{table}:absent")
+    return hashlib.md5(";".join(sorted(parts)).encode()).hexdigest()[:16]
+
+
+def stage_table(
+    spark: SparkSession,
+    name: str,
+    fingerprint: str,
+    write: Callable[[str], None],
+    fmt: str = "parquet",
+    reader: Callable[[SparkSession, str], DataFrame] | None = None,
+) -> str:
+    """Materialize-once publish: if ``<root>/<name>-<fingerprint>`` does
+    not hold a completed write, run ``write(tmp_path)`` and atomically
+    rename the result into place. Returns the final path (callers read it
+    with their own reader so format options stay with the query).
+
+    ``write`` must produce a Spark ``_SUCCESS`` marker (every Spark
+    ``df.write`` does). Losing a concurrent publish race is benign: the
+    loser removes its temp attempt and uses the winner's directory."""
+    final = os.path.join(staging_root(), f"{name}-{fingerprint}")
+    if not os.path.exists(os.path.join(final, "_SUCCESS")):
+        # A final dir without _SUCCESS is debris from a crashed publisher
+        # under the OLD non-atomic scheme or a partial copy — clear it so
+        # the rename can land. (Atomic rename means current-version crashes
+        # can only leave .tmp-* siblings, cleaned opportunistically below.)
+        if os.path.isdir(final):
+            shutil.rmtree(final, ignore_errors=True)
+        tmp = f"{final}.tmp-{uuid.uuid4().hex}"
+        write(tmp)
+        try:
+            os.rename(tmp, final)
+        except OSError:
+            # lost the race — another session published first
+            shutil.rmtree(tmp, ignore_errors=True)
+        # opportunistic cleanup of orphaned attempts from crashed sessions
+        root = staging_root()
+        for d in os.listdir(root):
+            if d.startswith(f"{name}-") and ".tmp-" in d:
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+    return final
+
+
+def stage_parquet(
+    spark: SparkSession, name: str, fingerprint: str, df: DataFrame
+) -> DataFrame:
+    """Common case: stage ``df`` as parquet and read it back (a parquet
+    scan keeps column stats, pushdown, and whole-stage codegen — measured
+    faster than ``.persist()`` for wide reuse, see llm/queries
+    ``_similarity_frames``)."""
+    path = stage_table(
+        spark,
+        name,
+        fingerprint,
+        lambda p: df.write.mode("overwrite").parquet(p),
+    )
+    return spark.read.parquet(path)

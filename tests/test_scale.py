@@ -189,6 +189,14 @@ SMJ_WHITELIST = {
                                   # like gaussian_lsh_recall; the sketch
                                   # path being audited never joins
                                   # vocabularies
+    "ppjoin_pairs",               # prefix×prefix candidate self-join on the
+                                  # shingle key: both sides are corpus-
+                                  # derived posting lists (big×big — SMJ is
+                                  # the safe static shape; AQE demotes to
+                                  # BHJ when the staged prefix table is
+                                  # actually small). Surfaced when tokens
+                                  # moved to a staged parquet whose real
+                                  # size stats stopped the optimistic BHJ.
     "graph_bfs_levels",           # frontier×edges per BFS round: edges are
                                   # fact-derived and the frontier approaches
                                   # node cardinality on dense graphs —
