@@ -190,6 +190,10 @@ BENCH_QUERIES = [
     "boolean_retrieval",
     "session_funnel",
     "minhash_jaccard_sources",
+    # round-5 additions: transactional-table snapshot reads (the cold pass
+    # pays the one-time scenario build; warm = manifest-driven parquet read)
+    "table_commit_isolation",
+    "table_time_travel",
     # dup_clusters_star is excluded like ngram_jaccard_pairs: at bench SF its
     # wall time is ~6 iterative rounds of fixed scheduling cost (the
     # algorithm exists for O(log n) ROUNDS at web scale, demonstrated by the

@@ -2485,6 +2485,134 @@ def q_set_ops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ==========================================================================
+# Transactional table layer (fefal_etl_spark/table.py) — commit isolation
+# and time travel as oracle-checked data, not just unit tests
+# ==========================================================================
+
+
+def _txn_scenario(spark: SparkSession, sf_dir: str, name: str, builder, final_version: int):
+    """Build (once per source fingerprint) a TransactionalTable scenario
+    under the staging root and return the table handle. The scenario is
+    deterministic, so an existing table at the expected final version is
+    reused; anything else (partial build from a crashed session, stale
+    source) is discarded and rebuilt."""
+    import os
+    import shutil
+
+    from fefal_etl_spark.staging import source_fingerprint, staging_root
+    from fefal_etl_spark.table import TransactionalTable
+
+    root = os.path.join(
+        staging_root(), f"{name}-{source_fingerprint(sf_dir, 'orders')}"
+    )
+    t = TransactionalTable(spark, root)
+    if t.latest_version() != final_version:
+        shutil.rmtree(root, ignore_errors=True)
+        t = TransactionalTable(spark, root)
+        builder(t)
+    return t
+
+
+@register(
+    "table_commit_isolation",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(24,4))) AS DOUBLE) AS revenue,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key
+    FROM orders WHERE o_orderkey % 3 IN (0, 1)
+    """,
+)
+def q_table_commit_isolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transactional-table commit isolation (fefal_etl_spark/table.py):
+    the orders table is rebuilt as a manifest-committed transactional
+    table — overwrite(keys%3=0) then append(keys%3=1) — and then a
+    writer CRASH is simulated mid-commit: a third batch (keys%3=2) gets
+    its data files fully staged under data/ and a dying publisher's temp
+    manifest is left behind, but no manifest is ever published. The
+    query reads the latest snapshot; the oracle computes the same
+    aggregates over keys%3 IN (0,1) directly — equality proves readers
+    can never observe a partial commit (the manifest IS the table; the
+    crashed writer's files are invisible debris). The protocol is
+    write-new-files → fsync → atomic create-if-absent manifest link."""
+    import os
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+    def build(t):
+        t.overwrite(base.filter(F.col("o_orderkey") % 3 == 0))
+        t.append(base.filter(F.col("o_orderkey") % 3 == 1))
+        # simulated crash: staged data files + a dying publisher's temp
+        # manifest, no published manifest
+        t.stage_files(base.filter(F.col("o_orderkey") % 3 == 2))
+        with open(
+            os.path.join(t._manifests_dir, ".tmp-crashed.json"), "w"
+        ) as f:
+            f.write('{"version": 99, "files": ["data/crashed/x.parquet"]}')
+
+    t = _txn_scenario(spark, sf_dir, "txn_isolation", build, final_version=1)
+    return t.read().agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(24,4)"))
+        .cast("double")
+        .alias("revenue"),
+        F.min("o_orderkey").cast("long").alias("min_key"),
+        F.max("o_orderkey").cast("long").alias("max_key"),
+    )
+
+
+@register(
+    "table_time_travel",
+    """
+    SELECT 0 AS version, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(24,4))) AS DOUBLE) AS revenue
+    FROM orders WHERE o_orderkey % 4 = 0
+    UNION ALL
+    SELECT 1, CAST(count(*) AS BIGINT),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(24,4))) AS DOUBLE)
+    FROM orders WHERE o_orderkey % 4 IN (0, 1)
+    UNION ALL
+    SELECT 2, CAST(count(*) AS BIGINT),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(24,4))) AS DOUBLE)
+    FROM orders WHERE o_orderkey % 4 IN (0, 1)
+      AND NOT (o_totalprice < 100000)
+    """,
+)
+def q_table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over the transactional table's manifest history:
+    version 0 = overwrite(keys%4=0), version 1 = append(keys%4=1),
+    version 2 = copy-on-write DELETE of rows under 100k. Reading each
+    pinned version yields that snapshot's aggregates; the oracle replays
+    the three logical states declaratively. Old snapshots stay readable
+    because data files are immutable and manifests are never rewritten —
+    the Delta/Iceberg time-travel contract (vacuum is the explicit
+    opt-in that retires them)."""
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+
+    def build(t):
+        t.overwrite(base.filter(F.col("o_orderkey") % 4 == 0))
+        t.append(base.filter(F.col("o_orderkey") % 4 == 1))
+        t.delete_where(F.col("o_totalprice") < 100000)
+
+    t = _txn_scenario(spark, sf_dir, "txn_travel", build, final_version=2)
+    out = None
+    for v in (0, 1, 2):
+        snap = t.read(version=v).agg(
+            F.lit(v).alias("version"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(24,4)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        out = snap if out is None else out.unionByName(snap)
+    return out
+
+
+# ==========================================================================
 # Registry accessors
 # ==========================================================================
 

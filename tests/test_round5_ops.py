@@ -91,6 +91,108 @@ def test_stage_table_lost_race_uses_winner(spark, tmp_path, monkeypatch):
     assert leftovers == []  # loser cleaned up
 
 
+# --------------------------------------------------------------------------
+# Transactional table layer (fefal_etl_spark/table.py)
+# --------------------------------------------------------------------------
+
+
+def _rows(df):
+    return sorted((r["k"], r["v"]) for r in df.collect())
+
+
+def test_txn_table_overwrite_append_time_travel(spark, tmp_path):
+    from fefal_etl_spark.table import TransactionalTable
+
+    t = TransactionalTable(spark, str(tmp_path / "t"))
+    assert t.latest_version() is None
+    v0 = t.overwrite(spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"))
+    v1 = t.append(spark.createDataFrame([(3, "c")], "k int, v string"))
+    assert (v0, v1) == (0, 1)
+    assert _rows(t.read()) == [(1, "a"), (2, "b"), (3, "c")]
+    assert _rows(t.read(version=0)) == [(1, "a"), (2, "b")]  # time travel
+    v2 = t.overwrite(spark.createDataFrame([(9, "z")], "k int, v string"))
+    assert v2 == 2 and _rows(t.read()) == [(9, "z")]
+    assert _rows(t.read(version=1)) == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_txn_table_crash_mid_write_invisible(spark, tmp_path):
+    """A writer dying after its data files are written (and even after a
+    temp manifest exists) must leave every reader on the old snapshot."""
+    import os
+
+    from fefal_etl_spark.table import TransactionalTable
+
+    t = TransactionalTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.createDataFrame([(1, "a")], "k int, v string"))
+    # crash point 1: data staged, no manifest
+    t.stage_files(spark.createDataFrame([(666, "dead")], "k int, v string"))
+    # crash point 2: a temp manifest left behind by a dying publisher
+    with open(os.path.join(str(tmp_path / "t"), "_manifests", ".tmp-dead.json"), "w") as f:
+        f.write('{"version": 99, "files": ["data/x/y.parquet"]}')
+    assert t.versions() == [0]
+    assert _rows(t.read()) == [(1, "a")]
+    # the table keeps working: next commit lands as version 1 and the
+    # orphaned staged rows never appear
+    t.append(spark.createDataFrame([(2, "b")], "k int, v string"))
+    assert _rows(t.read()) == [(1, "a"), (2, "b")]
+
+
+def test_txn_table_append_rebases_overwrite_conflicts(spark, tmp_path):
+    from fefal_etl_spark.table import CommitConflict, TransactionalTable
+
+    root = str(tmp_path / "t")
+    t1 = TransactionalTable(spark, root)
+    t2 = TransactionalTable(spark, root)
+    t1.overwrite(spark.createDataFrame([(1, "a")], "k int, v string"))
+    # t1 stages an append at base 0; t2 commits first; t1's commit must
+    # rebase and include BOTH writers' rows
+    files = t1.stage_files(spark.createDataFrame([(3, "c")], "k int, v string"))
+    t2.append(spark.createDataFrame([(2, "b")], "k int, v string"))
+    v = t1._commit(files, "append", 0, rebase_ok=True, carry_parent_files=True)
+    assert v == 2
+    assert _rows(t1.read()) == [(1, "a"), (2, "b"), (3, "c")]
+    # a serial op (overwrite) at a stale base must refuse
+    files2 = t1.stage_files(spark.createDataFrame([(9, "z")], "k int, v string"))
+    with pytest.raises(CommitConflict):
+        t1._commit(files2, "overwrite", 0, rebase_ok=False)
+
+
+def test_txn_table_merge_and_delete(spark, tmp_path):
+    from fefal_etl_spark.table import TransactionalTable
+
+    t = TransactionalTable(spark, str(tmp_path / "t"))
+    t.overwrite(
+        spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k int, v string")
+    )
+    t.merge(
+        spark.createDataFrame([(2, "B"), (4, "d")], "k int, v string"),
+        keys=["k"],
+    )
+    assert _rows(t.read()) == [(1, "a"), (2, "B"), (3, "c"), (4, "d")]
+    t.delete_where(F.col("k") % 2 == 0)
+    assert _rows(t.read()) == [(1, "a"), (3, "c")]
+    # full history is still navigable
+    assert _rows(t.read(version=1)) == [(1, "a"), (2, "B"), (3, "c"), (4, "d")]
+    assert _rows(t.read(version=0)) == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_txn_table_vacuum(spark, tmp_path):
+    import os
+
+    from fefal_etl_spark.table import TransactionalTable
+
+    t = TransactionalTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.createDataFrame([(1, "a")], "k int, v string"))
+    t.overwrite(spark.createDataFrame([(2, "b")], "k int, v string"))
+    t.overwrite(spark.createDataFrame([(3, "c")], "k int, v string"))
+    removed = t.vacuum(keep_versions=1)
+    assert len(removed) == 2
+    assert t.versions() == [2]
+    assert _rows(t.read()) == [(3, "c")]
+    # vacuumed history is gone (that's the contract), data dirs pruned
+    assert len(os.listdir(os.path.join(str(tmp_path / "t"), "data"))) == 1
+
+
 def test_bfs_min_agg_mode_matches_pruned_mode(spark):
     """prune_visited=False (layered min-aggregation, single DAG) must
     return exactly the same (node, level) map as the pruned
