@@ -122,6 +122,75 @@ def write_jdbc(
     writer.mode(mode).save()
 
 
+def execute_jdbc(spark, url: str, sql: str, driver: str | None = None) -> None:
+    """Execute one statement over ``java.sql`` through the Spark JVM
+    gateway — used for the single set-based merge/DDL statement of the
+    staged-upsert path (metadata-scale work; the row-scale work went
+    through Spark's parallel JDBC writer)."""
+    jvm = spark._jvm
+    if driver:
+        jvm.java.lang.Class.forName(driver)
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        st = conn.createStatement()
+        try:
+            st.executeUpdate(sql)
+        finally:
+            st.close()
+    finally:
+        conn.close()
+
+
+def write_jdbc_upsert(
+    df: DataFrame,
+    url: str,
+    target: str,
+    keys: list[str],
+    update_cols: list[str] | None = None,
+    mode: str = "insert_ignore",
+    staging_table: str | None = None,
+    dialect=None,
+    driver: str | None = None,
+    keep_staging: bool = False,
+    **properties,
+) -> str:
+    """S7 at scale — bulk-staged set-based upsert, replacing the
+    reference's per-row psycopg2 ``INSERT … ON CONFLICT DO NOTHING`` loop
+    (etl_ui.py:508-520):
+
+    1. Spark's parallel JDBC writer bulk-loads ``df`` into a staging
+       table (all executors write batched inserts concurrently);
+    2. ONE dialect-built statement merges staging into ``target`` — the
+       database executes it as a single relational operation
+       (`sources/jdbc_dialects.py`: ``ON CONFLICT`` on Postgres, ANSI
+       ``MERGE`` on Derby).
+
+    ``mode``: ``insert_ignore`` (existing keys untouched — the
+    reference's dim contract) or ``upsert`` (existing keys update
+    ``update_cols``, default all non-key columns). Returns the executed
+    merge SQL (callers/tests can log or golden-check it). The staging
+    table is dropped afterwards unless ``keep_staging``.
+    """
+    from fefal_etl_spark.sources.jdbc_dialects import dialect_for_url
+
+    d = dialect or dialect_for_url(url)
+    staging = staging_table or f"{target}_stage"
+    write_jdbc(df, url, staging, mode="overwrite", driver=driver, **properties)
+    cols = list(df.columns)
+    if mode == "insert_ignore":
+        sql = d.insert_ignore(target, staging, cols, keys)
+    elif mode == "upsert":
+        upd = update_cols or [c for c in cols if c not in keys]
+        sql = d.upsert(target, staging, cols, keys, upd)
+    else:
+        raise ValueError(f"unknown upsert mode: {mode!r}")
+    spark = df.sparkSession
+    execute_jdbc(spark, url, sql, driver=driver)
+    if not keep_staging:
+        execute_jdbc(spark, url, f"DROP TABLE {staging}", driver=driver)
+    return sql
+
+
 def write_excel_workbook(
     frames: dict[str, DataFrame], path: str, max_rows: int = 100_000
 ) -> None:

@@ -92,6 +92,143 @@ def test_stage_table_lost_race_uses_winner(spark, tmp_path, monkeypatch):
 
 
 # --------------------------------------------------------------------------
+# JDBC dialects (fefal_etl_spark/sources/jdbc_dialects.py)
+# --------------------------------------------------------------------------
+
+
+def test_postgres_dialect_golden_sql():
+    """The postgres statements are golden-pinned: this is the exact SQL a
+    real PostgreSQL deployment receives (the sandbox has no postgres, so
+    the contract is frozen here; execution is proven on DuckDB below)."""
+    from pyspark.sql import types as T
+
+    from fefal_etl_spark.sources.jdbc_dialects import POSTGRES
+
+    assert POSTGRES.insert_ignore(
+        "dim_entidades", "dim_entidades_stage", ["id", "nome"], ["id"]
+    ) == (
+        'INSERT INTO dim_entidades ("id", "nome") '
+        'SELECT "id", "nome" FROM dim_entidades_stage '
+        'ON CONFLICT ("id") DO NOTHING'
+    )
+    assert POSTGRES.upsert(
+        "dim", "dim_stage", ["id", "a", "b"], ["id"], ["a", "b"]
+    ) == (
+        'INSERT INTO dim ("id", "a", "b") '
+        'SELECT "id", "a", "b" FROM dim_stage '
+        'ON CONFLICT ("id") DO UPDATE SET '
+        '"a" = EXCLUDED."a", "b" = EXCLUDED."b"'
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("nome", T.StringType(), True),
+            T.StructField("valor", T.DecimalType(18, 2), True),
+        ]
+    )
+    assert POSTGRES.create_table("d", schema, keys=["id"]) == (
+        'CREATE TABLE d ("id" BIGINT NOT NULL, "nome" TEXT, '
+        '"valor" DECIMAL(18,2), PRIMARY KEY ("id"))'
+    )
+
+
+def test_derby_dialect_golden_sql():
+    from fefal_etl_spark.sources.jdbc_dialects import DERBY
+
+    assert DERBY.insert_ignore("t", "t_stage", ["id", "v"], ["id"]) == (
+        'MERGE INTO t t USING t_stage s ON t."id" = s."id" '
+        'WHEN NOT MATCHED THEN INSERT ("id", "v") VALUES (s."id", s."v")'
+    )
+    assert DERBY.upsert("t", "t_stage", ["id", "v"], ["id"], ["v"]) == (
+        'MERGE INTO t t USING t_stage s ON t."id" = s."id" '
+        'WHEN MATCHED THEN UPDATE SET "v" = s."v" '
+        'WHEN NOT MATCHED THEN INSERT ("id", "v") VALUES (s."id", s."v")'
+    )
+
+
+def test_dialect_for_url():
+    from fefal_etl_spark.sources.jdbc_dialects import (
+        DERBY,
+        POSTGRES,
+        dialect_for_url,
+    )
+
+    assert dialect_for_url("jdbc:postgresql://h:5432/db") is POSTGRES
+    assert dialect_for_url("jdbc:derby:memory:x;create=true") is DERBY
+    with pytest.raises(ValueError):
+        dialect_for_url("jdbc:mysql://h/db")
+
+
+def test_postgres_upsert_sql_executes_on_duckdb():
+    """DuckDB adopted Postgres' ON CONFLICT grammar — executing the
+    generated statements end-to-end proves they are not just
+    plausible-looking strings."""
+    import duckdb
+
+    from fefal_etl_spark.sources.jdbc_dialects import POSTGRES
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE dim (id BIGINT PRIMARY KEY, nome TEXT)")
+    con.execute("INSERT INTO dim VALUES (1, 'old-1'), (2, 'old-2')")
+    con.execute("CREATE TABLE dim_stage (id BIGINT, nome TEXT)")
+    con.execute("INSERT INTO dim_stage VALUES (2, 'new-2'), (3, 'new-3')")
+    con.execute(
+        POSTGRES.insert_ignore("dim", "dim_stage", ["id", "nome"], ["id"])
+    )
+    assert con.execute("SELECT id, nome FROM dim ORDER BY id").fetchall() == [
+        (1, "old-1"),
+        (2, "old-2"),  # untouched: insert-if-absent
+        (3, "new-3"),
+    ]
+    con.execute(
+        POSTGRES.upsert("dim", "dim_stage", ["id", "nome"], ["id"], ["nome"])
+    )
+    assert con.execute("SELECT id, nome FROM dim ORDER BY id").fetchall() == [
+        (1, "old-1"),
+        (2, "new-2"),  # updated
+        (3, "new-3"),
+    ]
+
+
+def test_write_jdbc_upsert_derby_end_to_end(spark):
+    """The full staged-upsert path against embedded Derby: bulk stage via
+    Spark's JDBC writer, one ANSI MERGE, staging dropped."""
+    from fefal_etl_spark.sources.readers import read_jdbc
+    from fefal_etl_spark.sources.writers import write_jdbc, write_jdbc_upsert
+
+    url = "jdbc:derby:memory:upsert_test;create=true"
+    drv = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+    base = spark.createDataFrame(
+        [(1, "old-1"), (2, "old-2")], "id bigint, nome string"
+    )
+    write_jdbc(base, url, "dim", mode="overwrite", driver=drv)
+    incoming = spark.createDataFrame(
+        [(2, "new-2"), (3, "new-3")], "id bigint, nome string"
+    )
+    sql = write_jdbc_upsert(
+        incoming, url, "dim", keys=["id"], mode="insert_ignore", driver=drv
+    )
+    assert "MERGE INTO dim" in sql
+    got = {
+        (r["id"], r["nome"])
+        for r in read_jdbc(spark, url, "dim", driver=drv).collect()
+    }
+    assert got == {(1, "old-1"), (2, "old-2"), (3, "new-3")}
+    # upsert mode updates the matched row
+    write_jdbc_upsert(
+        incoming, url, "dim", keys=["id"], mode="upsert", driver=drv
+    )
+    got = {
+        (r["id"], r["nome"])
+        for r in read_jdbc(spark, url, "dim", driver=drv).collect()
+    }
+    assert got == {(1, "old-1"), (2, "new-2"), (3, "new-3")}
+    # staging table was dropped
+    with pytest.raises(Exception):
+        read_jdbc(spark, url, "dim_stage", driver=drv).collect()
+
+
+# --------------------------------------------------------------------------
 # Transactional table layer (fefal_etl_spark/table.py)
 # --------------------------------------------------------------------------
 
