@@ -64,6 +64,12 @@ def _grid_to_df(
     if not rows:
         raise ValueError(f"sheet {sheet_name!r} of {path} is empty")
     header = ["" if c is None else str(c) for c in rows[0]]
+    # Ragged grids (ADVICE r4): a data row can be WIDER than the header
+    # (xlsx_minimal does not pad rows to a common width) — pad the header
+    # to the max width over ALL rows so trailing data columns with blank
+    # headers survive, as they do in pandas ('Unnamed: N').
+    width = max(len(header), *(len(r) for r in rows[1:])) if len(rows) > 1 else len(header)
+    header += [""] * (width - len(header))
     # blank header cells (trailing empty columns are common in real
     # exports) get positional names — pandas does the same ('Unnamed: N');
     # only genuine duplicate NAMES are rejected
@@ -71,7 +77,6 @@ def _grid_to_df(
     dupes = sorted({c for c in header if header.count(c) > 1})
     if dupes:
         raise ValueError(f"duplicate column names in workbook header: {dupes}")
-    width = len(header)
     data = [
         tuple(
             ("" if i >= len(r) or r[i] is None else str(r[i]))

@@ -91,6 +91,44 @@ def test_stage_table_lost_race_uses_winner(spark, tmp_path, monkeypatch):
     assert leftovers == []  # loser cleaned up
 
 
+def test_grid_to_df_ragged_rows_keep_extra_columns(spark, tmp_path):
+    """ADVICE r4: data rows wider than the header must not be truncated —
+    extra cells surface under positional _cN names (pandas 'Unnamed: N'
+    behavior), and short rows still pad with ''."""
+    from fefal_etl_spark.sources.readers import _grid_to_df
+
+    book = {
+        "s": [
+            ["a", "b"],
+            ["1", "2", "extra1"],   # wider than header
+            ["3"],                   # shorter than header
+        ]
+    }
+    df = _grid_to_df(spark, book, "s", "test.xlsx")
+    assert df.columns == ["a", "b", "_c2"]
+    rows = sorted(tuple(r) for r in df.collect())
+    assert rows == [("1", "2", "extra1"), ("3", "", "")]
+
+
+def test_tracking_scope_isolates_threads(spark):
+    """cache.tracking_scope: a scope's release must only touch its own
+    frames; the global list is untouched by scoped releases."""
+    from fefal_etl_spark import cache
+
+    g = cache.track(spark.range(3).persist())
+    with cache.tracking_scope() as inner:
+        s = cache.track(spark.range(4).persist())
+        assert s in inner and g not in inner
+        s.count()
+        assert s.storageLevel.useMemory
+    # scope exit unpersisted only the scoped frame
+    assert not s.storageLevel.useMemory
+    g.count()
+    assert g.storageLevel.useMemory
+    cache.release_tracked()
+    assert not g.storageLevel.useMemory
+
+
 # --------------------------------------------------------------------------
 # JDBC dialects (fefal_etl_spark/sources/jdbc_dialects.py)
 # --------------------------------------------------------------------------
