@@ -91,6 +91,26 @@ def test_stage_table_lost_race_uses_winner(spark, tmp_path, monkeypatch):
     assert leftovers == []  # loser cleaned up
 
 
+def test_query_inventory_up_to_date():
+    """docs/QUERIES.md must match what tools/gen_query_inventory.py would
+    generate right now (VERDICT r4 item 8: the operator→query→last-
+    driver-green matrix is a checked-in, CI-enforced artifact)."""
+    import importlib.util
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "gen_query_inventory", os.path.join(repo, "tools", "gen_query_inventory.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    with open(os.path.join(repo, "docs", "QUERIES.md")) as f:
+        on_disk = f.read()
+    assert mod.build() == on_disk, (
+        "docs/QUERIES.md is stale — run: python tools/gen_query_inventory.py"
+    )
+
+
 def test_grid_to_df_ragged_rows_keep_extra_columns(spark, tmp_path):
     """ADVICE r4: data rows wider than the header must not be truncated —
     extra cells surface under positional _cN names (pandas 'Unnamed: N'
