@@ -230,6 +230,31 @@ def jdbc_upsert_sink(url: str, table: str, key_cols: list[str], **properties):
     return batch_fn
 
 
+def transactional_table_sink(root: str, app_id: str = "stream"):
+    """``foreachBatch`` sink committing each micro-batch as an ATOMIC
+    snapshot of a :class:`fefal_etl_spark.table.TransactionalTable` —
+    the lakehouse upgrade of :func:`stream_append_parquet`: readers see
+    whole batches or nothing (manifest swap), every batch commit is
+    time-travelable, and exactly-once comes from the manifest's
+    (app_id, batch_id) idempotence ledger rather than the file-sink's
+    proprietary commit log. A crash between table-commit and
+    checkpoint-commit replays the batch; ``append_txn`` sees the ledger
+    already covers it and skips — at-least-once replay, exactly-once
+    landed rows (the Delta txnAppId/txnVersion protocol). Unlike
+    :func:`jdbc_upsert_sink`, multiple concurrent writers are safe: the
+    commit CAS rebases appends and re-checks the ledger on every retry.
+    """
+
+    def batch_fn(batch_df: DataFrame, batch_id: int) -> None:
+        from fefal_etl_spark.table import TransactionalTable
+
+        TransactionalTable(batch_df.sparkSession, root).append_txn(
+            batch_df, app_id, batch_id
+        )
+
+    return batch_fn
+
+
 def run_to_memory_sink(
     stream_df: DataFrame, query_name: str, output_mode: str = "append"
 ) -> "object":

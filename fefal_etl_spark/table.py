@@ -65,6 +65,13 @@ class _Manifest:
     op: str
     files: list[str]  # paths relative to the table root
     parent: int | None
+    # application-level idempotence ledger (Delta's txnAppId/txnVersion):
+    # highest committed writer-transaction version per app id, carried
+    # forward through every commit so the latest manifest alone answers
+    # "was this batch already applied?"
+    txns: dict[str, int] | None = None
+    # per-file column stats for data skipping: {file: {col: [min, max]}}
+    stats: dict[str, dict] | None = None
 
 
 class TransactionalTable:
@@ -118,6 +125,8 @@ class TransactionalTable:
             op=d["op"],
             files=d["files"],
             parent=d.get("parent"),
+            txns=d.get("txns"),
+            stats=d.get("stats"),
         )
 
     # ------------------------------------------------------------------
@@ -137,9 +146,89 @@ class TransactionalTable:
         paths = [os.path.join(self.root, f) for f in mf.files]
         return self.spark.read.parquet(*paths)
 
+    def read_where(self, col: str, lo, hi, version: int | None = None) -> DataFrame:
+        """Stats-based data skipping: read only the files whose manifest
+        [min, max] range for ``col`` intersects [lo, hi], then apply the
+        residual row filter. At 100 TB this is the half of the lakehouse
+        read path partition pruning can't do — skipping WITHIN a
+        partition by per-file stats (Delta/Iceberg data skipping); the
+        manifest carries the stats, so pruning needs zero file IO.
+        Files with no recorded stats for ``col`` are conservatively
+        kept."""
+        from pyspark.sql import functions as F
+
+        v = self.latest_version() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"no committed version in {self.root}")
+        mf = self._read_manifest(v)
+        stats = mf.stats or {}
+        keep = []
+        for f in mf.files:
+            rng = (stats.get(f) or {}).get(col)
+            if rng is None or not (rng[1] < lo or rng[0] > hi):
+                keep.append(f)
+        if not keep:
+            # empty result with the right schema: scan one file, filter false
+            base = self.read(v)
+            return base.filter(F.lit(False))
+        df = self.spark.read.parquet(
+            *[os.path.join(self.root, f) for f in keep]
+        )
+        return df.filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
+
+    def skipped_files(self, col: str, lo, hi, version: int | None = None) -> tuple[int, int]:
+        """(files_kept, files_total) for a read_where — the auditable
+        data-skipping measure."""
+        v = self.latest_version() if version is None else version
+        mf = self._read_manifest(v)  # type: ignore[arg-type]
+        stats = mf.stats or {}
+        kept = sum(
+            1
+            for f in mf.files
+            if (rng := (stats.get(f) or {}).get(col)) is None
+            or not (rng[1] < lo or rng[0] > hi)
+        )
+        return kept, len(mf.files)
+
     # ------------------------------------------------------------------
     # write side
     # ------------------------------------------------------------------
+    def _file_stats(self, files: list[str]) -> dict[str, dict]:
+        """Per-file [min, max] per primitive column, read from the
+        parquet FOOTERS of the just-written files (no data scan — the
+        writers already computed row-group stats). Only JSON-stable
+        scalar types are recorded (int/float/str/bool; date/timestamp/
+        decimal via ISO/str round-trip would need type tags — consumers
+        skip conservatively when a column has no stats)."""
+        try:
+            import pyarrow.parquet as pq
+        except ImportError:  # stats are an optimization, never a failure
+            return {}
+        out: dict[str, dict] = {}
+        for rel in files:
+            try:
+                md = pq.ParquetFile(os.path.join(self.root, rel)).metadata
+            except Exception:
+                continue
+            cols: dict[str, list] = {}
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    c = md.row_group(rg).column(ci)
+                    st = c.statistics
+                    if st is None or not st.has_min_max:
+                        continue
+                    mn, mx = st.min, st.max
+                    if type(mn) not in (int, float, str) or type(mx) is not type(mn):
+                        continue
+                    name = c.path_in_schema
+                    if name in cols:
+                        cols[name] = [min(cols[name][0], mn), max(cols[name][1], mx)]
+                    else:
+                        cols[name] = [mn, mx]
+            if cols:
+                out[rel] = cols
+        return out
+
     def stage_files(self, df: DataFrame) -> list[str]:
         """Step 1 of the protocol: write ``df`` as immutable parquet files
         under a fresh ``data/<uuid>/`` directory and return their
@@ -188,12 +277,23 @@ class TransactionalTable:
         base_version: int | None,
         rebase_ok: bool,
         carry_parent_files: bool = False,
-    ) -> int:
+        stats: dict | None = None,
+        txn: tuple[str, int] | None = None,
+    ) -> int | None:
         """CAS loop over the version counter. ``rebase_ok`` ops (append)
         retry transparently when they lose the race;
         ``carry_parent_files`` makes the new manifest include the CURRENT
         latest's files (append semantics) — re-resolved on every retry so
-        a rebased append includes the interleaved writer's rows."""
+        a rebased append includes the interleaved writer's rows.
+
+        ``txn`` = (app_id, txn_version): application-level idempotence.
+        The manifest's ``txns`` ledger carries the highest committed
+        txn_version per app_id forward through every commit; if the
+        CURRENT ledger already covers this txn (a streaming micro-batch
+        replayed after a crash between sink-commit and checkpoint-commit,
+        or a concurrent replica that won), the commit is SKIPPED and
+        returns None — at-least-once replay becomes exactly-once landed
+        rows (Delta's txnAppId/txnVersion protocol)."""
         while True:
             latest = self.latest_version()
             if latest != base_version and not rebase_ok:
@@ -201,16 +301,34 @@ class TransactionalTable:
                     f"{op}: base version {base_version} is stale "
                     f"(latest is {latest})"
                 )
+            parent = self._read_manifest(latest) if latest is not None else None
+            txns = dict(parent.txns or {}) if parent else {}
+            if txn is not None:
+                app_id, txn_version = txn
+                if app_id in txns and txns[app_id] >= txn_version:
+                    return None  # already applied — idempotent skip
+                txns[app_id] = txn_version
             version = 0 if latest is None else latest + 1
             all_files = list(files)
-            if carry_parent_files and latest is not None:
-                all_files = self._read_manifest(latest).files + all_files
+            all_stats = dict(stats or {})
+            if carry_parent_files and parent is not None:
+                all_files = parent.files + all_files
+                carried = {
+                    f: s
+                    for f, s in (parent.stats or {}).items()
+                    if f in set(parent.files)
+                }
+                all_stats = {**carried, **all_stats}
             manifest = {
                 "version": version,
                 "op": op,
                 "files": all_files,
                 "parent": latest,
             }
+            if txns:
+                manifest["txns"] = txns
+            if all_stats:
+                manifest["stats"] = all_stats
             if self._publish(manifest, version):
                 return version
             # lost the race; loop re-reads the new latest (appends
@@ -221,7 +339,10 @@ class TransactionalTable:
         """Replace the table contents in one atomic snapshot."""
         base = self.latest_version()
         files = self.stage_files(df)
-        return self._commit(files, "overwrite", base, rebase_ok=False)
+        return self._commit(
+            files, "overwrite", base, rebase_ok=False,
+            stats=self._file_stats(files),
+        )
 
     def append(self, df: DataFrame) -> int:
         """Add rows; order-independent, so losing a commit race rebases
@@ -229,7 +350,35 @@ class TransactionalTable:
         base = self.latest_version()
         files = self.stage_files(df)
         return self._commit(
-            files, "append", base, rebase_ok=True, carry_parent_files=True
+            files, "append", base, rebase_ok=True, carry_parent_files=True,
+            stats=self._file_stats(files),
+        )
+
+    def append_txn(
+        self, df: DataFrame, app_id: str, txn_version: int
+    ) -> int | None:
+        """Idempotent append keyed by (app_id, txn_version): the sink
+        half of exactly-once streaming. If the ledger already records
+        ``txn_version`` (or higher) for ``app_id``, the data is staged
+        but never published and None is returned — replaying the same
+        micro-batch cannot double-append. NOTE the check runs inside the
+        commit CAS loop, so an interleaved replica's commit of the same
+        txn is caught on the rebase re-read."""
+        base = self.latest_version()
+        # cheap pre-check saves staging work on the common replay path
+        if base is not None:
+            led = self._read_manifest(base).txns or {}
+            if led.get(app_id, -1) >= txn_version:
+                return None
+        files = self.stage_files(df)
+        return self._commit(
+            files,
+            "stream-append",
+            base,
+            rebase_ok=True,
+            carry_parent_files=True,
+            stats=self._file_stats(files),
+            txn=(app_id, txn_version),
         )
 
     def delete_where(self, condition) -> int:
@@ -239,7 +388,10 @@ class TransactionalTable:
         base = self.latest_version()
         survivors = self.read(base).filter(~condition)
         files = self.stage_files(survivors)
-        return self._commit(files, "delete", base, rebase_ok=False)
+        return self._commit(
+            files, "delete", base, rebase_ok=False,
+            stats=self._file_stats(files),
+        )
 
     def merge(
         self,
@@ -258,7 +410,10 @@ class TransactionalTable:
         target = self.read(base)
         merged = merge_into(target, source, keys, update_cols=update_cols)
         files = self.stage_files(merged)
-        return self._commit(files, "merge", base, rebase_ok=False)
+        return self._commit(
+            files, "merge", base, rebase_ok=False,
+            stats=self._file_stats(files),
+        )
 
     # ------------------------------------------------------------------
     # maintenance

@@ -371,6 +371,65 @@ def test_txn_table_merge_and_delete(spark, tmp_path):
     assert _rows(t.read(version=0)) == [(1, "a"), (2, "b"), (3, "c")]
 
 
+def test_txn_table_append_txn_idempotent(spark, tmp_path):
+    """(app_id, txn_version) ledger: replaying a micro-batch must not
+    double-append; the ledger is carried forward through later commits
+    and is per-app."""
+    from fefal_etl_spark.table import TransactionalTable
+
+    t = TransactionalTable(spark, str(tmp_path / "t"))
+    b0 = spark.createDataFrame([(1, "a")], "k int, v string")
+    b1 = spark.createDataFrame([(2, "b")], "k int, v string")
+    assert t.append_txn(b0, "streamA", 0) == 0
+    assert t.append_txn(b0, "streamA", 0) is None  # replay skipped
+    assert t.append_txn(b1, "streamA", 1) == 1
+    assert _rows(t.read()) == [(1, "a"), (2, "b")]
+    # an interleaved non-txn commit must not lose the ledger
+    t.append(spark.createDataFrame([(3, "c")], "k int, v string"))
+    assert t.append_txn(b1, "streamA", 1) is None  # still remembered
+    # a different app id is independent
+    assert t.append_txn(b1, "streamB", 1) is not None
+    assert _rows(t.read()) == [(1, "a"), (2, "b"), (2, "b"), (3, "c")]
+
+
+def test_txn_table_stats_skipping(spark, tmp_path):
+    """Manifest file stats prune non-intersecting files; the pruned read
+    returns exactly what the full-filter read does."""
+    from fefal_etl_spark.table import TransactionalTable
+
+    t = TransactionalTable(spark, str(tmp_path / "t"))
+    df = (
+        spark.range(1000)
+        .selectExpr("id as k", "cast(id % 10 as string) as v")
+        .repartitionByRange(4, "k")  # 4 files with disjoint k ranges
+    )
+    t.overwrite(df)
+    kept, total = t.skipped_files("k", 100, 120)
+    assert total == 4 and kept == 1  # 3 of 4 files skipped by stats alone
+    got = sorted(r["k"] for r in t.read_where("k", 100, 120).collect())
+    assert got == list(range(100, 121))
+    # range outside all stats -> empty frame, schema intact
+    empty = t.read_where("k", 5000, 6000)
+    assert empty.count() == 0 and empty.columns == ["k", "v"]
+
+
+def test_transactional_table_sink_stream_exactly_once(spark, tmp_path):
+    """The foreachBatch sink lands each micro-batch atomically and a
+    replayed batch id is a no-op."""
+    from fefal_etl_spark.streaming.events import transactional_table_sink
+    from fefal_etl_spark.table import TransactionalTable
+
+    root = str(tmp_path / "t")
+    sink = transactional_table_sink(root, app_id="s1")
+    sink(spark.createDataFrame([(1, "a")], "k int, v string"), 0)
+    sink(spark.createDataFrame([(2, "b")], "k int, v string"), 1)
+    # crash-replay of batch 1 (checkpoint not yet committed)
+    sink(spark.createDataFrame([(2, "b")], "k int, v string"), 1)
+    t = TransactionalTable(spark, root)
+    assert _rows(t.read()) == [(1, "a"), (2, "b")]
+    assert t.latest_version() == 1  # replay published nothing
+
+
 def test_txn_table_vacuum(spark, tmp_path):
     import os
 
