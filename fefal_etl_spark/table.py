@@ -418,6 +418,31 @@ class TransactionalTable:
     # ------------------------------------------------------------------
     # maintenance
     # ------------------------------------------------------------------
+    def compact(self, target_file_mb: int = 128) -> int:
+        """Small-file compaction (Delta OPTIMIZE analogue): rewrite the
+        latest snapshot into ceil(bytes/target) files as a new commit —
+        logically a no-op (same rows), physically the cure for the
+        many-small-files problem streaming appends accumulate (every
+        file costs a task + an open at scan time; the txn sink commits
+        one file set per micro-batch). Conflicts with interleaved
+        commits like any rewrite; the pre-compaction snapshot stays
+        time-travelable until vacuumed."""
+        import math
+
+        base = self.latest_version()
+        if base is None:
+            raise FileNotFoundError(f"no committed version in {self.root}")
+        mf = self._read_manifest(base)
+        total = sum(
+            os.path.getsize(os.path.join(self.root, f)) for f in mf.files
+        )
+        n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+        files = self.stage_files(self.read(base).repartition(n_files))
+        return self._commit(
+            files, "compact", base, rebase_ok=False,
+            stats=self._file_stats(files),
+        )
+
     def vacuum(self, keep_versions: int = 1) -> list[str]:
         """Remove data directories unreferenced by the ``keep_versions``
         most recent manifests (old snapshots stay time-travelable until

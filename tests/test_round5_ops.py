@@ -430,6 +430,34 @@ def test_transactional_table_sink_stream_exactly_once(spark, tmp_path):
     assert t.latest_version() == 1  # replay published nothing
 
 
+def test_txn_table_compact(spark, tmp_path):
+    """compact() folds a many-file snapshot into few files without
+    changing rows; history stays navigable; ledger survives."""
+    import os
+
+    from fefal_etl_spark.table import TransactionalTable
+
+    t = TransactionalTable(spark, str(tmp_path / "t"))
+    sink_app = "s"
+    for i in range(5):  # 5 micro-batch commits -> >=5 files
+        t.append_txn(
+            spark.createDataFrame([(i, str(i))], "k int, v string"),
+            sink_app,
+            i,
+        )
+    before = len(t._read_manifest(t.latest_version()).files)
+    assert before >= 5
+    v = t.compact(target_file_mb=128)
+    mf = t._read_manifest(v)
+    assert len(mf.files) == 1
+    assert _rows(t.read()) == [(i, str(i)) for i in range(5)]
+    assert _rows(t.read(version=v - 1)) == [(i, str(i)) for i in range(5)]
+    # ledger carried through the compaction commit
+    assert t.append_txn(
+        spark.createDataFrame([(0, "0")], "k int, v string"), sink_app, 4
+    ) is None
+
+
 def test_txn_table_vacuum(spark, tmp_path):
     import os
 
