@@ -53,6 +53,10 @@ TREND_QUERIES = [
     "levenshtein_neardup",
     "countmin_freq",
     "dsir_importance",
+    # round-5: transactional snapshot reads + the updated heavy set
+    "table_commit_isolation",
+    "sparse_cosine_pairs",
+    "matryoshka_recall",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
