@@ -458,6 +458,89 @@ def test_txn_table_compact(spark, tmp_path):
     ) is None
 
 
+def test_txn_table_concurrent_appends_land_exactly_once(spark, tmp_path):
+    """8 threads × 3 appends each race on one table: the CAS loop must
+    land every batch exactly once (64 distinct rows, version count =
+    commit count, each version's file set a strict superset of its
+    parent's)."""
+    import threading
+
+    from fefal_etl_spark.table import TransactionalTable
+
+    root = str(tmp_path / "t")
+    TransactionalTable(spark, root).overwrite(
+        spark.createDataFrame([(-1, "seed")], "k int, v string")
+    )
+    errors = []
+
+    def writer(wid: int):
+        try:
+            t = TransactionalTable(spark, root)
+            for j in range(3):
+                k = wid * 10 + j
+                t.append(
+                    spark.createDataFrame([(k, f"w{wid}b{j}")], "k int, v string")
+                )
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(8)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors
+    t = TransactionalTable(spark, root)
+    assert t.latest_version() == 24  # 1 overwrite + 24 appends
+    rows = _rows(t.read())
+    assert len(rows) == 25 and len(set(rows)) == 25
+    # manifest chain is strictly monotone in file sets (appends only)
+    prev: set = set()
+    for v in t.versions():
+        cur = set(t._read_manifest(v).files)
+        assert prev <= cur
+        prev = cur
+
+
+def test_txn_table_model_based_history(spark, tmp_path):
+    """Model-based check: a scripted mix of overwrite/append/delete/merge
+    replayed against a plain-Python model; every historical version must
+    read back exactly the model state at that point."""
+    from fefal_etl_spark.table import TransactionalTable
+
+    def df_of(rows):
+        return spark.createDataFrame(rows, "k int, v string")
+
+    t = TransactionalTable(spark, str(tmp_path / "t"))
+    history: list[dict[int, str]] = []
+    model: dict[int, str] = {}
+
+    def snap():
+        history.append(dict(model))
+
+    t.overwrite(df_of([(1, "a"), (2, "b"), (3, "c")]))
+    model = {1: "a", 2: "b", 3: "c"}
+    snap()
+    t.append(df_of([(4, "d"), (5, "e")]))
+    model.update({4: "d", 5: "e"})
+    snap()
+    t.delete_where(F.col("k").isin(2, 4))
+    model = {k: v for k, v in model.items() if k not in (2, 4)}
+    snap()
+    t.merge(df_of([(3, "C"), (6, "f")]), keys=["k"])
+    model.update({3: "C", 6: "f"})
+    snap()
+    t.compact(target_file_mb=64)
+    snap()
+    t.append(df_of([(7, "g")]))
+    model[7] = "g"
+    snap()
+    assert t.versions() == list(range(len(history)))
+    for v, expected in enumerate(history):
+        got = dict(_rows(t.read(version=v)))
+        assert got == expected, f"version {v}"
+
+
 def test_txn_table_vacuum(spark, tmp_path):
     import os
 
