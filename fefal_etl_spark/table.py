@@ -72,6 +72,10 @@ class _Manifest:
     txns: dict[str, int] | None = None
     # per-file column stats for data skipping: {file: {col: [min, max]}}
     stats: dict[str, dict] | None = None
+    # hive-layout partition values per file: {file: {col: "value"}} —
+    # like Delta, partition values live in the LOG, so partition pruning
+    # is a manifest filter with zero storage listing
+    partitions: dict[str, dict] | None = None
 
 
 class TransactionalTable:
@@ -127,11 +131,35 @@ class TransactionalTable:
             parent=d.get("parent"),
             txns=d.get("txns"),
             stats=d.get("stats"),
+            partitions=d.get("partitions"),
         )
 
     # ------------------------------------------------------------------
     # read side
     # ------------------------------------------------------------------
+    def _read_files(self, files: list[str]) -> DataFrame:
+        """Manifest-driven scan of specific part-files. Files are grouped
+        by their commit directory and each group is read with ``basePath``
+        pointing at that commit dir, so hive-layout partition columns
+        (``col=value`` path segments) are reconstructed per group exactly
+        as Spark's partitioned reader does — then the groups union. For
+        unpartitioned commits basePath is a no-op and this degenerates to
+        one multi-path read."""
+        groups: dict[str, list[str]] = {}
+        for f in files:
+            commit = "/".join(f.split("/")[:2])  # data/<uuid>
+            groups.setdefault(commit, []).append(f)
+        out: DataFrame | None = None
+        for commit, fs in sorted(groups.items()):
+            df = (
+                self.spark.read.option(
+                    "basePath", os.path.join(self.root, commit)
+                ).parquet(*[os.path.join(self.root, f) for f in fs])
+            )
+            out = df if out is None else out.unionByName(df)
+        assert out is not None
+        return out
+
     def read(self, version: int | None = None) -> DataFrame:
         """Snapshot read: exactly the files of ``version`` (default:
         latest). Time travel is just picking an older manifest."""
@@ -143,8 +171,56 @@ class TransactionalTable:
             raise FileNotFoundError(
                 f"version {v} of {self.root} is empty"
             )
-        paths = [os.path.join(self.root, f) for f in mf.files]
-        return self.spark.read.parquet(*paths)
+        return self._read_files(mf.files)
+
+    def read_partition(self, version: int | None = None, **filters) -> DataFrame:
+        """Partition pruning from the MANIFEST (zero storage listing,
+        like Delta: partition values live in the log): keep only files
+        whose recorded ``col=value`` matches every equality filter, then
+        apply the residual row filter (files without a recorded value
+        for a filtered column are conservatively kept — the residual
+        filter preserves correctness)."""
+        from pyspark.sql import functions as F
+
+        v = self.latest_version() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"no committed version in {self.root}")
+        mf = self._read_manifest(v)
+        parts = mf.partitions or {}
+        keep = []
+        for f in mf.files:
+            vals = parts.get(f) or {}
+            if all(
+                c not in vals or vals[c] == str(val)
+                for c, val in filters.items()
+            ):
+                keep.append(f)
+        if not keep:
+            base = self.read(v)
+            return base.filter(F.lit(False))
+        df = self._read_files(keep)
+        for c, val in filters.items():
+            df = df.filter(F.col(c) == F.lit(val))
+        return df
+
+    def pruned_partition_files(
+        self, version: int | None = None, **filters
+    ) -> tuple[int, int]:
+        """(files_kept, files_total) for a read_partition — auditable
+        pruning, mirror of :meth:`skipped_files`."""
+        v = self.latest_version() if version is None else version
+        mf = self._read_manifest(v)  # type: ignore[arg-type]
+        parts = mf.partitions or {}
+        kept = sum(
+            1
+            for f in mf.files
+            if all(
+                c not in (parts.get(f) or {})
+                or (parts.get(f) or {})[c] == str(val)
+                for c, val in filters.items()
+            )
+        )
+        return kept, len(mf.files)
 
     def read_where(self, col: str, lo, hi, version: int | None = None) -> DataFrame:
         """Stats-based data skipping: read only the files whose manifest
@@ -171,9 +247,7 @@ class TransactionalTable:
             # empty result with the right schema: scan one file, filter false
             base = self.read(v)
             return base.filter(F.lit(False))
-        df = self.spark.read.parquet(
-            *[os.path.join(self.root, f) for f in keep]
-        )
+        df = self._read_files(keep)
         return df.filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
 
     def skipped_files(self, col: str, lo, hi, version: int | None = None) -> tuple[int, int]:
@@ -229,22 +303,45 @@ class TransactionalTable:
                 out[rel] = cols
         return out
 
-    def stage_files(self, df: DataFrame) -> list[str]:
+    def stage_files(
+        self, df: DataFrame, partition_by: list[str] | None = None
+    ) -> list[str]:
         """Step 1 of the protocol: write ``df`` as immutable parquet files
         under a fresh ``data/<uuid>/`` directory and return their
-        root-relative paths. NO manifest is written — staged files are
-        invisible to every reader until a later :meth:`_commit` publishes
-        a manifest referencing them (this method is also the crash-
-        injection point the isolation tests use: a writer dying here
-        must leave the table unchanged)."""
+        root-relative paths. With ``partition_by`` the commit uses hive
+        layout (``col=value/`` segments); `_commit` parses those segments
+        into the manifest's partition map so pruning never lists storage.
+        NO manifest is written — staged files are invisible to every
+        reader until a later :meth:`_commit` publishes a manifest
+        referencing them (this method is also the crash-injection point
+        the isolation tests use: a writer dying here must leave the
+        table unchanged)."""
         commit_dir = os.path.join(self._data_dir, uuid.uuid4().hex)
-        df.write.mode("errorifexists").parquet(commit_dir)
-        files = sorted(
-            os.path.join("data", os.path.basename(commit_dir), fn)
-            for fn in os.listdir(commit_dir)
-            if fn.endswith(".parquet")
-        )
-        return files
+        writer = df.write.mode("errorifexists")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(commit_dir)
+        files = []
+        for root, _dirs, fns in os.walk(commit_dir):
+            for fn in fns:
+                if fn.endswith(".parquet"):
+                    files.append(
+                        os.path.relpath(os.path.join(root, fn), self.root)
+                    )
+        return sorted(files)
+
+    @staticmethod
+    def _partition_values(rel_path: str) -> dict[str, str]:
+        """Parse hive ``col=value`` segments out of a root-relative file
+        path (Spark percent-escapes special chars in dir names)."""
+        from urllib.parse import unquote
+
+        out: dict[str, str] = {}
+        for seg in rel_path.split("/")[2:-1]:  # between data/<uuid>/ and file
+            if "=" in seg:
+                c, v = seg.split("=", 1)
+                out[unquote(c)] = unquote(v)
+        return out
 
     def _publish(self, manifest: dict, version: int) -> bool:
         """Steps 2-3: fsync'd temp write, then atomic create-if-absent
@@ -311,14 +408,22 @@ class TransactionalTable:
             version = 0 if latest is None else latest + 1
             all_files = list(files)
             all_stats = dict(stats or {})
+            all_parts = {
+                f: pv for f in files if (pv := self._partition_values(f))
+            }
             if carry_parent_files and parent is not None:
                 all_files = parent.files + all_files
+                pf = set(parent.files)
                 carried = {
-                    f: s
-                    for f, s in (parent.stats or {}).items()
-                    if f in set(parent.files)
+                    f: s for f, s in (parent.stats or {}).items() if f in pf
                 }
                 all_stats = {**carried, **all_stats}
+                carried_parts = {
+                    f: p
+                    for f, p in (parent.partitions or {}).items()
+                    if f in pf
+                }
+                all_parts = {**carried_parts, **all_parts}
             manifest = {
                 "version": version,
                 "op": op,
@@ -329,26 +434,33 @@ class TransactionalTable:
                 manifest["txns"] = txns
             if all_stats:
                 manifest["stats"] = all_stats
+            if all_parts:
+                manifest["partitions"] = all_parts
             if self._publish(manifest, version):
                 return version
             # lost the race; loop re-reads the new latest (appends
             # rebase, serial ops raise above on the next iteration)
             base_version = base_version if not rebase_ok else latest
 
-    def overwrite(self, df: DataFrame) -> int:
-        """Replace the table contents in one atomic snapshot."""
+    def overwrite(
+        self, df: DataFrame, partition_by: list[str] | None = None
+    ) -> int:
+        """Replace the table contents in one atomic snapshot (optionally
+        hive-partitioned — partition values land in the manifest)."""
         base = self.latest_version()
-        files = self.stage_files(df)
+        files = self.stage_files(df, partition_by=partition_by)
         return self._commit(
             files, "overwrite", base, rebase_ok=False,
             stats=self._file_stats(files),
         )
 
-    def append(self, df: DataFrame) -> int:
+    def append(
+        self, df: DataFrame, partition_by: list[str] | None = None
+    ) -> int:
         """Add rows; order-independent, so losing a commit race rebases
         and retries instead of failing."""
         base = self.latest_version()
-        files = self.stage_files(df)
+        files = self.stage_files(df, partition_by=partition_by)
         return self._commit(
             files, "append", base, rebase_ok=True, carry_parent_files=True,
             stats=self._file_stats(files),

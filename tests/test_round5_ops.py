@@ -458,6 +458,59 @@ def test_txn_table_compact(spark, tmp_path):
     ) is None
 
 
+def test_txn_table_partitioned_commits_and_pruning(spark, tmp_path):
+    """Hive-partitioned commits: partition values are recorded in the
+    manifest, read() reconstructs the partition column, read_partition
+    prunes from the manifest without listing storage, and mixed
+    partitioned+unpartitioned history still reads."""
+    from fefal_etl_spark.table import TransactionalTable
+
+    t = TransactionalTable(spark, str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(1, "F"), (2, "F"), (3, "O"), (4, "P")], "k int, st string"
+    )
+    t.overwrite(df, partition_by=["st"])
+    # partition column reconstructed on plain read
+    assert sorted((r["k"], r["st"]) for r in t.read().collect()) == [
+        (1, "F"), (2, "F"), (3, "O"), (4, "P"),
+    ]
+    # manifest-side pruning: only the st=F file(s) survive
+    kept, total = t.pruned_partition_files(st="F")
+    assert total >= 3 and kept < total
+    got = sorted(r["k"] for r in t.read_partition(st="F").collect())
+    assert got == [1, 2]
+    # appending another partition extends the map
+    t.append(
+        spark.createDataFrame([(5, "F")], "k int, st string"),
+        partition_by=["st"],
+    )
+    assert sorted(r["k"] for r in t.read_partition(st="F").collect()) == [1, 2, 5]
+    # unpartitioned append coexists: conservative keep + residual filter
+    t.append(spark.createDataFrame([(6, "F")], "k int, st string"))
+    assert sorted(r["k"] for r in t.read_partition(st="F").collect()) == [
+        1, 2, 5, 6,
+    ]
+    assert sorted(r["k"] for r in t.read().collect()) == [1, 2, 3, 4, 5, 6]
+
+
+def test_txn_table_partition_values_escaped(spark, tmp_path):
+    """Partition values with URL-escaped characters round-trip through
+    the path parsing."""
+    from fefal_etl_spark.table import TransactionalTable
+
+    t = TransactionalTable(spark, str(tmp_path / "t"))
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, "a b"), (2, "c/d")], "k int, g string"
+        ),
+        partition_by=["g"],
+    )
+    mf = t._read_manifest(0)
+    vals = sorted(v["g"] for v in (mf.partitions or {}).values())
+    assert vals == ["a b", "c/d"]
+    assert sorted(r["k"] for r in t.read_partition(g="c/d").collect()) == [2]
+
+
 def test_txn_table_concurrent_appends_land_exactly_once(spark, tmp_path):
     """8 threads × 3 appends each race on one table: the CAS loop must
     land every batch exactly once (64 distinct rows, version count =
