@@ -527,6 +527,61 @@ class TransactionalTable:
             stats=self._file_stats(files),
         )
 
+    def changes(
+        self, v_from: int, v_to: int, keys: list[str]
+    ) -> DataFrame:
+        """Change data feed between two committed snapshots: the minimal
+        I/U/D event stream that transforms version ``v_from`` into
+        ``v_to`` (unchanged rows emit nothing) — the Delta CDF read,
+        computed as one full-outer key join of the two manifest-driven
+        snapshot reads (same shape as the `table_diff`/`cdc_extract`
+        registry queries, here keyed to the table's own history). Output:
+        key columns + ``op`` (I/U/D) + ``new_*``/``old_*`` images for
+        every non-key column. Applying the stream via latest-wins
+        (`operators/upsert.py::apply_changelog`) reconstructs ``v_to``
+        from ``v_from`` — pinned in tests. PRECONDITION: ``keys`` are
+        unique per snapshot (the same contract as `merge`)."""
+        from pyspark.sql import functions as F
+
+        old = self.read(v_from)
+        new = self.read(v_to)
+        vals = [c for c in old.columns if c not in keys]
+        a = old.select(
+            *[F.col(k).alias(f"__ka_{k}") for k in keys],
+            *[F.col(c).alias(f"old_{c}") for c in vals],
+        )
+        b = new.select(
+            *[F.col(k).alias(f"__kb_{k}") for k in keys],
+            *[F.col(c).alias(f"new_{c}") for c in vals],
+        )
+        cond = None
+        for k in keys:
+            c = F.col(f"__ka_{k}") == F.col(f"__kb_{k}")
+            cond = c if cond is None else (cond & c)
+        j = a.join(b, cond, "full_outer")
+        in_a = F.col(f"__ka_{keys[0]}").isNotNull()
+        in_b = F.col(f"__kb_{keys[0]}").isNotNull()
+        same = None
+        for c in vals:
+            eq = F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+            same = eq if same is None else (same & eq)
+        if same is None:
+            same = F.lit(True)
+        op = (
+            F.when(~in_a, F.lit("I"))
+            .when(~in_b, F.lit("D"))
+            .otherwise(F.lit("U"))
+        )
+        return j.filter(~in_a | ~in_b | ~same).select(
+            *[
+                F.coalesce(F.col(f"__ka_{k}"), F.col(f"__kb_{k}")).alias(k)
+                for k in keys
+            ],
+            op.alias("op"),
+            *[F.col(f"new_{c}") for c in vals],
+            *[F.col(f"old_{c}") for c in vals],
+        )
+
     # ------------------------------------------------------------------
     # maintenance
     # ------------------------------------------------------------------

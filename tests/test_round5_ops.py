@@ -511,6 +511,45 @@ def test_txn_table_partition_values_escaped(spark, tmp_path):
     assert sorted(r["k"] for r in t.read_partition(g="c/d").collect()) == [2]
 
 
+def test_txn_table_change_data_feed_roundtrip(spark, tmp_path):
+    """changes(v_from, v_to) emits the minimal I/U/D stream, and applying
+    it latest-wins over v_from reconstructs v_to exactly."""
+    from fefal_etl_spark.operators.upsert import apply_changelog
+    from fefal_etl_spark.table import TransactionalTable
+
+    t = TransactionalTable(spark, str(tmp_path / "t"))
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "k int, v string"
+        )
+    )
+    t.merge(spark.createDataFrame([(2, "B"), (4, "d")], "k int, v string"), keys=["k"])
+    t.delete_where(F.col("k") == 3)
+    cdf = t.changes(0, 2, keys=["k"])
+    got = {
+        (r["k"], r["op"], r["new_v"], r["old_v"]) for r in cdf.collect()
+    }
+    assert got == {
+        (2, "U", "B", "b"),
+        (3, "D", None, "c"),
+        (4, "I", "d", None),
+    }
+    # round-trip: v0 ∪ changes, latest-wins -> v2
+    base = t.read(version=0).select(
+        "k", "v", F.lit(0).alias("__seq"), F.lit("U").alias("op")
+    )
+    feed = cdf.select(
+        "k",
+        F.col("new_v").alias("v"),
+        F.lit(1).alias("__seq"),
+        "op",
+    )
+    rebuilt = apply_changelog(
+        base.unionByName(feed), "k", seq_cols=["__seq"]
+    ).select("k", "v")
+    assert _rows(rebuilt.withColumnRenamed("v", "v")) == _rows(t.read(version=2))
+
+
 def test_txn_table_concurrent_appends_land_exactly_once(spark, tmp_path):
     """8 threads × 3 appends each race on one table: the CAS loop must
     land every batch exactly once (64 distinct rows, version count =
