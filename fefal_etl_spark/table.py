@@ -146,17 +146,25 @@ class TransactionalTable:
         unpartitioned commits basePath is a no-op and this degenerates to
         one multi-path read."""
         groups: dict[str, list[str]] = {}
-        for f in files:
+        for f in files:  # group order = manifest order (deterministic)
             commit = "/".join(f.split("/")[:2])  # data/<uuid>
             groups.setdefault(commit, []).append(f)
         out: DataFrame | None = None
-        for commit, fs in sorted(groups.items()):
+        for commit, fs in groups.items():
             df = (
                 self.spark.read.option(
                     "basePath", os.path.join(self.root, commit)
                 ).parquet(*[os.path.join(self.root, f) for f in fs])
             )
-            out = df if out is None else out.unionByName(df)
+            # allowMissingColumns: commits written before a column was
+            # added surface it as typed NULLs — the schema-evolution
+            # contract (same semantics as a mergeSchema scan; the first
+            # manifest group's column order leads)
+            out = (
+                df
+                if out is None
+                else out.unionByName(df, allowMissingColumns=True)
+            )
         assert out is not None
         return out
 

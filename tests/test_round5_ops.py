@@ -511,6 +511,26 @@ def test_txn_table_partition_values_escaped(spark, tmp_path):
     assert sorted(r["k"] for r in t.read_partition(g="c/d").collect()) == [2]
 
 
+def test_txn_table_schema_evolution_append(spark, tmp_path):
+    """An append with an added column evolves the table: old commits
+    surface the new column as NULLs; time travel still reads the old
+    schema exactly."""
+    from fefal_etl_spark.table import TransactionalTable
+
+    t = TransactionalTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.createDataFrame([(1, "a")], "k int, v string"))
+    t.append(
+        spark.createDataFrame(
+            [(2, "b", "extra")], "k int, v string, w string"
+        )
+    )
+    got = sorted(
+        (r["k"], r["v"], r["w"]) for r in t.read().collect()
+    )
+    assert got == [(1, "a", None), (2, "b", "extra")]
+    assert t.read(version=0).columns == ["k", "v"]
+
+
 def test_txn_table_change_data_feed_roundtrip(spark, tmp_path):
     """changes(v_from, v_to) emits the minimal I/U/D stream, and applying
     it latest-wins over v_from reconstructs v_to exactly."""
