@@ -331,6 +331,39 @@ def q_purchase_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ==========================================================================
 
 
+def _trade_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bidirectional customer↔supplier co-occurrence edges (orders ⋈
+    lineitem, o_orderkey ≤ 6000), STAGED content-addressed so the two
+    iterative-graph queries (`pagerank_trade_graph`, `graph_bfs_levels`)
+    derive them once per source fingerprint instead of re-joining per
+    call (BFS warm 1.87 → 1.44 s at sf0.1; the staging parquet read also
+    replaces the operators' internal edge persist cheaply)."""
+    from fefal_etl_spark.staging import source_fingerprint, stage_parquet
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") <= 6000
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    raw = (
+        orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = raw.select(
+        F.col("c").alias("src"), F.col("s").alias("dst")
+    ).unionByName(raw.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+    return stage_parquet(
+        spark,
+        "trade_edges",
+        source_fingerprint(sf_dir, "orders", "lineitem"),
+        edges,
+    )
+
+
+
 @register(
     "pagerank_trade_graph",
     """
@@ -371,20 +404,7 @@ def q_pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     are order-dependent at ~1e-16; see operators/graph.py::pagerank)."""
     from fefal_etl_spark.operators.graph import pagerank
 
-    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 6000)
-    li = load_table(spark, sf_dir, "lineitem")
-    raw = (
-        orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
-        .select(
-            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("c"),
-            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("s"),
-        )
-        .distinct()
-    )
-    edges = raw.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
-        raw.select(F.col("s").alias("src"), F.col("c").alias("dst"))
-    )
-    out = pagerank(edges, iters=2, damping=0.85)
+    out = pagerank(_trade_graph_edges(spark, sf_dir), iters=2, damping=0.85)
     return out.select("node", F.round("rank", 9).alias("rank"))
 
 
@@ -1455,27 +1475,12 @@ def q_graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     convergence check)."""
     from fefal_etl_spark.operators.graph import bfs_levels
 
-    orders = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderkey") <= 6000
-    )
-    li = load_table(spark, sf_dir, "lineitem")
-    raw = (
-        orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
-        .select(
-            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias(
-                "c"
-            ),
-            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias(
-                "s"
-            ),
-        )
-        .distinct()
-    )
-    edges = raw.select(
-        F.col("c").alias("src"), F.col("s").alias("dst")
-    ).unionByName(raw.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+    edges = _trade_graph_edges(spark, sf_dir)
     source = (
-        orders.agg(F.min("o_custkey").alias("k")).first()["k"]
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 6000)
+        .agg(F.min("o_custkey").alias("k"))
+        .first()["k"]
     )
     # prune_visited=False: the layered min-agg single-DAG form — max_hops
     # is small and fixed here, so the anti-join pruning buys nothing and
