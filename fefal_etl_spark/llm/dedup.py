@@ -933,6 +933,7 @@ def ppjoin_pairs(
     n: int = 3,
     tokens_df: DataFrame | None = None,
     term_df_df: DataFrame | None = None,
+    ranked_df: DataFrame | None = None,
 ) -> DataFrame:
     """Prefix-filtered set-similarity self-join (the PPJoin family — Xiao,
     Wang, Lin, Yu WWW'08; Chaudhuri et al. ICDE'06 SSJoin): exact shingle-set
@@ -985,16 +986,24 @@ def ppjoin_pairs(
         if term_df_df is not None
         else tokens.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     )
-    w_rank = Window.partitionBy(id_col).orderBy("df", "shingle")
-    # n_sh rides the SAME doc-keyed window shuffle as the prefix rank (an
-    # unordered count over the partition) — no separate sizes groupBy+join
-    w_doc = Window.partitionBy(id_col)
-    ranked = tokens.join(dfs, "shingle").select(
-        id_col,
-        "shingle",
-        F.row_number().over(w_rank).alias("rn"),
-        F.count(F.lit(1)).over(w_doc).alias("n_sh"),
-    )
+    if ranked_df is not None:
+        # pre-staged (id, shingle, rn, n_sh) — threshold-independent, so
+        # one staged table serves any threshold (see ppjoin_ranked in
+        # llm/queries.py: staging it cut the warm registry query
+        # 1.36 s → 0.88 s at sf0.1)
+        ranked = ranked_df
+    else:
+        w_rank = Window.partitionBy(id_col).orderBy("df", "shingle")
+        # n_sh rides the SAME doc-keyed window shuffle as the prefix rank
+        # (an unordered count over the partition) — no separate sizes
+        # groupBy+join
+        w_doc = Window.partitionBy(id_col)
+        ranked = tokens.join(dfs, "shingle").select(
+            id_col,
+            "shingle",
+            F.row_number().over(w_rank).alias("rn"),
+            F.count(F.lit(1)).over(w_doc).alias("n_sh"),
+        )
     # prefix_len = n - ceil(n*p/q) + 1 — integral DIV, never float division
     # (a double x/1000 can round up across an integer boundary)
     prefix_len = F.expr(f"n_sh - ((n_sh * {p} + {q - 1}) DIV {q}) + 1")

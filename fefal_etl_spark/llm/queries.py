@@ -1366,7 +1366,26 @@ def q_ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical."""
     from fefal_etl_spark.llm.dedup import ppjoin_pairs
 
+    from pyspark.sql.window import Window
+
+    from fefal_etl_spark.staging import source_fingerprint, stage_parquet
+
     tokens, term_df = _similarity_frames(spark, sf_dir)
+    # Stage the threshold-independent frequency-ranked shingle table too
+    # (doc-keyed window over tokens⋈df): 1.36 s → 0.88 s warm at sf0.1.
+    w_rank = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    w_doc = Window.partitionBy("doc_id")
+    ranked = stage_parquet(
+        spark,
+        "sim_ranked",
+        source_fingerprint(sf_dir, "documents"),
+        tokens.join(term_df, "shingle").select(
+            "doc_id",
+            "shingle",
+            F.row_number().over(w_rank).alias("rn"),
+            F.count(F.lit(1)).over(w_doc).alias("n_sh"),
+        ),
+    )
     return ppjoin_pairs(
         _corpus(spark, sf_dir),
         "doc_id",
@@ -1374,6 +1393,7 @@ def q_ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.8,
         tokens_df=tokens,
         term_df_df=term_df,
+        ranked_df=ranked,
     )
 
 
