@@ -618,6 +618,42 @@ class TransactionalTable:
             stats=self._file_stats(files),
         )
 
+    def optimize_zorder(
+        self,
+        a_col: str,
+        b_col: str,
+        n_files: int = 8,
+        bits: int = 16,
+    ) -> int:
+        """Delta ``OPTIMIZE ZORDER BY`` analogue: rewrite the latest
+        snapshot range-partitioned and sorted by the Morton interleave of
+        two integer columns (`operators/layout.py::zorder_key`), so each
+        file covers a tight [min,max] band in BOTH dimensions — the
+        manifest's per-file stats then let :meth:`read_where` prune on
+        EITHER column (plain single-column sort optimizes one dimension
+        and destroys the other). Logically a no-op commit, like
+        :meth:`compact`."""
+        from pyspark.sql import functions as F
+
+        from fefal_etl_spark.operators.layout import zorder_key
+
+        base = self.latest_version()
+        if base is None:
+            raise FileNotFoundError(f"no committed version in {self.root}")
+        z = zorder_key(F.col(a_col), F.col(b_col), bits=bits)
+        laid_out = (
+            self.read(base)
+            .withColumn("__z", z)
+            .repartitionByRange(n_files, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+        files = self.stage_files(laid_out)
+        return self._commit(
+            files, "zorder", base, rebase_ok=False,
+            stats=self._file_stats(files),
+        )
+
     def vacuum(self, keep_versions: int = 1) -> list[str]:
         """Remove data directories unreferenced by the ``keep_versions``
         most recent manifests (old snapshots stay time-travelable until

@@ -511,6 +511,40 @@ def test_txn_table_partition_values_escaped(spark, tmp_path):
     assert sorted(r["k"] for r in t.read_partition(g="c/d").collect()) == [2]
 
 
+def test_txn_table_optimize_zorder_improves_two_dim_skipping(spark, tmp_path):
+    """After OPTIMIZE ZORDER, the per-file stats prune band queries on
+    BOTH interleaved columns; rows are unchanged."""
+    from fefal_etl_spark.table import TransactionalTable
+
+    t = TransactionalTable(spark, str(tmp_path / "t"))
+    # 2-D data where neither column correlates with insertion order:
+    # a = id scrambled, b = reversed-bit-ish companion
+    df = spark.range(4096).selectExpr(
+        "cast(pmod(hash(id), 1024) as long) as a",
+        "cast(pmod(hash(id * 31 + 7), 1024) as long) as b",
+        "id as payload",
+    )
+    t.overwrite(df.repartition(8))  # random layout: every file spans ~everything
+    kept_a0, total0 = t.skipped_files("a", 0, 63)
+    kept_b0, _ = t.skipped_files("b", 0, 63)
+    assert total0 == 8 and kept_a0 == 8 and kept_b0 == 8  # nothing prunes
+    v = t.optimize_zorder("a", "b", n_files=8, bits=10)
+    kept_a1, total1 = t.skipped_files("a", 0, 63)
+    kept_b1, _ = t.skipped_files("b", 0, 63)
+    assert total1 == 8
+    assert kept_a1 < 8 and kept_b1 < 8  # both dimensions now prune
+    # rows identical, and the pruned read returns the exact band
+    assert t.read(version=v).count() == 4096
+    got = sorted(
+        r["payload"] for r in t.read_where("a", 0, 63).collect()
+    )
+    expect = sorted(
+        r["payload"]
+        for r in df.filter((F.col("a") >= 0) & (F.col("a") <= 63)).collect()
+    )
+    assert got == expect
+
+
 def test_txn_table_schema_evolution_append(spark, tmp_path):
     """An append with an added column evolves the table: old commits
     surface the new column as NULLs; time travel still reads the old
