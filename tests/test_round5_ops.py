@@ -687,6 +687,46 @@ def test_txn_table_model_based_history(spark, tmp_path):
         assert got == expected, f"version {v}"
 
 
+def test_transactional_table_sink_real_stream_restart(spark, tmp_path):
+    """The sink under a REAL stream (file source, availableNow): every
+    micro-batch lands as one atomic snapshot; a checkpoint restart over
+    the same input re-lands nothing; new input extends the table."""
+    from fefal_etl_spark.datasets import load_table
+    from fefal_etl_spark.streaming.events import (
+        read_event_stream,
+        run_foreach_batch,
+        transactional_table_sink,
+    )
+    from fefal_etl_spark.table import TransactionalTable
+
+    src = str(tmp_path / "src")
+    ev = (
+        load_table(spark, "/root/testdata/sf0.001", "events")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .limit(300)
+    )
+    ev.repartition(3).write.parquet(src)  # 3 files -> 3 micro-batches
+
+    root = str(tmp_path / "table")
+    sink = transactional_table_sink(root, app_id="e2e")
+    ckpt = str(tmp_path / "ckpt")
+    run_foreach_batch(read_event_stream(spark, src), sink, ckpt)
+    t = TransactionalTable(spark, root)
+    assert t.read().count() == 300
+    n_versions = len(t.versions())
+    assert n_versions == 3  # one atomic commit per micro-batch
+    # restart on the same checkpoint: no re-landing (checkpoint replays
+    # nothing; even if it did, the txn ledger would skip)
+    run_foreach_batch(read_event_stream(spark, src), sink, ckpt)
+    assert t.read().count() == 300 and len(t.versions()) == n_versions
+    # fresh checkpoint = full replay of all 3 batches: the LEDGER (not
+    # the checkpoint) must dedupe every one
+    run_foreach_batch(
+        read_event_stream(spark, src), sink, str(tmp_path / "ckpt2")
+    )
+    assert t.read().count() == 300 and len(t.versions()) == n_versions
+
+
 def test_txn_table_vacuum(spark, tmp_path):
     import os
 
