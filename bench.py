@@ -194,6 +194,8 @@ BENCH_QUERIES = [
     # pays the one-time scenario build; warm = manifest-driven parquet read)
     "table_commit_isolation",
     "table_time_travel",
+    "dv_delete_read",
+    "incremental_mv_refresh",
     # dup_clusters_star is excluded like ngram_jaccard_pairs: at bench SF its
     # wall time is ~6 iterative rounds of fixed scheduling cost (the
     # algorithm exists for O(log n) ROUNDS at web scale, demonstrated by the

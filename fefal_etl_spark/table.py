@@ -76,6 +76,10 @@ class _Manifest:
     # like Delta, partition values live in the LOG, so partition pruning
     # is a manifest filter with zero storage listing
     partitions: dict[str, dict] | None = None
+    # deletion-vector sidecar files (root-relative parquet paths holding
+    # (file, pos) rows): merge-on-read deletes — the listed positions of
+    # the listed data files are logically deleted without rewriting them
+    dv_files: list[str] | None = None
 
 
 class TransactionalTable:
@@ -132,19 +136,40 @@ class TransactionalTable:
             txns=d.get("txns"),
             stats=d.get("stats"),
             partitions=d.get("partitions"),
+            dv_files=d.get("dv_files"),
         )
 
     # ------------------------------------------------------------------
     # read side
     # ------------------------------------------------------------------
-    def _read_files(self, files: list[str]) -> DataFrame:
+    def _read_files(
+        self,
+        files: list[str],
+        dv_files: list[str] | None = None,
+        with_pos: bool = False,
+    ) -> DataFrame:
         """Manifest-driven scan of specific part-files. Files are grouped
         by their commit directory and each group is read with ``basePath``
         pointing at that commit dir, so hive-layout partition columns
         (``col=value`` path segments) are reconstructed per group exactly
         as Spark's partitioned reader does — then the groups union. For
         unpartitioned commits basePath is a no-op and this degenerates to
-        one multi-path read."""
+        one multi-path read.
+
+        ``dv_files`` = the snapshot's deletion-vector sidecars: the scan
+        appends the file-constant ``_metadata.file_path`` (normalized to
+        a root-relative path) and per-row ``_metadata.row_index``, then
+        LEFT-ANTI joins the (file, pos) pairs — merge-on-read deletes.
+        The DV side is broadcast: a deletion vector is by design a tiny
+        fraction of the table (that is exactly when merge-on-read beats
+        copy-on-write), so at 100 TB this stays a map-side filter with
+        zero extra shuffle of the data. ``with_pos`` keeps the
+        ``__dv_file``/``__dv_pos`` helper columns for callers that need
+        row addresses (the DV writer itself)."""
+        from pyspark.sql import functions as F
+
+        need_meta = with_pos or bool(dv_files)
+        prefix = "file:" + os.path.abspath(self.root) + "/"
         groups: dict[str, list[str]] = {}
         for f in files:  # group order = manifest order (deterministic)
             commit = "/".join(f.split("/")[:2])  # data/<uuid>
@@ -156,6 +181,14 @@ class TransactionalTable:
                     "basePath", os.path.join(self.root, commit)
                 ).parquet(*[os.path.join(self.root, f) for f in fs])
             )
+            if need_meta:
+                df = df.select(
+                    "*",
+                    F.col("_metadata.file_path")
+                    .substr(F.lit(len(prefix) + 1), F.lit(1 << 30))
+                    .alias("__dv_file"),
+                    F.col("_metadata.row_index").alias("__dv_pos"),
+                )
             # allowMissingColumns: commits written before a column was
             # added surface it as typed NULLs — the schema-evolution
             # contract (same semantics as a mergeSchema scan; the first
@@ -166,6 +199,18 @@ class TransactionalTable:
                 else out.unionByName(df, allowMissingColumns=True)
             )
         assert out is not None
+        if dv_files:
+            dv = self.spark.read.parquet(
+                *[os.path.join(self.root, f) for f in dv_files]
+            ).select(
+                F.col("file").alias("__dv_file"),
+                F.col("pos").alias("__dv_pos"),
+            )
+            out = out.join(
+                F.broadcast(dv), ["__dv_file", "__dv_pos"], "left_anti"
+            )
+        if need_meta and not with_pos:
+            out = out.drop("__dv_file", "__dv_pos")
         return out
 
     def read(self, version: int | None = None) -> DataFrame:
@@ -179,7 +224,7 @@ class TransactionalTable:
             raise FileNotFoundError(
                 f"version {v} of {self.root} is empty"
             )
-        return self._read_files(mf.files)
+        return self._read_files(mf.files, dv_files=mf.dv_files)
 
     def read_partition(self, version: int | None = None, **filters) -> DataFrame:
         """Partition pruning from the MANIFEST (zero storage listing,
@@ -206,7 +251,7 @@ class TransactionalTable:
         if not keep:
             base = self.read(v)
             return base.filter(F.lit(False))
-        df = self._read_files(keep)
+        df = self._read_files(keep, dv_files=mf.dv_files)
         for c, val in filters.items():
             df = df.filter(F.col(c) == F.lit(val))
         return df
@@ -255,7 +300,7 @@ class TransactionalTable:
             # empty result with the right schema: scan one file, filter false
             base = self.read(v)
             return base.filter(F.lit(False))
-        df = self._read_files(keep)
+        df = self._read_files(keep, dv_files=mf.dv_files)
         return df.filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
 
     def skipped_files(self, col: str, lo, hi, version: int | None = None) -> tuple[int, int]:
@@ -384,6 +429,7 @@ class TransactionalTable:
         carry_parent_files: bool = False,
         stats: dict | None = None,
         txn: tuple[str, int] | None = None,
+        dv_files: list[str] | None = None,
     ) -> int | None:
         """CAS loop over the version counter. ``rebase_ok`` ops (append)
         retry transparently when they lose the race;
@@ -419,6 +465,7 @@ class TransactionalTable:
             all_parts = {
                 f: pv for f in files if (pv := self._partition_values(f))
             }
+            all_dvs = list(dv_files or [])
             if carry_parent_files and parent is not None:
                 all_files = parent.files + all_files
                 pf = set(parent.files)
@@ -432,6 +479,11 @@ class TransactionalTable:
                     if f in pf
                 }
                 all_parts = {**carried_parts, **all_parts}
+                # deletion vectors address parent files by position, so
+                # they ride along with the files they mask (CoW rewrites
+                # don't carry parent files — their staged rows already
+                # have the DVs applied, so the vectors are dropped)
+                all_dvs = list(parent.dv_files or []) + all_dvs
             manifest = {
                 "version": version,
                 "op": op,
@@ -444,6 +496,8 @@ class TransactionalTable:
                 manifest["stats"] = all_stats
             if all_parts:
                 manifest["partitions"] = all_parts
+            if all_dvs:
+                manifest["dv_files"] = all_dvs
             if self._publish(manifest, version):
                 return version
             # lost the race; loop re-reads the new latest (appends
@@ -512,6 +566,67 @@ class TransactionalTable:
             files, "delete", base, rebase_ok=False,
             stats=self._file_stats(files),
         )
+
+    def delete_where_dv(self, condition) -> int:
+        """Merge-on-read delete via DELETION VECTORS (Delta deletion
+        vectors / Iceberg positional delete files): instead of rewriting
+        every data file that contains a matching row (copy-on-write —
+        :meth:`delete_where`), the matching rows' (file, row-position)
+        addresses are written to a small parquet sidecar and the new
+        manifest lists it under ``dv_files``; every read path then
+        LEFT-ANTI joins the addresses against ``_metadata.row_index``.
+
+        This is the 100 TB lever copy-on-write lacks: deleting 0.1% of
+        rows scattered over a 100 TB table rewrites ~all of it under
+        CoW, but writes only ~the matching addresses here — write cost
+        proportional to the DELETE, not the table. The read-side cost is
+        a broadcast anti-join (DVs are tiny by premise); once vectors
+        accumulate, :meth:`compact` (or any CoW rewrite) materializes
+        them — staged rows come from :meth:`read`, which already applies
+        the vectors — and the rewrite commit drops ``dv_files``.
+
+        The data files are untouched and shared with prior snapshots,
+        so time travel to the pre-delete version still sees every row.
+        Conflicts with any interleaved commit, like every rewrite."""
+        from pyspark.sql import functions as F
+
+        base = self.latest_version()
+        if base is None:
+            raise FileNotFoundError(f"no committed version in {self.root}")
+        mf = self._read_manifest(base)
+        hit = (
+            self._read_files(mf.files, dv_files=mf.dv_files, with_pos=True)
+            .filter(condition)
+            .select(
+                F.col("__dv_file").alias("file"),
+                F.col("__dv_pos").alias("pos"),
+            )
+            # one sidecar file: a deletion vector is small by premise
+            # (a delete big enough to fragment this should be CoW
+            # `delete_where` — rewriting is cheaper than masking there)
+            .coalesce(1)
+        )
+        dv_new = self.stage_files(hit)
+        return self._commit(
+            [],
+            "delete-dv",
+            base,
+            rebase_ok=False,
+            carry_parent_files=True,
+            dv_files=dv_new,
+        )
+
+    def deleted_positions(self, version: int | None = None) -> int:
+        """Number of row addresses masked by the snapshot's deletion
+        vectors (0 when it has none) — the auditable merge-on-read
+        measure, mirror of :meth:`skipped_files`."""
+        v = self.latest_version() if version is None else version
+        mf = self._read_manifest(v)  # type: ignore[arg-type]
+        if not mf.dv_files:
+            return 0
+        return self.spark.read.parquet(
+            *[os.path.join(self.root, f) for f in mf.dv_files]
+        ).count()
 
     def merge(
         self,
@@ -590,6 +705,97 @@ class TransactionalTable:
             *[F.col(f"old_{c}") for c in vals],
         )
 
+    def row_deltas(self, v_from: int, v_to: int) -> DataFrame:
+        """Metadata-driven row-level delta between two snapshots: every
+        data column plus ``__delta`` (+1 = row present in ``v_to`` but
+        not ``v_from``, -1 = the reverse), as a MULTISET — no key
+        contract, duplicates count. This is the CDF primitive computed
+        the way Delta/Iceberg compute it — from the COMMIT LOG, not by
+        diffing snapshots:
+
+        * files only in ``v_to`` → their (DV-masked) rows are inserts;
+        * files only in ``v_from`` → their (then-visible) rows are
+          deletes;
+        * files in both → only positions newly masked by ``v_to``'s
+          deletion vectors are deletes, found by scanning JUST the
+          files the new vector entries address.
+
+        Cost is therefore proportional to the CHANGED files, not the
+        table: an append reads only the appended files, a DV delete
+        reads only the files with new mask entries, and a CoW rewrite
+        degenerates (correctly) to a full diff because every file
+        changed. This is what makes downstream incremental maintenance
+        (`materialized.IncrementalAggView`) O(delta) on the append/DV
+        path at 100 TB. Unlike :meth:`changes` (the keyed I/U/D feed),
+        updates surface as delete+insert pairs."""
+        from pyspark.sql import functions as F
+
+        mf_a = self._read_manifest(v_from)
+        mf_b = self._read_manifest(v_to)
+        set_a, set_b = set(mf_a.files), set(mf_b.files)
+        added = [f for f in mf_b.files if f not in set_a]
+        removed = [f for f in mf_a.files if f not in set_b]
+        retained = [f for f in mf_a.files if f in set_b]
+
+        out: DataFrame | None = None
+
+        def acc(df: DataFrame, sign: int) -> None:
+            nonlocal out
+            part = df.withColumn("__delta", F.lit(sign))
+            out = (
+                part
+                if out is None
+                else out.unionByName(part, allowMissingColumns=True)
+            )
+
+        if added:
+            acc(self._read_files(added, dv_files=mf_b.dv_files), 1)
+        if removed:
+            acc(self._read_files(removed, dv_files=mf_a.dv_files), -1)
+        newly_masked = None
+        if mf_b.dv_files and retained:
+            dv_b = self.spark.read.parquet(
+                *[os.path.join(self.root, f) for f in mf_b.dv_files]
+            )
+            if mf_a.dv_files:
+                dv_a = self.spark.read.parquet(
+                    *[os.path.join(self.root, f) for f in mf_a.dv_files]
+                )
+                dv_new = dv_b.exceptAll(dv_a)
+            else:
+                dv_new = dv_b
+            retained_set = set(retained)
+            # file list is metadata-scale: collecting it prunes the scan
+            # to exactly the files the new vector entries address
+            mask_files = [
+                r["file"]
+                for r in dv_new.select("file").distinct().collect()
+                if r["file"] in retained_set
+            ]
+            if mask_files:
+                newly_masked = (
+                    self._read_files(mask_files, with_pos=True)
+                    .join(
+                        F.broadcast(
+                            dv_new.select(
+                                F.col("file").alias("__dv_file"),
+                                F.col("pos").alias("__dv_pos"),
+                            )
+                        ),
+                        ["__dv_file", "__dv_pos"],
+                        "left_semi",
+                    )
+                    .drop("__dv_file", "__dv_pos")
+                )
+        if newly_masked is not None:
+            acc(newly_masked, -1)
+        if out is None:
+            # no file-level change: empty delta with the right schema
+            out = self.read(v_to).withColumn("__delta", F.lit(1)).filter(
+                F.lit(False)
+            )
+        return out
+
     # ------------------------------------------------------------------
     # maintenance
     # ------------------------------------------------------------------
@@ -663,7 +869,8 @@ class TransactionalTable:
         keep = vs[-keep_versions:] if keep_versions > 0 else []
         live: set[str] = set()
         for v in keep:
-            for f in self._read_manifest(v).files:
+            mf = self._read_manifest(v)
+            for f in mf.files + (mf.dv_files or []):
                 live.add(f.split("/")[1])  # data/<commit-dir>/part
         removed = []
         for d in os.listdir(self._data_dir):

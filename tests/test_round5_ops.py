@@ -774,3 +774,244 @@ def test_bfs_min_agg_mode_matches_pruned_mode(spark):
             ).collect()
         }
         assert layered == pruned, f"hops={hops}"
+
+
+# ----------------------------------------------------------------------
+# deletion vectors (merge-on-read delete)
+# ----------------------------------------------------------------------
+
+
+def test_txn_table_dv_delete_masks_without_rewrite(spark, tmp_path):
+    """delete_where_dv must not touch the data files (merge-on-read):
+    the new manifest lists the SAME data files plus a DV sidecar, reads
+    exclude the masked rows, and time travel still sees them."""
+    from fefal_etl_spark.table import TransactionalTable
+
+    t = TransactionalTable(spark, str(tmp_path / "t"))
+    df = spark.range(40).select(
+        F.col("id").cast("int").alias("k"), (F.col("id") % 4).alias("g")
+    )
+    v0 = t.overwrite(df.repartition(3))
+    files_before = t._read_manifest(v0).files
+    v1 = t.delete_where_dv(F.col("k") % 10 == 7)
+    mf = t._read_manifest(v1)
+    assert mf.files == files_before  # zero data files rewritten
+    assert mf.dv_files and mf.op == "delete-dv"
+    assert t.read().count() == 36
+    assert t.deleted_positions() == 4
+    assert t.read(v0).count() == 40  # pre-delete snapshot intact
+    # stacked second vector composes
+    t.delete_where_dv(F.col("k") % 10 == 8)
+    assert t.read().count() == 32 and t.deleted_positions() == 8
+    # masked rows are really the right ones
+    ks = sorted(r["k"] for r in t.read().select("k").collect())
+    assert all(k % 10 not in (7, 8) for k in ks) and len(ks) == 32
+
+
+def test_txn_table_dv_applies_on_every_read_path(spark, tmp_path):
+    """read(), read_where() and read_partition() must all apply the
+    vectors — a path that forgets them resurrects deleted rows."""
+    from fefal_etl_spark.table import TransactionalTable
+
+    t = TransactionalTable(spark, str(tmp_path / "t"))
+    df = spark.range(30).select(
+        F.col("id").cast("int").alias("k"),
+        (F.col("id") % 3).cast("string").alias("p"),
+    )
+    t.overwrite(df, partition_by=["p"])
+    t.delete_where_dv(F.col("k") < 6)
+    assert t.read().count() == 24
+    assert t.read_where("k", 0, 11).count() == 6
+    got = sorted(r["k"] for r in t.read_partition(p="0").collect())
+    assert got == [6, 9, 12, 15, 18, 21, 24, 27]
+
+
+def test_txn_table_dv_append_carries_and_rewrite_materializes(spark, tmp_path):
+    """Appends carry the parent's vectors (they mask parent files);
+    any CoW rewrite (compact here) materializes them — same rows, no
+    dv_files in the new manifest — and vacuum keeps live DV sidecars."""
+    from fefal_etl_spark.table import TransactionalTable
+
+    t = TransactionalTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.range(20).select(F.col("id").alias("k")))
+    t.delete_where_dv(F.col("k") >= 15)
+    v2 = t.append(spark.range(20, 25).select(F.col("id").alias("k")))
+    assert t._read_manifest(v2).dv_files  # carried
+    assert t.read().count() == 20
+    v3 = t.compact()
+    mf3 = t._read_manifest(v3)
+    assert mf3.dv_files is None and t.read().count() == 20
+    # vacuum to just the compacted snapshot: still readable
+    t.vacuum(keep_versions=1)
+    assert t.read().count() == 20
+    assert sorted(r["k"] for r in t.read().collect()) == list(range(15)) + [
+        20, 21, 22, 23, 24,
+    ]
+
+
+def test_txn_table_dv_vacuum_keeps_dv_sidecars(spark, tmp_path):
+    """vacuum(keep_versions=1) on a DV snapshot must NOT remove the DV
+    sidecar's directory — deleting it would resurrect masked rows."""
+    from fefal_etl_spark.table import TransactionalTable
+
+    t = TransactionalTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.range(10).select(F.col("id").alias("k")))
+    t.delete_where_dv(F.col("k") == 3)
+    t.vacuum(keep_versions=1)
+    assert sorted(r["k"] for r in t.read().collect()) == [
+        0, 1, 2, 4, 5, 6, 7, 8, 9,
+    ]
+
+
+# ----------------------------------------------------------------------
+# metadata-driven row deltas + incremental materialized view
+# ----------------------------------------------------------------------
+
+
+def test_row_deltas_append_reads_only_new_files(spark, tmp_path):
+    """An append's delta is exactly the appended rows as +1 — and it is
+    computed from ONLY the added files (the retained files' rows never
+    enter the plan)."""
+    from fefal_etl_spark.table import TransactionalTable
+
+    t = TransactionalTable(spark, str(tmp_path / "t"))
+    v0 = t.overwrite(spark.range(100).select(F.col("id").alias("k")))
+    v1 = t.append(spark.range(100, 130).select(F.col("id").alias("k")))
+    d = t.row_deltas(v0, v1)
+    assert d.groupBy("__delta").count().collect()[0][1] == 30
+    assert sorted(r["k"] for r in d.collect()) == list(range(100, 130))
+    # plan-level: only the appended commit's directory is scanned
+    mf0, mf1 = t._read_manifest(v0), t._read_manifest(v1)
+    added_dirs = {
+        f.split("/")[1] for f in mf1.files if f not in set(mf0.files)
+    }
+    old_dirs = {f.split("/")[1] for f in mf0.files}
+    scanned = {p.split("/data/")[1].split("/")[0] for p in d.inputFiles()}
+    assert scanned == added_dirs
+    assert not (scanned & old_dirs)
+
+
+def test_row_deltas_dv_and_cow(spark, tmp_path):
+    """DV deletes surface as -1 rows (only newly-masked positions);
+    a CoW rewrite degenerates to full old(-1)/new(+1) and identical
+    rows cancel at the aggregate level."""
+    from fefal_etl_spark.table import TransactionalTable
+
+    t = TransactionalTable(spark, str(tmp_path / "t"))
+    v0 = t.overwrite(spark.range(50).select(F.col("id").alias("k")))
+    v1 = t.delete_where_dv(F.col("k") % 5 == 0)
+    d = t.row_deltas(v0, v1)
+    assert {(r["__delta"], r["k"]) for r in d.collect()} == {
+        (-1, k) for k in range(0, 50, 5)
+    }
+    # second vector: delta between v1 and v2 is only the NEW masks
+    v2 = t.delete_where_dv(F.col("k") % 7 == 1)
+    d2 = t.row_deltas(v1, v2)
+    assert sorted(r["k"] for r in d2.collect()) == [1, 8, 22, 29, 36, 43]
+    # CoW delete: every surviving row re-staged
+    v3 = t.delete_where(F.col("k") >= 40)
+    d3 = t.row_deltas(v2, v3)
+    counts = {r["__delta"]: r["count"] for r in d3.groupBy("__delta").count().collect()}
+    assert counts[-1] == t.read(v2).count() and counts[1] == t.read(v3).count()
+    # no change -> empty delta with the data schema + __delta
+    assert t.row_deltas(v3, v3).count() == 0
+
+
+def test_incremental_mv_matches_full_recompute(spark, tmp_path):
+    """The self-maintainable SUM/COUNT view must equal a from-scratch
+    recompute after init, append, DV-delete and CoW-delete refreshes —
+    including NULL sum values and group disappearance."""
+    from fefal_etl_spark.materialized import IncrementalAggView
+    from fefal_etl_spark.table import TransactionalTable
+
+    def mk(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 4).alias("g"),
+            F.when(F.col("id") % 9 == 0, F.lit(None))
+            .otherwise(F.col("id") * 1.5)
+            .alias("v"),
+        )
+
+    src = TransactionalTable(spark, str(tmp_path / "src"))
+    src.overwrite(mk(0, 80).repartition(3))
+    mv = IncrementalAggView(
+        spark, src, str(tmp_path / "mv"), ["g"], ["v"]
+    )
+
+    def check():
+        got = {
+            r["g"]: (r["n_rows"], r["sum_v"]) for r in mv.current().collect()
+        }
+        exp = {
+            r["g"]: (r["n_rows"], r["sum_v"])
+            for r in src.read()
+            .groupBy("g")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(F.col("v").cast("decimal(24,4)"))
+                .cast("decimal(30,4)")
+                .alias("sum_v"),
+            )
+            .collect()
+        }
+        assert got == exp, (got, exp)
+
+    assert mv.refresh() == 0  # init
+    assert mv.view._read_manifest(0).op == "mv-init"
+    check()
+    assert mv.refresh() is None  # idempotent no-op
+    src.append(mk(80, 120))
+    assert mv.refresh() == 1
+    assert mv.view._read_manifest(1).op == "mv-incr"  # took the delta path
+    check()
+    src.delete_where_dv(F.col("k") % 3 == 2)
+    assert mv.refresh() == 2
+    check()
+    src.delete_where(F.col("g") == 1)  # CoW: whole group disappears
+    assert mv.refresh() == 3
+    check()
+    assert not [r for r in mv.current().collect() if r["g"] == 1]
+    # view history time-travels: the init state is still readable
+    assert mv.current(version=0).count() == 4
+
+
+def test_incremental_mv_all_null_group_sum_is_null(spark, tmp_path):
+    """A group whose surviving rows are all-NULL in the sum column must
+    report SUM = NULL (the SQL convention), even after incremental
+    subtraction drove the non-null count to zero."""
+    from fefal_etl_spark.materialized import IncrementalAggView
+    from fefal_etl_spark.table import TransactionalTable
+
+    src = TransactionalTable(spark, str(tmp_path / "src"))
+    src.overwrite(
+        spark.createDataFrame(
+            [(1, "a", 5.0), (2, "a", None), (3, "b", 7.0)],
+            "k long, g string, v double",
+        )
+    )
+    mv = IncrementalAggView(spark, src, str(tmp_path / "mv"), ["g"], ["v"])
+    mv.refresh()
+    src.delete_where_dv(F.col("k") == 1)  # group a loses its only value
+    mv.refresh()
+    got = {r["g"]: (r["n_rows"], r["sum_v"]) for r in mv.current().collect()}
+    assert got["a"][0] == 1 and got["a"][1] is None
+    assert got["b"][0] == 1 and float(got["b"][1]) == 7.0
+
+
+def test_incremental_mv_replayed_refresh_skips(spark, tmp_path):
+    """Exactly-once refresh: a replica replaying refresh() against an
+    already-applied source version must not double-apply the delta (the
+    ledger check runs inside the commit CAS)."""
+    from fefal_etl_spark.materialized import IncrementalAggView
+    from fefal_etl_spark.table import TransactionalTable
+
+    src = TransactionalTable(spark, str(tmp_path / "src"))
+    src.overwrite(spark.range(10).select(F.col("id").alias("k"), F.lit("x").alias("g"), F.col("id").cast("double").alias("v")))
+    mv_a = IncrementalAggView(spark, src, str(tmp_path / "mv"), ["g"], ["v"])
+    mv_b = IncrementalAggView(spark, src, str(tmp_path / "mv"), ["g"], ["v"])
+    mv_a.refresh()
+    src.append(spark.range(10, 15).select(F.col("id").alias("k"), F.lit("x").alias("g"), F.col("id").cast("double").alias("v")))
+    assert mv_a.refresh() == 1
+    assert mv_b.refresh() is None  # replica sees the ledger, skips
+    assert mv_b.current().collect()[0]["n_rows"] == 15
