@@ -534,6 +534,76 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "incremental_dedup_match",
+    f"""
+    WITH {_CORPUS_SQL}, {_SQL_SHINGLES}, {_SQL_MINHASH},
+    xcand AS (
+        SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id
+        FROM buckets a JOIN buckets b
+          ON a.band = b.band AND a.band_sig = b.band_sig
+        WHERE a.doc_id >= 1000000 AND b.doc_id < 1000000
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+    xinter AS (
+        SELECT c.new_id, c.old_id, count(*) AS n_inter
+        FROM xcand c
+        JOIN shingles sa ON sa.doc_id = c.new_id
+        JOIN shingles sb ON sb.doc_id = c.old_id AND sb.shingle = sa.shingle
+        GROUP BY c.new_id, c.old_id
+    )
+    SELECT i.new_id, i.old_id,
+           CAST(i.n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - i.n_inter)
+               AS jaccard
+    FROM xinter i
+    JOIN sizes za ON za.doc_id = i.new_id
+    JOIN sizes zb ON zb.doc_id = i.old_id
+    WHERE CAST(i.n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - i.n_inter) >= 0.5
+    """,
+)
+def q_incremental_dedup_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V116 — incremental near-dup detection against a persistent LSH
+    index (llm/incremental_dedup.py::LshDedupIndex): the existing corpus
+    (doc_id < 1e6) is indexed ONCE — band buckets + shingle counts in a
+    transactional table — and the arriving batch (the planted near-dups,
+    doc_id ≥ 1e6) is matched by computing signatures for the BATCH ONLY,
+    broadcast-probing the index on the band key (zero corpus-scale
+    shuffle), and exact-Jaccard-verifying with a left-semi pruned rescan
+    of only the candidate docs' text. |B| sizes come from the index for
+    free.
+
+    This is the steady-state shape of corpus dedup at 100 TB: the batch
+    path (`minhash_neardup`) re-shingles everything per run; here a 1%
+    daily batch costs O(batch + candidates), and `add_batch` appends the
+    accepted docs' buckets through the manifest txn ledger (replayed
+    ingestion batches can't double-index). The oracle recomputes the
+    cross-side candidates + verify declaratively over the same corpus —
+    equality proves index-probe ≡ batch recompute. Unit tests pin
+    cross-pair parity with `minhash_lsh_neardup` and ledger idempotence."""
+    import os
+
+    from fefal_etl_spark.llm.incremental_dedup import LshDedupIndex
+    from fefal_etl_spark.staging import source_fingerprint, staging_root
+
+    corpus = _corpus(spark, sf_dir)
+    existing = corpus.filter(F.col("doc_id") < 1000000)
+    new_batch = corpus.filter(F.col("doc_id") >= 1000000)
+    root = os.path.join(
+        staging_root(),
+        f"lsh_index-{source_fingerprint(sf_dir, 'documents')}",
+    )
+    idx = LshDedupIndex(spark, root)
+    if idx.table.latest_version() != 0:
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
+        idx = LshDedupIndex(spark, root)
+        idx.build(existing, "doc_id", "text")
+    return idx.match_new(
+        new_batch, existing, "doc_id", "text", threshold=0.5
+    )
+
+
+@register(
     "ngram_jaccard_pairs",
     f"""
     WITH {_CORPUS_SQL}, {_SQL_SHINGLES},

@@ -2822,6 +2822,7 @@ _DRIVER_PRIORITY = [
     # oracle-green now and rotate into the r6 prefix ---
     "dv_delete_read",
     "incremental_mv_refresh",
+    "incremental_dedup_match",
 ]
 
 

@@ -1067,3 +1067,85 @@ def test_weighted_sample_respects_weights(spark):
     ks = [r["sample_key"] for r in out1]
     assert ks == sorted(ks, reverse=True)
     assert [r["rk"] for r in out1] == list(range(1, 41))
+
+
+# ----------------------------------------------------------------------
+# incremental LSH dedup index
+# ----------------------------------------------------------------------
+
+
+def test_lsh_index_matches_batch_path_cross_pairs(spark, tmp_path):
+    """Index-probe incremental matching must find exactly the cross-side
+    pairs the one-shot batch path finds on the combined corpus (same
+    signature scheme ⇒ same candidates ⇒ same verified pairs)."""
+    from fefal_etl_spark.llm.dedup import minhash_lsh_neardup
+    from fefal_etl_spark.llm.incremental_dedup import LshDedupIndex
+
+    existing = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again today"),
+            (3, "completely different content about spark query engines and shuffles"),
+            (5, "materialized views are maintained incrementally from the change feed"),
+        ],
+        "doc_id long, text string",
+    )
+    new_batch = spark.createDataFrame(
+        [
+            (11, "the quick brown fox jumps over the lazy dog again and again tonight"),
+            (12, "the quick brown fox jumps over the lazy dog again and again today"),
+            (13, "entirely novel material mentioning neither foxes nor dogs at all ok"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = LshDedupIndex(spark, str(tmp_path / "idx"))
+    idx.build(existing, "doc_id", "text")
+    got = {
+        (r["new_id"], r["old_id"]): r["jaccard"]
+        for r in idx.match_new(
+            new_batch, existing, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    batch = minhash_lsh_neardup(
+        existing.unionByName(new_batch),
+        "doc_id", "text", num_hashes=16, rows_per_band=4, threshold=0.5,
+    )
+    exp = {
+        (r["id_b"], r["id_a"]): r["jaccard"]
+        for r in batch.collect()
+        if r["id_a"] <= 5 and r["id_b"] >= 11  # cross-side only
+    }
+    assert got == exp and (12, 1) in got and got[(12, 1)] == 1.0
+    assert all(nid != 13 for nid, _ in got)  # novel doc matches nothing
+
+
+def test_lsh_index_add_batch_grows_and_is_idempotent(spark, tmp_path):
+    """add_batch extends match coverage to the indexed batch; replaying
+    the same (app_id, txn_version) append is skipped by the ledger."""
+    from fefal_etl_spark.llm.incremental_dedup import LshDedupIndex
+
+    d1 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    d2 = spark.createDataFrame(
+        [(2, "unrelated words about completely different things entirely here now")],
+        "doc_id long, text string",
+    )
+    probe = spark.createDataFrame(
+        [(9, "unrelated words about completely different things entirely here too")],
+        "doc_id long, text string",
+    )
+    idx = LshDedupIndex(spark, str(tmp_path / "idx"))
+    idx.build(d1, "doc_id", "text")
+    corpus = d1.unionByName(d2)
+    # before indexing d2: no match for the probe
+    assert idx.match_new(probe, corpus, "doc_id", "text").count() == 0
+    assert idx.add_batch(d2, "doc_id", "text", app_id="ing", txn_version=1) == 1
+    m = idx.match_new(probe, corpus, "doc_id", "text").collect()
+    assert [(r["new_id"], r["old_id"]) for r in m] == [(9, 2)]
+    # replayed batch: ledger skip, no new version, no duplicate rows
+    before = idx.table.read().count()
+    assert idx.add_batch(d2, "doc_id", "text", app_id="ing", txn_version=1) is None
+    assert idx.table.read().count() == before
+    # version pinning: a match against the pre-append snapshot ignores d2
+    assert idx.match_new(probe, corpus, "doc_id", "text", version=0).count() == 0

@@ -203,6 +203,14 @@ SMJ_WHITELIST = {
                                   # big×big, SMJ is the safe static shape;
                                   # AQE demotes to BHJ when the frontier
                                   # is actually small
+    "incremental_dedup_match",    # Jaccard-verify shingle intersection:
+                                  # batch-shingles×candidate-shingles, both
+                                  # corpus-derived posting lists (a daily
+                                  # batch can be TBs) — big×big, SMJ is the
+                                  # safe static shape; AQE demotes to BHJ
+                                  # when the batch is actually small. The
+                                  # INDEX probe itself broadcasts the new
+                                  # side and never SMJs.
 }
 
 
