@@ -255,6 +255,53 @@ def transactional_table_sink(root: str, app_id: str = "stream"):
     return batch_fn
 
 
+def transactional_table_mv_sink(
+    root: str,
+    view_root: str,
+    group_keys: list[str],
+    sum_cols: list[str],
+    app_id: str = "stream",
+):
+    """:func:`transactional_table_sink` plus a continuously-maintained
+    aggregate: after each micro-batch lands (exactly-once via the txn
+    ledger), the `materialized.IncrementalAggView` at ``view_root`` is
+    refreshed from the commit-log delta — which for a streaming append
+    is exactly the micro-batch's files, so the view refresh costs
+    O(micro-batch + view), never a base rescan.
+
+    Crash semantics compose: a replay between table-commit and
+    checkpoint-commit is skipped by the TABLE ledger (no double-append),
+    and a crash between table-commit and view-refresh is healed on the
+    next batch — the view ledger records the last APPLIED source
+    version, so the catch-up delta spans both batches. The view is
+    therefore eventually exactly-once without two-phase coordination
+    between sink and view (the downstream read is always a consistent
+    snapshot of SOME prefix of the stream)."""
+
+    base_fn = transactional_table_sink(root, app_id)
+
+    def batch_fn(batch_df: DataFrame, batch_id: int) -> None:
+        from fefal_etl_spark.materialized import IncrementalAggView
+        from fefal_etl_spark.table import CommitConflict, TransactionalTable
+
+        base_fn(batch_df, batch_id)
+        mv = IncrementalAggView(
+            batch_df.sparkSession,
+            TransactionalTable(batch_df.sparkSession, root),
+            view_root,
+            group_keys,
+            sum_cols,
+        )
+        try:
+            mv.refresh()
+        except CommitConflict:
+            # a concurrent refresher won this interval; its commit (or
+            # the next batch's catch-up delta) covers our source version
+            pass
+
+    return batch_fn
+
+
 def run_to_memory_sink(
     stream_df: DataFrame, query_name: str, output_mode: str = "append"
 ) -> "object":

@@ -1015,3 +1015,58 @@ def test_incremental_mv_replayed_refresh_skips(spark, tmp_path):
     assert mv_a.refresh() == 1
     assert mv_b.refresh() is None  # replica sees the ledger, skips
     assert mv_b.current().collect()[0]["n_rows"] == 15
+
+
+def test_transactional_table_mv_sink_keeps_view_fresh(spark, tmp_path):
+    """The combined sink lands batches exactly-once AND keeps the
+    aggregate view equal to a full recompute after every batch; a
+    replayed batch changes nothing; a crash between table-commit and
+    view-refresh is healed by the next batch's catch-up delta."""
+    from fefal_etl_spark.materialized import IncrementalAggView
+    from fefal_etl_spark.streaming.events import (
+        transactional_table_mv_sink,
+        transactional_table_sink,
+    )
+    from fefal_etl_spark.table import TransactionalTable
+
+    root, vroot = str(tmp_path / "t"), str(tmp_path / "v")
+    sink = transactional_table_mv_sink(
+        root, vroot, ["g"], ["x"], app_id="s1"
+    )
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "g string, x double")
+
+    def check():
+        t = TransactionalTable(spark, root)
+        mv = IncrementalAggView(spark, t, vroot, ["g"], ["x"])
+        got = {
+            r["g"]: (r["n_rows"], float(r["sum_x"]))
+            for r in mv.current().collect()
+        }
+        exp = {
+            r["g"]: (r["n_rows"], float(r["s"]))
+            for r in t.read()
+            .groupBy("g")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(F.col("x").cast("decimal(24,4)")).alias("s"),
+            )
+            .collect()
+        }
+        assert got == exp, (got, exp)
+
+    sink(batch([("a", 1.0), ("b", 2.0)]), 0)
+    check()
+    sink(batch([("a", 3.0)]), 1)
+    check()
+    # crash-replay of batch 1: table ledger skips, view stays consistent
+    sink(batch([("a", 3.0)]), 1)
+    check()
+    assert TransactionalTable(spark, root).latest_version() == 1
+    # crash between table-commit and view-refresh: land batch 2 via the
+    # PLAIN sink (no refresh), then batch 3 via the mv sink — its single
+    # catch-up delta must cover both
+    transactional_table_sink(root, app_id="s1")(batch([("c", 5.0)]), 2)
+    sink(batch([("b", 7.0)]), 3)
+    check()
