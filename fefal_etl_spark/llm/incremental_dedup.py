@@ -65,12 +65,25 @@ class LshDedupIndex:
         self.rows_per_band = rows_per_band
 
     # ------------------------------------------------------------------
-    def _buckets(self, docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    def _buckets(
+        self,
+        docs: DataFrame,
+        id_col: str,
+        text_col: str,
+        shingle_df: DataFrame | None = None,
+    ) -> DataFrame:
         """(doc_id, band, band_sig, n_sh) for ``docs`` — one shingle pass,
         one signature aggregation (bands fused into the same projection),
         one narrow explode. Docs with zero shingles (< n words) emit no
-        rows, exactly like the batch path."""
-        sh = shingles(docs, id_col, text_col, n=self.shingle_n, as_hash=True)
+        rows, exactly like the batch path. ``shingle_df`` short-circuits
+        the shingle pass with a precomputed (id, md5-hashed shingle)
+        frame — ingest pipelines shingle a batch once and feed every
+        consumer from that."""
+        sh = (
+            shingle_df
+            if shingle_df is not None
+            else shingles(docs, id_col, text_col, n=self.shingle_n, as_hash=True)
+        )
         sig = minhash_signatures(
             sh,
             id_col,
@@ -125,14 +138,36 @@ class LshDedupIndex:
         text_col: str,
         threshold: float = 0.5,
         version: int | None = None,
+        new_shingles: DataFrame | None = None,
+        tokens: DataFrame | None = None,
     ) -> DataFrame:
         """(new_id, old_id, jaccard) for every new doc whose exact Jaccard
         against an INDEXED doc meets ``threshold``, with candidates from
         the band-bucket probe. ``corpus`` is the text source for existing
         docs — scanned only for the candidate ids (left-semi prune).
         ``version`` pins the index snapshot (concurrent `add_batch`
-        writers never affect an in-flight match)."""
-        nb = self._buckets(new_docs, id_col, text_col)
+        writers never affect an in-flight match).
+
+        ``new_shingles`` (an (id, md5-hashed shingle) frame, e.g. a
+        staged once-per-batch table) feeds the signature pipeline and —
+        when no ``tokens`` table is given — the verify's new side;
+        without it the batch text is shingled twice.
+
+        ``tokens`` is a pre-tokenized DISTINCT posting table covering
+        both the batch and the indexed corpus (e.g. the similarity
+        family's staged ``sim_tokens``; any consistent hash — the verify
+        only equality-tests). With it the Jaccard verify never touches
+        TEXT at all: both sides are left-semi pruned to the candidate
+        ids, so the verify reads only candidate postings — the right
+        read shape at 100 TB, where the posting table is maintained
+        incrementally alongside the index."""
+        if new_shingles is None:
+            new_shingles = shingles(
+                new_docs, id_col, text_col, n=self.shingle_n, as_hash=True
+            )
+        nb = self._buckets(
+            new_docs, id_col, text_col, shingle_df=new_shingles
+        )
         idx = self.table.read(version)
         cand = (
             idx.select(
@@ -157,17 +192,37 @@ class LshDedupIndex:
             .select("new_id", "old_id", "n_a", "n_b")
             .distinct()
         )
-        new_sh = shingles(
-            new_docs, id_col, text_col, n=self.shingle_n, as_hash=True
-        ).select(F.col(id_col).alias("new_id"), "shingle")
-        old_ids = cand.select(F.col("old_id").alias(id_col)).distinct()
-        old_sh = shingles(
-            corpus.join(old_ids, on=id_col, how="left_semi"),
-            id_col,
-            text_col,
-            n=self.shingle_n,
-            as_hash=True,
-        ).select(F.col(id_col).alias("old_id"), "shingle")
+        # cand feeds TWO downstream legs (the semi-prune of the old-side
+        # text AND the intersection join); unpersisted, each leg re-runs
+        # the whole new-batch signature pipeline + index probe (measured
+        # 3.2 s warm at sf0.1 before, ~half after). Harness loops release
+        # via cache.release_tracked().
+        from fefal_etl_spark.cache import track
+
+        cand = track(cand.persist())
+        # the id frames feed left-semi joins only, so no distinct: the
+        # semi join dedups by construction and each distinct would add
+        # an exchange (A/B-measured 1.28 -> 0.68 s warm at sf0.1)
+        old_ids = cand.select(F.col("old_id").alias(id_col))
+        if tokens is not None:
+            new_ids = cand.select(F.col("new_id").alias(id_col))
+            new_sh = tokens.join(new_ids, on=id_col, how="left_semi").select(
+                F.col(id_col).alias("new_id"), "shingle"
+            )
+            old_sh = tokens.join(old_ids, on=id_col, how="left_semi").select(
+                F.col(id_col).alias("old_id"), "shingle"
+            )
+        else:
+            new_sh = new_shingles.select(
+                F.col(id_col).alias("new_id"), "shingle"
+            )
+            old_sh = shingles(
+                corpus.join(old_ids, on=id_col, how="left_semi"),
+                id_col,
+                text_col,
+                n=self.shingle_n,
+                as_hash=True,
+            ).select(F.col(id_col).alias("old_id"), "shingle")
         inter = (
             cand.join(new_sh, "new_id")
             .join(old_sh, ["old_id", "shingle"])
