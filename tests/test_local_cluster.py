@@ -69,6 +69,20 @@ for name in (
     assert n > 0, f"{{name}} returned no rows"
     print("OK", name, n)
 
+# 6. deletion-vector read: the anti-join keys on _metadata.file_path /
+# row_index, which are produced by the EXECUTOR-side scan — and the
+# manifest-driven multi-path read itself must resolve on executors
+import tempfile as _tf
+from pyspark.sql import functions as F
+from fefal_etl_spark.table import TransactionalTable
+
+t = TransactionalTable(spark, os.path.join(_tf.mkdtemp(), "t"))
+t.overwrite(spark.range(100).select(F.col("id").alias("k")).repartition(4))
+t.delete_where_dv(F.col("k") % 10 == 3)
+n = t.read().count()
+assert n == 90, f"dv read expected 90 rows, got {{n}}"
+print("OK dv_read", n)
+
 spark.stop()
 print("ALL-OK")
 """
