@@ -2666,6 +2666,70 @@ def q_dv_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "merge_dv_orders",
+    """
+    WITH final AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.1
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey + 3000000, 'I', o_totalprice + 5
+        FROM orders WHERE o_orderkey % 13 = 0
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(24,4))) AS DOUBLE) AS revenue,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key
+    FROM final GROUP BY o_orderstatus
+    """,
+)
+def q_merge_dv_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V117 — merge-on-read MERGE (table.py::merge_dv): an upsert batch
+    (10.1% price updates on keys%7=0 + synthetic inserts from keys%13=0)
+    lands WITHOUT rewriting any existing data file — matched rows are
+    masked by a deletion-vector sidecar and their updated images are
+    appended alongside the inserts (Delta's DV-enabled MERGE / Iceberg
+    merge-on-read). Write cost is O(source + matched); under
+    copy-on-write the same batch rewrites ~every file a matched key
+    touches, which at 100 TB is ~the whole table for a scattered daily
+    upsert. The oracle computes the post-merge state declaratively
+    (CASE update ∪ inserts) — equality proves mask+append ≡ MERGE. Unit
+    tests additionally pin the untouched-file property, CoW-merge
+    equivalence, partial update_cols, and vector stacking."""
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+    def build(t):
+        t.overwrite(base)
+        updates = base.filter(F.col("o_orderkey") % 7 == 0).select(
+            "o_orderkey",
+            "o_orderstatus",
+            (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+        )
+        inserts = base.filter(F.col("o_orderkey") % 13 == 0).select(
+            (F.col("o_orderkey") + 3000000).alias("o_orderkey"),
+            F.lit("I").alias("o_orderstatus"),
+            (F.col("o_totalprice") + 5).alias("o_totalprice"),
+        )
+        t.merge_dv(updates.unionByName(inserts), ["o_orderkey"])
+
+    t = _txn_scenario(spark, sf_dir, "txn_merge_dv", build, final_version=1)
+    return (
+        t.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(24,4)"))
+            .cast("double")
+            .alias("revenue"),
+            F.max("o_orderkey").cast("long").alias("max_key"),
+        )
+    )
+
+
+@register(
     "incremental_mv_refresh",
     """
     SELECT o_orderpriority,
@@ -2823,6 +2887,7 @@ _DRIVER_PRIORITY = [
     "dv_delete_read",
     "incremental_mv_refresh",
     "incremental_dedup_match",
+    "merge_dv_orders",
 ]
 
 

@@ -650,6 +650,69 @@ class TransactionalTable:
             stats=self._file_stats(files),
         )
 
+    def merge_dv(
+        self,
+        source: DataFrame,
+        keys: list[str],
+        update_cols: list[str] | None = None,
+    ) -> int:
+        """Merge-on-read MERGE (the deletion-vector form of
+        :meth:`merge`): matched target rows are MASKED by a deletion
+        vector and their updated images — plus the unmatched source
+        inserts — are APPENDED as new files. The existing data files are
+        untouched, so write cost is O(source + matched), never
+        O(target): at 100 TB, upserting a 0.1% daily batch under
+        copy-on-write rewrites ~every file a matched key lands in, while
+        this writes one small sidecar and one batch-sized commit. This
+        is Delta's DV-enabled MERGE / Iceberg's merge-on-read write mode.
+
+        Reads pay the usual DV broadcast anti-join; vectors accumulate
+        until any CoW rewrite (e.g. :meth:`compact`) materializes them.
+        Same unique-source-keys precondition as :meth:`merge` (enforced
+        by `merge_into`'s guard on the appended images). Conflicts with
+        interleaved commits, like every rewrite."""
+        from pyspark.sql import functions as F
+
+        from fefal_etl_spark.operators.upsert import merge_into
+
+        base = self.latest_version()
+        if base is None:
+            raise FileNotFoundError(f"no committed version in {self.root}")
+        mf = self._read_manifest(base)
+        tgt = self._read_files(mf.files, dv_files=mf.dv_files, with_pos=True)
+        # source keys join twice (mask + image legs); no broadcast hint —
+        # a merge source can be TBs, AQE demotes/promotes per actual size
+        src_keys = source.select(*keys).distinct()
+        hit = (
+            tgt.join(src_keys, on=keys, how="left_semi")
+            .select(
+                F.col("__dv_file").alias("file"),
+                F.col("__dv_pos").alias("pos"),
+            )
+            .coalesce(1)  # small by the merge-on-read premise
+        )
+        dv_new = self.stage_files(hit)
+        matched_tgt = (
+            tgt.drop("__dv_file", "__dv_pos")
+            .join(src_keys, on=keys, how="left_semi")
+        )
+        # merge_into over ONLY the matched target slice: updated images
+        # for matched keys + pure inserts for source-only keys — exactly
+        # the rows that must be appended
+        images = merge_into(
+            matched_tgt, source, keys, update_cols=update_cols
+        )
+        files = self.stage_files(images)
+        return self._commit(
+            files,
+            "merge-dv",
+            base,
+            rebase_ok=False,
+            carry_parent_files=True,
+            stats=self._file_stats(files),
+            dv_files=dv_new,
+        )
+
     def changes(
         self, v_from: int, v_to: int, keys: list[str]
     ) -> DataFrame:

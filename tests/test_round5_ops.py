@@ -1070,3 +1070,53 @@ def test_transactional_table_mv_sink_keeps_view_fresh(spark, tmp_path):
     transactional_table_sink(root, app_id="s1")(batch([("c", 5.0)]), 2)
     sink(batch([("b", 7.0)]), 3)
     check()
+
+
+def test_txn_table_merge_dv_masks_and_appends(spark, tmp_path):
+    """merge_dv must leave every pre-merge data file in the manifest
+    (mask + append, zero rewrites), produce exactly the CoW merge()
+    result, honor partial update_cols, and stack across merges."""
+    from fefal_etl_spark.table import TransactionalTable
+
+    def base(root):
+        t = TransactionalTable(spark, str(tmp_path / root))
+        t.overwrite(
+            spark.createDataFrame(
+                [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+                "k long, g string, v double",
+            ).repartition(2)
+        )
+        return t
+
+    src = spark.createDataFrame(
+        [(2, "B", 99.0), (4, "d", 40.0)], "k long, g string, v double"
+    )
+    t = base("t")
+    files0 = t._read_manifest(0).files
+    v1 = t.merge_dv(src, ["k"])
+    mf = t._read_manifest(v1)
+    assert mf.op == "merge-dv"
+    assert set(files0) <= set(mf.files)  # no data file dropped/rewritten
+    assert mf.dv_files
+    got = sorted(tuple(r) for r in t.read().collect())
+    t2 = base("t2")
+    t2.merge(src, ["k"])
+    assert got == sorted(tuple(r) for r in t2.read().collect())
+    assert got == [(1, "a", 10.0), (2, "B", 99.0), (3, "c", 30.0), (4, "d", 40.0)]
+    assert t.read(0).count() == 3  # pre-merge snapshot intact
+    # partial update_cols keeps target values for unlisted columns
+    t3 = base("t3")
+    t3.merge_dv(
+        spark.createDataFrame([(1, "ZZZ", 77.0)], "k long, g string, v double"),
+        ["k"],
+        update_cols=["v"],
+    )
+    r = t3.read().filter(F.col("k") == 1).collect()[0]
+    assert (r["g"], r["v"]) == ("a", 77.0)
+    # a second merge_dv re-targets a row that is itself a merge image
+    t.merge_dv(
+        spark.createDataFrame([(2, "B2", 100.0)], "k long, g string, v double"),
+        ["k"],
+    )
+    rows = {r["k"]: r["v"] for r in t.read().collect()}
+    assert rows == {1: 10.0, 2: 100.0, 3: 30.0, 4: 40.0}
