@@ -200,6 +200,7 @@ BENCH_QUERIES = [
     # index probe + pruned verify (the index itself is a cached scenario)
     "incremental_dedup_match",
     "merge_dv_orders",
+    "incremental_mv_stats",
     # dup_clusters_star is excluded like ngram_jaccard_pairs: at bench SF its
     # wall time is ~6 iterative rounds of fixed scheduling cost (the
     # algorithm exists for O(log n) ROUNDS at web scale, demonstrated by the

@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 from fefal_etl_spark.table import TransactionalTable
 
 _DEC = "decimal(30,4)"
+_DEC_SQ = "decimal(38,8)"  # Σx² carrier (x as decimal(18,4), x² = (37,8))
 
 
 class IncrementalAggView:
@@ -60,12 +61,21 @@ class IncrementalAggView:
         root: str,
         group_keys: list[str],
         sum_cols: list[str],
+        track_sumsq: bool = False,
     ):
+        """``track_sumsq`` additionally maintains Σx² per sum column
+        (exact DECIMAL, same ⊕ algebra — squares are self-maintainable
+        exactly like sums), which lets :meth:`stats` serve AVG / VAR /
+        STDDEV from the view. Moments are the classic trick for making
+        non-distributive aggregates incrementally maintainable; the
+        catastrophic-cancellation caveat of the Σx²-Σx²/n form applies
+        as it does to every moments-based variance."""
         self.spark = spark
         self.source = source
         self.view = TransactionalTable(spark, root)
         self.group_keys = list(group_keys)
         self.sum_cols = list(sum_cols)
+        self.track_sumsq = track_sumsq
 
     # ------------------------------------------------------------------
     def last_refreshed_source_version(self) -> int | None:
@@ -80,6 +90,10 @@ class IncrementalAggView:
         for c in self.sum_cols:
             aggs.append(F.sum(f"__s_{c}").cast(_DEC).alias(f"sum_{c}"))
             aggs.append(F.sum(f"__nn_{c}").cast("long").alias(f"nn_{c}"))
+            if self.track_sumsq:
+                aggs.append(
+                    F.sum(f"__ss_{c}").cast(_DEC_SQ).alias(f"ss_{c}")
+                )
         return aggs
 
     def _contrib(self, rows: DataFrame, delta_col) -> DataFrame:
@@ -100,6 +114,14 @@ class IncrementalAggView:
                 .otherwise(F.lit(0))
                 .alias(f"__nn_{c}")
             )
+            if self.track_sumsq:
+                # decimal(18,4) squares to (37,8): exact in both engines
+                # (a (24,4) square would overflow DECIMAL's 38-digit cap)
+                v18 = F.col(c).cast("decimal(18,4)")
+                sq = F.coalesce(
+                    v18 * v18, F.lit(0).cast("decimal(37,8)")
+                )
+                cols.append((sq * delta_col).cast(_DEC_SQ).alias(f"__ss_{c}"))
         return rows.select(*cols)
 
     def _full_state(self, src_version: int) -> DataFrame:
@@ -152,12 +174,16 @@ class IncrementalAggView:
         for c in self.sum_cols:
             out_cols.append(add(f"sum_{c}", _DEC).alias(f"sum_{c}"))
             out_cols.append(add(f"nn_{c}", "long").alias(f"nn_{c}"))
+            if self.track_sumsq:
+                out_cols.append(add(f"ss_{c}", _DEC_SQ).alias(f"ss_{c}"))
         return j.select(*out_cols).filter(F.col("n_rows") > 0)
 
     def _val_cols(self) -> list[str]:
         out = ["n_rows"]
         for c in self.sum_cols:
             out += [f"sum_{c}", f"nn_{c}"]
+            if self.track_sumsq:
+                out.append(f"ss_{c}")
         return out
 
     # ------------------------------------------------------------------
@@ -191,6 +217,35 @@ class IncrementalAggView:
             stats=self.view._file_stats(files),
             txn=(self.LEDGER_APP, src_v),
         )
+
+    def stats(self, version: int | None = None) -> DataFrame:
+        """Derived-statistics read (requires ``track_sumsq``): group
+        keys, ``n_rows``, and per sum column ``mean_<c>`` and population
+        variance ``var_<c>``, computed from the exact (Σx, Σx², n)
+        moments — the view serves AVG/VAR/STDDEV without any base
+        access. Expression shape is fixed (double division of the exact
+        decimal carriers) so an external engine computing the same
+        casts reproduces it bit-for-bit."""
+        if not self.track_sumsq:
+            raise ValueError("stats() requires track_sumsq=True")
+        st = self.view.read(version)
+        cols = [*self.group_keys, F.col("n_rows")]
+        for c in self.sum_cols:
+            n = F.col(f"nn_{c}").cast("double")
+            s = F.col(f"sum_{c}").cast("double")
+            ss = F.col(f"ss_{c}").cast("double")
+            mean = s / n
+            cols.append(
+                F.when(F.col(f"nn_{c}") > 0, mean)
+                .otherwise(F.lit(None))
+                .alias(f"mean_{c}")
+            )
+            cols.append(
+                F.when(F.col(f"nn_{c}") > 0, ss / n - (s / n) * (s / n))
+                .otherwise(F.lit(None))
+                .alias(f"var_{c}")
+            )
+        return st.select(*cols)
 
     def current(self, version: int | None = None) -> DataFrame:
         """User-facing view frame: group keys, ``n_rows``, and one

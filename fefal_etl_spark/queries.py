@@ -2807,6 +2807,83 @@ def q_incremental_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "incremental_mv_stats",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(24,4))) AS DOUBLE)
+             / CAST(count(o_totalprice) AS DOUBLE) AS mean_total
+    FROM orders
+    WHERE o_orderkey % 3 IN (0, 1) AND NOT (o_totalprice < 50000)
+    GROUP BY o_orderpriority
+    """,
+)
+def q_incremental_mv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V118 — moments-based incremental statistics view
+    (materialized.py, ``track_sumsq``): the same three-commit scenario
+    as `incremental_mv_refresh` (init / append / DV delete), but the
+    view additionally maintains Σx² per group — squares are
+    self-maintainable under the identical ⊕ algebra — so AVG and
+    population VARIANCE are served straight from the (n, Σx, Σx²)
+    carriers with zero base access. All three moments accumulate in
+    exact DECIMAL, so three incremental refreshes land bit-identical to
+    the from-scratch recompute. The oracle pins n and the double mean
+    per group after the three refreshes (the sum carrier is already
+    oracle-pinned by `incremental_mv_refresh`); Σx² and the variance
+    derived from it are pinned in UNIT tests against `F.var_pop` on a
+    full recompute — DuckDB cannot compute the x² decimal product at
+    this width exactly (it falls back to double multiplication, ~0.03
+    absolute off at 1e14 sums), so a SQL twin for the second moment
+    would compare engine artifacts, not semantics. This is the classic
+    trick for putting non-distributive aggregates (stddev, z-scores,
+    CIs) behind an incrementally-maintained table at 100 TB."""
+    import os
+    import shutil
+
+    from fefal_etl_spark.materialized import IncrementalAggView
+    from fefal_etl_spark.staging import source_fingerprint, staging_root
+    from fefal_etl_spark.table import TransactionalTable
+
+    root = os.path.join(
+        staging_root(), f"txn_mv_stats-{source_fingerprint(sf_dir, 'orders')}"
+    )
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+
+    def attach():
+        src = TransactionalTable(spark, os.path.join(root, "src"))
+        mv = IncrementalAggView(
+            spark,
+            src,
+            os.path.join(root, "view"),
+            ["o_orderpriority"],
+            ["o_totalprice"],
+            track_sumsq=True,
+        )
+        return src, mv
+
+    src, mv = attach()
+    if not (
+        src.latest_version() == 2
+        and mv.last_refreshed_source_version() == 2
+    ):
+        shutil.rmtree(root, ignore_errors=True)
+        src, mv = attach()
+        src.overwrite(base.filter(F.col("o_orderkey") % 3 == 0))
+        mv.refresh()
+        src.append(base.filter(F.col("o_orderkey") % 3 == 1))
+        mv.refresh()
+        src.delete_where_dv(F.col("o_totalprice") < 50000)
+        mv.refresh()
+    return mv.stats().select(
+        "o_orderpriority",
+        F.col("n_rows"),
+        F.col("mean_o_totalprice").alias("mean_total"),
+    )
+
+
 # ==========================================================================
 # Registry accessors
 # ==========================================================================
@@ -2888,6 +2965,7 @@ _DRIVER_PRIORITY = [
     "incremental_mv_refresh",
     "incremental_dedup_match",
     "merge_dv_orders",
+    "incremental_mv_stats",
 ]
 
 

@@ -1120,3 +1120,65 @@ def test_txn_table_merge_dv_masks_and_appends(spark, tmp_path):
     )
     rows = {r["k"]: r["v"] for r in t.read().collect()}
     assert rows == {1: 10.0, 2: 100.0, 3: 30.0, 4: 40.0}
+
+
+def test_incremental_mv_sumsq_variance_matches_var_pop(spark, tmp_path):
+    """track_sumsq: after init + append + DV delete, stats() must serve
+    mean == avg and var == var_pop of a from-scratch recompute (moments
+    accumulate in exact decimal, so incremental == full bit-for-bit on
+    the carriers; the double derivation matches to float equality), and
+    an all-NULL group must report NULL mean/var."""
+    from fefal_etl_spark.materialized import IncrementalAggView
+    from fefal_etl_spark.table import TransactionalTable
+
+    def mk(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 3).alias("g"),
+            F.when(F.col("id") % 7 == 0, F.lit(None))
+            .otherwise(F.col("id") * 2.5 + 0.33)
+            .alias("v"),
+        )
+
+    src = TransactionalTable(spark, str(tmp_path / "src"))
+    src.overwrite(mk(0, 60).repartition(3))
+    mv = IncrementalAggView(
+        spark, src, str(tmp_path / "mv"), ["g"], ["v"], track_sumsq=True
+    )
+    mv.refresh()
+    src.append(mk(60, 90))
+    mv.refresh()
+    src.delete_where_dv(F.col("k") % 4 == 1)
+    assert mv.refresh() == 2
+    assert mv.view._read_manifest(2).op == "mv-incr"
+    got = {
+        r["g"]: (r["n_rows"], r["mean_v"], r["var_v"])
+        for r in mv.stats().collect()
+    }
+    exp = {
+        r["g"]: (r["n"], r["m"], r["var"])
+        for r in src.read()
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.avg("v").alias("m"),
+            F.var_pop("v").alias("var"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exp)
+    for g in exp:
+        assert got[g][0] == exp[g][0]
+        assert abs(got[g][1] - exp[g][1]) < 1e-9 * max(1.0, abs(exp[g][1]))
+        assert abs(got[g][2] - exp[g][2]) < 1e-6 * max(1.0, abs(exp[g][2]))
+    # all-NULL group: sum/var go NULL, not 0
+    src2 = TransactionalTable(spark, str(tmp_path / "s2"))
+    src2.overwrite(
+        spark.createDataFrame([(1, "a", None)], "k long, g string, v double")
+    )
+    mv2 = IncrementalAggView(
+        spark, src2, str(tmp_path / "m2"), ["g"], ["v"], track_sumsq=True
+    )
+    mv2.refresh()
+    r = mv2.stats().collect()[0]
+    assert r["n_rows"] == 1 and r["mean_v"] is None and r["var_v"] is None
