@@ -2808,6 +2808,73 @@ def q_incremental_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "table_stream_read",
+    """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(24,4))) AS DOUBLE) AS revenue
+    FROM orders WHERE o_orderkey % 3 IN (0, 1)
+    GROUP BY o_orderstatus
+    """,
+)
+def q_table_stream_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V119 — the transactional table as a Structured-Streaming SOURCE
+    (streaming/table_source.py, Spark 4 Python Data Source API): the
+    scenario table (overwrite keys%3=0, append keys%3=1) is tailed with
+    `readStream.format("txn_table_stream")` — the stream OFFSET is the
+    manifest version, each micro-batch is the files added by whole
+    atomic commits, and executors read them as Arrow batches (columnar
+    through the Python boundary). A streaming groupBy in complete mode
+    drains under Trigger.AvailableNow; the final memory-sink state must
+    equal the batch aggregate over the same logical rows — the oracle.
+    Offsets derived from immutable manifests make replay deterministic:
+    the restart/exactly-once/append-only-contract behaviors are pinned
+    in tests/test_round5_ops.py. At 100 TB this is the follow-the-log
+    consumption shape: tailing cost is O(new files), metadata-only
+    planning, no storage listing."""
+    import uuid
+
+    from fefal_etl_spark.streaming.table_source import (
+        TxnTableStreamDataSource,
+    )
+
+    if not getattr(spark, "_txn_stream_src_registered", False):
+        spark.dataSource.register(TxnTableStreamDataSource)
+        spark._txn_stream_src_registered = True
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+    def build(t):
+        t.overwrite(base.filter(F.col("o_orderkey") % 3 == 0))
+        t.append(base.filter(F.col("o_orderkey") % 3 == 1))
+
+    t = _txn_scenario(spark, sf_dir, "txn_stream", build, final_version=1)
+    stream = (
+        spark.readStream.format("txn_table_stream")
+        .option("path", t.root)
+        .load()
+    )
+    agg = stream.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(24,4)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+    sink = f"q_table_stream_read_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+@register(
     "incremental_mv_stats",
     """
     SELECT o_orderpriority,
@@ -2966,6 +3033,7 @@ _DRIVER_PRIORITY = [
     "incremental_dedup_match",
     "merge_dv_orders",
     "incremental_mv_stats",
+    "table_stream_read",
 ]
 
 

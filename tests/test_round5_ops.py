@@ -1182,3 +1182,62 @@ def test_incremental_mv_sumsq_variance_matches_var_pop(spark, tmp_path):
     mv2.refresh()
     r = mv2.stats().collect()[0]
     assert r["n_rows"] == 1 and r["mean_v"] is None and r["var_v"] is None
+
+
+def test_txn_table_stream_source_tails_commits(spark, tmp_path):
+    """The Python-data-source stream over a transactional table: initial
+    drain covers all committed versions, a restart on the same checkpoint
+    emits ONLY newly committed files, re-draining with no new commits
+    emits nothing, and a CoW rewrite fails the append-only contract
+    unless ignoreChanges=true."""
+    from fefal_etl_spark.streaming.table_source import (
+        TxnTableStreamDataSource,
+    )
+    from fefal_etl_spark.table import TransactionalTable
+
+    spark.dataSource.register(TxnTableStreamDataSource)
+    root = str(tmp_path / "t")
+    t = TransactionalTable(spark, root)
+    t.overwrite(spark.range(10).select(F.col("id").alias("k")))
+    t.append(spark.range(10, 25).select(F.col("id").alias("k")))
+
+    df = (
+        spark.readStream.format("txn_table_stream")
+        .option("path", root)
+        .load()
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def drain(frame=df, o=out, c=ckpt):
+        q = (
+            frame.writeStream.format("parquet")
+            .option("path", o)
+            .option("checkpointLocation", c)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    assert spark.read.parquet(out).count() == 25
+    t.append(spark.range(25, 30).select(F.col("id").alias("k")))
+    drain()
+    assert sorted(r["k"] for r in spark.read.parquet(out).collect()) == list(
+        range(30)
+    )
+    drain()  # no new commits -> no new rows
+    assert spark.read.parquet(out).count() == 30
+    # CoW rewrite breaks the append-only contract
+    t.delete_where(F.col("k") < 5)
+    with pytest.raises(Exception, match="append-only"):
+        drain()
+    # ignoreChanges streams additions only (the rewrite's restaged
+    # survivors are additions: 25 initial + 5 appended + 25 survivors)
+    df2 = (
+        spark.readStream.format("txn_table_stream")
+        .option("path", root)
+        .option("ignoreChanges", "true")
+        .load()
+    )
+    drain(df2, str(tmp_path / "out2"), str(tmp_path / "ckpt2"))
+    assert spark.read.parquet(str(tmp_path / "out2")).count() == 55
