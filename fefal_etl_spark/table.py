@@ -59,6 +59,21 @@ class CommitConflict(Exception):
     Callers re-read and retry at the new base."""
 
 
+class SchemaConflict(Exception):
+    """An incoming write redefines an existing column with an
+    incompatible type. New columns are allowed (the schema-evolution
+    contract); silently changing a column's type would corrupt every
+    union-by-name read, so it is rejected at commit time — the
+    lakehouse schema-enforcement contract."""
+
+
+class ConstraintViolation(Exception):
+    """An incoming write contains rows that fail a table CHECK
+    constraint (SQL semantics: a row violates only when the expression
+    is FALSE — NULL passes). Enforced at commit time so bad data never
+    becomes visible to any reader."""
+
+
 @dataclass
 class _Manifest:
     version: int
@@ -80,6 +95,11 @@ class _Manifest:
     # (file, pos) rows): merge-on-read deletes — the listed positions of
     # the listed data files are logically deleted without rewriting them
     dv_files: list[str] | None = None
+    # governance, carried forward through every commit like the ledger:
+    # column -> Spark simpleString type (schema enforcement + evolution
+    # record) and the list of CHECK constraint expressions
+    schema: dict[str, str] | None = None
+    constraints: list[str] | None = None
 
 
 class TransactionalTable:
@@ -137,6 +157,8 @@ class TransactionalTable:
             stats=d.get("stats"),
             partitions=d.get("partitions"),
             dv_files=d.get("dv_files"),
+            schema=d.get("schema"),
+            constraints=d.get("constraints"),
         )
 
     # ------------------------------------------------------------------
@@ -356,6 +378,73 @@ class TransactionalTable:
                 out[rel] = cols
         return out
 
+    def _enforce(self, df: DataFrame) -> dict[str, str]:
+        """Commit-time governance over an incoming write: reject a
+        redefinition of an existing column's type (:class:`SchemaConflict`
+        — new columns remain allowed, the evolution contract) and reject
+        rows failing any recorded CHECK constraint
+        (:class:`ConstraintViolation`, SQL semantics: NULL passes).
+        Returns the write's column→type map for the manifest.
+
+        The check reads the CURRENT latest manifest; a constraint added
+        concurrently with an in-flight write may miss that write (the
+        same relaxed model as adding a constraint to a live lakehouse
+        table — it guards data written after it became visible)."""
+        from pyspark.sql import functions as F
+
+        new_schema = {
+            f.name: f.dataType.simpleString() for f in df.schema.fields
+        }
+        latest = self.latest_version()
+        if latest is None:
+            return new_schema
+        mf = self._read_manifest(latest)
+        for name, typ in new_schema.items():
+            old = (mf.schema or {}).get(name)
+            if old is not None and old != typ:
+                raise SchemaConflict(
+                    f"column {name!r} is {old} in {self.root} but the "
+                    f"write declares {typ}"
+                )
+        for c in mf.constraints or []:
+            viol = df.filter(
+                F.coalesce(F.expr(c), F.lit(True)) == F.lit(False)
+            ).take(1)
+            if viol:
+                raise ConstraintViolation(
+                    f"write violates CHECK ({c}): e.g. {viol[0]}"
+                )
+        return new_schema
+
+    def add_constraint(self, expr: str) -> int:
+        """Record a CHECK constraint (a SQL boolean expression over the
+        table's columns). Existing data is validated first — like
+        Delta's ``ADD CONSTRAINT``, the statement fails if any current
+        row violates it — then the constraint rides the manifest and
+        every subsequent write is validated before its commit."""
+        from pyspark.sql import functions as F
+
+        base = self.latest_version()
+        if base is None:
+            raise FileNotFoundError(f"no committed version in {self.root}")
+        viol = (
+            self.read(base)
+            .filter(F.coalesce(F.expr(expr), F.lit(True)) == F.lit(False))
+            .take(1)
+        )
+        if viol:
+            raise ConstraintViolation(
+                f"existing data violates CHECK ({expr}): e.g. {viol[0]}"
+            )
+        return self._commit(
+            [],
+            "add-constraint",
+            base,
+            rebase_ok=False,
+            carry_parent_files=True,
+            constraint=expr,
+        )
+
     def stage_files(
         self, df: DataFrame, partition_by: list[str] | None = None
     ) -> list[str]:
@@ -430,6 +519,8 @@ class TransactionalTable:
         stats: dict | None = None,
         txn: tuple[str, int] | None = None,
         dv_files: list[str] | None = None,
+        schema: dict[str, str] | None = None,
+        constraint: str | None = None,
     ) -> int | None:
         """CAS loop over the version counter. ``rebase_ok`` ops (append)
         retry transparently when they lose the race;
@@ -498,6 +589,21 @@ class TransactionalTable:
                 manifest["partitions"] = all_parts
             if all_dvs:
                 manifest["dv_files"] = all_dvs
+            # governance rides EVERY commit (like the txn ledger): the
+            # schema record is the union of parent's and this write's
+            # columns; constraints only grow
+            all_schema = dict(parent.schema or {}) if parent else {}
+            if schema:
+                all_schema.update(schema)
+            all_constraints = (
+                list(parent.constraints or []) if parent else []
+            )
+            if constraint is not None:
+                all_constraints.append(constraint)
+            if all_schema:
+                manifest["schema"] = all_schema
+            if all_constraints:
+                manifest["constraints"] = all_constraints
             if self._publish(manifest, version):
                 return version
             # lost the race; loop re-reads the new latest (appends
@@ -510,10 +616,11 @@ class TransactionalTable:
         """Replace the table contents in one atomic snapshot (optionally
         hive-partitioned — partition values land in the manifest)."""
         base = self.latest_version()
+        sch = self._enforce(df)
         files = self.stage_files(df, partition_by=partition_by)
         return self._commit(
             files, "overwrite", base, rebase_ok=False,
-            stats=self._file_stats(files),
+            stats=self._file_stats(files), schema=sch,
         )
 
     def append(
@@ -522,10 +629,11 @@ class TransactionalTable:
         """Add rows; order-independent, so losing a commit race rebases
         and retries instead of failing."""
         base = self.latest_version()
+        sch = self._enforce(df)
         files = self.stage_files(df, partition_by=partition_by)
         return self._commit(
             files, "append", base, rebase_ok=True, carry_parent_files=True,
-            stats=self._file_stats(files),
+            stats=self._file_stats(files), schema=sch,
         )
 
     def append_txn(
@@ -544,6 +652,7 @@ class TransactionalTable:
             led = self._read_manifest(base).txns or {}
             if led.get(app_id, -1) >= txn_version:
                 return None
+        sch = self._enforce(df)
         files = self.stage_files(df)
         return self._commit(
             files,
@@ -553,6 +662,7 @@ class TransactionalTable:
             carry_parent_files=True,
             stats=self._file_stats(files),
             txn=(app_id, txn_version),
+            schema=sch,
         )
 
     def delete_where(self, condition) -> int:
@@ -644,10 +754,11 @@ class TransactionalTable:
         base = self.latest_version()
         target = self.read(base)
         merged = merge_into(target, source, keys, update_cols=update_cols)
+        sch = self._enforce(merged)
         files = self.stage_files(merged)
         return self._commit(
             files, "merge", base, rebase_ok=False,
-            stats=self._file_stats(files),
+            stats=self._file_stats(files), schema=sch,
         )
 
     def merge_dv(
@@ -702,6 +813,7 @@ class TransactionalTable:
         images = merge_into(
             matched_tgt, source, keys, update_cols=update_cols
         )
+        sch = self._enforce(images)
         files = self.stage_files(images)
         return self._commit(
             files,
@@ -711,6 +823,7 @@ class TransactionalTable:
             carry_parent_files=True,
             stats=self._file_stats(files),
             dv_files=dv_new,
+            schema=sch,
         )
 
     def changes(

@@ -1241,3 +1241,59 @@ def test_txn_table_stream_source_tails_commits(spark, tmp_path):
     )
     drain(df2, str(tmp_path / "out2"), str(tmp_path / "ckpt2"))
     assert spark.read.parquet(str(tmp_path / "out2")).count() == 55
+
+
+def test_txn_table_schema_enforcement_and_constraints(spark, tmp_path):
+    """Governance rides the manifest: a type-redefining write is
+    rejected (new columns still evolve), CHECK constraints validate
+    every write (SQL NULL-passes semantics), ADD CONSTRAINT validates
+    existing data first, and both survive rewrites and appends."""
+    from fefal_etl_spark.table import (
+        ConstraintViolation,
+        SchemaConflict,
+        TransactionalTable,
+    )
+
+    t = TransactionalTable(spark, str(tmp_path / "t"))
+    t.overwrite(
+        spark.createDataFrame([(1, "a", 10.0)], "k long, g string, v double")
+    )
+    assert t._read_manifest(0).schema == {
+        "k": "bigint", "g": "string", "v": "double",
+    }
+    # evolution: a NEW column is fine and lands in the schema record
+    t.append(
+        spark.createDataFrame(
+            [(2, "b", 5.0, "x")], "k long, g string, v double, extra string"
+        )
+    )
+    assert t._read_manifest(1).schema["extra"] == "string"
+    # redefining an existing column's type is rejected before staging
+    with pytest.raises(SchemaConflict):
+        t.append(
+            spark.createDataFrame([("s", "c", 1.0)], "k string, g string, v double")
+        )
+    v = t.add_constraint("v >= 0")
+    assert t._read_manifest(v).constraints == ["v >= 0"]
+    n_before = t.read().count()
+    with pytest.raises(ConstraintViolation):
+        t.append(
+            spark.createDataFrame([(3, "d", -1.0)], "k long, g string, v double")
+        )
+    assert t.read().count() == n_before  # nothing published
+    t.append(spark.createDataFrame([(4, "e", None)], "k long, g string, v double"))
+    assert t.read().count() == n_before + 1  # NULL passes CHECK
+    with pytest.raises(ConstraintViolation):
+        t.add_constraint("k < 3")  # existing k=4 violates
+    t.compact()
+    with pytest.raises(ConstraintViolation):  # survives the rewrite
+        t.append(
+            spark.createDataFrame([(9, "z", -5.0)], "k long, g string, v double")
+        )
+    # merge respects constraints too (the staged images are validated)
+    with pytest.raises(ConstraintViolation):
+        t.merge(
+            spark.createDataFrame([(1, "a", -7.0)], "k long, g string, v double"),
+            ["k"],
+            update_cols=["v"],
+        )
