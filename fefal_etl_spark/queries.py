@@ -2875,6 +2875,85 @@ def q_table_stream_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "table_changes_stream",
+    """
+    WITH ins AS (
+        SELECT o_orderstatus, o_totalprice FROM orders
+        WHERE o_orderkey % 3 IN (0, 1)
+    )
+    SELECT 'insert' AS change_type, o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(24,4))) AS DOUBLE) AS revenue
+    FROM ins GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'delete', o_orderstatus,
+           CAST(count(*) AS BIGINT),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(24,4))) AS DOUBLE)
+    FROM ins WHERE o_totalprice < 50000 GROUP BY o_orderstatus
+    """,
+)
+def q_table_changes_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V121 — the CHANGE DATA FEED as a stream
+    (streaming/table_source.py::TxnTableChangesDataSource): the scenario
+    table's history (overwrite keys%3=0 → append keys%3=1 → DV delete of
+    totalprice<50k) is tailed with
+    `readStream.format("txn_table_changes")` — every micro-batch carries
+    the row-level insert/delete feed of whole commits with
+    ``_change_type``/``_commit_version`` columns. Appends ship only
+    added files; the DV delete ships ONLY the newly-masked rows (the
+    executor masks batches by file-local row position against the
+    vector sidecars — the streaming twin of `table.row_deltas`); a
+    `merge_dv` surfaces as delete+insert pairs (pinned in tests). The
+    oracle recomputes the expected feed declaratively: inserts = every
+    row ever added, deletes = the rows the vector masked. At 100 TB
+    this is what CDC consumers (index maintainers, cache invalidation,
+    downstream MVs) tail instead of re-diffing snapshots."""
+    import uuid
+
+    from fefal_etl_spark.streaming.table_source import (
+        TxnTableChangesDataSource,
+    )
+
+    if not getattr(spark, "_txn_changes_src_registered", False):
+        spark.dataSource.register(TxnTableChangesDataSource)
+        spark._txn_changes_src_registered = True
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+    def build(t):
+        t.overwrite(base.filter(F.col("o_orderkey") % 3 == 0))
+        t.append(base.filter(F.col("o_orderkey") % 3 == 1))
+        t.delete_where_dv(F.col("o_totalprice") < 50000)
+
+    t = _txn_scenario(spark, sf_dir, "txn_cdf_stream", build, final_version=2)
+    stream = (
+        spark.readStream.format("txn_table_changes")
+        .option("path", t.root)
+        .load()
+    )
+    agg = stream.groupBy(
+        F.col("_change_type").alias("change_type"), "o_orderstatus"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(24,4)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+    sink = f"q_table_changes_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+@register(
     "incremental_mv_stats",
     """
     SELECT o_orderpriority,
@@ -3034,6 +3113,7 @@ _DRIVER_PRIORITY = [
     "merge_dv_orders",
     "incremental_mv_stats",
     "table_stream_read",
+    "table_changes_stream",
 ]
 
 

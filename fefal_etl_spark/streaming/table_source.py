@@ -126,6 +126,18 @@ class TxnTableStreamReader(DataSourceStreamReader):
         pass
 
 
+def _base_arrow_schema(root: str):
+    import pyarrow.parquet as pq
+
+    vs = _versions(root)
+    if not vs:
+        raise FileNotFoundError(f"no committed version in {root}")
+    files = _manifest(root, vs[-1])["files"]
+    if not files:
+        raise FileNotFoundError(f"latest version of {root} is empty")
+    return pq.ParquetFile(os.path.join(root, files[0])).schema_arrow
+
+
 class TxnTableStreamDataSource(DataSource):
     """``spark.readStream.format("txn_table_stream")`` over a
     `fefal_etl_spark.table.TransactionalTable` root."""
@@ -135,19 +147,195 @@ class TxnTableStreamDataSource(DataSource):
         return "txn_table_stream"
 
     def schema(self):
-        import pyarrow.parquet as pq
-
         from pyspark.sql.pandas.types import from_arrow_schema
 
-        root = self.options["path"]
-        vs = _versions(root)
-        if not vs:
-            raise FileNotFoundError(f"no committed version in {root}")
-        files = _manifest(root, vs[-1])["files"]
-        if not files:
-            raise FileNotFoundError(f"latest version of {root} is empty")
-        pa_schema = pq.ParquetFile(os.path.join(root, files[0])).schema_arrow
-        return from_arrow_schema(pa_schema)
+        return from_arrow_schema(_base_arrow_schema(self.options["path"]))
 
     def streamReader(self, schema) -> TxnTableStreamReader:
         return TxnTableStreamReader(self.options)
+
+
+# ----------------------------------------------------------------------
+# Change-data-feed stream: every commit's row-level +/- delta
+# ----------------------------------------------------------------------
+
+
+class _CdfPartition(InputPartition):
+    """One (file, kind) unit of a CDF micro-batch.
+
+    kind:
+      * ``insert``        — rows of a file ADDED by `version` (minus any
+                            positions the same snapshot's vectors already
+                            mask);
+      * ``delete_removed``— rows of a file REMOVED by `version`, as they
+                            were visible at version-1 (old vectors
+                            applied);
+      * ``delete_masked`` — only the positions NEWLY masked by
+                            `version`'s deletion vectors on a retained
+                            file.
+
+    DV sidecar PATHS travel in the partition (they are small parquet
+    files); the executor loads the relevant positions and masks batches
+    by the file-local row index — the same positional contract the
+    batch-side `row_deltas` resolves with `_metadata.row_index`."""
+
+    def __init__(
+        self,
+        kind: str,
+        path: str,
+        rel: str,
+        version: int,
+        dv_new: list[str],
+        dv_old: list[str],
+    ):
+        self.kind = kind
+        self.path = path
+        self.rel = rel
+        self.version = version
+        self.dv_new = dv_new
+        self.dv_old = dv_old
+
+
+class TxnTableChangesStreamReader(DataSourceStreamReader):
+    """Offsets are manifest versions, like the append-only reader — but
+    each micro-batch is the CHANGE feed of versions (start, end]: data
+    columns plus ``_change_type`` (insert/delete) and
+    ``_commit_version``. Updates surface as delete+insert pairs
+    (`merge_dv`: the masked old image deletes, the appended new image
+    inserts — in the same commit). Cost is proportional to the CHANGED
+    files: appends ship only added files, DV deletes only the files the
+    new vector entries address; CoW rewrites degenerate to full
+    old(-1)/new(+1), exactly like `table.row_deltas`."""
+
+    def __init__(self, options: dict):
+        self.root = options["path"]
+        self.start_version = int(options.get("startingversion", 0)) - 1
+
+    def initialOffset(self) -> dict:
+        return {"version": self.start_version}
+
+    def latestOffset(self) -> dict:
+        vs = _versions(self.root)
+        return {"version": vs[-1] if vs else self.start_version}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        v0, v1 = start["version"], end["version"]
+        out: list[_CdfPartition] = []
+        for v in range(max(v0, -1) + 1, v1 + 1):
+            prev_mf = _manifest(self.root, v - 1) if v > 0 else {"files": []}
+            cur_mf = _manifest(self.root, v)
+            prev = set(prev_mf["files"])
+            cur = set(cur_mf["files"])
+            dv_new = [
+                os.path.join(self.root, f)
+                for f in cur_mf.get("dv_files") or []
+            ]
+            dv_old = [
+                os.path.join(self.root, f)
+                for f in prev_mf.get("dv_files") or []
+            ]
+
+            def part(kind: str, rel: str) -> _CdfPartition:
+                return _CdfPartition(
+                    kind, os.path.join(self.root, rel), rel, v, dv_new, dv_old
+                )
+
+            for rel in cur_mf["files"]:
+                if rel not in prev:
+                    out.append(part("insert", rel))
+            for rel in prev_mf["files"]:
+                if rel not in cur:
+                    out.append(part("delete_removed", rel))
+            if len(dv_new) > len(dv_old):
+                # new vector entries may address retained files: ship
+                # only the files the NEW sidecars mention (the sidecar
+                # list is append-only until a rewrite clears it)
+                import pyarrow.parquet as pq
+
+                new_sidecars = dv_new[len(dv_old):]
+                touched: set[str] = set()
+                for sc in new_sidecars:
+                    touched.update(
+                        pq.read_table(sc, columns=["file"])
+                        .column("file")
+                        .to_pylist()
+                    )
+                for rel in sorted(touched & (prev & cur)):
+                    out.append(part("delete_masked", rel))
+        return out
+
+    def read(self, partition: _CdfPartition) -> Iterator:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        def positions(paths: list[str]) -> set[int]:
+            pos: set[int] = set()
+            for p in paths:
+                t = pq.read_table(p, columns=["file", "pos"])
+                files = t.column("file").to_pylist()
+                ps = t.column("pos").to_pylist()
+                pos.update(
+                    p_ for f_, p_ in zip(files, ps) if f_ == partition.rel
+                )
+            return pos
+
+        if partition.kind == "insert":
+            keep_if_in, mask = False, positions(partition.dv_new)
+            change = "insert"
+        elif partition.kind == "delete_removed":
+            keep_if_in, mask = False, positions(partition.dv_old)
+            change = "delete"
+        else:  # delete_masked: newly-masked positions only
+            keep_if_in = True
+            mask = positions(partition.dv_new) - positions(partition.dv_old)
+            change = "delete"
+
+        offset = 0
+        for batch in pq.ParquetFile(partition.path).iter_batches():
+            n = batch.num_rows
+            idx = [
+                i
+                for i in range(n)
+                if ((offset + i) in mask) == keep_if_in
+            ]
+            offset += n
+            if not idx:
+                continue
+            taken = batch.take(pa.array(idx, type=pa.int32()))
+            cols = list(taken.columns) + [
+                pa.array([change] * len(idx), type=pa.string()),
+                pa.array([partition.version] * len(idx), type=pa.int64()),
+            ]
+            names = list(taken.schema.names) + [
+                "_change_type",
+                "_commit_version",
+            ]
+            yield pa.RecordBatch.from_arrays(cols, names=names)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class TxnTableChangesDataSource(DataSource):
+    """``spark.readStream.format("txn_table_changes")``: the change data
+    feed of a transactional table as a stream — data columns +
+    ``_change_type`` + ``_commit_version``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "txn_table_changes"
+
+    def schema(self):
+        import pyarrow as pa
+
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        base = _base_arrow_schema(self.options["path"])
+        return from_arrow_schema(
+            base.append(pa.field("_change_type", pa.string())).append(
+                pa.field("_commit_version", pa.int64())
+            )
+        )
+
+    def streamReader(self, schema) -> TxnTableChangesStreamReader:
+        return TxnTableChangesStreamReader(self.options)

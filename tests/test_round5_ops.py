@@ -1297,3 +1297,73 @@ def test_txn_table_schema_enforcement_and_constraints(spark, tmp_path):
             ["k"],
             update_cols=["v"],
         )
+
+
+def test_txn_table_changes_stream_cdf(spark, tmp_path):
+    """The CDF stream: per-commit insert/delete rows with versions —
+    appends ship added files, DV deletes ship only newly-masked rows,
+    merge_dv surfaces as delete+insert in one commit, the net replay of
+    the feed equals the snapshot, and a restart ships only new commits."""
+    from fefal_etl_spark.streaming.table_source import (
+        TxnTableChangesDataSource,
+    )
+    from fefal_etl_spark.table import TransactionalTable
+
+    spark.dataSource.register(TxnTableChangesDataSource)
+    root = str(tmp_path / "t")
+    t = TransactionalTable(spark, root)
+    t.overwrite(spark.range(10).select(F.col("id").alias("k")))
+    t.append(spark.range(10, 15).select(F.col("id").alias("k")))
+    t.delete_where_dv(F.col("k") % 5 == 0)
+    t.merge_dv(spark.createDataFrame([(7,), (99,)], "k long"), ["k"])
+
+    df = (
+        spark.readStream.format("txn_table_changes")
+        .option("path", root)
+        .load()
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            df.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    r = spark.read.parquet(out)
+    by_commit = {
+        (x["_commit_version"], x["_change_type"]): x["count"]
+        for x in r.groupBy("_commit_version", "_change_type").count().collect()
+    }
+    assert by_commit == {
+        (0, "insert"): 10,
+        (1, "insert"): 5,
+        (2, "delete"): 3,  # k in {0, 5, 10} newly masked
+        (3, "delete"): 1,  # merge_dv masks old k=7
+        (3, "insert"): 2,  # ... and appends images for 7 and 99
+    }
+    # net replay (+1/-1 per key) reconstructs the live snapshot
+    sig = (
+        r.select(
+            "k",
+            F.when(F.col("_change_type") == "insert", 1)
+            .otherwise(-1)
+            .alias("d"),
+        )
+        .groupBy("k")
+        .agg(F.sum("d").alias("s"))
+    )
+    live = sorted(x["k"] for x in sig.filter("s = 1").collect())
+    assert live == sorted(x["k"] for x in t.read().collect())
+    # restart: only the new commit's changes arrive
+    t.delete_where_dv(F.col("k") == 99)
+    drain()
+    new = (
+        spark.read.parquet(out).filter("_commit_version = 4").collect()
+    )
+    assert [(x["k"], x["_change_type"]) for x in new] == [(99, "delete")]
