@@ -201,6 +201,7 @@ BENCH_QUERIES = [
     "incremental_dedup_match",
     "merge_dv_orders",
     "incremental_mv_stats",
+    "table_restore_read",
     # dup_clusters_star is excluded like ngram_jaccard_pairs: at bench SF its
     # wall time is ~6 iterative rounds of fixed scheduling cost (the
     # algorithm exists for O(log n) ROUNDS at web scale, demonstrated by the

@@ -2875,6 +2875,48 @@ def q_table_stream_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "table_restore_read",
+    """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(24,4))) AS DOUBLE) AS revenue
+    FROM orders WHERE o_orderkey % 2 = 0
+    GROUP BY o_orderstatus
+    """,
+)
+def q_table_restore_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V122 — RESTORE (table.py::restore): a "bad batch" (keys%2=1) is
+    appended to the table and then atomically undone by committing a
+    new manifest that re-points at version 0's files — no data copied,
+    no rewrite, the bad commit stays time-travelable until vacuum, and
+    concurrent readers flip at the manifest swap. Reading the restored
+    table must equal never having appended — the oracle computes
+    exactly that. The undo button for a bad 100 TB write costs one
+    manifest. `history()`/`read_as_of` (the audit + wall-clock twins)
+    are pinned in tests/test_round5_ops.py."""
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+    def build(t):
+        t.overwrite(base.filter(F.col("o_orderkey") % 2 == 0))
+        t.append(base.filter(F.col("o_orderkey") % 2 == 1))  # bad batch
+        t.restore(0)
+
+    t = _txn_scenario(spark, sf_dir, "txn_restore", build, final_version=2)
+    return (
+        t.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(24,4)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+@register(
     "table_changes_stream",
     """
     WITH ins AS (
@@ -3114,6 +3156,7 @@ _DRIVER_PRIORITY = [
     "incremental_mv_stats",
     "table_stream_read",
     "table_changes_stream",
+    "table_restore_read",
 ]
 
 

@@ -100,6 +100,10 @@ class _Manifest:
     # record) and the list of CHECK constraint expressions
     schema: dict[str, str] | None = None
     constraints: list[str] | None = None
+    # wall-clock commit time (epoch seconds), recorded at publish for
+    # AS-OF-timestamp reads and history(); absent in pre-upgrade
+    # manifests (readers fall back to the manifest file's mtime)
+    ts: float | None = None
 
 
 class TransactionalTable:
@@ -159,6 +163,7 @@ class TransactionalTable:
             dv_files=d.get("dv_files"),
             schema=d.get("schema"),
             constraints=d.get("constraints"),
+            ts=d.get("ts"),
         )
 
     # ------------------------------------------------------------------
@@ -604,6 +609,9 @@ class TransactionalTable:
                 manifest["schema"] = all_schema
             if all_constraints:
                 manifest["constraints"] = all_constraints
+            import time as _time
+
+            manifest["ts"] = _time.time()
             if self._publish(manifest, version):
                 return version
             # lost the race; loop re-reads the new latest (appends
@@ -1034,6 +1042,79 @@ class TransactionalTable:
         return self._commit(
             files, "zorder", base, rebase_ok=False,
             stats=self._file_stats(files),
+        )
+
+    def history(self) -> DataFrame:
+        """The commit history as a DataFrame (Delta's DESCRIBE HISTORY):
+        one row per snapshot with version, operation, commit wall time,
+        file counts and the parent pointer — manifests are KB-sized
+        JSON, so this is a driver-side metadata read however large the
+        table is."""
+        rows = []
+        for v in self.versions():
+            mf = self._read_manifest(v)
+            rows.append(
+                (
+                    v,
+                    mf.op,
+                    float(mf.ts) if mf.ts is not None else None,
+                    len(mf.files),
+                    len(mf.dv_files or []),
+                    mf.parent,
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "version int, op string, commit_ts double, n_files int, "
+            "n_dv_files int, parent int",
+        )
+
+    def version_as_of(self, ts: float) -> int:
+        """Latest version whose commit time is ≤ ``ts`` (AS OF TIMESTAMP
+        resolution). Pre-upgrade manifests without a recorded time fall
+        back to the manifest file's mtime."""
+        best = None
+        for v in self.versions():
+            mf = self._read_manifest(v)
+            commit_ts = (
+                mf.ts
+                if mf.ts is not None
+                else os.path.getmtime(self._manifest_path(v))
+            )
+            if commit_ts <= ts:
+                best = v
+        if best is None:
+            raise FileNotFoundError(
+                f"no version of {self.root} committed at or before {ts}"
+            )
+        return best
+
+    def read_as_of(self, ts: float) -> DataFrame:
+        """Time travel by wall clock: snapshot read of
+        :meth:`version_as_of`(ts)."""
+        return self.read(self.version_as_of(ts))
+
+    def restore(self, version: int) -> int:
+        """Delta RESTORE: atomically re-point the table at an earlier
+        snapshot by committing a NEW version that lists the old
+        version's files (and deletion vectors) — nothing is copied, the
+        bad commits stay in history (time-travelable until vacuum), and
+        concurrent readers flip atomically at the manifest swap. The
+        undo button for a bad write at 100 TB: cost is one manifest,
+        not a data rewrite."""
+        mf = self._read_manifest(version)
+        base = self.latest_version()
+        kept = set(mf.files)
+        stats = {
+            f: s for f, s in (mf.stats or {}).items() if f in kept
+        }
+        return self._commit(
+            mf.files,
+            "restore",
+            base,
+            rebase_ok=False,
+            stats=stats,
+            dv_files=mf.dv_files,
         )
 
     def vacuum(self, keep_versions: int = 1) -> list[str]:

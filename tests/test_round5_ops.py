@@ -1367,3 +1367,38 @@ def test_txn_table_changes_stream_cdf(spark, tmp_path):
         spark.read.parquet(out).filter("_commit_version = 4").collect()
     )
     assert [(x["k"], x["_change_type"]) for x in new] == [(99, "delete")]
+
+
+def test_txn_table_history_asof_restore(spark, tmp_path):
+    """history() lists every commit with wall time; read_as_of resolves
+    by timestamp; restore() atomically re-points at an old snapshot
+    (files + deletion vectors) without copying data, keeping the undone
+    commits time-travelable."""
+    import time
+
+    from fefal_etl_spark.table import TransactionalTable
+
+    t = TransactionalTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.range(5).select(F.col("id").alias("k")))
+    ts0 = time.time()
+    time.sleep(0.05)
+    t.append(spark.range(5, 8).select(F.col("id").alias("k")))
+    t.delete_where_dv(F.col("k") == 0)
+    h = {r["version"]: r["op"] for r in t.history().collect()}
+    assert h == {0: "overwrite", 1: "append", 2: "delete-dv"}
+    assert all(
+        r["commit_ts"] is not None for r in t.history().collect()
+    )
+    assert t.read_as_of(ts0).count() == 5
+    assert t.read_as_of(time.time()).count() == 7
+    v3 = t.restore(0)
+    assert t._read_manifest(v3).op == "restore"
+    assert sorted(r["k"] for r in t.read().collect()) == [0, 1, 2, 3, 4]
+    assert t.read(2).count() == 7  # undone commits still travel
+    # restore to a DV snapshot carries its vectors
+    t.restore(2)
+    assert t.read().count() == 7 and t.deleted_positions() == 1
+    # vacuum to the restored snapshot: still readable (files + sidecars
+    # referenced by the restore manifest survive)
+    t.vacuum(keep_versions=1)
+    assert t.read().count() == 7
