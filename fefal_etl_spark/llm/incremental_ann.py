@@ -1,0 +1,192 @@
+"""Incremental ANN: a persistent IVF index in a PARTITIONED transactional
+table — the embedding-modality twin of `llm/incremental_dedup.py`.
+
+The batch path (`llm/similarity.py::ivf_topk`) re-assigns the whole
+corpus to centroids on every search. The steady state of a 100 TB
+embedding store is the opposite shape: vectors arrive in batches, the
+coarse quantization of everything already ingested never changes, and a
+search should touch only the probed buckets. So:
+
+* the index TABLE holds (vec_id, embedding, centroid_id) hive-partitioned
+  by ``centroid_id`` — partition values live in the manifest
+  (`table.py` V113), so bucket pruning is a LOG filter: probing 2 of 64
+  centroids plans 2/64ths of the files with zero storage listing;
+* `add_batch` coarse-quantizes ONLY the arriving vectors and appends
+  them into their buckets through the txn ledger — replayed ingestion
+  batches cannot double-index (exactly-once, same contract as the
+  streaming sink);
+* `match_new` probes: each query vector picks its ``nprobe`` nearest
+  centroids (a broadcast over the centroid table — centroid count is
+  index metadata, never corpus-scale), the probed buckets are read via
+  manifest-side partition pruning, and the exact cosine top-k runs on
+  the survivors only.
+
+Identical probe/assign arithmetic to the batch path (reusing
+`ivf_assign`/`cosine`), so index-probe ≡ batch `ivf_topk` — pinned in
+tests and by the `incremental_ann_match` DuckDB oracle, which replays
+assignment, probing and the cosine top-k declaratively.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from fefal_etl_spark.llm.similarity import (
+    as_double_vec,
+    cosine,
+    ivf_assign,
+)
+from fefal_etl_spark.table import TransactionalTable
+
+
+class IvfAnnIndex:
+    """A coarse-quantized vector index with transactional bucket storage.
+
+    Index schema: ``vec_id, embedding(array<double>), centroid_id``
+    (hive partition column). Centroids are supplied by the caller —
+    they are model state (trained once, e.g. `kmeans_assignments`), not
+    table state."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.table = TransactionalTable(spark, root)
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _cent(centroids: DataFrame) -> DataFrame:
+        """Normalize a centroid frame to (centroid_id, embedding) —
+        callers may pass corpus rows (vec_id, embedding) directly."""
+        if "centroid_id" in centroids.columns:
+            return centroids.select("centroid_id", "embedding")
+        return centroids.select(
+            F.col("vec_id").alias("centroid_id"), "embedding"
+        )
+
+    def _assigned(
+        self, vecs: DataFrame, centroids: DataFrame
+    ) -> DataFrame:
+        out = ivf_assign(
+            vecs, self._cent(centroids), "vec_id", "embedding", "centroid_id"
+        )
+        return out.select(
+            "vec_id",
+            as_double_vec(F.col("embedding")).alias("embedding"),
+            "centroid_id",
+        )
+
+    def build(self, vecs: DataFrame, centroids: DataFrame) -> int:
+        """(Re)build the index: assign every vector, one atomic
+        partitioned snapshot."""
+        return self.table.overwrite(
+            self._assigned(vecs, centroids), partition_by=["centroid_id"]
+        )
+
+    def add_batch(
+        self,
+        vecs: DataFrame,
+        centroids: DataFrame,
+        app_id: str | None = None,
+        txn_version: int | None = None,
+    ) -> int | None:
+        """Quantize ONLY the arriving vectors and append them into their
+        buckets (hive layout → the new files' partition values land in
+        the manifest). With (app_id, txn_version) the append is
+        ledger-deduplicated — exactly-once indexing."""
+        a = self._assigned(vecs, centroids)
+        if app_id is not None and txn_version is not None:
+            # append_txn writes unpartitioned; partitioned exactly-once
+            # appends stage with hive layout and commit with the txn
+            base = self.table.latest_version()
+            if base is not None:
+                led = self.table._read_manifest(base).txns or {}
+                if led.get(app_id, -1) >= txn_version:
+                    return None
+            sch = self.table._enforce(a)
+            files = self.table.stage_files(a, partition_by=["centroid_id"])
+            return self.table._commit(
+                files,
+                "stream-append",
+                base,
+                rebase_ok=True,
+                carry_parent_files=True,
+                stats=self.table._file_stats(files),
+                txn=(app_id, txn_version),
+                schema=sch,
+            )
+        return self.table.append(a, partition_by=["centroid_id"])
+
+    # ------------------------------------------------------------------
+    def match_new(
+        self,
+        new_vecs: DataFrame,
+        centroids: DataFrame,
+        nprobe: int = 2,
+        k: int = 5,
+        version: int | None = None,
+    ) -> DataFrame:
+        """(query_id, vec_id, cos_sim, rk): exact cosine top-k of each
+        new vector against ONLY the indexed vectors in its ``nprobe``
+        nearest buckets. The probed bucket set is collected (it is
+        bounded by the centroid count — index metadata, not data) and
+        the buckets are read with manifest-side partition pruning."""
+        cent = self._cent(centroids).select(
+            "centroid_id",
+            as_double_vec(F.col("embedding")).alias("__c"),
+        )
+        q = new_vecs.select(
+            F.col("vec_id").alias("query_id"),
+            as_double_vec(F.col("embedding")).alias("__qv"),
+        )
+        d2 = F.aggregate(
+            F.zip_with(
+                F.col("__qv"), F.col("__c"), lambda x, y: (x - y) * (x - y)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        wp = Window.partitionBy("query_id").orderBy(
+            F.col("__d2").asc(), F.col("centroid_id").asc()
+        )
+        from fefal_etl_spark.cache import track
+
+        probes = track(
+            q.join(F.broadcast(cent))
+            .withColumn("__d2", d2)
+            .withColumn("__rk", F.row_number().over(wp))
+            .filter(F.col("__rk") <= nprobe)
+            .select("query_id", "centroid_id", "__qv")
+            # probes feed BOTH the bucket-id collect and the candidate
+            # join — unpersisted, the centroid argmin runs twice
+            .persist()
+        )
+        # bucket ids are bounded by the centroid count — metadata-scale
+        probed = sorted(
+            r["centroid_id"]
+            for r in probes.select("centroid_id").distinct().collect()
+        )
+        if not probed:  # empty query batch
+            return probes.select(
+                "query_id",
+                F.lit(None).cast("long").alias("vec_id"),
+                F.lit(None).cast("double").alias("cos_sim"),
+                F.lit(None).cast("long").alias("rk"),
+            ).filter(F.lit(False))
+        idx = self.table.read_partition_in(
+            "centroid_id", probed, version=version
+        )
+        cand = idx.select(
+            "vec_id",
+            F.col("embedding").alias("__v"),
+            F.col("centroid_id").cast("long").alias("centroid_id"),
+        ).join(F.broadcast(probes), on="centroid_id")
+        wk = Window.partitionBy("query_id").orderBy(
+            F.col("cos_sim").desc(), F.col("vec_id").asc()
+        )
+        return (
+            cand.withColumn("cos_sim", cosine(F.col("__v"), F.col("__qv")))
+            .withColumn("rk", F.row_number().over(wk).cast("long"))
+            .filter(F.col("rk") <= k)
+            .select("query_id", "vec_id", "cos_sim", "rk")
+        )

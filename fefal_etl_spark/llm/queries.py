@@ -1202,6 +1202,93 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_ann_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V123 — incremental ANN against a persistent IVF index
+    (llm/incremental_ann.py::IvfAnnIndex): the existing corpus
+    (vec_id%5≠0) is coarse-quantized ONCE into a transactional table
+    hive-partitioned by centroid — bucket pruning is a manifest filter —
+    and the arriving batch (vec_id%5=0) probes its 2 nearest of 8
+    centroids, reads ONLY those buckets (partition-pruned), and runs
+    exact cosine top-5 on the survivors. `add_batch` appends the batch's
+    assignments through the txn ledger (exactly-once indexing). Probe
+    arithmetic is identical to the batch path, so index-probe ≡
+    `ivf_topk` — pinned in tests; the oracle replays assignment, probe
+    and the cosine top-k declaratively over the same split. At 100 TB:
+    per-batch indexing cost O(batch), per-search IO nprobe/n_centroids
+    of the store, zero re-quantization of ingested data."""
+    import os
+
+    from fefal_etl_spark.llm.incremental_ann import IvfAnnIndex
+    from fefal_etl_spark.staging import source_fingerprint, staging_root
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    existing = emb.filter(F.col("vec_id") % 20 != 0)
+    new_batch = emb.filter(F.col("vec_id") % 20 == 0)
+    cents = emb.filter(F.col("vec_id") < 8)
+    # the scenario name encodes the split so a parameter change can
+    # never silently reuse an index built for a different corpus
+    root = os.path.join(
+        staging_root(),
+        f"ann_index_m20-{source_fingerprint(sf_dir, 'embeddings')}",
+    )
+    idx = IvfAnnIndex(spark, root)
+    if idx.table.latest_version() != 0:
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
+        idx = IvfAnnIndex(spark, root)
+        idx.build(existing, cents)
+    out = idx.match_new(new_batch, cents, nprobe=2, k=5)
+    return out.select(
+        "query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rk"
+    )
+
+
+register(
+    "incremental_ann_match",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    ex AS (SELECT vec_id, v FROM e WHERE vec_id % 20 <> 0),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 20 = 0),
+    c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
+    assign AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT ex.vec_id, c.centroid_id,
+                   row_number() OVER (PARTITION BY ex.vec_id
+                       ORDER BY {{d2_ec}}, c.centroid_id) AS rk
+            FROM ex CROSS JOIN c) t
+        WHERE rk = 1
+    ),
+    probe AS (
+        SELECT query_id, centroid_id FROM (
+            SELECT q.query_id, c.centroid_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                       ORDER BY {{d2_qc}}, c.centroid_id) AS rk
+            FROM q CROSS JOIN c) t
+        WHERE rk <= 2
+    ),
+    sims AS (
+        SELECT p.query_id, a.vec_id,
+               list_dot_product(ex.v, q.qv) /
+               (sqrt(list_dot_product(ex.v, ex.v)) * sqrt(list_dot_product(q.qv, q.qv)))
+                   AS cos_sim
+        FROM probe p
+        JOIN assign a ON a.centroid_id = p.centroid_id
+        JOIN ex ON ex.vec_id = a.vec_id
+        JOIN q ON q.query_id = p.query_id
+    )
+    SELECT query_id, vec_id, round(cos_sim, 6) AS cos_sim, CAST(rk AS BIGINT) AS rk
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rk
+          FROM sims) t
+    WHERE rk <= 5
+    """.format(
+        d2_ec=_SQL_D2.format(a="ex.v", b="c.cv"),
+        d2_qc=_SQL_D2.format(a="q.qv", b="c.cv"),
+    ),
+)(q_incremental_ann_match)
+
+
 # --------------------------------------------------------------------------
 # E4: multimodal plumbing
 # --------------------------------------------------------------------------

@@ -3157,6 +3157,7 @@ _DRIVER_PRIORITY = [
     "table_stream_read",
     "table_changes_stream",
     "table_restore_read",
+    "incremental_ann_match",
 ]
 
 

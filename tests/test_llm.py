@@ -1149,3 +1149,44 @@ def test_lsh_index_add_batch_grows_and_is_idempotent(spark, tmp_path):
     assert idx.table.read().count() == before
     # version pinning: a match against the pre-append snapshot ignores d2
     assert idx.match_new(probe, corpus, "doc_id", "text", version=0).count() == 0
+
+
+def test_ivf_ann_index_matches_batch_and_prunes(spark, tmp_path):
+    """The persistent IVF index must (a) return exactly the batch
+    ivf_topk result on the same corpus/queries, (b) prune buckets at the
+    manifest level, and (c) dedupe replayed add_batch ingestion."""
+    from fefal_etl_spark.datasets import load_table
+    from fefal_etl_spark.llm.incremental_ann import IvfAnnIndex
+    from fefal_etl_spark.llm.similarity import ivf_topk
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    existing = emb.filter(F.col("vec_id") % 5 != 0)
+    new = emb.filter(F.col("vec_id") % 5 == 0)
+    cents = emb.filter(F.col("vec_id") < 8)
+    idx = IvfAnnIndex(spark, str(tmp_path / "idx"))
+    idx.build(existing, cents)
+    got = {
+        (r["query_id"], r["rk"]): (r["vec_id"], round(r["cos_sim"], 9))
+        for r in idx.match_new(new, cents, nprobe=2, k=5).collect()
+    }
+    exp = {
+        (r["query_id"], r["rk"]): (r["vec_id"], round(r["cos_sim"], 9))
+        for r in ivf_topk(
+            existing,
+            cents.select(F.col("vec_id").alias("centroid_id"), "embedding"),
+            new.select(F.col("vec_id").alias("query_id"), "embedding"),
+            nprobe=2,
+            k=5,
+        ).collect()
+    }
+    assert got == exp and got
+    # bucket pruning is manifest-side: one bucket keeps < all files
+    kept, total = idx.table.pruned_partition_files(centroid_id=3)
+    assert kept < total
+    # exactly-once ingestion of a batch
+    n0 = idx.table.read().count()
+    assert idx.add_batch(new, cents, app_id="ing", txn_version=1) is not None
+    n1 = idx.table.read().count()
+    assert n1 == n0 + new.count()
+    assert idx.add_batch(new, cents, app_id="ing", txn_version=1) is None
+    assert idx.table.read().count() == n1
