@@ -57,9 +57,11 @@ TREND_QUERIES = [
     "table_commit_isolation",
     "sparse_cosine_pairs",
     "matryoshka_recall",
-    # round-5 closing: deletion-vector read + incremental index probe
+    # round-5 closing: deletion-vector read + incremental index probes
     "dv_delete_read",
     "incremental_dedup_match",
+    "merge_dv_orders",
+    "incremental_ann_match",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
