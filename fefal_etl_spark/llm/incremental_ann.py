@@ -96,24 +96,8 @@ class IvfAnnIndex:
         ledger-deduplicated — exactly-once indexing."""
         a = self._assigned(vecs, centroids)
         if app_id is not None and txn_version is not None:
-            # append_txn writes unpartitioned; partitioned exactly-once
-            # appends stage with hive layout and commit with the txn
-            base = self.table.latest_version()
-            if base is not None:
-                led = self.table._read_manifest(base).txns or {}
-                if led.get(app_id, -1) >= txn_version:
-                    return None
-            sch = self.table._enforce(a)
-            files = self.table.stage_files(a, partition_by=["centroid_id"])
-            return self.table._commit(
-                files,
-                "stream-append",
-                base,
-                rebase_ok=True,
-                carry_parent_files=True,
-                stats=self.table._file_stats(files),
-                txn=(app_id, txn_version),
-                schema=sch,
+            return self.table.append_txn(
+                a, app_id, txn_version, partition_by=["centroid_id"]
             )
         return self.table.append(a, partition_by=["centroid_id"])
 

@@ -168,26 +168,39 @@ def write_jdbc_upsert(
     ``mode``: ``insert_ignore`` (existing keys untouched — the
     reference's dim contract) or ``upsert`` (existing keys update
     ``update_cols``, default all non-key columns). Returns the executed
-    merge SQL (callers/tests can log or golden-check it). The staging
-    table is dropped afterwards unless ``keep_staging``.
-    """
+    merge SQL (callers/tests can log or golden-check it).
+
+    The default staging name carries a UNIQUE suffix so concurrent
+    upserts into the same target cannot overwrite each other's staged
+    batch mid-merge, and the drop runs in a ``finally`` so a failed
+    merge does not leak the staging table (pass ``staging_table`` to
+    pin a name, ``keep_staging`` to inspect it)."""
+    import uuid as _uuid
+
     from fefal_etl_spark.sources.jdbc_dialects import dialect_for_url
 
     d = dialect or dialect_for_url(url)
-    staging = staging_table or f"{target}_stage"
+    staging = staging_table or f"{target}_stage_{_uuid.uuid4().hex[:8]}"
     write_jdbc(df, url, staging, mode="overwrite", driver=driver, **properties)
-    cols = list(df.columns)
-    if mode == "insert_ignore":
-        sql = d.insert_ignore(target, staging, cols, keys)
-    elif mode == "upsert":
-        upd = update_cols or [c for c in cols if c not in keys]
-        sql = d.upsert(target, staging, cols, keys, upd)
-    else:
-        raise ValueError(f"unknown upsert mode: {mode!r}")
     spark = df.sparkSession
-    execute_jdbc(spark, url, sql, driver=driver)
-    if not keep_staging:
-        execute_jdbc(spark, url, f"DROP TABLE {staging}", driver=driver)
+    try:
+        cols = list(df.columns)
+        if mode == "insert_ignore":
+            sql = d.insert_ignore(target, staging, cols, keys)
+        elif mode == "upsert":
+            upd = update_cols or [c for c in cols if c not in keys]
+            sql = d.upsert(target, staging, cols, keys, upd)
+        else:
+            raise ValueError(f"unknown upsert mode: {mode!r}")
+        execute_jdbc(spark, url, sql, driver=driver)
+    finally:
+        if not keep_staging:
+            try:
+                execute_jdbc(
+                    spark, url, f"DROP TABLE {staging}", driver=driver
+                )
+            except Exception:
+                pass  # drop is cleanup — never mask the real error
     return sql
 
 

@@ -107,11 +107,23 @@ def stage_table(
         except OSError:
             # lost the race — another session published first
             shutil.rmtree(tmp, ignore_errors=True)
-        # opportunistic cleanup of orphaned attempts from crashed sessions
+        # opportunistic cleanup of orphaned attempts from CRASHED
+        # sessions only: an age guard spares a concurrent session's
+        # in-progress .tmp-* write (deleting it mid-write would fail
+        # that session's job — the opposite of the benign-race contract)
+        import time as _time
+
         root = staging_root()
+        now = _time.time()
         for d in os.listdir(root):
             if d.startswith(f"{name}-") and ".tmp-" in d:
-                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+                full = os.path.join(root, d)
+                try:
+                    age = now - os.path.getmtime(full)
+                except OSError:
+                    continue
+                if age > 3600:
+                    shutil.rmtree(full, ignore_errors=True)
     return final
 
 

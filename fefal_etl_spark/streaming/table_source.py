@@ -246,15 +246,20 @@ class TxnTableChangesStreamReader(DataSourceStreamReader):
             for rel in prev_mf["files"]:
                 if rel not in cur:
                     out.append(part("delete_removed", rel))
-            if len(dv_new) > len(dv_old):
-                # new vector entries may address retained files: ship
-                # only the files the NEW sidecars mention (the sidecar
-                # list is append-only until a rewrite clears it)
+            # vector changes on RETAINED files: compare the sidecar SETS
+            # (append-only is the common case, but restore() can replace
+            # or drop the list — a length-based slice would miss that).
+            # Sidecars only in cur may mask rows (deletes); sidecars only
+            # in prev may UN-mask rows (re-inserts, e.g. restore to a
+            # pre-delete snapshot). The reader resolves exact positions
+            # by diffing both sides per file, so over-shipping a file
+            # here costs a scan, never correctness.
+            changed_sidecars = set(dv_new).symmetric_difference(dv_old)
+            if changed_sidecars and (prev & cur):
                 import pyarrow.parquet as pq
 
-                new_sidecars = dv_new[len(dv_old):]
                 touched: set[str] = set()
-                for sc in new_sidecars:
+                for sc in changed_sidecars:
                     touched.update(
                         pq.read_table(sc, columns=["file"])
                         .column("file")
@@ -262,6 +267,7 @@ class TxnTableChangesStreamReader(DataSourceStreamReader):
                     )
                 for rel in sorted(touched & (prev & cur)):
                     out.append(part("delete_masked", rel))
+                    out.append(part("insert_unmasked", rel))
         return out
 
     def read(self, partition: _CdfPartition) -> Iterator:
@@ -285,6 +291,12 @@ class TxnTableChangesStreamReader(DataSourceStreamReader):
         elif partition.kind == "delete_removed":
             keep_if_in, mask = False, positions(partition.dv_old)
             change = "delete"
+        elif partition.kind == "insert_unmasked":
+            # positions masked at v-1 but NOT at v re-enter the table
+            # (restore to a pre-delete snapshot)
+            keep_if_in = True
+            mask = positions(partition.dv_old) - positions(partition.dv_new)
+            change = "insert"
         else:  # delete_masked: newly-masked positions only
             keep_if_in = True
             mask = positions(partition.dv_new) - positions(partition.dv_old)

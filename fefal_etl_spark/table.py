@@ -438,13 +438,19 @@ class TransactionalTable:
                     f"column {name!r} is {old} in {self.root} but the "
                     f"write declares {typ}"
                 )
-        for c in mf.constraints or []:
-            viol = df.filter(
-                F.coalesce(F.expr(c), F.lit(True)) == F.lit(False)
-            ).take(1)
+        if mf.constraints:
+            # ONE validation pass however many constraints: OR the
+            # violation predicates (a per-constraint take(1) would
+            # re-execute the incoming frame's lineage N times)
+            viol_pred = None
+            for c in mf.constraints:
+                p = F.coalesce(F.expr(c), F.lit(True)) == F.lit(False)
+                viol_pred = p if viol_pred is None else (viol_pred | p)
+            viol = df.filter(viol_pred).take(1)
             if viol:
                 raise ConstraintViolation(
-                    f"write violates CHECK ({c}): e.g. {viol[0]}"
+                    f"write violates a CHECK constraint "
+                    f"({mf.constraints}): e.g. {viol[0]}"
                 )
         return new_schema
 
@@ -623,9 +629,22 @@ class TransactionalTable:
                 manifest["dv_files"] = all_dvs
             # governance rides EVERY commit (like the txn ledger): the
             # schema record is the union of parent's and this write's
-            # columns; constraints only grow
+            # columns; constraints only grow. The type check RE-RUNS
+            # here against the (possibly rebased) parent: two appends
+            # that each add the same NEW column with different types
+            # both pass _enforce against the old base, and without this
+            # in-loop check the rebase would record a type the other
+            # writer's parquet files contradict.
             all_schema = dict(parent.schema or {}) if parent else {}
             if schema:
+                for name_, typ_ in schema.items():
+                    old_ = all_schema.get(name_)
+                    if old_ is not None and old_ != typ_:
+                        raise SchemaConflict(
+                            f"column {name_!r} is {old_} in {self.root} "
+                            f"(committed while this write was in flight) "
+                            f"but the write declares {typ_}"
+                        )
                 all_schema.update(schema)
             all_constraints = (
                 list(parent.constraints or []) if parent else []
@@ -672,7 +691,11 @@ class TransactionalTable:
         )
 
     def append_txn(
-        self, df: DataFrame, app_id: str, txn_version: int
+        self,
+        df: DataFrame,
+        app_id: str,
+        txn_version: int,
+        partition_by: list[str] | None = None,
     ) -> int | None:
         """Idempotent append keyed by (app_id, txn_version): the sink
         half of exactly-once streaming. If the ledger already records
@@ -688,7 +711,7 @@ class TransactionalTable:
             if led.get(app_id, -1) >= txn_version:
                 return None
         sch = self._enforce(df)
-        files = self.stage_files(df)
+        files = self.stage_files(df, partition_by=partition_by)
         return self._commit(
             files,
             "stream-append",
@@ -703,9 +726,17 @@ class TransactionalTable:
     def delete_where(self, condition) -> int:
         """Copy-on-write delete: rewrite the surviving rows as a new
         snapshot (file-level rewrite — the parquet files are immutable).
+        SQL DELETE semantics: a row is deleted only when ``condition``
+        is TRUE — NULL keeps the row (a bare ``~condition`` would drop
+        NULL-predicate rows, silently deleting data SQL would keep, and
+        diverge from :meth:`delete_where_dv`'s positive filter).
         Conflicts with any interleaved commit."""
+        from pyspark.sql import functions as F
+
         base = self.latest_version()
-        survivors = self.read(base).filter(~condition)
+        survivors = self.read(base).filter(
+            ~F.coalesce(condition, F.lit(False))
+        )
         files = self.stage_files(survivors)
         return self._commit(
             files, "delete", base, rebase_ok=False,
@@ -879,14 +910,32 @@ class TransactionalTable:
 
         old = self.read(v_from)
         new = self.read(v_to)
+        # value columns = the UNION of both snapshots' columns: a column
+        # added (or dropped) between the versions must still appear in
+        # the feed — a side that lacks it contributes typed NULLs, so an
+        # update that only touches the new column is still a U event and
+        # replaying the stream reconstructs v_to under schema evolution
         vals = [c for c in old.columns if c not in keys]
+        vals += [c for c in new.columns if c not in keys and c not in vals]
+        types = {f.name: f.dataType for f in new.schema.fields}
+        types.update(
+            (f.name, f.dataType)
+            for f in old.schema.fields
+            if f.name not in types
+        )
+
+        def side(df: DataFrame, c: str) -> F.Column:
+            if c in df.columns:
+                return F.col(c)
+            return F.lit(None).cast(types[c])
+
         a = old.select(
             *[F.col(k).alias(f"__ka_{k}") for k in keys],
-            *[F.col(c).alias(f"old_{c}") for c in vals],
+            *[side(old, c).alias(f"old_{c}") for c in vals],
         )
         b = new.select(
             *[F.col(k).alias(f"__kb_{k}") for k in keys],
-            *[F.col(c).alias(f"new_{c}") for c in vals],
+            *[side(new, c).alias(f"new_{c}") for c in vals],
         )
         cond = None
         for k in keys:
@@ -963,32 +1012,40 @@ class TransactionalTable:
             acc(self._read_files(added, dv_files=mf_b.dv_files), 1)
         if removed:
             acc(self._read_files(removed, dv_files=mf_a.dv_files), -1)
-        newly_masked = None
-        if mf_b.dv_files and retained:
-            dv_b = self.spark.read.parquet(
-                *[os.path.join(self.root, f) for f in mf_b.dv_files]
-            )
-            if mf_a.dv_files:
-                dv_a = self.spark.read.parquet(
-                    *[os.path.join(self.root, f) for f in mf_a.dv_files]
+        # Deletion-vector delta on RETAINED files, in both directions:
+        # positions masked in v_to but not v_from are deletes (-1), and
+        # positions masked in v_from but not v_to are RE-INSERTS (+1) —
+        # the latter happens when restore() re-points at a pre-delete
+        # snapshot (the files stay, the vectors go).
+        if retained and (mf_a.dv_files or mf_b.dv_files):
+            def dv_frame(paths: list[str] | None):
+                if not paths:
+                    return None
+                return self.spark.read.parquet(
+                    *[os.path.join(self.root, f) for f in paths]
                 )
-                dv_new = dv_b.exceptAll(dv_a)
-            else:
-                dv_new = dv_b
+
+            dv_a = dv_frame(mf_a.dv_files)
+            dv_b = dv_frame(mf_b.dv_files)
             retained_set = set(retained)
-            # file list is metadata-scale: collecting it prunes the scan
-            # to exactly the files the new vector entries address
-            mask_files = [
-                r["file"]
-                for r in dv_new.select("file").distinct().collect()
-                if r["file"] in retained_set
-            ]
-            if mask_files:
-                newly_masked = (
+
+            def masked_rows(delta_positions: DataFrame, sign: int) -> None:
+                # file list is metadata-scale: collecting it prunes the
+                # scan to exactly the files the vector entries address
+                mask_files = [
+                    r["file"]
+                    for r in delta_positions.select("file")
+                    .distinct()
+                    .collect()
+                    if r["file"] in retained_set
+                ]
+                if not mask_files:
+                    return
+                rows = (
                     self._read_files(mask_files, with_pos=True)
                     .join(
                         F.broadcast(
-                            dv_new.select(
+                            delta_positions.select(
                                 F.col("file").alias("__dv_file"),
                                 F.col("pos").alias("__dv_pos"),
                             )
@@ -998,8 +1055,16 @@ class TransactionalTable:
                     )
                     .drop("__dv_file", "__dv_pos")
                 )
-        if newly_masked is not None:
-            acc(newly_masked, -1)
+                acc(rows, sign)
+
+            if dv_b is not None:
+                masked_rows(
+                    dv_b.exceptAll(dv_a) if dv_a is not None else dv_b, -1
+                )
+            if dv_a is not None:
+                masked_rows(
+                    dv_a.exceptAll(dv_b) if dv_b is not None else dv_a, 1
+                )
         if out is None:
             # no file-level change: empty delta with the right schema
             out = self.read(v_to).withColumn("__delta", F.lit(1)).filter(
@@ -1144,11 +1209,24 @@ class TransactionalTable:
             dv_files=mf.dv_files,
         )
 
-    def vacuum(self, keep_versions: int = 1) -> list[str]:
+    def vacuum(
+        self, keep_versions: int = 1, min_age_s: float = 0.0
+    ) -> list[str]:
         """Remove data directories unreferenced by the ``keep_versions``
         most recent manifests (old snapshots stay time-travelable until
         vacuumed — same contract as Delta's VACUUM). Returns removed
-        directory names."""
+        directory names.
+
+        ``min_age_s`` is the retention guard for multi-writer
+        deployments (Delta's retention window): a directory younger
+        than it is spared even when unreferenced, because it may be a
+        CONCURRENT writer's staged-but-not-yet-published commit —
+        deleting it would make that writer publish a manifest pointing
+        at missing files. The default 0 is fine for single-writer
+        maintenance; run concurrent-writer vacuums with an age well
+        above the longest expected stage-to-publish window."""
+        import time as _time
+
         vs = self.versions()
         keep = vs[-keep_versions:] if keep_versions > 0 else []
         live: set[str] = set()
@@ -1157,10 +1235,15 @@ class TransactionalTable:
             for f in mf.files + (mf.dv_files or []):
                 live.add(f.split("/")[1])  # data/<commit-dir>/part
         removed = []
+        now = _time.time()
         for d in os.listdir(self._data_dir):
-            if d not in live:
-                shutil.rmtree(os.path.join(self._data_dir, d))
-                removed.append(d)
+            full = os.path.join(self._data_dir, d)
+            if d in live:
+                continue
+            if min_age_s > 0 and now - os.path.getmtime(full) < min_age_s:
+                continue  # possibly a concurrent writer's staged commit
+            shutil.rmtree(full)
+            removed.append(d)
         for v in vs:
             if v not in keep:
                 os.unlink(self._manifest_path(v))

@@ -1402,3 +1402,116 @@ def test_txn_table_history_asof_restore(spark, tmp_path):
     # referenced by the restore manifest survive)
     t.vacuum(keep_versions=1)
     assert t.read().count() == 7
+
+
+def test_review_fixes_null_delete_restore_delta_evolved_cdf(spark, tmp_path):
+    """Round-5 self-review regressions: (1) delete_where keeps rows with
+    a NULL predicate (SQL DELETE semantics, matching delete_where_dv);
+    (2) row_deltas emits +1 re-inserts when restore() un-masks deletion
+    vectors, so an incremental MV converges after a restore; (3) the
+    keyed changes() feed covers columns added between the snapshots."""
+    from fefal_etl_spark.materialized import IncrementalAggView
+    from fefal_etl_spark.table import TransactionalTable
+
+    # (1) NULL predicate rows survive both delete paths identically
+    for sub, method in (("a", "delete_where"), ("b", "delete_where_dv")):
+        t = TransactionalTable(spark, str(tmp_path / f"null_{sub}"))
+        t.overwrite(
+            spark.createDataFrame(
+                [(1, 1.0), (2, None), (3, 9.0)], "k long, x double"
+            )
+        )
+        getattr(t, method)(F.col("x") < 5)
+        assert sorted(r["k"] for r in t.read().collect()) == [2, 3], method
+
+    # (2) restore un-masks vectors -> row_deltas emits the re-inserts
+    src = TransactionalTable(spark, str(tmp_path / "src"))
+    src.overwrite(
+        spark.range(10).select(
+            F.col("id").alias("k"),
+            F.lit("g").alias("g"),
+            F.col("id").cast("double").alias("v"),
+        )
+    )
+    mv = IncrementalAggView(spark, src, str(tmp_path / "mv"), ["g"], ["v"])
+    mv.refresh()
+    src.delete_where_dv(F.col("k") < 4)
+    mv.refresh()
+    v_restore = src.restore(0)
+    d = src.row_deltas(1, v_restore)
+    assert sorted(r["k"] for r in d.collect()) == [0, 1, 2, 3]
+    assert {r["__delta"] for r in d.collect()} == {1}
+    mv.refresh()
+    got = mv.current().collect()[0]
+    assert (got["n_rows"], float(got["sum_v"])) == (10, 45.0)
+
+    # (3) keyed CDF under schema evolution: updates to a NEW column emit
+    import fefal_etl_spark.operators.upsert as upsert
+
+    t2 = TransactionalTable(spark, str(tmp_path / "evo"))
+    t2.overwrite(
+        spark.createDataFrame([(1, "x"), (2, "y")], "k long, s string")
+    )
+    t2.overwrite(
+        spark.createDataFrame(
+            [(1, "x", 7.0), (2, "y", None)], "k long, s string, note double"
+        )
+    )
+    ch = t2.changes(0, 1, keys=["k"])
+    rows = {r["k"]: r for r in ch.collect()}
+    # k=1 gained note=7.0 -> a U event carrying the new column
+    assert rows[1]["op"] == "U" and rows[1]["new_note"] == 7.0
+    assert rows[1]["old_note"] is None
+    # k=2's note stayed NULL-equivalent and s unchanged -> no event
+    assert 2 not in rows
+
+
+def test_txn_table_changes_stream_restore_unmasks(spark, tmp_path):
+    """The CDF stream must emit +insert rows when a restore() un-masks
+    deletion vectors on retained files (sidecar sets are compared, not
+    length-sliced), keeping downstream CDC consumers convergent."""
+    from fefal_etl_spark.streaming.table_source import (
+        TxnTableChangesDataSource,
+    )
+    from fefal_etl_spark.table import TransactionalTable
+
+    spark.dataSource.register(TxnTableChangesDataSource)
+    root = str(tmp_path / "t")
+    t = TransactionalTable(spark, root)
+    t.overwrite(spark.range(8).select(F.col("id").alias("k")))
+    t.delete_where_dv(F.col("k") < 3)
+    t.restore(0)  # un-masks k in {0,1,2}; same data files throughout
+
+    df = (
+        spark.readStream.format("txn_table_changes")
+        .option("path", root)
+        .load()
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        df.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    r = spark.read.parquet(out)
+    v2 = sorted(
+        (x["k"], x["_change_type"])
+        for x in r.filter("_commit_version = 2").collect()
+    )
+    assert v2 == [(0, "insert"), (1, "insert"), (2, "insert")]
+    # net replay equals the restored snapshot
+    sig = (
+        r.select(
+            "k",
+            F.when(F.col("_change_type") == "insert", 1)
+            .otherwise(-1)
+            .alias("d"),
+        )
+        .groupBy("k")
+        .agg(F.sum("d").alias("s"))
+    )
+    live = sorted(x["k"] for x in sig.filter("s = 1").collect())
+    assert live == sorted(x["k"] for x in t.read().collect())
