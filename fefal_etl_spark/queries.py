@@ -2917,6 +2917,62 @@ def q_table_restore_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "partition_overwrite_read",
+    """
+    WITH final AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        WHERE o_orderstatus <> 'F'
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        WHERE o_orderstatus = 'F' AND NOT (o_totalprice < 100000)
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(24,4))) AS DOUBLE) AS revenue
+    FROM final GROUP BY o_orderstatus
+    """,
+)
+def q_partition_overwrite_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V124 — atomic partition overwrite
+    (table.py::overwrite_partition, Delta replaceWhere / Hive INSERT
+    OVERWRITE PARTITION): the orders table is committed hive-partitioned
+    by o_orderstatus, then partition 'F' is RELOADED with a filtered
+    replacement (totalprice ≥ 100k) in ONE commit — every other
+    partition's files are carried untouched in the manifest, and the
+    swap is atomic at the manifest link (readers never see 'F'
+    half-replaced; the pre-reload snapshot stays time-travelable). The
+    daily-reload primitive at 100 TB: re-loading one partition rewrites
+    only that partition. The oracle computes the post-reload state
+    declaratively; the untouched-carried-files property is pinned in
+    tests/test_round5_ops.py."""
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+    def build(t):
+        t.overwrite(base, partition_by=["o_orderstatus"])
+        repl = base.filter(
+            (F.col("o_orderstatus") == "F")
+            & ~(F.col("o_totalprice") < 100000)
+        ).select("o_orderkey", "o_totalprice")
+        t.overwrite_partition(repl, o_orderstatus="F")
+
+    t = _txn_scenario(
+        spark, sf_dir, "txn_part_ovw", build, final_version=1
+    )
+    return (
+        t.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(24,4)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+@register(
     "table_changes_stream",
     """
     WITH ins AS (
@@ -3158,6 +3214,7 @@ _DRIVER_PRIORITY = [
     "table_changes_stream",
     "table_restore_read",
     "incremental_ann_match",
+    "partition_overwrite_read",
 ]
 
 

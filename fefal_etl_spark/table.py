@@ -723,6 +723,68 @@ class TransactionalTable:
             schema=sch,
         )
 
+    def overwrite_partition(self, df: DataFrame, **partition_values) -> int:
+        """Atomic partition overwrite (Delta's ``replaceWhere`` on
+        partition equality / Hive's INSERT OVERWRITE PARTITION): one
+        commit whose manifest carries every file NOT in the target
+        partition untouched and swaps the target partition's files for
+        ``df``'s — the daily-reload primitive. At 100 TB, re-loading one
+        day of a year-partitioned fact rewrites 1/365th of the table and
+        flips atomically at the manifest link; readers never see the
+        partition half-replaced.
+
+        ``df`` must NOT contain the partition columns (they are implied
+        by ``partition_values`` and written as hive path segments, like
+        the partitioned :meth:`overwrite`). Files without a recorded
+        value for a partition column are conservatively treated as IN
+        the target (they could hold its rows — keeping them would
+        duplicate). Deletion vectors addressing carried files ride
+        along; vectors for replaced files become dead entries (they
+        mask nothing — positions address files no longer listed).
+        Conflicts with interleaved commits, like every rewrite."""
+        from pyspark.sql import functions as F
+
+        if not partition_values:
+            raise ValueError("overwrite_partition needs partition values")
+        base = self.latest_version()
+        if base is None:
+            raise FileNotFoundError(f"no committed version in {self.root}")
+        mf = self._read_manifest(base)
+        parts = mf.partitions or {}
+
+        def in_target(f: str) -> bool:
+            pv = parts.get(f) or {}
+            return all(
+                pv.get(c) == str(v) or c not in pv
+                for c, v in partition_values.items()
+            )
+
+        carried = [f for f in mf.files if not in_target(f)]
+        staged = self.stage_files(
+            df.select(
+                *[
+                    F.lit(v).alias(c)
+                    for c, v in partition_values.items()
+                ],
+                "*",
+            ),
+            partition_by=list(partition_values.keys()),
+        )
+        sch = self._enforce(df)
+        carried_stats = {
+            f: s for f, s in (mf.stats or {}).items() if f in set(carried)
+        }
+        live_dvs = mf.dv_files  # positions on replaced files are inert
+        return self._commit(
+            carried + staged,
+            "overwrite-partition",
+            base,
+            rebase_ok=False,
+            stats={**carried_stats, **self._file_stats(staged)},
+            dv_files=live_dvs,
+            schema=sch,
+        )
+
     def delete_where(self, condition) -> int:
         """Copy-on-write delete: rewrite the surviving rows as a new
         snapshot (file-level rewrite — the parquet files are immutable).

