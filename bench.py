@@ -203,6 +203,7 @@ BENCH_QUERIES = [
     "incremental_mv_stats",
     "table_restore_read",
     "partition_overwrite_read",
+    "bloom_point_lookup",
     # data-bound: exact cosine over the probed buckets only
     "incremental_ann_match",
     # dup_clusters_star is excluded like ngram_jaccard_pairs: at bench SF its

@@ -2973,6 +2973,57 @@ def q_partition_overwrite_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bloom_point_lookup",
+    """
+    SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(24,4))) AS DOUBLE) AS revenue
+    FROM orders WHERE o_custkey IN (7, 370, 1121)
+    GROUP BY o_custkey
+    """,
+)
+def q_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V125 — per-file BLOOM-filter data skipping
+    (table.py::build_bloom/read_point): the orders table is committed
+    range-clustered on o_custkey across 8 files, a ~1 KB-per-file bloom
+    over the key is built into the MANIFEST (a logical no-op commit,
+    like OPTIMIZE), and three point lookups read only the files whose
+    bloom may contain the key — pruning costs zero file IO. This is the
+    half of data skipping [min,max] stats cannot do: an equality probe
+    on a high-cardinality key. No false negatives by construction
+    (pinned in tests, plus DV interplay and append-conservatism); the
+    oracle computes the same three lookups declaratively — equality
+    proves skipping is semantically invisible."""
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+
+    def build(t):
+        t.overwrite(base.repartitionByRange(8, "o_custkey"))
+        t.build_bloom("o_custkey")
+
+    t = _txn_scenario(spark, sf_dir, "txn_bloom", build, final_version=1)
+    out = None
+    for key in (7, 370, 1121):
+        hit = (
+            t.read_point("o_custkey", key)
+            .groupBy("o_custkey")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(24,4)"))
+                .cast("double")
+                .alias("revenue"),
+            )
+        )
+        out = hit if out is None else out.unionByName(hit)
+    return out.select(
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        "n_orders",
+        "revenue",
+    )
+
+
+@register(
     "table_changes_stream",
     """
     WITH ins AS (
@@ -3215,6 +3266,7 @@ _DRIVER_PRIORITY = [
     "table_restore_read",
     "incremental_ann_match",
     "partition_overwrite_read",
+    "bloom_point_lookup",
 ]
 
 

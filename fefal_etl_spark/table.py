@@ -104,6 +104,10 @@ class _Manifest:
     # AS-OF-timestamp reads and history(); absent in pre-upgrade
     # manifests (readers fall back to the manifest file's mtime)
     ts: float | None = None
+    # per-file bloom filters for point-lookup skipping:
+    # {col: {file: base64(bitmap)}} — built by build_bloom(), carried
+    # forward; files written later have no entry (conservatively kept)
+    blooms: dict[str, dict] | None = None
 
 
 class TransactionalTable:
@@ -164,6 +168,7 @@ class TransactionalTable:
             schema=d.get("schema"),
             constraints=d.get("constraints"),
             ts=d.get("ts"),
+            blooms=d.get("blooms"),
         )
 
     # ------------------------------------------------------------------
@@ -559,6 +564,7 @@ class TransactionalTable:
         dv_files: list[str] | None = None,
         schema: dict[str, str] | None = None,
         constraint: str | None = None,
+        blooms: dict[str, dict] | None = None,
     ) -> int | None:
         """CAS loop over the version counter. ``rebase_ok`` ops (append)
         retry transparently when they lose the race;
@@ -655,6 +661,16 @@ class TransactionalTable:
                 manifest["schema"] = all_schema
             if all_constraints:
                 manifest["constraints"] = all_constraints
+            # blooms carry like stats: entries for files no longer
+            # listed are never consulted; files written after the bloom
+            # build have no entry and are conservatively kept
+            all_blooms: dict[str, dict] = {}
+            if parent and parent.blooms:
+                all_blooms = {c: dict(m) for c, m in parent.blooms.items()}
+            for c_, m_ in (blooms or {}).items():
+                all_blooms.setdefault(c_, {}).update(m_)
+            if all_blooms:
+                manifest["blooms"] = all_blooms
             import time as _time
 
             manifest["ts"] = _time.time()
@@ -1197,6 +1213,147 @@ class TransactionalTable:
             files, "zorder", base, rebase_ok=False,
             stats=self._file_stats(files),
         )
+
+    # bloom parameters: 8192 bits / 4 hashes ≈ 1 KB per file per column,
+    # <1% fpp up to ~1k distinct values per file, manifest-bounded
+    # regardless of row count (positions are distinct-capped at n_bits)
+    _BLOOM_BITS = 8192
+    _BLOOM_K = 4
+
+    @classmethod
+    def _bloom_positions(cls, value: str) -> list[int]:
+        import hashlib
+
+        return [
+            int(
+                hashlib.md5(
+                    f"{value}\x1f{seed}".encode()
+                ).hexdigest()[:15],
+                16,
+            )
+            % cls._BLOOM_BITS
+            for seed in range(cls._BLOOM_K)
+        ]
+
+    def build_bloom(self, col: str) -> int:
+        """Build per-file BLOOM FILTERS over ``col`` for the latest
+        snapshot and commit them into the manifest (a logical no-op, like
+        :meth:`compact`) — the point-lookup half of data skipping:
+        [min,max] stats can't prune an equality probe on a column whose
+        values interleave across files, a bloom can. ~1 KB per file per
+        column in the manifest, so :meth:`read_point` prunes with zero
+        file IO. Hashing is md5-over-string on BOTH build (JVM
+        expressions) and probe (driver) sides — use on integer/string
+        key columns. Files appended after the build have no entry and
+        are conservatively read; rebuild after large ingests (the same
+        maintenance cadence as OPTIMIZE)."""
+        import base64
+
+        from pyspark.sql import functions as F
+
+        base = self.latest_version()
+        if base is None:
+            raise FileNotFoundError(f"no committed version in {self.root}")
+        mf = self._read_manifest(base)
+        prefix = "file:" + os.path.abspath(self.root) + "/"
+        rows = self._read_files(mf.files, with_pos=True).select(
+            F.col("__dv_file").alias("file"),
+            F.col(col).cast("string").alias("__val"),
+        )
+        seeds = F.array(
+            *[
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat_ws("\x1f", F.col("__val"), F.lit(str(s)))
+                            ),
+                            1,
+                            15,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % self._BLOOM_BITS
+                )
+                for s in range(self._BLOOM_K)
+            ]
+        )
+        # distinct positions per file: bounded by n_bits however many rows
+        per_file = (
+            rows.filter(F.col("__val").isNotNull())
+            .select("file", F.explode(seeds).alias("pos"))
+            .distinct()
+            .groupBy("file")
+            .agg(F.collect_list("pos").alias("positions"))
+            .collect()
+        )
+        blooms: dict[str, str] = {}
+        for r in per_file:
+            bits = bytearray(self._BLOOM_BITS // 8)
+            for p in r["positions"]:
+                bits[p // 8] |= 1 << (p % 8)
+            blooms[r["file"]] = base64.b64encode(bytes(bits)).decode()
+        return self._commit(
+            mf.files,
+            "bloom",
+            base,
+            rebase_ok=False,
+            stats=mf.stats,
+            dv_files=mf.dv_files,
+            blooms={col: blooms},
+        )
+
+    def read_point(self, col: str, value, version: int | None = None) -> DataFrame:
+        """Point lookup with bloom skipping: read only the files whose
+        bloom for ``col`` may contain ``value`` (files without a bloom
+        are conservatively kept — no false negatives by construction),
+        then apply the exact equality filter."""
+        import base64
+
+        from pyspark.sql import functions as F
+
+        v = self.latest_version() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"no committed version in {self.root}")
+        mf = self._read_manifest(v)
+        col_blooms = (mf.blooms or {}).get(col) or {}
+        positions = self._bloom_positions(str(value))
+        keep = []
+        for f in mf.files:
+            b64 = col_blooms.get(f)
+            if b64 is None:
+                keep.append(f)
+                continue
+            bits = base64.b64decode(b64)
+            if all(bits[p // 8] & (1 << (p % 8)) for p in positions):
+                keep.append(f)
+        if not keep:
+            return self.read(v).filter(F.lit(False))
+        df = self._read_files(keep, dv_files=mf.dv_files)
+        return df.filter(F.col(col) == F.lit(value))
+
+    def skipped_files_bloom(
+        self, col: str, value, version: int | None = None
+    ) -> tuple[int, int]:
+        """(files_kept, files_total) for a read_point — the auditable
+        bloom-skipping measure, mirror of :meth:`skipped_files`."""
+        import base64
+
+        v = self.latest_version() if version is None else version
+        mf = self._read_manifest(v)  # type: ignore[arg-type]
+        col_blooms = (mf.blooms or {}).get(col) or {}
+        positions = self._bloom_positions(str(value))
+        kept = 0
+        for f in mf.files:
+            b64 = col_blooms.get(f)
+            if b64 is None:
+                kept += 1
+                continue
+            bits = base64.b64decode(b64)
+            if all(bits[p // 8] & (1 << (p % 8)) for p in positions):
+                kept += 1
+        return kept, len(mf.files)
 
     def history(self) -> DataFrame:
         """The commit history as a DataFrame (Delta's DESCRIBE HISTORY):

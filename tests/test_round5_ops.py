@@ -1553,3 +1553,29 @@ def test_txn_table_overwrite_partition(spark, tmp_path):
         x["k"] for x in t.read().filter("p = '1'").collect()
     ) == [100, 101]
     assert CommitConflict is not None  # conflict path covered generically
+
+
+def test_txn_table_bloom_point_lookup(spark, tmp_path):
+    """build_bloom + read_point: manifest-side bloom skipping prunes
+    files for point lookups with zero false negatives; files written
+    after the build are conservatively kept; vectors still apply."""
+    from fefal_etl_spark.table import TransactionalTable
+
+    t = TransactionalTable(spark, str(tmp_path / "t"))
+    df = spark.range(4000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("g")
+    )
+    t.overwrite(df.repartitionByRange(8, "k"))
+    t.build_bloom("k")
+    kept, total = t.skipped_files_bloom("k", 1234)
+    assert kept < total  # real pruning
+    for probe in (0, 1234, 3999):
+        assert [r["k"] for r in t.read_point("k", probe).collect()] == [probe]
+    # absent key: typically zero files, always zero rows
+    assert t.read_point("k", 10**9).count() == 0
+    # appended files have no bloom -> conservatively kept, still found
+    t.append(spark.createDataFrame([(99999, 1)], "k long, g long"))
+    assert t.read_point("k", 99999).count() == 1
+    # deletion vectors apply on the point-lookup path too
+    t.delete_where_dv(F.col("k") == 1234)
+    assert t.read_point("k", 1234).count() == 0
