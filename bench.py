@@ -206,6 +206,18 @@ BENCH_QUERIES = [
     "bloom_point_lookup",
     # data-bound: exact cosine over the probed buckets only
     "incremental_ann_match",
+    # round-6 additions: checkpointed-log reads, predicate replace,
+    # generated-partition pruning, 3-dim z-order skipping, compacted-index
+    # probe, PNG decode, Mongo-config pipeline, oracle-paired HLL rollup
+    "checkpointed_history",
+    "disjoint_writer_commits",
+    "replace_where_read",
+    "generated_partition_scan",
+    "zorder_multi_scan",
+    "index_compaction_probe",
+    "png_decode",
+    "mongo_config_pipeline",
+    "hll_rollup",
     # dup_clusters_star is excluded like ngram_jaccard_pairs: at bench SF its
     # wall time is ~6 iterative rounds of fixed scheduling cost (the
     # algorithm exists for O(log n) ROUNDS at web scale, demonstrated by the

@@ -101,6 +101,18 @@ class IvfAnnIndex:
             )
         return self.table.append(a, partition_by=["centroid_id"])
 
+    def compact(self, target_file_mb: int = 128) -> int:
+        """Index maintenance (VERDICT r5 item 6): per-batch appends
+        shatter every centroid bucket into per-batch files; the
+        partition-preserving compaction collapses each bucket to ~one
+        file while KEEPING the hive layout, so `read_partition_in`'s
+        manifest-side bucket pruning still works after the rewrite
+        (pinned in tests: probe-equivalence + file-count reduction +
+        pruning intact)."""
+        return self.table.compact(
+            target_file_mb, partition_by=["centroid_id"]
+        )
+
     # ------------------------------------------------------------------
     def match_new(
         self,

@@ -129,6 +129,15 @@ class LshDedupIndex:
             return self.table.append_txn(b, app_id, txn_version)
         return self.table.append(b)
 
+    def compact(self, target_file_mb: int = 128) -> int:
+        """Index maintenance (VERDICT r5 item 6): per-batch `add_batch`
+        appends accumulate one file set per batch; compaction rewrites
+        the bucket table into size-targeted files in one logical-no-op
+        commit. Probe results are unaffected (pinned in tests) — the
+        index is a plain transactional table, so `table.compact` is the
+        whole story; run it on the same cadence as OPTIMIZE."""
+        return self.table.compact(target_file_mb)
+
     # ------------------------------------------------------------------
     def match_new(
         self,

@@ -136,20 +136,179 @@ def decode_ppm(data: bytes) -> np.ndarray:
     return arr.reshape(h, w, 3).copy()
 
 
+# --------------------------------------------------------------------------
+# PNG (ISO/IEC 15948) — stdlib-zlib only, the real-corpus image leg
+# --------------------------------------------------------------------------
+#
+# Subset implemented (VERDICT r5 item 5): 8-bit-depth truecolor (color
+# type 2) and truecolor+alpha (type 6), non-interlaced — the shape the
+# overwhelming majority of real PNGs use. Decode walks the chunk list
+# (IHDR → IDAT* → IEND, CRC-checked), inflates with ``zlib`` and
+# reverses all five scanline filters (None/Sub/Up/Average/Paeth, PNG
+# spec §9); alpha is dropped so every decoder here lands on the same
+# (H, W, 3) uint8 RGB contract. Encode emits filter-0 scanlines —
+# spec-valid output any PNG reader accepts (compression ratio is not
+# the point at the codec boundary).
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        len(body).to_bytes(4, "big")
+        + ctype
+        + body
+        + zlib.crc32(ctype + body).to_bytes(4, "big")
+    )
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB → PNG bytes (8-bit truecolor, filter 0,
+    non-interlaced, one zlib-deflated IDAT)."""
+    import zlib
+
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"expected (H, W, 3) RGB array, got shape {arr.shape}")
+    h, w, _ = arr.shape
+    ihdr = (
+        int(w).to_bytes(4, "big")
+        + int(h).to_bytes(4, "big")
+        + bytes([8, 2, 0, 0, 0])  # depth 8, truecolor, deflate, adaptive, no interlace
+    )
+    # filter byte 0 (None) in front of each scanline
+    raster = np.concatenate(
+        [np.zeros((h, 1), dtype=np.uint8), arr.reshape(h, w * 3)], axis=1
+    )
+    return (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raster.tobytes(), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse PNG scanline filtering: ``raw`` is h rows of
+    1 filter byte + stride image bytes; returns (h, stride) uint8.
+    Up/None rows are whole-row numpy ops; Sub/Average/Paeth carry a
+    left dependency, resolved pixel-group-wise (``bpp``-strided) so the
+    inner loop is over W, not W×3 bytes — fine for the Arrow-batch
+    boundary this runs behind (per-batch calls, small fixtures in CI;
+    a C codec would slot in behind the same signature)."""
+    raw = raw.reshape(h, 1 + stride)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ftype = int(raw[y, 0])
+        line = raw[y, 1:].astype(np.int32)
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        else:
+            cur = line.copy()
+            if ftype == 1:  # Sub: recon[x] = raw[x] + recon[x-bpp]
+                for x in range(bpp, stride, bpp):
+                    cur[x : x + bpp] = (
+                        cur[x : x + bpp] + cur[x - bpp : x]
+                    ) & 0xFF
+            elif ftype == 3:  # Average
+                cur[:bpp] = (cur[:bpp] + prev[:bpp] // 2) & 0xFF
+                for x in range(bpp, stride, bpp):
+                    cur[x : x + bpp] = (
+                        cur[x : x + bpp]
+                        + (cur[x - bpp : x] + prev[x : x + bpp]) // 2
+                    ) & 0xFF
+            elif ftype == 4:  # Paeth
+                up = prev
+                cur[:bpp] = (cur[:bpp] + up[:bpp]) & 0xFF  # a=c=0 → pred=b
+                for x in range(bpp, stride, bpp):
+                    a = cur[x - bpp : x]
+                    b = up[x : x + bpp]
+                    c = up[x - bpp : x]
+                    p = a + b - c
+                    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+                    )
+                    cur[x : x + bpp] = (cur[x : x + bpp] + pred) & 0xFF
+            else:
+                raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = cur
+        prev = cur.astype(np.int32)
+    return out
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes → (H, W, 3) uint8 RGB. Supports 8-bit color types 2
+    (RGB) and 6 (RGBA — alpha dropped), non-interlaced, CRC-checked."""
+    import zlib
+
+    buf = memoryview(data)
+    if bytes(buf[:8]) != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    w = h = None
+    channels = 0
+    idat = bytearray()
+    while pos + 8 <= len(buf):
+        size = int.from_bytes(buf[pos : pos + 4], "big")
+        ctype = bytes(buf[pos + 4 : pos + 8])
+        body = bytes(buf[pos + 8 : pos + 8 + size])
+        crc = int.from_bytes(buf[pos + 8 + size : pos + 12 + size], "big")
+        if zlib.crc32(ctype + body) != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            w = int.from_bytes(body[0:4], "big")
+            h = int.from_bytes(body[4:8], "big")
+            depth, color, _comp, _filt, interlace = body[8:13]
+            if depth != 8 or color not in (2, 6) or interlace != 0:
+                raise ValueError(
+                    "only 8-bit non-interlaced truecolor(+alpha) PNG "
+                    f"supported (depth={depth}, color={color}, "
+                    f"interlace={interlace})"
+                )
+            channels = 4 if color == 6 else 3
+        elif ctype == b"IDAT":
+            idat.extend(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size
+    if w is None or not idat:
+        raise ValueError("missing IHDR or IDAT chunk")
+    stride = w * channels
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    if raw.size != h * (1 + stride):
+        raise ValueError(
+            f"PNG raster size mismatch: {raw.size} != {h * (1 + stride)}"
+        )
+    px = _png_unfilter(raw, h, stride, channels).reshape(h, w, channels)
+    return px[:, :, :3].copy()
+
+
 def decode_image(data: bytes) -> np.ndarray:
     """Magic-byte dispatch to the right decoder → (H, W, 3) uint8 RGB."""
     if data is None or len(data) < 2:
         raise ValueError("empty payload")
+    if bytes(data[:8]) == _PNG_MAGIC:
+        return decode_png(data)
     head = bytes(data[:2])
     if head == b"BM":
         return decode_bmp(data)
     if head == b"P6":
         return decode_ppm(data)
-    raise ValueError(f"unrecognized image magic {head!r} (BMP and P6 PPM supported)")
+    raise ValueError(
+        f"unrecognized image magic {head!r} (PNG, BMP and P6 PPM supported)"
+    )
 
 
 def encode_like(arr: np.ndarray, template: bytes) -> bytes:
     """Re-encode in the same container the template payload used."""
+    if bytes(template[:8]) == _PNG_MAGIC:
+        return encode_png(arr)
     if bytes(template[:2]) == b"P6":
         return encode_ppm(arr)
     return encode_bmp(arr)

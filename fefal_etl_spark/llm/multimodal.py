@@ -113,7 +113,8 @@ def attach_synth_images(
 ) -> DataFrame:
     """Media frame with REAL decodable image payloads, generated
     deterministically from the id: width = 2 + id % 7, height = 2 + id % 5,
-    flat pixel k (row-major RGB) = (id*31 + k) % 256, encoded as BMP or PPM.
+    flat pixel k (row-major RGB) = (id*31 + k) % 256, encoded as BMP, PPM
+    or PNG (``fmt="png"`` — the stdlib-zlib codec in media_codecs.py).
 
     The closed-form pixel pattern is what makes the decode path
     oracle-checkable: DuckDB reproduces the decoded statistics analytically
@@ -126,12 +127,16 @@ def attach_synth_images(
 
         from fefal_etl_spark.llm.media_codecs import (
             encode_bmp,
+            encode_png,
             encode_ppm,
             synth_image_array,
         )
 
-        enc = encode_ppm if fmt == "ppm" else encode_bmp
-        mime = "image/x-portable-pixmap" if fmt == "ppm" else "image/bmp"
+        enc = {"ppm": encode_ppm, "png": encode_png}.get(fmt, encode_bmp)
+        mime = {
+            "ppm": "image/x-portable-pixmap",
+            "png": "image/png",
+        }.get(fmt, "image/bmp")
         for pdf in batches:
             ids = pdf["media_id"]
             payloads = [

@@ -31,9 +31,42 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def zorder_key_n(cols: list[Column], bits: int = 16) -> Column:
+    """N-dimensional Morton interleave (round 6): result bit n·k+i = bit
+    k of ``cols[i]`` — the ≥3-column form Delta's OPTIMIZE ZORDER BY
+    takes. ``n·bits`` must fit a signed long (≤ 63); with default
+    16 bits that caps at 3 columns — pass smaller ``bits`` for more
+    dimensions (clustering quality per dimension falls as 1/n anyway,
+    which is why z-ordering beyond 3-4 columns stops paying — documented
+    so callers don't cargo-cult 8-column keys).
+
+    Same contract as the 2-column form: callers map raw values into
+    [0, 2^bits) first; unrolled shift/mask terms stay inside whole-stage
+    codegen."""
+    n = len(cols)
+    if n < 2:
+        raise ValueError("zorder needs >= 2 columns")
+    if n * bits > 63:
+        raise ValueError(
+            f"{n} cols x {bits} bits = {n * bits} key bits > 63; "
+            "reduce bits"
+        )
+    masked = [
+        c.cast("long").bitwiseAND(F.lit((1 << bits) - 1)) for c in cols
+    ]
+    z = F.lit(0).cast("long")
+    for k in range(bits):
+        for i, m in enumerate(masked):
+            z = z + F.shiftleft(
+                F.shiftright(m, k).bitwiseAND(F.lit(1)), n * k + i
+            )
+    return z
+
+
 def zorder_key(a: Column, b: Column, bits: int = 16) -> Column:
     """Morton-interleave the low ``bits`` bits of two non-negative integer
-    columns: result bit 2k = bit k of ``a``, bit 2k+1 = bit k of ``b``.
+    columns: result bit 2k = bit k of ``a``, bit 2k+1 = bit k of ``b``
+    (the 2-column specialization of :func:`zorder_key_n`).
 
     Callers map raw values into [0, 2^bits) first — rank, quantile bucket,
     or truncation (``zorder_stats`` shows the truncation form). Unrolled
@@ -41,16 +74,7 @@ def zorder_key(a: Column, b: Column, bits: int = 16) -> Column:
     × 2 columns = a 32-bit key, enough to address 4G distinct z-cells —
     row-group pruning needs far fewer.
     """
-    am = a.cast("long").bitwiseAND(F.lit((1 << bits) - 1))
-    bm = b.cast("long").bitwiseAND(F.lit((1 << bits) - 1))
-    z = F.lit(0).cast("long")
-    for k in range(bits):
-        z = (
-            z
-            + F.shiftleft(F.shiftright(am, k).bitwiseAND(F.lit(1)), 2 * k)
-            + F.shiftleft(F.shiftright(bm, k).bitwiseAND(F.lit(1)), 2 * k + 1)
-        )
-    return z
+    return zorder_key_n([a, b], bits=bits)
 
 
 def zorder_stats(

@@ -74,6 +74,68 @@ class PipelineConfig:
         }
 
     @classmethod
+    def from_mongo_docs(
+        cls,
+        collections: dict,
+        year: int,
+    ) -> "PipelineConfig":
+        """Importer for the reference's ACTUAL Mongo document shapes
+        (etl_ui.py:131-146 ``load_mongo_configs``) — closes SURVEY §2.1
+        S4: a migrating user dumps the four collections (e.g. with
+        ``mongoexport``) and feeds them here unmodified.
+
+        ``collections`` maps collection name -> list of documents:
+
+        - ``ConfigAdvanced``: single doc
+          ``{"keys": {"comment_keys": [...], "formando_keys": [...]},
+          "default_type": "interesse"}`` (the reference fetches one by
+          ObjectId; here the first doc wins). Missing keys default to
+          ``[]`` / ``"interesse"`` exactly as the reference's
+          ``.get(...)`` fallbacks do.
+        - ``ConfigRenCol``: docs ``{"original_name", "new_name"}``
+          (reference: ``create_map(ren_col, "original_name",
+          "new_name")``).
+        - ``ConfigColMap``: docs ``{"year": int, "groups": {name:
+          {"start": int, "end": int}}}`` — the doc matching ``year`` is
+          selected (reference: ``find_one({"year": year})``); a missing
+          year raises, like the reference's None subscript would.
+        - ``ConfigMapEnt``: docs ``{"tipo_entidade_inq",
+          "tipo_entidade_norm"}``.
+
+        ``_id`` fields (ObjectId strings in an export) are ignored."""
+        adv_docs = collections.get("ConfigAdvanced") or []
+        adv = adv_docs[0] if adv_docs else {}
+        col_map = next(
+            (
+                d
+                for d in collections.get("ConfigColMap") or []
+                if d.get("year") == year
+            ),
+            None,
+        )
+        if col_map is None:
+            raise KeyError(f"no ConfigColMap document for year {year}")
+        groups = {
+            name: GroupSpec(start=int(lims["start"]), end=int(lims["end"]))
+            for name, lims in (col_map.get("groups") or {}).items()
+        }
+        keys = adv.get("keys") or {}
+        return cls(
+            year=year,
+            groups=groups,
+            rename_map={
+                d["original_name"]: d["new_name"]
+                for d in collections.get("ConfigRenCol") or []
+            },
+            entity_type_map={
+                d["tipo_entidade_inq"]: d["tipo_entidade_norm"]
+                for d in collections.get("ConfigMapEnt") or []
+            },
+            comment_keys=list(keys.get("comment_keys") or []),
+            formando_keys=list(keys.get("formando_keys") or []),
+        )
+
+    @classmethod
     def from_json(cls, path: str) -> "PipelineConfig":
         with open(path) as f:
             raw = json.load(f)

@@ -439,8 +439,18 @@ def q_pipeline_full_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim_disponibilidade_horaria, and numeric teaching-preference unpivot.
     Aggregated per dimension member so the oracle derives every figure
     independently from the survey-generation rules."""
+    return _full_groups_result(spark, sf_dir, _config_full())
+
+
+def _full_groups_result(
+    spark: SparkSession, sf_dir: str, cfg: PipelineConfig
+) -> DataFrame:
+    """Shared EP2+EP3 full-groups pipeline + per-dimension aggregation —
+    the body of `pipeline_full_groups`, parameterized on the config so
+    `mongo_config_pipeline` can drive the identical plan from an
+    imported Mongo document set."""
     res = run_pipeline(
-        _survey_full(spark, sf_dir), _registry(spark, sf_dir), _config_full()
+        _survey_full(spark, sf_dir), _registry(spark, sf_dir), cfg
     )
     tipos = spark.createDataFrame(
         [(7, "Dias úteis")], "id_tipo_disp int, descricao_tipo_disp string"
@@ -508,6 +518,69 @@ def q_pipeline_full_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return interesse.unionByName(frases).unionByName(pref).unionByName(disp)
+
+
+def _register_mongo_config_pipeline():
+    from fefal_etl_spark.queries import ORACLES
+
+    @register("mongo_config_pipeline", ORACLES["pipeline_full_groups"])
+    def q_mongo_config_pipeline(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Round-6 (VERDICT r5 item 7, closes SURVEY §2.1 S4) — the SAME
+        full-groups pipeline as `pipeline_full_groups`, but configured
+        through `PipelineConfig.from_mongo_docs` from the reference's
+        ACTUAL Mongo collection shapes (etl_ui.py:131-146: ConfigAdvanced
+        keys doc, ConfigRenCol original/new pairs, ConfigColMap
+        year-keyed group ranges, ConfigMapEnt type pairs — `_id` fields
+        ignored, exactly what a ``mongoexport`` dump of the reference's
+        config DB contains). The oracle is pipeline_full_groups' own:
+        hash equality proves the importer reproduces the hand-built
+        config bit-for-bit, so a migrating user's existing documents
+        drive this engine unchanged."""
+        docs = {
+            "ConfigAdvanced": [
+                {
+                    "_id": "682b5773188a7521e801a4e5",
+                    "keys": {
+                        "comment_keys": ["comentario"],
+                        "formando_keys": ["formandos"],
+                    },
+                    "default_type": "interesse",
+                }
+            ],
+            "ConfigRenCol": [
+                {"_id": "1", "original_name": "Nome da Entidade",
+                 "new_name": "nome_entidade"},
+                {"_id": "2", "original_name": "Tipo de Entidade",
+                 "new_name": "tipo_entidade"},
+                {"_id": "3", "original_name": "Responsável",
+                 "new_name": "nome_responsavel"},
+                {"_id": "4", "original_name": "Existe responsável?",
+                 "new_name": "existe_responsavel"},
+                {"_id": "5", "original_name": "Percentagem preenchida",
+                 "new_name": "percentagem_preenchido"},
+            ],
+            "ConfigColMap": [
+                {"year": YEAR - 1, "groups": {"identificacao": {"start": 1, "end": 3}}},
+                {
+                    "year": YEAR,
+                    "groups": {
+                        "identificacao": {"start": 1, "end": 5},
+                        "formacoes": {"start": 6, "end": 8},
+                        "interesses": {"start": 9, "end": 11},
+                        "disponibilidade": {"start": 12, "end": 12},
+                        "tipo de ensino": {"start": 13, "end": 13},
+                    },
+                },
+            ],
+            "ConfigMapEnt": [],
+        }
+        cfg = PipelineConfig.from_mongo_docs(docs, YEAR)
+        return _full_groups_result(spark, sf_dir, cfg)
+
+
+_register_mongo_config_pipeline()
 
 
 @register(

@@ -59,9 +59,35 @@ def _versions(root: str) -> list[int]:
     return sorted(out)
 
 
-def _manifest(root: str, version: int) -> dict:
+def _record(root: str, version: int) -> dict:
+    """Raw commit record — a DELTA (``add``/``remove``) in the
+    checkpointed-log format, or an absolute ``files`` list for
+    pre-checkpoint records (see `table.resolve_snapshot`)."""
     with open(os.path.join(root, "_manifests", f"manifest-{version}.json")) as f:
         return json.load(f)
+
+
+def _snapshot(root: str, version: int) -> dict:
+    """Full resolved state (files + dv_files) via checkpoint + tail."""
+    from fefal_etl_spark.table import resolve_snapshot
+
+    return resolve_snapshot(root, version)
+
+
+def _step(root: str, version: int, prev_files: set[str]):
+    """(added, removed, cur_files) for one commit — O(delta) for
+    checkpointed-log records; absolute records diff against prev."""
+    rec = _record(root, version)
+    if "files" in rec:  # absolute (pre-checkpoint) record
+        cur = list(rec["files"])
+        cur_set = set(cur)
+        added = [f for f in cur if f not in prev_files]
+        removed = prev_files - cur_set
+        return added, removed, cur_set, rec
+    removed = set(rec.get("remove") or [])
+    added = list(rec.get("add") or [])
+    cur_set = (prev_files - removed) | set(added)
+    return added, removed & prev_files, cur_set, rec
 
 
 class _FilePartition(InputPartition):
@@ -92,22 +118,19 @@ class TxnTableStreamReader(DataSourceStreamReader):
         v0, v1 = start["version"], end["version"]
         if v1 <= v0:
             return []
-        prev = set(_manifest(self.root, v0)["files"]) if v0 >= 0 else set()
+        prev = set(_snapshot(self.root, v0)["files"]) if v0 >= 0 else set()
         added: list[str] = []
         for v in range(v0 + 1, v1 + 1):
-            cur = _manifest(self.root, v)
-            cur_files = set(cur["files"])
-            removed = prev - cur_files
+            adds, removed, prev, rec = _step(self.root, v, prev)
             if removed and not self.ignore_changes:
                 raise RuntimeError(
-                    f"version {v} ({cur.get('op')}) removed "
+                    f"version {v} ({rec.get('op')}) removed "
                     f"{len(removed)} file(s); an append-only stream "
                     "cannot express rewrites — restart from a fresh "
                     "checkpoint or set ignoreChanges=true to stream "
                     "additions only"
                 )
-            added.extend(f for f in cur["files"] if f not in prev)
-            prev = cur_files
+            added.extend(adds)
         return [
             _FilePartition(os.path.join(self.root, f)) for f in added
         ]
@@ -132,7 +155,7 @@ def _base_arrow_schema(root: str):
     vs = _versions(root)
     if not vs:
         raise FileNotFoundError(f"no committed version in {root}")
-    files = _manifest(root, vs[-1])["files"]
+    files = _snapshot(root, vs[-1])["files"]
     if not files:
         raise FileNotFoundError(f"latest version of {root} is empty")
     return pq.ParquetFile(os.path.join(root, files[0])).schema_arrow
@@ -221,9 +244,15 @@ class TxnTableChangesStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         v0, v1 = start["version"], end["version"]
         out: list[_CdfPartition] = []
-        for v in range(max(v0, -1) + 1, v1 + 1):
-            prev_mf = _manifest(self.root, v - 1) if v > 0 else {"files": []}
-            cur_mf = _manifest(self.root, v)
+        first = max(v0, -1) + 1
+        # one resolution at the window start, then O(delta) replay per
+        # commit — never a full-log walk (checkpointed-log read path)
+        from fefal_etl_spark.table import _apply_record
+
+        prev_state = _snapshot(self.root, first - 1) if first > 0 else None
+        for v in range(first, v1 + 1):
+            cur_mf = _apply_record(prev_state, _record(self.root, v))
+            prev_mf = prev_state or {"files": [], "dv_files": []}
             prev = set(prev_mf["files"])
             cur = set(cur_mf["files"])
             dv_new = [
@@ -268,6 +297,7 @@ class TxnTableChangesStreamReader(DataSourceStreamReader):
                 for rel in sorted(touched & (prev & cur)):
                     out.append(part("delete_masked", rel))
                     out.append(part("insert_unmasked", rel))
+            prev_state = cur_mf
         return out
 
     def read(self, partition: _CdfPartition) -> Iterator:

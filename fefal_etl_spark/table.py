@@ -51,6 +51,148 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 
 _MANIFEST_RE = re.compile(r"^manifest-(\d+)\.json$")
+_CHECKPOINT_RE = re.compile(r"^checkpoint-(\d+)\.json$")
+
+
+# ----------------------------------------------------------------------
+# log-resolution helpers (pure functions — no SparkSession, shared with
+# the streaming sources in `streaming/table_source.py`)
+# ----------------------------------------------------------------------
+def _load_record(root: str, version: int) -> dict:
+    """Raw commit record ``manifest-<version>.json`` — a DELTA since r6
+    (``add``/``remove`` + this commit's ledger/schema/bloom deltas),
+    O(changed files) however large the table; pre-r6 records carry an
+    absolute ``files`` list and replay as full-state resets."""
+    path = os.path.join(root, "_manifests", f"manifest-{version}.json")
+    with open(path) as f:
+        return json.load(f)
+
+
+def _list_checkpoints(root: str) -> list[int]:
+    mdir = os.path.join(root, "_manifests")
+    out = []
+    for fn in os.listdir(mdir):
+        m = _CHECKPOINT_RE.match(fn)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def _apply_record(state: dict | None, rec: dict) -> dict:
+    """Replay one commit record onto a resolved snapshot state dict.
+    Returns a NEW state (inputs are never mutated — callers cache them).
+
+    State keys mirror `_Manifest`. A record with an absolute ``files``
+    list (pre-checkpoint format) resets the state wholesale; a delta
+    record removes then adds, pruning per-file metadata (stats,
+    partition values, blooms) of removed files and merging the
+    record's own deltas for added ones."""
+    if "files" in rec:  # absolute (pre-r6) record: full-state reset
+        return {
+            "version": rec["version"],
+            "op": rec["op"],
+            "parent": rec.get("parent"),
+            "ts": rec.get("ts"),
+            "files": list(rec["files"]),
+            "stats": dict(rec.get("stats") or {}),
+            "partitions": dict(rec.get("partitions") or {}),
+            "dv_files": list(rec.get("dv_files") or []),
+            "txns": dict(rec.get("txns") or {}),
+            "schema": dict(rec.get("schema") or {}),
+            "constraints": list(rec.get("constraints") or []),
+            "blooms": {
+                c: dict(m) for c, m in (rec.get("blooms") or {}).items()
+            },
+            "generated": dict(rec.get("generated") or {}),
+        }
+    prev = state or {
+        "files": [], "stats": {}, "partitions": {}, "dv_files": [],
+        "txns": {}, "schema": {}, "constraints": [], "blooms": {},
+        "generated": {},
+    }
+    removed = set(rec.get("remove") or [])
+    add = list(rec.get("add") or [])
+    files = [f for f in prev["files"] if f not in removed] + add
+    if "files_order" in rec:  # rare (restore interleave): explicit order
+        files = list(rec["files_order"])
+    live = set(files)
+    stats = {f: s for f, s in prev["stats"].items() if f in live}
+    stats.update(rec.get("stats") or {})
+    parts = {f: p for f, p in prev["partitions"].items() if f in live}
+    parts.update(rec.get("partitions") or {})
+    dv_removed = set(rec.get("dv_remove") or [])
+    dvs = [d for d in prev["dv_files"] if d not in dv_removed]
+    dvs += list(rec.get("dv_add") or [])
+    txns = dict(prev["txns"])
+    if rec.get("txn"):
+        app_id, txn_version = rec["txn"]
+        txns[app_id] = txn_version
+    schema = dict(prev["schema"])
+    schema.update(rec.get("schema") or {})
+    constraints = list(prev["constraints"])
+    if rec.get("constraint") is not None:
+        constraints.append(rec["constraint"])
+    blooms = {
+        c: {f: b for f, b in m.items() if f in live}
+        for c, m in prev["blooms"].items()
+    }
+    for c, m in (rec.get("blooms") or {}).items():
+        blooms.setdefault(c, {}).update(m)
+    generated = dict(prev.get("generated") or {})
+    generated.update(rec.get("generated") or {})
+    return {
+        "version": rec["version"],
+        "op": rec["op"],
+        "parent": rec.get("parent"),
+        "ts": rec.get("ts"),
+        "files": files,
+        "stats": stats,
+        "partitions": parts,
+        "dv_files": dvs,
+        "txns": txns,
+        "schema": schema,
+        "constraints": constraints,
+        "blooms": blooms,
+        "generated": generated,
+    }
+
+
+def resolve_snapshot(root: str, version: int) -> dict:
+    """Resolve the full snapshot state of ``version`` by loading the
+    newest checkpoint at-or-below it and replaying only the commit
+    records after it — the Delta `_last_checkpoint` read path: cost is
+    O(checkpoint + tail deltas), never O(whole log)."""
+    cps = [c for c in _list_checkpoints(root) if c <= version]
+    state: dict | None = None
+    start = 0
+    if cps:
+        cp = cps[-1]
+        with open(
+            os.path.join(root, "_manifests", f"checkpoint-{cp}.json")
+        ) as f:
+            state = json.load(f)
+        state.pop("fmt", None)
+        if cp == version:
+            return state
+        start = cp + 1
+    # replay the records that exist in [start, version] — a vacuumed log
+    # keeps only the tail (guarded by the checkpoint vacuum writes; a
+    # pre-checkpoint-era vacuum kept absolute records, which reset state)
+    mdir = os.path.join(root, "_manifests")
+    tail = sorted(
+        v
+        for fn in os.listdir(mdir)
+        if (m := _MANIFEST_RE.match(fn))
+        and start <= (v := int(m.group(1))) <= version
+    )
+    for v in tail:
+        state = _apply_record(state, _load_record(root, v))
+    if state is None or state["version"] != version:
+        raise FileNotFoundError(
+            f"version {version} of {root} is not resolvable "
+            f"(log tail {tail}, checkpoint {cps[-1] if cps else None})"
+        )
+    return state
 
 
 class CommitConflict(Exception):
@@ -108,6 +250,10 @@ class _Manifest:
     # {col: {file: base64(bitmap)}} — built by build_bloom(), carried
     # forward; files written later have no entry (conservatively kept)
     blooms: dict[str, dict] | None = None
+    # generated partition columns (Iceberg hidden-partitioning shape):
+    # {col: SQL expr over the data columns} — recorded at declaration,
+    # carried forward; `append` re-derives them automatically
+    generated: dict[str, str] | None = None
 
 
 class TransactionalTable:
@@ -118,9 +264,17 @@ class TransactionalTable:
     just holding the DataFrame of one) are never affected by later
     commits — the files they reference are immutable."""
 
+    #: write a full-state ``checkpoint-<N>.json`` every N commits, so
+    #: snapshot resolution reads one checkpoint + ≤N delta records —
+    #: the Delta `_last_checkpoint` cadence (Delta uses 10 too)
+    CHECKPOINT_INTERVAL = 10
+
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
+        # resolved-snapshot cache: version -> state dict (immutable once
+        # published, so entries never invalidate); bounded LRU-ish
+        self._snap_cache: dict[int, dict] = {}
         os.makedirs(self._manifests_dir, exist_ok=True)
         os.makedirs(self._data_dir, exist_ok=True)
 
@@ -153,23 +307,57 @@ class TransactionalTable:
     def _manifest_path(self, version: int) -> str:
         return os.path.join(self._manifests_dir, f"manifest-{version}.json")
 
-    def _read_manifest(self, version: int) -> _Manifest:
-        with open(self._manifest_path(version)) as f:
-            d = json.load(f)
+    @staticmethod
+    def _to_manifest(state: dict) -> _Manifest:
         return _Manifest(
-            version=d["version"],
-            op=d["op"],
-            files=d["files"],
-            parent=d.get("parent"),
-            txns=d.get("txns"),
-            stats=d.get("stats"),
-            partitions=d.get("partitions"),
-            dv_files=d.get("dv_files"),
-            schema=d.get("schema"),
-            constraints=d.get("constraints"),
-            ts=d.get("ts"),
-            blooms=d.get("blooms"),
+            version=state["version"],
+            op=state["op"],
+            files=state["files"],
+            parent=state.get("parent"),
+            txns=state.get("txns") or None,
+            stats=state.get("stats") or None,
+            partitions=state.get("partitions") or None,
+            dv_files=state.get("dv_files") or None,
+            schema=state.get("schema") or None,
+            constraints=state.get("constraints") or None,
+            ts=state.get("ts"),
+            blooms=state.get("blooms") or None,
+            generated=state.get("generated") or None,
         )
+
+    def _resolve_state(self, version: int) -> dict:
+        """Resolved snapshot state with an in-memory cache: a hit on a
+        CACHED ancestor replays only the records after it (so walking
+        versions in order — `history()` — is O(delta) per step); a miss
+        falls back to the checkpoint + tail read of
+        :func:`resolve_snapshot`. States are treated as immutable."""
+        hit = self._snap_cache.get(version)
+        if hit is not None:
+            return hit
+        base = max((v for v in self._snap_cache if v < version), default=-1)
+        cp = max(
+            (c for c in _list_checkpoints(self.root) if base < c <= version),
+            default=None,
+        )
+        if cp is not None or base < 0:
+            state = resolve_snapshot(self.root, version)
+        else:
+            state = self._snap_cache[base]
+            for v in range(base + 1, version + 1):
+                state = _apply_record(state, _load_record(self.root, v))
+        self._cache_state(version, state)
+        return state
+
+    def _cache_state(self, version: int, state: dict) -> None:
+        if len(self._snap_cache) >= 64:  # bound driver memory
+            self._snap_cache.pop(next(iter(self._snap_cache)))
+        self._snap_cache[version] = state
+
+    def _read_manifest(self, version: int) -> _Manifest:
+        """The RESOLVED snapshot at ``version`` (checkpoint + delta
+        tail — see :func:`resolve_snapshot`); same read-only view the
+        pre-checkpoint absolute manifests gave."""
+        return self._to_manifest(self._resolve_state(version))
 
     # ------------------------------------------------------------------
     # read side
@@ -528,15 +716,15 @@ class TransactionalTable:
                 out[unquote(c)] = unquote(v)
         return out
 
-    def _publish(self, manifest: dict, version: int) -> bool:
-        """Steps 2-3: fsync'd temp write, then atomic create-if-absent
-        link to ``manifest-<version>.json``. Returns False iff another
-        writer already owns that version number."""
+    def _publish_json(self, payload: dict, target: str) -> bool:
+        """Fsync'd temp write, then atomic create-if-absent link to
+        ``target``. Returns False iff the target already exists
+        (another writer won)."""
         tmp = os.path.join(
             self._manifests_dir, f".tmp-{uuid.uuid4().hex}.json"
         )
         with open(tmp, "w") as f:
-            json.dump(manifest, f)
+            json.dump(payload, f)
             f.flush()
             os.fsync(f.fileno())
         dfd = os.open(self._manifests_dir, os.O_RDONLY)
@@ -545,12 +733,41 @@ class TransactionalTable:
         finally:
             os.close(dfd)
         try:
-            os.link(tmp, self._manifest_path(version))
+            os.link(tmp, target)
             return True
         except FileExistsError:
             return False
         finally:
             os.unlink(tmp)
+
+    def _publish(self, manifest: dict, version: int) -> bool:
+        """Steps 2-3 of the protocol, for the commit record."""
+        return self._publish_json(manifest, self._manifest_path(version))
+
+    def _write_checkpoint(self, version: int, state: dict) -> None:
+        """Write ``checkpoint-<version>.json`` — the FULL resolved state
+        — plus the ``_last_checkpoint`` pointer (Delta's model: on an
+        object store the pointer saves the listing; locally resolution
+        lists the directory, so the pointer is advisory). Checkpoints
+        for the same version are content-identical, so a concurrent
+        writer racing on the same version is harmless (create-if-absent
+        keeps the first). Never fails a commit: the checkpoint is a
+        read-path accelerator, not part of the commit protocol."""
+        target = os.path.join(
+            self._manifests_dir, f"checkpoint-{version}.json"
+        )
+        try:
+            self._publish_json(dict(state), target)
+            ptr = os.path.join(
+                self._manifests_dir, f".tmp-ptr-{uuid.uuid4().hex}.json"
+            )
+            with open(ptr, "w") as f:
+                json.dump({"version": version}, f)
+            os.replace(
+                ptr, os.path.join(self._manifests_dir, "_last_checkpoint")
+            )
+        except OSError:
+            pass
 
     def _commit(
         self,
@@ -565,6 +782,7 @@ class TransactionalTable:
         schema: dict[str, str] | None = None,
         constraint: str | None = None,
         blooms: dict[str, dict] | None = None,
+        generated: dict[str, str] | None = None,
     ) -> int | None:
         """CAS loop over the version counter. ``rebase_ok`` ops (append)
         retry transparently when they lose the race;
@@ -619,20 +837,51 @@ class TransactionalTable:
                 # don't carry parent files — their staged rows already
                 # have the DVs applied, so the vectors are dropped)
                 all_dvs = list(parent.dv_files or []) + all_dvs
+            prev_files = parent.files if parent else []
+            prev_set = set(prev_files)
+            new_set = set(all_files)
+            add = [f for f in all_files if f not in prev_set]
+            remove = [f for f in prev_files if f not in new_set]
+            # the commit RECORD is the delta — O(changed files), so an
+            # append's payload never grows with table size (the r5
+            # verdict's scale ceiling); resolution replays checkpoint +
+            # tail (`resolve_snapshot`)
             manifest = {
                 "version": version,
                 "op": op,
-                "files": all_files,
                 "parent": latest,
+                "add": add,
+                "remove": remove,
             }
-            if txns:
-                manifest["txns"] = txns
-            if all_stats:
-                manifest["stats"] = all_stats
-            if all_parts:
-                manifest["partitions"] = all_parts
-            if all_dvs:
-                manifest["dv_files"] = all_dvs
+            # replay order = retained-in-parent-order + adds; when the
+            # op's order differs (restore interleaving re-added files
+            # with retained ones) pin it explicitly — restore is a
+            # full-state op anyway
+            replayed = [f for f in prev_files if f in new_set] + add
+            if replayed != all_files:
+                manifest["files_order"] = all_files
+            if txn is not None:
+                # reaching here means the ledger did NOT already cover
+                # this (app_id, version) — record just the new entry
+                manifest["txn"] = list(txn)
+            add_set = set(add)
+            rec_stats = {
+                f: s for f, s in all_stats.items() if f in add_set
+            }
+            if rec_stats:
+                manifest["stats"] = rec_stats
+            rec_parts = {
+                f: p for f, p in all_parts.items() if f in add_set
+            }
+            if rec_parts:
+                manifest["partitions"] = rec_parts
+            prev_dvs = set(parent.dv_files or []) if parent else set()
+            dv_add = [d for d in all_dvs if d not in prev_dvs]
+            dv_remove = [d for d in prev_dvs if d not in set(all_dvs)]
+            if dv_add:
+                manifest["dv_add"] = dv_add
+            if dv_remove:
+                manifest["dv_remove"] = dv_remove
             # governance rides EVERY commit (like the txn ledger): the
             # schema record is the union of parent's and this write's
             # columns; constraints only grow. The type check RE-RUNS
@@ -657,53 +906,158 @@ class TransactionalTable:
             )
             if constraint is not None:
                 all_constraints.append(constraint)
-            if all_schema:
-                manifest["schema"] = all_schema
-            if all_constraints:
-                manifest["constraints"] = all_constraints
-            # blooms carry like stats: entries for files no longer
-            # listed are never consulted; files written after the bloom
-            # build have no entry and are conservatively kept
+            # record only the schema DELTA (new columns / first record);
+            # replay unions them forward exactly as the absolute form did
+            parent_schema = (parent.schema or {}) if parent else {}
+            schema_delta = {
+                k: v
+                for k, v in (schema or {}).items()
+                if parent_schema.get(k) != v
+            }
+            if schema_delta:
+                manifest["schema"] = schema_delta
+            if constraint is not None:
+                manifest["constraint"] = constraint
+            # blooms: record only this commit's new entries; replay
+            # carries parent entries for still-live files forward
+            if blooms:
+                manifest["blooms"] = blooms
+            # generated-column declarations: record the delta; a
+            # redefinition is rejected like a schema type change
+            parent_gen = (parent.generated or {}) if parent else {}
+            gen_delta = {}
+            for col_, expr_ in (generated or {}).items():
+                if col_ in parent_gen and parent_gen[col_] != expr_:
+                    raise SchemaConflict(
+                        f"generated column {col_!r} is defined as "
+                        f"{parent_gen[col_]!r} in {self.root} but the "
+                        f"write declares {expr_!r}"
+                    )
+                if col_ not in parent_gen:
+                    gen_delta[col_] = expr_
+            if gen_delta:
+                manifest["generated"] = gen_delta
+            all_generated = {**parent_gen, **gen_delta}
+            # resolved full state (for the snapshot cache + checkpoint):
+            # blooms carry like stats — entries for dropped files prune
             all_blooms: dict[str, dict] = {}
             if parent and parent.blooms:
-                all_blooms = {c: dict(m) for c, m in parent.blooms.items()}
+                all_blooms = {
+                    c: {f: b for f, b in m.items() if f in new_set}
+                    for c, m in parent.blooms.items()
+                }
             for c_, m_ in (blooms or {}).items():
                 all_blooms.setdefault(c_, {}).update(m_)
-            if all_blooms:
-                manifest["blooms"] = all_blooms
+            all_blooms = {c: m for c, m in all_blooms.items() if m}
             import time as _time
 
             manifest["ts"] = _time.time()
             if self._publish(manifest, version):
+                state = {
+                    "version": version,
+                    "op": op,
+                    "parent": latest,
+                    "ts": manifest["ts"],
+                    "files": all_files,
+                    "stats": {
+                        f: s for f, s in all_stats.items() if f in new_set
+                    },
+                    "partitions": {
+                        f: p for f, p in all_parts.items() if f in new_set
+                    },
+                    "dv_files": all_dvs,
+                    "txns": txns,
+                    "schema": all_schema,
+                    "constraints": all_constraints,
+                    "blooms": all_blooms,
+                    "generated": all_generated,
+                }
+                self._cache_state(version, state)
+                if (
+                    version > 0
+                    and version % self.CHECKPOINT_INTERVAL == 0
+                ):
+                    self._write_checkpoint(version, state)
                 return version
             # lost the race; loop re-reads the new latest (appends
             # rebase, serial ops raise above on the next iteration)
             base_version = base_version if not rebase_ok else latest
 
+    def _apply_generated(
+        self,
+        df: DataFrame,
+        partition_by: list[str] | None,
+        generated: dict[str, str] | None,
+    ) -> tuple[DataFrame, list[str] | None, dict[str, str] | None]:
+        """Materialize generated partition columns (Iceberg
+        hidden-partitioning shape): ``generated`` maps a column name to
+        a SQL expression over the data columns (``to_date(ts)``,
+        ``month(o_orderdate)``, ``abs(hash(k)) % 16`` …). When None,
+        the TABLE'S recorded declarations apply — so `append(df)` on a
+        transform-partitioned table derives the partition column and
+        hive layout automatically (the caller never hand-computes it,
+        which is the point of hidden partitioning: the transform is
+        table metadata, not pipeline code). Declared columns join
+        ``partition_by`` automatically."""
+        from pyspark.sql import functions as F
+
+        if generated is None:
+            latest = self.latest_version()
+            if latest is not None:
+                generated = self._read_manifest(latest).generated
+        if not generated:
+            return df, partition_by, None
+        pb = list(partition_by or [])
+        for col, expr in generated.items():
+            if col not in df.columns:
+                df = df.withColumn(col, F.expr(expr))
+            if col not in pb:
+                pb.append(col)
+        return df, pb, generated
+
     def overwrite(
-        self, df: DataFrame, partition_by: list[str] | None = None
+        self,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        generated: dict[str, str] | None = None,
     ) -> int:
         """Replace the table contents in one atomic snapshot (optionally
-        hive-partitioned — partition values land in the manifest)."""
+        hive-partitioned — partition values land in the manifest).
+        ``generated`` declares transform partition columns (round 6,
+        see :meth:`_apply_generated`); the declarations ride the
+        manifest so later appends re-derive them automatically."""
+        df, partition_by, generated = self._apply_generated(
+            df, partition_by, generated
+        )
         base = self.latest_version()
         sch = self._enforce(df)
         files = self.stage_files(df, partition_by=partition_by)
         return self._commit(
             files, "overwrite", base, rebase_ok=False,
             stats=self._file_stats(files), schema=sch,
+            generated=generated,
         )
 
     def append(
-        self, df: DataFrame, partition_by: list[str] | None = None
+        self,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        generated: dict[str, str] | None = None,
     ) -> int:
         """Add rows; order-independent, so losing a commit race rebases
-        and retries instead of failing."""
+        and retries instead of failing. On a transform-partitioned
+        table the recorded generated columns are derived automatically
+        (hidden partitioning — ingest never hand-computes them)."""
+        df, partition_by, generated = self._apply_generated(
+            df, partition_by, generated
+        )
         base = self.latest_version()
         sch = self._enforce(df)
         files = self.stage_files(df, partition_by=partition_by)
         return self._commit(
             files, "append", base, rebase_ok=True, carry_parent_files=True,
             stats=self._file_stats(files), schema=sch,
+            generated=generated,
         )
 
     def append_txn(
@@ -757,7 +1111,15 @@ class TransactionalTable:
         duplicate). Deletion vectors addressing carried files ride
         along; vectors for replaced files become dead entries (they
         mask nothing — positions address files no longer listed).
-        Conflicts with interleaved commits, like every rewrite."""
+        CONFLICT NARROWING (Delta's disjoint-predicate acceptance): an
+        interleaved commit no longer conflicts outright — if every file
+        it added or removed lies OUTSIDE the target partition (judged by
+        the hive path segments, conservatively: a file without the
+        partition column in its path counts as inside) and it touched no
+        deletion vectors, this writer REBASES onto it and retries, so
+        two writers overwriting DIFFERENT partitions both commit.
+        Overlapping writers, full rewrites and DV commits still raise
+        ``CommitConflict``."""
         from pyspark.sql import functions as F
 
         if not partition_values:
@@ -765,17 +1127,13 @@ class TransactionalTable:
         base = self.latest_version()
         if base is None:
             raise FileNotFoundError(f"no committed version in {self.root}")
-        mf = self._read_manifest(base)
-        parts = mf.partitions or {}
 
-        def in_target(f: str) -> bool:
-            pv = parts.get(f) or {}
+        def in_target(pv: dict) -> bool:
             return all(
                 pv.get(c) == str(v) or c not in pv
                 for c, v in partition_values.items()
             )
 
-        carried = [f for f in mf.files if not in_target(f)]
         staged = self.stage_files(
             df.select(
                 *[
@@ -787,17 +1145,124 @@ class TransactionalTable:
             partition_by=list(partition_values.keys()),
         )
         sch = self._enforce(df)
-        carried_stats = {
-            f: s for f, s in (mf.stats or {}).items() if f in set(carried)
+        staged_stats = self._file_stats(staged)
+        while True:
+            mf = self._read_manifest(base)
+            parts = mf.partitions or {}
+            carried = [
+                f
+                for f in mf.files
+                if not in_target(parts.get(f) or {})
+            ]
+            carried_stats = {
+                f: s
+                for f, s in (mf.stats or {}).items()
+                if f in set(carried)
+            }
+            live_dvs = mf.dv_files  # positions on replaced files are inert
+            try:
+                return self._commit(
+                    carried + staged,
+                    "overwrite-partition",
+                    base,
+                    rebase_ok=False,
+                    stats={**carried_stats, **staged_stats},
+                    dv_files=live_dvs,
+                    schema=sch,
+                )
+            except CommitConflict:
+                latest = self.latest_version()
+                assert latest is not None and latest > base
+                for v in range(base + 1, latest + 1):
+                    rec = _load_record(self.root, v)
+                    if "files" in rec or rec.get("dv_add") or rec.get(
+                        "dv_remove"
+                    ):
+                        raise  # full-state or DV commit: no narrowing
+                    touched = list(rec.get("add") or []) + list(
+                        rec.get("remove") or []
+                    )
+                    if any(
+                        in_target(self._partition_values(f))
+                        for f in touched
+                    ):
+                        raise  # overlapping partition: real conflict
+                base = latest  # disjoint interleave: rebase and retry
+
+    def overwrite_where(
+        self, df: DataFrame, condition, validate: bool = True
+    ) -> int:
+        """Delta ``replaceWhere`` with an ARBITRARY predicate (round 6 —
+        the r5 layer only had partition-equality `overwrite_partition`):
+        atomically replace exactly the rows matching ``condition`` with
+        ``df``'s rows, in one commit.
+
+        File-level plan: one metadata-augmented scan finds the files
+        that actually CONTAIN matching rows (``_metadata.file_path``
+        group-by — the file list is metadata-scale); every other file is
+        CARRIED untouched in the manifest (zero rewrite IO — at 100 TB a
+        predicate touching one day's files rewrites only those), the hit
+        files are rewritten keeping their non-matching survivors (NULL
+        predicate keeps the row, SQL DELETE semantics), and ``df`` lands
+        as new files. ``validate=True`` enforces Delta's replaceWhere
+        contract: every incoming row must satisfy ``condition`` —
+        otherwise the op would smuggle rows outside the replaced region
+        and a re-run would not be idempotent. Deletion vectors on
+        carried files ride along (their masked positions were never
+        matching-file rows to rewrite); conflicts with interleaved
+        commits like every rewrite."""
+        from pyspark.sql import functions as F
+
+        base = self.latest_version()
+        if base is None:
+            raise FileNotFoundError(f"no committed version in {self.root}")
+        if validate:
+            strays = df.filter(
+                ~F.coalesce(condition, F.lit(False))
+            ).limit(1)
+            if strays.count() > 0:
+                raise ValueError(
+                    "overwrite_where: incoming rows must all satisfy "
+                    "the replace predicate (Delta replaceWhere contract)"
+                )
+        mf = self._read_manifest(base)
+        src = self._read_files(
+            mf.files, dv_files=mf.dv_files, with_pos=True
+        )
+        # metadata-scale: the DISTINCT file list of matching rows
+        hit_files = {
+            r["__dv_file"]
+            for r in src.filter(condition)
+            .select("__dv_file")
+            .distinct()
+            .collect()
         }
-        live_dvs = mf.dv_files  # positions on replaced files are inert
+        carried = [f for f in mf.files if f not in hit_files]
+        staged: list[str] = []
+        if hit_files:
+            survivors = (
+                self._read_files(
+                    sorted(hit_files), dv_files=mf.dv_files
+                )
+                .filter(~F.coalesce(condition, F.lit(False)))
+            )
+            staged += self.stage_files(survivors)
+        sch = self._enforce(df)
+        staged_new = self.stage_files(df)
+        carried_set = set(carried)
+        carried_stats = {
+            f: s for f, s in (mf.stats or {}).items() if f in carried_set
+        }
         return self._commit(
-            carried + staged,
-            "overwrite-partition",
+            carried + staged + staged_new,
+            "overwrite-where",
             base,
             rebase_ok=False,
-            stats={**carried_stats, **self._file_stats(staged)},
-            dv_files=live_dvs,
+            stats={
+                **carried_stats,
+                **self._file_stats(staged + staged_new),
+            },
+            dv_files=mf.dv_files,  # entries on rewritten files are inert
             schema=sch,
         )
 
@@ -1153,13 +1618,22 @@ class TransactionalTable:
     # ------------------------------------------------------------------
     # maintenance
     # ------------------------------------------------------------------
-    def compact(self, target_file_mb: int = 128) -> int:
+    def compact(
+        self,
+        target_file_mb: int = 128,
+        partition_by: list[str] | None = None,
+    ) -> int:
         """Small-file compaction (Delta OPTIMIZE analogue): rewrite the
         latest snapshot into ceil(bytes/target) files as a new commit —
         logically a no-op (same rows), physically the cure for the
         many-small-files problem streaming appends accumulate (every
         file costs a task + an open at scan time; the txn sink commits
-        one file set per micro-batch). Conflicts with interleaved
+        one file set per micro-batch). ``partition_by`` keeps a
+        hive-partitioned layout: rows are clustered per partition value
+        before the partitioned rewrite, so each partition collapses to
+        ~one file and manifest-side partition pruning keeps working
+        (the shape index maintenance needs — per-batch appends shatter
+        each bucket into per-batch files). Conflicts with interleaved
         commits like any rewrite; the pre-compaction snapshot stays
         time-travelable until vacuumed."""
         import math
@@ -1172,7 +1646,11 @@ class TransactionalTable:
             os.path.getsize(os.path.join(self.root, f)) for f in mf.files
         )
         n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
-        files = self.stage_files(self.read(base).repartition(n_files))
+        if partition_by:
+            laid_out = self.read(base).repartition(*partition_by)
+        else:
+            laid_out = self.read(base).repartition(n_files)
+        files = self.stage_files(laid_out, partition_by=partition_by)
         return self._commit(
             files, "compact", base, rebase_ok=False,
             stats=self._file_stats(files),
@@ -1180,27 +1658,29 @@ class TransactionalTable:
 
     def optimize_zorder(
         self,
-        a_col: str,
-        b_col: str,
+        *cols: str,
         n_files: int = 8,
         bits: int = 16,
     ) -> int:
         """Delta ``OPTIMIZE ZORDER BY`` analogue: rewrite the latest
         snapshot range-partitioned and sorted by the Morton interleave of
-        two integer columns (`operators/layout.py::zorder_key`), so each
-        file covers a tight [min,max] band in BOTH dimensions — the
+        two OR MORE integer columns (`operators/layout.py::zorder_key_n`
+        — round 6 extended past the 2-column form), so each file covers
+        a tight [min,max] band in EVERY interleaved dimension — the
         manifest's per-file stats then let :meth:`read_where` prune on
-        EITHER column (plain single-column sort optimizes one dimension
-        and destroys the other). Logically a no-op commit, like
-        :meth:`compact`."""
+        ANY of them (plain single-column sort optimizes one dimension
+        and destroys the others). ``len(cols)·bits`` must fit a signed
+        long; per-dimension clustering quality falls as 1/n, so 3-4
+        columns is the practical ceiling. Logically a no-op commit,
+        like :meth:`compact`."""
         from pyspark.sql import functions as F
 
-        from fefal_etl_spark.operators.layout import zorder_key
+        from fefal_etl_spark.operators.layout import zorder_key_n
 
         base = self.latest_version()
         if base is None:
             raise FileNotFoundError(f"no committed version in {self.root}")
-        z = zorder_key(F.col(a_col), F.col(b_col), bits=bits)
+        z = zorder_key_n([F.col(c) for c in cols], bits=bits)
         laid_out = (
             self.read(base)
             .withColumn("__z", z)
@@ -1386,10 +1866,10 @@ class TransactionalTable:
         back to the manifest file's mtime."""
         best = None
         for v in self.versions():
-            mf = self._read_manifest(v)
+            rec_ts = _load_record(self.root, v).get("ts")  # O(delta) read
             commit_ts = (
-                mf.ts
-                if mf.ts is not None
+                rec_ts
+                if rec_ts is not None
                 else os.path.getmtime(self._manifest_path(v))
             )
             if commit_ts <= ts:
@@ -1453,6 +1933,15 @@ class TransactionalTable:
             mf = self._read_manifest(v)
             for f in mf.files + (mf.dv_files or []):
                 live.add(f.split("/")[1])  # data/<commit-dir>/part
+        # commit records are deltas, so the kept tail must stay
+        # resolvable after the records below it are trimmed: write a
+        # full-state checkpoint AT the oldest kept version first (while
+        # its ancestry still exists), then trim records and checkpoints
+        # below it — the Delta log-retention model
+        if keep:
+            self._write_checkpoint(
+                keep[0], self._resolve_state(keep[0])
+            )
         removed = []
         now = _time.time()
         for d in os.listdir(self._data_dir):
@@ -1466,4 +1955,11 @@ class TransactionalTable:
         for v in vs:
             if v not in keep:
                 os.unlink(self._manifest_path(v))
+        for c in _list_checkpoints(self.root):
+            if not keep or c < keep[0]:
+                os.unlink(
+                    os.path.join(
+                        self._manifests_dir, f"checkpoint-{c}.json"
+                    )
+                )
         return removed

@@ -1190,3 +1190,197 @@ def test_ivf_ann_index_matches_batch_and_prunes(spark, tmp_path):
     assert n1 == n0 + new.count()
     assert idx.add_batch(new, cents, app_id="ing", txn_version=1) is None
     assert idx.table.read().count() == n1
+
+
+def test_png_codec_roundtrip_and_filters():
+    """Round-6 PNG codec (media_codecs.py): encode→decode roundtrip,
+    all five scanline filters reconstructed correctly (forward-filter a
+    known raster per spec, decode must invert it), RGBA alpha drop, and
+    CRC tamper detection."""
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from fefal_etl_spark.llm.media_codecs import (
+        _png_chunk,
+        _PNG_MAGIC,
+        decode_image,
+        decode_png,
+        encode_like,
+        encode_png,
+        synth_image_array,
+    )
+
+    for w, h in [(1, 1), (2, 3), (5, 4), (7, 2), (8, 5)]:
+        a = synth_image_array(321, w, h)
+        assert np.array_equal(decode_png(encode_png(a)), a)
+        assert np.array_equal(decode_image(encode_png(a)), a)
+    # encode_like picks PNG for a PNG template
+    a = synth_image_array(5, 3, 3)
+    assert encode_like(a, encode_png(a))[:8] == _PNG_MAGIC
+
+    def png_with_filters(arr, ftypes, channels=3):
+        """Forward-apply per-row filters (PNG spec §9) and build a file."""
+        h, w, _ = arr.shape
+        bpp = channels
+        stride = w * bpp
+        recon = arr.reshape(h, stride).astype(np.int32)
+        lines = []
+        prev = np.zeros(stride, dtype=np.int32)
+        for y, ft in enumerate(ftypes):
+            cur = recon[y]
+            left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+            upleft = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]])
+            if ft == 0:
+                out = cur
+            elif ft == 1:
+                out = cur - left
+            elif ft == 2:
+                out = cur - prev
+            elif ft == 3:
+                out = cur - (left + prev) // 2
+            else:  # paeth
+                p = left + prev - upleft
+                pa = np.abs(p - left)
+                pb = np.abs(p - prev)
+                pc = np.abs(p - upleft)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc),
+                    left,
+                    np.where(pb <= pc, prev, upleft),
+                )
+                out = cur - pred
+            lines.append(bytes([ft]) + bytes((out & 0xFF).astype(np.uint8)))
+            prev = cur
+        color = 6 if channels == 4 else 2
+        ihdr = (
+            w.to_bytes(4, "big")
+            + h.to_bytes(4, "big")
+            + bytes([8, color, 0, 0, 0])
+        )
+        return (
+            _PNG_MAGIC
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(b"".join(lines)))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    rgb = synth_image_array(777, 6, 5)
+    data = png_with_filters(rgb, [0, 1, 2, 3, 4])
+    assert np.array_equal(decode_png(data), rgb)
+    # all-paeth (libpng's common choice for photographic rows)
+    assert np.array_equal(
+        decode_png(png_with_filters(rgb, [4] * 5)), rgb
+    )
+    # RGBA (color type 6): alpha channel dropped on decode
+    rgba = np.dstack([rgb, np.full(rgb.shape[:2], 200, np.uint8)])
+    data = png_with_filters(rgba, [0, 4, 1, 3, 2], channels=4)
+    assert np.array_equal(decode_png(data), rgb)
+    # CRC tamper must be rejected
+    bad = bytearray(encode_png(rgb))
+    bad[40] ^= 0xFF
+    with pytest.raises(ValueError):
+        decode_png(bytes(bad))
+    # multiple IDAT chunks concatenate
+    comp = zlib.compress(
+        b"".join(
+            b"\x00" + bytes(rgb.reshape(5, 18)[y]) for y in range(5)
+        )
+    )
+    ihdr = (6).to_bytes(4, "big") + (5).to_bytes(4, "big") + bytes(
+        [8, 2, 0, 0, 0]
+    )
+    split = (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", comp[:10])
+        + _png_chunk(b"IDAT", comp[10:])
+        + _png_chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(split), rgb)
+
+
+def test_lsh_index_compaction_preserves_probe(spark, tmp_path):
+    """Round-6 (VERDICT r5 item 6): multi-batch appends accumulate small
+    files; LshDedupIndex.compact() must reduce the file count while
+    leaving match_new results identical."""
+    from fefal_etl_spark.llm.incremental_dedup import LshDedupIndex
+
+    docs = [
+        (i, f"shared prefix words alpha beta gamma delta epsilon batch{i} "
+            f"tail token{i} more filler words here")
+        for i in range(1, 7)
+    ]
+    frames = [
+        spark.createDataFrame([d], "doc_id long, text string") for d in docs
+    ]
+    probe = spark.createDataFrame(
+        [(99, docs[2][1])], "doc_id long, text string"
+    )
+    corpus = frames[0]
+    for fdf in frames[1:]:
+        corpus = corpus.unionByName(fdf)
+    idx = LshDedupIndex(spark, str(tmp_path / "idx"))
+    idx.build(frames[0], "doc_id", "text")
+    for i, fdf in enumerate(frames[1:], start=1):
+        idx.add_batch(fdf, "doc_id", "text")
+    before_files = len(idx.table._read_manifest(idx.table.latest_version()).files)
+    before = sorted(
+        (r["new_id"], r["old_id"], round(r["jaccard"], 9))
+        for r in idx.match_new(probe, corpus, "doc_id", "text").collect()
+    )
+    assert before  # the probe matches its twin
+    idx.compact()
+    after_files = len(idx.table._read_manifest(idx.table.latest_version()).files)
+    assert after_files < before_files
+    after = sorted(
+        (r["new_id"], r["old_id"], round(r["jaccard"], 9))
+        for r in idx.match_new(probe, corpus, "doc_id", "text").collect()
+    )
+    assert after == before
+    # index content is row-identical (logical no-op commit)
+    assert (
+        idx.table.read().orderBy("doc_id", "band").collect()
+        == idx.table.read(version=idx.table.latest_version() - 1)
+        .orderBy("doc_id", "band")
+        .collect()
+    )
+
+
+def test_ivf_index_compaction_keeps_partition_pruning(spark, tmp_path):
+    """IvfAnnIndex.compact() must collapse per-batch bucket files while
+    KEEPING the hive layout: probe results identical, file count down,
+    manifest-side bucket pruning still effective."""
+    from fefal_etl_spark.datasets import load_table
+    from fefal_etl_spark.llm.incremental_ann import IvfAnnIndex
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    existing = emb.filter(F.col("vec_id") % 5 != 0)
+    new = emb.filter(F.col("vec_id") % 5 == 0)
+    cents = emb.filter(F.col("vec_id") < 8)
+    idx = IvfAnnIndex(spark, str(tmp_path / "idx"))
+    # three per-batch appends → every bucket shattered across batches
+    slices = [
+        existing.filter(F.col("vec_id") % 3 == m) for m in range(3)
+    ]
+    idx.build(slices[0], cents)
+    idx.add_batch(slices[1], cents)
+    idx.add_batch(slices[2], cents)
+    before_files = len(idx.table._read_manifest(idx.table.latest_version()).files)
+    before = sorted(
+        (r["query_id"], r["rk"], r["vec_id"], round(r["cos_sim"], 9))
+        for r in idx.match_new(new, cents, nprobe=2, k=5).collect()
+    )
+    assert before
+    idx.compact()
+    after_files = len(idx.table._read_manifest(idx.table.latest_version()).files)
+    assert after_files < before_files
+    after = sorted(
+        (r["query_id"], r["rk"], r["vec_id"], round(r["cos_sim"], 9))
+        for r in idx.match_new(new, cents, nprobe=2, k=5).collect()
+    )
+    assert after == before
+    # pruning still manifest-side after the partitioned rewrite
+    kept, total = idx.table.pruned_partition_files(centroid_id=3)
+    assert kept < total

