@@ -288,7 +288,11 @@ def main() -> None:
         "sf": sf_val,
     }
     line = json.dumps(summary)
-    if len(line) > 2800:  # belt-and-braces: never exceed the tail window
+    # the driver's tail capture is 2000 chars (measured from BENCH_r05's
+    # "tail" field) — a final line longer than that is truncated and
+    # parses to null (BENCH_r02); per-query detail lives in the committed
+    # bench_detail.json either way
+    if len(line) > 1900:
         summary.pop("queries")
         line = json.dumps(summary)
     print(line)
