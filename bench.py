@@ -208,7 +208,9 @@ BENCH_QUERIES = [
     "incremental_ann_match",
     # round-6 additions: checkpointed-log reads, predicate replace,
     # generated-partition pruning, 3-dim z-order skipping, compacted-index
-    # probe, PNG decode, Mongo-config pipeline, oracle-paired HLL rollup
+    # probe, PNG decode, Mongo-config pipeline, DV-materialization read
+    # (hll_rollup, now oracle-paired, was already in the set above;
+    # partitioned_table_stream excluded like the other streaming entries)
     "checkpointed_history",
     "disjoint_writer_commits",
     "replace_where_read",
@@ -217,7 +219,7 @@ BENCH_QUERIES = [
     "index_compaction_probe",
     "png_decode",
     "mongo_config_pipeline",
-    "hll_rollup",
+    "dv_materialize_read",
     # dup_clusters_star is excluded like ngram_jaccard_pairs: at bench SF its
     # wall time is ~6 iterative rounds of fixed scheduling cost (the
     # algorithm exists for O(log n) ROUNDS at web scale, demonstrated by the

@@ -3376,6 +3376,153 @@ def q_zorder_multi_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "partitioned_table_stream",
+    """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(24,4))) AS DOUBLE) AS revenue
+    FROM orders WHERE o_orderkey % 3 IN (0, 1)
+    GROUP BY o_orderstatus
+    """,
+)
+def q_partitioned_table_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-6 — streaming over a HIVE-PARTITIONED transactional table
+    (streaming/table_source.py): partition values exist only in the
+    file PATHS, so the Python-data-source reader reconstructs them per
+    file and appends them to every Arrow batch as constant string
+    columns (the r5 source was unpartitioned-only — this closes that
+    follow-up). The scenario table is status-partitioned (overwrite
+    keys%3=0, append keys%3=1); the streamed groupBy runs ON the
+    reconstructed partition column and must equal the batch aggregate —
+    the oracle. At 100 TB this is the CDC shape for the standard
+    date/tenant-partitioned fact: followers tail whole commits with the
+    partition context intact, no storage listing, no re-reads."""
+    import uuid
+
+    from fefal_etl_spark.streaming.table_source import (
+        TxnTableStreamDataSource,
+    )
+
+    if not getattr(spark, "_txn_stream_src_registered", False):
+        spark.dataSource.register(TxnTableStreamDataSource)
+        spark._txn_stream_src_registered = True
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+    def build(t):
+        t.overwrite(
+            base.filter(F.col("o_orderkey") % 3 == 0),
+            partition_by=["o_orderstatus"],
+        )
+        t.append(
+            base.filter(F.col("o_orderkey") % 3 == 1),
+            partition_by=["o_orderstatus"],
+        )
+
+    t = _txn_scenario(
+        spark, sf_dir, "txn_part_stream", build, final_version=1
+    )
+    stream = (
+        spark.readStream.format("txn_table_stream")
+        .option("path", t.root)
+        .load()
+    )
+    agg = stream.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(24,4)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+    sink = f"q_part_table_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+@register(
+    "dv_materialize_read",
+    """
+    WITH b AS (SELECT max(o_orderkey) // 4 AS thr FROM orders),
+    final AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders, b
+        WHERE NOT (o_orderkey <= b.thr AND o_totalprice < 150000)
+          AND NOT (o_orderkey > b.thr AND o_orderkey % 97 = 0)
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(24,4))) AS DOUBLE) AS revenue,
+           TRUE AS partial_ok
+    FROM final GROUP BY o_orderstatus
+    """,
+)
+def q_dv_materialize_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-6 — deletion-vector COMPACTION POLICY
+    (table.py::materialize_dv, Delta's DV purge): one DV delete masks
+    ~half the low-key quarter (heavy) plus ~1% of every other file
+    (light); ``materialize_dv(0.05)`` then rewrites ONLY the
+    above-threshold files — their masked rows are dropped for real —
+    while the lightly-masked files stay merge-on-read behind a
+    rewritten, smaller sidecar. ``partial_ok`` pins the partial shape
+    from metadata: untouched files carried from the pre-policy
+    manifest, sidecar still present, masked positions strictly between
+    zero and the pre-policy count. Results must be invisible to
+    readers (the oracle computes the post-delete state with no notion
+    of physical form). At 100 TB this is the read/write balance point:
+    heavy masks converge to clean files, light masks never trigger
+    table-wide rewrites."""
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+    def build(t):
+        t.overwrite(base.repartitionByRange(8, "o_orderkey"))
+        thr = base.agg(
+            (F.max("o_orderkey") / 4).cast("long").alias("thr")
+        ).collect()[0]["thr"]
+        t.delete_where_dv(
+            (
+                (F.col("o_orderkey") <= thr)
+                & (F.col("o_totalprice") < 150000)
+            )
+            | (
+                (F.col("o_orderkey") > thr)
+                & (F.col("o_orderkey") % 97 == 0)
+            )
+        )
+        t.materialize_dv(min_mask_ratio=0.05)
+
+    t = _txn_scenario(
+        spark, sf_dir, "txn_dv_mat", build, final_version=2
+    )
+    mf_dv = t._read_manifest(1)
+    mf = t._read_manifest(2)
+    partial = bool(
+        (set(mf_dv.files) & set(mf.files))  # light files carried
+        and mf.dv_files  # sidecar survives for them
+        and 0 < t.deleted_positions() < t.deleted_positions(version=1)
+    )
+    return (
+        t.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(24,4)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .withColumn("partial_ok", F.lit(partial))
+    )
+
+
+@register(
     "table_changes_stream",
     """
     WITH ins AS (
@@ -3572,6 +3719,8 @@ _DRIVER_PRIORITY = [
     "generated_partition_scan",
     "replace_where_read",
     "zorder_multi_scan",
+    "partitioned_table_stream",
+    "dv_materialize_read",
     # --- hll_rollup rotated back in now that it is oracle-paired ---
     "hll_rollup",
     # --- re-coverage of earlier components fills the rest of the 50 ---

@@ -19,9 +19,17 @@ that REMOVES files (CoW delete/merge/compact/zorder) is not expressible
 as an append stream — ``partitions()`` raises unless
 ``ignoreChanges=true``, which skips removals and streams only additions
 (Delta's ignoreChanges). Deletion-vector commits add no files and are
-treated as changes (masked rows were already streamed). Unpartitioned
-commits only (the txn streaming sink writes unpartitioned); hive-layout
-tables need partition-value reconstruction that a follow-up could add.
+treated as changes (masked rows were already streamed).
+
+HIVE-PARTITIONED tables (round 6): partition columns live in the file
+PATHS (``col=value`` segments), not in the parquet bytes — the reader
+reconstructs them per file and appends them to every Arrow batch as
+constant STRING columns (the hive on-disk representation; cast
+downstream — a Python source declares one static schema, so the
+batch-reader's type inference doesn't apply). Partition columns are
+discovered from the latest snapshot's manifest at stream start; a
+partition COLUMN (not value) appearing mid-stream requires a stream
+restart, like any schema change.
 
 Executors read the parquet files with pyarrow and yield Arrow batches —
 the data plane stays columnar through the Python boundary.
@@ -74,6 +82,51 @@ def _snapshot(root: str, version: int) -> dict:
     return resolve_snapshot(root, version)
 
 
+def _pvals(rel: str) -> dict[str, str]:
+    """Hive ``col=value`` path segments of a root-relative data-file
+    path (between ``data/<uuid>/`` and the file name), percent-unquoted
+    — the same parse the manifest writer records."""
+    from urllib.parse import unquote
+
+    out: dict[str, str] = {}
+    for seg in rel.split("/")[2:-1]:
+        if "=" in seg:
+            c, v = seg.split("=", 1)
+            out[unquote(c)] = unquote(v)
+    return out
+
+
+def _partition_cols(root: str) -> list[str]:
+    """Partition column names of the table (union over the latest
+    snapshot's manifest partition map), sorted for a deterministic
+    schema. Empty for unpartitioned tables."""
+    vs = _versions(root)
+    if not vs:
+        return []
+    parts = _snapshot(root, vs[-1]).get("partitions") or {}
+    cols: set[str] = set()
+    for pv in parts.values():
+        cols.update(pv)
+    return sorted(cols)
+
+
+def _append_partition_columns(batch, rel: str, pcols: list[str]):
+    """Append the file's partition values to an Arrow batch as constant
+    string columns (NULL when the file lacks a value — mixed layouts)."""
+    import pyarrow as pa
+
+    if not pcols:
+        return batch
+    pv = _pvals(rel)
+    n = batch.num_rows
+    cols = list(batch.columns)
+    names = list(batch.schema.names)
+    for c in pcols:
+        cols.append(pa.array([pv.get(c)] * n, type=pa.string()))
+        names.append(c)
+    return pa.RecordBatch.from_arrays(cols, names=names)
+
+
 def _step(root: str, version: int, prev_files: set[str]):
     """(added, removed, cur_files) for one commit — O(delta) for
     checkpointed-log records; absolute records diff against prev."""
@@ -91,8 +144,10 @@ def _step(root: str, version: int, prev_files: set[str]):
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, path: str):
+    def __init__(self, path: str, rel: str = "", pcols: list[str] | None = None):
         self.path = path
+        self.rel = rel
+        self.pcols = pcols or []
 
 
 class TxnTableStreamReader(DataSourceStreamReader):
@@ -103,6 +158,8 @@ class TxnTableStreamReader(DataSourceStreamReader):
         )
         # -1 = "nothing consumed"; startingVersion=N streams from N on
         self.start_version = int(options.get("startingversion", 0)) - 1
+        # hive partition columns, fixed at stream start (schema is static)
+        self.pcols = _partition_cols(self.root)
 
     # offsets are {"version": <last fully consumed manifest version>}
     def initialOffset(self) -> dict:
@@ -132,16 +189,20 @@ class TxnTableStreamReader(DataSourceStreamReader):
                 )
             added.extend(adds)
         return [
-            _FilePartition(os.path.join(self.root, f)) for f in added
+            _FilePartition(os.path.join(self.root, f), f, self.pcols)
+            for f in added
         ]
 
     def read(self, partition: _FilePartition) -> Iterator:
         import pyarrow.parquet as pq
 
         # yield Arrow batches: the Python source stays columnar —
-        # no per-row Python objects on the data plane
+        # no per-row Python objects on the data plane (partition values
+        # are file-constant string columns appended per batch)
         for batch in pq.ParquetFile(partition.path).iter_batches():
-            yield batch
+            yield _append_partition_columns(
+                batch, partition.rel, partition.pcols
+            )
 
     def commit(self, end: dict) -> None:
         # offsets are derived purely from immutable manifests — nothing
@@ -170,9 +231,15 @@ class TxnTableStreamDataSource(DataSource):
         return "txn_table_stream"
 
     def schema(self):
+        import pyarrow as pa
+
         from pyspark.sql.pandas.types import from_arrow_schema
 
-        return from_arrow_schema(_base_arrow_schema(self.options["path"]))
+        base = _base_arrow_schema(self.options["path"])
+        for c in _partition_cols(self.options["path"]):
+            if c not in base.names:
+                base = base.append(pa.field(c, pa.string()))
+        return from_arrow_schema(base)
 
     def streamReader(self, schema) -> TxnTableStreamReader:
         return TxnTableStreamReader(self.options)
@@ -233,6 +300,7 @@ class TxnTableChangesStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict):
         self.root = options["path"]
         self.start_version = int(options.get("startingversion", 0)) - 1
+        self.pcols = _partition_cols(self.root)
 
     def initialOffset(self) -> dict:
         return {"version": self.start_version}
@@ -265,9 +333,11 @@ class TxnTableChangesStreamReader(DataSourceStreamReader):
             ]
 
             def part(kind: str, rel: str) -> _CdfPartition:
-                return _CdfPartition(
+                p_ = _CdfPartition(
                     kind, os.path.join(self.root, rel), rel, v, dv_new, dv_old
                 )
+                p_.pcols = self.pcols
+                return p_
 
             for rel in cur_mf["files"]:
                 if rel not in prev:
@@ -344,6 +414,9 @@ class TxnTableChangesStreamReader(DataSourceStreamReader):
             if not idx:
                 continue
             taken = batch.take(pa.array(idx, type=pa.int32()))
+            taken = _append_partition_columns(
+                taken, partition.rel, getattr(partition, "pcols", [])
+            )
             cols = list(taken.columns) + [
                 pa.array([change] * len(idx), type=pa.string()),
                 pa.array([partition.version] * len(idx), type=pa.int64()),
@@ -373,6 +446,9 @@ class TxnTableChangesDataSource(DataSource):
         from pyspark.sql.pandas.types import from_arrow_schema
 
         base = _base_arrow_schema(self.options["path"])
+        for c in _partition_cols(self.options["path"]):
+            if c not in base.names:
+                base = base.append(pa.field(c, pa.string()))
         return from_arrow_schema(
             base.append(pa.field("_change_type", pa.string())).append(
                 pa.field("_commit_version", pa.int64())

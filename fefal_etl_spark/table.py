@@ -599,6 +599,11 @@ class TransactionalTable:
                         cols[name] = [min(cols[name][0], mn), max(cols[name][1], mx)]
                     else:
                         cols[name] = [mn, mx]
+            # row count under a reserved key (never collides with data
+            # columns — consumers look stats up by real column names):
+            # the DV-materialization policy needs per-file row counts
+            # without re-opening footers
+            cols["__n_rows"] = [md.num_rows, md.num_rows]
             if cols:
                 out[rel] = cols
         return out
@@ -1333,6 +1338,96 @@ class TransactionalTable:
             rebase_ok=False,
             carry_parent_files=True,
             dv_files=dv_new,
+        )
+
+    def materialize_dv(self, min_mask_ratio: float = 0.05) -> int | None:
+        """Deletion-vector COMPACTION POLICY (round 6; Delta's DV purge
+        during OPTIMIZE): rewrite ONLY the data files whose masked
+        fraction meets ``min_mask_ratio``, dropping their masked rows
+        for real; lightly-masked files stay as merge-on-read (their
+        anti-join stays cheap — that is when DVs beat copy-on-write).
+        Sidecars are rewritten to keep only the surviving files'
+        addresses (fully-materialized → no sidecar at all). Returns the
+        new version, or None when no file crosses the threshold.
+
+        Decision inputs are metadata-scale: per-file mask counts come
+        from the (tiny) sidecars, per-file row counts from the manifest
+        stats' reserved ``__n_rows`` entry (footer fallback for files
+        committed before it existed) — no data scan happens unless a
+        rewrite is actually due. Partitioned files are re-staged in
+        their hive layout. Conflicts with interleaved commits like any
+        rewrite."""
+        from pyspark.sql import functions as F
+
+        base = self.latest_version()
+        if base is None:
+            raise FileNotFoundError(f"no committed version in {self.root}")
+        mf = self._read_manifest(base)
+        if not mf.dv_files:
+            return None
+        dv = self.spark.read.parquet(
+            *[os.path.join(self.root, f) for f in mf.dv_files]
+        )
+        masked = {
+            r["file"]: r["n"]
+            for r in dv.groupBy("file")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()  # ≤ one row per table file — metadata-scale
+        }
+        live = set(mf.files)
+        stats = mf.stats or {}
+
+        def n_rows(f: str) -> int | None:
+            rng = (stats.get(f) or {}).get("__n_rows")
+            if rng:
+                return rng[0]
+            try:  # files committed before __n_rows existed
+                import pyarrow.parquet as pq
+
+                return pq.ParquetFile(
+                    os.path.join(self.root, f)
+                ).metadata.num_rows
+            except Exception:
+                return None
+        rewrite = []
+        for f, n_masked in masked.items():
+            if f not in live:
+                continue  # dead entry: addresses a replaced file
+            total = n_rows(f)
+            if total and n_masked / total >= min_mask_ratio:
+                rewrite.append(f)
+        if not rewrite:
+            return None
+        rewrite_set = set(rewrite)
+        survivors = self._read_files(
+            sorted(rewrite), dv_files=mf.dv_files
+        )
+        pcols = sorted(
+            {
+                c
+                for f in rewrite
+                for c in ((mf.partitions or {}).get(f) or {})
+            }
+        )
+        staged = self.stage_files(
+            survivors, partition_by=pcols or None
+        )
+        carried = [f for f in mf.files if f not in rewrite_set]
+        # sidecars: keep only addresses of files that remain masked
+        remaining = dv.filter(~F.col("file").isin(rewrite))
+        new_dvs: list[str] = []
+        if remaining.limit(1).count() > 0:
+            new_dvs = self.stage_files(remaining.coalesce(1))
+        carried_stats = {
+            f: s for f, s in stats.items() if f in set(carried)
+        }
+        return self._commit(
+            carried + staged,
+            "dv-materialize",
+            base,
+            rebase_ok=False,
+            stats={**carried_stats, **self._file_stats(staged)},
+            dv_files=new_dvs,
         )
 
     def deleted_positions(self, version: int | None = None) -> int:

@@ -450,3 +450,170 @@ def test_zorder_multi_column_skipping(spark, tmp_path):
         .collect()[0]
     )
     assert row["z2"] == row["zn"] == 39
+
+
+# ----------------------------------------------------------------------
+# round-6: hive-partitioned streaming sources (partition reconstruction)
+# ----------------------------------------------------------------------
+
+
+def test_partitioned_table_stream_reconstructs_partition_column(
+    spark, tmp_path
+):
+    """The append stream over a HIVE-partITIONED table must surface the
+    partition column (path-only data) as a string column on every row,
+    and keep the incremental tailing contract."""
+    from pyspark.sql import functions as F
+
+    from fefal_etl_spark.streaming.table_source import (
+        TxnTableStreamDataSource,
+    )
+    from fefal_etl_spark.table import TransactionalTable
+
+    spark.dataSource.register(TxnTableStreamDataSource)
+    root = str(tmp_path / "t")
+    t = TransactionalTable(spark, root)
+    df = spark.range(12).select(
+        (F.col("id") % 3).cast("string").alias("p"), F.col("id").alias("k")
+    )
+    t.overwrite(df, partition_by=["p"])
+    stream = (
+        spark.readStream.format("txn_table_stream")
+        .option("path", root)
+        .load()
+    )
+    assert "p" in stream.columns
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    got = {(r["p"], r["k"]) for r in spark.read.parquet(out).collect()}
+    assert got == {(str(i % 3), i) for i in range(12)}
+    # appends tail incrementally with their partition values
+    t.append(
+        spark.createDataFrame([("9", 100)], "p string, k bigint"),
+        partition_by=["p"],
+    )
+    drain()
+    got = {(r["p"], r["k"]) for r in spark.read.parquet(out).collect()}
+    assert ("9", 100) in got and len(got) == 13
+
+
+def test_partitioned_changes_stream_carries_partition_column(
+    spark, tmp_path
+):
+    """The CDF stream over a partitioned table: inserts and DV deletes
+    both carry the reconstructed partition column."""
+    from pyspark.sql import functions as F
+
+    from fefal_etl_spark.streaming.table_source import (
+        TxnTableChangesDataSource,
+    )
+    from fefal_etl_spark.table import TransactionalTable
+
+    spark.dataSource.register(TxnTableChangesDataSource)
+    root = str(tmp_path / "t")
+    t = TransactionalTable(spark, root)
+    df = spark.range(6).select(
+        (F.col("id") % 2).cast("string").alias("p"), F.col("id").alias("k")
+    )
+    t.overwrite(df, partition_by=["p"])
+    t.delete_where_dv(F.col("k") == 3)
+    stream = (
+        spark.readStream.format("txn_table_changes")
+        .option("path", root)
+        .load()
+    )
+    assert stream.columns[-3:] == ["p", "_change_type", "_commit_version"]
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {
+        (r["_change_type"], r["p"], r["k"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert ("insert", "1", 3) in rows
+    assert ("delete", "1", 3) in rows  # the DV delete, with its partition
+    assert {r for r in rows if r[0] == "insert"} == {
+        ("insert", str(i % 2), i) for i in range(6)
+    }
+
+
+def test_materialize_dv_policy_rewrites_only_heavy_files(spark, tmp_path):
+    """DV compaction policy: only files whose masked fraction meets the
+    threshold are rewritten (masked rows dropped for real); lightly
+    masked files keep merge-on-read; sidecars shrink to the surviving
+    addresses; results are unchanged on every read path."""
+    from pyspark.sql import functions as F
+
+    from fefal_etl_spark.table import TransactionalTable
+
+    root = str(tmp_path / "t")
+    t = TransactionalTable(spark, root)
+    # two files: ids 0-9 (heavily masked) and 100-199 (lightly masked)
+    a = spark.range(10).select(F.col("id").alias("k")).coalesce(1)
+    b = spark.range(100, 200).select(F.col("id").alias("k")).coalesce(1)
+    t.overwrite(a)
+    t.append(b)
+    t.delete_where_dv((F.col("k") < 5) | (F.col("k") == 150))
+    v_dv = t.latest_version()
+    before = sorted(r["k"] for r in t.read().collect())
+    assert len(before) == 104
+    files_before = t._read_manifest(v_dv).files
+    # 50% of file A masked, 1% of file B → only A crosses 5%
+    v = t.materialize_dv(min_mask_ratio=0.05)
+    assert v == v_dv + 1
+    mf = t._read_manifest(v)
+    # B carried untouched, A replaced
+    b_file = [f for f in files_before if f in set(mf.files)]
+    assert len(b_file) == 1
+    assert sorted(r["k"] for r in t.read().collect()) == before
+    # sidecar kept (B still masked), but A's addresses purged:
+    assert mf.dv_files and t.deleted_positions() == 1
+    # below-threshold call is a no-op
+    assert t.materialize_dv(min_mask_ratio=0.05) is None
+    # fully materializing drops the sidecars entirely
+    v2 = t.materialize_dv(min_mask_ratio=0.0001)
+    mf2 = t._read_manifest(v2)
+    assert not mf2.dv_files and t.deleted_positions() == 0
+    assert sorted(r["k"] for r in t.read().collect()) == before
+
+
+def test_materialize_dv_keeps_hive_layout(spark, tmp_path):
+    """Partitioned files rewritten by the DV policy are re-staged in
+    hive layout — partition pruning keeps working afterwards."""
+    from pyspark.sql import functions as F
+
+    from fefal_etl_spark.table import TransactionalTable
+
+    root = str(tmp_path / "t")
+    t = TransactionalTable(spark, root)
+    df = spark.range(40).select(
+        (F.col("id") % 2).cast("string").alias("p"), F.col("id").alias("k")
+    )
+    t.overwrite(df, partition_by=["p"])
+    t.delete_where_dv(F.col("k") < 10)  # ~25% of each partition
+    v = t.materialize_dv(min_mask_ratio=0.05)
+    assert v is not None
+    mf = t._read_manifest(v)
+    assert not mf.dv_files
+    kept, total = t.pruned_partition_files(p="1")
+    assert kept < total
+    assert sorted(r["k"] for r in t.read_partition(p="1").collect()) == [
+        i for i in range(11, 40, 2)
+    ]
