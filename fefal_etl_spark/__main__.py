@@ -47,6 +47,19 @@ def _load_config(path: str, year: int | None):
 
     with open(path) as f:
         raw = json.load(f)
+    # a Mongo export of the reference's config DB (the four collections,
+    # e.g. from mongoexport) is accepted directly — round 6, closes the
+    # migration path: the same file shape load_mongo_configs consumed
+    if "ConfigColMap" in raw:
+        if year is None:
+            raise SystemExit(
+                "--year is required with a Mongo-export config "
+                "(ConfigColMap documents are year-keyed)"
+            )
+        try:
+            return PipelineConfig.from_mongo_docs(raw, year)
+        except KeyError as e:
+            raise SystemExit(str(e))
     groups = {
         name: GroupSpec(int(g["start"]), int(g["end"]))
         for name, g in raw.get("groups", {}).items()

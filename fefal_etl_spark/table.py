@@ -334,7 +334,11 @@ class TransactionalTable:
         hit = self._snap_cache.get(version)
         if hit is not None:
             return hit
-        base = max((v for v in self._snap_cache if v < version), default=-1)
+        # list() snapshot: a concurrent committer on the same handle may
+        # insert mid-iteration (threaded writers share handles)
+        base = max(
+            (v for v in list(self._snap_cache) if v < version), default=-1
+        )
         cp = max(
             (c for c in _list_checkpoints(self.root) if base < c <= version),
             default=None,
@@ -350,7 +354,10 @@ class TransactionalTable:
 
     def _cache_state(self, version: int, state: dict) -> None:
         if len(self._snap_cache) >= 64:  # bound driver memory
-            self._snap_cache.pop(next(iter(self._snap_cache)))
+            try:  # best-effort LRU evict; racing threads may beat us
+                self._snap_cache.pop(next(iter(self._snap_cache)))
+            except (KeyError, StopIteration, RuntimeError):
+                pass
         self._snap_cache[version] = state
 
     def _read_manifest(self, version: int) -> _Manifest:

@@ -92,3 +92,63 @@ def test_cli_pipeline_end_to_end(spark, tmp_path):
     assert summary["status_counts"].get("unmatched") == 1
     assert summary["status_counts"].get("blank_name") == 1
     assert os.path.isdir(os.path.join(out_dir, "valid"))
+
+
+def test_cli_pipeline_accepts_mongo_export_config(spark, tmp_path):
+    """Round-6 migration path: --config may be a Mongo export of the
+    reference's four config collections (detected by ConfigColMap);
+    the run must match the plain-JSON config byte-for-byte in its
+    status accounting."""
+    survey_path = tmp_path / "survey.csv"
+    with open(survey_path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(COLS)
+        w.writerows(ROWS)
+    registry_path = str(tmp_path / "registry.parquet")
+    spark.createDataFrame(
+        [(1, "Aveiro", "Municípios"), (2, "Braga", "Freguesias")],
+        "id_entidades int, ent_nome string, ent_tipo string",
+    ).write.mode("overwrite").parquet(registry_path)
+    export = {
+        "ConfigAdvanced": [
+            {"_id": "x", "keys": {"comment_keys": ["comentario"],
+                                  "formando_keys": ["formandos"]},
+             "default_type": "interesse"}
+        ],
+        "ConfigRenCol": [
+            {"original_name": k, "new_name": v}
+            for k, v in CONFIG["rename_map"].items()
+        ],
+        "ConfigColMap": [{"year": 2025, "groups": CONFIG["groups"]}],
+        "ConfigMapEnt": [
+            {"tipo_entidade_inq": k, "tipo_entidade_norm": v}
+            for k, v in CONFIG["entity_type_map"].items()
+        ],
+    }
+    config_path = tmp_path / "export.json"
+    config_path.write_text(json.dumps(export))
+    out_dir = str(tmp_path / "out")
+
+    env = dict(os.environ)
+    env["SPARK_GRAFT_CPUS"] = "4"
+    proc = subprocess.run(
+        [sys.executable, "-m", "fefal_etl_spark", "pipeline",
+         "--survey", str(survey_path), "--registry", registry_path,
+         "--config", str(config_path), "--out", out_dir, "--year", "2025"],
+        capture_output=True, text=True, timeout=300, env=env,
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert summary["status_counts"].get("valid") == 1
+    assert summary["status_counts"].get("unmatched") == 1
+    assert summary["status_counts"].get("blank_name") == 1
+    # a missing --year against a year-keyed export is a clean usage error
+    proc2 = subprocess.run(
+        [sys.executable, "-m", "fefal_etl_spark", "pipeline",
+         "--survey", str(survey_path), "--registry", registry_path,
+         "--config", str(config_path), "--out", out_dir],
+        capture_output=True, text=True, timeout=120, env=env,
+        cwd="/root/repo",
+    )
+    assert proc2.returncode != 0 and "--year is required" in proc2.stderr

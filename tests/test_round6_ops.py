@@ -617,3 +617,174 @@ def test_materialize_dv_keeps_hive_layout(spark, tmp_path):
     assert sorted(r["k"] for r in t.read_partition(p="1").collect()) == [
         i for i in range(11, 40, 2)
     ]
+
+
+def test_eight_writer_mixed_race_disjoint_partitions(spark, tmp_path):
+    """VERDICT r5 item 4 'Done' criterion — the 8-thread race extended
+    with partition overwrites: 4 appenders (each into its own partition)
+    race 4 partition-overwriters (each on its own partition, disjoint
+    from every other writer). ALL eight must land (appends rebase by
+    design; disjoint overwrites rebase by narrowing), every batch
+    exactly once, and each overwritten partition must hold exactly its
+    final image."""
+    from pyspark.sql import functions as F
+
+    from fefal_etl_spark.table import TransactionalTable
+
+    root = str(tmp_path / "t")
+    base = spark.range(40).select(
+        (F.col("id") % 8).cast("string").alias("p"),
+        F.col("id").alias("v"),
+    )
+    TransactionalTable(spark, root).overwrite(base, partition_by=["p"])
+    errors = []
+
+    def appender(pid: int):
+        try:
+            t = TransactionalTable(spark, root)
+            for j in range(2):
+                t.append(
+                    spark.createDataFrame(
+                        [(str(pid), 1000 + pid * 10 + j)], "p string, v bigint"
+                    ),
+                    partition_by=["p"],
+                )
+        except Exception as e:  # pragma: no cover
+            errors.append(("append", pid, e))
+
+    def overwriter(pid: int):
+        try:
+            t = TransactionalTable(spark, root)
+            t.overwrite_partition(
+                spark.createDataFrame([(2000 + pid,)], "v bigint"),
+                p=str(pid),
+            )
+        except Exception as e:  # pragma: no cover
+            errors.append(("overwrite", pid, e))
+
+    import threading
+
+    threads = [
+        threading.Thread(target=appender, args=(i,)) for i in range(4)
+    ] + [
+        threading.Thread(target=overwriter, args=(i,)) for i in range(4, 8)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    t = TransactionalTable(spark, root)
+    assert t.latest_version() == 12  # 1 overwrite + 8 appends + 4 part-ovw
+    got: dict[str, set] = {}
+    for r in t.read().collect():
+        got.setdefault(str(r["p"]), set()).add(r["v"])
+    # overwritten partitions: exactly the final image
+    for pid in range(4, 8):
+        assert got[str(pid)] == {2000 + pid}, (pid, got[str(pid)])
+    # appended partitions: original 5 rows + both appended batches
+    for pid in range(4):
+        expect = {pid + 8 * i for i in range(5)} | {
+            1000 + pid * 10,
+            1000 + pid * 10 + 1,
+        }
+        assert got[str(pid)] == expect, (pid, got[str(pid)])
+
+
+def test_checkpointed_log_model_based_random_ops(spark, tmp_path):
+    """Model-based check of the CHECKPOINTED delta log: a seeded random
+    mix of every mutation kind (append / partition overwrite / predicate
+    replace / DV delete / DV materialize / compact / restore) with
+    CHECKPOINT_INTERVAL=3, verified against a plain-Python model —
+    every historical version reads back exactly the model state, BOTH
+    through the writing handle's cache and through a fresh handle
+    (pure checkpoint+tail replay), and again after a vacuum trims the
+    log prefix."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from fefal_etl_spark.table import TransactionalTable
+
+    rng = random.Random(20260815)
+    root = str(tmp_path / "t")
+    t = TransactionalTable(spark, root)
+    t.CHECKPOINT_INTERVAL = 3
+
+    def df_of(rows):
+        return spark.createDataFrame(rows, "p string, k int, v int")
+
+    # model: k -> (p, v)
+    model: dict[int, tuple[str, int]] = {
+        k: (str(k % 3), k * 10) for k in range(12)
+    }
+    t.overwrite(
+        df_of([(p, k, v) for k, (p, v) in model.items()]),
+        partition_by=["p"],
+    )
+    history = [dict(model)]
+    next_k = 100
+    for step in range(14):
+        op = rng.choice(
+            ["append", "part_ovw", "repl_where", "dv_del",
+             "dv_mat", "compact", "restore"]
+        )
+        if op == "append":
+            rows = [
+                (str(rng.randrange(3)), next_k + i, (next_k + i) * 10)
+                for i in range(rng.randrange(1, 4))
+            ]
+            next_k += len(rows)
+            t.append(df_of(rows), partition_by=["p"])
+            model.update({k: (p, v) for p, k, v in rows})
+        elif op == "part_ovw":
+            p = str(rng.randrange(3))
+            rows = [(next_k, next_k * 10), (next_k + 1, next_k * 10 + 10)]
+            next_k += 2
+            t.overwrite_partition(
+                spark.createDataFrame(rows, "k int, v int"), p=p
+            )
+            model = {k: pv for k, pv in model.items() if pv[0] != p}
+            model.update({k: (p, v) for k, v in rows})
+        elif op == "repl_where":
+            repl = [(str(rng.randrange(3)), next_k, next_k * 10)]
+            next_k += 1
+            # cut above the replacement's own k so the replaceWhere
+            # contract (incoming rows satisfy the predicate) holds
+            cut = next_k + 1
+            t.overwrite_where(df_of(repl), F.col("k") < cut)
+            model = {k: pv for k, pv in model.items() if not (k < cut)}
+            model.update({k: (p, v) for p, k, v in repl})
+        elif op == "dv_del":
+            mod = rng.choice([2, 3, 5])
+            t.delete_where_dv(F.col("k") % mod == 0)
+            model = {k: pv for k, pv in model.items() if k % mod != 0}
+        elif op == "dv_mat":
+            if t.materialize_dv(min_mask_ratio=0.01) is None:
+                continue  # no version committed — model unchanged
+        elif op == "compact":
+            t.compact(target_file_mb=64, partition_by=["p"])
+        elif op == "restore":
+            target = rng.randrange(len(history))
+            t.restore(target)
+            model = dict(history[target])
+        history.append(dict(model))
+    assert t.versions() == list(range(len(history)))
+
+    def check(handle, versions):
+        for v in versions:
+            got = {
+                r["k"]: (str(r["p"]), r["v"])
+                for r in handle.read(version=v).collect()
+            }
+            assert got == history[v], f"version {v}"
+
+    check(t, range(len(history)))
+    fresh = TransactionalTable(spark, root)  # pure checkpoint+tail
+    check(fresh, range(len(history)))
+    # vacuum keeps the last 4 versions resolvable after trimming the log
+    keep = t.versions()[-4:]
+    t.vacuum(keep_versions=4)
+    fresh2 = TransactionalTable(spark, root)
+    assert fresh2.versions() == keep
+    check(fresh2, keep)
