@@ -62,6 +62,14 @@ TREND_QUERIES = [
     "incremental_dedup_match",
     "merge_dv_orders",
     "incremental_ann_match",
+    # round-6: the heaviest new components — full pipeline from a Mongo
+    # export, checkpoint+tail snapshot reads, compacted-index probe,
+    # predicate replace and the DV-materialization read
+    "mongo_config_pipeline",
+    "checkpointed_history",
+    "index_compaction_probe",
+    "replace_where_read",
+    "dv_materialize_read",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
