@@ -220,6 +220,7 @@ BENCH_QUERIES = [
     "png_decode",
     "mongo_config_pipeline",
     "dv_materialize_read",
+    "column_rename_read",
     # dup_clusters_star is excluded like ngram_jaccard_pairs: at bench SF its
     # wall time is ~6 iterative rounds of fixed scheduling cost (the
     # algorithm exists for O(log n) ROUNDS at web scale, demonstrated by the

@@ -3523,6 +3523,76 @@ def q_dv_materialize_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "column_rename_read",
+    """
+    WITH final AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice AS price
+        FROM orders WHERE o_orderkey % 2 = 0
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 2 = 1
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(price AS DECIMAL(24,4))) AS DOUBLE) AS revenue,
+           TRUE AS zero_rewrite_ok
+    FROM final GROUP BY o_orderstatus
+    """,
+)
+def q_column_rename_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-6 — ZERO-REWRITE column rename/drop
+    (table.py::rename_column/drop_column, Delta column-mapping
+    semantics): the even-key half of orders is committed with the
+    original column names, ``o_totalprice`` is renamed to ``price`` and
+    ``o_custkey`` dropped in two METADATA-ONLY commits (file list
+    byte-identical — ``zero_rewrite_ok`` pins it from the manifests),
+    then the odd-key half is appended under the NEW schema. The read
+    coalesces old-named and new-named files into one logical column,
+    with per-file stats keys moved so data skipping on ``price`` still
+    prunes. The oracle computes the same union declaratively. At 100 TB
+    a rename costs one manifest instead of a full rewrite — the schema
+    ops every long-lived production table eventually needs."""
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+
+    def build(t):
+        t.overwrite(
+            base.filter(F.col("o_orderkey") % 2 == 0).repartitionByRange(
+                4, "o_orderkey"
+            )
+        )
+        t.rename_column("o_totalprice", "price")
+        t.drop_column("o_custkey")
+        t.append(
+            base.filter(F.col("o_orderkey") % 2 == 1).select(
+                "o_orderkey",
+                "o_orderstatus",
+                F.col("o_totalprice").alias("price"),
+            )
+        )
+
+    t = _txn_scenario(
+        spark, sf_dir, "txn_col_rename", build, final_version=3
+    )
+    zero_rewrite = (
+        t._read_manifest(1).files == t._read_manifest(0).files
+        and t._read_manifest(2).files == t._read_manifest(0).files
+    )
+    return (
+        t.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.col("price").cast("decimal(24,4)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .withColumn("zero_rewrite_ok", F.lit(zero_rewrite))
+    )
+
+
+@register(
     "table_changes_stream",
     """
     WITH ins AS (
@@ -3721,6 +3791,7 @@ _DRIVER_PRIORITY = [
     "zorder_multi_scan",
     "partitioned_table_stream",
     "dv_materialize_read",
+    "column_rename_read",
     # --- hll_rollup rotated back in now that it is oracle-paired ---
     "hll_rollup",
     # --- re-coverage of earlier components fills the rest of the 50 ---

@@ -96,6 +96,54 @@ def _pvals(rel: str) -> dict[str, str]:
     return out
 
 
+def _column_ops(root: str) -> list:
+    """The table's metadata-only schema ops (rename/drop), fixed at
+    stream start like the partition columns."""
+    vs = _versions(root)
+    if not vs:
+        return []
+    return _snapshot(root, vs[-1]).get("column_ops") or []
+
+
+def _apply_column_ops_schema(base, ops):
+    """Arrow-schema projection of the ops (rename fields, drop fields)."""
+    import pyarrow as pa
+
+    for op in ops:
+        if op[0] == "rename":
+            _, old_c, new_c = op
+            idx = base.get_field_index(old_c)
+            if idx >= 0:
+                base = base.set(
+                    idx, pa.field(new_c, base.field(idx).type)
+                )
+        else:
+            idx = base.get_field_index(op[1])
+            if idx >= 0:
+                base = base.remove(idx)
+    return base
+
+
+def _apply_column_ops_batch(batch, ops):
+    """Apply rename/drop ops to an Arrow batch (old-named files rename
+    to the logical name; files already carrying it pass through)."""
+    import pyarrow as pa
+
+    if not ops:
+        return batch
+    names = list(batch.schema.names)
+    cols = list(batch.columns)
+    for op in ops:
+        if op[0] == "rename":
+            _, old_c, new_c = op
+            names = [new_c if n == old_c else n for n in names]
+        else:
+            keep = [i for i, n in enumerate(names) if n != op[1]]
+            names = [names[i] for i in keep]
+            cols = [cols[i] for i in keep]
+    return pa.RecordBatch.from_arrays(cols, names=names)
+
+
 def _partition_cols(root: str) -> list[str]:
     """Partition column names of the table (union over the latest
     snapshot's manifest partition map), sorted for a deterministic
@@ -160,6 +208,7 @@ class TxnTableStreamReader(DataSourceStreamReader):
         self.start_version = int(options.get("startingversion", 0)) - 1
         # hive partition columns, fixed at stream start (schema is static)
         self.pcols = _partition_cols(self.root)
+        self.col_ops = _column_ops(self.root)
 
     # offsets are {"version": <last fully consumed manifest version>}
     def initialOffset(self) -> dict:
@@ -188,10 +237,13 @@ class TxnTableStreamReader(DataSourceStreamReader):
                     "additions only"
                 )
             added.extend(adds)
-        return [
+        out = [
             _FilePartition(os.path.join(self.root, f), f, self.pcols)
             for f in added
         ]
+        for p_ in out:
+            p_.col_ops = self.col_ops
+        return out
 
     def read(self, partition: _FilePartition) -> Iterator:
         import pyarrow.parquet as pq
@@ -200,6 +252,9 @@ class TxnTableStreamReader(DataSourceStreamReader):
         # no per-row Python objects on the data plane (partition values
         # are file-constant string columns appended per batch)
         for batch in pq.ParquetFile(partition.path).iter_batches():
+            batch = _apply_column_ops_batch(
+                batch, getattr(partition, "col_ops", [])
+            )
             yield _append_partition_columns(
                 batch, partition.rel, partition.pcols
             )
@@ -235,7 +290,10 @@ class TxnTableStreamDataSource(DataSource):
 
         from pyspark.sql.pandas.types import from_arrow_schema
 
-        base = _base_arrow_schema(self.options["path"])
+        base = _apply_column_ops_schema(
+            _base_arrow_schema(self.options["path"]),
+            _column_ops(self.options["path"]),
+        )
         for c in _partition_cols(self.options["path"]):
             if c not in base.names:
                 base = base.append(pa.field(c, pa.string()))
@@ -301,6 +359,7 @@ class TxnTableChangesStreamReader(DataSourceStreamReader):
         self.root = options["path"]
         self.start_version = int(options.get("startingversion", 0)) - 1
         self.pcols = _partition_cols(self.root)
+        self.col_ops = _column_ops(self.root)
 
     def initialOffset(self) -> dict:
         return {"version": self.start_version}
@@ -337,6 +396,7 @@ class TxnTableChangesStreamReader(DataSourceStreamReader):
                     kind, os.path.join(self.root, rel), rel, v, dv_new, dv_old
                 )
                 p_.pcols = self.pcols
+                p_.col_ops = self.col_ops
                 return p_
 
             for rel in cur_mf["files"]:
@@ -414,6 +474,9 @@ class TxnTableChangesStreamReader(DataSourceStreamReader):
             if not idx:
                 continue
             taken = batch.take(pa.array(idx, type=pa.int32()))
+            taken = _apply_column_ops_batch(
+                taken, getattr(partition, "col_ops", [])
+            )
             taken = _append_partition_columns(
                 taken, partition.rel, getattr(partition, "pcols", [])
             )
@@ -445,7 +508,10 @@ class TxnTableChangesDataSource(DataSource):
 
         from pyspark.sql.pandas.types import from_arrow_schema
 
-        base = _base_arrow_schema(self.options["path"])
+        base = _apply_column_ops_schema(
+            _base_arrow_schema(self.options["path"]),
+            _column_ops(self.options["path"]),
+        )
         for c in _partition_cols(self.options["path"]):
             if c not in base.names:
                 base = base.append(pa.field(c, pa.string()))

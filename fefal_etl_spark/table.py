@@ -104,11 +104,12 @@ def _apply_record(state: dict | None, rec: dict) -> dict:
                 c: dict(m) for c, m in (rec.get("blooms") or {}).items()
             },
             "generated": dict(rec.get("generated") or {}),
+            "column_ops": list(rec.get("column_ops") or []),
         }
     prev = state or {
         "files": [], "stats": {}, "partitions": {}, "dv_files": [],
         "txns": {}, "schema": {}, "constraints": [], "blooms": {},
-        "generated": {},
+        "generated": {}, "column_ops": [],
     }
     removed = set(rec.get("remove") or [])
     add = list(rec.get("add") or [])
@@ -140,6 +141,13 @@ def _apply_record(state: dict | None, rec: dict) -> dict:
         blooms.setdefault(c, {}).update(m)
     generated = dict(prev.get("generated") or {})
     generated.update(rec.get("generated") or {})
+    column_ops = list(prev.get("column_ops") or [])
+    if rec.get("column_op"):
+        op = list(rec["column_op"])
+        column_ops.append(op)
+        schema, stats, blooms = _apply_col_op_to_meta(
+            op, schema, stats, blooms
+        )
     return {
         "version": rec["version"],
         "op": rec["op"],
@@ -154,7 +162,59 @@ def _apply_record(state: dict | None, rec: dict) -> dict:
         "constraints": constraints,
         "blooms": blooms,
         "generated": generated,
+        "column_ops": column_ops,
     }
+
+
+def _apply_col_op_to_meta(
+    op: list, schema: dict, stats: dict, blooms: dict
+) -> tuple[dict, dict, dict]:
+    """Apply a metadata-only schema op to the resolved schema / per-file
+    stats / bloom maps WITHOUT mutating inner dicts (they may be shared
+    with a cached parent state). Outer dicts are caller-owned copies."""
+    if op[0] == "rename":
+        _, old_c, new_c = op
+        if old_c in schema:
+            schema[new_c] = schema.pop(old_c)
+        stats = {
+            f: (
+                {(new_c if k == old_c else k): v for k, v in fs.items()}
+                if old_c in fs
+                else fs
+            )
+            for f, fs in stats.items()
+        }
+        if old_c in blooms:
+            blooms[new_c] = blooms.pop(old_c)
+    else:  # ["drop", col]
+        _, col_c = op
+        schema.pop(col_c, None)
+        stats = {
+            f: (
+                {k: v for k, v in fs.items() if k != col_c}
+                if col_c in fs
+                else fs
+            )
+            for f, fs in stats.items()
+        }
+        blooms.pop(col_c, None)
+    return schema, stats, blooms
+
+
+def retired_names(column_ops: list | None) -> set[str]:
+    """Names made unusable by the op history: rename SOURCES and dropped
+    columns. Re-adding one would make the read-side mapping ambiguous
+    (the engine has no per-file column ids — Delta without column
+    mapping has the same restriction), so `_enforce` rejects them.
+    A name re-introduced by a LATER rename TARGET is live again."""
+    out: set[str] = set()
+    for op in column_ops or []:
+        if op[0] == "rename":
+            out.add(op[1])
+            out.discard(op[2])
+        else:
+            out.add(op[1])
+    return out
 
 
 def resolve_snapshot(root: str, version: int) -> dict:
@@ -254,6 +314,12 @@ class _Manifest:
     # {col: SQL expr over the data columns} — recorded at declaration,
     # carried forward; `append` re-derives them automatically
     generated: dict[str, str] | None = None
+    # ordered metadata-only schema ops (zero-rewrite rename/drop):
+    # [["rename", old, new] | ["drop", col], ...] — applied at read time
+    # over files written before the op; names once renamed-from or
+    # dropped are RETIRED (cannot be re-added) so the read-side mapping
+    # stays unambiguous without per-file column ids
+    column_ops: list | None = None
 
 
 class TransactionalTable:
@@ -323,6 +389,7 @@ class TransactionalTable:
             ts=state.get("ts"),
             blooms=state.get("blooms") or None,
             generated=state.get("generated") or None,
+            column_ops=state.get("column_ops") or None,
         )
 
     def _resolve_state(self, version: int) -> dict:
@@ -374,6 +441,7 @@ class TransactionalTable:
         files: list[str],
         dv_files: list[str] | None = None,
         with_pos: bool = False,
+        column_ops: list | None = None,
     ) -> DataFrame:
         """Manifest-driven scan of specific part-files. Files are grouped
         by their commit directory and each group is read with ``basePath``
@@ -436,6 +504,17 @@ class TransactionalTable:
             out = out.join(
                 F.broadcast(dv), ["__dv_file", "__dv_pos"], "left_anti"
             )
+        for op in column_ops or []:
+            if op[0] == "rename":
+                _, old_c, new_c = op
+                if old_c in out.columns and new_c in out.columns:
+                    out = out.withColumn(
+                        new_c, F.coalesce(F.col(new_c), F.col(old_c))
+                    ).drop(old_c)
+                elif old_c in out.columns:
+                    out = out.withColumnRenamed(old_c, new_c)
+            else:  # drop
+                out = out.drop(op[1])
         if need_meta and not with_pos:
             out = out.drop("__dv_file", "__dv_pos")
         return out
@@ -451,7 +530,9 @@ class TransactionalTable:
             raise FileNotFoundError(
                 f"version {v} of {self.root} is empty"
             )
-        return self._read_files(mf.files, dv_files=mf.dv_files)
+        return self._read_files(
+            mf.files, dv_files=mf.dv_files, column_ops=mf.column_ops
+        )
 
     def read_partition(self, version: int | None = None, **filters) -> DataFrame:
         """Partition pruning from the MANIFEST (zero storage listing,
@@ -478,7 +559,9 @@ class TransactionalTable:
         if not keep:
             base = self.read(v)
             return base.filter(F.lit(False))
-        df = self._read_files(keep, dv_files=mf.dv_files)
+        df = self._read_files(
+            keep, dv_files=mf.dv_files, column_ops=mf.column_ops
+        )
         for c, val in filters.items():
             df = df.filter(F.col(c) == F.lit(val))
         return df
@@ -507,7 +590,9 @@ class TransactionalTable:
         ]
         if not keep:
             return self.read(v).filter(F.lit(False))
-        df = self._read_files(keep, dv_files=mf.dv_files)
+        df = self._read_files(
+            keep, dv_files=mf.dv_files, column_ops=mf.column_ops
+        )
         return df.filter(F.col(col).isin(*values))
 
     def pruned_partition_files(
@@ -554,7 +639,9 @@ class TransactionalTable:
             # empty result with the right schema: scan one file, filter false
             base = self.read(v)
             return base.filter(F.lit(False))
-        df = self._read_files(keep, dv_files=mf.dv_files)
+        df = self._read_files(
+            keep, dv_files=mf.dv_files, column_ops=mf.column_ops
+        )
         return df.filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
 
     def skipped_files(self, col: str, lo, hi, version: int | None = None) -> tuple[int, int]:
@@ -636,6 +723,15 @@ class TransactionalTable:
         if latest is None:
             return new_schema
         mf = self._read_manifest(latest)
+        retired = retired_names(mf.column_ops)
+        bad = sorted(n for n in new_schema if n in retired)
+        if bad:
+            raise SchemaConflict(
+                f"column name(s) {bad} were retired by an earlier "
+                f"rename/drop in {self.root} and cannot be re-added "
+                "(no per-file column ids — the read mapping would be "
+                "ambiguous)"
+            )
         for name, typ in new_schema.items():
             old = (mf.schema or {}).get(name)
             if old is not None and old != typ:
@@ -686,6 +782,79 @@ class TransactionalTable:
             rebase_ok=False,
             carry_parent_files=True,
             constraint=expr,
+        )
+
+    def rename_column(self, old: str, new: str) -> int:
+        """ZERO-REWRITE column rename (round 6; Delta column-mapping
+        semantics without per-file ids): one metadata-only commit
+        records ``["rename", old, new]`` — no data file is touched.
+        Reads apply the op after the scan (files written before the
+        rename coalesce their old physical column into the new name;
+        files written after carry the new name natively); per-file
+        stats and bloom entries move to the new key, so data skipping
+        on the renamed column keeps working. Time travel to an earlier
+        version shows the names as of THAT version; ``restore`` does
+        NOT undo metadata ops (data re-points, the schema history
+        stands). The old name is RETIRED — re-adding it would make the
+        read mapping ambiguous without per-file column ids, so
+        `_enforce` rejects it. At 100 TB this is the difference between
+        a rename costing one manifest and costing a full rewrite."""
+        base = self.latest_version()
+        if base is None:
+            raise FileNotFoundError(f"no committed version in {self.root}")
+        mf = self._read_manifest(base)
+        schema = mf.schema or {}
+        if old not in schema:
+            raise KeyError(f"no column {old!r} in {self.root}")
+        if new in schema:
+            raise SchemaConflict(
+                f"column {new!r} already exists in {self.root}"
+            )
+        if new in retired_names(mf.column_ops):
+            raise SchemaConflict(
+                f"column name {new!r} was retired by an earlier "
+                f"rename/drop in {self.root}"
+            )
+        if any(old in pv for pv in (mf.partitions or {}).values()):
+            raise SchemaConflict(
+                f"{old!r} is a partition column (its values live in "
+                "file paths) — renaming it needs a rewrite"
+            )
+        return self._commit(
+            [],
+            "rename-column",
+            base,
+            rebase_ok=False,
+            carry_parent_files=True,
+            column_op=["rename", old, new],
+        )
+
+    def drop_column(self, col: str) -> int:
+        """ZERO-REWRITE column drop: one metadata-only commit records
+        ``["drop", col]``; reads project the column away (Catalyst's
+        column pruning then keeps the dropped column's bytes out of the
+        parquet scans entirely), stats/bloom entries are retired, and
+        the name cannot be re-added (see :meth:`rename_column`).
+        Physical bytes remain until files are naturally rewritten
+        (compact/CoW) — the Delta DROP COLUMN contract."""
+        base = self.latest_version()
+        if base is None:
+            raise FileNotFoundError(f"no committed version in {self.root}")
+        mf = self._read_manifest(base)
+        if col not in (mf.schema or {}):
+            raise KeyError(f"no column {col!r} in {self.root}")
+        if any(col in pv for pv in (mf.partitions or {}).values()):
+            raise SchemaConflict(
+                f"{col!r} is a partition column — dropping it needs a "
+                "rewrite"
+            )
+        return self._commit(
+            [],
+            "drop-column",
+            base,
+            rebase_ok=False,
+            carry_parent_files=True,
+            column_op=["drop", col],
         )
 
     def stage_files(
@@ -795,6 +964,7 @@ class TransactionalTable:
         constraint: str | None = None,
         blooms: dict[str, dict] | None = None,
         generated: dict[str, str] | None = None,
+        column_op: list | None = None,
     ) -> int | None:
         """CAS loop over the version counter. ``rebase_ok`` ops (append)
         retry transparently when they lose the race;
@@ -950,6 +1120,12 @@ class TransactionalTable:
             if gen_delta:
                 manifest["generated"] = gen_delta
             all_generated = {**parent_gen, **gen_delta}
+            all_column_ops = (
+                list(parent.column_ops or []) if parent else []
+            )
+            if column_op is not None:
+                manifest["column_op"] = list(column_op)
+                all_column_ops.append(list(column_op))
             # resolved full state (for the snapshot cache + checkpoint):
             # blooms carry like stats — entries for dropped files prune
             all_blooms: dict[str, dict] = {}
@@ -965,24 +1141,36 @@ class TransactionalTable:
 
             manifest["ts"] = _time.time()
             if self._publish(manifest, version):
+                state_stats = {
+                    f: s for f, s in all_stats.items() if f in new_set
+                }
+                state_schema, state_blooms = all_schema, all_blooms
+                if column_op is not None:
+                    state_schema, state_stats, state_blooms = (
+                        _apply_col_op_to_meta(
+                            list(column_op),
+                            dict(state_schema),
+                            state_stats,
+                            dict(state_blooms),
+                        )
+                    )
                 state = {
                     "version": version,
                     "op": op,
                     "parent": latest,
                     "ts": manifest["ts"],
                     "files": all_files,
-                    "stats": {
-                        f: s for f, s in all_stats.items() if f in new_set
-                    },
+                    "stats": state_stats,
                     "partitions": {
                         f: p for f, p in all_parts.items() if f in new_set
                     },
                     "dv_files": all_dvs,
                     "txns": txns,
-                    "schema": all_schema,
+                    "schema": state_schema,
                     "constraints": all_constraints,
-                    "blooms": all_blooms,
+                    "blooms": state_blooms,
                     "generated": all_generated,
+                    "column_ops": all_column_ops,
                 }
                 self._cache_state(version, state)
                 if (
@@ -1239,7 +1427,10 @@ class TransactionalTable:
                 )
         mf = self._read_manifest(base)
         src = self._read_files(
-            mf.files, dv_files=mf.dv_files, with_pos=True
+            mf.files,
+            dv_files=mf.dv_files,
+            with_pos=True,
+            column_ops=mf.column_ops,
         )
         # metadata-scale: the DISTINCT file list of matching rows
         hit_files = {
@@ -1254,7 +1445,9 @@ class TransactionalTable:
         if hit_files:
             survivors = (
                 self._read_files(
-                    sorted(hit_files), dv_files=mf.dv_files
+                    sorted(hit_files),
+                    dv_files=mf.dv_files,
+                    column_ops=mf.column_ops,
                 )
                 .filter(~F.coalesce(condition, F.lit(False)))
             )
@@ -1326,7 +1519,12 @@ class TransactionalTable:
             raise FileNotFoundError(f"no committed version in {self.root}")
         mf = self._read_manifest(base)
         hit = (
-            self._read_files(mf.files, dv_files=mf.dv_files, with_pos=True)
+            self._read_files(
+                mf.files,
+                dv_files=mf.dv_files,
+                with_pos=True,
+                column_ops=mf.column_ops,
+            )
             .filter(condition)
             .select(
                 F.col("__dv_file").alias("file"),
@@ -1407,7 +1605,9 @@ class TransactionalTable:
             return None
         rewrite_set = set(rewrite)
         survivors = self._read_files(
-            sorted(rewrite), dv_files=mf.dv_files
+            sorted(rewrite),
+            dv_files=mf.dv_files,
+            column_ops=mf.column_ops,
         )
         pcols = sorted(
             {
@@ -1501,7 +1701,12 @@ class TransactionalTable:
         if base is None:
             raise FileNotFoundError(f"no committed version in {self.root}")
         mf = self._read_manifest(base)
-        tgt = self._read_files(mf.files, dv_files=mf.dv_files, with_pos=True)
+        tgt = self._read_files(
+            mf.files,
+            dv_files=mf.dv_files,
+            with_pos=True,
+            column_ops=mf.column_ops,
+        )
         # source keys join twice (mask + image legs); no broadcast hint —
         # a merge source can be TBs, AQE demotes/promotes per actual size
         src_keys = source.select(*keys).distinct()
@@ -1654,9 +1859,23 @@ class TransactionalTable:
             )
 
         if added:
-            acc(self._read_files(added, dv_files=mf_b.dv_files), 1)
+            acc(
+                self._read_files(
+                    added,
+                    dv_files=mf_b.dv_files,
+                    column_ops=mf_b.column_ops,
+                ),
+                1,
+            )
         if removed:
-            acc(self._read_files(removed, dv_files=mf_a.dv_files), -1)
+            acc(
+                self._read_files(
+                    removed,
+                    dv_files=mf_a.dv_files,
+                    column_ops=mf_a.column_ops,
+                ),
+                -1,
+            )
         # Deletion-vector delta on RETAINED files, in both directions:
         # positions masked in v_to but not v_from are deletes (-1), and
         # positions masked in v_from but not v_to are RE-INSERTS (+1) —
@@ -1687,7 +1906,11 @@ class TransactionalTable:
                 if not mask_files:
                     return
                 rows = (
-                    self._read_files(mask_files, with_pos=True)
+                    self._read_files(
+                        mask_files,
+                        with_pos=True,
+                        column_ops=mf_b.column_ops,
+                    )
                     .join(
                         F.broadcast(
                             delta_positions.select(
@@ -1838,7 +2061,9 @@ class TransactionalTable:
             raise FileNotFoundError(f"no committed version in {self.root}")
         mf = self._read_manifest(base)
         prefix = "file:" + os.path.abspath(self.root) + "/"
-        rows = self._read_files(mf.files, with_pos=True).select(
+        rows = self._read_files(
+            mf.files, with_pos=True, column_ops=mf.column_ops
+        ).select(
             F.col("__dv_file").alias("file"),
             F.col(col).cast("string").alias("__val"),
         )
@@ -1912,7 +2137,9 @@ class TransactionalTable:
                 keep.append(f)
         if not keep:
             return self.read(v).filter(F.lit(False))
-        df = self._read_files(keep, dv_files=mf.dv_files)
+        df = self._read_files(
+            keep, dv_files=mf.dv_files, column_ops=mf.column_ops
+        )
         return df.filter(F.col(col) == F.lit(value))
 
     def skipped_files_bloom(

@@ -552,3 +552,28 @@ def test_bfs_levels_matches_python_bfs(spark, edges, hops):
         for r in bfs_levels(df, "0", max_hops=hops).collect()
     }
     assert got == expected
+
+
+def test_png_roundtrip_property():
+    """Property: encode_png → decode_png is the identity for ANY uint8
+    RGB array (hypothesis over shapes and contents) — the codec-level
+    guarantee the closed-form fixtures sample."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from hypothesis.extra.numpy import arrays
+
+    from fefal_etl_spark.llm.media_codecs import decode_png, encode_png
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.integers(1, 9).flatmap(
+            lambda h: st.integers(1, 9).flatmap(
+                lambda w: arrays(np.uint8, (h, w, 3))
+            )
+        )
+    )
+    def roundtrip(arr):
+        assert np.array_equal(decode_png(encode_png(arr)), arr)
+
+    roundtrip()

@@ -788,3 +788,155 @@ def test_checkpointed_log_model_based_random_ops(spark, tmp_path):
     fresh2 = TransactionalTable(spark, root)
     assert fresh2.versions() == keep
     check(fresh2, keep)
+
+
+# ----------------------------------------------------------------------
+# round-6: zero-rewrite column rename / drop (metadata-only schema ops)
+# ----------------------------------------------------------------------
+
+
+def test_rename_column_zero_rewrite(spark, tmp_path):
+    """rename_column must be metadata-only (identical file list), make
+    old-named and new-named files read as ONE column, keep data
+    skipping on the renamed column, show version-correct names under
+    time travel, and retire the old name."""
+    from pyspark.sql import functions as F
+
+    from fefal_etl_spark.table import SchemaConflict, TransactionalTable
+
+    root = str(tmp_path / "t")
+    t = TransactionalTable(spark, root)
+    t.overwrite(
+        spark.range(100).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("amount")
+        ).repartitionByRange(4, "k")
+    )
+    files0 = t._read_manifest(0).files
+    v1 = t.rename_column("amount", "price")
+    assert t._read_manifest(v1).files == files0  # zero rewrite
+    assert "price" in t._read_manifest(v1).schema
+    assert "amount" not in t._read_manifest(v1).schema
+    # new-name appends coexist with old-named files
+    t.append(
+        spark.createDataFrame([(1000, 4242)], "k bigint, price bigint")
+    )
+    got = {r["k"]: r["price"] for r in t.read().collect()}
+    assert got[7] == 14 and got[1000] == 4242 and len(got) == 101
+    assert "amount" not in t.read().columns
+    # stats moved: skipping works under the NEW name
+    kept, total = t.skipped_files("price", 10, 20)
+    assert kept < total
+    # time travel shows the old name as of v0
+    assert "amount" in t.read(0).columns and "price" not in t.read(0).columns
+    # the old name is retired
+    import pytest
+
+    with pytest.raises(SchemaConflict):
+        t.append(
+            spark.createDataFrame([(1, 2)], "k bigint, amount bigint")
+        )
+    # fresh handle resolves the ops from the log
+    fresh = TransactionalTable(spark, root)
+    assert {r["k"]: r["price"] for r in fresh.read().collect()} == got
+    # rename chains: price -> cost re-lives, old names stay retired
+    t.rename_column("price", "cost")
+    assert {r["k"]: r["cost"] for r in t.read().collect()} == got
+
+
+def test_drop_column_zero_rewrite_and_dv_interplay(spark, tmp_path):
+    """drop_column projects the column away metadata-only; DV deletes
+    on the renamed/dropped table keep addressing rows correctly; a
+    partition column cannot be renamed or dropped."""
+    from pyspark.sql import functions as F
+
+    from fefal_etl_spark.table import SchemaConflict, TransactionalTable
+
+    import pytest
+
+    root = str(tmp_path / "t")
+    t = TransactionalTable(spark, root)
+    t.overwrite(
+        spark.range(20).select(
+            (F.col("id") % 2).cast("string").alias("p"),
+            F.col("id").alias("k"),
+            (F.col("id") * 3).alias("junk"),
+        ),
+        partition_by=["p"],
+    )
+    files0 = t._read_manifest(0).files
+    v1 = t.drop_column("junk")
+    assert t._read_manifest(v1).files == files0
+    assert "junk" not in t.read().columns
+    # DV delete after the drop addresses the right rows
+    t.delete_where_dv(F.col("k") == 4)
+    assert sorted(r["k"] for r in t.read().collect()) == [
+        i for i in range(20) if i != 4
+    ]
+    # retired: junk cannot come back
+    with pytest.raises(SchemaConflict):
+        t.append(
+            spark.createDataFrame(
+                [("1", 99, 0)], "p string, k bigint, junk bigint"
+            ),
+            partition_by=["p"],
+        )
+    # partition columns are path data — metadata ops must refuse
+    with pytest.raises(SchemaConflict):
+        t.rename_column("p", "bucket")
+    with pytest.raises(SchemaConflict):
+        t.drop_column("p")
+    # model parity across a checkpoint: more commits than the interval
+    t.CHECKPOINT_INTERVAL = 2
+    for i in range(4):
+        t.append(
+            spark.createDataFrame([("0", 100 + i)], "p string, k bigint"),
+            partition_by=["p"],
+        )
+    fresh = TransactionalTable(spark, root)
+    assert (
+        sorted(r["k"] for r in fresh.read().collect())
+        == [i for i in range(20) if i != 4] + [100, 101, 102, 103]
+    )
+    assert "junk" not in fresh.read().columns
+
+
+def test_stream_source_applies_column_ops(spark, tmp_path):
+    """A renamed/dropped table streams under its CURRENT logical schema:
+    old-named files rename per batch, dropped columns vanish."""
+    from pyspark.sql import functions as F
+
+    from fefal_etl_spark.streaming.table_source import (
+        TxnTableStreamDataSource,
+    )
+    from fefal_etl_spark.table import TransactionalTable
+
+    spark.dataSource.register(TxnTableStreamDataSource)
+    root = str(tmp_path / "t")
+    t = TransactionalTable(spark, root)
+    t.overwrite(
+        spark.range(5).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 2).alias("amount"),
+            F.lit("x").alias("junk"),
+        )
+    )
+    t.rename_column("amount", "price")
+    t.drop_column("junk")
+    t.append(spark.createDataFrame([(9, 90)], "k bigint, price bigint"))
+    stream = (
+        spark.readStream.format("txn_table_stream")
+        .option("path", root)
+        .load()
+    )
+    assert stream.columns == ["k", "price"]
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r["k"], r["price"]) for r in spark.read.parquet(out).collect()}
+    assert got == {(i, i * 2) for i in range(5)} | {(9, 90)}
