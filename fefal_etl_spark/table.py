@@ -374,6 +374,17 @@ class TransactionalTable:
         return os.path.join(self._manifests_dir, f"manifest-{version}.json")
 
     @staticmethod
+    def _pcols(mf: _Manifest) -> list[str]:
+        """The snapshot's hive partition columns (union over the
+        manifest partition map) — CoW rewrites re-stage with them so a
+        rewrite never demotes partitioned files to layout-less ones
+        (which a later overwrite_partition would conservatively treat
+        as in-target)."""
+        return sorted(
+            {c for pv in (mf.partitions or {}).values() for c in pv}
+        )
+
+    @staticmethod
     def _to_manifest(state: dict) -> _Manifest:
         return _Manifest(
             version=state["version"],
@@ -1441,6 +1452,19 @@ class TransactionalTable:
             .collect()
         }
         carried = [f for f in mf.files if f not in hit_files]
+        # keep the hive layout: a partially-replacing rewrite must not
+        # demote partitioned files to unpartitioned ones — a later
+        # overwrite_partition would conservatively treat layout-less
+        # files as in-target and swallow them (the materialize_dv rule)
+        pcols = sorted(
+            {c for pv in (mf.partitions or {}).values() for c in pv}
+        )
+        missing = [c for c in pcols if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"overwrite_where on a partitioned table: incoming "
+                f"rows must carry the partition column(s) {missing}"
+            )
         staged: list[str] = []
         if hit_files:
             survivors = (
@@ -1451,9 +1475,11 @@ class TransactionalTable:
                 )
                 .filter(~F.coalesce(condition, F.lit(False)))
             )
-            staged += self.stage_files(survivors)
+            staged += self.stage_files(
+                survivors, partition_by=pcols or None
+            )
         sch = self._enforce(df)
-        staged_new = self.stage_files(df)
+        staged_new = self.stage_files(df, partition_by=pcols or None)
         carried_set = set(carried)
         carried_stats = {
             f: s for f, s in (mf.stats or {}).items() if f in carried_set
@@ -1482,10 +1508,15 @@ class TransactionalTable:
         from pyspark.sql import functions as F
 
         base = self.latest_version()
+        if base is None:
+            raise FileNotFoundError(f"no committed version in {self.root}")
+        mf = self._read_manifest(base)
         survivors = self.read(base).filter(
             ~F.coalesce(condition, F.lit(False))
         )
-        files = self.stage_files(survivors)
+        files = self.stage_files(
+            survivors, partition_by=self._pcols(mf) or None
+        )
         return self._commit(
             files, "delete", base, rebase_ok=False,
             stats=self._file_stats(files),
@@ -1663,10 +1694,15 @@ class TransactionalTable:
         from fefal_etl_spark.operators.upsert import merge_into
 
         base = self.latest_version()
+        if base is None:
+            raise FileNotFoundError(f"no committed version in {self.root}")
+        mf = self._read_manifest(base)
         target = self.read(base)
         merged = merge_into(target, source, keys, update_cols=update_cols)
         sch = self._enforce(merged)
-        files = self.stage_files(merged)
+        files = self.stage_files(
+            merged, partition_by=self._pcols(mf) or None
+        )
         return self._commit(
             files, "merge", base, rebase_ok=False,
             stats=self._file_stats(files), schema=sch,
@@ -1971,6 +2007,9 @@ class TransactionalTable:
             os.path.getsize(os.path.join(self.root, f)) for f in mf.files
         )
         n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+        if partition_by is None:
+            # preserve the table's hive layout by default (see _pcols)
+            partition_by = self._pcols(mf) or None
         if partition_by:
             laid_out = self.read(base).repartition(*partition_by)
         else:
@@ -2005,6 +2044,7 @@ class TransactionalTable:
         base = self.latest_version()
         if base is None:
             raise FileNotFoundError(f"no committed version in {self.root}")
+        mf = self._read_manifest(base)
         z = zorder_key_n([F.col(c) for c in cols], bits=bits)
         laid_out = (
             self.read(base)
@@ -2013,7 +2053,12 @@ class TransactionalTable:
             .sortWithinPartitions("__z")
             .drop("__z")
         )
-        files = self.stage_files(laid_out)
+        # hive layout preserved (see _pcols): each z-band task fans its
+        # rows into their partition dirs, so z-clustering nests INSIDE
+        # the partition scheme instead of silently demoting it
+        files = self.stage_files(
+            laid_out, partition_by=self._pcols(mf) or None
+        )
         return self._commit(
             files, "zorder", base, rebase_ok=False,
             stats=self._file_stats(files),

@@ -710,9 +710,10 @@ def test_checkpointed_log_model_based_random_ops(spark, tmp_path):
     root = str(tmp_path / "t")
     t = TransactionalTable(spark, root)
     t.CHECKPOINT_INTERVAL = 3
+    vcol = "v"
 
     def df_of(rows):
-        return spark.createDataFrame(rows, "p string, k int, v int")
+        return spark.createDataFrame(rows, f"p string, k int, {vcol} int")
 
     # model: k -> (p, v)
     model: dict[int, tuple[str, int]] = {
@@ -723,11 +724,16 @@ def test_checkpointed_log_model_based_random_ops(spark, tmp_path):
         partition_by=["p"],
     )
     history = [dict(model)]
+    # logical name of the value column per version (column ops rename it;
+    # the model's values are unaffected — rename is metadata-only)
+    vcol_hist = ["v"]
+    vcol = "v"
+    n_renames = 0
     next_k = 100
     for step in range(14):
         op = rng.choice(
             ["append", "part_ovw", "repl_where", "dv_del",
-             "dv_mat", "compact", "restore"]
+             "dv_mat", "compact", "restore", "rename_col"]
         )
         if op == "append":
             rows = [
@@ -742,7 +748,7 @@ def test_checkpointed_log_model_based_random_ops(spark, tmp_path):
             rows = [(next_k, next_k * 10), (next_k + 1, next_k * 10 + 10)]
             next_k += 2
             t.overwrite_partition(
-                spark.createDataFrame(rows, "k int, v int"), p=p
+                spark.createDataFrame(rows, f"k int, {vcol} int"), p=p
             )
             model = {k: pv for k, pv in model.items() if pv[0] != p}
             model.update({k: (p, v) for k, v in rows})
@@ -768,13 +774,20 @@ def test_checkpointed_log_model_based_random_ops(spark, tmp_path):
             target = rng.randrange(len(history))
             t.restore(target)
             model = dict(history[target])
+        elif op == "rename_col":
+            n_renames += 1
+            new_name = f"v{n_renames}"
+            t.rename_column(vcol, new_name)
+            vcol = new_name  # metadata-only: model values unchanged
         history.append(dict(model))
+        vcol_hist.append(vcol)
     assert t.versions() == list(range(len(history)))
 
     def check(handle, versions):
         for v in versions:
+            name = vcol_hist[v]  # logical name AS OF that version
             got = {
-                r["k"]: (str(r["p"]), r["v"])
+                r["k"]: (str(r["p"]), r[name])
                 for r in handle.read(version=v).collect()
             }
             assert got == history[v], f"version {v}"
