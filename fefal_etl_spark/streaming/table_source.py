@@ -43,7 +43,6 @@ Usage::
 
 from __future__ import annotations
 
-import json
 import os
 import re
 from typing import Iterator, Sequence
@@ -70,9 +69,10 @@ def _versions(root: str) -> list[int]:
 def _record(root: str, version: int) -> dict:
     """Raw commit record — a DELTA (``add``/``remove``) in the
     checkpointed-log format, or an absolute ``files`` list for
-    pre-checkpoint records (see `table.resolve_snapshot`)."""
-    with open(os.path.join(root, "_manifests", f"manifest-{version}.json")) as f:
-        return json.load(f)
+    pre-checkpoint records (single source of truth: `table._load_record`)."""
+    from fefal_etl_spark.table import _load_record
+
+    return _load_record(root, version)
 
 
 def _snapshot(root: str, version: int) -> dict:
@@ -84,25 +84,31 @@ def _snapshot(root: str, version: int) -> dict:
 
 def _pvals(rel: str) -> dict[str, str]:
     """Hive ``col=value`` path segments of a root-relative data-file
-    path (between ``data/<uuid>/`` and the file name), percent-unquoted
-    — the same parse the manifest writer records."""
-    from urllib.parse import unquote
+    path — delegates to the manifest writer's own parser so the two
+    sides can never diverge."""
+    from fefal_etl_spark.table import TransactionalTable
 
-    out: dict[str, str] = {}
-    for seg in rel.split("/")[2:-1]:
-        if "=" in seg:
-            c, v = seg.split("=", 1)
-            out[unquote(c)] = unquote(v)
-    return out
+    return TransactionalTable._partition_values(rel)
+
+
+def _table_meta(root: str) -> tuple[list[str], list]:
+    """(partition columns, column ops) of the latest snapshot — ONE
+    checkpoint+tail resolution shared by every startup consumer
+    (schema() + reader __init__ would otherwise each re-resolve)."""
+    vs = _versions(root)
+    if not vs:
+        return [], []
+    state = _snapshot(root, vs[-1])
+    cols: set[str] = set()
+    for pv in (state.get("partitions") or {}).values():
+        cols.update(pv)
+    return sorted(cols), state.get("column_ops") or []
 
 
 def _column_ops(root: str) -> list:
     """The table's metadata-only schema ops (rename/drop), fixed at
     stream start like the partition columns."""
-    vs = _versions(root)
-    if not vs:
-        return []
-    return _snapshot(root, vs[-1]).get("column_ops") or []
+    return _table_meta(root)[1]
 
 
 def _apply_column_ops_schema(base, ops):
@@ -144,18 +150,46 @@ def _apply_column_ops_batch(batch, ops):
     return pa.RecordBatch.from_arrays(cols, names=names)
 
 
+def _stream_schema_names(root: str) -> list[str]:
+    """The DATA-column name order of the declared stream schema (first
+    file's parquet order, column ops applied, partition columns
+    appended). The Python data source binds Arrow batches to the
+    declared schema BY POSITION, so every batch must be emitted in
+    exactly this order (mixed layouts store columns at different
+    physical positions)."""
+    import pyarrow.parquet as pq
+
+    pcols, ops = _table_meta(root)
+    vs = _versions(root)
+    state = _snapshot(root, vs[-1])
+    files = state["files"]
+    base = pq.ParquetFile(os.path.join(root, files[0])).schema_arrow
+    base = _apply_column_ops_schema(base, ops)
+    names = list(base.names)
+    for c in pcols:
+        if c not in names:
+            names.append(c)
+    return names
+
+
+def _reorder_batch(batch, names: list[str]):
+    """Project an Arrow batch into the declared column order."""
+    import pyarrow as pa
+
+    if list(batch.schema.names) == names:
+        return batch
+    cols = []
+    for n in names:
+        idx = batch.schema.get_field_index(n)
+        cols.append(batch.column(idx))
+    return pa.RecordBatch.from_arrays(cols, names=names)
+
+
 def _partition_cols(root: str) -> list[str]:
     """Partition column names of the table (union over the latest
     snapshot's manifest partition map), sorted for a deterministic
     schema. Empty for unpartitioned tables."""
-    vs = _versions(root)
-    if not vs:
-        return []
-    parts = _snapshot(root, vs[-1]).get("partitions") or {}
-    cols: set[str] = set()
-    for pv in parts.values():
-        cols.update(pv)
-    return sorted(cols)
+    return _table_meta(root)[0]
 
 
 def _append_partition_columns(batch, rel: str, pcols: list[str]):
@@ -170,6 +204,11 @@ def _append_partition_columns(batch, rel: str, pcols: list[str]):
     cols = list(batch.columns)
     names = list(batch.schema.names)
     for c in pcols:
+        if c in names:
+            # mixed layouts: an unpartitioned commit may store the
+            # column IN the parquet bytes — keep the physical column
+            # (appending a second one would break the static schema)
+            continue
         cols.append(pa.array([pv.get(c)] * n, type=pa.string()))
         names.append(c)
     return pa.RecordBatch.from_arrays(cols, names=names)
@@ -206,9 +245,10 @@ class TxnTableStreamReader(DataSourceStreamReader):
         )
         # -1 = "nothing consumed"; startingVersion=N streams from N on
         self.start_version = int(options.get("startingversion", 0)) - 1
-        # hive partition columns, fixed at stream start (schema is static)
-        self.pcols = _partition_cols(self.root)
-        self.col_ops = _column_ops(self.root)
+        # hive partition columns + schema ops, fixed at stream start
+        # (schema is static) — one shared resolution
+        self.pcols, self.col_ops = _table_meta(self.root)
+        self.schema_names = _stream_schema_names(self.root)
 
     # offsets are {"version": <last fully consumed manifest version>}
     def initialOffset(self) -> dict:
@@ -243,6 +283,7 @@ class TxnTableStreamReader(DataSourceStreamReader):
         ]
         for p_ in out:
             p_.col_ops = self.col_ops
+            p_.schema_names = self.schema_names
         return out
 
     def read(self, partition: _FilePartition) -> Iterator:
@@ -255,9 +296,11 @@ class TxnTableStreamReader(DataSourceStreamReader):
             batch = _apply_column_ops_batch(
                 batch, getattr(partition, "col_ops", [])
             )
-            yield _append_partition_columns(
+            batch = _append_partition_columns(
                 batch, partition.rel, partition.pcols
             )
+            names = getattr(partition, "schema_names", None)
+            yield _reorder_batch(batch, names) if names else batch
 
     def commit(self, end: dict) -> None:
         # offsets are derived purely from immutable manifests — nothing
@@ -290,11 +333,11 @@ class TxnTableStreamDataSource(DataSource):
 
         from pyspark.sql.pandas.types import from_arrow_schema
 
+        pcols, ops = _table_meta(self.options["path"])
         base = _apply_column_ops_schema(
-            _base_arrow_schema(self.options["path"]),
-            _column_ops(self.options["path"]),
+            _base_arrow_schema(self.options["path"]), ops
         )
-        for c in _partition_cols(self.options["path"]):
+        for c in pcols:
             if c not in base.names:
                 base = base.append(pa.field(c, pa.string()))
         return from_arrow_schema(base)
@@ -358,8 +401,8 @@ class TxnTableChangesStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict):
         self.root = options["path"]
         self.start_version = int(options.get("startingversion", 0)) - 1
-        self.pcols = _partition_cols(self.root)
-        self.col_ops = _column_ops(self.root)
+        self.pcols, self.col_ops = _table_meta(self.root)
+        self.schema_names = _stream_schema_names(self.root)
 
     def initialOffset(self) -> dict:
         return {"version": self.start_version}
@@ -397,6 +440,7 @@ class TxnTableChangesStreamReader(DataSourceStreamReader):
                 )
                 p_.pcols = self.pcols
                 p_.col_ops = self.col_ops
+                p_.schema_names = self.schema_names
                 return p_
 
             for rel in cur_mf["files"]:
@@ -480,6 +524,11 @@ class TxnTableChangesStreamReader(DataSourceStreamReader):
             taken = _append_partition_columns(
                 taken, partition.rel, getattr(partition, "pcols", [])
             )
+            # positional binding: the declared schema's data-column
+            # order leads, whatever the file's physical layout was
+            order = getattr(partition, "schema_names", None)
+            if order:
+                taken = _reorder_batch(taken, order)
             cols = list(taken.columns) + [
                 pa.array([change] * len(idx), type=pa.string()),
                 pa.array([partition.version] * len(idx), type=pa.int64()),
@@ -508,11 +557,11 @@ class TxnTableChangesDataSource(DataSource):
 
         from pyspark.sql.pandas.types import from_arrow_schema
 
+        pcols, ops = _table_meta(self.options["path"])
         base = _apply_column_ops_schema(
-            _base_arrow_schema(self.options["path"]),
-            _column_ops(self.options["path"]),
+            _base_arrow_schema(self.options["path"]), ops
         )
-        for c in _partition_cols(self.options["path"]):
+        for c in pcols:
             if c not in base.names:
                 base = base.append(pa.field(c, pa.string()))
         return from_arrow_schema(

@@ -424,9 +424,16 @@ class TransactionalTable:
         if cp is not None or base < 0:
             state = resolve_snapshot(self.root, version)
         else:
-            state = self._snap_cache[base]
-            for v in range(base + 1, version + 1):
-                state = _apply_record(state, _load_record(self.root, v))
+            # .get(): a concurrent _cache_state eviction may have raced
+            # away the base between the max() scan and this read
+            state = self._snap_cache.get(base)
+            if state is None:
+                state = resolve_snapshot(self.root, version)
+            else:
+                for v in range(base + 1, version + 1):
+                    state = _apply_record(
+                        state, _load_record(self.root, v)
+                    )
         self._cache_state(version, state)
         return state
 
@@ -1099,6 +1106,26 @@ class TransactionalTable:
             )
             if constraint is not None:
                 all_constraints.append(constraint)
+            # A REBASED commit re-validates its column set against the
+            # CURRENT parent's retired names: an interleaved
+            # drop_column/rename_column would otherwise let this write
+            # re-register a retired name — whose data every read then
+            # silently drops/renames away (the type check below re-runs
+            # in-loop for the same reason; constraint re-validation
+            # stays on the documented relaxed model — it needs a data
+            # pass, not a metadata read).
+            parent_retired = retired_names(
+                parent.column_ops if parent else None
+            )
+            bad_cols = sorted(
+                n for n in (schema or {}) if n in parent_retired
+            )
+            if bad_cols:
+                raise SchemaConflict(
+                    f"column name(s) {bad_cols} were retired by a "
+                    f"rename/drop committed while this write was in "
+                    f"flight in {self.root}"
+                )
             # record only the schema DELTA (new columns / first record);
             # replay unions them forward exactly as the absolute form did
             parent_schema = (parent.schema or {}) if parent else {}
@@ -1456,9 +1483,7 @@ class TransactionalTable:
         # demote partitioned files to unpartitioned ones — a later
         # overwrite_partition would conservatively treat layout-less
         # files as in-target and swallow them (the materialize_dv rule)
-        pcols = sorted(
-            {c for pv in (mf.partitions or {}).values() for c in pv}
-        )
+        pcols = self._pcols(mf)
         missing = [c for c in pcols if c not in df.columns]
         if missing:
             raise ValueError(
@@ -2273,6 +2298,15 @@ class TransactionalTable:
         stats = {
             f: s for f, s in (mf.stats or {}).items() if f in kept
         }
+        # bloom entries for re-added files must be re-recorded: the
+        # delta log prunes bloom entries when files leave the table, so
+        # unlike the pre-checkpoint absolute manifests they do not
+        # resurrect by themselves
+        blooms = {
+            c: {f: b for f, b in m.items() if f in kept}
+            for c, m in (mf.blooms or {}).items()
+        }
+        blooms = {c: m for c, m in blooms.items() if m}
         return self._commit(
             mf.files,
             "restore",
@@ -2280,6 +2314,7 @@ class TransactionalTable:
             rebase_ok=False,
             stats=stats,
             dv_files=mf.dv_files,
+            blooms=blooms or None,
         )
 
     def vacuum(
@@ -2316,6 +2351,19 @@ class TransactionalTable:
             self._write_checkpoint(
                 keep[0], self._resolve_state(keep[0])
             )
+            cp_path = os.path.join(
+                self._manifests_dir, f"checkpoint-{keep[0]}.json"
+            )
+            if not os.path.exists(cp_path):
+                # _write_checkpoint is best-effort by design (it is a
+                # read accelerator on the commit path) — but HERE the
+                # kept tail becomes unresolvable without it, so a
+                # failed write (ENOSPC, fsync error) must abort the
+                # trim rather than destroy the log
+                raise OSError(
+                    f"vacuum: checkpoint write for version {keep[0]} "
+                    f"did not land; log left untrimmed"
+                )
         removed = []
         now = _time.time()
         for d in os.listdir(self._data_dir):

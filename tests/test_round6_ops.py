@@ -953,3 +953,127 @@ def test_stream_source_applies_column_ops(spark, tmp_path):
     q.awaitTermination()
     got = {(r["k"], r["price"]) for r in spark.read.parquet(out).collect()}
     assert got == {(i, i * 2) for i in range(5)} | {(9, 90)}
+
+
+# ----------------------------------------------------------------------
+# round-6 self-review fixes (code-review findings on the r6 diff)
+# ----------------------------------------------------------------------
+
+
+def test_restore_rebuilds_bloom_entries(spark, tmp_path):
+    """Review fix: the delta log prunes bloom entries when files leave
+    the table, so restore() must RE-RECORD the restored snapshot's
+    blooms — point-lookup skipping survives an undo."""
+    from pyspark.sql import functions as F
+
+    from fefal_etl_spark.table import TransactionalTable
+
+    root = str(tmp_path / "t")
+    t = TransactionalTable(spark, root)
+    t.overwrite(
+        spark.range(200).select(F.col("id").alias("k")).repartitionByRange(8, "k")
+    )
+    t.build_bloom("k")
+    kept0, total0 = t.skipped_files_bloom("k", 7)
+    assert kept0 < total0  # bloom prunes
+    t.overwrite(spark.createDataFrame([(999,)], "k bigint"))  # bad write
+    v = t.restore(1)  # back to the bloomed snapshot
+    kept, total = t.skipped_files_bloom("k", 7, version=v)
+    assert (kept, total) == (kept0, total0)
+    # and through a fresh handle (pure replay)
+    fresh = TransactionalTable(spark, root)
+    assert fresh.skipped_files_bloom("k", 7) == (kept0, total0)
+
+
+def test_rebase_rejects_interleaved_column_retirement(spark, tmp_path):
+    """Review fix: a commit rebasing over an interleaved drop_column /
+    rename_column must NOT re-register the retired name (its data would
+    silently vanish at read) — the in-CAS-loop check raises instead."""
+    from pyspark.sql import functions as F
+
+    from fefal_etl_spark.table import SchemaConflict, TransactionalTable
+
+    root = str(tmp_path / "t")
+    t = TransactionalTable(spark, root)
+    t.overwrite(
+        spark.createDataFrame([(1, 10)], "k int, x int")
+    )
+    # writer A prepares an append WITH column x against base 0
+    a = TransactionalTable(spark, root)
+    staged = a.stage_files(spark.createDataFrame([(2, 20)], "k int, x int"))
+    # writer B retires x while A is in flight
+    t.drop_column("x")
+    # A's rebase (append semantics) must fail loudly, not land silently
+    with pytest.raises(SchemaConflict):
+        a._commit(
+            staged,
+            "append",
+            0,
+            rebase_ok=True,
+            carry_parent_files=True,
+            schema={"k": "int", "x": "int"},
+        )
+    # table unchanged: still 1 row, x dropped everywhere
+    assert t.read().columns == ["k"]
+    assert t.read().count() == 1
+
+
+def test_vacuum_aborts_when_checkpoint_write_fails(spark, tmp_path):
+    """Review fix: vacuum must abort BEFORE trimming the log when the
+    safety checkpoint did not land (a swallowed ENOSPC would otherwise
+    destroy every kept version's ancestry)."""
+    from fefal_etl_spark.table import TransactionalTable
+
+    root = str(tmp_path / "t")
+    t = TransactionalTable(spark, root)
+    for i in range(5):
+        t.append(spark.createDataFrame([(i,)], "k int").coalesce(1))
+    # simulate the checkpoint write failing silently
+    t._write_checkpoint = lambda *a, **kw: None
+    with pytest.raises(OSError, match="did not land"):
+        t.vacuum(keep_versions=2)
+    # log untrimmed: every version still resolvable
+    assert t.versions() == [0, 1, 2, 3, 4]
+    assert t.read(0).count() == 1 and t.read(4).count() == 5
+
+
+def test_mixed_layout_table_streams(spark, tmp_path):
+    """Review fix: a table mixing unpartitioned commits (partition
+    column in the parquet bytes) with hive-partitioned ones streams
+    without duplicating the column."""
+    from pyspark.sql import functions as F
+
+    from fefal_etl_spark.streaming.table_source import (
+        TxnTableStreamDataSource,
+    )
+    from fefal_etl_spark.table import TransactionalTable
+
+    spark.dataSource.register(TxnTableStreamDataSource)
+    root = str(tmp_path / "t")
+    t = TransactionalTable(spark, root)
+    # unpartitioned first: p physically stored as string
+    t.overwrite(
+        spark.createDataFrame([("a", 1), ("b", 2)], "p string, k bigint")
+    )
+    # then hive-partitioned: p only in the path
+    t.append(
+        spark.createDataFrame([("a", 3)], "p string, k bigint"),
+        partition_by=["p"],
+    )
+    stream = (
+        spark.readStream.format("txn_table_stream")
+        .option("path", root)
+        .load()
+    )
+    assert stream.columns.count("p") == 1
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r["p"], r["k"]) for r in spark.read.parquet(out).collect()}
+    assert got == {("a", 1), ("b", 2), ("a", 3)}
