@@ -52,6 +52,15 @@ from pyspark.sql import DataFrame, SparkSession
 
 _MANIFEST_RE = re.compile(r"^manifest-(\d+)\.json$")
 _CHECKPOINT_RE = re.compile(r"^checkpoint-(\d+)\.json$")
+# multi-part checkpoint (round 7 — Delta's multi-part parquet checkpoint
+# model): ``checkpoint-<N>.<k>-of-<K>.json`` — the full state at N split
+# into K independently-written parts, so checkpoint WRITE cost is
+# parallelizable and per-part size stays bounded however many files the
+# table holds (the single-JSON checkpoint was the last O(table-files)
+# metadata ceiling: one serialize + one whole-file read)
+_CHECKPOINT_PART_RE = re.compile(
+    r"^checkpoint-(\d+)\.(\d+)-of-(\d+)\.json$"
+)
 
 
 # ----------------------------------------------------------------------
@@ -69,13 +78,86 @@ def _load_record(root: str, version: int) -> dict:
 
 
 def _list_checkpoints(root: str) -> list[int]:
+    """Versions with a COMPLETE checkpoint: a legacy single
+    ``checkpoint-<N>.json`` or a multi-part set with all K parts
+    present. An in-flight multi-part write (some parts landed, some
+    not) is invisible — readers only ever consume whole checkpoints,
+    which is what makes the part writes atomicity-free."""
     mdir = os.path.join(root, "_manifests")
-    out = []
+    single: set[int] = set()
+    parts: dict[int, dict[int, set[int]]] = {}  # ver -> K -> {k}
     for fn in os.listdir(mdir):
         m = _CHECKPOINT_RE.match(fn)
         if m:
-            out.append(int(m.group(1)))
+            single.add(int(m.group(1)))
+            continue
+        m = _CHECKPOINT_PART_RE.match(fn)
+        if m:
+            v, k, total = (int(g) for g in m.groups())
+            parts.setdefault(v, {}).setdefault(total, set()).add(k)
+    complete = single | {
+        v
+        for v, by_k in parts.items()
+        for total, ks in by_k.items()
+        if len(ks) == total
+    }
+    return sorted(complete)
+
+
+def _checkpoint_paths(root: str, version: int) -> list[str]:
+    """Existing file paths making up ``version``'s checkpoint (single
+    or parts, possibly both after an upgrade) — vacuum's delete list."""
+    mdir = os.path.join(root, "_manifests")
+    out = []
+    for fn in os.listdir(mdir):
+        m = _CHECKPOINT_RE.match(fn) or _CHECKPOINT_PART_RE.match(fn)
+        if m and int(m.group(1)) == version:
+            out.append(os.path.join(mdir, fn))
     return sorted(out)
+
+
+def _load_checkpoint(root: str, version: int) -> dict:
+    """Load and merge ``version``'s checkpoint. Part 0 carries the
+    scalar state (version/op/ledger/schema/…); every part carries its
+    slice of ``files`` and the per-file maps (stats, partitions, bloom
+    entries). Concatenating slices in part order reconstructs the
+    manifest file order exactly. Falls back to the legacy single
+    JSON when no complete part set exists."""
+    mdir = os.path.join(root, "_manifests")
+    by_k: dict[int, list[int]] = {}
+    for fn in os.listdir(mdir):
+        m = _CHECKPOINT_PART_RE.match(fn)
+        if m and int(m.group(1)) == version:
+            by_k.setdefault(int(m.group(3)), []).append(int(m.group(2)))
+    totals = [t for t, ks in by_k.items() if len(set(ks)) == t]
+    if totals:
+        total = totals[0]
+        state: dict = {}
+        for k in range(total):
+            with open(
+                os.path.join(
+                    mdir, f"checkpoint-{version}.{k}-of-{total}.json"
+                )
+            ) as f:
+                part = json.load(f)
+            if k == 0:
+                state = part
+            else:
+                state["files"] += part["files"]
+                state["stats"].update(part.get("stats") or {})
+                state["partitions"].update(part.get("partitions") or {})
+                for c, m_ in (part.get("blooms") or {}).items():
+                    state.setdefault("blooms", {}).setdefault(
+                        c, {}
+                    ).update(m_)
+        state.pop("fmt", None)
+        return state
+    with open(
+        os.path.join(mdir, f"checkpoint-{version}.json")
+    ) as f:
+        state = json.load(f)
+    state.pop("fmt", None)
+    return state
 
 
 def _apply_record(state: dict | None, rec: dict) -> dict:
@@ -227,11 +309,7 @@ def resolve_snapshot(root: str, version: int) -> dict:
     start = 0
     if cps:
         cp = cps[-1]
-        with open(
-            os.path.join(root, "_manifests", f"checkpoint-{cp}.json")
-        ) as f:
-            state = json.load(f)
-        state.pop("fmt", None)
+        state = _load_checkpoint(root, cp)
         if cp == version:
             return state
         start = cp + 1
@@ -334,6 +412,13 @@ class TransactionalTable:
     #: snapshot resolution reads one checkpoint + ≤N delta records —
     #: the Delta `_last_checkpoint` cadence (Delta uses 10 too)
     CHECKPOINT_INTERVAL = 10
+
+    #: max files per checkpoint PART: a checkpoint over more files than
+    #: this is split into ceil(files / part_size) independent part
+    #: files (see `_write_checkpoint`) so per-part size stays bounded
+    #: and the write parallelizes — part count scales with the table,
+    #: part size does not. 100k files × ~200 B/entry ≈ 20-30 MB/part.
+    CHECKPOINT_PART_FILES = 100_000
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -944,19 +1029,65 @@ class TransactionalTable:
         return self._publish_json(manifest, self._manifest_path(version))
 
     def _write_checkpoint(self, version: int, state: dict) -> None:
-        """Write ``checkpoint-<version>.json`` — the FULL resolved state
-        — plus the ``_last_checkpoint`` pointer (Delta's model: on an
-        object store the pointer saves the listing; locally resolution
-        lists the directory, so the pointer is advisory). Checkpoints
-        for the same version are content-identical, so a concurrent
-        writer racing on the same version is harmless (create-if-absent
-        keeps the first). Never fails a commit: the checkpoint is a
+        """Write ``version``'s full-state checkpoint plus the
+        ``_last_checkpoint`` pointer (Delta's model: on an object store
+        the pointer saves the listing; locally resolution lists the
+        directory, so the pointer is advisory).
+
+        Tables up to :attr:`CHECKPOINT_PART_FILES` files write the
+        legacy single ``checkpoint-<N>.json``; above it the state is
+        split into K = ceil(files / part_size) parts
+        ``checkpoint-<N>.<k>-of-<K>.json`` (Delta's multi-part
+        checkpoint): part 0 carries the scalar state, every part
+        carries its slice of the file list with that slice's stats /
+        partition values / bloom entries. Parts are independent — an
+        object-store deployment writes them concurrently — and
+        per-part size is bounded by the slice size, so neither the
+        write nor any single read is O(table files) in one object.
+        Readers only consume COMPLETE part sets (`_list_checkpoints`),
+        so no ordering between part writes matters. Checkpoints for
+        the same version are content-identical, so a concurrent writer
+        racing on the same version is harmless (create-if-absent keeps
+        the first). Never fails a commit: the checkpoint is a
         read-path accelerator, not part of the commit protocol."""
-        target = os.path.join(
-            self._manifests_dir, f"checkpoint-{version}.json"
-        )
+        files = state.get("files") or []
+        part_size = self.CHECKPOINT_PART_FILES
         try:
-            self._publish_json(dict(state), target)
+            if len(files) <= part_size:
+                self._publish_json(
+                    dict(state),
+                    os.path.join(
+                        self._manifests_dir, f"checkpoint-{version}.json"
+                    ),
+                )
+            else:
+                total = -(-len(files) // part_size)
+                stats = state.get("stats") or {}
+                parts_map = state.get("partitions") or {}
+                blooms = state.get("blooms") or {}
+                for k in range(total):
+                    chunk = files[k * part_size : (k + 1) * part_size]
+                    cs = set(chunk)
+                    part = dict(state) if k == 0 else {}
+                    part["files"] = chunk
+                    part["stats"] = {
+                        f: s for f, s in stats.items() if f in cs
+                    }
+                    part["partitions"] = {
+                        f: p for f, p in parts_map.items() if f in cs
+                    }
+                    pb = {
+                        c: {f: b for f, b in m.items() if f in cs}
+                        for c, m in blooms.items()
+                    }
+                    part["blooms"] = {c: m for c, m in pb.items() if m}
+                    self._publish_json(
+                        part,
+                        os.path.join(
+                            self._manifests_dir,
+                            f"checkpoint-{version}.{k}-of-{total}.json",
+                        ),
+                    )
             ptr = os.path.join(
                 self._manifests_dir, f".tmp-ptr-{uuid.uuid4().hex}.json"
             )
@@ -2351,10 +2482,7 @@ class TransactionalTable:
             self._write_checkpoint(
                 keep[0], self._resolve_state(keep[0])
             )
-            cp_path = os.path.join(
-                self._manifests_dir, f"checkpoint-{keep[0]}.json"
-            )
-            if not os.path.exists(cp_path):
+            if keep[0] not in _list_checkpoints(self.root):
                 # _write_checkpoint is best-effort by design (it is a
                 # read accelerator on the commit path) — but HERE the
                 # kept tail becomes unresolvable without it, so a
@@ -2379,9 +2507,6 @@ class TransactionalTable:
                 os.unlink(self._manifest_path(v))
         for c in _list_checkpoints(self.root):
             if not keep or c < keep[0]:
-                os.unlink(
-                    os.path.join(
-                        self._manifests_dir, f"checkpoint-{c}.json"
-                    )
-                )
+                for p in _checkpoint_paths(self.root, c):
+                    os.unlink(p)
         return removed
