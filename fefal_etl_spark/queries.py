@@ -3218,7 +3218,8 @@ def q_replace_where_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_orderkey") <= thr)
             & ~(F.col("o_totalprice") < 100000)
         )
-        t.overwrite_where(repl, F.col("o_orderkey") <= F.lit(thr))
+        # string predicate: the discovery scan is stats-PRUNED (r7)
+        t.overwrite_where(repl, f"o_orderkey <= {thr}")
 
     t = _txn_scenario(
         spark, sf_dir, "txn_repl_where", build, final_version=1
@@ -3235,6 +3236,68 @@ def q_replace_where_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("revenue"),
         )
+        .withColumn("carried_ok", F.lit(carried))
+    )
+
+
+@register(
+    "pruned_delete_read",
+    """
+    WITH b AS (SELECT max(o_orderkey) // 4 AS thr FROM orders)
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(24,4))) AS DOUBLE) AS revenue,
+           TRUE AS pruned_ok,
+           TRUE AS carried_ok
+    FROM orders, b WHERE o_orderkey > b.thr
+    GROUP BY o_orderstatus
+    """,
+)
+def q_pruned_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-7 — file-level copy-on-write DELETE with stats-pruned hit
+    discovery (table.py::delete_where + predicate_prune): the
+    key-range-clustered orders table drops its low-key quarter via a
+    SQL-string predicate. ``pruned_ok`` pins, from manifest metadata
+    alone, that the discovery candidate list excluded at least one
+    file (the write path never opened the non-intersecting files);
+    ``carried_ok`` pins that the delete carried files by reference
+    (pre-r7 every surviving row was re-staged). The oracle replays the
+    survivors declaratively."""
+    from fefal_etl_spark.predicate_prune import prune_candidates
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    thr = base.agg(
+        (F.max("o_orderkey") / 4).cast("long").alias("thr")
+    ).collect()[0]["thr"]
+
+    def build(t):
+        t.overwrite(base.repartitionByRange(8, "o_orderkey"))
+        t.delete_where(f"o_orderkey <= {thr}")
+
+    t = _txn_scenario(
+        spark, sf_dir, "txn_pruned_del", build, final_version=1
+    )
+    mf0 = t._read_manifest(0)
+    cand = prune_candidates(
+        f"o_orderkey <= {thr}",
+        mf0.files,
+        mf0.stats or {},
+        mf0.partitions or {},
+    )
+    pruned = cand is not None and 0 < len(cand) < len(mf0.files)
+    carried = bool(set(mf0.files) & set(t._read_manifest(1).files))
+    return (
+        t.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(24,4)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .withColumn("pruned_ok", F.lit(pruned))
         .withColumn("carried_ok", F.lit(carried))
     )
 

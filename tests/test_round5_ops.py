@@ -908,11 +908,22 @@ def test_row_deltas_dv_and_cow(spark, tmp_path):
     v2 = t.delete_where_dv(F.col("k") % 7 == 1)
     d2 = t.row_deltas(v1, v2)
     assert sorted(r["k"] for r in d2.collect()) == [1, 8, 22, 29, 36, 43]
-    # CoW delete: every surviving row re-staged
+    # CoW delete is FILE-level since r7: the delta covers only the
+    # rewritten files — deleted keys appear as pure -1, survivors of
+    # rewritten files appear as matched -1/+1 pairs, carried files
+    # emit nothing
     v3 = t.delete_where(F.col("k") >= 40)
-    d3 = t.row_deltas(v2, v3)
-    counts = {r["__delta"]: r["count"] for r in d3.groupBy("__delta").count().collect()}
-    assert counts[-1] == t.read(v2).count() and counts[1] == t.read(v3).count()
+    d3 = [(r["__delta"], r["k"]) for r in t.row_deltas(v2, v3).collect()]
+    minus = sorted(k for s, k in d3 if s == -1)
+    plus = sorted(k for s, k in d3 if s == 1)
+    deleted = sorted(
+        k
+        for k in range(40, 50)
+        if k % 5 != 0 and k % 7 != 1  # already DV-masked rows excluded
+    )
+    assert sorted(set(minus) - set(plus)) == deleted
+    assert set(plus) <= set(minus)  # rewritten survivors pair up
+    assert t.read(v3).count() == t.read(v2).count() - len(deleted)
     # no change -> empty delta with the data schema + __delta
     assert t.row_deltas(v3, v3).count() == 0
 
@@ -1231,8 +1242,16 @@ def test_txn_table_stream_source_tails_commits(spark, tmp_path):
     t.delete_where(F.col("k") < 5)
     with pytest.raises(Exception, match="append-only"):
         drain()
-    # ignoreChanges streams additions only (the rewrite's restaged
-    # survivors are additions: 25 initial + 5 appended + 25 survivors)
+    # ignoreChanges streams additions only: 25 initial + 5 appended +
+    # the survivors the delete actually restaged (delete is FILE-level
+    # since r7, so compute the restaged count from the commit log)
+    v_del = t.latest_version()
+    restaged = set(t._read_manifest(v_del).files) - set(
+        t._read_manifest(v_del - 1).files
+    )
+    n_restaged = (
+        t._read_files(sorted(restaged)).count() if restaged else 0
+    )
     df2 = (
         spark.readStream.format("txn_table_stream")
         .option("path", root)
@@ -1240,7 +1259,14 @@ def test_txn_table_stream_source_tails_commits(spark, tmp_path):
         .load()
     )
     drain(df2, str(tmp_path / "out2"), str(tmp_path / "ckpt2"))
-    assert spark.read.parquet(str(tmp_path / "out2")).count() == 55
+    assert (
+        spark.read.parquet(str(tmp_path / "out2")).count()
+        == 30 + n_restaged
+    )
+    # the file-level delete carried at least one file by reference
+    assert set(t._read_manifest(v_del).files) & set(
+        t._read_manifest(v_del - 1).files
+    )
 
 
 def test_txn_table_schema_enforcement_and_constraints(spark, tmp_path):
