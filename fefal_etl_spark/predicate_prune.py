@@ -301,6 +301,16 @@ def _eval(node, stats: dict, parts: dict) -> tuple[bool, bool]:
     return _UNKNOWN
 
 
+def sql_literal(v) -> str:
+    """Render a Python scalar as a SQL literal for the skippable
+    subset (numbers bare, everything else single-quoted with ''
+    escaping — booleans quote too, since bool atoms are never
+    skippable anyway and quoting keeps the parse unambiguous)."""
+    if isinstance(v, (int, float)) and not isinstance(v, bool):
+        return repr(v)
+    return "'" + str(v).replace("'", "''") + "'"
+
+
 def prune_candidates(
     condition: str,
     files: list[str],

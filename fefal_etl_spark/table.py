@@ -1503,6 +1503,21 @@ class TransactionalTable:
                 for c, v in partition_values.items()
             )
 
+        from fefal_etl_spark.predicate_prune import (
+            prune_candidates,
+            sql_literal,
+        )
+
+        # the target region as a skippable predicate: lets the carry
+        # filter (and the conflict walk below) judge LAYOUT-LESS files
+        # by their recorded column stats too — a file whose stats prove
+        # it holds no target-partition rows is carried instead of
+        # swallowed (round 7; pre-r7 any file without the partition
+        # column in its path was conservatively replaced)
+        eq_pred = " AND ".join(
+            f"{c} = {sql_literal(v)}"
+            for c, v in partition_values.items()
+        )
         staged = self.stage_files(
             df.select(
                 *[
@@ -1518,10 +1533,17 @@ class TransactionalTable:
         while True:
             mf = self._read_manifest(base)
             parts = mf.partitions or {}
+            maybe_target = set(
+                prune_candidates(
+                    eq_pred, mf.files, mf.stats or {}, parts
+                )
+                or mf.files
+            )
             carried = [
                 f
                 for f in mf.files
                 if not in_target(parts.get(f) or {})
+                or f not in maybe_target
             ]
             carried_stats = {
                 f: s
@@ -1542,20 +1564,37 @@ class TransactionalTable:
             except CommitConflict:
                 latest = self.latest_version()
                 assert latest is not None and latest > base
+                # judge interleaved commits with the same predicate:
+                # hive-layout files by path, layout-less appends by
+                # their record's stats (round 7 — a plain append whose
+                # rows provably avoid the target partition no longer
+                # kills the rewrite)
                 for v in range(base + 1, latest + 1):
                     rec = _load_record(self.root, v)
                     if "files" in rec or rec.get("dv_add") or rec.get(
                         "dv_remove"
                     ):
                         raise  # full-state or DV commit: no narrowing
-                    touched = list(rec.get("add") or []) + list(
-                        rec.get("remove") or []
-                    )
+                    removed = list(rec.get("remove") or [])
                     if any(
                         in_target(self._partition_values(f))
-                        for f in touched
+                        for f in removed
                     ):
                         raise  # overlapping partition: real conflict
+                    layoutless = [
+                        f
+                        for f in (rec.get("add") or [])
+                        if in_target(self._partition_values(f))
+                    ]
+                    if layoutless:
+                        cand = prune_candidates(
+                            eq_pred,
+                            layoutless,
+                            rec.get("stats") or {},
+                            rec.get("partitions") or {},
+                        )
+                        if cand is None or cand:
+                            raise  # may hold target rows: real conflict
                 base = latest  # disjoint interleave: rebase and retry
 
     def _hit_files(self, mf: _Manifest, condition, cond_str: str | None) -> set[str]:
@@ -1646,7 +1685,6 @@ class TransactionalTable:
                 )
         mf = self._read_manifest(base)
         hit_files = self._hit_files(mf, condition, cond_str)
-        carried = [f for f in mf.files if f not in hit_files]
         # keep the hive layout: a partially-replacing rewrite must not
         # demote partitioned files to unpartitioned ones — a later
         # overwrite_partition would conservatively treat layout-less
@@ -1673,22 +1711,64 @@ class TransactionalTable:
             )
         sch = self._enforce(df)
         staged_new = self.stage_files(df, partition_by=pcols or None)
-        carried_set = set(carried)
-        carried_stats = {
-            f: s for f, s in (mf.stats or {}).items() if f in carried_set
-        }
-        return self._commit(
-            carried + staged + staged_new,
-            "overwrite-where",
-            base,
-            rebase_ok=False,
-            stats={
-                **carried_stats,
-                **self._file_stats(staged + staged_new),
-            },
-            dv_files=mf.dv_files,  # entries on rewritten files are inert
-            schema=sch,
-        )
+        new_stats = self._file_stats(staged + staged_new)
+        while True:
+            carried = [f for f in mf.files if f not in hit_files]
+            carried_set = set(carried)
+            carried_stats = {
+                f: s
+                for f, s in (mf.stats or {}).items()
+                if f in carried_set
+            }
+            try:
+                return self._commit(
+                    carried + staged + staged_new,
+                    "overwrite-where",
+                    base,
+                    rebase_ok=False,
+                    stats={**carried_stats, **new_stats},
+                    # entries on rewritten files are inert
+                    dv_files=mf.dv_files,
+                    schema=sch,
+                )
+            except CommitConflict:
+                # CONFLICT NARROWING vs interleaved APPENDS (round 7,
+                # the predicate twin of overwrite_partition's walk): an
+                # append whose added files PROVABLY hold no row of the
+                # replaced region (judged by the commit record's own
+                # stats/partition values against the string predicate)
+                # is order-independent with this rewrite — rebase onto
+                # it and carry its files. Needs the STRING form of the
+                # predicate; Column-form rewrites keep strict behavior.
+                if cond_str is None:
+                    raise
+                from fefal_etl_spark.predicate_prune import (
+                    prune_candidates,
+                )
+
+                latest = self.latest_version()
+                assert latest is not None and latest > base
+                for v in range(base + 1, latest + 1):
+                    rec = _load_record(self.root, v)
+                    if rec.get("op") not in ("append", "stream-append"):
+                        raise  # only pure appends are order-independent
+                    if (
+                        "files" in rec
+                        or rec.get("remove")
+                        or rec.get("dv_add")
+                        or rec.get("dv_remove")
+                    ):
+                        raise
+                    cand = prune_candidates(
+                        cond_str,
+                        list(rec.get("add") or []),
+                        rec.get("stats") or {},
+                        rec.get("partitions") or {},
+                    )
+                    if cand is None or cand:
+                        raise  # may hold replaced-region rows
+                base = latest  # disjoint appends: rebase and retry
+                mf = self._read_manifest(base)
 
     def delete_where(self, condition) -> int:
         """Copy-on-write delete at FILE granularity: rewrite only the
