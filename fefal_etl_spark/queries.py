@@ -3241,6 +3241,71 @@ def q_replace_where_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "txn_batch_source_read",
+    """
+    WITH s AS (
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_orderkey % 4 IN (0, 1)
+    )
+    SELECT 1 AS version, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(24,4))) AS DOUBLE) AS revenue
+    FROM s
+    UNION ALL
+    SELECT 3, CAST(count(*) AS BIGINT),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(24,4))) AS DOUBLE)
+    FROM s WHERE NOT (o_totalprice < 100000)
+    """,
+)
+def q_txn_batch_source_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-7 — the BATCH ``txn_table`` read DataSource
+    (sources/table_batch.py), completing API symmetry with the two
+    streaming sources: a multi-commit table (overwrite + append + DV
+    delete + zero-rewrite rename) is read through
+    ``spark.read.format("txn_table")`` — pinned version 1 (pre-DV,
+    pre-rename schema) and the latest snapshot (vectors masked, the
+    renamed ``price`` column) — and both reads aggregate to exactly
+    the states `table_time_travel` pins via the helper API. The
+    oracle replays both logical states declaratively."""
+    from fefal_etl_spark.sources.table_batch import (
+        TxnTableBatchDataSource,
+    )
+
+    spark.dataSource.register(TxnTableBatchDataSource)
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+
+    def build(t):
+        t.overwrite(base.filter(F.col("o_orderkey") % 4 == 0))
+        t.append(base.filter(F.col("o_orderkey") % 4 == 1))
+        t.delete_where_dv(F.col("o_totalprice") < 100000)
+        t.rename_column("o_totalprice", "price")
+
+    t = _txn_scenario(
+        spark, sf_dir, "txn_batch_src", build, final_version=3
+    )
+
+    def agg(df: DataFrame, version: int, price_col: str) -> DataFrame:
+        return df.agg(
+            F.lit(version).alias("version"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.col(price_col).cast("decimal(24,4)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+
+    v1 = (
+        spark.read.format("txn_table")
+        .option("version", 1)
+        .load(t.root)
+    )
+    latest = spark.read.format("txn_table").load(t.root)
+    return agg(v1, 1, "o_totalprice").unionByName(
+        agg(latest, 3, "price")
+    )
+
+
+@register(
     "pruned_delete_read",
     """
     WITH b AS (SELECT max(o_orderkey) // 4 AS thr FROM orders)

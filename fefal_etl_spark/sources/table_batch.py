@@ -1,0 +1,230 @@
+"""Batch read DataSource over a transactional table —
+``spark.read.format("txn_table")`` (VERDICT r6 item 5: API symmetry
+with the two STREAMING sources in `streaming/table_source.py`; batch
+reads previously required the `TransactionalTable.read()` helpers).
+
+Usage::
+
+    spark.dataSource.register(TxnTableBatchDataSource)
+    df = spark.read.format("txn_table").load(root)                # latest
+    df = (spark.read.format("txn_table")
+          .option("version", 3).load(root))                       # pinned
+    df = (spark.read.format("txn_table")
+          .option("asOfTimestamp", 1723711111.5).load(root))      # AS OF
+
+Semantics match ``TransactionalTable.read(version)`` exactly: the
+snapshot is resolved checkpoint+tail (never a full-log walk), deletion
+vectors mask rows positionally, metadata-only column ops (rename/drop)
+apply over files written before them, and hive partition columns are
+reconstructed from the file paths as constant STRING columns (the
+on-disk representation — a Python source declares one static schema).
+Everything version-dependent (schema, column ops, partition columns,
+DV sidecars) is resolved AS OF the requested version, so time travel
+shows that version's names and masks, not today's.
+
+One input partition per data file: Spark schedules files across
+executors, each reading its parquet with pyarrow and yielding Arrow
+record batches — columnar through the Python boundary, like the
+streaming readers. At 100 TB the unit of parallelism is the file,
+which is exactly how the manifest bounds work anyway.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+)
+
+from fefal_etl_spark.streaming.table_source import (
+    _apply_column_ops_batch,
+    _apply_column_ops_schema,
+    _append_partition_columns,
+    _record,
+    _reorder_batch,
+    _snapshot,
+    _versions,
+)
+
+
+def _resolve_version(root: str, options: dict) -> int:
+    """The snapshot version the options pin: explicit ``version``,
+    ``asOfTimestamp`` (latest commit at-or-before, commit ``ts`` with
+    manifest-mtime fallback for pre-upgrade records — same rule as
+    ``TransactionalTable.version_as_of``), else latest."""
+    vs = _versions(root)
+    if not vs:
+        raise FileNotFoundError(f"no committed version in {root}")
+    if options.get("version") is not None:
+        v = int(options["version"])
+        if v not in set(vs):
+            raise FileNotFoundError(f"version {v} of {root} not found")
+        return v
+    if options.get("asoftimestamp") is not None:
+        ts = float(options["asoftimestamp"])
+        best = None
+        for v in vs:
+            rec_ts = _record(root, v).get("ts")
+            if rec_ts is None:
+                rec_ts = os.path.getmtime(
+                    os.path.join(root, "_manifests", f"manifest-{v}.json")
+                )
+            if rec_ts <= ts:
+                best = v
+        if best is None:
+            raise FileNotFoundError(
+                f"no version of {root} committed at or before {ts}"
+            )
+        return best
+    return vs[-1]
+
+
+def _snapshot_meta(root: str, version: int):
+    """(state, pcols, col_ops, schema_names) AS OF ``version`` — the
+    version-pinned twin of the streaming `_table_meta` +
+    `_stream_schema_names` pair (those fix metadata at the LATEST
+    version, which is right for a stream and wrong for time travel)."""
+    import pyarrow.parquet as pq
+
+    state = _snapshot(root, version)
+    files = state["files"]
+    if not files:
+        raise FileNotFoundError(f"version {version} of {root} is empty")
+    pcols = sorted(
+        {
+            c
+            for pv in (state.get("partitions") or {}).values()
+            for c in pv
+        }
+    )
+    ops = state.get("column_ops") or []
+    base = pq.ParquetFile(os.path.join(root, files[0])).schema_arrow
+    base = _apply_column_ops_schema(base, ops)
+    names = list(base.names)
+    for c in pcols:
+        if c not in names:
+            names.append(c)
+    return state, pcols, ops, names
+
+
+class _BatchFilePartition(InputPartition):
+    def __init__(
+        self,
+        path: str,
+        rel: str,
+        dv_paths: list[str],
+        pcols: list[str],
+        col_ops: list,
+        schema_names: list[str],
+    ):
+        self.path = path
+        self.rel = rel
+        self.dv_paths = dv_paths
+        self.pcols = pcols
+        self.col_ops = col_ops
+        self.schema_names = schema_names
+
+
+class TxnTableBatchReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.root = options["path"]
+        self.version = _resolve_version(self.root, options)
+        (
+            self.state,
+            self.pcols,
+            self.col_ops,
+            self.schema_names,
+        ) = _snapshot_meta(self.root, self.version)
+
+    def partitions(self) -> Sequence[InputPartition]:
+        dv_paths = [
+            os.path.join(self.root, f)
+            for f in self.state.get("dv_files") or []
+        ]
+        return [
+            _BatchFilePartition(
+                os.path.join(self.root, rel),
+                rel,
+                dv_paths,
+                self.pcols,
+                self.col_ops,
+                self.schema_names,
+            )
+            for rel in self.state["files"]
+        ]
+
+    def read(self, partition: _BatchFilePartition) -> Iterator:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        # this file's masked positions from the (tiny) DV sidecars
+        mask: set[int] = set()
+        for p in partition.dv_paths:
+            t = pq.read_table(p, columns=["file", "pos"])
+            files = t.column("file").to_pylist()
+            ps = t.column("pos").to_pylist()
+            mask.update(
+                p_ for f_, p_ in zip(files, ps) if f_ == partition.rel
+            )
+        offset = 0
+        for batch in pq.ParquetFile(partition.path).iter_batches():
+            n = batch.num_rows
+            if mask:
+                idx = [i for i in range(n) if (offset + i) not in mask]
+                offset += n
+                if not idx:
+                    continue
+                if len(idx) < n:
+                    batch = batch.take(pa.array(idx, type=pa.int32()))
+            batch = _apply_column_ops_batch(batch, partition.col_ops)
+            batch = _append_partition_columns(
+                batch, partition.rel, partition.pcols
+            )
+            yield _reorder_batch(batch, partition.schema_names)
+
+
+class TxnTableBatchDataSource(DataSource):
+    """``spark.read.format("txn_table")`` over a
+    `fefal_etl_spark.table.TransactionalTable` root, with
+    ``version`` / ``asOfTimestamp`` time-travel options."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "txn_table"
+
+    def schema(self):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        root = self.options["path"]
+        version = _resolve_version(root, self.options)
+        state = _snapshot(root, version)
+        files = state["files"]
+        if not files:
+            raise FileNotFoundError(f"version {version} of {root} is empty")
+        base = pq.ParquetFile(
+            os.path.join(root, files[0])
+        ).schema_arrow
+        base = _apply_column_ops_schema(
+            base, state.get("column_ops") or []
+        )
+        pcols = sorted(
+            {
+                c
+                for pv in (state.get("partitions") or {}).values()
+                for c in pv
+            }
+        )
+        for c in pcols:
+            if c not in base.names:
+                base = base.append(pa.field(c, pa.string()))
+        return from_arrow_schema(base)
+
+    def reader(self, schema) -> TxnTableBatchReader:
+        return TxnTableBatchReader(self.options)

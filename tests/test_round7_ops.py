@@ -458,3 +458,66 @@ def test_overwrite_where_overlapping_append_conflicts(spark, tmp_path):
         repl = spark.range(5).select((F.col("id") * 5).alias("k"))
         with pytest.raises(CommitConflict):
             t.overwrite_where(repl, cond)
+
+
+# ----------------------------------------------------------------------
+# batch txn_table read DataSource (VERDICT r6 item 5)
+# ----------------------------------------------------------------------
+
+
+def test_txn_table_batch_source(spark, tmp_path):
+    """spark.read.format("txn_table") matches TransactionalTable.read
+    across DV masking, zero-rewrite rename, version pinning and
+    asOfTimestamp — and reconstructs hive partition columns."""
+    from fefal_etl_spark.sources.table_batch import TxnTableBatchDataSource
+
+    spark.dataSource.register(TxnTableBatchDataSource)
+    root = str(tmp_path / "t")
+    t = TransactionalTable(spark, root)
+    t.overwrite(
+        spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, v string")
+    )
+    t.append(spark.createDataFrame([(4, "d")], "k long, v string"))
+    t.delete_where_dv(F.col("k") == 2)
+    t.rename_column("v", "val")
+
+    latest = spark.read.format("txn_table").load(root)
+    assert latest.columns == ["k", "val"]
+    assert _rows(latest) == _rows(t.read())
+    # version pin: pre-rename schema, pre-DV rows
+    v0 = spark.read.format("txn_table").option("version", 0).load(root)
+    assert v0.columns == ["k", "v"]
+    assert _rows(v0) == [(1, "a"), (2, "b"), (3, "c")]
+    # asOfTimestamp resolves to the commit at-or-before
+    ts1 = json.load(
+        open(os.path.join(root, "_manifests", "manifest-1.json"))
+    )["ts"]
+    asof = (
+        spark.read.format("txn_table")
+        .option("asOfTimestamp", ts1)
+        .load(root)
+    )
+    assert _rows(asof) == [(1, "a"), (2, "b"), (3, "c"), (4, "d")]
+    with pytest.raises(Exception, match="not found"):
+        spark.read.format("txn_table").option("version", 99).load(
+            root
+        ).collect()
+
+
+def test_txn_table_batch_source_partitioned(spark, tmp_path):
+    """Hive partition columns come back as constant string columns and
+    rows match the helper read."""
+    from fefal_etl_spark.sources.table_batch import TxnTableBatchDataSource
+
+    spark.dataSource.register(TxnTableBatchDataSource)
+    root = str(tmp_path / "t")
+    t = TransactionalTable(spark, root)
+    t.overwrite(
+        spark.createDataFrame(
+            [("x", 1), ("x", 2), ("y", 3)], "p string, k long"
+        ).repartition("p"),
+        partition_by=["p"],
+    )
+    df = spark.read.format("txn_table").load(root)
+    assert sorted(df.columns) == ["k", "p"]
+    assert _rows(df.select("p", "k")) == [("x", 1), ("x", 2), ("y", 3)]
