@@ -3306,6 +3306,46 @@ def q_txn_batch_source_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "type_widening_scan",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           'bigint' AS k_type
+    FROM orders WHERE o_orderkey % 3 IN (0, 1)
+    """,
+)
+def q_type_widening_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-7 — type-widening schema evolution (table.py::widens):
+    the table is created with ``o_orderkey`` as INT, then an append
+    declares BIGINT — a lossless widening the commit accepts, recording
+    the wide type in the manifest while the old files keep their narrow
+    physical bytes (the union-by-name read coerces). ``k_type`` pins
+    that the read surfaces the WIDENED type; the aggregates pin that no
+    value was damaged. Narrowing (bigint→int) stays a SchemaConflict —
+    pinned in tests/test_round7_ops.py."""
+
+    base = load_table(spark, sf_dir, "orders").select("o_orderkey")
+
+    def build(t):
+        t.overwrite(
+            base.filter(F.col("o_orderkey") % 3 == 0).select(
+                F.col("o_orderkey").cast("int").alias("o_orderkey")
+            )
+        )
+        t.append(base.filter(F.col("o_orderkey") % 3 == 1))
+
+    t = _txn_scenario(
+        spark, sf_dir, "txn_widening", build, final_version=1
+    )
+    df = t.read()
+    k_type = dict(df.dtypes)["o_orderkey"]
+    return df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+    ).withColumn("k_type", F.lit(k_type))
+
+
+@register(
     "pruned_delete_read",
     """
     WITH b AS (SELECT max(o_orderkey) // 4 AS thr FROM orders)

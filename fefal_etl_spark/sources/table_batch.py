@@ -83,11 +83,41 @@ def _resolve_version(root: str, options: dict) -> int:
     return vs[-1]
 
 
+def _arrow_type(simple: str):
+    """Arrow type for a Spark simpleString, for the types the widening
+    lattice covers (None = not mapped; keep the file's own type)."""
+    import pyarrow as pa
+
+    import re as _re
+
+    flat = {
+        "tinyint": pa.int8(),
+        "smallint": pa.int16(),
+        "int": pa.int32(),
+        "bigint": pa.int64(),
+        "float": pa.float32(),
+        "double": pa.float64(),
+    }
+    if simple in flat:
+        return flat[simple]
+    m = _re.match(r"^decimal\((\d+),(\d+)\)$", simple or "")
+    if m:
+        return pa.decimal128(int(m.group(1)), int(m.group(2)))
+    return None
+
+
 def _snapshot_meta(root: str, version: int):
-    """(state, pcols, col_ops, schema_names) AS OF ``version`` — the
-    version-pinned twin of the streaming `_table_meta` +
+    """(state, pcols, col_ops, declared arrow schema) AS OF ``version``
+    — the version-pinned twin of the streaming `_table_meta` +
     `_stream_schema_names` pair (those fix metadata at the LATEST
-    version, which is right for a stream and wrong for time travel)."""
+    version, which is right for a stream and wrong for time travel).
+
+    The declared schema starts from the first data file, then every
+    column the MANIFEST records with a different (widened) numeric type
+    is overridden to the manifest's type — after a type-widening append
+    the first file may still hold the narrow physical type, and the
+    declared schema must be the wide one (readers upcast batches)."""
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
     state = _snapshot(root, version)
@@ -104,11 +134,14 @@ def _snapshot_meta(root: str, version: int):
     ops = state.get("column_ops") or []
     base = pq.ParquetFile(os.path.join(root, files[0])).schema_arrow
     base = _apply_column_ops_schema(base, ops)
-    names = list(base.names)
+    for i, name in enumerate(base.names):
+        want = _arrow_type((state.get("schema") or {}).get(name, ""))
+        if want is not None and want != base.field(i).type:
+            base = base.set(i, pa.field(name, want))
     for c in pcols:
-        if c not in names:
-            names.append(c)
-    return state, pcols, ops, names
+        if c not in base.names:
+            base = base.append(pa.field(c, pa.string()))
+    return state, pcols, ops, base
 
 
 class _BatchFilePartition(InputPartition):
@@ -119,14 +152,14 @@ class _BatchFilePartition(InputPartition):
         dv_paths: list[str],
         pcols: list[str],
         col_ops: list,
-        schema_names: list[str],
+        schema: "object",
     ):
         self.path = path
         self.rel = rel
         self.dv_paths = dv_paths
         self.pcols = pcols
         self.col_ops = col_ops
-        self.schema_names = schema_names
+        self.schema = schema  # declared arrow schema (order + types)
 
 
 class TxnTableBatchReader(DataSourceReader):
@@ -137,7 +170,7 @@ class TxnTableBatchReader(DataSourceReader):
             self.state,
             self.pcols,
             self.col_ops,
-            self.schema_names,
+            self.arrow_schema,
         ) = _snapshot_meta(self.root, self.version)
 
     def partitions(self) -> Sequence[InputPartition]:
@@ -152,7 +185,7 @@ class TxnTableBatchReader(DataSourceReader):
                 dv_paths,
                 self.pcols,
                 self.col_ops,
-                self.schema_names,
+                self.arrow_schema,
             )
             for rel in self.state["files"]
         ]
@@ -170,6 +203,7 @@ class TxnTableBatchReader(DataSourceReader):
             mask.update(
                 p_ for f_, p_ in zip(files, ps) if f_ == partition.rel
             )
+        target = partition.schema
         offset = 0
         for batch in pq.ParquetFile(partition.path).iter_batches():
             n = batch.num_rows
@@ -184,7 +218,12 @@ class TxnTableBatchReader(DataSourceReader):
             batch = _append_partition_columns(
                 batch, partition.rel, partition.pcols
             )
-            yield _reorder_batch(batch, partition.schema_names)
+            batch = _reorder_batch(batch, list(target.names))
+            if batch.schema != target:
+                # files written before a type widening hold the narrow
+                # physical type — upcast to the declared schema
+                batch = batch.cast(target)
+            yield batch
 
 
 class TxnTableBatchDataSource(DataSource):
@@ -197,33 +236,11 @@ class TxnTableBatchDataSource(DataSource):
         return "txn_table"
 
     def schema(self):
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
         from pyspark.sql.pandas.types import from_arrow_schema
 
         root = self.options["path"]
         version = _resolve_version(root, self.options)
-        state = _snapshot(root, version)
-        files = state["files"]
-        if not files:
-            raise FileNotFoundError(f"version {version} of {root} is empty")
-        base = pq.ParquetFile(
-            os.path.join(root, files[0])
-        ).schema_arrow
-        base = _apply_column_ops_schema(
-            base, state.get("column_ops") or []
-        )
-        pcols = sorted(
-            {
-                c
-                for pv in (state.get("partitions") or {}).values()
-                for c in pv
-            }
-        )
-        for c in pcols:
-            if c not in base.names:
-                base = base.append(pa.field(c, pa.string()))
+        _state, _pcols, _ops, base = _snapshot_meta(root, version)
         return from_arrow_schema(base)
 
     def reader(self, schema) -> TxnTableBatchReader:

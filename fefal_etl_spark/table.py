@@ -283,6 +283,37 @@ def _apply_col_op_to_meta(
     return schema, stats, blooms
 
 
+#: safe type WIDENINGS (Delta's type-widening lattice, numeric subset):
+#: a write may redefine a column to any type its recorded type widens
+#: to — every old value is exactly representable in the new type, and
+#: Spark's unionByName read path coerces mixed files to the wider type
+#: on its own. int→float and bigint→double are absent on purpose
+#: (lossy above 2^24 / 2^53).
+_WIDENS_TO: dict[str, set[str]] = {
+    "tinyint": {"smallint", "int", "bigint", "float", "double"},
+    "smallint": {"int", "bigint", "float", "double"},
+    "int": {"bigint", "double"},
+    "float": {"double"},
+}
+
+_DECIMAL_RE = re.compile(r"^decimal\((\d+),(\d+)\)$")
+
+
+def widens(old: str, new: str) -> bool:
+    """True iff redefining a column from Spark type ``old`` to ``new``
+    is a lossless widening: the numeric lattice above, or a decimal
+    precision increase at the same scale (more integer digits, every
+    old value representable)."""
+    if new in _WIDENS_TO.get(old, ()):
+        return True
+    mo, mn = _DECIMAL_RE.match(old), _DECIMAL_RE.match(new)
+    if mo and mn:
+        po, so = int(mo.group(1)), int(mo.group(2))
+        pn, sn = int(mn.group(1)), int(mn.group(2))
+        return sn == so and pn >= po
+    return False
+
+
 def retired_names(column_ops: list | None) -> set[str]:
     """Names made unusable by the op history: rename SOURCES and dropped
     columns. Re-adding one would make the read-side mapping ambiguous
@@ -788,7 +819,14 @@ class TransactionalTable:
                     st = c.statistics
                     if st is None or not st.has_min_max:
                         continue
-                    mn, mx = st.min, st.max
+                    try:
+                        mn, mx = st.min, st.max
+                    except Exception:
+                        # pyarrow can't extract min/max for some
+                        # logical types (e.g. decimal) even when the
+                        # footer flags them — skip, consumers treat
+                        # a stats-less column conservatively
+                        continue
                     if type(mn) not in (int, float, str) or type(mx) is not type(mn):
                         continue
                     name = c.path_in_schema
@@ -838,9 +876,20 @@ class TransactionalTable:
         for name, typ in new_schema.items():
             old = (mf.schema or {}).get(name)
             if old is not None and old != typ:
+                # TYPE WIDENING (round 7, Delta's type-widening rules):
+                # a lossless widening is accepted and the manifest
+                # records the WIDER type from this commit on; files
+                # written earlier keep the narrow physical type and the
+                # union-by-name read coerces. Narrowings (and any other
+                # redefinition) stay rejected — they would corrupt
+                # reads of the already-committed wider values.
+                if widens(old, typ):
+                    continue
+                kind = "narrow" if widens(typ, old) else "redefine"
                 raise SchemaConflict(
                     f"column {name!r} is {old} in {self.root} but the "
-                    f"write declares {typ}"
+                    f"write declares {typ} (cannot {kind}; only "
+                    "lossless widenings evolve)"
                 )
         if mf.constraints:
             # ONE validation pass however many constraints: OR the
@@ -1226,6 +1275,15 @@ class TransactionalTable:
                 for name_, typ_ in schema.items():
                     old_ = all_schema.get(name_)
                     if old_ is not None and old_ != typ_:
+                        if widens(old_, typ_):
+                            continue  # widening evolves, like _enforce
+                        if widens(typ_, old_):
+                            # a CONCURRENT commit already widened this
+                            # column past the write's type: the staged
+                            # narrow files still read correctly under
+                            # the wider recorded type — keep it
+                            schema[name_] = old_
+                            continue
                         raise SchemaConflict(
                             f"column {name_!r} is {old_} in {self.root} "
                             f"(committed while this write was in flight) "

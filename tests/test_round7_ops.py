@@ -521,3 +521,91 @@ def test_txn_table_batch_source_partitioned(spark, tmp_path):
     df = spark.read.format("txn_table").load(root)
     assert sorted(df.columns) == ["k", "p"]
     assert _rows(df.select("p", "k")) == [("x", 1), ("x", 2), ("y", 3)]
+
+
+# ----------------------------------------------------------------------
+# type-widening schema evolution (VERDICT r6 item 6)
+# ----------------------------------------------------------------------
+
+
+def test_type_widening_on_append(spark, tmp_path):
+    """An append declaring a losslessly-wider type evolves the schema:
+    the manifest records the wide type, old narrow files read coerced,
+    and time travel preserves the old schema record exactly."""
+    root = str(tmp_path / "t")
+    t = TransactionalTable(spark, root)
+    t.overwrite(spark.createDataFrame([(1, 1.5)], "k int, v float"))
+    assert t._read_manifest(0).schema == {"k": "int", "v": "float"}
+    t.append(
+        spark.createDataFrame([(2_000_000_000_000, 2.5)], "k bigint, v double")
+    )
+    assert t._read_manifest(1).schema == {"k": "bigint", "v": "double"}
+    df = t.read()
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    assert types == {"k": "bigint", "v": "double"}
+    assert sorted((r["k"], round(r["v"], 1)) for r in df.collect()) == [
+        (1, 1.5),
+        (2_000_000_000_000, 2.5),
+    ]
+    # time travel: version 0's schema record is untouched
+    assert t._read_manifest(0).schema == {"k": "int", "v": "float"}
+    assert _rows(t.read(0).select("k")) == [(1,)]
+
+
+def test_type_narrowing_still_conflicts(spark, tmp_path):
+    """Narrowing (bigint→int) and unrelated redefinition (string→int)
+    stay rejected at commit time."""
+    from fefal_etl_spark.table import SchemaConflict
+
+    t = TransactionalTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.createDataFrame([(1, "a")], "k bigint, s string"))
+    with pytest.raises(SchemaConflict, match="narrow"):
+        t.append(spark.createDataFrame([(2, "b")], "k int, s string"))
+    with pytest.raises(SchemaConflict, match="redefine"):
+        t.append(spark.createDataFrame([(2, 3)], "k bigint, s int"))
+
+
+def test_decimal_precision_widening(spark, tmp_path):
+    """decimal(p,s) widens to decimal(p+k,s); a scale change is a real
+    conflict."""
+    from pyspark.sql.types import Row
+
+    from fefal_etl_spark.table import SchemaConflict
+
+    t = TransactionalTable(spark, str(tmp_path / "t"))
+    t.overwrite(
+        spark.createDataFrame([(1,)], "k int").select(
+            "k", F.lit(1.25).cast("decimal(10,2)").alias("d")
+        )
+    )
+    t.append(
+        spark.createDataFrame([(2,)], "k int").select(
+            "k", F.lit(123456789012.99).cast("decimal(14,2)").alias("d")
+        )
+    )
+    assert t._read_manifest(1).schema["d"] == "decimal(14,2)"
+    assert t.read().count() == 2
+    with pytest.raises(SchemaConflict):
+        t.append(
+            spark.createDataFrame([(3,)], "k int").select(
+                "k", F.lit(1.253).cast("decimal(14,3)").alias("d")
+            )
+        )
+
+
+def test_batch_source_reads_widened_table(spark, tmp_path):
+    """format("txn_table") declares the WIDE manifest type and upcasts
+    batches from pre-widening files."""
+    from fefal_etl_spark.sources.table_batch import TxnTableBatchDataSource
+
+    spark.dataSource.register(TxnTableBatchDataSource)
+    root = str(tmp_path / "t")
+    t = TransactionalTable(spark, root)
+    t.overwrite(spark.createDataFrame([(1,)], "k int"))
+    t.append(spark.createDataFrame([(5_000_000_000,)], "k bigint"))
+    df = spark.read.format("txn_table").load(root)
+    assert df.schema.fields[0].dataType.simpleString() == "bigint"
+    assert _rows(df) == [(1,), (5_000_000_000,)]
+    # the pre-widening snapshot still reads with its own narrow type
+    v0 = spark.read.format("txn_table").option("version", 0).load(root)
+    assert v0.schema.fields[0].dataType.simpleString() == "int"
