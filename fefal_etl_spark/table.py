@@ -451,9 +451,15 @@ class TransactionalTable:
     #: part size does not. 100k files × ~200 B/entry ≈ 20-30 MB/part.
     CHECKPOINT_PART_FILES = 100_000
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, backend=None):
+        from fefal_etl_spark.commit_backend import LocalFsBackend
+
         self.spark = spark
         self.root = root
+        # the put-if-absent PUBLISH primitive (commit_backend.py): the
+        # only storage op the protocol needs beyond immutable reads —
+        # swap in an S3/GCS conditional-put backend for object stores
+        self.backend = backend or LocalFsBackend()
         # resolved-snapshot cache: version -> state dict (immutable once
         # published, so entries never invalidate); bounded LRU-ish
         self._snap_cache: dict[int, dict] = {}
@@ -1050,28 +1056,13 @@ class TransactionalTable:
         return out
 
     def _publish_json(self, payload: dict, target: str) -> bool:
-        """Fsync'd temp write, then atomic create-if-absent link to
-        ``target``. Returns False iff the target already exists
-        (another writer won)."""
-        tmp = os.path.join(
-            self._manifests_dir, f".tmp-{uuid.uuid4().hex}.json"
+        """Serialize and publish via the backend's atomic
+        put-if-absent (`commit_backend.py` — fsync'd temp + link
+        locally, conditional PUT on an object store). Returns False
+        iff the target already exists (another writer won)."""
+        return self.backend.put_if_absent(
+            target, json.dumps(payload).encode()
         )
-        with open(tmp, "w") as f:
-            json.dump(payload, f)
-            f.flush()
-            os.fsync(f.fileno())
-        dfd = os.open(self._manifests_dir, os.O_RDONLY)
-        try:
-            os.fsync(dfd)
-        finally:
-            os.close(dfd)
-        try:
-            os.link(tmp, target)
-            return True
-        except FileExistsError:
-            return False
-        finally:
-            os.unlink(tmp)
 
     def _publish(self, manifest: dict, version: int) -> bool:
         """Steps 2-3 of the protocol, for the commit record."""
