@@ -9,10 +9,11 @@ The codec boundary has two modes:
 - ``decode_stub=True`` computes deterministic byte-level features without
   interpreting the payload (any media type);
 - ``decode_stub=False`` REALLY decodes images through the dependency-free
-  numpy BMP/PPM codecs in :mod:`fefal_etl_spark.llm.media_codecs` and emits
-  pixel-level features (width/height/channels/pixel_sum). Formats beyond
-  BMP/P6-PPM (JPEG/PNG/audio/video) still raise — their codecs need
-  PIL/torchaudio, absent in this environment.
+  numpy PNG/BMP/PPM codecs in :mod:`fefal_etl_spark.llm.media_codecs` and
+  emits pixel-level features (width/height/channels/pixel_sum). JPEG
+  routes to an env-gated Pillow decoder (round 7) — real clusters have
+  Pillow, this container raises a clear NotImplementedError; audio
+  beyond WAV and video still raise (torchaudio-class codecs absent).
 
 Scale notes: ``mapInPandas`` streams Arrow record batches (bounded by
 ``spark.sql.execution.arrow.maxRecordsPerBatch``) so payload bytes never

@@ -1499,8 +1499,10 @@ def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the synth pattern — any codec bug (filter reconstruction,
     stride, chunk framing) breaks the hash. The same decoder accepts
     real-corpus 8-bit truecolor(±alpha) PNGs, closing the 'every real
-    multimodal corpus leads with PNG' gap; JPEG remains out of scope
-    (a DCT codec is not honestly reachable dependency-free)."""
+    multimodal corpus leads with PNG' gap; JPEG routes to an env-gated
+    Pillow path (``media_codecs.decode_jpeg``, round 7) — present on
+    real clusters, cleanly NotImplementedError here (a dependency-free
+    DCT codec is not honestly reachable)."""
     from fefal_etl_spark.llm.multimodal import attach_synth_images
 
     docs = load_table(spark, sf_dir, "documents")

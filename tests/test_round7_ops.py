@@ -711,3 +711,69 @@ def test_table_commits_through_custom_backend(spark, tmp_path):
         "manifest-1.json",  # the vetoed (lost) attempt
         "manifest-2.json",  # the rebased retry
     ]
+
+
+# ----------------------------------------------------------------------
+# env-gated JPEG decode (VERDICT r6 item 7)
+# ----------------------------------------------------------------------
+
+
+def test_jpeg_without_pillow_raises_clearly():
+    """In a Pillow-less environment the JPEG magic routes to a clear
+    NotImplementedError naming the missing dependency (the
+    dependency-free PNG/BMP/PPM default is untouched); with Pillow
+    present this test instead verifies the decode runs."""
+    from fefal_etl_spark.llm.media_codecs import decode_image
+
+    fake_jpeg = b"\xff\xd8\xff\xe0" + b"\x00" * 32
+    try:
+        import PIL  # noqa: F401
+
+        have_pil = True
+    except ImportError:
+        have_pil = False
+    if not have_pil:
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            decode_image(fake_jpeg)
+    else:  # pragma: no cover - exercised only on Pillow clusters
+        with pytest.raises(Exception):
+            decode_image(fake_jpeg)  # truncated payload, but PIL-routed
+
+
+def test_jpeg_decode_parity_with_pillow():
+    """Skip-gated (like the tws streaming extra): on clusters WITH
+    Pillow, a flat-color JPEG round-trips through decode_image with
+    hand-computed pixel stats (flat blocks survive DCT quantization
+    almost exactly)."""
+    pytest.importorskip("PIL")
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from fefal_etl_spark.llm.media_codecs import decode_image
+
+    arr = np.full((16, 16, 3), (200, 100, 50), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="JPEG", quality=95)
+    out = decode_image(buf.getvalue())
+    assert out.shape == (16, 16, 3) and out.dtype == np.uint8
+    # hand-computed stats: flat color, so means stay within ±3
+    assert abs(float(out[:, :, 0].mean()) - 200) <= 3
+    assert abs(float(out[:, :, 1].mean()) - 100) <= 3
+    assert abs(float(out[:, :, 2].mean()) - 50) <= 3
+
+
+def test_non_jpeg_codecs_unchanged():
+    """The dependency-free dispatch still handles PNG/BMP/PPM and
+    rejects unknown magics with the updated message."""
+    from fefal_etl_spark.llm.media_codecs import (
+        decode_image,
+        encode_png,
+        synth_image_array,
+    )
+
+    arr = synth_image_array(7, 5, 4)
+    assert (decode_image(encode_png(arr)) == arr).all()
+    with pytest.raises(ValueError, match="unrecognized image magic"):
+        decode_image(b"ZZ unknown bytes")
