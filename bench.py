@@ -221,6 +221,11 @@ BENCH_QUERIES = [
     "mongo_config_pipeline",
     "dv_materialize_read",
     "column_rename_read",
+    # round-7 additions: stats-pruned file-level delete, the batch
+    # txn_table DataSource read, type-widening evolution scan
+    "pruned_delete_read",
+    "txn_batch_source_read",
+    "type_widening_scan",
     # dup_clusters_star is excluded like ngram_jaccard_pairs: at bench SF its
     # wall time is ~6 iterative rounds of fixed scheduling cost (the
     # algorithm exists for O(log n) ROUNDS at web scale, demonstrated by the

@@ -3929,92 +3929,86 @@ def q_incremental_mv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # already represented (extra family members, alternates, display variants)
 # and follow in registration order.
 _DRIVER_PRIORITY = [
-    # Round-6 rotation (docs/QUERIES.md): the driver samples the FIRST 50
-    # registry entries each round.  After r5, every registry query has a
-    # driver-green row EXCEPT the 11 round-5-session-2 additions below
-    # (judge-verified green in VERDICT r5 but never driver-sampled) —
-    # front-load them per VERDICT r5 item 2, followed by the round-6
-    # additions, then `hll_rollup` (now oracle-paired, VERDICT r5 item 8)
-    # and the four queries flagged for a bench A/B, then re-coverage.
-    # --- the 11 never-driver-sampled round-5 queries ---
-    "dv_delete_read",
-    "merge_dv_orders",
-    "incremental_mv_refresh",
-    "incremental_mv_stats",
-    "table_restore_read",
-    "partition_overwrite_read",
-    "bloom_point_lookup",
-    "table_stream_read",
-    "table_changes_stream",
-    "incremental_dedup_match",
-    "incremental_ann_match",
-    # --- new round-6 components (registered this round) ---
-    "checkpointed_history",
-    "png_decode",
-    "mongo_config_pipeline",
-    "index_compaction_probe",
-    "disjoint_writer_commits",
-    "generated_partition_scan",
-    "replace_where_read",
-    "zorder_multi_scan",
-    "partitioned_table_stream",
-    "dv_materialize_read",
-    "column_rename_read",
-    # --- hll_rollup rotated back in now that it is oracle-paired ---
-    "hll_rollup",
-    # --- re-coverage of earlier components fills the rest of the 50 ---
-    "table_commit_isolation",
-    "table_time_travel",
-    # --- the 48 never-driver-sampled queries (r1-r4 union of
-    # CORRECTNESS_r0{1..4}.json keys excluded) ---
-    "excess_stock_suppliers",
-    "product_type_profit",
-    "cdc_snapshot",
-    "embedding_quantize",
-    "quality_zscores",
-    "embedding_covariance",
-    "events_gapfill",
-    "per_source_cap",
-    "multimodal_resize",
-    "training_shards",
-    "vocab_coverage",
-    "table_profile",
-    "top_volume_orders",
-    "embedding_hof_stats",
-    "multi_distinct_order_stats",
-    "conditional_agg_priority",
-    "customer_spend_quartiles",
-    "promo_revenue_share",
-    "supplier_variety",
-    "small_quantity_revenue",
-    "excel_roundtrip_scan",
-    "copurchase_triangles",
-    "price_histogram",
-    "heavy_hitters",
-    "incremental_rollup",
-    "schema_evolution_scan",
-    "events_latency_bands",
-    "value_winsorize",
-    "pareto_orders",
-    "event_type_chisq",
-    "hll_rollup",
-    "incremental_join_view",
-    "null_imputation",
-    "train_test_split",
-    "substring_dedup_rewrite",
-    "bpe_pair_stats",
-    "sparse_cosine_pairs",
-    "dup_clusters_star",
-    "quantized_rerank_topk",
-    "unigram_logprob",
-    "tombstone_cascade",
-    "scd2_as_of",
-    "order_priority_check",
-    "forecast_revenue_change",
-    "nation_market_share",
-    "returned_item_customers",
-    "top_supplier_revenue",
-    "disjunctive_bracket_revenue",
+    # Round-7 rotation (VERDICT r6 item 4): the driver samples the
+    # FIRST 50 registry entries each round. Front-load (a) the three
+    # round-7 additions (never driver-sampled), then (b) the queries
+    # whose LATEST driver sample is r1 (31, stalest first), then (c)
+    # the r2-stale tail (36) — 3 + 31 + 36 = 70, so the r7 run covers
+    # the new components plus the 47 stalest of the 67 r1/r2-aged
+    # queries; the remainder ages to the front of the r8 rotation.
+    # --- new round-7 components ---
+    "pruned_delete_read",
+    "txn_batch_source_read",
+    "type_widening_scan",
+    # --- latest driver sample = r1 (stalest) ---
+    "bracket_extract",
+    "cube_orders",
+    "customers_above_nation_avg",
+    "distinct_segments",
+    "encodings_simnao",
+    "events_hourly",
+    "events_sliding",
+    "first_event_per_type",
+    "full_outer_nation_activity",
+    "fuzzy_entity_match",
+    "gap_fill_hourly",
+    "intersect_orders",
+    "json_props_stats",
+    "json_roundtrip_scan",
+    "median_order_value",
+    "normalize_text",
+    "orc_roundtrip_scan",
+    "order_analytics",
+    "order_count_distribution",
+    "paginated_orders",
+    "pivot_order_priority",
+    "revenue_by_nation",
+    "rolling_revenue_90d",
+    "rollup_lineitem",
+    "salted_join_revenue",
+    "semi_join_customers",
+    "session_windows_native",
+    "sessionize",
+    "shipping_priority",
+    "union_except",
+    "validate_numeric",
+    # --- latest driver sample = r2 ---
+    "anti_join_customers",
+    "approx_sketches",
+    "asof_attribution",
+    "bucketed_join_orders",
+    "csv_roundtrip_scan",
+    "dedup_keep_best",
+    "embedding_lsh_pairs",
+    "entity_resolution",
+    "event_gaps",
+    "frame_sample",
+    "gaussian_lsh_recall",
+    "grouping_sets_orders",
+    "ivf_assign",
+    "jdbc_roundtrip_scan",
+    "kmeans_assignments",
+    "lang_id",
+    "multimodal_features",
+    "ngram_jaccard_pairs",
+    "partitioned_scan",
+    "pct_rescale",
+    "pipeline_full_groups",
+    "prefix_theta_join",
+    "pricing_summary",
+    "range_join_windows",
+    "repetition_filter",
+    "scalar_suite",
+    "sentence_explode",
+    "set_ops_suite",
+    "star_idempotent_reload",
+    "stateful_running_counts",
+    "status_fork_counts",
+    "text_stats",
+    "top_orders",
+    "unpivot_measures",
+    "user_event_type_sets",
+    "window_topk",
 ]
 
 
