@@ -226,6 +226,7 @@ BENCH_QUERIES = [
     "pruned_delete_read",
     "txn_batch_source_read",
     "type_widening_scan",
+    "predicate_pruned_read",
     # dup_clusters_star is excluded like ngram_jaccard_pairs: at bench SF its
     # wall time is ~6 iterative rounds of fixed scheduling cost (the
     # algorithm exists for O(log n) ROUNDS at web scale, demonstrated by the

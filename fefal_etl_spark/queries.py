@@ -3306,6 +3306,59 @@ def q_txn_batch_source_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "predicate_pruned_read",
+    """
+    WITH b AS (SELECT max(o_orderkey) AS mx FROM orders)
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(24,4))) AS DOUBLE) AS revenue,
+           TRUE AS pruned_ok
+    FROM orders, b
+    WHERE (o_orderkey <= b.mx // 8 AND o_totalprice > 150000)
+       OR o_orderkey > b.mx - b.mx // 8
+    GROUP BY o_orderstatus
+    """,
+)
+def q_predicate_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-7 — general-predicate manifest-pruned read
+    (table.py::read_matching + predicate_prune): an OR-of-ranges
+    predicate over the key-range-clustered orders table scans only the
+    files whose [min,max] stats intersect either arm — the read-side
+    twin of the rewrite discovery pruning. ``pruned_ok`` pins (from
+    `pruned_predicate_files`, metadata only) that at least one file
+    was skipped; the aggregates pin that the residual filter kept the
+    answer exact. The oracle replays the predicate declaratively."""
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    mx = base.agg(F.max("o_orderkey").alias("mx")).collect()[0]["mx"]
+
+    def build(t):
+        t.overwrite(base.repartitionByRange(8, "o_orderkey"))
+
+    t = _txn_scenario(
+        spark, sf_dir, "txn_pred_read", build, final_version=0
+    )
+    cond = (
+        f"(o_orderkey <= {mx // 8} AND o_totalprice > 150000) "
+        f"OR o_orderkey > {mx - mx // 8}"
+    )
+    kept, total = t.pruned_predicate_files(cond)
+    pruned = 0 < kept < total
+    return (
+        t.read_matching(cond)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(24,4)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .withColumn("pruned_ok", F.lit(pruned))
+    )
+
+
+@register(
     "type_widening_scan",
     """
     SELECT CAST(count(*) AS BIGINT) AS n_rows,
@@ -3940,6 +3993,7 @@ _DRIVER_PRIORITY = [
     "pruned_delete_read",
     "txn_batch_source_read",
     "type_widening_scan",
+    "predicate_pruned_read",
     # --- latest driver sample = r1 (stalest) ---
     "bracket_extract",
     "cube_orders",

@@ -784,6 +784,54 @@ class TransactionalTable:
         )
         return df.filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
 
+    def read_matching(
+        self, condition: str, version: int | None = None
+    ) -> DataFrame:
+        """General-predicate read with manifest pruning (round 7 — the
+        read-side twin of the `overwrite_where`/`delete_where`
+        discovery): scan only the files whose stats/partition values
+        say they MAY hold a matching row
+        (`predicate_prune.prune_candidates` — arbitrary AND/OR/NOT/
+        BETWEEN/IN over stats-covered columns, zero file IO to prune),
+        then apply the full predicate as the residual row filter.
+        `read_where` remains the single-column [lo, hi] special case;
+        a predicate outside the skippable subset degrades to a full
+        scan + filter, never a wrong answer."""
+        from pyspark.sql import functions as F
+
+        from fefal_etl_spark.predicate_prune import prune_candidates
+
+        v = self.latest_version() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"no committed version in {self.root}")
+        mf = self._read_manifest(v)
+        keep = prune_candidates(
+            condition, mf.files, mf.stats or {}, mf.partitions or {}
+        )
+        if keep is None:
+            keep = mf.files
+        if not keep:
+            return self.read(v).filter(F.lit(False))
+        df = self._read_files(
+            keep, dv_files=mf.dv_files, column_ops=mf.column_ops
+        )
+        return df.filter(F.expr(condition))
+
+    def pruned_predicate_files(
+        self, condition: str, version: int | None = None
+    ) -> tuple[int, int]:
+        """(files_kept, files_total) for a read_matching — the
+        auditable pruning measure, mirror of :meth:`skipped_files`."""
+        from fefal_etl_spark.predicate_prune import prune_candidates
+
+        v = self.latest_version() if version is None else version
+        mf = self._read_manifest(v)  # type: ignore[arg-type]
+        keep = prune_candidates(
+            condition, mf.files, mf.stats or {}, mf.partitions or {}
+        )
+        kept = len(mf.files) if keep is None else len(keep)
+        return kept, len(mf.files)
+
     def skipped_files(self, col: str, lo, hi, version: int | None = None) -> tuple[int, int]:
         """(files_kept, files_total) for a read_where — the auditable
         data-skipping measure."""
@@ -1128,11 +1176,19 @@ class TransactionalTable:
                             f"checkpoint-{version}.{k}-of-{total}.json",
                         ),
                     )
+            parts = (
+                1
+                if len(files) <= part_size
+                else -(-len(files) // part_size)
+            )
             ptr = os.path.join(
                 self._manifests_dir, f".tmp-ptr-{uuid.uuid4().hex}.json"
             )
             with open(ptr, "w") as f:
-                json.dump({"version": version}, f)
+                # Delta's `_last_checkpoint` shape: version + parts so
+                # an object-store reader GETs the parts directly
+                # without listing
+                json.dump({"version": version, "parts": parts}, f)
             os.replace(
                 ptr, os.path.join(self._manifests_dir, "_last_checkpoint")
             )

@@ -777,3 +777,32 @@ def test_non_jpeg_codecs_unchanged():
     assert (decode_image(encode_png(arr)) == arr).all()
     with pytest.raises(ValueError, match="unrecognized image magic"):
         decode_image(b"ZZ unknown bytes")
+
+
+# ----------------------------------------------------------------------
+# general-predicate pruned read (round-7 extension)
+# ----------------------------------------------------------------------
+
+
+def test_read_matching_prunes_and_answers(spark, tmp_path):
+    """read_matching scans only stats-intersecting files (audited by
+    pruned_predicate_files), applies the residual filter exactly, and
+    respects DV masks; unparseable predicates degrade to full scan."""
+    root = str(tmp_path / "t")
+    t = TransactionalTable(spark, root)
+    t.overwrite(
+        spark.range(100).select(F.col("id").alias("k")).repartitionByRange(8, "k")
+    )
+    t.delete_where_dv(F.col("k") == 95)
+    kept, total = t.pruned_predicate_files("k >= 90 OR k < 10")
+    assert total == 8 and 0 < kept < 8
+    ks = sorted(r["k"] for r in t.read_matching("k >= 90 OR k < 10").collect())
+    assert ks == list(range(10)) + [90, 91, 92, 93, 94, 96, 97, 98, 99]
+    # outside the skippable subset: full scan, same answer
+    kept2, total2 = t.pruned_predicate_files("k % 50 = 1")
+    assert (kept2, total2) == (8, 8)
+    assert sorted(
+        r["k"] for r in t.read_matching("k % 50 = 1").collect()
+    ) == [1, 51]
+    # provably-empty predicate: empty frame with the right schema
+    assert t.read_matching("k > 1000").count() == 0
