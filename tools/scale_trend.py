@@ -70,6 +70,12 @@ TREND_QUERIES = [
     "index_compaction_probe",
     "replace_where_read",
     "dv_materialize_read",
+    # round-7: stats-pruned file-level delete, the batch txn_table
+    # DataSource, widened-scan union, general-predicate pruned read
+    "pruned_delete_read",
+    "txn_batch_source_read",
+    "type_widening_scan",
+    "predicate_pruned_read",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
