@@ -806,3 +806,155 @@ def test_read_matching_prunes_and_answers(spark, tmp_path):
     ) == [1, 51]
     # provably-empty predicate: empty frame with the right schema
     assert t.read_matching("k > 1000").count() == 0
+
+
+# ----------------------------------------------------------------------
+# round-7 model-based random ops: multi-part checkpoints + string
+# predicates + widening + the batch source, against a Python model
+# ----------------------------------------------------------------------
+
+
+def test_round7_model_based_random_ops(spark, tmp_path):
+    """Seeded random mix exercising the ROUND-7 surfaces together:
+    string-predicate delete/replace (stats-pruned discovery inside the
+    loop), a mid-stream type widening, multi-part checkpoints
+    (CHECKPOINT_PART_FILES=2 forces every checkpoint to split), and
+    partition overwrites/restores — every historical version must read
+    back exactly the Python model through the writing handle, a fresh
+    handle (pure multi-part-checkpoint + tail replay), the batch
+    ``txn_table`` DataSource, and read_matching."""
+    import random
+
+    from fefal_etl_spark.sources.table_batch import TxnTableBatchDataSource
+
+    spark.dataSource.register(TxnTableBatchDataSource)
+    # seed chosen so all 8 op kinds occur within the 14 steps
+    rng = random.Random(20260822)
+    root = str(tmp_path / "t")
+    t = TransactionalTable(spark, root)
+    t.CHECKPOINT_INTERVAL = 3
+    t.CHECKPOINT_PART_FILES = 2
+
+    def df_of(rows, vtype="int"):
+        return spark.createDataFrame(rows, f"p string, k int, v {vtype}")
+
+    model: dict[int, tuple[str, int]] = {
+        k: (str(k % 3), k * 10) for k in range(12)
+    }
+    t.overwrite(
+        df_of([(p, k, v) for k, (p, v) in model.items()]),
+        partition_by=["p"],
+    )
+    history = [dict(model)]
+    next_k = 100
+    widened = False
+    for step in range(14):
+        op = rng.choice(
+            ["append", "part_ovw", "str_replace", "str_delete",
+             "dv_del_str", "restore", "widen_append", "compact"]
+        )
+        if op == "append":
+            rows = [
+                (str(rng.randrange(3)), next_k + i, (next_k + i) * 10)
+                for i in range(rng.randrange(1, 4))
+            ]
+            next_k += len(rows)
+            t.append(df_of(rows, "bigint" if widened else "int"),
+                     partition_by=["p"])
+            model.update({k: (p, v) for p, k, v in rows})
+        elif op == "widen_append":
+            rows = [(str(rng.randrange(3)), next_k, next_k * 10)]
+            next_k += 1
+            t.append(df_of(rows, "bigint"), partition_by=["p"])
+            widened = True  # v is bigint from here on
+            model.update({k: (p, v) for p, k, v in rows})
+        elif op == "part_ovw":
+            p = str(rng.randrange(3))
+            rows = [(next_k, next_k * 10), (next_k + 1, next_k * 10 + 10)]
+            next_k += 2
+            t.overwrite_partition(
+                spark.createDataFrame(
+                    rows, f"k int, v {'bigint' if widened else 'int'}"
+                ),
+                p=p,
+            )
+            model = {k: pv for k, pv in model.items() if pv[0] != p}
+            model.update({k: (p, v) for k, v in rows})
+        elif op == "str_replace":
+            repl = [(str(rng.randrange(3)), next_k, next_k * 10)]
+            next_k += 1
+            cut = next_k + 1
+            t.overwrite_where(
+                df_of(repl, "bigint" if widened else "int"), f"k < {cut}"
+            )
+            model = {k: pv for k, pv in model.items() if not (k < cut)}
+            model.update({k: (p, v) for p, k, v in repl})
+        elif op == "str_delete":
+            cut = rng.choice([50, 102, 105])
+            t.delete_where(f"k >= {cut}")
+            model = {k: pv for k, pv in model.items() if k < cut}
+        elif op == "dv_del_str":
+            mod = rng.choice([2, 3, 5])
+            # modulo is OUTSIDE the skippable subset: exercises the
+            # conservative full-scan fallback of the string path
+            t.delete_where_dv(f"k % {mod} = 0")
+            model = {k: pv for k, pv in model.items() if k % mod != 0}
+        elif op == "restore":
+            target = rng.randrange(len(history))
+            t.restore(target)
+            model = dict(history[target])
+        elif op == "compact":
+            if not model:
+                continue  # compact needs rows; no commit, no history
+            t.compact(target_file_mb=64, partition_by=["p"])
+        history.append(dict(model))
+    assert t.versions() == list(range(len(history)))
+    # every checkpoint that landed is multi-part (file count > 2)
+    mdir = os.path.join(root, "_manifests")
+    cps = [f for f in os.listdir(mdir) if f.startswith("checkpoint-")]
+    assert cps and all("-of-" in f for f in cps)
+
+    def check(handle, versions):
+        for v in versions:
+            if not history[v]:  # empty states read as "version empty"
+                with pytest.raises(FileNotFoundError, match="empty"):
+                    handle.read(version=v)
+                continue
+            got = {
+                r["k"]: (str(r["p"]), r["v"])
+                for r in handle.read(version=v).collect()
+            }
+            assert got == history[v], f"version {v}"
+
+    check(t, range(len(history)))
+    fresh = TransactionalTable(spark, root)
+    check(fresh, range(len(history)))
+    # the batch DataSource agrees on a sample of versions (incl. final)
+    for v in sorted(
+        set([0, len(history) - 1] + [len(history) // 2, 3])
+    ):
+        if not history[v]:
+            continue  # empty snapshot: no schema to declare
+        got = {
+            r["k"]: (str(r["p"]), r["v"])
+            for r in spark.read.format("txn_table")
+            .option("version", v)
+            .load(root)
+            .collect()
+        }
+        assert got == history[v], f"batch source version {v}"
+    # read_matching with a skippable predicate matches the model filter
+    final = history[-1]
+    if final:
+        mid = sorted(final)[len(final) // 2]
+        got = {
+            r["k"] for r in t.read_matching(f"k >= {mid}").collect()
+        }
+        assert got == {k for k in final if k >= mid}
+    # vacuum: the kept tail stays resolvable through multi-part
+    # checkpoints alone
+    keep = t.versions()[-4:]
+    t.vacuum(keep_versions=4)
+    fresh2 = TransactionalTable(spark, root)
+    assert fresh2.versions() == keep
+    check(fresh2, keep)
