@@ -62,7 +62,18 @@ def _tokenize(s: str) -> list[tuple[str, object]]:
             raise _ParseError(f"cannot tokenize at {s[pos:pos + 20]!r}")
         pos = m.end()
         if m.group("num") is not None:
-            out.append(("lit", float(m.group("num"))))
+            raw_n = m.group("num")
+            # ints stay ints: float coercion would round above 2^53
+            # and break the "pruned files provably hold no match"
+            # guarantee for int64 keys
+            out.append(
+                (
+                    "lit",
+                    float(raw_n)
+                    if ("." in raw_n or "e" in raw_n or "E" in raw_n)
+                    else int(raw_n),
+                )
+            )
         elif m.group("str") is not None:
             out.append(("lit", m.group("str")[1:-1].replace("''", "'")))
         elif m.group("ident") is not None:
@@ -269,10 +280,15 @@ def _eval(node, stats: dict, parts: dict) -> tuple[bool, bool]:
             node[2] if kind == "between" else node[2][0]
         )
         if isinstance(probe, (int, float)) and not isinstance(probe, bool):
+            # parse the hive path string at the literal's own precision
+            # (int stays int — float(pv) would round 2^53+ keys)
             try:
-                lo = hi = float(pv)
+                lo = hi = int(pv)
             except ValueError:
-                return _UNKNOWN
+                try:
+                    lo = hi = float(pv)
+                except ValueError:
+                    return _UNKNOWN
     else:
         rng = stats.get(col)
         if rng is None:

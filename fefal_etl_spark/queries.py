@@ -3983,12 +3983,13 @@ def q_incremental_mv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and follow in registration order.
 _DRIVER_PRIORITY = [
     # Round-7 rotation (VERDICT r6 item 4): the driver samples the
-    # FIRST 50 registry entries each round. Front-load (a) the three
+    # FIRST 50 registry entries each round. Front-load (a) the four
     # round-7 additions (never driver-sampled), then (b) the queries
     # whose LATEST driver sample is r1 (31, stalest first), then (c)
-    # the r2-stale tail (36) — 3 + 31 + 36 = 70, so the r7 run covers
-    # the new components plus the 47 stalest of the 67 r1/r2-aged
-    # queries; the remainder ages to the front of the r8 rotation.
+    # the r2-stale tail (36) — 4 + 31 + 36 = 71, so the r7 run covers
+    # the new components plus 46 of the 67 r1/r2-aged queries (all 31
+    # r1-stale + the first 15 of the r2 tail); the remaining 21
+    # r2-stale queries age to the front of the r8 rotation.
     # --- new round-7 components ---
     "pruned_delete_read",
     "txn_batch_source_read",

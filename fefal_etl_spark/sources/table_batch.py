@@ -45,7 +45,6 @@ from fefal_etl_spark.streaming.table_source import (
     _apply_column_ops_schema,
     _append_partition_columns,
     _record,
-    _reorder_batch,
     _snapshot,
     _versions,
 )
@@ -106,17 +105,57 @@ def _arrow_type(simple: str):
     return None
 
 
+def _scalar_arrow_type(simple: str):
+    """Arrow type for the common non-numeric scalar simpleStrings
+    (`_arrow_type` covers the widening-lattice numerics). None for
+    complex types — the caller falls back to a footer search."""
+    import pyarrow as pa
+
+    return {
+        "string": pa.string(),
+        "boolean": pa.bool_(),
+        "date": pa.date32(),
+        # Spark TIMESTAMP (LTZ) round-trips as UTC-tagged micros;
+        # TIMESTAMP_NTZ as tag-less micros
+        "timestamp": pa.timestamp("us", tz="UTC"),
+        "timestamp_ntz": pa.timestamp("us"),
+        "binary": pa.binary(),
+    }.get(simple)
+
+
+def _find_column_type(root: str, files: list, name: str, ops: list):
+    """Arrow type of ``name`` from the NEWEST file that physically
+    carries it (complex-typed added columns only — the scalar maps
+    answer everything else without IO). Added columns come from later
+    commits, so the reversed scan usually stops at the first footer."""
+    import pyarrow.parquet as pq
+
+    for rel in reversed(files):
+        sch = _apply_column_ops_schema(
+            pq.ParquetFile(os.path.join(root, rel)).schema_arrow, ops
+        )
+        idx = sch.get_field_index(name)
+        if idx >= 0:
+            return sch.field(idx).type
+    return None
+
+
 def _snapshot_meta(root: str, version: int):
     """(state, pcols, col_ops, declared arrow schema) AS OF ``version``
     — the version-pinned twin of the streaming `_table_meta` +
     `_stream_schema_names` pair (those fix metadata at the LATEST
     version, which is right for a stream and wrong for time travel).
 
-    The declared schema starts from the first data file, then every
-    column the MANIFEST records with a different (widened) numeric type
-    is overridden to the manifest's type — after a type-widening append
-    the first file may still hold the narrow physical type, and the
-    declared schema must be the wide one (readers upcast batches)."""
+    The declared schema starts from the first data file, then two
+    MANIFEST-schema corrections make it the true table schema:
+
+    * a column the manifest records with a different (widened) numeric
+      type is overridden to the manifest's type — after a type-widening
+      append the first file may still hold the narrow physical bytes;
+    * a column the manifest records that the first file LACKS (added
+      by a later commit — schema evolution) is APPENDED, typed from
+      the manifest record; files without it surface typed NULLs, the
+      same contract as ``TransactionalTable.read()``'s union-by-name."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -134,14 +173,49 @@ def _snapshot_meta(root: str, version: int):
     ops = state.get("column_ops") or []
     base = pq.ParquetFile(os.path.join(root, files[0])).schema_arrow
     base = _apply_column_ops_schema(base, ops)
+    # the resolved manifest schema is already logical-named
+    # (table._apply_record applies rename/drop ops to it)
+    mf_schema = dict(state.get("schema") or {})
     for i, name in enumerate(base.names):
-        want = _arrow_type((state.get("schema") or {}).get(name, ""))
+        want = _arrow_type(mf_schema.get(name, ""))
         if want is not None and want != base.field(i).type:
             base = base.set(i, pa.field(name, want))
+    # add-column evolution: manifest columns absent from file 0
+    for name, simple in mf_schema.items():
+        if name in base.names or name in pcols:
+            continue
+        want = (
+            _arrow_type(simple)
+            or _scalar_arrow_type(simple)
+            or _find_column_type(root, files, name, ops)
+        )
+        if want is not None:
+            base = base.append(pa.field(name, want))
     for c in pcols:
         if c not in base.names:
             base = base.append(pa.field(c, pa.string()))
     return state, pcols, ops, base
+
+
+def _project_batch(batch, target):
+    """Project an Arrow batch onto the declared schema: reorder,
+    fill columns the file lacks with typed NULLs (add-column
+    evolution), and upcast narrow physical types (type widening)."""
+    import pyarrow as pa
+
+    if batch.schema == target:
+        return batch
+    cols = []
+    for field in target:
+        idx = batch.schema.get_field_index(field.name)
+        if idx < 0:
+            cols.append(pa.nulls(batch.num_rows, type=field.type))
+            continue
+        col = batch.column(idx)
+        if col.type != field.type:
+            col = col.cast(field.type)
+        cols.append(col)
+    return pa.RecordBatch.from_arrays(cols, schema=target)
 
 
 class _BatchFilePartition(InputPartition):
@@ -149,40 +223,46 @@ class _BatchFilePartition(InputPartition):
         self,
         path: str,
         rel: str,
-        dv_paths: list[str],
+        mask: list[int],
         pcols: list[str],
         col_ops: list,
         schema: "object",
     ):
         self.path = path
         self.rel = rel
-        self.dv_paths = dv_paths
+        self.mask = mask  # THIS file's DV-masked row positions
         self.pcols = pcols
         self.col_ops = col_ops
         self.schema = schema  # declared arrow schema (order + types)
 
 
 class TxnTableBatchReader(DataSourceReader):
-    def __init__(self, options: dict):
-        self.root = options["path"]
-        self.version = _resolve_version(self.root, options)
-        (
-            self.state,
-            self.pcols,
-            self.col_ops,
-            self.arrow_schema,
-        ) = _snapshot_meta(self.root, self.version)
+    def __init__(self, root: str, meta: tuple):
+        self.root = root
+        self.state, self.pcols, self.col_ops, self.arrow_schema = meta
 
     def partitions(self) -> Sequence[InputPartition]:
-        dv_paths = [
-            os.path.join(self.root, f)
-            for f in self.state.get("dv_files") or []
-        ]
+        import pyarrow.parquet as pq
+
+        # resolve the deletion vectors ONCE on the driver (sidecars are
+        # tiny by the merge-on-read premise) and ship each file only
+        # ITS OWN positions — the executor side never re-reads sidecars
+        # (pre-review every file partition read every sidecar: O(files
+        # × sidecars) sidecar IO across a scan)
+        masks: dict[str, list[int]] = {}
+        for f in self.state.get("dv_files") or []:
+            t = pq.read_table(
+                os.path.join(self.root, f), columns=["file", "pos"]
+            )
+            for rel, pos in zip(
+                t.column("file").to_pylist(), t.column("pos").to_pylist()
+            ):
+                masks.setdefault(rel, []).append(pos)
         return [
             _BatchFilePartition(
                 os.path.join(self.root, rel),
                 rel,
-                dv_paths,
+                masks.get(rel) or [],
                 self.pcols,
                 self.col_ops,
                 self.arrow_schema,
@@ -194,15 +274,7 @@ class TxnTableBatchReader(DataSourceReader):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        # this file's masked positions from the (tiny) DV sidecars
-        mask: set[int] = set()
-        for p in partition.dv_paths:
-            t = pq.read_table(p, columns=["file", "pos"])
-            files = t.column("file").to_pylist()
-            ps = t.column("pos").to_pylist()
-            mask.update(
-                p_ for f_, p_ in zip(files, ps) if f_ == partition.rel
-            )
+        mask = set(partition.mask)
         target = partition.schema
         offset = 0
         for batch in pq.ParquetFile(partition.path).iter_batches():
@@ -218,12 +290,7 @@ class TxnTableBatchReader(DataSourceReader):
             batch = _append_partition_columns(
                 batch, partition.rel, partition.pcols
             )
-            batch = _reorder_batch(batch, list(target.names))
-            if batch.schema != target:
-                # files written before a type widening hold the narrow
-                # physical type — upcast to the declared schema
-                batch = batch.cast(target)
-            yield batch
+            yield _project_batch(batch, target)
 
 
 class TxnTableBatchDataSource(DataSource):
@@ -235,13 +302,24 @@ class TxnTableBatchDataSource(DataSource):
     def name(cls) -> str:
         return "txn_table"
 
+    def _meta(self) -> tuple:
+        """Resolve the snapshot ONCE per DataSource instance: schema()
+        and reader() share it, so a commit landing between the two
+        calls can never bind one version's batches to another
+        version's declared schema (the streaming module shares
+        `_table_meta` for the same reason)."""
+        cached = getattr(self, "_meta_cache", None)
+        if cached is None:
+            root = self.options["path"]
+            version = _resolve_version(root, self.options)
+            cached = _snapshot_meta(root, version)
+            self._meta_cache = cached
+        return cached
+
     def schema(self):
         from pyspark.sql.pandas.types import from_arrow_schema
 
-        root = self.options["path"]
-        version = _resolve_version(root, self.options)
-        _state, _pcols, _ops, base = _snapshot_meta(root, version)
-        return from_arrow_schema(base)
+        return from_arrow_schema(self._meta()[3])
 
     def reader(self, schema) -> TxnTableBatchReader:
-        return TxnTableBatchReader(self.options)
+        return TxnTableBatchReader(self.options["path"], self._meta())

@@ -825,7 +825,9 @@ class TransactionalTable:
         from fefal_etl_spark.predicate_prune import prune_candidates
 
         v = self.latest_version() if version is None else version
-        mf = self._read_manifest(v)  # type: ignore[arg-type]
+        if v is None:
+            raise FileNotFoundError(f"no committed version in {self.root}")
+        mf = self._read_manifest(v)
         keep = prune_candidates(
             condition, mf.files, mf.stats or {}, mf.partitions or {}
         )

@@ -397,7 +397,7 @@ def test_overwrite_where_accepts_disjoint_append(spark, tmp_path):
     t = TransactionalTable(spark, root)
     t.overwrite(
         spark.range(100)
-        .select(F.col("k").alias("k") if False else F.col("id").alias("k"))
+        .select(F.col("id").alias("k"))
         .repartitionByRange(4, "k")
     )
     t2 = TransactionalTable(spark, root)
@@ -958,3 +958,86 @@ def test_round7_model_based_random_ops(spark, tmp_path):
     fresh2 = TransactionalTable(spark, root)
     assert fresh2.versions() == keep
     check(fresh2, keep)
+
+
+# ----------------------------------------------------------------------
+# self-review regression pins (round-7 diff review)
+# ----------------------------------------------------------------------
+
+
+def test_predicate_prune_int64_exactness():
+    """Review fix: integer SQL literals must stay ints — float parsing
+    rounds above 2^53 and made the pruner claim files provably empty
+    that actually hold the matching row."""
+    from fefal_etl_spark.predicate_prune import prune_candidates
+
+    big = (1 << 53) + 1  # not representable in float64
+    files = ["data/a/f1", "data/a/f2"]
+    stats = {
+        "data/a/f1": {"k": [big, big]},
+        "data/a/f2": {"k": [0, 9]},
+    }
+    assert prune_candidates(f"k = {big}", files, stats, {}) == [
+        "data/a/f1"
+    ]
+    assert prune_candidates(f"k >= {big}", files, stats, {}) == [
+        "data/a/f1"
+    ]
+    # partition-value pin at the same precision
+    parts = {"data/a/f1": {"p": str(big)}, "data/a/f2": {"p": "1"}}
+    assert prune_candidates(f"p = {big}", files, {}, parts) == [
+        "data/a/f1"
+    ]
+
+
+def test_batch_source_add_column_evolution(spark, tmp_path):
+    """Review fix: a column added by a later commit must surface
+    through format("txn_table") as typed NULLs for pre-evolution files
+    (the declared schema comes from the manifest record, not just the
+    first file's footer)."""
+    from fefal_etl_spark.sources.table_batch import TxnTableBatchDataSource
+
+    spark.dataSource.register(TxnTableBatchDataSource)
+    root = str(tmp_path / "t")
+    t = TransactionalTable(spark, root)
+    t.overwrite(spark.createDataFrame([(1,)], "k long"))
+    t.append(
+        spark.createDataFrame([(2, "x", 1.5)], "k long, s string, w double")
+    )
+    df = spark.read.format("txn_table").load(root)
+    assert sorted(df.columns) == ["k", "s", "w"]
+    got = {(r["k"], r["s"], r["w"]) for r in df.collect()}
+    assert got == {(1, None, None), (2, "x", 1.5)}
+    assert _rows(df.select("k", "s", "w")) == _rows(
+        t.read().select("k", "s", "w")
+    )
+
+
+def test_batch_source_dv_masks_ship_per_file(spark, tmp_path):
+    """Review fix: deletion vectors are resolved once on the driver and
+    each file partition carries only its own positions."""
+    from fefal_etl_spark.sources.table_batch import (
+        TxnTableBatchDataSource,
+        TxnTableBatchReader,
+        _resolve_version,
+        _snapshot_meta,
+    )
+
+    spark.dataSource.register(TxnTableBatchDataSource)
+    root = str(tmp_path / "t")
+    t = TransactionalTable(spark, root)
+    t.overwrite(
+        spark.range(40).select(F.col("id").alias("k")).repartitionByRange(4, "k")
+    )
+    t.delete_where_dv(F.col("k").isin(3, 25))
+    reader = TxnTableBatchReader(
+        root, _snapshot_meta(root, _resolve_version(root, {"path": root}))
+    )
+    parts = reader.partitions()
+    masked = {p.rel: p.mask for p in parts if p.mask}
+    assert len(masked) == 2  # exactly the two files holding k=3, k=25
+    assert all(len(m) == 1 for m in masked.values())
+    df = spark.read.format("txn_table").load(root)
+    assert sorted(r["k"] for r in df.collect()) == [
+        k for k in range(40) if k not in (3, 25)
+    ]
