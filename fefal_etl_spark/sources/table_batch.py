@@ -40,6 +40,7 @@ from pyspark.sql.datasource import (
     InputPartition,
 )
 
+from fefal_etl_spark.arrow_meta import declared_schema, project_batch
 from fefal_etl_spark.streaming.table_source import (
     _apply_column_ops_batch,
     _apply_column_ops_schema,
@@ -82,83 +83,15 @@ def _resolve_version(root: str, options: dict) -> int:
     return vs[-1]
 
 
-def _arrow_type(simple: str):
-    """Arrow type for a Spark simpleString, for the types the widening
-    lattice covers (None = not mapped; keep the file's own type)."""
-    import pyarrow as pa
-
-    import re as _re
-
-    flat = {
-        "tinyint": pa.int8(),
-        "smallint": pa.int16(),
-        "int": pa.int32(),
-        "bigint": pa.int64(),
-        "float": pa.float32(),
-        "double": pa.float64(),
-    }
-    if simple in flat:
-        return flat[simple]
-    m = _re.match(r"^decimal\((\d+),(\d+)\)$", simple or "")
-    if m:
-        return pa.decimal128(int(m.group(1)), int(m.group(2)))
-    return None
-
-
-def _scalar_arrow_type(simple: str):
-    """Arrow type for the common non-numeric scalar simpleStrings
-    (`_arrow_type` covers the widening-lattice numerics). None for
-    complex types — the caller falls back to a footer search."""
-    import pyarrow as pa
-
-    return {
-        "string": pa.string(),
-        "boolean": pa.bool_(),
-        "date": pa.date32(),
-        # Spark TIMESTAMP (LTZ) round-trips as UTC-tagged micros;
-        # TIMESTAMP_NTZ as tag-less micros
-        "timestamp": pa.timestamp("us", tz="UTC"),
-        "timestamp_ntz": pa.timestamp("us"),
-        "binary": pa.binary(),
-    }.get(simple)
-
-
-def _find_column_type(root: str, files: list, name: str, ops: list):
-    """Arrow type of ``name`` from the NEWEST file that physically
-    carries it (complex-typed added columns only — the scalar maps
-    answer everything else without IO). Added columns come from later
-    commits, so the reversed scan usually stops at the first footer."""
-    import pyarrow.parquet as pq
-
-    for rel in reversed(files):
-        sch = _apply_column_ops_schema(
-            pq.ParquetFile(os.path.join(root, rel)).schema_arrow, ops
-        )
-        idx = sch.get_field_index(name)
-        if idx >= 0:
-            return sch.field(idx).type
-    return None
-
-
 def _snapshot_meta(root: str, version: int):
     """(state, pcols, col_ops, declared arrow schema) AS OF ``version``
-    — the version-pinned twin of the streaming `_table_meta` +
-    `_stream_schema_names` pair (those fix metadata at the LATEST
-    version, which is right for a stream and wrong for time travel).
-
-    The declared schema starts from the first data file, then two
-    MANIFEST-schema corrections make it the true table schema:
-
-    * a column the manifest records with a different (widened) numeric
-      type is overridden to the manifest's type — after a type-widening
-      append the first file may still hold the narrow physical bytes;
-    * a column the manifest records that the first file LACKS (added
-      by a later commit — schema evolution) is APPENDED, typed from
-      the manifest record; files without it surface typed NULLs, the
-      same contract as ``TransactionalTable.read()``'s union-by-name."""
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
+    — the version-pinned twin of the streaming `_table_meta` pair
+    (those fix metadata at the LATEST version, which is right for a
+    stream and wrong for time travel). The declared schema is the
+    manifest union (`arrow_meta.declared_schema`): widened types
+    override the first file's footer, later-added columns append
+    (typed NULLs for files that lack them — the same contract as
+    ``TransactionalTable.read()``'s union-by-name scan)."""
     state = _snapshot(root, version)
     files = state["files"]
     if not files:
@@ -171,51 +104,13 @@ def _snapshot_meta(root: str, version: int):
         }
     )
     ops = state.get("column_ops") or []
-    base = pq.ParquetFile(os.path.join(root, files[0])).schema_arrow
-    base = _apply_column_ops_schema(base, ops)
-    # the resolved manifest schema is already logical-named
-    # (table._apply_record applies rename/drop ops to it)
-    mf_schema = dict(state.get("schema") or {})
-    for i, name in enumerate(base.names):
-        want = _arrow_type(mf_schema.get(name, ""))
-        if want is not None and want != base.field(i).type:
-            base = base.set(i, pa.field(name, want))
-    # add-column evolution: manifest columns absent from file 0
-    for name, simple in mf_schema.items():
-        if name in base.names or name in pcols:
-            continue
-        want = (
-            _arrow_type(simple)
-            or _scalar_arrow_type(simple)
-            or _find_column_type(root, files, name, ops)
-        )
-        if want is not None:
-            base = base.append(pa.field(name, want))
-    for c in pcols:
-        if c not in base.names:
-            base = base.append(pa.field(c, pa.string()))
+    base = declared_schema(
+        root,
+        state,
+        pcols,
+        lambda sch: _apply_column_ops_schema(sch, ops),
+    )
     return state, pcols, ops, base
-
-
-def _project_batch(batch, target):
-    """Project an Arrow batch onto the declared schema: reorder,
-    fill columns the file lacks with typed NULLs (add-column
-    evolution), and upcast narrow physical types (type widening)."""
-    import pyarrow as pa
-
-    if batch.schema == target:
-        return batch
-    cols = []
-    for field in target:
-        idx = batch.schema.get_field_index(field.name)
-        if idx < 0:
-            cols.append(pa.nulls(batch.num_rows, type=field.type))
-            continue
-        col = batch.column(idx)
-        if col.type != field.type:
-            col = col.cast(field.type)
-        cols.append(col)
-    return pa.RecordBatch.from_arrays(cols, schema=target)
 
 
 class _BatchFilePartition(InputPartition):
@@ -290,7 +185,7 @@ class TxnTableBatchReader(DataSourceReader):
             batch = _append_partition_columns(
                 batch, partition.rel, partition.pcols
             )
-            yield _project_batch(batch, target)
+            yield project_batch(batch, target)
 
 
 class TxnTableBatchDataSource(DataSource):

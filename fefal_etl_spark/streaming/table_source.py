@@ -150,39 +150,31 @@ def _apply_column_ops_batch(batch, ops):
     return pa.RecordBatch.from_arrays(cols, names=names)
 
 
-def _stream_schema_names(root: str) -> list[str]:
-    """The DATA-column name order of the declared stream schema (first
-    file's parquet order, column ops applied, partition columns
-    appended). The Python data source binds Arrow batches to the
-    declared schema BY POSITION, so every batch must be emitted in
-    exactly this order (mixed layouts store columns at different
-    physical positions)."""
-    import pyarrow.parquet as pq
+def _stream_decl_schema(root: str):
+    """The declared Arrow schema of the stream, fixed at stream start:
+    the MANIFEST-UNION schema of the latest snapshot
+    (`arrow_meta.declared_schema` — first file's footer for order,
+    widened types overridden, later-added columns appended, partition
+    columns as strings). Files that physically lack a declared column
+    surface typed NULLs via `project_batch`, the same contract as the
+    batch source and `TransactionalTable.read()` — pre-review the
+    stream declared only the FIRST file's footer columns, silently
+    dropping columns added by later commits."""
+    from fefal_etl_spark.arrow_meta import declared_schema
 
     pcols, ops = _table_meta(root)
     vs = _versions(root)
+    if not vs:
+        raise FileNotFoundError(f"no committed version in {root}")
     state = _snapshot(root, vs[-1])
-    files = state["files"]
-    base = pq.ParquetFile(os.path.join(root, files[0])).schema_arrow
-    base = _apply_column_ops_schema(base, ops)
-    names = list(base.names)
-    for c in pcols:
-        if c not in names:
-            names.append(c)
-    return names
-
-
-def _reorder_batch(batch, names: list[str]):
-    """Project an Arrow batch into the declared column order."""
-    import pyarrow as pa
-
-    if list(batch.schema.names) == names:
-        return batch
-    cols = []
-    for n in names:
-        idx = batch.schema.get_field_index(n)
-        cols.append(batch.column(idx))
-    return pa.RecordBatch.from_arrays(cols, names=names)
+    if not state["files"]:
+        raise FileNotFoundError(f"latest version of {root} is empty")
+    return declared_schema(
+        root,
+        state,
+        pcols,
+        lambda sch: _apply_column_ops_schema(sch, ops),
+    )
 
 
 def _partition_cols(root: str) -> list[str]:
@@ -248,7 +240,7 @@ class TxnTableStreamReader(DataSourceStreamReader):
         # hive partition columns + schema ops, fixed at stream start
         # (schema is static) — one shared resolution
         self.pcols, self.col_ops = _table_meta(self.root)
-        self.schema_names = _stream_schema_names(self.root)
+        self.schema_arrow = _stream_decl_schema(self.root)
 
     # offsets are {"version": <last fully consumed manifest version>}
     def initialOffset(self) -> dict:
@@ -283,7 +275,7 @@ class TxnTableStreamReader(DataSourceStreamReader):
         ]
         for p_ in out:
             p_.col_ops = self.col_ops
-            p_.schema_names = self.schema_names
+            p_.schema_arrow = self.schema_arrow
         return out
 
     def read(self, partition: _FilePartition) -> Iterator:
@@ -292,6 +284,8 @@ class TxnTableStreamReader(DataSourceStreamReader):
         # yield Arrow batches: the Python source stays columnar —
         # no per-row Python objects on the data plane (partition values
         # are file-constant string columns appended per batch)
+        from fefal_etl_spark.arrow_meta import project_batch
+
         for batch in pq.ParquetFile(partition.path).iter_batches():
             batch = _apply_column_ops_batch(
                 batch, getattr(partition, "col_ops", [])
@@ -299,25 +293,13 @@ class TxnTableStreamReader(DataSourceStreamReader):
             batch = _append_partition_columns(
                 batch, partition.rel, partition.pcols
             )
-            names = getattr(partition, "schema_names", None)
-            yield _reorder_batch(batch, names) if names else batch
+            sch = getattr(partition, "schema_arrow", None)
+            yield project_batch(batch, sch) if sch is not None else batch
 
     def commit(self, end: dict) -> None:
         # offsets are derived purely from immutable manifests — nothing
         # to persist source-side (the checkpoint holds the offset)
         pass
-
-
-def _base_arrow_schema(root: str):
-    import pyarrow.parquet as pq
-
-    vs = _versions(root)
-    if not vs:
-        raise FileNotFoundError(f"no committed version in {root}")
-    files = _snapshot(root, vs[-1])["files"]
-    if not files:
-        raise FileNotFoundError(f"latest version of {root} is empty")
-    return pq.ParquetFile(os.path.join(root, files[0])).schema_arrow
 
 
 class TxnTableStreamDataSource(DataSource):
@@ -329,18 +311,11 @@ class TxnTableStreamDataSource(DataSource):
         return "txn_table_stream"
 
     def schema(self):
-        import pyarrow as pa
-
         from pyspark.sql.pandas.types import from_arrow_schema
 
-        pcols, ops = _table_meta(self.options["path"])
-        base = _apply_column_ops_schema(
-            _base_arrow_schema(self.options["path"]), ops
+        return from_arrow_schema(
+            _stream_decl_schema(self.options["path"])
         )
-        for c in pcols:
-            if c not in base.names:
-                base = base.append(pa.field(c, pa.string()))
-        return from_arrow_schema(base)
 
     def streamReader(self, schema) -> TxnTableStreamReader:
         return TxnTableStreamReader(self.options)
@@ -402,7 +377,7 @@ class TxnTableChangesStreamReader(DataSourceStreamReader):
         self.root = options["path"]
         self.start_version = int(options.get("startingversion", 0)) - 1
         self.pcols, self.col_ops = _table_meta(self.root)
-        self.schema_names = _stream_schema_names(self.root)
+        self.schema_arrow = _stream_decl_schema(self.root)
 
     def initialOffset(self) -> dict:
         return {"version": self.start_version}
@@ -440,7 +415,7 @@ class TxnTableChangesStreamReader(DataSourceStreamReader):
                 )
                 p_.pcols = self.pcols
                 p_.col_ops = self.col_ops
-                p_.schema_names = self.schema_names
+                p_.schema_arrow = self.schema_arrow
                 return p_
 
             for rel in cur_mf["files"]:
@@ -524,11 +499,13 @@ class TxnTableChangesStreamReader(DataSourceStreamReader):
             taken = _append_partition_columns(
                 taken, partition.rel, getattr(partition, "pcols", [])
             )
-            # positional binding: the declared schema's data-column
-            # order leads, whatever the file's physical layout was
-            order = getattr(partition, "schema_names", None)
-            if order:
-                taken = _reorder_batch(taken, order)
+            # project onto the declared data-column schema (order,
+            # typed NULLs for absent columns, widened-type upcasts)
+            from fefal_etl_spark.arrow_meta import project_batch
+
+            sch = getattr(partition, "schema_arrow", None)
+            if sch is not None:
+                taken = project_batch(taken, sch)
             cols = list(taken.columns) + [
                 pa.array([change] * len(idx), type=pa.string()),
                 pa.array([partition.version] * len(idx), type=pa.int64()),
@@ -557,13 +534,7 @@ class TxnTableChangesDataSource(DataSource):
 
         from pyspark.sql.pandas.types import from_arrow_schema
 
-        pcols, ops = _table_meta(self.options["path"])
-        base = _apply_column_ops_schema(
-            _base_arrow_schema(self.options["path"]), ops
-        )
-        for c in pcols:
-            if c not in base.names:
-                base = base.append(pa.field(c, pa.string()))
+        base = _stream_decl_schema(self.options["path"])
         return from_arrow_schema(
             base.append(pa.field("_change_type", pa.string())).append(
                 pa.field("_commit_version", pa.int64())

@@ -1041,3 +1041,52 @@ def test_batch_source_dv_masks_ship_per_file(spark, tmp_path):
     assert sorted(r["k"] for r in df.collect()) == [
         k for k in range(40) if k not in (3, 25)
     ]
+
+
+def test_stream_sources_declare_manifest_union_schema(spark, tmp_path):
+    """Review follow-through: the STREAMING sources had the same
+    first-file-footer schema gap as the batch source — a stream started
+    after an add-column commit must declare the added column and
+    surface typed NULLs for pre-evolution files (both the append-only
+    tail and the CDF stream)."""
+    from fefal_etl_spark.streaming.table_source import (
+        TxnTableChangesDataSource,
+        TxnTableStreamDataSource,
+    )
+
+    spark.dataSource.register(TxnTableStreamDataSource)
+    spark.dataSource.register(TxnTableChangesDataSource)
+    root = str(tmp_path / "t")
+    t = TransactionalTable(spark, root)
+    t.overwrite(spark.createDataFrame([(1,)], "k long"))
+    t.append(spark.createDataFrame([(2, "x")], "k long, s string"))
+
+    def drain(fmt, out, ckpt):
+        q = (
+            spark.readStream.format(fmt)
+            .option("path", root)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out)
+
+    got = drain(
+        "txn_table_stream", str(tmp_path / "o1"), str(tmp_path / "c1")
+    )
+    assert sorted(got.columns) == ["k", "s"]
+    assert {(r["k"], r["s"]) for r in got.collect()} == {
+        (1, None),
+        (2, "x"),
+    }
+    cdf = drain(
+        "txn_table_changes", str(tmp_path / "o2"), str(tmp_path / "c2")
+    )
+    assert {
+        (r["k"], r["s"], r["_change_type"], r["_commit_version"])
+        for r in cdf.collect()
+    } == {(1, None, "insert", 0), (2, "x", "insert", 1)}
