@@ -1090,3 +1090,212 @@ def test_stream_sources_declare_manifest_union_schema(spark, tmp_path):
         (r["k"], r["s"], r["_change_type"], r["_commit_version"])
         for r in cdf.collect()
     } == {(1, None, "insert", 0), (2, "x", "insert", 1)}
+
+
+# ----------------------------------------------------------------------
+# property-based soundness of predicate_prune (pure Python, no Spark)
+# ----------------------------------------------------------------------
+
+
+def _render_sql(node) -> str:
+    """Render the generator's AST to the SQL subset the pruner parses."""
+    kind = node[0]
+    if kind in ("and", "or"):
+        return (
+            f"({_render_sql(node[1])}) "
+            f"{kind.upper()} ({_render_sql(node[2])})"
+        )
+    if kind == "not":
+        return f"NOT ({_render_sql(node[1])})"
+    if kind == "cmp":
+        _, op, col, lit = node
+        return f"{col} {op} {_lit_sql(lit)}"
+    if kind == "between":
+        _, col, lo, hi = node
+        return f"{col} BETWEEN {_lit_sql(lo)} AND {_lit_sql(hi)}"
+    if kind == "in":
+        _, col, vals, negated = node
+        inner = ", ".join(_lit_sql(v) for v in vals)
+        return f"{col} {'NOT IN' if negated else 'IN'} ({inner})"
+    if kind == "isnull":
+        _, col, negated = node
+        return f"{col} IS {'NOT ' if negated else ''}NULL"
+    raise AssertionError(kind)
+
+
+def _lit_sql(v) -> str:
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    return repr(v)
+
+
+def _eval_pred(node, row):
+    """Three-valued SQL evaluation of the generator's AST on one row
+    (None = SQL NULL). The soundness oracle for the pruner."""
+    kind = node[0]
+    if kind == "and":
+        a, b = _eval_pred(node[1], row), _eval_pred(node[2], row)
+        if a is False or b is False:
+            return False
+        if a is None or b is None:
+            return None
+        return True
+    if kind == "or":
+        a, b = _eval_pred(node[1], row), _eval_pred(node[2], row)
+        if a is True or b is True:
+            return True
+        if a is None or b is None:
+            return None
+        return False
+    if kind == "not":
+        a = _eval_pred(node[1], row)
+        return None if a is None else (not a)
+    if kind == "isnull":
+        _, col, negated = node
+        isnull = row.get(col) is None
+        return (not isnull) if negated else isnull
+    col = node[2] if kind == "cmp" else node[1]
+    v = row.get(col)
+    if v is None:
+        return None
+    if kind == "cmp":
+        op = node[1]
+        lit = node[3]
+        if isinstance(v, str) != isinstance(lit, str):
+            return None  # type-confused atom: treat as NULL (kept)
+        return {
+            "=": v == lit,
+            "!=": v != lit,
+            "<": v < lit,
+            "<=": v <= lit,
+            ">": v > lit,
+            ">=": v >= lit,
+        }[op]
+    if kind == "between":
+        lo, hi = node[2], node[3]
+        if isinstance(v, str) != isinstance(lo, str):
+            return None
+        return lo <= v <= hi
+    if kind == "in":
+        vals, negated = node[2], node[3]
+        if isinstance(v, str) != isinstance(vals[0], str):
+            return None
+        hit = any(v == x for x in vals)
+        return (not hit) if negated else hit
+    raise AssertionError(kind)
+
+
+def test_predicate_prune_soundness_property():
+    """PROPERTY: prune_candidates never removes a file that contains a
+    row matching the predicate (three-valued SQL semantics), whatever
+    the predicate shape, data distribution, NULLs, stats gaps, hive
+    partition pins, or int64-scale literals."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from fefal_etl_spark.predicate_prune import (
+        parse_predicate,
+        prune_candidates,
+    )
+
+    ints = st.integers(min_value=-(2**60), max_value=2**60)
+    flts = st.floats(
+        allow_nan=False, allow_infinity=False, min_value=-1e9, max_value=1e9
+    )
+    strs = st.text(alphabet="abcxyz", min_size=0, max_size=4)
+    pvals = st.sampled_from(["0", "1", "2"])
+
+    def lit_for(col):
+        # numeric columns take BOTH int and float literals (the pruner
+        # compares across numeric kinds, e.g. "a < 3.5" on int stats)
+        num = st.one_of(ints, flts)
+        return {"a": num, "b": num, "c": strs, "p": pvals}[col]
+
+    @st.composite
+    def atoms(draw):
+        col = draw(st.sampled_from(["a", "b", "c", "p", "zz"]))
+        lcol = col if col != "zz" else "a"
+        shape = draw(
+            st.sampled_from(["cmp", "between", "in", "isnull"])
+        )
+        if shape == "cmp":
+            op = draw(st.sampled_from(["=", "!=", "<", "<=", ">", ">="]))
+            return ("cmp", op, col, draw(lit_for(lcol)))
+        if shape == "between":
+            return ("between", col, draw(lit_for(lcol)), draw(lit_for(lcol)))
+        if shape == "in":
+            vals = draw(st.lists(lit_for(lcol), min_size=1, max_size=3))
+            return ("in", col, vals, draw(st.booleans()))
+        return ("isnull", col, draw(st.booleans()))
+
+    def preds(depth):
+        if depth == 0:
+            return atoms()
+        sub = preds(depth - 1)
+        return st.one_of(
+            atoms(),
+            st.tuples(st.just("not"), sub),
+            st.tuples(st.sampled_from(["and", "or"]), sub, sub),
+        )
+
+    rows_strategy = st.lists(
+        st.fixed_dictionaries(
+            {
+                "a": st.none() | ints,
+                "b": st.none() | flts,
+                "c": st.none() | strs,
+                "p": pvals,
+            }
+        ),
+        min_size=1,
+        max_size=6,
+    )
+    files_strategy = st.lists(
+        st.tuples(rows_strategy, st.booleans(), st.booleans()),
+        min_size=1,
+        max_size=5,
+    )
+
+    @settings(
+        max_examples=300,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(files=files_strategy, pred=preds(2))
+    def run(files, pred):
+        sql = _render_sql(pred)
+        assert parse_predicate(sql) is not None, sql
+        names, stats, parts, contents = [], {}, {}, {}
+        for i, (rows, hive, with_stats) in enumerate(files):
+            f = f"data/u/f{i}"
+            names.append(f)
+            if hive:
+                # hive layout: all rows share p, recorded in the
+                # partition map, never in stats
+                pv = rows[0]["p"]
+                rows = [dict(r, p=pv) for r in rows]
+                parts[f] = {"p": pv}
+            if with_stats:
+                fs = {}
+                for col in ("a", "b", "c"):
+                    vals = [r[col] for r in rows if r[col] is not None]
+                    if vals:
+                        fs[col] = [min(vals), max(vals)]
+                if not hive:
+                    fs["p"] = [
+                        min(r["p"] for r in rows),
+                        max(r["p"] for r in rows),
+                    ]
+                stats[f] = fs
+            contents[f] = rows
+        kept = prune_candidates(sql, names, stats, parts)
+        assert kept is not None, sql  # generated SQL is in-subset
+        kept_set = set(kept)
+        for f, rows in contents.items():
+            if any(_eval_pred(pred, r) is True for r in rows):
+                assert f in kept_set, (
+                    f"UNSOUND: {sql} pruned {f} with stats "
+                    f"{stats.get(f)} parts {parts.get(f)} rows {rows}"
+                )
+
+    run()
