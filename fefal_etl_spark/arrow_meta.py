@@ -51,15 +51,18 @@ def arrow_type_of(simple: str):
     return None
 
 
-def find_column_type(root: str, files: list, name: str, apply_ops):
-    """Arrow type of ``name`` from the NEWEST file that physically
-    carries it (complex-typed added columns only — `arrow_type_of`
-    answers everything else without IO). Added columns come from later
-    commits, so the reversed scan usually stops at the first footer.
-    ``apply_ops`` maps a raw footer schema to logical names."""
+def find_column_type(root: str, files: list, name: str, apply_ops, limit: int = 16):
+    """Arrow type of ``name`` from the newest of AT MOST ``limit`` live
+    files that physically carries it. Added columns come from later
+    commits, so the reversed scan usually stops at the first footer;
+    the bound keeps a column NO live file carries (grow-only manifest
+    record after a narrowing rewrite) from costing an O(table-files)
+    footer walk on every schema resolution — after ``limit`` misses the
+    caller treats the column as not live. ``apply_ops`` maps a raw
+    footer schema to logical names."""
     import pyarrow.parquet as pq
 
-    for rel in reversed(files):
+    for rel in reversed(files[-limit:] if limit else files):
         sch = apply_ops(
             pq.ParquetFile(os.path.join(root, rel)).schema_arrow
         )
@@ -87,12 +90,28 @@ def declared_schema(root: str, state: dict, pcols: list, apply_ops):
         want = arrow_type_of(mf_schema.get(name, ""))
         if want is not None and want != base.field(i).type:
             base = base.set(i, pa.field(name, want))
+    # columns PROVABLY carried by a live file, at zero IO: per-file
+    # stats are keyed by the file's physical columns and pruned to
+    # live files on every commit. The manifest schema record itself is
+    # GROW-ONLY (a narrowing overwrite leaves dead names behind), so a
+    # record entry alone must not declare a column —
+    # TransactionalTable.read() would not surface it (review finding:
+    # phantom all-NULL columns).
+    live_cols: set[str] = set()
+    for fs in (state.get("stats") or {}).values():
+        live_cols.update(k for k in fs if k != "__n_rows")
     for name, simple in mf_schema.items():
         if name in base.names or name in pcols:
             continue
-        want = arrow_type_of(simple) or find_column_type(
-            root, files, name, apply_ops
-        )
+        if name in live_cols:
+            want = arrow_type_of(simple) or find_column_type(
+                root, files, name, apply_ops
+            )
+        else:
+            # not stats-proven (complex/bool/date-typed, or stats
+            # missing): bounded footer probe of the newest files; a
+            # miss means dead-or-ancient — omit, matching read()
+            want = find_column_type(root, files, name, apply_ops)
         if want is not None:
             base = base.append(pa.field(name, want))
     for c in pcols:

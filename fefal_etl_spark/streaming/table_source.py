@@ -91,26 +91,6 @@ def _pvals(rel: str) -> dict[str, str]:
     return TransactionalTable._partition_values(rel)
 
 
-def _table_meta(root: str) -> tuple[list[str], list]:
-    """(partition columns, column ops) of the latest snapshot — ONE
-    checkpoint+tail resolution shared by every startup consumer
-    (schema() + reader __init__ would otherwise each re-resolve)."""
-    vs = _versions(root)
-    if not vs:
-        return [], []
-    state = _snapshot(root, vs[-1])
-    cols: set[str] = set()
-    for pv in (state.get("partitions") or {}).values():
-        cols.update(pv)
-    return sorted(cols), state.get("column_ops") or []
-
-
-def _column_ops(root: str) -> list:
-    """The table's metadata-only schema ops (rename/drop), fixed at
-    stream start like the partition columns."""
-    return _table_meta(root)[1]
-
-
 def _apply_column_ops_schema(base, ops):
     """Arrow-schema projection of the ops (rename fields, drop fields)."""
     import pyarrow as pa
@@ -150,38 +130,39 @@ def _apply_column_ops_batch(batch, ops):
     return pa.RecordBatch.from_arrays(cols, names=names)
 
 
-def _stream_decl_schema(root: str):
-    """The declared Arrow schema of the stream, fixed at stream start:
-    the MANIFEST-UNION schema of the latest snapshot
-    (`arrow_meta.declared_schema` — first file's footer for order,
-    widened types overridden, later-added columns appended, partition
-    columns as strings). Files that physically lack a declared column
-    surface typed NULLs via `project_batch`, the same contract as the
-    batch source and `TransactionalTable.read()` — pre-review the
-    stream declared only the FIRST file's footer columns, silently
-    dropping columns added by later commits."""
+def _stream_meta(root: str):
+    """(pcols, col_ops, declared Arrow schema), all from ONE resolution
+    of the latest snapshot — fixed at stream start. The declared
+    schema is the MANIFEST-UNION schema (`arrow_meta.declared_schema`:
+    first file's footer for order, widened types overridden,
+    later-added live columns appended, partition columns as strings);
+    files that physically lack a declared column surface typed NULLs
+    via `project_batch`, the same contract as the batch source and
+    ``TransactionalTable.read()``. A SINGLE resolution matters for
+    more than cost: resolving ops and schema separately opened a race
+    where a commit landing between the two reads bound one version's
+    column_ops to another version's declared schema for the stream's
+    whole lifetime (review finding — the batch source caches one
+    resolution for the same reason)."""
     from fefal_etl_spark.arrow_meta import declared_schema
 
-    pcols, ops = _table_meta(root)
     vs = _versions(root)
     if not vs:
         raise FileNotFoundError(f"no committed version in {root}")
     state = _snapshot(root, vs[-1])
     if not state["files"]:
         raise FileNotFoundError(f"latest version of {root} is empty")
-    return declared_schema(
+    pcols = sorted(
+        {c for pv in (state.get("partitions") or {}).values() for c in pv}
+    )
+    ops = state.get("column_ops") or []
+    schema = declared_schema(
         root,
         state,
         pcols,
         lambda sch: _apply_column_ops_schema(sch, ops),
     )
-
-
-def _partition_cols(root: str) -> list[str]:
-    """Partition column names of the table (union over the latest
-    snapshot's manifest partition map), sorted for a deterministic
-    schema. Empty for unpartitioned tables."""
-    return _table_meta(root)[0]
+    return pcols, ops, schema
 
 
 def _append_partition_columns(batch, rel: str, pcols: list[str]):
@@ -237,10 +218,11 @@ class TxnTableStreamReader(DataSourceStreamReader):
         )
         # -1 = "nothing consumed"; startingVersion=N streams from N on
         self.start_version = int(options.get("startingversion", 0)) - 1
-        # hive partition columns + schema ops, fixed at stream start
-        # (schema is static) — one shared resolution
-        self.pcols, self.col_ops = _table_meta(self.root)
-        self.schema_arrow = _stream_decl_schema(self.root)
+        # hive partition columns + schema ops + declared schema,
+        # fixed at stream start from ONE snapshot resolution
+        self.pcols, self.col_ops, self.schema_arrow = _stream_meta(
+            self.root
+        )
 
     # offsets are {"version": <last fully consumed manifest version>}
     def initialOffset(self) -> dict:
@@ -313,9 +295,7 @@ class TxnTableStreamDataSource(DataSource):
     def schema(self):
         from pyspark.sql.pandas.types import from_arrow_schema
 
-        return from_arrow_schema(
-            _stream_decl_schema(self.options["path"])
-        )
+        return from_arrow_schema(_stream_meta(self.options["path"])[2])
 
     def streamReader(self, schema) -> TxnTableStreamReader:
         return TxnTableStreamReader(self.options)
@@ -376,8 +356,9 @@ class TxnTableChangesStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict):
         self.root = options["path"]
         self.start_version = int(options.get("startingversion", 0)) - 1
-        self.pcols, self.col_ops = _table_meta(self.root)
-        self.schema_arrow = _stream_decl_schema(self.root)
+        self.pcols, self.col_ops, self.schema_arrow = _stream_meta(
+            self.root
+        )
 
     def initialOffset(self) -> dict:
         return {"version": self.start_version}
@@ -534,7 +515,7 @@ class TxnTableChangesDataSource(DataSource):
 
         from pyspark.sql.pandas.types import from_arrow_schema
 
-        base = _stream_decl_schema(self.options["path"])
+        base = _stream_meta(self.options["path"])[2]
         return from_arrow_schema(
             base.append(pa.field("_change_type", pa.string())).append(
                 pa.field("_commit_version", pa.int64())

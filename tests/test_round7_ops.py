@@ -1299,3 +1299,36 @@ def test_predicate_prune_soundness_property():
                 )
 
     run()
+
+
+def test_sources_do_not_declare_phantom_columns(spark, tmp_path):
+    """Second-review fix: the grow-only manifest schema record keeps a
+    column a narrowing overwrite removed; the batch source and the
+    streams must NOT declare it (read() would not surface it) — only
+    columns some live file provably carries are declared."""
+    from fefal_etl_spark.sources.table_batch import TxnTableBatchDataSource
+    from fefal_etl_spark.streaming.table_source import (
+        TxnTableStreamDataSource,
+        _stream_meta,
+    )
+
+    spark.dataSource.register(TxnTableBatchDataSource)
+    spark.dataSource.register(TxnTableStreamDataSource)
+    root = str(tmp_path / "t")
+    t = TransactionalTable(spark, root)
+    t.overwrite(
+        spark.createDataFrame([(1, "gone")], "k long, extra string")
+    )
+    t.overwrite(spark.createDataFrame([(2,), (3,)], "k long"))
+    # the manifest record still carries the dead name ...
+    assert "extra" in (t._read_manifest(t.latest_version()).schema or {})
+    # ... but no source declares it, matching read()
+    assert t.read().columns == ["k"]
+    assert spark.read.format("txn_table").load(root).columns == ["k"]
+    assert _stream_meta(root)[2].names == ["k"]
+    # and a REAL added column is still declared (stats-proven live)
+    t.append(spark.createDataFrame([(4, 7.5)], "k long, w double"))
+    assert sorted(spark.read.format("txn_table").load(root).columns) == [
+        "k", "w",
+    ]
+    assert sorted(_stream_meta(root)[2].names) == ["k", "w"]
