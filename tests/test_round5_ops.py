@@ -106,9 +106,19 @@ def test_query_inventory_up_to_date():
     spec.loader.exec_module(mod)
     with open(os.path.join(repo, "docs", "QUERIES.md")) as f:
         on_disk = f.read()
-    assert mod.build() == on_disk, (
-        "docs/QUERIES.md is stale — run: python tools/gen_query_inventory.py"
+    generated = mod.build()
+    if generated == on_disk:
+        return
+    # Driver-column-only drift (a round's CORRECTNESS file landing
+    # post-commit flips driver cells) is benign: self-heal the artifact
+    # instead of failing (VERDICT r7 item 9). Any OTHER drift — queries
+    # added/removed/renamed, oracle status, docstrings — still fails.
+    assert mod.strip_driver(generated) == mod.strip_driver(on_disk), (
+        "docs/QUERIES.md is stale beyond driver-column drift — run: "
+        "python tools/gen_query_inventory.py"
     )
+    with open(os.path.join(repo, "docs", "QUERIES.md"), "w") as f:
+        f.write(generated)
 
 
 def test_grid_to_df_ragged_rows_keep_extra_columns(spark, tmp_path):
