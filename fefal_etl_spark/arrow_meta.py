@@ -52,23 +52,36 @@ def arrow_type_of(simple: str):
 
 
 def find_column_type(root: str, files: list, name: str, apply_ops, limit: int = 16):
-    """Arrow type of ``name`` from the newest of AT MOST ``limit`` live
-    files that physically carries it. Added columns come from later
-    commits, so the reversed scan usually stops at the first footer;
-    the bound keeps a column NO live file carries (grow-only manifest
-    record after a narrowing rewrite) from costing an O(table-files)
-    footer walk on every schema resolution — after ``limit`` misses the
-    caller treats the column as not live. ``apply_ops`` maps a raw
-    footer schema to logical names."""
+    """Arrow type of ``name`` from the newest live file that physically
+    carries it. Added columns come from later commits, so the reversed
+    scan usually stops within the first ``limit`` footers (the fast
+    path); if those newest files miss, the scan CONTINUES over the
+    remaining live files (ADVICE r7: a bool/date/decimal column whose
+    only carriers are OLDER live files — later appends omitted it —
+    must not be silently dropped from the declared schema, diverging
+    from ``TransactionalTable.read()``'s union-by-name scan). Only a
+    column NO live file carries (grow-only manifest record after a
+    narrowing rewrite) pays the full footer walk — and such dead names
+    are rare, created only by narrowing rewrites. ``apply_ops`` maps a
+    raw footer schema to logical names."""
     import pyarrow.parquet as pq
 
-    for rel in reversed(files[-limit:] if limit else files):
+    def probe(rel):
         sch = apply_ops(
             pq.ParquetFile(os.path.join(root, rel)).schema_arrow
         )
         idx = sch.get_field_index(name)
-        if idx >= 0:
-            return sch.field(idx).type
+        return sch.field(idx).type if idx >= 0 else None
+
+    newest = files[-limit:] if limit else files
+    for rel in reversed(newest):
+        t = probe(rel)
+        if t is not None:
+            return t
+    for rel in reversed(files[: -limit] if limit else []):
+        t = probe(rel)  # slow path: older carriers (bounded by table)
+        if t is not None:
+            return t
     return None
 
 
@@ -99,7 +112,9 @@ def declared_schema(root: str, state: dict, pcols: list, apply_ops):
     # phantom all-NULL columns).
     live_cols: set[str] = set()
     for fs in (state.get("stats") or {}).values():
-        live_cols.update(k for k in fs if k != "__n_rows")
+        # "__"-prefixed keys are the stats dict's reserved namespace
+        # (__n_rows, __nulls), never data columns
+        live_cols.update(k for k in fs if not k.startswith("__"))
     for name, simple in mf_schema.items():
         if name in base.names or name in pcols:
             continue

@@ -16,8 +16,10 @@ atom (``col <op> literal``, ``BETWEEN``, ``IN``) maps to an interval
 test on the file's recorded range (exact test on a partition value);
 ``AND``/``OR``/``NOT`` combine in three-valued logic tracking both
 "may evaluate TRUE" and "may evaluate FALSE" so that ``NOT`` stays
-sound (a NULL atom is neither — stats carry no null counts, so atoms
-over stats ranges never claim an impossible FALSE).
+sound (a NULL atom is neither). Per-file null counts (the manifest's
+``__nulls`` reserved entry, round 8) make ``IS [NOT] NULL`` a
+first-class skippable atom and let an all-NULL column prove every
+range atom NULL; files lacking the counts stay conservatively kept.
 
 Reference parity: the reference (FEFAL-ETL ``etl_ui.py``) filters
 pandas frames in memory and has no file-skipping notion; this module
@@ -204,10 +206,14 @@ class _Parser:
             self.expect("rp")
             return ("in", col, vals, negated)
         if nxt == ("kw", "is"):
+            negated = False
             if self.peek() == ("kw", "not"):
                 self.take()
+                negated = True
             self.expect("kw", "null")
-            return ("unknown",)  # stats carry no null counts
+            # round 8: manifests record per-file null counts
+            # (``__nulls``), so IS [NOT] NULL is a first-class atom
+            return ("isnull", col, negated)
         raise _ParseError(f"unsupported atom after {col!r}: {nxt}")
 
 
@@ -221,9 +227,16 @@ def parse_predicate(condition: str):
 
 
 def _comparable(a, b) -> bool:
+    import math
+
     num = (int, float)
     if isinstance(a, bool) or isinstance(b, bool):
         return False  # bools never have manifest stats; don't guess
+    # NaN anywhere poisons interval logic (every comparison is False) —
+    # junk bounds / literals degrade to UNKNOWN, never a wrong prune
+    for x in (a, b):
+        if isinstance(x, float) and math.isnan(x):
+            return False
     if isinstance(a, num) and isinstance(b, num):
         return True
     return isinstance(a, str) and isinstance(b, str)
@@ -231,22 +244,31 @@ def _comparable(a, b) -> bool:
 
 def _cmp_range(op: str, mn, mx, v) -> tuple[bool, bool]:
     """(may be TRUE, may be FALSE) for ``col <op> v`` given the file's
-    non-null values all lie in [mn, mx]."""
+    non-null, non-NaN values all lie in [mn, mx].
+
+    NaN soundness (ADVICE r7): parquet footer min/max EXCLUDE NaN, but
+    Spark orders NaN above every double and NaN = NaN is true — so a
+    float column whose stats say ``mx < v`` may still hold NaN rows
+    matching ``> v``. Whenever the bounds are floats (the only type
+    that can hide NaN), the side a NaN row would force is held open:
+    NaN makes ``>``/``>=``/``!=`` TRUE and ``<``/``<=``/``=`` FALSE
+    (literals are never NaN — the SQL subset cannot express one)."""
     if not (_comparable(mn, v) and _comparable(mx, v)):
         return _UNKNOWN
+    nan = isinstance(mn, float) or isinstance(mx, float)
     if op == "=":
-        return (mn <= v <= mx, not (mn == v == mx))
+        return (mn <= v <= mx, not (mn == v == mx) or nan)
     if op == "!=":
         t, f = _cmp_range("=", mn, mx, v)
         return (f, t)
     if op == "<":
-        return (mn < v, mx >= v)
+        return (mn < v, mx >= v or nan)
     if op == "<=":
-        return (mn <= v, mx > v)
+        return (mn <= v, mx > v or nan)
     if op == ">":
-        return (mx > v, mn <= v)
+        return (mx > v or nan, mn <= v)
     if op == ">=":
-        return (mx >= v, mn < v)
+        return (mx >= v or nan, mn < v)
     return _UNKNOWN
 
 
@@ -271,6 +293,39 @@ def _eval(node, stats: dict, parts: dict) -> tuple[bool, bool]:
         return (f, t)
 
     col = node[2] if kind == "cmp" else node[1]
+    if kind == "isnull":
+        # IS [NOT] NULL is two-valued (never NULL itself), so both
+        # sides can be exact: a hive partition value pins the whole
+        # file (the default sentinel IS the null encoding); otherwise
+        # the recorded null count vs row count answers it.
+        negated = node[2]
+        pv = parts.get(col)
+        if pv is not None:
+            isnull = pv == "__HIVE_DEFAULT_PARTITION__"
+            t, f = isnull, not isnull
+        else:
+            nulls = (stats.get("__nulls") or {}).get(col)
+            if nulls is None:
+                return _UNKNOWN
+            n_rows = (stats.get("__n_rows") or [None])[0]
+            t = nulls > 0
+            f = n_rows is None or nulls < n_rows
+        return (f, t) if negated else (t, f)
+
+    # a column PROVEN all-NULL (null count == row count) makes every
+    # cmp/between/in atom evaluate NULL for every row: may-TRUE and
+    # may-FALSE are both impossible — (False, False), which NOT
+    # preserves (NOT NULL is still NULL)
+    _nulls = (stats.get("__nulls") or {}).get(col)
+    _n_rows = (stats.get("__n_rows") or [None])[0]
+    if (
+        col not in parts
+        and _nulls is not None
+        and _n_rows is not None
+        and _nulls >= _n_rows
+    ):
+        return (False, False)
+
     pv = parts.get(col)
     if pv is not None and pv != "__HIVE_DEFAULT_PARTITION__":
         lo = hi = pv
@@ -288,6 +343,11 @@ def _eval(node, stats: dict, parts: dict) -> tuple[bool, bool]:
                 try:
                     lo = hi = float(pv)
                 except ValueError:
+                    return _UNKNOWN
+                import math
+
+                if not math.isfinite(lo):
+                    # "nan"/"inf" path strings: don't trust the parse
                     return _UNKNOWN
     else:
         rng = stats.get(col)
@@ -317,14 +377,29 @@ def _eval(node, stats: dict, parts: dict) -> tuple[bool, bool]:
     return _UNKNOWN
 
 
+def hive_partition_value(v) -> str:
+    """Spark's hive PATH rendering of a partition value — the one form
+    the manifest's partition map records (ADVICE r7: ``str(True)`` is
+    ``'True'`` but Spark writes ``c=true``, so naive str() comparison
+    never matches boolean partitions; None lands as the hive default
+    sentinel). Every partition-value comparison in the table layer
+    goes through this single helper."""
+    if v is None:
+        return "__HIVE_DEFAULT_PARTITION__"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
 def sql_literal(v) -> str:
     """Render a Python scalar as a SQL literal for the skippable
     subset (numbers bare, everything else single-quoted with ''
-    escaping — booleans quote too, since bool atoms are never
-    skippable anyway and quoting keeps the parse unambiguous)."""
+    escaping — booleans render in their hive path form 'true'/'false'
+    so the pruner's partition-value string compare matches Spark's
+    on-disk layout; bool atoms are never range-skippable anyway)."""
     if isinstance(v, (int, float)) and not isinstance(v, bool):
         return repr(v)
-    return "'" + str(v).replace("'", "''") + "'"
+    return "'" + hive_partition_value(v).replace("'", "''") + "'"
 
 
 def prune_candidates(

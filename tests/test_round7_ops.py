@@ -1158,11 +1158,19 @@ def _eval_pred(node, row):
     v = row.get(col)
     if v is None:
         return None
+    # Spark orders NaN ABOVE every double and NaN = NaN is true —
+    # literals are never NaN (the SQL subset can't express one), so a
+    # NaN row value makes >, >=, != TRUE and <, <=, = FALSE (ADVICE r7)
+    import math
+
+    is_nan = isinstance(v, float) and math.isnan(v)
     if kind == "cmp":
         op = node[1]
         lit = node[3]
         if isinstance(v, str) != isinstance(lit, str):
             return None  # type-confused atom: treat as NULL (kept)
+        if is_nan:
+            return op in (">", ">=", "!=")
         return {
             "=": v == lit,
             "!=": v != lit,
@@ -1175,12 +1183,17 @@ def _eval_pred(node, row):
         lo, hi = node[2], node[3]
         if isinstance(v, str) != isinstance(lo, str):
             return None
+        if is_nan:
+            return False  # NaN >= lo is TRUE but NaN <= hi is FALSE
         return lo <= v <= hi
     if kind == "in":
         vals, negated = node[2], node[3]
         if isinstance(v, str) != isinstance(vals[0], str):
             return None
-        hit = any(v == x for x in vals)
+        if is_nan:
+            hit = False  # NaN equals no expressible literal
+        else:
+            hit = any(v == x for x in vals)
         return (not hit) if negated else hit
     raise AssertionError(kind)
 
@@ -1202,7 +1215,7 @@ def test_predicate_prune_soundness_property():
     flts = st.floats(
         allow_nan=False, allow_infinity=False, min_value=-1e9, max_value=1e9
     )
-    strs = st.text(alphabet="abcxyz", min_size=0, max_size=4)
+    strs = st.text(alphabet="abcxyz", min_size=0, max_size=6)
     pvals = st.sampled_from(["0", "1", "2"])
 
     def lit_for(col):
@@ -1242,16 +1255,22 @@ def test_predicate_prune_soundness_property():
         st.fixed_dictionaries(
             {
                 "a": st.none() | ints,
-                "b": st.none() | flts,
+                # ROW values may be NaN (the ADVICE-r7 soundness corner);
+                # atom literals stay finite — SQL can't express NaN
+                "b": st.none() | flts | st.just(float("nan")),
                 "c": st.none() | strs,
-                "p": pvals,
+                # partition column may be NULL (hive default sentinel)
+                "p": st.none() | pvals,
             }
         ),
         min_size=1,
         max_size=6,
     )
+    # (rows, hive?, with_stats?, with_null_counts?) per file
     files_strategy = st.lists(
-        st.tuples(rows_strategy, st.booleans(), st.booleans()),
+        st.tuples(
+            rows_strategy, st.booleans(), st.booleans(), st.booleans()
+        ),
         min_size=1,
         max_size=5,
     )
@@ -1265,27 +1284,59 @@ def test_predicate_prune_soundness_property():
     def run(files, pred):
         sql = _render_sql(pred)
         assert parse_predicate(sql) is not None, sql
+        import math
+
+        from fefal_etl_spark.predicate_prune import hive_partition_value
+        from fefal_etl_spark.table import TransactionalTable
+
+        class _Trunc(TransactionalTable):
+            # tiny cap so 6-char generated strings actually truncate —
+            # pins the round-8 truncated-stats soundness contract
+            STATS_MAX_STR_LEN = 3
+
         names, stats, parts, contents = [], {}, {}, {}
-        for i, (rows, hive, with_stats) in enumerate(files):
+        for i, (rows, hive, with_stats, with_nulls) in enumerate(files):
             f = f"data/u/f{i}"
             names.append(f)
             if hive:
                 # hive layout: all rows share p, recorded in the
-                # partition map, never in stats
+                # partition map (its hive PATH form — None lands as the
+                # default sentinel), never in stats
                 pv = rows[0]["p"]
                 rows = [dict(r, p=pv) for r in rows]
-                parts[f] = {"p": pv}
+                parts[f] = {"p": hive_partition_value(pv)}
             if with_stats:
                 fs = {}
                 for col in ("a", "b", "c"):
-                    vals = [r[col] for r in rows if r[col] is not None]
+                    # footer convention: min/max EXCLUDE NaN (and null)
+                    vals = [
+                        r[col]
+                        for r in rows
+                        if r[col] is not None
+                        and not (
+                            isinstance(r[col], float)
+                            and math.isnan(r[col])
+                        )
+                    ]
                     if vals:
                         fs[col] = [min(vals), max(vals)]
+                        if col == "c":
+                            rng = _Trunc._truncate_str_range(*fs[col])
+                            if rng is None:
+                                del fs[col]
+                            else:
+                                fs[col] = rng
                 if not hive:
-                    fs["p"] = [
-                        min(r["p"] for r in rows),
-                        max(r["p"] for r in rows),
-                    ]
+                    pvs = [r["p"] for r in rows if r["p"] is not None]
+                    if pvs:
+                        fs["p"] = [min(pvs), max(pvs)]
+                if with_nulls:
+                    # round 8: footer null counts ride the stats entry
+                    fs["__n_rows"] = [len(rows), len(rows)]
+                    fs["__nulls"] = {
+                        col: sum(1 for r in rows if r[col] is None)
+                        for col in ("a", "b", "c", "p")
+                    }
                 stats[f] = fs
             contents[f] = rows
         kept = prune_candidates(sql, names, stats, parts)
