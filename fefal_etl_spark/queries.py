@@ -3461,6 +3461,214 @@ def q_pruned_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pruned_null_delete",
+    """
+    WITH src AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice,
+             CASE WHEN o_orderkey % 8 = 0 THEN NULL ELSE o_orderpriority END AS clerk
+      FROM orders
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(clerk) AS BIGINT) AS n_clerk,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(24,4))) AS DOUBLE) AS revenue,
+           TRUE AS pruned_ok
+    FROM src WHERE clerk IS NOT NULL
+    GROUP BY o_orderstatus
+    """,
+)
+def q_pruned_null_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-8 — IS NULL pruning from manifest null counts
+    (table.py::_file_stats ``__nulls`` + predicate_prune's isnull
+    atom, VERDICT r7 item 2): orders lands clustered so the NULL-clerk
+    rows (key % 8 = 0) concentrate in one range bucket, then
+    ``delete_where("clerk IS NULL")`` — a common cleanup delete — must
+    discover its hit files from the per-file null counts alone.
+    ``pruned_ok`` pins that the candidate list excluded files whose
+    footers record zero nulls (pre-r8 every IS NULL predicate scanned
+    the whole table). The oracle replays the survivors declaratively."""
+    from fefal_etl_spark.predicate_prune import prune_candidates
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 8 == 0, F.lit(None))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("clerk"),
+        (F.col("o_orderkey") % 8).alias("grp"),
+    )
+
+    def build(t):
+        t.overwrite(base.repartitionByRange(8, "grp"))
+        t.delete_where("clerk IS NULL")
+
+    t = _txn_scenario(
+        spark, sf_dir, "txn_null_del", build, final_version=1
+    )
+    mf0 = t._read_manifest(0)
+    cand = prune_candidates(
+        "clerk IS NULL", mf0.files, mf0.stats or {}, mf0.partitions or {}
+    )
+    pruned = cand is not None and 0 < len(cand) < len(mf0.files)
+    return (
+        t.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.count("clerk").cast("long").alias("n_clerk"),
+            F.sum(F.col("o_totalprice").cast("decimal(24,4)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .withColumn("pruned_ok", F.lit(pruned))
+    )
+
+
+@register(
+    "merge_append_concurrency",
+    """
+    WITH b AS (SELECT max(o_orderkey) AS mx FROM orders),
+         adj AS (
+           SELECT o_orderstatus,
+                  CASE WHEN o_orderkey <= mx // 4
+                       THEN o_totalprice + 1000.0
+                       ELSE o_totalprice END AS price
+           FROM orders, b
+         )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(price AS DECIMAL(24,4))) AS DOUBLE) AS revenue,
+           TRUE AS narrowed_ok
+    FROM adj GROUP BY o_orderstatus
+    """,
+)
+def q_merge_append_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-8 — MERGE conflict narrowing vs disjoint appends
+    (table.py::merge_dv + _disjoint_append_files, VERDICT r7 item 1):
+    the lower half of orders lands as the base table; a MoR upsert
+    (+1000 on the lowest-quarter keys) races a concurrent append of
+    the UPPER half — the normal 100 TB write mix (daily appends + an
+    upsert). The merge must REBASE over the key-disjoint append
+    instead of raising, so the final state holds the updates AND the
+    appended rows (pre-r8 the merge lost every race). ``narrowed_ok``
+    pins the commit order: append v1, merge v2. The oracle computes
+    the serial outcome declaratively."""
+    from fefal_etl_spark.table import TransactionalTable
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    mx = base.agg(F.max("o_orderkey").alias("m")).collect()[0]["m"]
+    lower = base.filter(F.col("o_orderkey") <= mx // 2)
+    upper = base.filter(F.col("o_orderkey") > mx // 2)
+    source = base.filter(F.col("o_orderkey") <= mx // 4).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + 1000.0).alias("o_totalprice"),
+    )
+
+    def build(t):
+        t.overwrite(lower.repartitionByRange(4, "o_orderkey"))
+        t2 = TransactionalTable(spark, t.root)
+        done = [False]
+        orig = t.stage_files
+
+        def stage_then_append(df, **kw):
+            files = orig(df, **kw)
+            if not done[0]:
+                done[0] = True
+                t2.append(upper.coalesce(1))
+            return files
+
+        t.stage_files = stage_then_append
+        try:
+            t.merge_dv(
+                source, keys=["o_orderkey"], update_cols=["o_totalprice"]
+            )
+        finally:
+            t.stage_files = orig
+
+    t = _txn_scenario(
+        spark, sf_dir, "txn_merge_race", build, final_version=2
+    )
+    ops = {
+        r["version"]: r["op"] for r in t.history().collect()
+    }
+    narrowed = ops.get(1) == "append" and ops.get(2) == "merge-dv"
+    return (
+        t.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(24,4)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .withColumn("narrowed_ok", F.lit(narrowed))
+    )
+
+
+@register(
+    "txn_batch_sink_roundtrip",
+    """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(24,4))) AS DOUBLE) AS revenue,
+           TRUE AS replay_skipped
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_txn_batch_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-8 — the batch ``txn_table`` WRITE DataSource
+    (sources/table_sink.py, VERDICT r7 item 5): the orders table is
+    built ENTIRELY through ``df.write.format("txn_table")`` — an
+    overwrite of the lower key half, then a ledgered append of the
+    upper half (``txnAppId``/``txnVersion``), then an exact REPLAY of
+    that append, which the ledger must skip (exactly-once). The final
+    snapshot therefore holds every order exactly once;
+    ``replay_skipped`` pins that the replay published no new version.
+    The oracle is the plain orders aggregate."""
+    from fefal_etl_spark.sources.table_batch import (
+        TxnTableBatchDataSource,
+    )
+
+    spark.dataSource.register(TxnTableBatchDataSource)
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    mx = base.agg(F.max("o_orderkey").alias("m")).collect()[0]["m"]
+    lower = base.filter(F.col("o_orderkey") <= mx // 2)
+    upper = base.filter(F.col("o_orderkey") > mx // 2)
+
+    def build(t):
+        lower.write.format("txn_table").mode("overwrite").save(t.root)
+        for _ in range(2):  # second save is a replay: ledger-skipped
+            (
+                upper.write.format("txn_table")
+                .mode("append")
+                .option("txnAppId", "sink-rt")
+                .option("txnVersion", 1)
+                .save(t.root)
+            )
+
+    t = _txn_scenario(
+        spark, sf_dir, "txn_sink_rt", build, final_version=1
+    )
+    replay_skipped = t.latest_version() == 1
+    return (
+        t.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(24,4)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .withColumn("replay_skipped", F.lit(replay_skipped))
+    )
+
+
+@register(
     "generated_partition_scan",
     """
     WITH d AS (SELECT CAST(ts AS DATE) AS day, value FROM events)
