@@ -227,6 +227,11 @@ BENCH_QUERIES = [
     "txn_batch_source_read",
     "type_widening_scan",
     "predicate_pruned_read",
+    # round-8 additions: null-count IS NULL pruning, merge-vs-append
+    # conflict narrowing, the batch txn_table write DataSource
+    "pruned_null_delete",
+    "merge_append_concurrency",
+    "txn_batch_sink_roundtrip",
     # dup_clusters_star is excluded like ngram_jaccard_pairs: at bench SF its
     # wall time is ~6 iterative rounds of fixed scheduling cost (the
     # algorithm exists for O(log n) ROUNDS at web scale, demonstrated by the

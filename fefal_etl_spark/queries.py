@@ -4190,67 +4190,17 @@ def q_incremental_mv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # already represented (extra family members, alternates, display variants)
 # and follow in registration order.
 _DRIVER_PRIORITY = [
-    # Round-7 rotation (VERDICT r6 item 4): the driver samples the
-    # FIRST 50 registry entries each round. Front-load (a) the four
-    # round-7 additions (never driver-sampled), then (b) the queries
-    # whose LATEST driver sample is r1 (31, stalest first), then (c)
-    # the r2-stale tail (36) — 4 + 31 + 36 = 71, so the r7 run covers
-    # the new components plus 46 of the 67 r1/r2-aged queries (all 31
-    # r1-stale + the first 15 of the r2 tail); the remaining 21
-    # r2-stale queries age to the front of the r8 rotation.
-    # --- new round-7 components ---
-    "pruned_delete_read",
-    "txn_batch_source_read",
-    "type_widening_scan",
-    "predicate_pruned_read",
-    # --- latest driver sample = r1 (stalest) ---
-    "bracket_extract",
-    "cube_orders",
-    "customers_above_nation_avg",
-    "distinct_segments",
-    "encodings_simnao",
-    "events_hourly",
-    "events_sliding",
-    "first_event_per_type",
-    "full_outer_nation_activity",
-    "fuzzy_entity_match",
-    "gap_fill_hourly",
-    "intersect_orders",
-    "json_props_stats",
-    "json_roundtrip_scan",
-    "median_order_value",
-    "normalize_text",
-    "orc_roundtrip_scan",
-    "order_analytics",
-    "order_count_distribution",
-    "paginated_orders",
-    "pivot_order_priority",
-    "revenue_by_nation",
-    "rolling_revenue_90d",
-    "rollup_lineitem",
-    "salted_join_revenue",
-    "semi_join_customers",
-    "session_windows_native",
-    "sessionize",
-    "shipping_priority",
-    "union_except",
-    "validate_numeric",
-    # --- latest driver sample = r2 ---
-    "anti_join_customers",
-    "approx_sketches",
-    "asof_attribution",
-    "bucketed_join_orders",
-    "csv_roundtrip_scan",
-    "dedup_keep_best",
-    "embedding_lsh_pairs",
-    "entity_resolution",
-    "event_gaps",
-    "frame_sample",
-    "gaussian_lsh_recall",
-    "grouping_sets_orders",
-    "ivf_assign",
-    "jdbc_roundtrip_scan",
-    "kmeans_assignments",
+    # Round-8 rotation (VERDICT r7 item 6, final leg): the driver
+    # samples the FIRST 50 registry entries each round. Front-load
+    # (a) the three round-8 additions (never driver-sampled), then
+    # (b) ALL 21 queries whose latest driver sample is r2 (the list
+    # the r7 verdict names), then (c) the first 26 of the 48 r3-stale
+    # queries (alphabetical). 3 + 21 + 26 = 50, so after this round
+    # every registry query's latest driver sample is r3+ and the
+    # oldest tail shrinks to the remaining 22 r3 queries.
+    "merge_append_concurrency",
+    "pruned_null_delete",
+    "txn_batch_sink_roundtrip",
     "lang_id",
     "multimodal_features",
     "ngram_jaccard_pairs",
@@ -4272,6 +4222,32 @@ _DRIVER_PRIORITY = [
     "unpivot_measures",
     "user_event_type_sets",
     "window_topk",
+    "asof_forward_tolerance",
+    "audio_frame_energy",
+    "bigram_logprob",
+    "cdc_chunks",
+    "cdc_extract",
+    "cluster_safe_split",
+    "containment_neardup",
+    "contrastive_pairs",
+    "copurchase_lift",
+    "curation_pipeline",
+    "dedup_canonicalize",
+    "doc_fingerprints",
+    "dq_checks",
+    "embedding_neardup",
+    "embedding_topk",
+    "event_path_mining",
+    "events_interpolate",
+    "events_trend_slope",
+    "exact_dedup",
+    "geo_radius_join",
+    "hybrid_skew_revenue",
+    "ivf_topk",
+    "k_anonymity_audit",
+    "matryoshka_recall",
+    "merge_into_orders",
+    "minhash_neardup",
 ]
 
 

@@ -211,7 +211,7 @@ class _FilePartition(InputPartition):
 
 
 class TxnTableStreamReader(DataSourceStreamReader):
-    def __init__(self, options: dict):
+    def __init__(self, options: dict, schema=None):
         self.root = options["path"]
         self.ignore_changes = (
             str(options.get("ignorechanges", "false")).lower() == "true"
@@ -223,6 +223,18 @@ class TxnTableStreamReader(DataSourceStreamReader):
         self.pcols, self.col_ops, self.schema_arrow = _stream_meta(
             self.root
         )
+        # the QUERY's analyzed schema wins as the projection target
+        # (round 8 — the restart contract): a stream restarted from a
+        # checkpoint AFTER an additive evolution plans with its
+        # original schema, while _stream_meta resolves the evolved one
+        # — projecting onto the fresh union would return extra columns
+        # and fail the run. Batches project onto what Spark planned;
+        # the evolved column arrives on a FRESH load() (Delta's own
+        # restart semantics, pinned in tests).
+        if schema is not None:
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            self.schema_arrow = to_arrow_schema(schema)
 
     # offsets are {"version": <last fully consumed manifest version>}
     def initialOffset(self) -> dict:
@@ -298,7 +310,7 @@ class TxnTableStreamDataSource(DataSource):
         return from_arrow_schema(_stream_meta(self.options["path"])[2])
 
     def streamReader(self, schema) -> TxnTableStreamReader:
-        return TxnTableStreamReader(self.options)
+        return TxnTableStreamReader(self.options, schema)
 
 
 # ----------------------------------------------------------------------
@@ -353,12 +365,25 @@ class TxnTableChangesStreamReader(DataSourceStreamReader):
     new vector entries address; CoW rewrites degenerate to full
     old(-1)/new(+1), exactly like `table.row_deltas`."""
 
-    def __init__(self, options: dict):
+    def __init__(self, options: dict, schema=None):
         self.root = options["path"]
         self.start_version = int(options.get("startingversion", 0)) - 1
         self.pcols, self.col_ops, self.schema_arrow = _stream_meta(
             self.root
         )
+        # restart contract (round 8, like TxnTableStreamReader): the
+        # query's analyzed schema minus the two CDF columns is the
+        # data-projection target, so a checkpoint restart after an
+        # additive evolution keeps returning the planned columns
+        if schema is not None:
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            full = to_arrow_schema(schema)
+            for cdf_col in ("_change_type", "_commit_version"):
+                idx = full.get_field_index(cdf_col)
+                if idx >= 0:
+                    full = full.remove(idx)
+            self.schema_arrow = full
 
     def initialOffset(self) -> dict:
         return {"version": self.start_version}
@@ -523,4 +548,4 @@ class TxnTableChangesDataSource(DataSource):
         )
 
     def streamReader(self, schema) -> TxnTableChangesStreamReader:
-        return TxnTableChangesStreamReader(self.options)
+        return TxnTableChangesStreamReader(self.options, schema)

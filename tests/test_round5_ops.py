@@ -4,7 +4,20 @@ similarity-staging cache."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
+
+# Tests below marked `_posix_log` inspect the on-disk commit log or read
+# it through a DataSource worker process; with FEFAL_TABLE_BACKEND=memory
+# (the round-8 in-memory log certification run) the log never touches the
+# filesystem, so they are skipped with an explicit reason — the same
+# constraint as Delta: every log reader needs access to the log store.
+_posix_log = pytest.mark.skipif(
+    os.environ.get("FEFAL_TABLE_BACKEND") == "memory",
+    reason="needs the commit log on the filesystem (disk artifact "
+    "inspection or DataSource worker-side log reads)",
+)
 
 from pyspark.sql import functions as F
 
@@ -1205,6 +1218,7 @@ def test_incremental_mv_sumsq_variance_matches_var_pop(spark, tmp_path):
     assert r["n_rows"] == 1 and r["mean_v"] is None and r["var_v"] is None
 
 
+@_posix_log
 def test_txn_table_stream_source_tails_commits(spark, tmp_path):
     """The Python-data-source stream over a transactional table: initial
     drain covers all committed versions, a restart on the same checkpoint
@@ -1335,6 +1349,7 @@ def test_txn_table_schema_enforcement_and_constraints(spark, tmp_path):
         )
 
 
+@_posix_log
 def test_txn_table_changes_stream_cdf(spark, tmp_path):
     """The CDF stream: per-commit insert/delete rows with versions —
     appends ship added files, DV deletes ship only newly-masked rows,
@@ -1502,6 +1517,7 @@ def test_review_fixes_null_delete_restore_delta_evolved_cdf(spark, tmp_path):
     assert 2 not in rows
 
 
+@_posix_log
 def test_txn_table_changes_stream_restore_unmasks(spark, tmp_path):
     """The CDF stream must emit +insert rows when a restore() un-masks
     deletion vectors on retained files (sidecar sets are compared, not

@@ -9,6 +9,17 @@ import threading
 
 import pytest
 
+# Tests below marked `_posix_log` inspect the on-disk commit log or read
+# it through a DataSource worker process; with FEFAL_TABLE_BACKEND=memory
+# (the round-8 in-memory log certification run) the log never touches the
+# filesystem, so they are skipped with an explicit reason — the same
+# constraint as Delta: every log reader needs access to the log store.
+_posix_log = pytest.mark.skipif(
+    os.environ.get("FEFAL_TABLE_BACKEND") == "memory",
+    reason="needs the commit log on the filesystem (disk artifact "
+    "inspection or DataSource worker-side log reads)",
+)
+
 
 def _rows(df):
     return sorted(tuple(r) for r in df.collect())
@@ -19,6 +30,7 @@ def _rows(df):
 # ----------------------------------------------------------------------
 
 
+@_posix_log
 def test_append_record_payload_is_o_delta(spark, tmp_path):
     """The commit record of the Nth append must list ONLY that append's
     files — its payload does not grow with the table's file count (the
@@ -52,6 +64,7 @@ def test_append_record_payload_is_o_delta(spark, tmp_path):
     assert t.read().count() == n_appends
 
 
+@_posix_log
 def test_checkpoint_written_and_used(spark, tmp_path):
     """Every CHECKPOINT_INTERVAL commits a full-state checkpoint lands;
     a FRESH handle resolving the latest snapshot reads checkpoint +
@@ -115,6 +128,7 @@ def test_fresh_handle_resolution_matches_writer_state(spark, tmp_path):
     ).count() == 0  # DV applied there
 
 
+@_posix_log
 def test_vacuum_checkpoints_before_trimming_log(spark, tmp_path):
     """vacuum() must leave the kept tail resolvable even though the
     delta records below it are gone — it writes a checkpoint at the
@@ -137,6 +151,7 @@ def test_vacuum_checkpoints_before_trimming_log(spark, tmp_path):
     assert [r["version"] for r in fresh.history().collect()] == [4, 5]
 
 
+@_posix_log
 def test_pre_checkpoint_absolute_manifests_still_resolve(spark, tmp_path):
     """Upgrade path: a table whose early commits are pre-r6 ABSOLUTE
     manifests (full ``files`` list) mixes with new delta records — the
@@ -457,6 +472,7 @@ def test_zorder_multi_column_skipping(spark, tmp_path):
 # ----------------------------------------------------------------------
 
 
+@_posix_log
 def test_partitioned_table_stream_reconstructs_partition_column(
     spark, tmp_path
 ):
@@ -508,6 +524,7 @@ def test_partitioned_table_stream_reconstructs_partition_column(
     assert ("9", 100) in got and len(got) == 13
 
 
+@_posix_log
 def test_partitioned_changes_stream_carries_partition_column(
     spark, tmp_path
 ):
@@ -913,6 +930,7 @@ def test_drop_column_zero_rewrite_and_dv_interplay(spark, tmp_path):
     assert "junk" not in fresh.read().columns
 
 
+@_posix_log
 def test_stream_source_applies_column_ops(spark, tmp_path):
     """A renamed/dropped table streams under its CURRENT logical schema:
     old-named files rename per batch, dropped columns vanish."""
@@ -1037,6 +1055,7 @@ def test_vacuum_aborts_when_checkpoint_write_fails(spark, tmp_path):
     assert t.read(0).count() == 1 and t.read(4).count() == 5
 
 
+@_posix_log
 def test_mixed_layout_table_streams(spark, tmp_path):
     """Review fix: a table mixing unpartitioned commits (partition
     column in the parquet bytes) with hive-partitioned ones streams

@@ -12,6 +12,15 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
+# mirror of the guard in the r5-r7 suites: these tests read the log from
+# disk artifacts or from DataSource worker processes, so they need the
+# commit log on the filesystem
+_posix_log = pytest.mark.skipif(
+    os.environ.get("FEFAL_TABLE_BACKEND") == "memory",
+    reason="needs the commit log on the filesystem (disk artifact "
+    "inspection or DataSource worker-side log reads)",
+)
+
 
 # ----------------------------------------------------------------------
 # ADVICE r7 (medium): NaN rows vs stats-pruned predicate discovery
@@ -169,6 +178,7 @@ def test_truncate_str_range_bounds():
     assert T._truncate_str_range("a", chr(0x10FFFF) * (n + 1)) is None
 
 
+@_posix_log
 def test_long_text_append_keeps_manifest_small(spark, tmp_path):
     """A long-document append must not copy document-sized min/max into
     the manifest — stats entries stay capped, and pruning on the
@@ -339,6 +349,7 @@ def txn_format(spark):
     return spark
 
 
+@_posix_log
 def test_sink_append_overwrite_roundtrip(txn_format, tmp_path):
     from fefal_etl_spark.table import TransactionalTable
 
@@ -365,6 +376,7 @@ def test_sink_append_overwrite_roundtrip(txn_format, tmp_path):
     assert spark.read.format("txn_table").load(root).count() == 3
 
 
+@_posix_log
 def test_sink_txn_ledger_skips_replay(txn_format, tmp_path):
     from fefal_etl_spark.table import TransactionalTable
 
@@ -388,6 +400,7 @@ def test_sink_txn_ledger_skips_replay(txn_format, tmp_path):
     assert t.read().count() == 8
 
 
+@_posix_log
 def test_sink_enforces_schema_and_constraints(txn_format, tmp_path):
     # Spark wraps driver-side commit() exceptions in AnalysisException
     # (PYTHON_DATA_SOURCE_ERROR) — match the carried message
@@ -416,6 +429,159 @@ def test_sink_enforces_schema_and_constraints(txn_format, tmp_path):
     assert t.read().count() == 2
 
 
+# ----------------------------------------------------------------------
+# VERDICT r7 item 7: streaming schema-evolution RESTART contract
+# ----------------------------------------------------------------------
+
+
+@_posix_log
+def test_stream_schema_evolution_restart_contract(spark, tmp_path):
+    """The table stream's declared schema is FIXED at stream start
+    (Delta's own semantics): a mid-stream additive evolution does NOT
+    change a running stream's output schema — the new column arrives
+    only after a RESTART (a fresh load()). This pins the contract the
+    r7 verdict said was only documented in comments."""
+    from pyspark.sql import functions as F
+
+    from fefal_etl_spark.streaming.table_source import (
+        TxnTableStreamDataSource,
+    )
+    from fefal_etl_spark.table import TransactionalTable
+
+    spark.dataSource.register(TxnTableStreamDataSource)
+    root = str(tmp_path / "t")
+    t = TransactionalTable(spark, root)
+    t.overwrite(spark.createDataFrame([(1,), (2,)], "k int"))
+
+    stream = (
+        spark.readStream.format("txn_table_stream")
+        .option("path", root)
+        .load()
+    )
+    out1, ckpt1 = str(tmp_path / "out1"), str(tmp_path / "ckpt1")
+
+    def drain(s, out, ckpt):
+        q = (
+            s.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain(stream, out1, ckpt1)
+    # EVOLVE mid-stream: append rows carrying a NEW column
+    t.append(
+        spark.createDataFrame([(3, "x"), (4, "y")], "k int, tag string")
+    )
+    # the RUNNING stream's schema is stable: no tag column, the new
+    # rows still arrive (projected onto the declared schema)
+    assert "tag" not in stream.columns
+    drain(stream, out1, ckpt1)
+    old = spark.read.parquet(out1)
+    assert "tag" not in old.columns
+    assert {r["k"] for r in old.collect()} == {1, 2, 3, 4}
+    # RESTART (fresh load): the evolved schema is declared, old files
+    # surface the added column as typed NULLs
+    restarted = (
+        spark.readStream.format("txn_table_stream")
+        .option("path", root)
+        .load()
+    )
+    assert "tag" in restarted.columns
+    out2, ckpt2 = str(tmp_path / "out2"), str(tmp_path / "ckpt2")
+    drain(restarted, out2, ckpt2)
+    got = {
+        (r["k"], r["tag"])
+        for r in spark.read.parquet(out2).collect()
+    }
+    assert got == {(1, None), (2, None), (3, "x"), (4, "y")}
+
+
+# ----------------------------------------------------------------------
+# VERDICT r7 item 4: object-store backend end-to-end (reads + listing
+# + deletion through the backend, not just publish)
+# ----------------------------------------------------------------------
+
+
+def test_inmemory_backend_full_table_lifecycle(spark, tmp_path):
+    """The WHOLE table-layer surface with the commit log living ONLY in
+    an InMemoryBackend (the S3-conditional-put model): no manifest,
+    checkpoint or pointer object ever touches the filesystem, and
+    every read path (snapshot resolution, time travel, history,
+    pruning, DV masking, conflict walks, vacuum) works through backend
+    get/list/delete. Two handles share the backend — the multi-writer
+    shape."""
+    from fefal_etl_spark.commit_backend import InMemoryBackend
+    from fefal_etl_spark.table import CommitConflict, TransactionalTable
+
+    b = InMemoryBackend()
+    root = str(tmp_path / "t")
+    t = TransactionalTable(spark, root, backend=b)
+    t2 = TransactionalTable(spark, root, backend=b)
+
+    df = spark.range(40).selectExpr("id AS k", "id * 2 AS v")
+    t.overwrite(df.repartitionByRange(4, "k"))
+    t2.append(spark.createDataFrame([(100, 1)], "k long, v long"))
+    # stats-pruned predicate delete through the in-memory log
+    t.delete_where("k >= 30 AND k <= 39")
+    assert t.read().count() == 31
+    # merge-on-read delete + merge with narrowing machinery
+    t.delete_where_dv("k = 5")
+    t2.merge_dv(
+        spark.createDataFrame([(6, -6), (200, -1)], "k long, v long"),
+        keys=["k"],
+    )
+    rows = {r["k"]: r["v"] for r in t.read().collect()}
+    assert 5 not in rows and rows[6] == -6 and rows[200] == -1
+    # conflict detection still fires across handles
+    staged = t.stage_files(spark.createDataFrame([(7, 0)], "k long, v long"))
+    t2.append(spark.createDataFrame([(300, 3)], "k long, v long"))
+    with pytest.raises(CommitConflict):
+        t._commit(staged, "overwrite", 3, rebase_ok=False)
+    # maintenance: bloom, zorder, compact, restore, checkpoints, vacuum
+    t.build_bloom("k")
+    assert t.skipped_files_bloom("k", 6)[0] < t.skipped_files_bloom("k", 6)[1]
+    t.optimize_zorder("k", "v", n_files=2)
+    t.compact()
+    for i in range(4):  # push past CHECKPOINT_INTERVAL=10 commits
+        t.append(spark.createDataFrame([(400 + i, i)], "k long, v long"))
+    n_before = t.read().count()
+    pre = t.latest_version()
+    t.restore(pre - 1)
+    assert t.read().count() == n_before - 1
+    t.restore(pre)
+    assert t.read().count() == n_before
+    # history + AS OF through the backend
+    assert t.history().count() == t.latest_version() + 1
+    assert t.version_as_of(float("inf")) == t.latest_version()
+    removed = t.vacuum(keep_versions=1)
+    assert removed  # old snapshots physically gone
+    assert t.read().count() == n_before
+    # THE point: zero log objects on the filesystem
+    mdir = os.path.join(root, "_manifests")
+    assert os.listdir(mdir) == []
+    assert any("manifest-" in k for k in b._objects)
+
+
+def test_env_default_memory_backend(spark, tmp_path, monkeypatch):
+    """FEFAL_TABLE_BACKEND=memory flips the process default so the
+    existing table suites can run log-off-filesystem unchanged."""
+    import fefal_etl_spark.table as tbl
+
+    monkeypatch.setenv("FEFAL_TABLE_BACKEND", "memory")
+    monkeypatch.setattr(tbl, "_MEMORY_BACKEND", None)
+    root = str(tmp_path / "t")
+    t = tbl.TransactionalTable(spark, root)
+    t2 = tbl.TransactionalTable(spark, root)  # same shared log
+    t.overwrite(spark.createDataFrame([(1,)], "k int"))
+    t2.append(spark.createDataFrame([(2,)], "k int"))
+    assert t.read().count() == 2
+    assert os.listdir(os.path.join(root, "_manifests")) == []
+
+
+@_posix_log
 def test_sink_rejects_generated_partition_tables(txn_format, tmp_path):
     from fefal_etl_spark.table import TransactionalTable
 
