@@ -51,37 +51,26 @@ def arrow_type_of(simple: str):
     return None
 
 
-def find_column_type(root: str, files: list, name: str, apply_ops, limit: int = 16):
-    """Arrow type of ``name`` from the newest live file that physically
-    carries it. Added columns come from later commits, so the reversed
-    scan usually stops within the first ``limit`` footers (the fast
-    path); if those newest files miss, the scan CONTINUES over the
-    remaining live files (ADVICE r7: a bool/date/decimal column whose
-    only carriers are OLDER live files — later appends omitted it —
-    must not be silently dropped from the declared schema, diverging
-    from ``TransactionalTable.read()``'s union-by-name scan). Only a
-    column NO live file carries (grow-only manifest record after a
-    narrowing rewrite) pays the full footer walk — and such dead names
-    are rare, created only by narrowing rewrites. ``apply_ops`` maps a
-    raw footer schema to logical names."""
+def find_column_type(root: str, files: list, name: str, apply_ops):
+    """Arrow type of ``name`` from the NEWEST live file that physically
+    carries it — a single reversed footer walk (ADVICE r7: the previous
+    16-newest bound silently dropped a bool/date/decimal column whose
+    only carriers are older live files, diverging from
+    ``TransactionalTable.read()``'s union-by-name scan; correctness
+    first). Added columns come from later commits, so the walk usually
+    stops within the first few footers; only a column NO live file
+    carries (a dead manifest-record name left by a narrowing rewrite —
+    rare) pays the full O(live files) walk. ``apply_ops`` maps a raw
+    footer schema to logical names."""
     import pyarrow.parquet as pq
 
-    def probe(rel):
+    for rel in reversed(files):
         sch = apply_ops(
             pq.ParquetFile(os.path.join(root, rel)).schema_arrow
         )
         idx = sch.get_field_index(name)
-        return sch.field(idx).type if idx >= 0 else None
-
-    newest = files[-limit:] if limit else files
-    for rel in reversed(newest):
-        t = probe(rel)
-        if t is not None:
-            return t
-    for rel in reversed(files[: -limit] if limit else []):
-        t = probe(rel)  # slow path: older carriers (bounded by table)
-        if t is not None:
-            return t
+        if idx >= 0:
+            return sch.field(idx).type
     return None
 
 
@@ -113,8 +102,12 @@ def declared_schema(root: str, state: dict, pcols: list, apply_ops):
     live_cols: set[str] = set()
     for fs in (state.get("stats") or {}).values():
         # "__"-prefixed keys are the stats dict's reserved namespace
-        # (__n_rows, __nulls), never data columns
+        # (__n_rows, __nulls), never data columns; since round 8 the
+        # __nulls sub-map ALSO proves liveness — bool/date/timestamp
+        # columns get no [min,max] entry but do get null counts, so
+        # they resolve without any footer walk
         live_cols.update(k for k in fs if not k.startswith("__"))
+        live_cols.update(fs.get("__nulls") or {})
     for name, simple in mf_schema.items():
         if name in base.names or name in pcols:
             continue
@@ -123,9 +116,11 @@ def declared_schema(root: str, state: dict, pcols: list, apply_ops):
                 root, files, name, apply_ops
             )
         else:
-            # not stats-proven (complex/bool/date-typed, or stats
-            # missing): bounded footer probe of the newest files; a
-            # miss means dead-or-ancient — omit, matching read()
+            # not stats-proven (no min/max, no null count): full footer
+            # walk — newest first, so real carriers resolve fast and
+            # only dead manifest-record names (narrowing-rewrite
+            # leftovers, rare) pay the whole O(live files) scan; a
+            # miss means dead — omit, matching read()
             want = find_column_type(root, files, name, apply_ops)
         if want is not None:
             base = base.append(pa.field(name, want))

@@ -167,9 +167,23 @@ class TxnTableArrowWriter(DataSourceArrowWriter):
                     "files would break hidden partitioning; use "
                     "TransactionalTable.append()/overwrite()"
                 )
+            # appending layout-less files into a HIVE-partitioned table
+            # is rejected too (review finding): a later
+            # overwrite_partition must treat a mixed layout-less file
+            # as possibly-in-target, so allowing it here would quietly
+            # degrade the table's partition-overwrite semantics.
+            # mode("overwrite") replaces the whole table with a
+            # layout-less one, which is well-defined — allowed.
+            if not self.overwrite and mf.partitions:
+                raise ValueError(
+                    "txn_table sink: table is hive-partitioned "
+                    f"({sorted({c for pv in mf.partitions.values() for c in pv})}) "
+                    "— the sink writes layout-less files; use "
+                    "TransactionalTable.append(partition_by=...)"
+                )
             # same commit-time governance as the helper API: retired
             # names + type widening from the declared schema...
-            t._check_schema(self.schema_simple)
+            t._check_schema(self.schema_simple, mf)
             # ...and CHECK constraints over the staged rows
             if mf.constraints and files:
                 self._validate_constraints(
@@ -187,7 +201,7 @@ class TxnTableArrowWriter(DataSourceArrowWriter):
                 txn=self.txn,
             )
         else:
-            t._commit(
+            landed = t._commit(
                 files,
                 "append",
                 base,
@@ -197,6 +211,12 @@ class TxnTableArrowWriter(DataSourceArrowWriter):
                 schema=dict(self.schema_simple),
                 txn=self.txn,
             )
+            if landed is None:
+                # ledger-skipped replay: the staged files will never be
+                # referenced — clean them up like abort() (review
+                # finding: repeated replays otherwise accumulate
+                # invisible data files until a manual vacuum)
+                self.abort(messages)
 
     def abort(self, messages: List[Optional[_TaskFiles]]) -> None:
         # staged files are invisible without a manifest — removal is

@@ -270,27 +270,45 @@ def _apply_col_op_to_meta(
         _, old_c, new_c = op
         if old_c in schema:
             schema[new_c] = schema.pop(old_c)
-        stats = {
-            f: (
-                {(new_c if k == old_c else k): v for k, v in fs.items()}
-                if old_c in fs
-                else fs
-            )
-            for f, fs in stats.items()
-        }
+
+        def fix_rename(fs: dict) -> dict:
+            nulls = fs.get("__nulls")
+            if old_c not in fs and not (nulls and old_c in nulls):
+                return fs
+            out = {
+                (new_c if k == old_c else k): v
+                for k, v in fs.items()
+                if k != "__nulls"
+            }
+            if nulls is not None:
+                # the reserved null-count map is keyed by column too —
+                # moving only the [min,max] key would silently kill
+                # IS NULL pruning on the renamed column (review finding)
+                out["__nulls"] = {
+                    (new_c if k == old_c else k): v
+                    for k, v in nulls.items()
+                }
+            return out
+
+        stats = {f: fix_rename(fs) for f, fs in stats.items()}
         if old_c in blooms:
             blooms[new_c] = blooms.pop(old_c)
     else:  # ["drop", col]
         _, col_c = op
         schema.pop(col_c, None)
-        stats = {
-            f: (
-                {k: v for k, v in fs.items() if k != col_c}
-                if col_c in fs
-                else fs
-            )
-            for f, fs in stats.items()
-        }
+
+        def fix_drop(fs: dict) -> dict:
+            nulls = fs.get("__nulls")
+            if col_c not in fs and not (nulls and col_c in nulls):
+                return fs
+            out = {k: v for k, v in fs.items() if k not in (col_c, "__nulls")}
+            if nulls is not None:
+                kept = {k: v for k, v in nulls.items() if k != col_c}
+                if kept:
+                    out["__nulls"] = kept
+            return out
+
+        stats = {f: fix_drop(fs) for f, fs in stats.items()}
         blooms.pop(col_c, None)
     return schema, stats, blooms
 
@@ -1001,16 +1019,21 @@ class TransactionalTable:
                 out[rel] = cols
         return out
 
-    def _check_schema(self, new_schema: dict[str, str]) -> None:
+    def _check_schema(
+        self, new_schema: dict[str, str], mf: _Manifest | None = None
+    ) -> None:
         """The METADATA half of commit-time governance (shared with the
         ``txn_table`` write DataSource, which has the declared schema
         but no DataFrame): reject retired column names and type
-        redefinitions that are not lossless widenings, against the
-        CURRENT latest manifest."""
-        latest = self.latest_version()
-        if latest is None:
-            return
-        mf = self._read_manifest(latest)
+        redefinitions that are not lossless widenings, against ``mf``
+        (default: the current latest manifest — callers that already
+        resolved it pass it in so schema and constraint checks judge
+        ONE version)."""
+        if mf is None:
+            latest = self.latest_version()
+            if latest is None:
+                return
+            mf = self._read_manifest(latest)
         retired = retired_names(mf.column_ops)
         bad = sorted(n for n in new_schema if n in retired)
         if bad:
@@ -1079,8 +1102,8 @@ class TransactionalTable:
         latest = self.latest_version()
         if latest is None:
             return new_schema
-        self._check_schema(new_schema)
-        mf = self._read_manifest(latest)
+        mf = self._read_manifest(latest)  # ONE resolve for both checks
+        self._check_schema(new_schema, mf)
         if mf.constraints:
             self._check_constraints(df, mf.constraints)
         return new_schema
@@ -1701,10 +1724,15 @@ class TransactionalTable:
         by ``partition_values`` and written as hive path segments, like
         the partitioned :meth:`overwrite`). Files without a recorded
         value for a partition column are conservatively treated as IN
-        the target (they could hold its rows — keeping them would
-        duplicate). Deletion vectors addressing carried files ride
-        along; vectors for replaced files become dead entries (they
-        mask nothing — positions address files no longer listed).
+        the target (they could hold its rows — keeping them whole would
+        duplicate); since round 8 such MIXED files are REWRITTEN
+        keeping their non-target survivors (pre-r8 they were dropped
+        whole, silently losing their other-partition rows — review
+        finding), so only pure-target hive files are replaced without a
+        scan. Deletion vectors addressing carried files ride along;
+        vectors for replaced/rewritten files become dead entries (they
+        mask nothing — positions address files no longer listed;
+        survivors were staged with the masks applied).
         CONFLICT NARROWING (Delta's disjoint-predicate acceptance): an
         interleaved commit no longer conflicts outright — if every file
         it added or removed lies OUTSIDE the target partition (judged by
@@ -1756,6 +1784,49 @@ class TransactionalTable:
         )
         sch = self._enforce(df)
         staged_stats = self._file_stats(staged)
+        # MIXED files (round 8): in-target but not PURE-target — a
+        # layout-less file whose stats cannot disprove target rows, or
+        # a hive file missing one of the filtered partition columns.
+        # Rewrite their non-target SURVIVORS instead of dropping the
+        # file whole (which silently lost its other-partition rows).
+        # Computed once at the initial base: the rebase walk below
+        # only admits interleaved files provably OUTSIDE the target,
+        # which are carried, never mixed.
+        mf0 = self._read_manifest(base)
+        parts0 = mf0.partitions or {}
+        maybe0 = set(
+            prune_candidates(
+                eq_pred, mf0.files, mf0.stats or {}, parts0
+            )
+            or mf0.files
+        )
+
+        def pure_target(f: str) -> bool:
+            pv = parts0.get(f) or {}
+            return all(c in pv for c in partition_values) and in_target(pv)
+
+        mixed = [
+            f
+            for f in mf0.files
+            if f in maybe0
+            and in_target(parts0.get(f) or {})
+            and not pure_target(f)
+        ]
+        staged_mixed: list[str] = []
+        if mixed:
+            survivors = self._read_files(
+                sorted(mixed),
+                dv_files=mf0.dv_files,
+                column_ops=mf0.column_ops,
+            ).filter(~F.coalesce(F.expr(eq_pred), F.lit(False)))
+            staged_mixed = self.stage_files(
+                survivors, partition_by=self._pcols(mf0) or None
+            )
+            staged_stats = {
+                **staged_stats,
+                **self._file_stats(staged_mixed),
+            }
+        staged = staged + staged_mixed
         while True:
             mf = self._read_manifest(base)
             parts = mf.partitions or {}
@@ -2231,62 +2302,80 @@ class TransactionalTable:
             *[os.path.join(self.root, f) for f in mf.dv_files]
         ).count()
 
-    def _source_key_pred(self, source: DataFrame, keys: list[str]) -> str | None:
-        """A conservative SQL predicate covering every key tuple of
-        ``source`` (AND of per-column min/max ranges) — the MERGE
-        conflict-narrowing probe (round 8). A row can be matched by the
-        merge only if EVERY key column falls inside the source's range,
-        so a file whose stats disprove any conjunct provably holds no
-        matched row. One batch-sized agg job (the source is small by
-        the MoR premise). None when no key column yields a
+    @staticmethod
+    def _staged_key_pred(staged_stats: dict, keys: list[str]) -> str | None:
+        """A conservative SQL predicate covering every key tuple the
+        merge COMMITS, derived from the staged files' own footer stats
+        (round 8; hardened after review) — the MERGE conflict-narrowing
+        probe. Reading the range off the staged artifact instead of
+        re-executing the source plan matters for soundness: a
+        non-deterministic or concurrently-mutated source would yield a
+        range describing keys OTHER than the ones actually staged,
+        proving a false disjointness. Footer min/max exclude NaN, but
+        the pruner holds the NaN side of float ranges open (V146), so
+        NaN keys in an interleaved append still conflict.
+
+        For :meth:`merge_dv` the staged images' keys are EXACTLY the
+        source keys (updated matched rows + inserts); for the CoW
+        :meth:`merge` the staged files are the whole merged table, so
+        the range over-approximates to target ∪ source — weaker
+        narrowing (an append inside the table's key span conflicts),
+        never unsound. None when no key column yields a
         stats-comparable range (caller stays strict)."""
         import math
 
-        from pyspark.sql import functions as F
-
         from fefal_etl_spark.predicate_prune import sql_literal
 
-        aggs = []
-        for k in keys:
-            aggs += [
-                F.min(F.col(k)).alias(f"__mn_{k}"),
-                F.max(F.col(k)).alias(f"__mx_{k}"),
-            ]
-        row = source.agg(*aggs).collect()[0]
         conjuncts = []
         for k in keys:
-            mn, mx = row[f"__mn_{k}"], row[f"__mx_{k}"]
-            if mn is None or mx is None:
-                continue
-            if isinstance(mn, bool) or not isinstance(mn, (int, float, str)):
-                continue  # only stats-comparable types can disprove
-            if isinstance(mn, float) and not (
-                math.isfinite(mn) and math.isfinite(mx)
-            ):
-                continue  # NaN/inf bounds prove nothing
+            lo = hi = None
+            covered = True
+            for fs in staged_stats.values():
+                n_rows = (fs.get("__n_rows") or [0])[0]
+                if n_rows == 0:
+                    continue  # empty file constrains nothing
+                rng = fs.get(k)
+                if rng is None:
+                    covered = False  # a staged file's keys are unbounded
+                    break
+                mn, mx = rng[0], rng[1]
+                if isinstance(mn, bool) or not isinstance(
+                    mn, (int, float, str)
+                ):
+                    covered = False
+                    break
+                if isinstance(mn, float) and not (
+                    math.isfinite(mn) and math.isfinite(mx)
+                ):
+                    covered = False
+                    break
+                lo = mn if lo is None else min(lo, mn)
+                hi = mx if hi is None else max(hi, mx)
+            if not covered or lo is None:
+                continue  # this key column cannot disprove anything
             conjuncts.append(
-                f"{k} >= {sql_literal(mn)} AND {k} <= {sql_literal(mx)}"
+                f"{k} >= {sql_literal(lo)} AND {k} <= {sql_literal(hi)}"
             )
         return " AND ".join(conjuncts) or None
 
     def _disjoint_append_files(
         self, base: int, latest: int, pred: str | None
-    ) -> tuple[list[str], dict]:
+    ) -> list[str]:
         """Conflict NARROWING walk shared by :meth:`merge` and
         :meth:`merge_dv` (round 8 — VERDICT r7 item 1): every commit in
         (base, latest] must be a PURE append whose added files provably
         hold no row matching ``pred`` (judged from the commit record's
         own stats/partition values — zero file IO); returns those files
-        and their stats so a CoW merge can carry them. Anything else —
-        a rewrite, a DV commit, an append that may intersect the merge's
-        key range — raises :class:`CommitConflict` (the strict pre-r8
-        behavior). At 100 TB, concurrent daily appends plus a MoR upsert
-        is the NORMAL write mix; without this the merge loses every
-        race."""
+        so a CoW merge can carry them (their stats already live in the
+        resolved parent state — the commit record only re-records stats
+        for ADDED files). Anything else — a rewrite, a DV commit, an
+        append that may intersect the merge's key range — raises
+        :class:`CommitConflict` (the strict pre-r8 behavior). At
+        100 TB, concurrent daily appends plus a MoR upsert is the
+        NORMAL write mix; without this the merge loses every race."""
         from fefal_etl_spark.predicate_prune import prune_candidates
 
         files: list[str] = []
-        stats: dict = {}
         for v in range(base + 1, latest + 1):
             rec = _load_record(self.root, v, self.backend)
             if (
@@ -2304,7 +2393,7 @@ class TransactionalTable:
             if pred is None:
                 raise CommitConflict(
                     f"merge: interleaved append (version {v}) and the "
-                    "source key range is not stats-comparable"
+                    "merge key range is not stats-comparable"
                 )
             cand = prune_candidates(
                 pred, add, rec.get("stats") or {}, rec.get("partitions") or {}
@@ -2315,8 +2404,7 @@ class TransactionalTable:
                     f"contain rows in the merge key range ({pred})"
                 )
             files += add
-            stats.update(rec.get("stats") or {})
-        return files, stats
+        return files
 
     def merge(
         self,
@@ -2333,10 +2421,13 @@ class TransactionalTable:
         CONFLICT NARROWING (round 8): an interleaved commit no longer
         conflicts outright — if every interleaved commit is a pure
         append whose files provably hold no row in the merge's key
-        range (source-key [min,max] vs the appends' recorded stats,
-        :meth:`_disjoint_append_files`), the merge REBASES: its staged
-        result plus the appended files is exactly the serial outcome,
-        because key-disjoint appended rows are neither matched nor
+        range (the STAGED files' own footer stats vs the appends'
+        recorded stats, :meth:`_staged_key_pred` /
+        :meth:`_disjoint_append_files` — for CoW the staged range is
+        target ∪ source, an over-approximation that narrows less but
+        never unsoundly), the merge REBASES: its staged result plus
+        the appended files is exactly the serial outcome, because
+        key-disjoint appended rows are neither matched nor
         re-inserted. Overlapping appends and rewrites still raise
         :class:`CommitConflict`."""
         from fefal_etl_spark.operators.upsert import merge_into
@@ -2354,23 +2445,20 @@ class TransactionalTable:
         stats = self._file_stats(files)
         key_pred: str | None | bool = False  # False = not yet computed
         extra: list[str] = []
-        extra_stats: dict = {}
         while True:
             try:
                 return self._commit(
                     files + extra, "merge", base, rebase_ok=False,
-                    stats={**stats, **extra_stats}, schema=sch,
+                    stats=stats, schema=sch,
                 )
             except CommitConflict:
                 latest = self.latest_version()
                 assert latest is not None and latest > base
                 if key_pred is False:  # lazily, only when racing
-                    key_pred = self._source_key_pred(source, keys)
-                add, st = self._disjoint_append_files(
+                    key_pred = self._staged_key_pred(stats, keys)
+                extra += self._disjoint_append_files(
                     base, latest, key_pred
                 )
-                extra += add
-                extra_stats.update(st)
                 base = latest  # disjoint appends: rebase and retry
 
     def merge_dv(
@@ -2458,7 +2546,8 @@ class TransactionalTable:
                 latest = self.latest_version()
                 assert latest is not None and latest > base
                 if key_pred is False:  # lazily, only when racing
-                    key_pred = self._source_key_pred(source, keys)
+                    # staged image keys == source keys exactly
+                    key_pred = self._staged_key_pred(stats, keys)
                 # raises unless every interleaved commit is a provably
                 # key-disjoint append; carry_parent_files re-resolves
                 # the new parent, so the appended files ride along

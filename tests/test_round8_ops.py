@@ -88,6 +88,32 @@ def test_overwrite_partition_boolean_values(spark, tmp_path):
     assert got == [(3, "false"), (10, "true")]
 
 
+def test_overwrite_partition_rewrites_mixed_files(spark, tmp_path):
+    """Review finding: a layout-less file holding rows of SEVERAL
+    partitions used to be dropped whole when any of them was the
+    overwrite target — its other-partition rows silently lost. Mixed
+    files are now rewritten keeping their non-target survivors."""
+    from fefal_etl_spark.table import TransactionalTable
+
+    t = TransactionalTable(spark, str(tmp_path / "t"))
+    t.overwrite(
+        spark.createDataFrame([("1", 10), ("2", 20)], "p string, v int"),
+        partition_by=["p"],
+    )
+    # layout-less append MIXING target (p=1) and non-target (p=3) rows
+    # in ONE file — stats cannot disprove target membership
+    t.append(
+        spark.createDataFrame(
+            [("1", 11), ("3", 30)], "p string, v int"
+        ).coalesce(1)
+    )
+    t.overwrite_partition(spark.createDataFrame([(100,)], "v int"), p="1")
+    got = sorted((str(r["p"]), r["v"]) for r in t.read().collect())
+    # p=1 fully replaced (both the hive file and the mixed file's row);
+    # p=2 carried; p=3 SURVIVED the mixed-file rewrite
+    assert got == [("1", 100), ("2", 20), ("3", 30)]
+
+
 def test_read_partition_boolean_filter(spark, tmp_path):
     from fefal_etl_spark.table import TransactionalTable
 
@@ -579,6 +605,92 @@ def test_env_default_memory_backend(spark, tmp_path, monkeypatch):
     t2.append(spark.createDataFrame([(2,)], "k int"))
     assert t.read().count() == 2
     assert os.listdir(os.path.join(root, "_manifests")) == []
+
+
+@_posix_log
+def test_sink_rejects_partitioned_table_append(txn_format, tmp_path):
+    """Review finding: appending layout-less sink files into a
+    hive-partitioned table would make a later overwrite_partition
+    treat the mixed file as possibly-in-target — reject loudly.
+    mode('overwrite') replaces the whole table (layout-less) and is
+    allowed."""
+    from fefal_etl_spark.table import TransactionalTable
+
+    spark = txn_format
+    root = str(tmp_path / "t")
+    t = TransactionalTable(spark, root)
+    t.overwrite(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, p string"),
+        partition_by=["p"],
+    )
+    with pytest.raises(Exception, match="hive-partitioned"):
+        spark.createDataFrame([(3, "c")], "k int, p string").write.format(
+            "txn_table"
+        ).mode("append").save(root)
+    assert t.read().count() == 2
+    spark.createDataFrame([(9, "z")], "k int, p string").write.format(
+        "txn_table"
+    ).mode("overwrite").save(root)
+    assert t.read().count() == 1  # full replace is well-defined
+
+
+@_posix_log
+def test_sink_replay_cleans_staged_files(txn_format, tmp_path):
+    """Review finding: a ledger-skipped replay must not leave its
+    (invisible) staged parquet behind — repeated replays would
+    accumulate unbounded dead files."""
+    import glob
+
+    from fefal_etl_spark.table import TransactionalTable
+
+    spark = txn_format
+    root = str(tmp_path / "t")
+
+    def save():
+        (
+            spark.range(4)
+            .selectExpr("id AS k")
+            .write.format("txn_table")
+            .mode("append")
+            .option("txnAppId", "job")
+            .option("txnVersion", 1)
+            .save(root)
+        )
+
+    save()
+    n_files = len(glob.glob(os.path.join(root, "data", "*", "*.parquet")))
+    for _ in range(3):
+        save()  # replays: ledger-skipped
+    t = TransactionalTable(spark, root)
+    assert t.latest_version() == 0 and t.read().count() == 4
+    assert (
+        len(glob.glob(os.path.join(root, "data", "*", "*.parquet")))
+        == n_files
+    )
+
+
+def test_rename_keeps_null_count_pruning(spark, tmp_path):
+    """Review finding: the zero-rewrite rename must move the __nulls
+    sub-map's key too, or IS NULL pruning silently dies on the renamed
+    column (range pruning on the same column kept working)."""
+    from fefal_etl_spark.table import TransactionalTable
+
+    t = TransactionalTable(spark, str(tmp_path / "t"))
+    t.overwrite(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, s string")
+    )
+    t.append(
+        spark.createDataFrame([(3, None)], "k int, s string").coalesce(1)
+    )
+    t.rename_column("s", "s2")
+    kept, total = t.pruned_predicate_files("s2 IS NULL")
+    assert kept < total  # null counts followed the rename
+    assert {r["k"] for r in t.read_matching("s2 IS NULL").collect()} == {3}
+    # and drop retires the entries instead of orphaning them
+    t.drop_column("s2")
+    mf = t._read_manifest(t.latest_version())
+    for fs in (mf.stats or {}).values():
+        assert "s2" not in (fs.get("__nulls") or {})
 
 
 @_posix_log
