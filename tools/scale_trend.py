@@ -76,6 +76,11 @@ TREND_QUERIES = [
     "txn_batch_source_read",
     "type_widening_scan",
     "predicate_pruned_read",
+    # round-8: IS NULL pruned delete, merge-vs-append narrowing race,
+    # the batch txn_table write DataSource roundtrip
+    "pruned_null_delete",
+    "merge_append_concurrency",
+    "txn_batch_sink_roundtrip",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
