@@ -232,6 +232,12 @@ BENCH_QUERIES = [
     "pruned_null_delete",
     "merge_append_concurrency",
     "txn_batch_sink_roundtrip",
+    # round-8 extensions: OPTIMIZE-vs-append conflict narrowing, the
+    # streaming txn_table write DataSource, hive partitionBy through
+    # the sink
+    "compact_append_concurrency",
+    "txn_stream_sink_roundtrip",
+    "partitioned_sink_ingest",
     # dup_clusters_star is excluded like ngram_jaccard_pairs: at bench SF its
     # wall time is ~6 iterative rounds of fixed scheduling cost (the
     # algorithm exists for O(log n) ROUNDS at web scale, demonstrated by the

@@ -3669,6 +3669,235 @@ def q_txn_batch_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "txn_stream_sink_roundtrip",
+    """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(24,4))) AS DOUBLE) AS revenue,
+           TRUE AS ledgered_ok
+    FROM orders WHERE o_orderkey % 3 IN (0, 1)
+    GROUP BY o_orderstatus
+    """,
+)
+def q_txn_stream_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-8 extension — the STREAMING ``txn_table`` write DataSource
+    (sources/table_sink.py::TxnTableStreamWriter), closing the
+    read/write × batch/stream matrix: the txn-table stream SOURCE tails
+    the scenario table (overwrite keys%3=0, append keys%3=1) and the
+    stream lands in a second transactional table through
+    ``writeStream.format("txn_table")`` — each micro-batch one atomic
+    ``stream-append`` manifest commit, exactly-once via the
+    (txnAppId, batchId) ledger, drained under Trigger.AvailableNow.
+    ``ledgered_ok`` pins that every target commit is a stream-append
+    carrying the app's ledger entry. The oracle aggregates the same
+    logical rows declaratively: source→stream→ledgered sink must be
+    exactly the identity. At 100 TB this is the ingest topology: a
+    follow-the-log reader feeding an ACID sink, both metadata-bounded,
+    crash-replay safe on both sides."""
+    from fefal_etl_spark.sources.table_batch import TxnTableBatchDataSource
+    from fefal_etl_spark.streaming.table_source import (
+        TxnTableStreamDataSource,
+    )
+    from fefal_etl_spark.table import TransactionalTable
+
+    if not getattr(spark, "_txn_stream_src_registered", False):
+        spark.dataSource.register(TxnTableStreamDataSource)
+        spark._txn_stream_src_registered = True
+    if not getattr(spark, "_txn_batch_src_registered", False):
+        spark.dataSource.register(TxnTableBatchDataSource)
+        spark._txn_batch_src_registered = True
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+    def build(t):
+        t.overwrite(base.filter(F.col("o_orderkey") % 3 == 0))
+        t.append(base.filter(F.col("o_orderkey") % 3 == 1))
+
+    src = _txn_scenario(
+        spark, sf_dir, "txn_stream", build, final_version=1
+    )
+    # fresh sink per run (cheap — micro-batch commits of already-staged
+    # source files); the checkpoint pins offset/ledger agreement
+    import shutil
+
+    dst_root = src.root + "-sink"
+    ckpt = src.root + "-sink-ck"
+    shutil.rmtree(dst_root, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    stream = (
+        spark.readStream.format("txn_table_stream")
+        .option("path", src.root)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("txn_table")
+        .option("path", dst_root)
+        .option("txnAppId", "stream-sink-rt")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dst = TransactionalTable(spark, dst_root)
+    hist = dst.history().collect()
+    mf = dst._read_manifest(dst.latest_version())
+    ledgered = all(r["op"] == "stream-append" for r in hist) and (
+        "stream-sink-rt" in (mf.txns or {})
+    )
+    return (
+        dst.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(24,4)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .withColumn("ledgered_ok", F.lit(ledgered))
+    )
+
+
+@register(
+    "partitioned_sink_ingest",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(24,4))) AS DOUBLE) AS revenue,
+           TRUE AS pruned_ok
+    FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    GROUP BY o_orderpriority
+    """,
+)
+def q_partitioned_sink_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-8 extension — hive ``partitionBy`` through the sink
+    DataSource (sources/table_sink.py::_stage_task_batches): orders
+    lands via ``df.write.format("txn_table").option("partitionBy",
+    "o_orderpriority")`` — each task splits its Arrow batches
+    columnar-side per partition value and writes hive ``col=value/``
+    files, partition values ride the manifest, partition columns are
+    dropped from file content and reconstructed on read. Two
+    priorities are then read via manifest-side partition pruning;
+    ``pruned_ok`` pins that the probe kept strictly fewer files than
+    the table holds. The oracle replays the filtered aggregate
+    declaratively. At 100 TB this is the partitioned-ingest shape:
+    pure-DataFrame writers get hive layout + pruning without the
+    helper API, and the partition split never leaves Arrow."""
+    from fefal_etl_spark.sources.table_batch import TxnTableBatchDataSource
+    from fefal_etl_spark.table import TransactionalTable
+
+    if not getattr(spark, "_txn_batch_src_registered", False):
+        spark.dataSource.register(TxnTableBatchDataSource)
+        spark._txn_batch_src_registered = True
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+
+    def build(t):
+        (
+            base.write.format("txn_table")
+            .mode("overwrite")
+            .option("partitionBy", "o_orderpriority")
+            .save(t.root)
+        )
+
+    t = _txn_scenario(
+        spark, sf_dir, "txn_part_sink", build, final_version=0
+    )
+    wanted = ["1-URGENT", "2-HIGH"]
+    kept, total = t.pruned_partition_files(o_orderpriority=wanted[0])
+    pruned = 0 < kept < total
+    return (
+        t.read_partition_in("o_orderpriority", wanted)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(24,4)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .withColumn("pruned_ok", F.lit(pruned))
+    )
+
+
+@register(
+    "compact_append_concurrency",
+    """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(24,4))) AS DOUBLE) AS revenue,
+           TRUE AS rebased_ok
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_compact_append_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-8 extension — MAINTENANCE conflict narrowing
+    (table.py::_rebase_appends): the lower key half of orders lands
+    shattered across 8 small files (the streaming-ingest shape), then
+    OPTIMIZE (:meth:`compact`) races a concurrent append of the upper
+    half. Compaction is a logical no-op, so it REBASES and carries the
+    appended file verbatim instead of raising — pre-extension the
+    maintenance op lost every race, so a table under continuous
+    appends could never be compacted (at 100 TB, small files would
+    accumulate unboundedly). ``rebased_ok`` pins the commit order
+    (v1 append, v2 compact) AND that the 9 input files collapsed to
+    ≤2 while every row — updated layout, appended rows — survived.
+    The oracle is the plain orders aggregate: compaction + append
+    must be exactly the identity on the data."""
+    from fefal_etl_spark.table import TransactionalTable
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    mx = base.agg(F.max("o_orderkey").alias("m")).collect()[0]["m"]
+    lower = base.filter(F.col("o_orderkey") <= mx // 2)
+    upper = base.filter(F.col("o_orderkey") > mx // 2)
+
+    def build(t):
+        t.overwrite(lower.repartition(8))
+        t2 = TransactionalTable(spark, t.root)
+        done = [False]
+        orig = t.stage_files
+
+        def stage_then_append(df, **kw):
+            files = orig(df, **kw)
+            if not done[0]:
+                done[0] = True
+                t2.append(upper.coalesce(1))
+            return files
+
+        t.stage_files = stage_then_append
+        try:
+            t.compact()
+        finally:
+            t.stage_files = orig
+
+    t = _txn_scenario(
+        spark, sf_dir, "txn_compact_race", build, final_version=2
+    )
+    ops = {r["version"]: r["op"] for r in t.history().collect()}
+    mf = t._read_manifest(2)
+    rebased = (
+        ops.get(1) == "append"
+        and ops.get(2) == "compact"
+        and len(mf.files) <= 2
+    )
+    return (
+        t.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(24,4)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .withColumn("rebased_ok", F.lit(rebased))
+    )
+
+
+@register(
     "generated_partition_scan",
     """
     WITH d AS (SELECT CAST(ts AS DATE) AS day, value FROM events)

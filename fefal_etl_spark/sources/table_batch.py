@@ -219,6 +219,13 @@ class TxnTableBatchDataSource(DataSource):
             self.options["path"], schema, overwrite, self.options
         )
 
+    def streamWriter(self, schema, overwrite: bool):
+        from fefal_etl_spark.sources.table_sink import TxnTableStreamWriter
+
+        return TxnTableStreamWriter(
+            self.options["path"], schema, overwrite, self.options
+        )
+
     def _meta(self) -> tuple:
         """Resolve the snapshot ONCE per DataSource instance: schema()
         and reader() share it, so a commit landing between the two

@@ -1,8 +1,9 @@
-"""Batch WRITE DataSource over a transactional table —
-``df.write.format("txn_table")`` (VERDICT r7 item 5: API symmetry with
-the r7 batch READ source in `sources/table_batch.py`; writes previously
-required the `TransactionalTable.append()/overwrite()` helper object,
-which blocks pure-DataFrame users).
+"""WRITE half of the ``txn_table`` DataSource — batch
+``df.write.format("txn_table")`` (VERDICT r7 item 5) and STREAMING
+``df.writeStream.format("txn_table")`` (round-8 extension), completing
+the read/write × batch/stream matrix over a transactional table
+(writes previously required the `TransactionalTable` helper object or
+the ``foreachBatch`` helper, which block pure-DataFrame users).
 
 Usage::
 
@@ -12,6 +13,10 @@ Usage::
     (df.write.format("txn_table").mode("append")
        .option("txnAppId", "job-7").option("txnVersion", 42)
        .save(root))                       # exactly-once via the ledger
+    (stream_df.writeStream.format("txn_table")
+       .option("path", root).option("txnAppId", "my-query")
+       .option("checkpointLocation", ckpt)
+       .start())                          # one atomic commit per batch
 
 Semantics map 1:1 onto the commit protocol (`table.TransactionalTable`):
 
@@ -28,10 +33,16 @@ Semantics map 1:1 onto the commit protocol (`table.TransactionalTable`):
   even without it, staged-but-unpublished files are invisible by
   construction (the manifest IS the table).
 
-Not supported through the sink (use the helper API): hive
-``partition_by`` layout and tables with GENERATED partition columns —
-the sink writes layout-less files, which would silently break hidden
-partitioning, so such tables are rejected loudly.
+Hive layout: ``.option("partitionBy", "col[,col2]")`` (round-8
+extension) makes each task split its batches columnar-side per
+partition combo and write hive ``col=value/`` files — partition values
+land in the manifest (pruning immediately live), partition columns are
+dropped from file content and reconstructed on read, interoperable
+with `stage_files`' own layout. Appends must match the table's
+existing layout exactly (mixed layouts are rejected loudly — they
+would degrade partition-overwrite semantics). Tables with GENERATED
+partition columns stay rejected: deriving the transform needs Spark,
+and layout-less files would silently break hidden partitioning.
 
 Reference parity: the reference (FEFAL-ETL ``etl_ui.py:412-429``) loads
 row-wise into Postgres; this module exists for the engine's lakehouse
@@ -47,6 +58,7 @@ from typing import Iterator, List, Optional
 
 from pyspark.sql.datasource import (
     DataSourceArrowWriter,
+    DataSourceStreamArrowWriter,
     WriterCommitMessage,
 )
 
@@ -54,6 +66,148 @@ from pyspark.sql.datasource import (
 @dataclass
 class _TaskFiles(WriterCommitMessage):
     files: list = field(default_factory=list)  # root-relative paths
+
+
+def _hive_dir(pcols: list, str_arrays: list, row: int) -> str:
+    """The hive path segment(s) for one partition combo, matching
+    Spark's writer conventions so `stage_files`-written and
+    sink-written layouts interoperate: values percent-escaped (Spark
+    unescapes on read, `_partition_values` unquotes), NULL →
+    ``__HIVE_DEFAULT_PARTITION__``, booleans lowercased (pyarrow's
+    string cast already lowercases)."""
+    from urllib.parse import quote
+
+    segs = []
+    for c, arr in zip(pcols, str_arrays):
+        v = arr[row].as_py()
+        seg_v = (
+            "__HIVE_DEFAULT_PARTITION__"
+            if v is None
+            else quote(v, safe="")
+        )
+        segs.append(f"{quote(c, safe='')}={seg_v}")
+    return "/".join(segs)
+
+
+def _stage_task_batches(
+    root: str, commit_dir: str, iterator, pcols: list | None = None
+) -> _TaskFiles:
+    """Executor half shared by the batch and STREAMING sinks: stream
+    this task's Arrow batches into immutable parquet files under
+    ``data/<commit_dir>/`` (exactly `stage_files`' layout — invisible
+    to readers until a manifest references it). Without ``pcols`` one
+    file per non-empty task; with ``pcols`` (the ``partitionBy``
+    option) each batch is SPLIT columnar-side by the partition combo
+    and appended to one file per combo under hive ``col=value/``
+    segments — partition columns dropped from the file content, like
+    Spark's partitioned writer, and reconstructed from the path on
+    read. Dependency-light: pyarrow + stdlib only (it is cloudpickled
+    to workers)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    writers: dict[str, tuple] = {}  # hive dir ("" = layout-less) -> (writer, rel)
+
+    def _writer_for(hive: str, schema) -> tuple:
+        got = writers.get(hive)
+        if got is None:
+            d = os.path.join(root, "data", commit_dir, *filter(None, [hive]))
+            os.makedirs(d, exist_ok=True)
+            name = f"part-{uuid.uuid4().hex}.parquet"
+            rel = "/".join(filter(None, ["data", commit_dir, hive, name]))
+            got = (pq.ParquetWriter(os.path.join(d, name), schema), rel)
+            writers[hive] = got
+        return got
+
+    try:
+        for batch in iterator:
+            if batch.num_rows == 0:
+                continue
+            if not pcols:
+                _writer_for("", batch.schema)[0].write_batch(batch)
+                continue
+            missing = [c for c in pcols if c not in batch.schema.names]
+            if missing:
+                raise ValueError(
+                    f"txn_table sink: partitionBy column(s) {missing} "
+                    "not in the written DataFrame"
+                )
+            data_cols = [c for c in batch.schema.names if c not in pcols]
+            if not data_cols:
+                raise ValueError(
+                    "txn_table sink: cannot use ALL columns as "
+                    "partition columns"
+                )
+            # columnar split: string-cast each partition column once,
+            # dictionary-encode the combined combo key, then one
+            # vectorized filter per distinct combo — no Python row loop
+            strs = [
+                pc.cast(batch.column(c), pa.string()) for c in pcols
+            ]
+            combo = (
+                strs[0]
+                if len(strs) == 1
+                else pc.binary_join_element_wise(
+                    *[pc.fill_null(s, "\x00") for s in strs], "\x1f"
+                )
+            )
+            enc = pc.dictionary_encode(combo)
+            codes = enc.indices
+            null_code = pc.min_max(codes)["max"].as_py()
+            for code in range(
+                (null_code + 1) if null_code is not None else 0
+            ):
+                mask = pc.equal(codes, code)
+                if len(strs) == 1:
+                    mask = pc.fill_null(mask, False)
+                sub = batch.filter(mask)
+                if sub.num_rows == 0:
+                    continue
+                hive = _hive_dir(
+                    pcols, [s.filter(mask) for s in strs], 0
+                )
+                w, _rel = _writer_for(
+                    hive, sub.select(data_cols).schema
+                )
+                w.write_batch(sub.select(data_cols))
+            if len(strs) == 1:
+                # a single NULL-valued partition column encodes as a
+                # null index, not a dictionary code — split it out
+                mask = pc.is_null(combo)
+                sub = batch.filter(mask)
+                if sub.num_rows:
+                    hive = f"{pcols[0]}=__HIVE_DEFAULT_PARTITION__"
+                    w, _rel = _writer_for(
+                        hive, sub.select(data_cols).schema
+                    )
+                    w.write_batch(sub.select(data_cols))
+    finally:
+        for w, _rel in writers.values():
+            w.close()
+    return _TaskFiles(files=sorted(rel for _w, rel in writers.values()))
+
+
+def _parse_partition_by(options) -> list | None:
+    """The ``partitionBy`` option (comma-separated column names) for
+    hive-laid sink writes — the 100 TB ingest shape (time-partitioned
+    facts). Option keys arrive lowercased from Spark."""
+    raw = options.get("partitionby")
+    if not raw:
+        return None
+    cols = [c.strip() for c in str(raw).split(",") if c.strip()]
+    return cols or None
+
+
+def _drop_staged(root: str, messages) -> None:
+    """Staged files are invisible without a manifest — removal is
+    best-effort hygiene, never correctness."""
+    for m in messages:
+        for rel in (m.files if m is not None else []):
+            try:
+                os.unlink(os.path.join(root, rel))
+            except OSError:
+                pass
 
 
 class TxnTableArrowWriter(DataSourceArrowWriter):
@@ -80,30 +234,13 @@ class TxnTableArrowWriter(DataSourceArrowWriter):
             if app_id is not None and txn_version is not None
             else None
         )
+        self.pcols = _parse_partition_by(options)
 
     # ------------------------------------------------------------ tasks
     def write(self, iterator: Iterator) -> _TaskFiles:
-        import pyarrow.parquet as pq
-
-        writer = None
-        rel = None
-        try:
-            for batch in iterator:
-                if batch.num_rows == 0:
-                    continue
-                if writer is None:
-                    d = os.path.join(self.root, "data", self.commit_dir)
-                    os.makedirs(d, exist_ok=True)
-                    name = f"part-{uuid.uuid4().hex}.parquet"
-                    rel = f"data/{self.commit_dir}/{name}"
-                    writer = pq.ParquetWriter(
-                        os.path.join(d, name), batch.schema
-                    )
-                writer.write_batch(batch)
-        finally:
-            if writer is not None:
-                writer.close()
-        return _TaskFiles(files=[rel] if rel else [])
+        return _stage_task_batches(
+            self.root, self.commit_dir, iterator, self.pcols
+        )
 
     @staticmethod
     def _validate_constraints(constraints: list, paths: list) -> None:
@@ -148,82 +285,193 @@ class TxnTableArrowWriter(DataSourceArrowWriter):
 
     # ----------------------------------------------------------- driver
     def commit(self, messages: List[Optional[_TaskFiles]]) -> None:
-        from fefal_etl_spark.table import TransactionalTable
-
         files = sorted(
             f for m in messages if m is not None for f in m.files
         )
-        # commit() runs in a sessionless worker: TransactionalTable's
-        # metadata paths (manifest read, CAS publish, footer stats)
-        # never touch Spark
-        t = TransactionalTable(None, self.root)
-        base = t.latest_version()
-        if base is not None:
-            mf = t._read_manifest(base)
-            if mf.generated:
-                raise ValueError(
-                    "txn_table sink: table declares GENERATED partition "
-                    f"columns {sorted(mf.generated)} — layout-less sink "
-                    "files would break hidden partitioning; use "
-                    "TransactionalTable.append()/overwrite()"
-                )
-            # appending layout-less files into a HIVE-partitioned table
-            # is rejected too (review finding): a later
-            # overwrite_partition must treat a mixed layout-less file
-            # as possibly-in-target, so allowing it here would quietly
-            # degrade the table's partition-overwrite semantics.
-            # mode("overwrite") replaces the whole table with a
-            # layout-less one, which is well-defined — allowed.
-            if not self.overwrite and mf.partitions:
-                raise ValueError(
-                    "txn_table sink: table is hive-partitioned "
-                    f"({sorted({c for pv in mf.partitions.values() for c in pv})}) "
-                    "— the sink writes layout-less files; use "
-                    "TransactionalTable.append(partition_by=...)"
-                )
-            # same commit-time governance as the helper API: retired
-            # names + type widening from the declared schema...
-            t._check_schema(self.schema_simple, mf)
-            # ...and CHECK constraints over the staged rows
-            if mf.constraints and files:
-                self._validate_constraints(
-                    mf.constraints,
-                    [os.path.join(self.root, f) for f in files],
-                )
-        if self.overwrite:
-            t._commit(
-                files,
-                "overwrite",
-                base,
-                rebase_ok=False,
-                stats=t._file_stats(files),
-                schema=dict(self.schema_simple),
-                txn=self.txn,
-            )
-        else:
-            landed = t._commit(
-                files,
-                "append",
-                base,
-                rebase_ok=True,
-                carry_parent_files=True,
-                stats=t._file_stats(files),
-                schema=dict(self.schema_simple),
-                txn=self.txn,
-            )
-            if landed is None:
-                # ledger-skipped replay: the staged files will never be
-                # referenced — clean them up like abort() (review
-                # finding: repeated replays otherwise accumulate
-                # invisible data files until a manual vacuum)
-                self.abort(messages)
+        landed = _publish_staged(
+            self.root,
+            files,
+            self.overwrite,
+            self.schema_simple,
+            self.txn,
+            op="overwrite" if self.overwrite else "append",
+            validate=self._validate_constraints,
+            pcols=self.pcols,
+        )
+        if landed is None:
+            # ledger-skipped replay: the staged files will never be
+            # referenced — clean them up like abort() (review
+            # finding: repeated replays otherwise accumulate
+            # invisible data files until a manual vacuum)
+            self.abort(messages)
 
     def abort(self, messages: List[Optional[_TaskFiles]]) -> None:
-        # staged files are invisible without a manifest — removal is
-        # best-effort hygiene, never correctness
-        for m in messages:
-            for rel in (m.files if m is not None else []):
-                try:
-                    os.unlink(os.path.join(self.root, rel))
-                except OSError:
-                    pass
+        _drop_staged(self.root, messages)
+
+
+def _publish_staged(
+    root: str,
+    files: list,
+    overwrite: bool,
+    schema_simple: dict,
+    txn,
+    op: str,
+    validate,
+    pcols: list | None = None,
+) -> int | None:
+    """Driver half shared by the batch and STREAMING sinks: one
+    manifest commit per job / micro-batch through the same CAS loop as
+    the helper API, with the helper's full commit-time governance
+    (generated/hive-layout rejection, retired names + type widening,
+    CHECK constraints over the staged rows). Runs in a sessionless
+    data source worker: TransactionalTable's metadata paths (manifest
+    read, CAS publish, footer stats) never touch Spark. Returns the
+    committed version, or None when the txn ledger already covered
+    this (app_id, version) — the caller then drops the staged files."""
+    from fefal_etl_spark.table import TransactionalTable
+
+    t = TransactionalTable(None, root)
+    base = t.latest_version()
+    if base is not None:
+        mf = t._read_manifest(base)
+        if mf.generated:
+            raise ValueError(
+                "txn_table sink: table declares GENERATED partition "
+                f"columns {sorted(mf.generated)} — layout-less sink "
+                "files would break hidden partitioning; use "
+                "TransactionalTable.append()/overwrite()"
+            )
+        # mixed-layout appends are rejected (review finding): a later
+        # overwrite_partition must treat a layout-mismatched file as
+        # possibly-in-target, so allowing one here would quietly
+        # degrade the table's partition-overwrite semantics. The sink
+        # writes the table's OWN layout when .option("partitionBy",
+        # ...) names exactly the table's partition columns;
+        # mode("overwrite") redefines the layout wholesale, which is
+        # well-defined — allowed.
+        table_pcols = sorted(
+            {c for pv in (mf.partitions or {}).values() for c in pv}
+        )
+        if not overwrite and mf.files:
+            if sorted(pcols or []) != table_pcols:
+                raise ValueError(
+                    "txn_table sink: table partition layout is "
+                    f"{table_pcols or 'layout-less'} but the write "
+                    f"declares partitionBy={sorted(pcols or []) or None}"
+                    " — mixed layouts degrade partition-overwrite "
+                    "semantics; match the table's layout or use "
+                    "TransactionalTable.append(partition_by=...)"
+                )
+        # same commit-time governance as the helper API: retired
+        # names + type widening from the declared schema...
+        t._check_schema(schema_simple, mf)
+        # ...and CHECK constraints over the staged rows
+        if mf.constraints and files:
+            validate(
+                mf.constraints,
+                [os.path.join(root, f) for f in files],
+            )
+    if overwrite:
+        return t._commit(
+            files,
+            op,
+            base,
+            rebase_ok=False,
+            stats=t._file_stats(files),
+            schema=dict(schema_simple),
+            txn=txn,
+        )
+    return t._commit(
+        files,
+        op,
+        base,
+        rebase_ok=True,
+        carry_parent_files=True,
+        stats=t._file_stats(files),
+        schema=dict(schema_simple),
+        txn=txn,
+    )
+
+
+class TxnTableStreamWriter(DataSourceStreamArrowWriter):
+    """STREAMING write half of the ``txn_table`` DataSource —
+    ``df.writeStream.format("txn_table")`` (round-8 extension: the last
+    cell of the read/write × batch/stream matrix; reads got batch in
+    r7 and streaming in r5, writes got batch in r8 — streaming writes
+    previously required the ``foreachBatch`` helper
+    `streaming/events.py::transactional_table_sink`).
+
+    Every micro-batch commits as ONE atomic manifest (op
+    ``stream-append``, the same name `append_txn` uses), so readers see
+    whole batches or nothing and every batch is time-travelable.
+    Exactly-once: the manifest ledger keys on (``txnAppId``, batchId) —
+    a crash between sink-commit and checkpoint-commit replays the
+    batch, the ledger sees it is already covered, the commit is skipped
+    and the staged files dropped (at-least-once replay, exactly-once
+    landed rows — Delta's txnAppId/txnVersion protocol, here for the
+    epoch/batch id Spark hands ``commit``).
+
+    ``txnAppId`` is REQUIRED (no default): the Python DataSource API
+    does not expose the query id, and two different streams sharing a
+    default app id would poison each other's ledger entries (stream B
+    restarting from batch 0 would be "already covered" by stream A's
+    batch 5) — silent data loss, so the sink refuses to guess.
+
+    ``outputMode("append")`` maps to ledgered stream-appends; complete
+    mode (``overwrite=True``) replaces the table snapshot each batch
+    under the same ledger. Like the batch sink, hive-partitioned and
+    generated-partition tables are rejected loudly (layout-less files
+    would degrade partition semantics); concurrent writers are safe —
+    the commit CAS rebases appends and re-checks the ledger on every
+    retry."""
+
+    def __init__(self, root: str, schema, overwrite: bool, options):
+        self.root = root
+        self.overwrite = overwrite
+        # one staging namespace per query run; file names are unique
+        # per task per batch, so batches never collide inside it
+        self.commit_dir = uuid.uuid4().hex
+        self.schema_simple = {
+            f.name: f.dataType.simpleString() for f in schema.fields
+        }
+        app_id = options.get("txnappid")
+        if not app_id:
+            raise ValueError(
+                "txn_table streaming sink requires .option('txnAppId', "
+                "<unique-per-query id>): the ledger keys exactly-once "
+                "on it, and a shared default would let two streams "
+                "skip each other's batches"
+            )
+        self.app_id = app_id
+        self.pcols = _parse_partition_by(options)
+
+    # executor half — identical staging to the batch sink
+    def write(self, iterator: Iterator) -> _TaskFiles:
+        return _stage_task_batches(
+            self.root, self.commit_dir, iterator, self.pcols
+        )
+
+    # driver half — one ledgered commit per micro-batch
+    def commit(
+        self, messages: List[Optional[_TaskFiles]], batchId: int
+    ) -> None:
+        files = sorted(
+            f for m in messages if m is not None for f in m.files
+        )
+        landed = _publish_staged(
+            self.root,
+            files,
+            self.overwrite,
+            self.schema_simple,
+            (self.app_id, batchId),
+            op="overwrite" if self.overwrite else "stream-append",
+            validate=TxnTableArrowWriter._validate_constraints,
+            pcols=self.pcols,
+        )
+        if landed is None:
+            _drop_staged(self.root, messages)  # ledger-skipped replay
+
+    def abort(
+        self, messages: List[Optional[_TaskFiles]], batchId: int
+    ) -> None:
+        _drop_staged(self.root, messages)

@@ -1561,6 +1561,25 @@ class TransactionalTable:
                 state_stats = {
                     f: s for f, s in all_stats.items() if f in new_set
                 }
+                state_parts = {
+                    f: p for f, p in all_parts.items() if f in new_set
+                }
+                # RETAINED files a non-carry op didn't restage (a
+                # rebased merge/compact keeps interleaved appended
+                # files verbatim) keep their parent stats/partition
+                # values: without this carry the cached state — and any
+                # checkpoint cut from it — silently forgets them, and
+                # the files become unprunable forever after (replay
+                # from the commit records still had them, so cache and
+                # replay disagreed)
+                if parent is not None and not carry_parent_files:
+                    for f in all_files:
+                        if f not in state_stats and f in (parent.stats or {}):
+                            state_stats[f] = parent.stats[f]
+                        if f not in state_parts and f in (
+                            parent.partitions or {}
+                        ):
+                            state_parts[f] = parent.partitions[f]
                 state_schema, state_blooms = all_schema, all_blooms
                 if column_op is not None:
                     state_schema, state_stats, state_blooms = (
@@ -1578,9 +1597,7 @@ class TransactionalTable:
                     "ts": manifest["ts"],
                     "files": all_files,
                     "stats": state_stats,
-                    "partitions": {
-                        f: p for f, p in all_parts.items() if f in new_set
-                    },
+                    "partitions": state_parts,
                     "dv_files": all_dvs,
                     "txns": txns,
                     "schema": state_schema,
@@ -2358,6 +2375,55 @@ class TransactionalTable:
             )
         return " AND ".join(conjuncts) or None
 
+    def _pure_append_records(
+        self, base: int, latest: int, op: str
+    ) -> list[tuple[int, dict]]:
+        """The commit records in (base, latest], REQUIRED to all be pure
+        appends (op append/stream-append, no removes, no DV changes, no
+        column ops) — the only interleaved commits a rebase can reorder
+        around. Anything else raises :class:`CommitConflict` with the
+        calling ``op`` named. Shared by the merge narrowing walk and the
+        round-8 maintenance rebase (:meth:`compact` /
+        :meth:`optimize_zorder` / :meth:`build_bloom`)."""
+        recs: list[tuple[int, dict]] = []
+        for v in range(base + 1, latest + 1):
+            rec = _load_record(self.root, v, self.backend)
+            if (
+                rec.get("op") not in ("append", "stream-append")
+                or "files" in rec
+                or rec.get("remove")
+                or rec.get("dv_add")
+                or rec.get("dv_remove")
+                or rec.get("column_op")
+            ):
+                raise CommitConflict(
+                    f"{op}: interleaved {rec.get('op')} commit "
+                    f"(version {v}) is not order-independent"
+                )
+            recs.append((v, rec))
+        return recs
+
+    def _rebase_appends(self, base: int, op: str) -> tuple[int, list[str]]:
+        """Rebase step for a LOGICAL NO-OP maintenance commit
+        (compact/zorder/bloom, round 8): a maintenance op changes no
+        rows, so ANY pure interleaved append is order-independent —
+        serial outcome = the rewritten base files plus the appended
+        files verbatim (their stats/partition values/ledger entries
+        already live in the resolved parent state). Returns
+        (new base, appended files to carry); non-append interleavings
+        raise :class:`CommitConflict` — the strict pre-r8 behavior. At
+        100 TB, streaming appends land every minute; without this,
+        OPTIMIZE never wins a race and small files accumulate
+        unboundedly."""
+        latest = self.latest_version()
+        assert latest is not None and latest > base
+        extra = [
+            f
+            for _v, rec in self._pure_append_records(base, latest, op)
+            for f in (rec.get("add") or [])
+        ]
+        return latest, extra
+
     def _disjoint_append_files(
         self, base: int, latest: int, pred: str | None
     ) -> list[str]:
@@ -2376,19 +2442,7 @@ class TransactionalTable:
         from fefal_etl_spark.predicate_prune import prune_candidates
 
         files: list[str] = []
-        for v in range(base + 1, latest + 1):
-            rec = _load_record(self.root, v, self.backend)
-            if (
-                rec.get("op") not in ("append", "stream-append")
-                or "files" in rec
-                or rec.get("remove")
-                or rec.get("dv_add")
-                or rec.get("dv_remove")
-            ):
-                raise CommitConflict(
-                    f"merge: interleaved {rec.get('op')} commit "
-                    f"(version {v}) is not order-independent"
-                )
+        for v, rec in self._pure_append_records(base, latest, "merge"):
             add = list(rec.get("add") or [])
             if pred is None:
                 raise CommitConflict(
@@ -2770,8 +2824,12 @@ class TransactionalTable:
         before the partitioned rewrite, so each partition collapses to
         ~one file and manifest-side partition pruning keeps working
         (the shape index maintenance needs — per-batch appends shatter
-        each bucket into per-batch files). Conflicts with interleaved
-        commits like any rewrite; the pre-compaction snapshot stays
+        each bucket into per-batch files). Interleaved PURE APPENDS no
+        longer conflict (round 8): compaction is a logical no-op, so it
+        rebases and carries the appended files verbatim
+        (:meth:`_rebase_appends`) — without that, a table under
+        continuous streaming appends could never be compacted. Rewrites
+        and DV commits still raise; the pre-compaction snapshot stays
         time-travelable until vacuumed."""
         import math
 
@@ -2791,10 +2849,17 @@ class TransactionalTable:
         else:
             laid_out = self.read(base).repartition(n_files)
         files = self.stage_files(laid_out, partition_by=partition_by)
-        return self._commit(
-            files, "compact", base, rebase_ok=False,
-            stats=self._file_stats(files),
-        )
+        stats = self._file_stats(files)
+        extra: list[str] = []
+        while True:
+            try:
+                return self._commit(
+                    files + extra, "compact", base, rebase_ok=False,
+                    stats=stats,
+                )
+            except CommitConflict:
+                base, more = self._rebase_appends(base, "compact")
+                extra += more
 
     def optimize_zorder(
         self,
@@ -2835,10 +2900,20 @@ class TransactionalTable:
         files = self.stage_files(
             laid_out, partition_by=self._pcols(mf) or None
         )
-        return self._commit(
-            files, "zorder", base, rebase_ok=False,
-            stats=self._file_stats(files),
-        )
+        stats = self._file_stats(files)
+        extra: list[str] = []
+        while True:
+            try:
+                return self._commit(
+                    files + extra, "zorder", base, rebase_ok=False,
+                    stats=stats,
+                )
+            except CommitConflict:
+                # logical no-op: rebase over pure appends like compact
+                # (appended files simply stay outside the z-layout until
+                # the next OPTIMIZE — exactly Delta's semantics)
+                base, more = self._rebase_appends(base, "zorder")
+                extra += more
 
     # bloom parameters: 8192 bits / 4 hashes ≈ 1 KB per file per column,
     # <1% fpp up to ~1k distinct values per file, manifest-bounded
@@ -2922,15 +2997,25 @@ class TransactionalTable:
             for p in r["positions"]:
                 bits[p // 8] |= 1 << (p % 8)
             blooms[r["file"]] = base64.b64encode(bytes(bits)).decode()
-        return self._commit(
-            mf.files,
-            "bloom",
-            base,
-            rebase_ok=False,
-            stats=mf.stats,
-            dv_files=mf.dv_files,
-            blooms={col: blooms},
-        )
+        extra: list[str] = []
+        while True:
+            try:
+                return self._commit(
+                    mf.files + extra,
+                    "bloom",
+                    base,
+                    rebase_ok=False,
+                    stats=mf.stats,
+                    dv_files=mf.dv_files,
+                    blooms={col: blooms},
+                )
+            except CommitConflict:
+                # metadata-only no-op: rebase over pure appends — the
+                # appended files have no bloom entry, so read_point
+                # conservatively keeps them (documented no-false-
+                # negative contract), exactly the post-build-append case
+                base, more = self._rebase_appends(base, "bloom")
+                extra += more
 
     def read_point(self, col: str, value, version: int | None = None) -> DataFrame:
         """Point lookup with bloom skipping: read only the files whose

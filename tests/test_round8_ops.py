@@ -2,7 +2,10 @@
 boolean partition-value normalization, null-count / IS NULL pruning,
 truncated string stats, MERGE conflict narrowing, the batch write
 DataSource, the object-store backend end-to-end, and the streaming
-schema-evolution restart contract (VERDICT r7 items + ADVICE r7)."""
+schema-evolution restart contract (VERDICT r7 items + ADVICE r7) —
+plus the round-8 extensions: maintenance-op (compact/zorder/bloom)
+rebase over interleaved appends, the STREAMING txn_table write
+DataSource, and hive ``partitionBy`` through both sinks."""
 
 from __future__ import annotations
 
@@ -623,11 +626,19 @@ def test_sink_rejects_partitioned_table_append(txn_format, tmp_path):
         spark.createDataFrame([(1, "a"), (2, "b")], "k int, p string"),
         partition_by=["p"],
     )
-    with pytest.raises(Exception, match="hive-partitioned"):
+    with pytest.raises(Exception, match="partition layout"):
         spark.createDataFrame([(3, "c")], "k int, p string").write.format(
             "txn_table"
         ).mode("append").save(root)
     assert t.read().count() == 2
+    # …but declaring the table's OWN layout via partitionBy is allowed
+    # (round-8 extension): the sink writes hive col=value files
+    spark.createDataFrame([(3, "c")], "k int, p string").write.format(
+        "txn_table"
+    ).mode("append").option("partitionBy", "p").save(root)
+    assert t.read().count() == 3
+    kept, total = t.pruned_partition_files(p="c")
+    assert kept == 1 and total == 3  # the sink file partition-prunes
     spark.createDataFrame([(9, "z")], "k int, p string").write.format(
         "txn_table"
     ).mode("overwrite").save(root)
@@ -708,3 +719,475 @@ def test_sink_rejects_generated_partition_tables(txn_format, tmp_path):
         spark.createDataFrame([(2, 5)], "k int, v int").write.format(
             "txn_table"
         ).mode("append").save(root)
+
+
+# ----------------------------------------------------------------------
+# round-8 extension: maintenance ops (compact / zorder / bloom) rebase
+# over interleaved pure appends — OPTIMIZE must win races with a
+# streaming ingest (table.py::_rebase_appends)
+# ----------------------------------------------------------------------
+
+
+def test_compact_rebases_over_append(spark, tmp_path):
+    """compact + a concurrent append: BOTH commit — the compaction is a
+    logical no-op so it carries the appended files verbatim (pre-r8
+    OPTIMIZE lost every race with a streaming ingest)."""
+    from fefal_etl_spark.table import TransactionalTable
+
+    root = str(tmp_path / "t")
+    t = _merge_base(spark, root)  # 50 rows across 4 files
+    t2 = TransactionalTable(spark, root)
+    appended = spark.createDataFrame([(500, 1), (501, 2)], "k long, v long")
+    orig = _interleave_append(t, t2, appended)
+    v = t.compact()
+    t.stage_files = orig
+    assert v == 2  # append won v1, the compaction landed as v2
+    ops = {r["version"]: r["op"] for r in t.history().collect()}
+    assert ops[1] == "append" and ops[2] == "compact"
+    rows = {r["k"]: r["v"] for r in t.read().collect()}
+    assert len(rows) == 52 and rows[500] == 1 and rows[501] == 2
+    mf = t._read_manifest(v)
+    # base's 4 files collapsed; the appended file rides along untouched
+    assert len(mf.files) == 2
+    # the retained appended file KEEPS its stats in the resolved state
+    # (cache and replay agree — the round-8 _commit carry)
+    appended_file = [f for f in mf.files if f in set(
+        t._read_manifest(1).files
+    )]
+    assert len(appended_file) == 1
+    assert appended_file[0] in (mf.stats or {})
+    fresh = TransactionalTable(spark, root)
+    assert appended_file[0] in (fresh._read_manifest(v).stats or {})
+
+
+def test_zorder_rebases_over_append(spark, tmp_path):
+    from fefal_etl_spark.table import TransactionalTable
+
+    root = str(tmp_path / "t")
+    t = _merge_base(spark, root)
+    t2 = TransactionalTable(spark, root)
+    appended = spark.createDataFrame([(600, 6)], "k long, v long")
+    orig = _interleave_append(t, t2, appended)
+    v = t.optimize_zorder("k", "v", n_files=2)
+    t.stage_files = orig
+    assert v == 2
+    rows = {r["k"]: r["v"] for r in t.read().collect()}
+    assert len(rows) == 51 and rows[600] == 6 and rows[0] == 0
+
+
+def test_bloom_rebases_over_append(spark, tmp_path):
+    """build_bloom + a concurrent append: the bloom commit rebases; the
+    appended file has no bloom entry so read_point conservatively keeps
+    it — no false negatives on either side of the race."""
+    from fefal_etl_spark.table import TransactionalTable
+
+    root = str(tmp_path / "t")
+    t = _merge_base(spark, root)
+    t2 = TransactionalTable(spark, root)
+    done = [False]
+    orig = t._commit
+
+    def hook(*a, **kw):
+        if not done[0]:
+            done[0] = True
+            t2.append(
+                spark.createDataFrame([(700, 7)], "k long, v long")
+                .coalesce(1)
+            )
+        return orig(*a, **kw)
+
+    t._commit = hook
+    try:
+        v = t.build_bloom("k")
+    finally:
+        t._commit = orig
+    assert v == 2
+    ops = {r["version"]: r["op"] for r in t.history().collect()}
+    assert ops[1] == "append" and ops[2] == "bloom"
+    # bloomed point lookup still finds base rows, appended rows are
+    # conservatively readable (no bloom entry for their file)
+    assert {r["k"] for r in t.read_point("k", 7).collect()} == {7}
+    assert {r["k"] for r in t.read_point("k", 700).collect()} == {700}
+    kept, total = t.skipped_files_bloom("k", 7)
+    assert kept < total  # base files actually pruned
+
+
+def test_compact_interleaved_delete_still_conflicts(spark, tmp_path):
+    """A non-append interleaved commit (a delete rewrote rows the
+    compaction also rewrote) stays a REAL conflict."""
+    from fefal_etl_spark.table import CommitConflict, TransactionalTable
+
+    root = str(tmp_path / "t")
+    t = _merge_base(spark, root)
+    t2 = TransactionalTable(spark, root)
+    done = [False]
+    orig = t.stage_files
+
+    def hook(df, **kw):
+        files = orig(df, **kw)
+        if not done[0]:
+            done[0] = True
+            t2.delete_where("k >= 45")
+        return files
+
+    t.stage_files = hook
+    try:
+        with pytest.raises(CommitConflict):
+            t.compact()
+    finally:
+        t.stage_files = orig
+
+
+def test_compact_rebases_twice(spark, tmp_path):
+    """Two appends land during one compaction (one per CAS retry): the
+    rebase accumulates both — the loop converges, nothing is lost."""
+    from fefal_etl_spark.table import TransactionalTable
+
+    root = str(tmp_path / "t")
+    t = _merge_base(spark, root)
+    t2 = TransactionalTable(spark, root)
+    batches = [
+        spark.createDataFrame([(800, 8)], "k long, v long"),
+        spark.createDataFrame([(801, 9)], "k long, v long"),
+    ]
+    orig = t._commit
+
+    def hook(*a, **kw):
+        if batches:
+            t2.append(batches.pop(0).coalesce(1))
+        return orig(*a, **kw)
+
+    t._commit = hook
+    try:
+        v = t.compact()
+    finally:
+        t._commit = orig
+    assert v == 3
+    rows = {r["k"]: r["v"] for r in t.read().collect()}
+    assert len(rows) == 52 and rows[800] == 8 and rows[801] == 9
+
+
+# ----------------------------------------------------------------------
+# round-8 extension: STREAMING write DataSource
+# (df.writeStream.format("txn_table") — sources/table_sink.py)
+# ----------------------------------------------------------------------
+
+
+def _drain(stream_df, root, ckpt, app_id, mode="append"):
+    q = (
+        stream_df.writeStream.format("txn_table")
+        .option("path", root)
+        .option("txnAppId", app_id)
+        .option("checkpointLocation", ckpt)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+@_posix_log
+def test_stream_sink_appends_batches(txn_format, tmp_path):
+    """txn_table source table → streaming read → streaming txn_table
+    SINK: every micro-batch lands as one atomic stream-append commit
+    with a ledger entry, and the target equals the source."""
+    from fefal_etl_spark.streaming.table_source import (
+        TxnTableStreamDataSource,
+    )
+    from fefal_etl_spark.table import TransactionalTable
+
+    spark = txn_format
+    spark.dataSource.register(TxnTableStreamDataSource)
+    src_root = str(tmp_path / "src")
+    dst_root = str(tmp_path / "dst")
+    src = TransactionalTable(spark, src_root)
+    src.overwrite(spark.createDataFrame([(1, 10), (2, 20)], "k int, v int"))
+    src.append(spark.createDataFrame([(3, 30)], "k int, v int"))
+    stream = (
+        spark.readStream.format("txn_table_stream")
+        .option("path", src_root)
+        .load()
+    )
+    _drain(stream, dst_root, str(tmp_path / "ck"), "sink-a")
+    dst = TransactionalTable(spark, dst_root)
+    rows = {r["k"]: r["v"] for r in dst.read().collect()}
+    assert rows == {1: 10, 2: 20, 3: 30}
+    ops = {r["op"] for r in dst.history().collect()}
+    assert ops == {"stream-append"}
+    mf = dst._read_manifest(dst.latest_version())
+    assert "sink-a" in (mf.txns or {})  # ledgered
+
+
+@_posix_log
+def test_stream_sink_restart_is_incremental(txn_format, tmp_path):
+    """Restarting with the same checkpoint after new source commits
+    lands ONLY the new rows (offsets + ledger agree); restarting with
+    no new data commits nothing."""
+    from fefal_etl_spark.streaming.table_source import (
+        TxnTableStreamDataSource,
+    )
+    from fefal_etl_spark.table import TransactionalTable
+
+    spark = txn_format
+    spark.dataSource.register(TxnTableStreamDataSource)
+    src_root = str(tmp_path / "src")
+    dst_root = str(tmp_path / "dst")
+    ckpt = str(tmp_path / "ck")
+    src = TransactionalTable(spark, src_root)
+    src.overwrite(spark.createDataFrame([(1, 10)], "k int, v int"))
+
+    def stream():
+        return (
+            spark.readStream.format("txn_table_stream")
+            .option("path", src_root)
+            .load()
+        )
+
+    _drain(stream(), dst_root, ckpt, "sink-b")
+    dst = TransactionalTable(spark, dst_root)
+    v1 = dst.latest_version()
+    _drain(stream(), dst_root, ckpt, "sink-b")  # no new data
+    assert dst.latest_version() == v1
+    src.append(spark.createDataFrame([(2, 20)], "k int, v int"))
+    _drain(stream(), dst_root, ckpt, "sink-b")
+    rows = {r["k"]: r["v"] for r in dst.read().collect()}
+    assert rows == {1: 10, 2: 20}
+
+
+@_posix_log
+def test_stream_sink_ledger_skips_replayed_batch(txn_format, tmp_path):
+    """The crash-between-sink-commit-and-checkpoint-commit case, driven
+    through the writer protocol directly: re-committing the SAME
+    (txnAppId, batchId) is skipped and its staged files are dropped —
+    at-least-once replay, exactly-once landed rows."""
+    import glob
+
+    import pyarrow as pa
+
+    from fefal_etl_spark.sources.table_sink import (
+        TxnTableStreamWriter,
+        _stage_task_batches,
+    )
+    from fefal_etl_spark.table import TransactionalTable
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    spark = txn_format
+    root = str(tmp_path / "t")
+    schema = StructType([StructField("k", IntegerType())])
+    w = TxnTableStreamWriter(root, schema, False, {"txnappid": "app"})
+    batch = pa.record_batch({"k": pa.array([1, 2], type=pa.int32())})
+    m1 = _stage_task_batches(root, w.commit_dir, iter([batch]))
+    w.commit([m1], batchId=0)
+    t = TransactionalTable(spark, root)
+    assert t.latest_version() == 0
+    # replay of batch 0 after a simulated crash: new staged file, same
+    # (app, batch) — must skip AND clean the orphaned staging
+    m2 = _stage_task_batches(root, w.commit_dir, iter([batch]))
+    w.commit([m2], batchId=0)
+    assert t.latest_version() == 0  # no new version
+    staged = glob.glob(os.path.join(root, "data", "*", "*.parquet"))
+    assert len(staged) == 1  # the replay's file was dropped
+    # the NEXT batch proceeds normally
+    m3 = _stage_task_batches(root, w.commit_dir, iter([batch]))
+    w.commit([m3], batchId=1)
+    assert t.latest_version() == 1
+    assert t.read().count() == 4
+
+
+def test_stream_sink_requires_app_id(tmp_path):
+    from fefal_etl_spark.sources.table_sink import TxnTableStreamWriter
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    schema = StructType([StructField("k", IntegerType())])
+    with pytest.raises(ValueError, match="txnAppId"):
+        TxnTableStreamWriter(str(tmp_path / "t"), schema, False, {})
+
+
+@_posix_log
+def test_stream_sink_complete_mode_overwrites(txn_format, tmp_path):
+    """outputMode('complete') (an aggregate stream) maps to a ledgered
+    OVERWRITE per micro-batch: the target always holds exactly the
+    current aggregate state."""
+    from fefal_etl_spark.streaming.table_source import (
+        TxnTableStreamDataSource,
+    )
+    from fefal_etl_spark.table import TransactionalTable
+
+    spark = txn_format
+    spark.dataSource.register(TxnTableStreamDataSource)
+    src_root = str(tmp_path / "src")
+    dst_root = str(tmp_path / "dst")
+    src = TransactionalTable(spark, src_root)
+    src.overwrite(
+        spark.createDataFrame(
+            [("a", 1), ("a", 2), ("b", 3)], "g string, v int"
+        )
+    )
+    agg = (
+        spark.readStream.format("txn_table_stream")
+        .option("path", src_root)
+        .load()
+        .groupBy("g")
+        .agg(F.sum("v").cast("long").alias("total"))
+    )
+    _drain(agg, dst_root, str(tmp_path / "ck"), "sink-c", mode="complete")
+    dst = TransactionalTable(spark, dst_root)
+    rows = {r["g"]: r["total"] for r in dst.read().collect()}
+    assert rows == {"a": 3, "b": 3}
+    ops = {r["op"] for r in dst.history().collect()}
+    assert ops == {"overwrite"}
+
+
+# ----------------------------------------------------------------------
+# round-8 extension: hive partitionBy through the sink DataSources
+# ----------------------------------------------------------------------
+
+
+@_posix_log
+def test_sink_partitioned_overwrite_and_prune(txn_format, tmp_path):
+    """.option('partitionBy', ...) lays sink files out hive-style:
+    partition values land in the manifest (pruning works), partition
+    columns are dropped from file content and reconstructed on read —
+    interoperable with stage_files' own layout."""
+    import pyarrow.parquet as pq
+
+    from fefal_etl_spark.table import TransactionalTable
+
+    spark = txn_format
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, None, 40)],
+        "k int, p string, v int",
+    )
+    # one task → deterministic file-per-partition counts
+    df.coalesce(1).write.format("txn_table").mode("overwrite").option(
+        "partitionBy", "p"
+    ).save(root)
+    t = TransactionalTable(spark, root)
+    got = sorted((r["k"], r["p"], r["v"]) for r in t.read().collect())
+    assert got == [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, None, 40)]
+    # manifest partition values present for every file
+    mf = t._read_manifest(0)
+    assert mf.partitions and len(mf.partitions) == len(mf.files)
+    vals = {pv["p"] for pv in mf.partitions.values()}
+    assert vals == {"a", "b", "__HIVE_DEFAULT_PARTITION__"}
+    # pruning actually skips files
+    kept, total = t.pruned_partition_files(p="b")
+    assert kept == 1 and total == 3
+    assert {r["k"] for r in t.read_partition(p="b").collect()} == {3}
+    # partition column is NOT in the file content (hive convention)
+    f = next(iter(mf.files))
+    cols = pq.read_schema(os.path.join(root, f)).names
+    assert "p" not in cols and set(cols) == {"k", "v"}
+    # helper-API partition ops work on the sink-written layout
+    t.overwrite_partition(
+        spark.createDataFrame([(100, 1000)], "k int, v int"), p="a"
+    )
+    got = sorted(
+        (r["k"], str(r["p"]), r["v"]) for r in t.read().collect()
+    )
+    assert got == [(3, "b", 30), (4, "None", 40), (100, "a", 1000)]
+
+
+@_posix_log
+def test_sink_partitioned_multi_column_and_escaping(txn_format, tmp_path):
+    """Two partition columns, values needing percent-escaping (spaces,
+    '=', '/'): the hive segments must round-trip through Spark's
+    reconstruction AND the manifest's path parser."""
+    from fefal_etl_spark.table import TransactionalTable
+
+    spark = txn_format
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [
+            (1, "x y", 2024, 1.5),
+            (2, "a=b", 2024, 2.5),
+            (3, "c/d", 2025, 3.5),
+        ],
+        "k int, cat string, yr int, v double",
+    )
+    df.coalesce(1).write.format("txn_table").mode("overwrite").option(
+        "partitionBy", "cat,yr"
+    ).save(root)
+    t = TransactionalTable(spark, root)
+    got = sorted(
+        (r["k"], r["cat"], int(r["yr"]), r["v"])
+        for r in t.read().collect()
+    )
+    assert got == [
+        (1, "x y", 2024, 1.5),
+        (2, "a=b", 2024, 2.5),
+        (3, "c/d", 2025, 3.5),
+    ]
+    kept, total = t.pruned_partition_files(cat="a=b")
+    assert kept == 1 and total == 3
+
+
+@_posix_log
+def test_stream_sink_partitioned_ingest(txn_format, tmp_path):
+    """The 100 TB ingest topology: a stream lands hive-partitioned
+    through the STREAMING sink — per-batch atomic commits, partition
+    pruning live immediately after each batch."""
+    from fefal_etl_spark.streaming.table_source import (
+        TxnTableStreamDataSource,
+    )
+    from fefal_etl_spark.table import TransactionalTable
+
+    spark = txn_format
+    spark.dataSource.register(TxnTableStreamDataSource)
+    src_root = str(tmp_path / "src")
+    dst_root = str(tmp_path / "dst")
+    src = TransactionalTable(spark, src_root)
+    src.overwrite(
+        spark.createDataFrame(
+            [(1, "d1", 10), (2, "d2", 20)], "k int, day string, v int"
+        )
+    )
+    src.append(
+        spark.createDataFrame([(3, "d1", 30)], "k int, day string, v int")
+    )
+    stream = (
+        spark.readStream.format("txn_table_stream")
+        .option("path", src_root)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("txn_table")
+        .option("path", dst_root)
+        .option("txnAppId", "part-ingest")
+        .option("partitionBy", "day")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dst = TransactionalTable(spark, dst_root)
+    rows = sorted((r["k"], r["day"], r["v"]) for r in dst.read().collect())
+    assert rows == [(1, "d1", 10), (2, "d2", 20), (3, "d1", 30)]
+    kept, total = dst.pruned_partition_files(day="d2")
+    assert kept < total
+    assert {r["k"] for r in dst.read_partition(day="d1").collect()} == {1, 3}
+
+
+def test_sink_rejects_all_partition_columns(tmp_path):
+    import pyarrow as pa
+
+    from fefal_etl_spark.sources.table_sink import _stage_task_batches
+
+    batch = pa.record_batch({"p": pa.array(["a"])})
+    with pytest.raises(ValueError, match="ALL columns"):
+        _stage_task_batches(
+            str(tmp_path / "t"), "c0", iter([batch]), ["p"]
+        )
+
+
+def test_sink_rejects_missing_partition_column(tmp_path):
+    import pyarrow as pa
+
+    from fefal_etl_spark.sources.table_sink import _stage_task_batches
+
+    batch = pa.record_batch({"k": pa.array([1])})
+    with pytest.raises(ValueError, match="not in the written"):
+        _stage_task_batches(
+            str(tmp_path / "t"), "c0", iter([batch]), ["day"]
+        )
