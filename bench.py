@@ -238,6 +238,7 @@ BENCH_QUERIES = [
     "compact_append_concurrency",
     "txn_stream_sink_roundtrip",
     "partitioned_sink_ingest",
+    "incremental_compaction",
     # dup_clusters_star is excluded like ngram_jaccard_pairs: at bench SF its
     # wall time is ~6 iterative rounds of fixed scheduling cost (the
     # algorithm exists for O(log n) ROUNDS at web scale, demonstrated by the

@@ -3823,6 +3823,75 @@ def q_partitioned_sink_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "incremental_compaction",
+    """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(24,4))) AS DOUBLE) AS revenue,
+           TRUE AS incremental_ok
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_incremental_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-8 extension — INCREMENTAL small-file compaction
+    (table.py::compact(small_file_mb=...), Delta's actual OPTIMIZE
+    bin-packing): the lower key half of orders lands as ONE well-sized
+    file, then four streaming-shaped tiny appends shatter the upper
+    half. OPTIMIZE with a size threshold at half the big file's size
+    must bin-pack ONLY the four small files and retain the big file
+    verbatim — same path, stats carried — because at 100 TB routine
+    maintenance must cost O(ingest since the last OPTIMIZE), never
+    O(table) (the pre-extension compact rewrote the whole snapshot).
+    ``incremental_ok`` pins: big file retained, 5 files → 2, every
+    row intact. The oracle is the plain orders aggregate — OPTIMIZE
+    is the identity on the data."""
+    from fefal_etl_spark.table import TransactionalTable  # noqa: F401
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    mx = base.agg(F.max("o_orderkey").alias("m")).collect()[0]["m"]
+    lower = base.filter(F.col("o_orderkey") <= mx // 2)
+    upper = base.filter(F.col("o_orderkey") > mx // 2)
+
+    def build(t):
+        import os as _os
+
+        t.overwrite(lower.coalesce(1))
+        big_file = t._read_manifest(0).files[0]
+        big_mb = _os.path.getsize(
+            _os.path.join(t.root, big_file)
+        ) / (1024 * 1024)
+        for i in range(4):
+            t.append(
+                upper.filter(F.col("o_orderkey") % 4 == i).coalesce(1)
+            )
+        t.compact(small_file_mb=big_mb / 2)
+
+    t = _txn_scenario(
+        spark, sf_dir, "txn_incr_compact", build, final_version=5
+    )
+    mf = t._read_manifest(5)
+    big_file = t._read_manifest(0).files[0]
+    ok = (
+        big_file in mf.files
+        and len(mf.files) == 2
+        and big_file in (mf.stats or {})
+    )
+    return (
+        t.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(24,4)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .withColumn("incremental_ok", F.lit(ok))
+    )
+
+
+@register(
     "compact_append_concurrency",
     """
     SELECT o_orderstatus,

@@ -2813,6 +2813,7 @@ class TransactionalTable:
         self,
         target_file_mb: int = 128,
         partition_by: list[str] | None = None,
+        small_file_mb: float | None = None,
     ) -> int:
         """Small-file compaction (Delta OPTIMIZE analogue): rewrite the
         latest snapshot into ceil(bytes/target) files as a new commit —
@@ -2830,32 +2831,67 @@ class TransactionalTable:
         (:meth:`_rebase_appends`) — without that, a table under
         continuous streaming appends could never be compacted. Rewrites
         and DV commits still raise; the pre-compaction snapshot stays
-        time-travelable until vacuumed."""
+        time-travelable until vacuumed.
+
+        ``small_file_mb`` (round 8) makes the rewrite INCREMENTAL —
+        Delta's actual OPTIMIZE bin-packing: only files smaller than
+        the threshold are rewritten, already-well-sized files are
+        RETAINED verbatim (their stats/partition values/blooms carry
+        through the commit untouched). Without it the rewrite is the
+        whole snapshot — O(table), which a 100 TB table cannot afford
+        for routine maintenance; with it the cost is O(small files),
+        i.e. O(ingest since the last OPTIMIZE). Deletion vectors
+        masking rewritten files are materialized into the new files;
+        sidecars are kept while any retained file may still need them
+        (pairs addressing dead paths are inert and vacuum separately).
+        Fewer than two victims = nothing to pack: returns the current
+        version WITHOUT committing."""
         import math
 
         base = self.latest_version()
         if base is None:
             raise FileNotFoundError(f"no committed version in {self.root}")
         mf = self._read_manifest(base)
-        total = sum(
-            os.path.getsize(os.path.join(self.root, f)) for f in mf.files
-        )
+        sizes = {
+            f: os.path.getsize(os.path.join(self.root, f))
+            for f in mf.files
+        }
+        if small_file_mb is None:
+            victims, retained = list(mf.files), []
+        else:
+            cut = small_file_mb * 1024 * 1024
+            victims = [f for f in mf.files if sizes[f] < cut]
+            retained = [f for f in mf.files if sizes[f] >= cut]
+            if len(victims) < 2:
+                return base  # nothing to bin-pack — no empty commit
+        total = sum(sizes[f] for f in victims)
         n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
         if partition_by is None:
             # preserve the table's hive layout by default (see _pcols)
             partition_by = self._pcols(mf) or None
+        src = self._read_files(
+            victims, dv_files=mf.dv_files, column_ops=mf.column_ops
+        )
         if partition_by:
-            laid_out = self.read(base).repartition(*partition_by)
+            laid_out = src.repartition(*partition_by)
         else:
-            laid_out = self.read(base).repartition(n_files)
+            laid_out = src.repartition(n_files)
         files = self.stage_files(laid_out, partition_by=partition_by)
         stats = self._file_stats(files)
+        # keep DV sidecars while retained files may still need their
+        # masks (a sidecar can address several files); a full rewrite
+        # materialized every mask, so the vectors drop with the files
+        dvs = list(mf.dv_files or []) if retained else None
         extra: list[str] = []
         while True:
             try:
                 return self._commit(
-                    files + extra, "compact", base, rebase_ok=False,
+                    files + retained + extra,
+                    "compact",
+                    base,
+                    rebase_ok=False,
                     stats=stats,
+                    dv_files=dvs,
                 )
             except CommitConflict:
                 base, more = self._rebase_appends(base, "compact")

@@ -1191,3 +1191,106 @@ def test_sink_rejects_missing_partition_column(tmp_path):
         _stage_task_batches(
             str(tmp_path / "t"), "c0", iter([batch]), ["day"]
         )
+
+
+# ----------------------------------------------------------------------
+# round-8 extension: INCREMENTAL compaction (small_file_mb bin-packing —
+# O(small files), not O(table))
+# ----------------------------------------------------------------------
+
+
+def test_incremental_compact_rewrites_only_small_files(spark, tmp_path):
+    """compact(small_file_mb=...) bin-packs only the sub-threshold
+    files; well-sized files are retained verbatim (same path, stats
+    carried) — routine maintenance must not be a full table rewrite."""
+    from fefal_etl_spark.table import TransactionalTable
+
+    t = TransactionalTable(spark, str(tmp_path / "t"))
+    big = spark.range(120_000).select(
+        F.col("id").alias("k"),
+        F.sha2(F.col("id").cast("string"), 256).alias("v"),
+    )
+    t.overwrite(big.coalesce(1))
+    mf0 = t._read_manifest(0)
+    assert len(mf0.files) == 1
+    big_file = mf0.files[0]
+    for i in range(3):  # three streaming-shaped tiny appends
+        t.append(
+            spark.createDataFrame(
+                [(1_000_000 + i, "x")], "k long, v string"
+            ).coalesce(1)
+        )
+    v = t.compact(small_file_mb=1)  # threshold below the big file
+    assert v == 4
+    mf = t._read_manifest(v)
+    assert big_file in mf.files  # retained verbatim, not rewritten
+    assert len(mf.files) == 2  # big + one packed file
+    assert big_file in (mf.stats or {})  # stats carried for retained
+    assert t.read().count() == 120_003
+
+
+def test_incremental_compact_noop_without_victims(spark, tmp_path):
+    """Fewer than two small files = nothing to pack: no empty commit."""
+    from fefal_etl_spark.table import TransactionalTable
+
+    t = TransactionalTable(spark, str(tmp_path / "t"))
+    t.overwrite(
+        spark.createDataFrame([(1, "a")], "k int, v string").coalesce(1)
+    )
+    assert len(t._read_manifest(0).files) == 1
+    assert t.compact(small_file_mb=1) == 0
+    assert t.latest_version() == 0
+
+
+def test_incremental_compact_keeps_retained_dv_masks(spark, tmp_path):
+    """A deletion vector masking a RETAINED file must keep applying
+    after an incremental compact (sidecars are kept while retained
+    files may need them); masks on rewritten files are materialized."""
+    from fefal_etl_spark.table import TransactionalTable
+
+    t = TransactionalTable(spark, str(tmp_path / "t"))
+    big = spark.range(120_000).select(
+        F.col("id").alias("k"),
+        F.sha2(F.col("id").cast("string"), 256).alias("v"),
+    )
+    t.overwrite(big.coalesce(1))
+    t.append(
+        spark.createDataFrame(
+            [(1_000_000, "x"), (1_000_001, "y")], "k long, v string"
+        ).coalesce(1)
+    )
+    t.append(
+        spark.createDataFrame([(1_000_002, "z")], "k long, v string")
+        .coalesce(1)
+    )
+    # one DV delete hitting BOTH the big (retained) and small (victim)
+    # files
+    t.delete_where_dv("k IN (7, 1000000)")
+    assert t.read().count() == 120_001
+    v = t.compact(small_file_mb=1)
+    mf = t._read_manifest(v)
+    assert mf.dv_files  # sidecar kept for the retained file
+    rows = t.read()
+    assert rows.count() == 120_001
+    ks = {
+        r["k"]
+        for r in rows.filter(F.col("k").isin(7, 1000000, 1000001, 1000002))
+        .collect()
+    }
+    assert ks == {1000001, 1000002}  # both masks still effective
+
+
+def test_incremental_compact_rebases_over_append(spark, tmp_path):
+    """The selective rewrite inherits the maintenance rebase loop."""
+    from fefal_etl_spark.table import TransactionalTable
+
+    root = str(tmp_path / "t")
+    t = _merge_base(spark, root)  # 4 small files
+    t2 = TransactionalTable(spark, root)
+    appended = spark.createDataFrame([(900, 9)], "k long, v long")
+    orig = _interleave_append(t, t2, appended)
+    v = t.compact(small_file_mb=64)  # everything is a victim
+    t.stage_files = orig
+    assert v == 2
+    rows = {r["k"]: r["v"] for r in t.read().collect()}
+    assert len(rows) == 51 and rows[900] == 9
