@@ -230,7 +230,12 @@ def jdbc_upsert_sink(url: str, table: str, key_cols: list[str], **properties):
     return batch_fn
 
 
-def transactional_table_sink(root: str, app_id: str = "stream"):
+def transactional_table_sink(
+    root: str,
+    app_id: str = "stream",
+    auto_compact_every: int | None = None,
+    small_file_mb: float = 32.0,
+):
     """``foreachBatch`` sink committing each micro-batch as an ATOMIC
     snapshot of a :class:`fefal_etl_spark.table.TransactionalTable` —
     the lakehouse upgrade of :func:`stream_append_parquet`: readers see
@@ -243,14 +248,34 @@ def transactional_table_sink(root: str, app_id: str = "stream"):
     landed rows (the Delta txnAppId/txnVersion protocol). Unlike
     :func:`jdbc_upsert_sink`, multiple concurrent writers are safe: the
     commit CAS rebases appends and re-checks the ledger on every retry.
-    """
+
+    ``auto_compact_every=N`` (round 8) makes the ingest SELF-MAINTAINING:
+    after every Nth landed batch the sink runs an INCREMENTAL OPTIMIZE
+    (`table.py::compact(small_file_mb=...)`) — bin-packing only the
+    small per-batch files accumulated since the last pass, O(ingest)
+    not O(table), and rebasing over any append that lands concurrently
+    (the round-8 maintenance narrowing). A lost race with a REAL
+    conflicting writer (a rewrite) just skips this pass — the next
+    trigger retries; compaction is a logical no-op so skipping is
+    always safe. This closes the classic streaming-lakehouse loop:
+    micro-batches create small files, maintenance erases them, and
+    neither blocks the other."""
 
     def batch_fn(batch_df: DataFrame, batch_id: int) -> None:
-        from fefal_etl_spark.table import TransactionalTable
+        from fefal_etl_spark.table import CommitConflict, TransactionalTable
 
-        TransactionalTable(batch_df.sparkSession, root).append_txn(
-            batch_df, app_id, batch_id
-        )
+        t = TransactionalTable(batch_df.sparkSession, root)
+        landed = t.append_txn(batch_df, app_id, batch_id)
+        if (
+            auto_compact_every
+            and landed is not None
+            and landed > 0
+            and landed % auto_compact_every == 0
+        ):
+            try:
+                t.compact(small_file_mb=small_file_mb)
+            except CommitConflict:
+                pass  # a rewrite won the race; next pass retries
 
     return batch_fn
 

@@ -2814,6 +2814,7 @@ class TransactionalTable:
         target_file_mb: int = 128,
         partition_by: list[str] | None = None,
         small_file_mb: float | None = None,
+        partition_filter: dict | None = None,
     ) -> int:
         """Small-file compaction (Delta OPTIMIZE analogue): rewrite the
         latest snapshot into ceil(bytes/target) files as a new commit —
@@ -2844,8 +2845,15 @@ class TransactionalTable:
         masking rewritten files are materialized into the new files;
         sidecars are kept while any retained file may still need them
         (pairs addressing dead paths are inert and vacuum separately).
-        Fewer than two victims = nothing to pack: returns the current
-        version WITHOUT committing."""
+        ``partition_filter`` ({col: value}) scopes the rewrite to ONE
+        hive partition's files (judged from the manifest's recorded
+        values — zero listing): at 100 TB you OPTIMIZE yesterday's
+        partition after its ingest closes, never the whole table.
+        Files without a recorded value for a filtered column (mixed
+        layout-less files) are NOT victims — rewriting them would pull
+        other partitions' rows into the target's layout. Composes with
+        ``small_file_mb``. Fewer than two victims = nothing to pack:
+        returns the current version WITHOUT committing."""
         import math
 
         base = self.latest_version()
@@ -2856,14 +2864,30 @@ class TransactionalTable:
             f: os.path.getsize(os.path.join(self.root, f))
             for f in mf.files
         }
-        if small_file_mb is None:
-            victims, retained = list(mf.files), []
-        else:
+        victims, retained = list(mf.files), []
+        if partition_filter:
+            from fefal_etl_spark.predicate_prune import (
+                hive_partition_value,
+            )
+
+            want = {
+                c: hive_partition_value(v)
+                for c, v in partition_filter.items()
+            }
+            parts = mf.partitions or {}
+            in_part = lambda f: all(  # noqa: E731
+                (parts.get(f) or {}).get(c) == v for c, v in want.items()
+            )
+            victims = [f for f in victims if in_part(f)]
+            retained = [f for f in mf.files if not in_part(f)]
+        if small_file_mb is not None:
             cut = small_file_mb * 1024 * 1024
-            victims = [f for f in mf.files if sizes[f] < cut]
-            retained = [f for f in mf.files if sizes[f] >= cut]
-            if len(victims) < 2:
-                return base  # nothing to bin-pack — no empty commit
+            retained += [f for f in victims if sizes[f] >= cut]
+            victims = [f for f in victims if sizes[f] < cut]
+        if (partition_filter or small_file_mb is not None) and len(
+            victims
+        ) < 2:
+            return base  # nothing to bin-pack — no empty commit
         total = sum(sizes[f] for f in victims)
         n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
         if partition_by is None:

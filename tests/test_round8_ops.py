@@ -1294,3 +1294,125 @@ def test_incremental_compact_rebases_over_append(spark, tmp_path):
     assert v == 2
     rows = {r["k"]: r["v"] for r in t.read().collect()}
     assert len(rows) == 51 and rows[900] == 9
+
+
+def test_partition_scoped_compact(spark, tmp_path):
+    """compact(partition_filter=...) rewrites ONE partition's shattered
+    files and retains every other partition verbatim — at 100 TB you
+    OPTIMIZE yesterday's partition, never the table."""
+    from fefal_etl_spark.table import TransactionalTable
+
+    t = TransactionalTable(spark, str(tmp_path / "t"))
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, "d1", 10), (2, "d2", 20)], "k int, day string, v int"
+        ),
+        partition_by=["day"],
+    )
+    for i in range(3):  # shatter d1 with per-batch appends
+        t.append(
+            spark.createDataFrame(
+                [(10 + i, "d1", 100 + i)], "k int, day string, v int"
+            ),
+            partition_by=["day"],
+        )
+    before = t._read_manifest(t.latest_version())
+    d2_files = [
+        f
+        for f, pv in (before.partitions or {}).items()
+        if pv.get("day") == "d2"
+    ]
+    v = t.compact(partition_filter={"day": "d1"})
+    mf = t._read_manifest(v)
+    # d2's file untouched; d1's four files packed into one
+    assert all(f in mf.files for f in d2_files)
+    d1_after = [
+        f
+        for f, pv in (mf.partitions or {}).items()
+        if pv.get("day") == "d1" and f in mf.files
+    ]
+    assert len(d1_after) == 1
+    got = sorted((r["k"], str(r["day"]), r["v"]) for r in t.read().collect())
+    assert got == [
+        (1, "d1", 10), (2, "d2", 20),
+        (10, "d1", 100), (11, "d1", 101), (12, "d1", 102),
+    ]
+    # scoping a partition with nothing to pack = no-op
+    assert t.compact(partition_filter={"day": "d2"}) == v
+
+
+def test_sink_auto_compact_self_maintains(spark, tmp_path):
+    """transactional_table_sink(auto_compact_every=N): after every Nth
+    landed batch the ingest bin-packs its own small files — the table
+    never accumulates unbounded per-batch fragments."""
+    from fefal_etl_spark.streaming.events import transactional_table_sink
+    from fefal_etl_spark.table import TransactionalTable
+
+    root = str(tmp_path / "t")
+    fn = transactional_table_sink(root, "app", auto_compact_every=3)
+    for b in range(6):
+        fn(
+            spark.createDataFrame([(b, b * 10)], "k int, v int").coalesce(1),
+            b,
+        )
+    t = TransactionalTable(spark, root)
+    ops = [r["op"] for r in t.history().orderBy("version").collect()]
+    assert ops.count("compact") == 2  # fired at landed versions 3 and 6
+    mf = t._read_manifest(t.latest_version())
+    assert len(mf.files) <= 2  # fragments erased by the last pass
+    assert {r["k"] for r in t.read().collect()} == {0, 1, 2, 3, 4, 5}
+    # replayed batch: ledger skips, auto-compact does not fire again
+    v = t.latest_version()
+    fn(spark.createDataFrame([(0, 0)], "k int, v int"), 0)
+    assert t.latest_version() == v
+
+
+@_posix_log
+def test_stream_sink_schema_evolution_across_restart(txn_format, tmp_path):
+    """A restarted stream whose schema gained a column keeps appending:
+    the sink's commit unions the schema (additive evolution), and rows
+    landed before the restart surface the new column as NULLs — the
+    same restart contract the streaming SOURCE pins."""
+    import pyarrow as pa
+
+    from fefal_etl_spark.sources.table_sink import (
+        TxnTableStreamWriter,
+        _stage_task_batches,
+    )
+    from fefal_etl_spark.table import TransactionalTable
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    spark = txn_format
+    root = str(tmp_path / "t")
+    s1 = StructType([StructField("k", IntegerType())])
+    w1 = TxnTableStreamWriter(root, s1, False, {"txnappid": "app"})
+    m = _stage_task_batches(
+        root, w1.commit_dir,
+        iter([pa.record_batch({"k": pa.array([1], type=pa.int32())})]),
+    )
+    w1.commit([m], batchId=0)
+    # restart with an evolved schema (new nullable column)
+    s2 = StructType(
+        [StructField("k", IntegerType()), StructField("tag", StringType())]
+    )
+    w2 = TxnTableStreamWriter(root, s2, False, {"txnappid": "app"})
+    m = _stage_task_batches(
+        root, w2.commit_dir,
+        iter([
+            pa.record_batch(
+                {"k": pa.array([2], type=pa.int32()),
+                 "tag": pa.array(["b"])}
+            )
+        ]),
+    )
+    w2.commit([m], batchId=1)
+    t = TransactionalTable(spark, root)
+    got = sorted(
+        (r["k"], r["tag"]) for r in t.read().collect()
+    )
+    assert got == [(1, None), (2, "b")]
