@@ -9,6 +9,9 @@ this module gives operators the batch-invocable surface a scheduler
     python -m fefal_etl_spark list [--grep SUBSTR]
     python -m fefal_etl_spark pipeline --survey F --registry F --config F \
         --out DIR [--year Y]
+    python -m fefal_etl_spark table ROOT history|optimize|zorder|bloom|\
+        vacuum|restore [--small-file-mb N] [--partition COL=V] [--cols ...]
+        [--col C] [--keep N] [--min-age-s S] [--version V]
 
 `query` runs any registry entry (the same callables the driver/bench use)
 and prints or writes the result; `pipeline` runs the EP2 transform chain on
@@ -103,6 +106,43 @@ def main(argv: list[str] | None = None) -> int:
     pl.add_argument("--out", required=True)
     pl.add_argument("--year", type=int)
 
+    tb = sub.add_parser(
+        "table",
+        help="transactional-table maintenance (the scheduler-invocable "
+        "OPTIMIZE/VACUUM surface)",
+    )
+    tb.add_argument("root", help="table root directory")
+    tb.add_argument(
+        "action",
+        choices=["history", "optimize", "zorder", "bloom", "vacuum",
+                 "restore"],
+    )
+    tb.add_argument(
+        "--small-file-mb", type=float,
+        help="optimize: bin-pack only files below this size "
+        "(omit = full rewrite)",
+    )
+    tb.add_argument(
+        "--partition", action="append", default=[],
+        metavar="COL=VALUE",
+        help="optimize: scope to one hive partition (repeatable)",
+    )
+    tb.add_argument(
+        "--target-file-mb", type=int, default=128,
+        help="optimize: output file size target",
+    )
+    tb.add_argument("--cols", help="zorder: comma-separated columns")
+    tb.add_argument("--col", help="bloom: column to index")
+    tb.add_argument(
+        "--keep", type=int, default=1,
+        help="vacuum: snapshots to keep time-travelable",
+    )
+    tb.add_argument(
+        "--min-age-s", type=float, default=0.0,
+        help="vacuum: retention guard for concurrent writers",
+    )
+    tb.add_argument("--version", type=int, help="restore: target version")
+
     args = ap.parse_args(argv)
 
     from fefal_etl_spark.queries import get_queries
@@ -160,6 +200,44 @@ def main(argv: list[str] | None = None) -> int:
             }
             result.frame.unpersist()
             print(json.dumps({"out": args.out, "status_counts": counts}))
+        elif args.cmd == "table":
+            from fefal_etl_spark.table import TransactionalTable
+
+            t = TransactionalTable(spark, args.root)
+            if args.action == "history":
+                t.history().orderBy("version").show(1000, truncate=False)
+            elif args.action == "optimize":
+                pf = None
+                if args.partition:
+                    pf = dict(p.split("=", 1) for p in args.partition)
+                v = t.compact(
+                    target_file_mb=args.target_file_mb,
+                    small_file_mb=args.small_file_mb,
+                    partition_filter=pf,
+                )
+                print(json.dumps({"root": args.root, "version": v}))
+            elif args.action == "zorder":
+                if not args.cols:
+                    raise SystemExit("zorder requires --cols c1,c2[,...]")
+                v = t.optimize_zorder(
+                    *[c.strip() for c in args.cols.split(",")]
+                )
+                print(json.dumps({"root": args.root, "version": v}))
+            elif args.action == "bloom":
+                if not args.col:
+                    raise SystemExit("bloom requires --col")
+                v = t.build_bloom(args.col)
+                print(json.dumps({"root": args.root, "version": v}))
+            elif args.action == "vacuum":
+                removed = t.vacuum(
+                    keep_versions=args.keep, min_age_s=args.min_age_s
+                )
+                print(json.dumps({"root": args.root, "removed": removed}))
+            elif args.action == "restore":
+                if args.version is None:
+                    raise SystemExit("restore requires --version")
+                v = t.restore(args.version)
+                print(json.dumps({"root": args.root, "version": v}))
     finally:
         spark.stop()
     return 0

@@ -152,3 +152,38 @@ def test_cli_pipeline_accepts_mongo_export_config(spark, tmp_path):
         cwd="/root/repo",
     )
     assert proc2.returncode != 0 and "--year is required" in proc2.stderr
+
+
+def test_cli_table_maintenance_end_to_end(spark, tmp_path):
+    """Round-8: the scheduler-invocable table surface — build a table
+    with shattered small files, OPTIMIZE it through the CLI, then
+    VACUUM the superseded snapshot; each step prints one JSON line."""
+    from fefal_etl_spark.table import TransactionalTable
+
+    root = str(tmp_path / "t")
+    t = TransactionalTable(spark, root)
+    t.overwrite(spark.createDataFrame([(1, 10)], "k int, v int").coalesce(1))
+    for i in range(2, 5):
+        t.append(
+            spark.createDataFrame([(i, i * 10)], "k int, v int").coalesce(1)
+        )
+
+    env = dict(os.environ)
+    env["SPARK_GRAFT_CPUS"] = "4"
+
+    def run(*cli):
+        proc = subprocess.run(
+            [sys.executable, "-m", "fefal_etl_spark", "table", root, *cli],
+            capture_output=True, text=True, timeout=300, env=env,
+            cwd="/root/repo",
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+
+    out = run("optimize", "--small-file-mb", "16")
+    assert out["version"] == 4
+    mf = t._read_manifest(4)
+    assert len(mf.files) == 1  # four fragments packed into one
+    out = run("vacuum", "--keep", "1")
+    assert isinstance(out["removed"], list) and out["removed"]
+    assert {r["k"] for r in t.read().collect()} == {1, 2, 3, 4}
