@@ -239,6 +239,8 @@ BENCH_QUERIES = [
     "txn_stream_sink_roundtrip",
     "partitioned_sink_ingest",
     "incremental_compaction",
+    # round-8 extension: BM25 ranked retrieval
+    "bm25_topk",
     # dup_clusters_star is excluded like ngram_jaccard_pairs: at bench SF its
     # wall time is ~6 iterative rounds of fixed scheduling cost (the
     # algorithm exists for O(log n) ROUNDS at web scale, demonstrated by the

@@ -3947,6 +3947,127 @@ def q_boolean_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ==========================================================================
+# round 8 — BM25 ranked retrieval (closes the retrieval family: boolean,
+# tf-idf, cosine top-k, RRF fusion, BM25)
+# ==========================================================================
+
+
+@register(
+    "bm25_topk",
+    """
+    WITH q(w) AS (VALUES ('spark'), ('join'), ('window')),
+    docs AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                           x -> x <> '') AS ws
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl FROM docs),
+    scal AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               avg(CAST(len(ws) AS DOUBLE)) AS avgdl
+        FROM docs
+    ),
+    tf AS (
+        SELECT doc_id, w, CAST(count(*) AS DOUBLE) AS tf
+        FROM (SELECT doc_id, unnest(ws) AS w FROM docs)
+        WHERE w IN (SELECT w FROM q)
+        GROUP BY doc_id, w
+    ),
+    df AS (
+        SELECT w, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY w
+    ),
+    scored AS (
+        SELECT tf.doc_id,
+               SUM(ln((scal.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                   * tf.tf * (1.2 + 1.0)
+                   / (tf.tf + 1.2 * (1.0 - 0.75
+                                     + 0.75 * dl.dl / scal.avgdl))
+                  ) AS s
+        FROM tf
+        JOIN df USING (w)
+        JOIN dl USING (doc_id)
+        CROSS JOIN scal
+        GROUP BY tf.doc_id
+    ),
+    ranked AS (
+        SELECT doc_id, round(s, 4) AS score,
+               row_number() OVER (ORDER BY round(s, 4) DESC, doc_id)
+                   AS rk
+        FROM scored
+    )
+    SELECT CAST(rk AS INT) AS rk, doc_id, score
+    FROM ranked WHERE rk <= 10
+    """,
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-8 — BM25 ranked retrieval (Robertson/Spärck Jones; the
+    Lucene-variant idf ``ln((N-df+.5)/(df+.5)+1)``, k1=1.2, b=0.75):
+    top-10 documents for a 3-term query, scored entirely in native
+    column expressions. Completes the retrieval family next to
+    boolean AND (V106), tf-idf (V68), cosine top-k and RRF fusion.
+
+    Scale shape: document length comes from ``size(split(...))`` —
+    no explode for dl; the postings explode is filtered to the query
+    terms BEFORE the (doc, term) shuffle (read-3-posting-lists, not
+    the corpus); df and the N/avgdl scalars are broadcast; ranking is
+    a single TakeOrderedAndProject over one score row per candidate
+    doc. Scores are ranked ROUNDED (4 dp, doc_id tiebreak) so the
+    ordering is FP-drift-stable across engines."""
+    from fefal_etl_spark.llm.text_analysis import nonempty_words
+
+    terms = ["spark", "join", "window"]
+    k1, b = 1.2, 0.75
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", nonempty_words(F.col("text")).alias("ws")
+    )
+    dl = docs.select(
+        "doc_id", F.size("ws").cast("double").alias("dl")
+    )
+    # scalars derive from dl — two split-scans total (dl + postings),
+    # not three
+    scal = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("dl").alias("avgdl"),
+    )
+    tf = (
+        docs.select("doc_id", F.explode("ws").alias("w"))
+        .filter(F.col("w").isin(*terms))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    df_ = tf.groupBy("w").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    idf = F.log(
+        (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(scal))
+        .withColumn(
+            "contrib",
+            idf
+            * F.col("tf")
+            * (k1 + 1.0)
+            / (
+                F.col("tf")
+                + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("contrib"), 4).alias("score"))
+    )
+    w_rank = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w_rank).cast("int"))
+        .filter(F.col("rk") <= 10)
+        .select("rk", "doc_id", "score")
+    )
+
+
+# ==========================================================================
 # V108 — MinHash Jaccard estimation between source vocabularies, audited
 # ==========================================================================
 
