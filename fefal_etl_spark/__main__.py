@@ -209,6 +209,11 @@ def main(argv: list[str] | None = None) -> int:
             elif args.action == "optimize":
                 pf = None
                 if args.partition:
+                    bad = [p for p in args.partition if "=" not in p]
+                    if bad:
+                        raise SystemExit(
+                            f"--partition expects COL=VALUE, got: {bad}"
+                        )
                     pf = dict(p.split("=", 1) for p in args.partition)
                 v = t.compact(
                     target_file_mb=args.target_file_mb,

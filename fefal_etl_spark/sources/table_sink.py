@@ -89,6 +89,38 @@ def _hive_dir(pcols: list, str_arrays: list, row: int) -> str:
     return "/".join(segs)
 
 
+def _check_partition_types(schema, pcols: list) -> None:
+    """Partition columns the sink accepts: types whose pyarrow string
+    cast renders EXACTLY like Spark's hive writer and the manifest's
+    `hive_partition_value` normalizer (review finding: pyarrow casts
+    1.0 → '1' and timestamps with trailing microseconds, so a
+    float/timestamp-partitioned sink write would record values Spark's
+    layout and read_partition probes never match — rows silently
+    pruned). Loud beats wrong: everything else routes to the helper
+    API, whose Spark writer renders canonically."""
+    import pyarrow.types as pt
+
+    for c in pcols:
+        f = schema.field(c)
+        t = f.type
+        ok = (
+            pt.is_string(t)
+            or pt.is_large_string(t)
+            or pt.is_integer(t)
+            or pt.is_boolean(t)
+            or pt.is_date(t)
+        )
+        if not ok:
+            raise ValueError(
+                f"txn_table sink: partitionBy column {c!r} has type "
+                f"{t} — only string/integer/boolean/date partition "
+                "columns render identically across pyarrow, Spark's "
+                "hive writer, and the manifest normalizer; use "
+                "TransactionalTable.append(partition_by=...) for "
+                "other types"
+            )
+
+
 def _stage_task_batches(
     root: str, commit_dir: str, iterator, pcols: list | None = None
 ) -> _TaskFiles:
@@ -139,28 +171,31 @@ def _stage_task_batches(
                     "txn_table sink: cannot use ALL columns as "
                     "partition columns"
                 )
-            # columnar split: string-cast each partition column once,
-            # dictionary-encode the combined combo key, then one
-            # vectorized filter per distinct combo — no Python row loop
+            _check_partition_types(batch.schema, pcols)
+            # columnar split, COLLISION-FREE (review finding: a joined
+            # string key merged combos whose values contained the
+            # separator): dictionary-encode each partition column
+            # independently (null → its own reserved code), compose the
+            # per-column codes into one mixed-radix int64, then one
+            # vectorized filter per distinct composite — no Python row
+            # loop, and no value can forge another combo's key
+            import numpy as np
+
             strs = [
                 pc.cast(batch.column(c), pa.string()) for c in pcols
             ]
-            combo = (
-                strs[0]
-                if len(strs) == 1
-                else pc.binary_join_element_wise(
-                    *[pc.fill_null(s, "\x00") for s in strs], "\x1f"
-                )
-            )
-            enc = pc.dictionary_encode(combo)
-            codes = enc.indices
-            null_code = pc.min_max(codes)["max"].as_py()
-            for code in range(
-                (null_code + 1) if null_code is not None else 0
-            ):
-                mask = pc.equal(codes, code)
-                if len(strs) == 1:
-                    mask = pc.fill_null(mask, False)
+            combined = np.zeros(batch.num_rows, dtype=np.int64)
+            radix = 1
+            for s in strs:
+                enc = pc.dictionary_encode(s)
+                k = len(enc.dictionary)
+                idx = pc.fill_null(enc.indices, k)  # null = reserved code
+                combined += radix * idx.to_numpy(
+                    zero_copy_only=False
+                ).astype(np.int64)
+                radix *= k + 1
+            for g in np.unique(combined):
+                mask = pa.array(combined == g)
                 sub = batch.filter(mask)
                 if sub.num_rows == 0:
                     continue
@@ -171,17 +206,6 @@ def _stage_task_batches(
                     hive, sub.select(data_cols).schema
                 )
                 w.write_batch(sub.select(data_cols))
-            if len(strs) == 1:
-                # a single NULL-valued partition column encodes as a
-                # null index, not a dictionary code — split it out
-                mask = pc.is_null(combo)
-                sub = batch.filter(mask)
-                if sub.num_rows:
-                    hive = f"{pcols[0]}=__HIVE_DEFAULT_PARTITION__"
-                    w, _rel = _writer_for(
-                        hive, sub.select(data_cols).schema
-                    )
-                    w.write_batch(sub.select(data_cols))
     finally:
         for w, _rel in writers.values():
             w.close()
@@ -263,8 +287,13 @@ class TxnTableArrowWriter(DataSourceArrowWriter):
         try:
             for c in constraints:
                 try:
+                    # hive_partitioning: partitionBy-staged files carry
+                    # their partition columns in the PATH, not the
+                    # content — a CHECK referencing one must still bind
+                    # (review finding); layout-less paths are unaffected
                     n = con.execute(
-                        f"SELECT count(*) FROM read_parquet([{files_sql}]) "
+                        f"SELECT count(*) FROM read_parquet([{files_sql}], "
+                        f"hive_partitioning = true) "
                         f"WHERE NOT coalesce(({c}), TRUE)"
                     ).fetchone()[0]
                 except ConstraintViolation:
@@ -419,18 +448,15 @@ class TxnTableStreamWriter(DataSourceStreamArrowWriter):
 
     ``outputMode("append")`` maps to ledgered stream-appends; complete
     mode (``overwrite=True``) replaces the table snapshot each batch
-    under the same ledger. Like the batch sink, hive-partitioned and
-    generated-partition tables are rejected loudly (layout-less files
-    would degrade partition semantics); concurrent writers are safe —
-    the commit CAS rebases appends and re-checks the ledger on every
-    retry."""
+    under the same ledger. ``.option("partitionBy", ...)`` writes hive
+    layout exactly like the batch sink (appends must match the table's
+    existing layout; generated-partition tables stay rejected loudly);
+    concurrent writers are safe — the commit CAS rebases appends and
+    re-checks the ledger on every retry."""
 
     def __init__(self, root: str, schema, overwrite: bool, options):
         self.root = root
         self.overwrite = overwrite
-        # one staging namespace per query run; file names are unique
-        # per task per batch, so batches never collide inside it
-        self.commit_dir = uuid.uuid4().hex
         self.schema_simple = {
             f.name: f.dataType.simpleString() for f in schema.fields
         }
@@ -445,10 +471,16 @@ class TxnTableStreamWriter(DataSourceStreamArrowWriter):
         self.app_id = app_id
         self.pcols = _parse_partition_by(options)
 
-    # executor half — identical staging to the batch sink
+    # executor half — identical staging to the batch sink, but with a
+    # FRESH data/<uuid>/ dir per task invocation (review finding: one
+    # query-lifetime dir meant vacuum — which reclaims whole dirs —
+    # could never delete compacted-away batch files while the stream
+    # ran: the shared dir always held the newest live batch, so disk
+    # grew with total ingested bytes; per-invocation dirs die with
+    # their batch)
     def write(self, iterator: Iterator) -> _TaskFiles:
         return _stage_task_batches(
-            self.root, self.commit_dir, iterator, self.pcols
+            self.root, uuid.uuid4().hex, iterator, self.pcols
         )
 
     # driver half — one ledgered commit per micro-batch

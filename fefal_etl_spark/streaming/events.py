@@ -261,17 +261,22 @@ def transactional_table_sink(
     micro-batches create small files, maintenance erases them, and
     neither blocks the other."""
 
+    # cadence counts LANDED batches, not table versions (review
+    # finding: compaction's own commits inflate the version, so a
+    # version-modulo trigger fired every batch once the parities
+    # aligned — and a concurrent writer made it arbitrary); ledger-
+    # skipped replays don't count
+    landed_batches = [0]
+
     def batch_fn(batch_df: DataFrame, batch_id: int) -> None:
         from fefal_etl_spark.table import CommitConflict, TransactionalTable
 
         t = TransactionalTable(batch_df.sparkSession, root)
         landed = t.append_txn(batch_df, app_id, batch_id)
-        if (
-            auto_compact_every
-            and landed is not None
-            and landed > 0
-            and landed % auto_compact_every == 0
-        ):
+        if landed is None or not auto_compact_every:
+            return
+        landed_batches[0] += 1
+        if landed_batches[0] % auto_compact_every == 0:
             try:
                 t.compact(small_file_mb=small_file_mb)
             except CommitConflict:

@@ -976,19 +976,19 @@ def test_stream_sink_ledger_skips_replayed_batch(txn_format, tmp_path):
     schema = StructType([StructField("k", IntegerType())])
     w = TxnTableStreamWriter(root, schema, False, {"txnappid": "app"})
     batch = pa.record_batch({"k": pa.array([1, 2], type=pa.int32())})
-    m1 = _stage_task_batches(root, w.commit_dir, iter([batch]))
+    m1 = _stage_task_batches(root, "c1", iter([batch]))
     w.commit([m1], batchId=0)
     t = TransactionalTable(spark, root)
     assert t.latest_version() == 0
     # replay of batch 0 after a simulated crash: new staged file, same
     # (app, batch) — must skip AND clean the orphaned staging
-    m2 = _stage_task_batches(root, w.commit_dir, iter([batch]))
+    m2 = _stage_task_batches(root, "c2", iter([batch]))
     w.commit([m2], batchId=0)
     assert t.latest_version() == 0  # no new version
     staged = glob.glob(os.path.join(root, "data", "*", "*.parquet"))
     assert len(staged) == 1  # the replay's file was dropped
     # the NEXT batch proceeds normally
-    m3 = _stage_task_batches(root, w.commit_dir, iter([batch]))
+    m3 = _stage_task_batches(root, "c3", iter([batch]))
     w.commit([m3], batchId=1)
     assert t.latest_version() == 1
     assert t.read().count() == 4
@@ -1392,7 +1392,7 @@ def test_stream_sink_schema_evolution_across_restart(txn_format, tmp_path):
     s1 = StructType([StructField("k", IntegerType())])
     w1 = TxnTableStreamWriter(root, s1, False, {"txnappid": "app"})
     m = _stage_task_batches(
-        root, w1.commit_dir,
+        root, "c1",
         iter([pa.record_batch({"k": pa.array([1], type=pa.int32())})]),
     )
     w1.commit([m], batchId=0)
@@ -1402,7 +1402,7 @@ def test_stream_sink_schema_evolution_across_restart(txn_format, tmp_path):
     )
     w2 = TxnTableStreamWriter(root, s2, False, {"txnappid": "app"})
     m = _stage_task_batches(
-        root, w2.commit_dir,
+        root, "c2",
         iter([
             pa.record_batch(
                 {"k": pa.array([2], type=pa.int32()),
@@ -1416,3 +1416,134 @@ def test_stream_sink_schema_evolution_across_restart(txn_format, tmp_path):
         (r["k"], r["tag"]) for r in t.read().collect()
     )
     assert got == [(1, None), (2, "b")]
+
+
+# ----------------------------------------------------------------------
+# round-8 extension self-review findings (partition rendering, vacuum
+# reclamation, hive constraints, combo collisions, compaction cadence)
+# ----------------------------------------------------------------------
+
+
+def test_sink_rejects_float_partition_column(tmp_path):
+    """pyarrow casts 1.0 -> '1' where Spark's hive writer and the
+    manifest normalizer render '1.0' — a float-partitioned sink write
+    would record values no probe ever matches, so it is rejected."""
+    import pyarrow as pa
+
+    from fefal_etl_spark.sources.table_sink import _stage_task_batches
+
+    batch = pa.record_batch(
+        {"k": pa.array([1]), "price": pa.array([1.0])}
+    )
+    with pytest.raises(ValueError, match="partitionBy column 'price'"):
+        _stage_task_batches(
+            str(tmp_path / "t"), "c0", iter([batch]), ["price"]
+        )
+
+
+def test_sink_partition_split_separator_values(tmp_path, spark):
+    """Values containing the old join separators must stay distinct
+    combos (review finding: a joined string key merged them)."""
+    import pyarrow as pa
+
+    from fefal_etl_spark.sources.table_sink import _stage_task_batches
+
+    root = str(tmp_path / "t")
+    batch = pa.record_batch(
+        {
+            "a": pa.array(["x\x1fy", "x", None]),
+            "b": pa.array(["z", "y\x1fz", "z"]),
+            "v": pa.array([1, 2, 3]),
+        }
+    )
+    m = _stage_task_batches(root, "c0", iter([batch]), ["a", "b"])
+    assert len(m.files) == 3  # three distinct combos, none merged
+    dirs = {tuple(f.split("/")[2:-1]) for f in m.files}
+    assert ("a=__HIVE_DEFAULT_PARTITION__", "b=z") in dirs
+
+
+@_posix_log
+def test_sink_partitioned_constraint_on_partition_column(
+    txn_format, tmp_path
+):
+    """A CHECK constraint referencing a partition column must validate
+    sink writes whose staged files carry that column in the PATH."""
+    from fefal_etl_spark.table import ConstraintViolation, TransactionalTable
+
+    spark = txn_format
+    root = str(tmp_path / "t")
+    t = TransactionalTable(spark, root)
+    t.overwrite(
+        spark.createDataFrame([(1, "EU")], "k int, region string"),
+        partition_by=["region"],
+    )
+    t.add_constraint("region IN ('EU', 'US')")
+    ok = spark.createDataFrame([(2, "US")], "k int, region string")
+    ok.coalesce(1).write.format("txn_table").mode("append").option(
+        "partitionBy", "region"
+    ).save(root)
+    assert t.read().count() == 2
+    bad = spark.createDataFrame([(3, "XX")], "k int, region string")
+    with pytest.raises(Exception) as ei:
+        bad.coalesce(1).write.format("txn_table").mode("append").option(
+            "partitionBy", "region"
+        ).save(root)
+    assert "CHECK" in str(ei.value)
+    assert t.read().count() == 2
+
+
+@_posix_log
+def test_stream_sink_batches_vacuum_independently(txn_format, tmp_path):
+    """Each stream-sink task invocation stages into its own
+    data/<uuid>/ dir, so after compaction VACUUM reclaims superseded
+    batches while the stream's newest files stay live (review finding:
+    a query-lifetime shared dir was unreclaimable forever)."""
+    import glob
+
+    import pyarrow as pa
+
+    from fefal_etl_spark.sources.table_sink import (
+        TxnTableStreamWriter,
+        _stage_task_batches,
+    )
+    from fefal_etl_spark.table import TransactionalTable
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    spark = txn_format
+    root = str(tmp_path / "t")
+    schema = StructType([StructField("k", IntegerType())])
+    w = TxnTableStreamWriter(root, schema, False, {"txnappid": "app"})
+    for b in range(3):
+        batch = pa.record_batch({"k": pa.array([b], type=pa.int32())})
+        m = w.write(iter([batch]))
+        w.commit([m], batchId=b)
+    t = TransactionalTable(spark, root)
+    dirs_before = {f.split("/")[1] for f in t._read_manifest(2).files}
+    assert len(dirs_before) == 3  # one staging dir per batch
+    t.compact()
+    removed = t.vacuum(keep_versions=1)
+    assert len(removed) >= 3  # every superseded batch dir reclaimed
+    assert {r["k"] for r in t.read().collect()} == {0, 1, 2}
+    leftover = glob.glob(os.path.join(root, "data", "*", "*.parquet"))
+    assert len(leftover) == len(t._read_manifest(t.latest_version()).files)
+
+
+def test_sink_auto_compact_counts_landed_batches(spark, tmp_path):
+    """The cadence is every Nth LANDED batch — compaction's own
+    commits must not inflate the trigger (review finding: a
+    version-modulo trigger compacted every batch once parities
+    aligned)."""
+    from fefal_etl_spark.streaming.events import transactional_table_sink
+    from fefal_etl_spark.table import TransactionalTable
+
+    root = str(tmp_path / "t")
+    fn = transactional_table_sink(root, "app", auto_compact_every=2)
+    for b in range(4):
+        fn(
+            spark.createDataFrame([(b, b)], "k int, v int").coalesce(1),
+            b,
+        )
+    t = TransactionalTable(spark, root)
+    ops = [r["op"] for r in t.history().orderBy("version").collect()]
+    # 4 landed batches, N=2 -> exactly 2 compactions, never per-batch
+    assert ops.count("compact") == 2
