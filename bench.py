@@ -239,8 +239,10 @@ BENCH_QUERIES = [
     "txn_stream_sink_roundtrip",
     "partitioned_sink_ingest",
     "incremental_compaction",
-    # round-8 extension: BM25 ranked retrieval
+    # round-8 extensions: BM25 ranked retrieval, SQL UPDATE (CoW + MoR)
     "bm25_topk",
+    "update_where_read",
+    "update_dv_read",
     # dup_clusters_star is excluded like ngram_jaccard_pairs: at bench SF its
     # wall time is ~6 iterative rounds of fixed scheduling cost (the
     # algorithm exists for O(log n) ROUNDS at web scale, demonstrated by the

@@ -3823,6 +3823,130 @@ def q_partitioned_sink_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "update_where_read",
+    """
+    WITH b AS (SELECT max(o_orderkey) AS mx FROM orders),
+         u AS (
+           SELECT o_orderstatus,
+                  CASE WHEN o_orderkey <= mx // 8
+                       THEN o_totalprice + 1000.0
+                       ELSE o_totalprice END AS price
+           FROM orders, b
+         )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(price AS DECIMAL(24,4))) AS DOUBLE) AS revenue,
+           TRUE AS filelevel_ok
+    FROM u GROUP BY o_orderstatus
+    """,
+)
+def q_update_where_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-8 extension — SQL ``UPDATE ... SET ... WHERE`` as
+    FILE-LEVEL copy-on-write (table.py::update_where — the DML verb
+    the surface lacked next to append/merge/delete/replaceWhere):
+    orders lands range-clustered across 8 files, then the lowest-⅛
+    key band gets +1000 on its price. Discovery is stats-pruned (the
+    predicate's key range intersects ~1 of 8 files, zero file IO to
+    learn it); ``filelevel_ok`` pins that strictly fewer files were
+    rewritten than the table holds (the rest carried by reference —
+    at 100 TB an update touching one day rewrites that day, never the
+    table). The oracle replays the CASE-WHEN declaratively."""
+    from fefal_etl_spark.table import TransactionalTable  # noqa: F401
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    mx = base.agg(F.max("o_orderkey").alias("m")).collect()[0]["m"]
+
+    def build(t):
+        t.overwrite(base.repartitionByRange(8, "o_orderkey"))
+        t.update_where(
+            f"o_orderkey <= {mx // 8}",
+            {"o_totalprice": "o_totalprice + 1000.0"},
+        )
+
+    t = _txn_scenario(
+        spark, sf_dir, "txn_update_cow", build, final_version=1
+    )
+    mf0, mf1 = t._read_manifest(0), t._read_manifest(1)
+    rewritten = len([f for f in mf0.files if f not in set(mf1.files)])
+    filelevel = 0 < rewritten < len(mf0.files)
+    return (
+        t.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(24,4)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .withColumn("filelevel_ok", F.lit(filelevel))
+    )
+
+
+@register(
+    "update_dv_read",
+    """
+    WITH u AS (
+        SELECT o_orderstatus,
+               CASE WHEN o_orderkey % 100 = 0
+                    THEN o_totalprice * 0.5
+                    ELSE o_totalprice END AS price
+        FROM orders
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(price AS DECIMAL(24,4))) AS DOUBLE) AS revenue,
+           TRUE AS mor_ok
+    FROM u GROUP BY o_orderstatus
+    """,
+)
+def q_update_dv_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-8 extension — merge-on-read UPDATE via deletion vectors
+    (table.py::update_where_dv; Delta's DV-backed UPDATE): a SPARSE
+    update (every 100th key, halved price) masks the old images
+    positionally and appends only the updated rows — write cost
+    O(updated rows), no data-file rewrite. ``mor_ok`` pins the MoR
+    shape: every original data file still in the manifest, a DV
+    sidecar present, and time travel to v0 showing the pre-update
+    prices. The oracle replays the CASE-WHEN declaratively. At 100 TB
+    this is the sparse-correction shape (GDPR fix-ups, late-arriving
+    amendments): cost follows the change, not the table."""
+    from fefal_etl_spark.table import TransactionalTable  # noqa: F401
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+    def build(t):
+        t.overwrite(base.repartitionByRange(4, "o_orderkey"))
+        t.update_where_dv(
+            "o_orderkey % 100 = 0",
+            {"o_totalprice": "o_totalprice * 0.5"},
+        )
+
+    t = _txn_scenario(
+        spark, sf_dir, "txn_update_mor", build, final_version=1
+    )
+    mf0, mf1 = t._read_manifest(0), t._read_manifest(1)
+    mor = (
+        set(mf0.files) <= set(mf1.files)
+        and bool(mf1.dv_files)
+    )
+    return (
+        t.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(24,4)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .withColumn("mor_ok", F.lit(mor))
+    )
+
+
+@register(
     "incremental_compaction",
     """
     SELECT o_orderstatus,

@@ -2215,6 +2215,159 @@ class TransactionalTable:
             dv_files=dv_new,
         )
 
+    def _apply_set(self, rows: DataFrame, condition, set_exprs: dict):
+        """Project ``rows`` with SQL ``SET col = expr`` applied to the
+        rows matching ``condition`` (NULL predicate = unchanged, SQL
+        UPDATE semantics). Each SET expression is cast back to the
+        column's CURRENT type so the staged files never contradict the
+        recorded schema (ANSI mode makes a lossy cast loud, not
+        silent)."""
+        from pyspark.sql import functions as F
+
+        missing = sorted(c for c in set_exprs if c not in rows.columns)
+        if missing:
+            raise ValueError(
+                f"update: SET column(s) {missing} not in {self.root}"
+            )
+        pred = F.coalesce(condition, F.lit(False))
+        cols = []
+        for c in rows.columns:
+            if c in set_exprs:
+                dt = rows.schema[c].dataType
+                cols.append(
+                    F.when(pred, F.expr(set_exprs[c]).cast(dt))
+                    .otherwise(F.col(c))
+                    .alias(c)
+                )
+            else:
+                cols.append(F.col(c))
+        return rows.select(*cols)
+
+    def update_where(self, condition, set_exprs: dict[str, str]) -> int:
+        """SQL ``UPDATE ... SET ... WHERE`` as FILE-LEVEL copy-on-write
+        (round-8 extension — the one DML verb the surface lacked next
+        to append/merge/delete/replaceWhere): rewrite only the files
+        that actually contain matching rows (`_hit_files` — stats/
+        partition-pruned discovery when ``condition`` is a SQL string,
+        zero file IO), applying ``set_exprs`` ({col: sql_expr}) to the
+        matching rows and passing every other row through; all other
+        files carry untouched. At 100 TB an update touching one day's
+        key range rewrites that day's files, never the table. SET
+        expressions are cast to the column's existing type (schema
+        stays stable; ANSI makes overflow loud). An update of a hive
+        PARTITION column re-buckets the rewritten rows into their new
+        partition dirs automatically (values land in the manifest).
+        Conflicts with any interleaved commit, like every rewrite."""
+        from pyspark.sql import functions as F
+
+        cond_str = condition if isinstance(condition, str) else None
+        if cond_str is not None:
+            condition = F.expr(cond_str)
+        base = self.latest_version()
+        if base is None:
+            raise FileNotFoundError(f"no committed version in {self.root}")
+        mf = self._read_manifest(base)
+        hit_files = self._hit_files(mf, condition, cond_str)
+        carried = [f for f in mf.files if f not in hit_files]
+        staged: list[str] = []
+        if hit_files:
+            rows = self._read_files(
+                sorted(hit_files),
+                dv_files=mf.dv_files,
+                column_ops=mf.column_ops,
+            )
+            updated = self._apply_set(rows, condition, set_exprs)
+            pcols = sorted(
+                {
+                    c
+                    for f in hit_files
+                    for c in ((mf.partitions or {}).get(f) or {})
+                }
+            )
+            staged = self.stage_files(updated, partition_by=pcols or None)
+        carried_set = set(carried)
+        carried_stats = {
+            f: s for f, s in (mf.stats or {}).items() if f in carried_set
+        }
+        return self._commit(
+            carried + staged,
+            "update",
+            base,
+            rebase_ok=False,
+            stats={**carried_stats, **self._file_stats(staged)},
+            dv_files=mf.dv_files if carried else None,
+        )
+
+    def update_where_dv(self, condition, set_exprs: dict[str, str]) -> int:
+        """Merge-on-read ``UPDATE`` via deletion vectors (round-8
+        extension; Delta's DV-backed UPDATE): the matching rows' (file,
+        position) addresses land in a sidecar MASKING the old images,
+        and the updated images append as new files — write cost
+        **O(updated rows)**, never a data-file rewrite. This is the
+        100 TB shape for sparse updates: touching 0.1% of rows
+        scattered across the table writes ~the update, where
+        copy-on-write (:meth:`update_where`) rewrites every hit file.
+        Discovery scans only the stats/partition-pruned candidates for
+        SQL-string predicates; a predicate matching nothing commits a
+        no-op (no empty sidecar). Old snapshots still see the original
+        rows (time travel untouched); `materialize_dv`/`compact` purge
+        the masks later. Conflicts with any interleaved commit."""
+        from pyspark.sql import functions as F
+
+        cond_str = condition if isinstance(condition, str) else None
+        if cond_str is not None:
+            condition = F.expr(cond_str)
+        base = self.latest_version()
+        if base is None:
+            raise FileNotFoundError(f"no committed version in {self.root}")
+        mf = self._read_manifest(base)
+        candidates = mf.files
+        if cond_str is not None:
+            from fefal_etl_spark.predicate_prune import prune_candidates
+
+            pruned = prune_candidates(
+                cond_str, mf.files, mf.stats or {}, mf.partitions or {}
+            )
+            if pruned is not None:
+                candidates = pruned
+        if not candidates:
+            return self._commit(
+                [], "update-dv", base, rebase_ok=False,
+                carry_parent_files=True,
+            )
+        matched = self._read_files(
+            candidates,
+            dv_files=mf.dv_files,
+            with_pos=True,
+            column_ops=mf.column_ops,
+        ).filter(F.coalesce(condition, F.lit(False)))
+        # the matched slice is small by the merge-on-read premise —
+        # persist so the mask leg and the image leg agree and scan once
+        matched.persist()
+        try:
+            hit = matched.select(
+                F.col("__dv_file").alias("file"),
+                F.col("__dv_pos").alias("pos"),
+            ).coalesce(1)
+            dv_new = self.stage_files(hit)
+            images = self._apply_set(
+                matched.drop("__dv_file", "__dv_pos"),
+                F.lit(True),
+                set_exprs,
+            )
+            files = self.stage_files(images)
+        finally:
+            matched.unpersist()
+        return self._commit(
+            files,
+            "update-dv",
+            base,
+            rebase_ok=False,
+            carry_parent_files=True,
+            stats=self._file_stats(files),
+            dv_files=dv_new,
+        )
+
     def materialize_dv(self, min_mask_ratio: float = 0.05) -> int | None:
         """Deletion-vector COMPACTION POLICY (round 6; Delta's DV purge
         during OPTIMIZE): rewrite ONLY the data files whose masked

@@ -1547,3 +1547,123 @@ def test_sink_auto_compact_counts_landed_batches(spark, tmp_path):
     ops = [r["op"] for r in t.history().orderBy("version").collect()]
     # 4 landed batches, N=2 -> exactly 2 compactions, never per-batch
     assert ops.count("compact") == 2
+
+
+# ----------------------------------------------------------------------
+# round-8 extension: SQL UPDATE (CoW file-level + merge-on-read DV)
+# ----------------------------------------------------------------------
+
+
+def test_update_where_rewrites_only_hit_files(spark, tmp_path):
+    """UPDATE ... SET ... WHERE as file-level CoW: files without
+    matching rows carry untouched; NULL-predicate rows are unchanged
+    (SQL semantics)."""
+    from fefal_etl_spark.table import TransactionalTable
+
+    t = TransactionalTable(spark, str(tmp_path / "t"))
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, 10.0), (2, 20.0), (3, None), (40, 400.0)],
+            "k int, v double",
+        ).repartitionByRange(2, "k")
+    )
+    mf0 = t._read_manifest(0)
+    low_file = [
+        f for f in mf0.files
+        if (mf0.stats or {})[f]["k"][1] <= 3
+    ]
+    v = t.update_where("k <= 3 AND v > 5.0", {"v": "v + 100.0"})
+    assert v == 1
+    rows = {r["k"]: r["v"] for r in t.read().collect()}
+    assert rows == {1: 110.0, 2: 120.0, 3: None, 40: 400.0}
+    mf = t._read_manifest(1)
+    # the high-key file was carried by reference, not rewritten
+    high = [f for f in mf0.files if f not in low_file]
+    assert all(f in mf.files for f in high)
+    assert all(f not in mf.files for f in low_file)
+    # time travel shows the pre-update values
+    assert {r["v"] for r in t.read(0).filter(F.col("k") == 1).collect()} == {
+        10.0
+    }
+
+
+def test_update_where_rejects_unknown_set_column(spark, tmp_path):
+    from fefal_etl_spark.table import TransactionalTable
+
+    t = TransactionalTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.createDataFrame([(1, 1.0)], "k int, v double"))
+    with pytest.raises(ValueError, match="SET column"):
+        t.update_where("k = 1", {"nope": "1"})
+
+
+def test_update_where_set_preserves_column_type(spark, tmp_path):
+    """SET expressions cast back to the column's current type so the
+    staged files never contradict the recorded schema."""
+    from fefal_etl_spark.table import TransactionalTable
+
+    t = TransactionalTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.createDataFrame([(1, 10)], "k int, v int"))
+    t.update_where("k = 1", {"v": "v / 2"})  # / yields double pre-cast
+    mf = t._read_manifest(1)
+    assert (mf.schema or {}).get("v") == "int"
+    assert [r["v"] for r in t.read().collect()] == [5]
+
+
+def test_update_where_partition_column_rebuckets(spark, tmp_path):
+    """Updating a hive partition column moves the rewritten rows into
+    their new partition dirs; pruning keeps working."""
+    from fefal_etl_spark.table import TransactionalTable
+
+    t = TransactionalTable(spark, str(tmp_path / "t"))
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, "cold"), (2, "hot"), (3, "cold")], "k int, tier string"
+        ),
+        partition_by=["tier"],
+    )
+    t.update_where("k = 1", {"tier": "'hot'"})
+    assert {r["k"] for r in t.read_partition(tier="hot").collect()} == {1, 2}
+    kept, total = t.pruned_partition_files(tier="hot")
+    assert kept < total
+
+
+def test_update_where_dv_is_o_of_updated_rows(spark, tmp_path):
+    """Merge-on-read UPDATE: the data files stay in the manifest, the
+    old images are DV-masked, updated images append — and time travel
+    still sees the originals."""
+    from fefal_etl_spark.table import TransactionalTable
+
+    t = TransactionalTable(spark, str(tmp_path / "t"))
+    base = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    )
+    t.overwrite(base.repartitionByRange(4, "k"))
+    mf0 = t._read_manifest(0)
+    v = t.update_where_dv("k % 250 = 0", {"v": "v + 0.5"})
+    assert v == 1
+    mf = t._read_manifest(1)
+    # every original data file still listed (no rewrite), plus images
+    assert set(mf0.files) <= set(mf.files)
+    assert mf.dv_files
+    rows = {r["k"]: r["v"] for r in t.read().collect()}
+    assert len(rows) == 1000
+    assert rows[0] == 0.5 and rows[250] == 250.5 and rows[251] == 251.0
+    # pre-update snapshot untouched
+    old = {r["k"]: r["v"] for r in t.read(0).collect()}
+    assert old[250] == 250.0
+    # a later CoW pass materializes the masks away
+    t.compact()
+    assert not t._read_manifest(2).dv_files
+    assert {
+        r["v"] for r in t.read().filter(F.col("k") == 250).collect()
+    } == {250.5}
+
+
+def test_update_where_dv_no_match_is_noop_commit(spark, tmp_path):
+    from fefal_etl_spark.table import TransactionalTable
+
+    t = TransactionalTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.createDataFrame([(1, 1.0)], "k int, v double"))
+    t.update_where_dv("k > 100", {"v": "0.0"})
+    assert t.read().count() == 1
+    assert [r["v"] for r in t.read().collect()] == [1.0]
