@@ -1667,3 +1667,109 @@ def test_update_where_dv_no_match_is_noop_commit(spark, tmp_path):
     t.update_where_dv("k > 100", {"v": "0.0"})
     assert t.read().count() == 1
     assert [r["v"] for r in t.read().collect()] == [1.0]
+
+
+def test_round8_model_based_random_ops(txn_format, tmp_path):
+    """Seeded random mix exercising the ROUND-8 extension surfaces
+    together: CoW and MoR UPDATE (string predicates — pruned and
+    conservative discovery paths), incremental + partition-scoped
+    compaction (which may legitimately decline to commit), DV deletes
+    interleaved with updates, partitioned appends through the sink
+    DataSource, and restore — every historical version must read back
+    exactly the Python model through the writing handle AND a fresh
+    handle (pure checkpoint + tail replay)."""
+    import random
+
+    from fefal_etl_spark.table import TransactionalTable
+
+    spark = txn_format
+    # separate op-choice and parameter streams so op coverage is a
+    # pure function of the seed (parameter draws don't shift the ops)
+    rng = random.Random(20260816)
+    par = random.Random(7)
+    root = str(tmp_path / "t")
+    t = TransactionalTable(spark, root)
+    t.CHECKPOINT_INTERVAL = 4
+
+    def df_of(rows):
+        return spark.createDataFrame(rows, "p string, k int, v int")
+
+    model: dict[int, tuple[str, int]] = {
+        k: (str(k % 3), k * 10) for k in range(12)
+    }
+    t.overwrite(
+        df_of([(p, k, v) for k, (p, v) in model.items()]),
+        partition_by=["p"],
+    )
+    history = [dict(model)]
+    next_k = 100
+    seen: set[str] = set()
+    for _step in range(16):
+        op = rng.choice(
+            ["sink_append", "upd_cow", "upd_dv", "dv_del",
+             "compact_small", "compact_part", "restore"]
+        )
+        seen.add(op)
+        if op == "sink_append":
+            rows = [
+                (str(par.randrange(3)), next_k + i, (next_k + i) * 10)
+                for i in range(par.randrange(1, 3))
+            ]
+            next_k += len(rows)
+            df_of(rows).coalesce(1).write.format("txn_table").mode(
+                "append"
+            ).option("partitionBy", "p").save(root)
+            model.update({k: (p, v) for p, k, v in rows})
+        elif op == "upd_cow":
+            cut = par.choice([6, 103, 106])
+            t.update_where(f"k < {cut}", {"v": "v + 1"})
+            model = {
+                k: (p, v + 1 if k < cut else v)
+                for k, (p, v) in model.items()
+            }
+        elif op == "upd_dv":
+            mod = par.choice([2, 3, 5])
+            # modulo predicate: conservative full-candidate discovery
+            t.update_where_dv(f"k % {mod} = 0", {"v": "v * 2"})
+            model = {
+                k: (p, v * 2 if k % mod == 0 else v)
+                for k, (p, v) in model.items()
+            }
+        elif op == "dv_del":
+            cut = par.choice([4, 102, 110])
+            t.delete_where_dv(f"k >= {cut}")
+            model = {k: pv for k, pv in model.items() if k < cut}
+        elif op == "compact_small":
+            t.compact(small_file_mb=64, partition_by=["p"])
+        elif op == "compact_part":
+            t.compact(partition_filter={"p": str(par.randrange(3))})
+        elif op == "restore":
+            target = par.randrange(len(history))
+            t.restore(target)
+            model = dict(history[target])
+        # compaction may decline (fewer than two victims): only record
+        # a history entry when a version actually landed
+        lv = t.latest_version()
+        assert lv is not None and lv <= len(history)
+        if lv == len(history):
+            history.append(dict(model))
+    assert seen == {
+        "sink_append", "upd_cow", "upd_dv", "dv_del",
+        "compact_small", "compact_part", "restore",
+    }
+    assert t.versions() == list(range(len(history)))
+
+    def check(handle):
+        for v, want in enumerate(history):
+            if not want:
+                with pytest.raises(FileNotFoundError, match="empty"):
+                    handle.read(version=v)
+                continue
+            got = {
+                r["k"]: (str(r["p"]), r["v"])
+                for r in handle.read(version=v).collect()
+            }
+            assert got == want, f"version {v}"
+
+    check(t)
+    check(TransactionalTable(spark, root))
