@@ -1669,6 +1669,7 @@ def test_update_where_dv_no_match_is_noop_commit(spark, tmp_path):
     assert [r["v"] for r in t.read().collect()] == [1.0]
 
 
+@_posix_log
 def test_round8_model_based_random_ops(txn_format, tmp_path):
     """Seeded random mix exercising the ROUND-8 extension surfaces
     together: CoW and MoR UPDATE (string predicates — pruned and
