@@ -3856,9 +3856,11 @@ def q_update_where_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    mx = base.agg(F.max("o_orderkey").alias("m")).collect()[0]["m"]
 
     def build(t):
+        # the max scan runs only when the scenario builds, never on the
+        # cached-reuse path (review finding: it taxed every bench pass)
+        mx = base.agg(F.max("o_orderkey").alias("m")).collect()[0]["m"]
         t.overwrite(base.repartitionByRange(8, "o_orderkey"))
         t.update_where(
             f"o_orderkey <= {mx // 8}",

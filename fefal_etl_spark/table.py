@@ -1911,6 +1911,64 @@ class TransactionalTable:
                             raise  # may hold target rows: real conflict
                 base = latest  # disjoint interleave: rebase and retry
 
+    def _pruned_candidate_files(
+        self, mf: _Manifest, cond_str: str | None
+    ) -> list[str]:
+        """The live files that MAY hold rows matching a predicate —
+        `predicate_prune.prune_candidates` over manifest stats +
+        partition values for SQL strings (zero file IO), all files
+        otherwise. Shared prologue of every predicate rewrite's
+        discovery (`_hit_files`, the DV delete/update)."""
+        if cond_str is not None:
+            from fefal_etl_spark.predicate_prune import prune_candidates
+
+            pruned = prune_candidates(
+                cond_str, mf.files, mf.stats or {}, mf.partitions or {}
+            )
+            if pruned is not None:
+                return pruned
+        return mf.files
+
+    def _rewrite_hit_files(
+        self, base: int, mf: _Manifest, hit_files: set[str], transform, op: str
+    ) -> int:
+        """The file-level copy-on-write rewrite shared by
+        :meth:`delete_where` and :meth:`update_where`: restage ONLY the
+        hit files through ``transform`` (keeping their hive layout),
+        carry every other file by reference with its stats, keep DV
+        sidecars while carried files may need them (entries on
+        rewritten files become inert — their survivors were staged
+        with the masks applied)."""
+        carried = [f for f in mf.files if f not in hit_files]
+        staged: list[str] = []
+        if hit_files:
+            rows = self._read_files(
+                sorted(hit_files),
+                dv_files=mf.dv_files,
+                column_ops=mf.column_ops,
+            )
+            out = transform(rows)
+            pcols = sorted(
+                {
+                    c
+                    for f in hit_files
+                    for c in ((mf.partitions or {}).get(f) or {})
+                }
+            )
+            staged = self.stage_files(out, partition_by=pcols or None)
+        carried_set = set(carried)
+        carried_stats = {
+            f: s for f, s in (mf.stats or {}).items() if f in carried_set
+        }
+        return self._commit(
+            carried + staged,
+            op,
+            base,
+            rebase_ok=False,
+            stats={**carried_stats, **self._file_stats(staged)},
+            dv_files=mf.dv_files if carried else None,
+        )
+
     def _hit_files(self, mf: _Manifest, condition, cond_str: str | None) -> set[str]:
         """The DISTINCT set of live files that CONTAIN rows matching
         ``condition`` — the discovery step every predicate rewrite
@@ -1927,15 +1985,7 @@ class TransactionalTable:
         without covering metadata fall through to the scan, which
         remains the source of truth. The scan's collect() is
         metadata-scale — one row per matching FILE."""
-        candidates = mf.files
-        if cond_str is not None:
-            from fefal_etl_spark.predicate_prune import prune_candidates
-
-            pruned = prune_candidates(
-                cond_str, mf.files, mf.stats or {}, mf.partitions or {}
-            )
-            if pruned is not None:
-                candidates = pruned
+        candidates = self._pruned_candidate_files(mf, cond_str)
         if not candidates:
             return set()
         src = self._read_files(
@@ -2109,33 +2159,12 @@ class TransactionalTable:
             raise FileNotFoundError(f"no committed version in {self.root}")
         mf = self._read_manifest(base)
         hit_files = self._hit_files(mf, condition, cond_str)
-        carried = [f for f in mf.files if f not in hit_files]
-        staged: list[str] = []
-        if hit_files:
-            survivors = self._read_files(
-                sorted(hit_files),
-                dv_files=mf.dv_files,
-                column_ops=mf.column_ops,
-            ).filter(~F.coalesce(condition, F.lit(False)))
-            pcols = sorted(
-                {
-                    c
-                    for f in hit_files
-                    for c in ((mf.partitions or {}).get(f) or {})
-                }
-            )
-            staged = self.stage_files(survivors, partition_by=pcols or None)
-        carried_set = set(carried)
-        carried_stats = {
-            f: s for f, s in (mf.stats or {}).items() if f in carried_set
-        }
-        return self._commit(
-            carried + staged,
-            "delete",
+        return self._rewrite_hit_files(
             base,
-            rebase_ok=False,
-            stats={**carried_stats, **self._file_stats(staged)},
-            dv_files=mf.dv_files if carried else None,
+            mf,
+            hit_files,
+            lambda rows: rows.filter(~F.coalesce(condition, F.lit(False))),
+            "delete",
         )
 
     def delete_where_dv(self, condition) -> int:
@@ -2173,15 +2202,7 @@ class TransactionalTable:
         if base is None:
             raise FileNotFoundError(f"no committed version in {self.root}")
         mf = self._read_manifest(base)
-        candidates = mf.files
-        if cond_str is not None:
-            from fefal_etl_spark.predicate_prune import prune_candidates
-
-            pruned = prune_candidates(
-                cond_str, mf.files, mf.stats or {}, mf.partitions or {}
-            )
-            if pruned is not None:
-                candidates = pruned
+        candidates = self._pruned_candidate_files(mf, cond_str)
         if not candidates:
             # provably nothing to mask: no-op commit, no empty sidecar
             return self._commit(
@@ -2205,7 +2226,18 @@ class TransactionalTable:
             # `delete_where` — rewriting is cheaper than masking there)
             .coalesce(1)
         )
-        dv_new = self.stage_files(hit)
+        hit.persist()
+        try:
+            if hit.limit(1).count() == 0:
+                # non-prunable predicate matching nothing: no empty
+                # sidecar — every later read would pay its anti-join
+                return self._commit(
+                    [], "delete-dv", base, rebase_ok=False,
+                    carry_parent_files=True,
+                )
+            dv_new = self.stage_files(hit)
+        finally:
+            hit.unpersist()
         return self._commit(
             [],
             "delete-dv",
@@ -2267,36 +2299,47 @@ class TransactionalTable:
         if base is None:
             raise FileNotFoundError(f"no committed version in {self.root}")
         mf = self._read_manifest(base)
+        self._guard_generated_set(mf, set_exprs)
         hit_files = self._hit_files(mf, condition, cond_str)
-        carried = [f for f in mf.files if f not in hit_files]
-        staged: list[str] = []
-        if hit_files:
-            rows = self._read_files(
-                sorted(hit_files),
-                dv_files=mf.dv_files,
-                column_ops=mf.column_ops,
-            )
+
+        def transform(rows: DataFrame) -> DataFrame:
             updated = self._apply_set(rows, condition, set_exprs)
-            pcols = sorted(
-                {
-                    c
-                    for f in hit_files
-                    for c in ((mf.partitions or {}).get(f) or {})
-                }
-            )
-            staged = self.stage_files(updated, partition_by=pcols or None)
-        carried_set = set(carried)
-        carried_stats = {
-            f: s for f, s in (mf.stats or {}).items() if f in carried_set
-        }
-        return self._commit(
-            carried + staged,
-            "update",
-            base,
-            rebase_ok=False,
-            stats={**carried_stats, **self._file_stats(staged)},
-            dv_files=mf.dv_files if carried else None,
+            updated = self._rederive_generated(updated, mf)
+            # same commit-time governance as every row-writing path
+            # (review finding: updates previously skipped CHECK
+            # constraints — the one way to commit violating rows)
+            if mf.constraints:
+                self._check_constraints(updated, mf.constraints)
+            return updated
+
+        return self._rewrite_hit_files(
+            base, mf, hit_files, transform, "update"
         )
+
+    def _guard_generated_set(self, mf: _Manifest, set_exprs: dict) -> None:
+        """SET on a declared GENERATED column contradicts its recorded
+        transform — reject loudly (update the SOURCE column instead;
+        the transform re-derives)."""
+        bad = sorted(c for c in set_exprs if c in (mf.generated or {}))
+        if bad:
+            raise ValueError(
+                f"update: column(s) {bad} are GENERATED in {self.root} "
+                "(their values derive from the declared transform) — "
+                "SET the source columns instead"
+            )
+
+    def _rederive_generated(self, df: DataFrame, mf: _Manifest) -> DataFrame:
+        """Re-materialize declared generated columns after a SET (review
+        finding: updating a transform's SOURCE column must move the
+        stored value AND the hive placement with it, or hidden
+        partitioning silently mis-prunes updated rows)."""
+        from pyspark.sql import functions as F
+
+        for col, expr in (mf.generated or {}).items():
+            if col in df.columns:
+                dt = df.schema[col].dataType
+                df = df.withColumn(col, F.expr(expr).cast(dt))
+        return df
 
     def update_where_dv(self, condition, set_exprs: dict[str, str]) -> int:
         """Merge-on-read ``UPDATE`` via deletion vectors (round-8
@@ -2321,15 +2364,8 @@ class TransactionalTable:
         if base is None:
             raise FileNotFoundError(f"no committed version in {self.root}")
         mf = self._read_manifest(base)
-        candidates = mf.files
-        if cond_str is not None:
-            from fefal_etl_spark.predicate_prune import prune_candidates
-
-            pruned = prune_candidates(
-                cond_str, mf.files, mf.stats or {}, mf.partitions or {}
-            )
-            if pruned is not None:
-                candidates = pruned
+        self._guard_generated_set(mf, set_exprs)
+        candidates = self._pruned_candidate_files(mf, cond_str)
         if not candidates:
             return self._commit(
                 [], "update-dv", base, rebase_ok=False,
@@ -2345,6 +2381,14 @@ class TransactionalTable:
         # persist so the mask leg and the image leg agree and scan once
         matched.persist()
         try:
+            if matched.limit(1).count() == 0:
+                # non-prunable predicate matching nothing: no-op commit
+                # (review finding: staging an empty sidecar + empty
+                # image file taxed every later read's DV anti-join)
+                return self._commit(
+                    [], "update-dv", base, rebase_ok=False,
+                    carry_parent_files=True,
+                )
             hit = matched.select(
                 F.col("__dv_file").alias("file"),
                 F.col("__dv_pos").alias("pos"),
@@ -2355,7 +2399,15 @@ class TransactionalTable:
                 F.lit(True),
                 set_exprs,
             )
-            files = self.stage_files(images)
+            images = self._rederive_generated(images, mf)
+            if mf.constraints:  # same governance as every writing path
+                self._check_constraints(images, mf.constraints)
+            # images keep the table's hive layout (review finding:
+            # layout-less image files were unprunable and un-compactable
+            # on a partitioned table)
+            files = self.stage_files(
+                images, partition_by=self._pcols(mf) or None
+            )
         finally:
             matched.unpersist()
         return self._commit(

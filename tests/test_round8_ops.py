@@ -1774,3 +1774,87 @@ def test_round8_model_based_random_ops(txn_format, tmp_path):
 
     check(t)
     check(TransactionalTable(spark, root))
+
+
+def test_update_where_enforces_check_constraints(spark, tmp_path):
+    """UPDATE runs the same commit-time governance as every writing
+    path (review finding: it previously skipped CHECK constraints —
+    the one way to commit violating rows)."""
+    from fefal_etl_spark.table import ConstraintViolation, TransactionalTable
+
+    t = TransactionalTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.createDataFrame([(1, 10)], "k int, v int"))
+    t.add_constraint("v >= 0")
+    with pytest.raises(ConstraintViolation):
+        t.update_where("k = 1", {"v": "v - 100"})
+    with pytest.raises(ConstraintViolation):
+        t.update_where_dv("k = 1", {"v": "v - 100"})
+    assert [r["v"] for r in t.read().collect()] == [10]
+    t.update_where("k = 1", {"v": "v + 5"})  # valid updates still land
+    assert [r["v"] for r in t.read().collect()] == [15]
+
+
+def test_update_where_rederives_generated_columns(spark, tmp_path):
+    """Updating a generated transform's SOURCE column moves the stored
+    value AND the hive placement (review finding: hidden partitioning
+    otherwise mis-pruned updated rows); SET directly on the generated
+    column is rejected."""
+    from fefal_etl_spark.table import TransactionalTable
+
+    t = TransactionalTable(spark, str(tmp_path / "t"))
+    t.overwrite(
+        spark.createDataFrame([(1, 3), (2, 7)], "k int, ts int"),
+        generated={"bucket": "ts % 2"},
+    )
+    with pytest.raises(ValueError, match="GENERATED"):
+        t.update_where("k = 1", {"bucket": "0"})
+    t.update_where("k = 1", {"ts": "ts + 1"})  # 3 -> 4: bucket 1 -> 0
+    got = {
+        r["k"]: (r["ts"], int(r["bucket"])) for r in t.read().collect()
+    }
+    assert got == {1: (4, 0), 2: (7, 1)}
+    # manifest-side partition pruning sees the row in its NEW bucket
+    assert {
+        r["k"] for r in t.read_partition(bucket=0).collect()
+    } == {1}
+
+
+def test_update_where_dv_images_keep_hive_layout(spark, tmp_path):
+    """MoR update images on a hive-partitioned table land in the
+    table's layout, so partition pruning and partition-scoped
+    compaction keep covering them (review finding: layout-less image
+    files were unprunable forever)."""
+    from fefal_etl_spark.table import TransactionalTable
+
+    t = TransactionalTable(spark, str(tmp_path / "t"))
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, "d1", 10), (2, "d2", 20)], "k int, day string, v int"
+        ),
+        partition_by=["day"],
+    )
+    t.update_where_dv("k = 1", {"v": "v + 1"})
+    mf = t._read_manifest(1)
+    assert all(
+        "day" in (mf.partitions or {}).get(f, {}) for f in mf.files
+    )
+    kept, total = t.pruned_partition_files(day="d2")
+    assert kept < total  # the image file prunes away for day=d2
+    assert {r["v"] for r in t.read_partition(day="d1").collect()} == {11}
+
+
+def test_dv_ops_no_empty_sidecar_on_unprunable_miss(spark, tmp_path):
+    """A modulo predicate (not stats-prunable) matching nothing must
+    not stage an empty sidecar or image file (review finding: every
+    later read paid the anti-join for a mask that masks nothing)."""
+    from fefal_etl_spark.table import TransactionalTable
+
+    t = TransactionalTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.createDataFrame([(1, 1.0), (2, 2.0)], "k int, v double"))
+    v1 = t.delete_where_dv("k % 7 = 3")  # no key ≡ 3 (mod 7)
+    v2 = t.update_where_dv("k % 7 = 3", {"v": "0.0"})
+    mf = t._read_manifest(v2)
+    assert not mf.dv_files
+    assert len(mf.files) == len(t._read_manifest(0).files)
+    assert v1 == 1 and v2 == 2  # still versioned no-ops
+    assert t.read().count() == 2
