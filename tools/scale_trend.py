@@ -81,6 +81,16 @@ TREND_QUERIES = [
     "pruned_null_delete",
     "merge_append_concurrency",
     "txn_batch_sink_roundtrip",
+    # round-8 extensions: OPTIMIZE-vs-append race, incremental
+    # compaction, the streaming + partitioned sink roundtrips, SQL
+    # UPDATE in both forms, BM25
+    "compact_append_concurrency",
+    "incremental_compaction",
+    "txn_stream_sink_roundtrip",
+    "partitioned_sink_ingest",
+    "update_where_read",
+    "update_dv_read",
+    "bm25_topk",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
