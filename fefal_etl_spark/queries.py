@@ -4616,15 +4616,22 @@ def q_incremental_mv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIVER_PRIORITY = [
     # Round-8 rotation (VERDICT r7 item 6, final leg): the driver
     # samples the FIRST 50 registry entries each round. Front-load
-    # (a) the three round-8 additions (never driver-sampled), then
-    # (b) ALL 21 queries whose latest driver sample is r2 (the list
-    # the r7 verdict names), then (c) the first 26 of the 48 r3-stale
-    # queries (alphabetical). 3 + 21 + 26 = 50, so after this round
-    # every registry query's latest driver sample is r3+ and the
-    # oldest tail shrinks to the remaining 22 r3 queries.
+    # (a) the TEN round-8 additions (never driver-sampled — the three
+    # from the work-list pass plus the seven from the extension pass),
+    # then (b) ALL 21 queries whose latest driver sample is r2 (the
+    # list the r7 verdict names), then (c) the first 19 of the 48
+    # r3-stale queries (alphabetical). 10 + 21 + 19 = 50, so after
+    # this round every registry query's latest driver sample is r3+.
     "merge_append_concurrency",
     "pruned_null_delete",
     "txn_batch_sink_roundtrip",
+    "compact_append_concurrency",
+    "incremental_compaction",
+    "txn_stream_sink_roundtrip",
+    "partitioned_sink_ingest",
+    "update_where_read",
+    "update_dv_read",
+    "bm25_topk",
     "lang_id",
     "multimodal_features",
     "ngram_jaccard_pairs",
@@ -4665,13 +4672,6 @@ _DRIVER_PRIORITY = [
     "events_interpolate",
     "events_trend_slope",
     "exact_dedup",
-    "geo_radius_join",
-    "hybrid_skew_revenue",
-    "ivf_topk",
-    "k_anonymity_audit",
-    "matryoshka_recall",
-    "merge_into_orders",
-    "minhash_neardup",
 ]
 
 
