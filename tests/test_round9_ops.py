@@ -1,0 +1,231 @@
+"""Round-9 hardening tests: ADVICE r8 fixes (overflow-free sink
+partition grouping, capped maintenance rebase retries, constraint
+validation scoped to updated rows) and VERDICT r8 item 3 (bloom
+entries survive rewrite commits — compact / zorder / DV-purge /
+UPDATE / MERGE)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+_posix_log = pytest.mark.skipif(
+    os.environ.get("FEFAL_TABLE_BACKEND") == "memory",
+    reason="needs the commit log on the filesystem (disk artifact "
+    "inspection or DataSource worker-side log reads)",
+)
+
+
+@pytest.fixture()
+def txn_format(spark):
+    from fefal_etl_spark.sources.table_batch import TxnTableBatchDataSource
+
+    spark.dataSource.register(TxnTableBatchDataSource)
+    return spark
+
+
+# ----------------------------------------------------------------------
+# ADVICE r8: sink partition grouping must not depend on a radix product
+# ----------------------------------------------------------------------
+
+
+@_posix_log
+def test_sink_many_partition_columns_no_collisions(txn_format, tmp_path):
+    """Five partition columns with nulls and escape-needing values: the
+    np.unique row-grouping (which replaced the mixed-radix int64 key —
+    advice r8: the radix product could overflow and merge combos) must
+    put every row under its own exact hive combo."""
+    from fefal_etl_spark.table import TransactionalTable
+
+    spark = txn_format
+    root = str(tmp_path / "t")
+    rows = [
+        (i, f"a{i % 3}", f"b{i % 2}", None if i % 5 == 0 else f"c={i % 4}",
+         f"d {i % 2}", f"e/{i % 3}", float(i))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(
+        rows, "k int, p1 string, p2 string, p3 string, p4 string, "
+        "p5 string, v double",
+    )
+    df.coalesce(1).write.format("txn_table").mode("overwrite").option(
+        "partitionBy", "p1,p2,p3,p4,p5"
+    ).save(root)
+    t = TransactionalTable(spark, root)
+    got = sorted(
+        (r["k"], r["p1"], r["p2"], r["p3"], r["p4"], r["p5"], r["v"])
+        for r in t.read().collect()
+    )
+    assert got == sorted(rows)
+    # every file's manifest partition values agree with its row content
+    mf = t._read_manifest(t.latest_version())
+    assert mf.partitions and len(mf.partitions) == len(mf.files)
+    # pruning on a deep combo keeps exactly the matching rows
+    sub = t.read_partition(p1="a1", p2="b1").collect()
+    assert {r["k"] for r in sub} == {
+        k for (k, p1, p2, *_rest) in rows if p1 == "a1" and p2 == "b1"
+    }
+
+
+# ----------------------------------------------------------------------
+# ADVICE r8: maintenance rebase loops are capped, not unbounded
+# ----------------------------------------------------------------------
+
+
+def test_rebase_retry_cap_raises(spark, tmp_path, monkeypatch):
+    """compact() losing every CAS race must terminate with a clear
+    CommitConflict after _REBASE_MAX_RETRIES attempts (advice r8: the
+    unbounded loop livelocked under sustained append traffic)."""
+    from fefal_etl_spark.table import CommitConflict, TransactionalTable
+
+    t = TransactionalTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.range(100).selectExpr("id AS k").repartition(4))
+
+    calls = {"n": 0}
+    real_commit = t._commit
+
+    def losing_commit(files, op, base, **kw):
+        if op == "compact":
+            calls["n"] += 1
+            raise CommitConflict("synthetic race")
+        return real_commit(files, op, base, **kw)
+
+    monkeypatch.setattr(t, "_commit", losing_commit)
+    monkeypatch.setattr(
+        t, "_rebase_appends", lambda base, op: (base, [])
+    )
+    with pytest.raises(CommitConflict, match="lost .* commit races"):
+        t.compact(target_file_mb=1)
+    assert calls["n"] == t._REBASE_MAX_RETRIES
+
+
+# ----------------------------------------------------------------------
+# ADVICE r8: update_where constraint check scoped to matched rows
+# ----------------------------------------------------------------------
+
+
+def test_update_where_constraint_on_matched_rows(spark, tmp_path):
+    """CHECK constraints still gate an UPDATE's new images (violating
+    SET raises; nothing commits), and the predicate evaluates on
+    PRE-update values even when it references a SET column."""
+    from fefal_etl_spark.table import (
+        ConstraintViolation,
+        TransactionalTable,
+    )
+
+    t = TransactionalTable(spark, str(tmp_path / "t"))
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, 1), (2, 2), (3, 3), (4, 4)], "k int, x int"
+        ).repartition(2)
+    )
+    t.add_constraint("x < 20")
+    base = t.latest_version()
+    with pytest.raises(ConstraintViolation):
+        t.update_where("x < 3", {"x": "100"})
+    assert t.latest_version() == base  # nothing committed
+    # predicate on pre-update values: x<3 matches exactly {1,2}; the
+    # updated images (11,12) must not re-match and cascade
+    t.update_where("x < 3", {"x": "x + 10"})
+    got = sorted((r["k"], r["x"]) for r in t.read().collect())
+    assert got == [(1, 11), (2, 12), (3, 3), (4, 4)]
+
+
+# ----------------------------------------------------------------------
+# VERDICT r8 item 3: blooms survive rewrite commits
+# ----------------------------------------------------------------------
+
+
+def _bloomed_table(spark, path, n=4000, files=8):
+    from fefal_etl_spark.table import TransactionalTable
+
+    t = TransactionalTable(spark, str(path))
+    df = spark.range(n).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("g")
+    )
+    t.overwrite(df.repartitionByRange(files, "k"))
+    t.build_bloom("k")
+    return t
+
+
+def test_bloom_survives_compact(spark, tmp_path):
+    """OPTIMIZE must not silently drop point-lookup pruning: after
+    compact(), every live file carries a rebuilt bloom entry and
+    skipped_files_bloom still prunes (VERDICT r8 item 3)."""
+    t = _bloomed_table(spark, tmp_path / "t")
+    kept0, total0 = t.skipped_files_bloom("k", 1234)
+    assert kept0 < total0
+    t.compact(target_file_mb=1)
+    mf = t._read_manifest(t.latest_version())
+    assert set((mf.blooms or {}).get("k") or {}) >= set(mf.files)
+    # the rewritten files' blooms are FRESH, not dropped: an absent key
+    # prunes every file (pre-fix, rewritten files had no entry and were
+    # conservatively kept — pruning silently gone until build_bloom)
+    kept1, _total1 = t.skipped_files_bloom("k", 10**9)
+    assert kept1 == 0
+    assert [r["k"] for r in t.read_point("k", 1234).collect()] == [1234]
+    assert t.read_point("k", 10**9).count() == 0
+
+
+def test_bloom_survives_zorder(spark, tmp_path):
+    t = _bloomed_table(spark, tmp_path / "t")
+    t.optimize_zorder("k", "g", n_files=4)
+    mf = t._read_manifest(t.latest_version())
+    assert set((mf.blooms or {}).get("k") or {}) >= set(mf.files)
+    kept, total = t.skipped_files_bloom("k", 77)
+    assert kept < total
+    assert [r["k"] for r in t.read_point("k", 77).collect()] == [77]
+
+
+def test_bloom_survives_update_and_dv_purge(spark, tmp_path):
+    """CoW UPDATE rewrites hit files — their blooms must reflect the
+    POST-update values; a DV purge (materialize_dv) likewise reblooms
+    the files it materializes."""
+    t = _bloomed_table(spark, tmp_path / "t")
+    # CoW update moves k=1234 to k=5001234
+    t.update_where("k = 1234", {"k": "5001234"})
+    assert t.read_point("k", 1234).count() == 0
+    assert t.read_point("k", 5001234).count() == 1
+    mf = t._read_manifest(t.latest_version())
+    assert set((mf.blooms or {}).get("k") or {}) >= set(mf.files)
+    # the rewritten file's bloom now matches the new value: probing the
+    # new key keeps few files, not everything
+    kept, total = t.skipped_files_bloom("k", 5001234)
+    assert kept < total
+    # MoR delete + purge: rewritten survivors get fresh blooms
+    t.delete_where_dv(F.col("k") % 2 == 0)
+    v = t.materialize_dv(min_mask_ratio=0.01)
+    assert v is not None
+    mf = t._read_manifest(v)
+    assert set((mf.blooms or {}).get("k") or {}) >= set(mf.files)
+    assert t.read_point("k", 77).count() == 1  # odd key survives
+    assert t.read_point("k", 78).count() == 0  # even key deleted
+
+
+def test_bloom_covers_mor_update_images(spark, tmp_path):
+    """update_where_dv appends image files — they get bloom entries in
+    the same commit, so read_point prunes on the NEW values too."""
+    t = _bloomed_table(spark, tmp_path / "t")
+    t.update_where_dv("k = 42", {"k": "7000042"})
+    mf = t._read_manifest(t.latest_version())
+    assert set((mf.blooms or {}).get("k") or {}) == set(mf.files)
+    assert t.read_point("k", 42).count() == 0
+    assert [r["k"] for r in t.read_point("k", 7000042).collect()] == [
+        7000042
+    ]
+    kept, total = t.skipped_files_bloom("k", 7000042)
+    assert kept < total
+
+
+def test_bloom_survives_merge_cow(spark, tmp_path):
+    t = _bloomed_table(spark, tmp_path / "t", n=1000, files=4)
+    src = spark.createDataFrame(
+        [(500, 999), (9999, 1)], "k long, g long"
+    )
+    t.merge(src, keys=["k"])
+    mf = t._read_manifest(t.latest_version())
+    assert set((mf.blooms or {}).get("k") or {}) >= set(mf.files)
+    assert t.read_point("k", 9999).count() == 1
+    assert [r["g"] for r in t.read_point("k", 500).collect()] == [999]
