@@ -3949,6 +3949,94 @@ def q_update_dv_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdf_update_images",
+    """
+    WITH base AS (
+        SELECT o_orderkey AS k, o_custkey AS c,
+               CAST(o_totalprice AS DOUBLE) AS p
+        FROM orders WHERE o_orderkey % 5 = 0
+    ),
+    v1_pre AS (SELECT * FROM base WHERE k % 25 = 0),
+    src AS (
+        SELECT o_orderkey AS k, o_custkey AS c,
+               CAST(o_totalprice AS DOUBLE) * 1.5 AS p
+        FROM orders
+        WHERE o_orderkey % 5 IN (0, 1) AND o_orderkey % 2 = 1
+    ),
+    feed AS (
+        SELECT 1 AS commit_version, 'update_preimage' AS change_type, p
+        FROM v1_pre
+        UNION ALL
+        SELECT 1, 'update_postimage', p + 1000000 FROM v1_pre
+        UNION ALL
+        SELECT 2, 'update_preimage',
+               b.p + CASE WHEN b.k % 25 = 0 THEN 1000000 ELSE 0 END
+        FROM base b JOIN src s ON b.k = s.k
+        UNION ALL
+        SELECT 2, 'update_postimage', s.p
+        FROM src s JOIN base b ON b.k = s.k
+        UNION ALL
+        SELECT 2, 'insert', s.p FROM src s WHERE s.k % 5 = 1
+    )
+    SELECT CAST(commit_version AS BIGINT) AS commit_version,
+           change_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(p AS DECIMAL(24,4))) AS DOUBLE) AS sum_p
+    FROM feed GROUP BY commit_version, change_type
+    ORDER BY commit_version, change_type
+    """,
+)
+def q_cdf_update_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-9 extension — Delta-parity CDF UPDATE images
+    (table.py::change_feed; VERDICT r8 item 2): a MoR UPDATE
+    (update_where_dv, v1) and a MoR MERGE (merge_dv, v2) surface their
+    changes as ``update_preimage``/``update_postimage`` rows — NOT
+    delete+insert pairs — because the writer records which appended
+    files are postimages in the commit record's ``cdf`` field and the
+    newly-masked positions are the preimages; a merge's source-only
+    keys stay plain ``insert``. The oracle replays the whole feed
+    declaratively from the source table. Downstream CDC consumers key
+    on exactly these four labels (Delta's table_changes contract). Cost
+    per commit is O(changed files): the feed reads the masked files and
+    the appended images, never the table."""
+    base = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("c"),
+        F.col("o_totalprice").cast("double").alias("p"),
+    )
+
+    def build(t):
+        t.overwrite(
+            base.filter(F.col("k") % 5 == 0).repartitionByRange(4, "k")
+        )
+        t.update_where_dv("k % 25 = 0", {"p": "p + 1000000"})
+        t.merge_dv(
+            base.filter(
+                (F.col("k") % 5).isin(0, 1) & (F.col("k") % 2 == 1)
+            ).withColumn("p", F.col("p") * 1.5),
+            keys=["k"],
+        )
+
+    t = _txn_scenario(
+        spark, sf_dir, "txn_cdf_updates", build, final_version=2
+    )
+    return (
+        t.change_feed(0, 2)
+        .groupBy(
+            F.col("_commit_version").cast("long").alias("commit_version"),
+            F.col("_change_type").alias("change_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.col("p").cast("decimal(24,4)"))
+            .cast("double")
+            .alias("sum_p"),
+        )
+        .orderBy("commit_version", "change_type")
+    )
+
+
+@register(
     "incremental_compaction",
     """
     SELECT o_orderstatus,

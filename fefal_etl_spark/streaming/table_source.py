@@ -357,13 +357,16 @@ class _CdfPartition(InputPartition):
 class TxnTableChangesStreamReader(DataSourceStreamReader):
     """Offsets are manifest versions, like the append-only reader — but
     each micro-batch is the CHANGE feed of versions (start, end]: data
-    columns plus ``_change_type`` (insert/delete) and
-    ``_commit_version``. Updates surface as delete+insert pairs
-    (`merge_dv`: the masked old image deletes, the appended new image
-    inserts — in the same commit). Cost is proportional to the CHANGED
-    files: appends ship only added files, DV deletes only the files the
-    new vector entries address; CoW rewrites degenerate to full
-    old(-1)/new(+1), exactly like `table.row_deltas`."""
+    columns plus ``_change_type`` (insert / delete / update_preimage /
+    update_postimage) and ``_commit_version``. DV-backed updates
+    (`update_where_dv` / `merge_dv`) surface Delta-parity UPDATE images
+    (round 9): the commit record's ``cdf.postimage`` list marks which
+    added files are postimages, and the newly-masked rows are the
+    preimages — CDC consumers keyed on pre/post rows work unchanged.
+    Cost is proportional to the CHANGED files: appends ship only added
+    files, DV deletes only the files the new vector entries address;
+    CoW rewrites degenerate to full old(-1)/new(+1), exactly like
+    `table.row_deltas`."""
 
     def __init__(self, options: dict, schema=None):
         self.root = options["path"]
@@ -402,8 +405,14 @@ class TxnTableChangesStreamReader(DataSourceStreamReader):
 
         prev_state = _snapshot(self.root, first - 1) if first > 0 else None
         for v in range(first, v1 + 1):
-            cur_mf = _apply_record(prev_state, _record(self.root, v))
+            rec = _record(self.root, v)
+            cur_mf = _apply_record(prev_state, rec)
             prev_mf = prev_state or {"files": [], "dv_files": []}
+            # CDF update images (round 9, Delta parity): a DV-backed
+            # UPDATE/MERGE commit recorded which added files are UPDATE
+            # postimages; its newly-masked rows are the preimages
+            post = set((rec.get("cdf") or {}).get("postimage") or [])
+            is_upd = rec.get("op") in ("update-dv", "merge-dv")
             prev = set(prev_mf["files"])
             cur = set(cur_mf["files"])
             dv_new = [
@@ -426,7 +435,12 @@ class TxnTableChangesStreamReader(DataSourceStreamReader):
 
             for rel in cur_mf["files"]:
                 if rel not in prev:
-                    out.append(part("insert", rel))
+                    out.append(
+                        part(
+                            "update_postimage" if rel in post else "insert",
+                            rel,
+                        )
+                    )
             for rel in prev_mf["files"]:
                 if rel not in cur:
                     out.append(part("delete_removed", rel))
@@ -450,7 +464,12 @@ class TxnTableChangesStreamReader(DataSourceStreamReader):
                         .to_pylist()
                     )
                 for rel in sorted(touched & (prev & cur)):
-                    out.append(part("delete_masked", rel))
+                    out.append(
+                        part(
+                            "update_preimage" if is_upd else "delete_masked",
+                            rel,
+                        )
+                    )
                     out.append(part("insert_unmasked", rel))
             prev_state = cur_mf
         return out
@@ -470,9 +489,9 @@ class TxnTableChangesStreamReader(DataSourceStreamReader):
                 )
             return pos
 
-        if partition.kind == "insert":
+        if partition.kind in ("insert", "update_postimage"):
             keep_if_in, mask = False, positions(partition.dv_new)
-            change = "insert"
+            change = partition.kind
         elif partition.kind == "delete_removed":
             keep_if_in, mask = False, positions(partition.dv_old)
             change = "delete"
@@ -482,10 +501,14 @@ class TxnTableChangesStreamReader(DataSourceStreamReader):
             keep_if_in = True
             mask = positions(partition.dv_old) - positions(partition.dv_new)
             change = "insert"
-        else:  # delete_masked: newly-masked positions only
+        else:  # delete_masked / update_preimage: newly-masked positions
             keep_if_in = True
             mask = positions(partition.dv_new) - positions(partition.dv_old)
-            change = "delete"
+            change = (
+                "update_preimage"
+                if partition.kind == "update_preimage"
+                else "delete"
+            )
 
         offset = 0
         for batch in pq.ParquetFile(partition.path).iter_batches():

@@ -1353,6 +1353,7 @@ class TransactionalTable:
         blooms: dict[str, dict] | None = None,
         generated: dict[str, str] | None = None,
         column_op: list | None = None,
+        cdf: dict | None = None,
     ) -> int | None:
         """CAS loop over the version counter. ``rebase_ok`` ops (append)
         retry transparently when they lose the race;
@@ -1423,6 +1424,12 @@ class TransactionalTable:
                 "add": add,
                 "remove": remove,
             }
+            if cdf:
+                # per-RECORD change-feed metadata (round 9 — Delta CDF
+                # parity): e.g. which added files are UPDATE postimages
+                # vs plain inserts. Replay ignores it (it is not state);
+                # change_feed / the CDF stream read it per commit.
+                manifest["cdf"] = cdf
             # replay order = retained-in-parent-order + adds; when the
             # op's order differs (restore interleaving re-added files
             # with retained ones) pin it explicitly — restore is a
@@ -2438,6 +2445,9 @@ class TransactionalTable:
             # image files are tiny by the MoR premise — bloom them so
             # read_point keeps pruning on the updated values too
             blooms=self._auto_blooms(mf, files),
+            # CDF parity (round 9): every added file is an UPDATE
+            # postimage; the newly-masked positions are the preimages
+            cdf={"postimage": files},
         )
 
     def materialize_dv(self, min_mask_ratio: float = 0.05) -> int | None:
@@ -2788,27 +2798,50 @@ class TransactionalTable:
         # source keys join twice (mask + image legs); no broadcast hint —
         # a merge source can be TBs, AQE demotes/promotes per actual size
         src_keys = source.select(*keys).distinct()
-        hit = (
+        # the hit leg carries the matched KEYS alongside (file, pos):
+        # one persisted pass feeds the sidecar, the CDF postimage/insert
+        # split below, and it is small by the merge-on-read premise
+        hit_rows = (
             tgt.join(src_keys, on=keys, how="left_semi")
             .select(
                 F.col("__dv_file").alias("file"),
                 F.col("__dv_pos").alias("pos"),
+                *keys,
             )
-            .coalesce(1)  # small by the merge-on-read premise
+            .persist()
         )
-        dv_new = self.stage_files(hit)
-        matched_tgt = (
-            tgt.drop("__dv_file", "__dv_pos")
-            .join(src_keys, on=keys, how="left_semi")
-        )
-        # merge_into over ONLY the matched target slice: updated images
-        # for matched keys + pure inserts for source-only keys — exactly
-        # the rows that must be appended
-        images = merge_into(
-            matched_tgt, source, keys, update_cols=update_cols
-        )
-        sch = self._enforce(images)
-        files = self.stage_files(images)
+        try:
+            dv_new = self.stage_files(
+                hit_rows.select("file", "pos").coalesce(1)
+            )
+            matched_keys = hit_rows.select(*keys).distinct()
+            matched_tgt = (
+                tgt.drop("__dv_file", "__dv_pos")
+                .join(src_keys, on=keys, how="left_semi")
+            )
+            # merge_into over ONLY the matched target slice: updated
+            # images for matched keys + pure inserts for source-only
+            # keys — exactly the rows that must be appended. Staged in
+            # TWO groups (round 9, Delta CDF parity): updated images of
+            # MATCHED keys are recorded as UPDATE postimages, source-only
+            # inserts stay plain inserts; `images` is persisted so the
+            # split costs two in-memory passes, not two target scans.
+            images = merge_into(
+                matched_tgt, source, keys, update_cols=update_cols
+            ).persist()
+            try:
+                sch = self._enforce(images)
+                upd_files = self.stage_files(
+                    images.join(matched_keys, on=keys, how="left_semi")
+                )
+                ins_files = self.stage_files(
+                    images.join(matched_keys, on=keys, how="left_anti")
+                )
+            finally:
+                images.unpersist()
+        finally:
+            hit_rows.unpersist()
+        files = upd_files + ins_files
         stats = self._file_stats(files)
         blooms = self._auto_blooms(mf, files)
         key_pred: str | None | bool = False  # False = not yet computed
@@ -2824,6 +2857,7 @@ class TransactionalTable:
                     dv_files=dv_new,
                     schema=sch,
                     blooms=blooms,
+                    cdf={"postimage": upd_files},
                 )
             except CommitConflict:
                 latest = self.latest_version()
@@ -3032,6 +3066,153 @@ class TransactionalTable:
             # no file-level change: empty delta with the right schema
             out = self.read(v_to).withColumn("__delta", F.lit(1)).filter(
                 F.lit(False)
+            )
+        return out
+
+    def change_feed(self, v_from: int, v_to: int) -> DataFrame:
+        """Delta ``table_changes`` parity (round 9 — VERDICT r8 item 2):
+        per-commit change rows for versions (``v_from``, ``v_to``] —
+        data columns plus ``_change_type`` ∈ {insert, delete,
+        update_preimage, update_postimage} and ``_commit_version``.
+
+        DV-backed updates (:meth:`update_where_dv` / :meth:`merge_dv`)
+        distinguish their images the way Delta's CDF does: the
+        newly-masked old rows surface as ``update_preimage`` and the
+        appended images recorded in the commit's ``cdf.postimage`` list
+        as ``update_postimage`` (a merge's source-only inserts stay
+        plain ``insert`` — the writer recorded the split at commit
+        time, so the feed never needs keys to reconstruct it).
+        Everything else keeps :meth:`row_deltas` semantics: appends
+        ship added files, DV deletes only newly-masked positions, a
+        CoW rewrite degenerates to full delete+insert. Cost per commit
+        is proportional to its CHANGED files. Downstream CDC consumers
+        replay the feed per version: apply deletes/preimages, then
+        inserts/postimages — pinned to reconstruct the snapshot in
+        tests."""
+        from pyspark.sql import functions as F
+
+        out: DataFrame | None = None
+
+        def acc(df: DataFrame, change: str, v: int) -> None:
+            nonlocal out
+            part = df.withColumn(
+                "_change_type", F.lit(change)
+            ).withColumn("_commit_version", F.lit(v))
+            out = (
+                part
+                if out is None
+                else out.unionByName(part, allowMissingColumns=True)
+            )
+
+        mf_prev = self._read_manifest(v_from) if v_from >= 0 else None
+        for v in range(max(v_from, -1) + 1, v_to + 1):
+            mf_cur = self._read_manifest(v)
+            rec = _load_record(self.root, v, self.backend)
+            post = set((rec.get("cdf") or {}).get("postimage") or [])
+            is_upd = rec.get("op") in ("update-dv", "merge-dv")
+            prev_files = set(mf_prev.files) if mf_prev else set()
+            cur_files = set(mf_cur.files)
+            added = [f for f in mf_cur.files if f not in prev_files]
+            removed = (
+                [f for f in mf_prev.files if f not in cur_files]
+                if mf_prev
+                else []
+            )
+            add_plain = [f for f in added if f not in post]
+            add_post = [f for f in added if f in post]
+            if add_plain:
+                acc(
+                    self._read_files(
+                        add_plain,
+                        dv_files=mf_cur.dv_files,
+                        column_ops=mf_cur.column_ops,
+                    ),
+                    "insert",
+                    v,
+                )
+            if add_post:
+                acc(
+                    self._read_files(
+                        add_post,
+                        dv_files=mf_cur.dv_files,
+                        column_ops=mf_cur.column_ops,
+                    ),
+                    "update_postimage",
+                    v,
+                )
+            if removed:
+                acc(
+                    self._read_files(
+                        removed,
+                        dv_files=mf_prev.dv_files,
+                        column_ops=mf_prev.column_ops,
+                    ),
+                    "delete",
+                    v,
+                )
+            # DV delta on retained files, both directions (newly masked
+            # = deletes/preimages; newly UN-masked = re-inserts, the
+            # restore() case) — same pruned shape as row_deltas
+            retained = prev_files & cur_files
+            dvs_prev = (mf_prev.dv_files if mf_prev else None) or []
+            dvs_cur = mf_cur.dv_files or []
+            if retained and (dvs_prev or dvs_cur):
+                def dv_frame(paths):
+                    if not paths:
+                        return None
+                    return self.spark.read.parquet(
+                        *[os.path.join(self.root, f) for f in paths]
+                    )
+
+                dv_a, dv_b = dv_frame(dvs_prev), dv_frame(dvs_cur)
+
+                def masked_rows(delta_positions, change, ops):
+                    mask_files = [
+                        r["file"]
+                        for r in delta_positions.select("file")
+                        .distinct()
+                        .collect()
+                        if r["file"] in retained
+                    ]
+                    if not mask_files:
+                        return
+                    rows = (
+                        self._read_files(
+                            mask_files, with_pos=True, column_ops=ops
+                        )
+                        .join(
+                            F.broadcast(
+                                delta_positions.select(
+                                    F.col("file").alias("__dv_file"),
+                                    F.col("pos").alias("__dv_pos"),
+                                )
+                            ),
+                            ["__dv_file", "__dv_pos"],
+                            "left_semi",
+                        )
+                        .drop("__dv_file", "__dv_pos")
+                    )
+                    acc(rows, change, v)
+
+                if dv_b is not None:
+                    masked_rows(
+                        dv_b.exceptAll(dv_a) if dv_a is not None else dv_b,
+                        "update_preimage" if is_upd else "delete",
+                        mf_cur.column_ops,
+                    )
+                if dv_a is not None:
+                    masked_rows(
+                        dv_a.exceptAll(dv_b) if dv_b is not None else dv_a,
+                        "insert",
+                        mf_cur.column_ops,
+                    )
+            mf_prev = mf_cur
+        if out is None:
+            out = (
+                self.read(v_to)
+                .withColumn("_change_type", F.lit(""))
+                .withColumn("_commit_version", F.lit(0))
+                .filter(F.lit(False))
             )
         return out
 

@@ -1351,9 +1351,10 @@ def test_txn_table_schema_enforcement_and_constraints(spark, tmp_path):
 
 @_posix_log
 def test_txn_table_changes_stream_cdf(spark, tmp_path):
-    """The CDF stream: per-commit insert/delete rows with versions —
-    appends ship added files, DV deletes ship only newly-masked rows,
-    merge_dv surfaces as delete+insert in one commit, the net replay of
+    """The CDF stream: per-commit change rows with versions — appends
+    ship added files, DV deletes ship only newly-masked rows, merge_dv
+    surfaces Delta-parity update_preimage/update_postimage images plus
+    plain inserts for source-only keys (round 9), the net replay of
     the feed equals the snapshot, and a restart ships only new commits."""
     from fefal_etl_spark.streaming.table_source import (
         TxnTableChangesDataSource,
@@ -1395,14 +1396,18 @@ def test_txn_table_changes_stream_cdf(spark, tmp_path):
         (0, "insert"): 10,
         (1, "insert"): 5,
         (2, "delete"): 3,  # k in {0, 5, 10} newly masked
-        (3, "delete"): 1,  # merge_dv masks old k=7
-        (3, "insert"): 2,  # ... and appends images for 7 and 99
+        (3, "update_preimage"): 1,  # merge_dv masks old k=7
+        (3, "update_postimage"): 1,  # ... appends k=7's new image
+        (3, "insert"): 1,  # ... and inserts source-only k=99
     }
     # net replay (+1/-1 per key) reconstructs the live snapshot
     sig = (
         r.select(
             "k",
-            F.when(F.col("_change_type") == "insert", 1)
+            F.when(
+                F.col("_change_type").isin("insert", "update_postimage"),
+                1,
+            )
             .otherwise(-1)
             .alias("d"),
         )
