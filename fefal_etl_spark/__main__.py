@@ -106,6 +106,23 @@ def main(argv: list[str] | None = None) -> int:
     pl.add_argument("--out", required=True)
     pl.add_argument("--year", type=int)
 
+    sq = sub.add_parser(
+        "sql",
+        help="execute one ANSI UPDATE/DELETE/MERGE/SELECT statement "
+        "against transactional tables (sql_dml.execute_sql)",
+    )
+    sq.add_argument("statement")
+    sq.add_argument(
+        "--table", action="append", default=[], metavar="NAME=ROOT",
+        help="bind a statement table name to a table root (repeatable)",
+    )
+    sq.add_argument(
+        "--mor", action="store_true",
+        help="route UPDATE/DELETE/MERGE through the deletion-vector "
+        "(merge-on-read) verbs",
+    )
+    sq.add_argument("--limit", type=int, default=20)
+
     tb = sub.add_parser(
         "table",
         help="transactional-table maintenance (the scheduler-invocable "
@@ -200,6 +217,22 @@ def main(argv: list[str] | None = None) -> int:
             }
             result.frame.unpersist()
             print(json.dumps({"out": args.out, "status_counts": counts}))
+        elif args.cmd == "sql":
+            from pyspark.sql import DataFrame
+
+            from fefal_etl_spark.sql_dml import execute_sql
+
+            bad = [p for p in args.table if "=" not in p]
+            if bad:
+                raise SystemExit(f"--table expects NAME=ROOT, got: {bad}")
+            binds = dict(p.split("=", 1) for p in args.table)
+            out = execute_sql(
+                spark, args.statement, tables=binds, mor=args.mor
+            )
+            if isinstance(out, DataFrame):
+                out.show(args.limit, truncate=False)
+            else:
+                print(json.dumps({"version": out}))
         elif args.cmd == "table":
             from fefal_etl_spark.table import TransactionalTable
 

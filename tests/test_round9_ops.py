@@ -343,3 +343,111 @@ def test_changes_stream_update_images(spark, tmp_path):
         for x in r.filter("_commit_version = 1").collect()
     }
     assert v1 == {(7, "update_preimage"), (700, "update_postimage")}
+
+
+# ----------------------------------------------------------------------
+# VERDICT r8 item 4: SQL-text DML dispatcher
+# ----------------------------------------------------------------------
+
+
+def test_execute_sql_update_delete_merge(spark, tmp_path):
+    """execute_sql maps ANSI UPDATE/DELETE/MERGE/SELECT text onto the
+    table verbs; WHERE text reaches the verbs' pruned discovery; the
+    unsupported surface raises SqlDmlError instead of mis-executing."""
+    from fefal_etl_spark.sql_dml import SqlDmlError, execute_sql
+    from fefal_etl_spark.table import TransactionalTable
+
+    t = TransactionalTable(spark, str(tmp_path / "t"))
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+            "k int, s string, v double",
+        ).repartition(2)
+    )
+    v = execute_sql(
+        spark, "UPDATE t SET v = v * 2, s = upper(s) WHERE k <= 2",
+        {"t": t},
+    )
+    assert v == 1
+    assert sorted((r["k"], r["s"], r["v"]) for r in t.read().collect()) == [
+        (1, "A", 20.0), (2, "B", 40.0), (3, "c", 30.0)
+    ]
+    # string literal containing WHERE/commas must not confuse the parser
+    execute_sql(
+        spark,
+        "UPDATE t SET s = 'x, WHERE = ''y''' WHERE k = 3",
+        {"t": t},
+    )
+    assert [
+        r["s"] for r in t.read().filter("k = 3").collect()
+    ] == ["x, WHERE = 'y'"]
+    execute_sql(spark, "DELETE FROM t WHERE k = 2", {"t": t})
+    assert sorted(r["k"] for r in t.read().collect()) == [1, 3]
+    src = spark.createDataFrame(
+        [(3, "cc", 333.0), (9, "z", 99.0)], "k int, s string, v double"
+    )
+    execute_sql(
+        spark,
+        "MERGE INTO t USING s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET v = s.v "
+        "WHEN NOT MATCHED THEN INSERT *",
+        {"t": t, "s": src},
+    )
+    got = sorted((r["k"], r["s"], r["v"]) for r in t.read().collect())
+    # update_cols=[v]: matched row keeps its own s, takes source v
+    assert got == [(1, "A", 20.0), (3, "x, WHERE = 'y'", 333.0), (9, "z", 99.0)]
+    # SELECT returns a DataFrame over the registered views
+    n = execute_sql(
+        spark, "SELECT count(*) AS n FROM t WHERE v > 50", {"t": t}
+    ).collect()[0]["n"]
+    assert n == 2
+    # MoR routing: DELETE via deletion vectors, no data-file rewrite
+    before = set(t._read_manifest(t.latest_version()).files)
+    execute_sql(spark, "DELETE FROM t WHERE k = 9", {"t": t}, mor=True)
+    mf = t._read_manifest(t.latest_version())
+    assert before <= set(mf.files) and mf.dv_files
+    assert sorted(r["k"] for r in t.read().collect()) == [1, 3]
+    # loud rejections, nothing committed
+    vbase = t.latest_version()
+    for bad in (
+        "DROP TABLE t",
+        "MERGE INTO t USING s ON t.k < s.k WHEN MATCHED THEN UPDATE "
+        "SET * WHEN NOT MATCHED THEN INSERT *",
+        "MERGE INTO t USING s ON t.k = s.k WHEN MATCHED THEN DELETE",
+        "UPDATE nope SET v = 1",
+    ):
+        with pytest.raises(SqlDmlError):
+            execute_sql(spark, bad, {"t": t, "s": src})
+    assert t.latest_version() == vbase
+
+
+@_posix_log
+def test_cli_sql_statement(spark, tmp_path):
+    """The CLI `sql` subcommand binds NAME=ROOT tables and executes the
+    statement (scheduler-invocable, like the maintenance verbs). Runs
+    in a subprocess: the CLI owns and STOPS its SparkSession, so it
+    must not share the test fixture's."""
+    import subprocess
+    import sys
+
+    from fefal_etl_spark.table import TransactionalTable
+
+    root = str(tmp_path / "t")
+    t = TransactionalTable(spark, root)
+    t.overwrite(
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "k int, v double")
+    )
+    proc = subprocess.run(
+        [
+            sys.executable, "-m", "fefal_etl_spark", "sql",
+            "UPDATE t SET v = 99 WHERE k = 1", "--table", f"t={root}",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert '"version": 1' in proc.stdout
+    assert sorted((r["k"], r["v"]) for r in t.read().collect()) == [
+        (1, 99.0), (2, 20.0)
+    ]
