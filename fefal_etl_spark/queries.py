@@ -4128,6 +4128,66 @@ def q_sql_dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "partition_evolution_scan",
+    """
+    SELECT o_orderpriority AS priority,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(24,4))) AS DOUBLE)
+               AS revenue,
+           TRUE AS mixed_ok
+    FROM orders
+    WHERE o_orderkey % 3 IN (0, 1) AND o_orderstatus = 'F'
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q_partition_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-9 extension — Iceberg-style PARTITION EVOLUTION
+    (table.py::set_partition_spec; VERDICT r8 item 6): the table is
+    first laid out by o_orderstatus alone, the spec then evolves to
+    (o_orderstatus, o_orderpriority), and a second batch appends under
+    the NEW spec — no rewrite of the old files. The query reads the
+    MIXED-spec table through manifest partition pruning on the
+    original spec column (both file generations prune on it; old-gen
+    files are conservatively kept when probed on the new column).
+    ``mixed_ok`` pins that both layouts are really present in the
+    manifest. At 100 TB this is the first wall a long-lived table hits
+    when its query pattern shifts — evolution here is a metadata
+    commit, and OPTIMIZE migrates lazily."""
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+
+    def build(t):
+        t.overwrite(
+            base.filter(F.col("o_orderkey") % 3 == 0),
+            partition_by=["o_orderstatus"],
+        )
+        t.set_partition_spec(["o_orderstatus", "o_orderpriority"])
+        t.append(base.filter(F.col("o_orderkey") % 3 == 1))
+
+    t = _txn_scenario(
+        spark, sf_dir, "txn_part_evo", build, final_version=2
+    )
+    mf = t._read_manifest(t.latest_version())
+    parts = mf.partitions or {}
+    mixed = any(
+        "o_orderpriority" not in pv for pv in parts.values()
+    ) and any("o_orderpriority" in pv for pv in parts.values())
+    return (
+        t.read_partition(o_orderstatus="F")
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(24,4)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .withColumn("mixed_ok", F.lit(mixed))
+        .orderBy("priority")
+    )
+
+
+@register(
     "incremental_compaction",
     """
     SELECT o_orderstatus,

@@ -381,10 +381,16 @@ def _publish_staged(
         # ...) names exactly the table's partition columns;
         # mode("overwrite") redefines the layout wholesale, which is
         # well-defined — allowed.
-        table_pcols = sorted(
-            {c for pv in (mf.partitions or {}).values() for c in pv}
+        # a DECLARED spec (round-9 partition evolution) is the layout
+        # contract for new data; legacy tables infer from the file map
+        table_pcols = (
+            sorted(mf.partition_spec)
+            if mf.partition_spec is not None
+            else sorted(
+                {c for pv in (mf.partitions or {}).values() for c in pv}
+            )
         )
-        if not overwrite and mf.files:
+        if not overwrite and (mf.files or mf.partition_spec is not None):
             if sorted(pcols or []) != table_pcols:
                 raise ValueError(
                     "txn_table sink: table partition layout is "

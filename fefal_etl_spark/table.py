@@ -199,11 +199,12 @@ def _apply_record(state: dict | None, rec: dict) -> dict:
             },
             "generated": dict(rec.get("generated") or {}),
             "column_ops": list(rec.get("column_ops") or []),
+            "partition_spec": rec.get("partition_spec"),
         }
     prev = state or {
         "files": [], "stats": {}, "partitions": {}, "dv_files": [],
         "txns": {}, "schema": {}, "constraints": [], "blooms": {},
-        "generated": {}, "column_ops": [],
+        "generated": {}, "column_ops": [], "partition_spec": None,
     }
     removed = set(rec.get("remove") or [])
     add = list(rec.get("add") or [])
@@ -257,6 +258,12 @@ def _apply_record(state: dict | None, rec: dict) -> dict:
         "blooms": blooms,
         "generated": generated,
         "column_ops": column_ops,
+        # the spec carries forward; a record declaring one replaces it
+        "partition_spec": (
+            rec["partition_spec"]
+            if rec.get("partition_spec") is not None
+            else prev.get("partition_spec")
+        ),
     }
 
 
@@ -476,6 +483,13 @@ class _Manifest:
     # dropped are RETIRED (cannot be re-added) so the read-side mapping
     # stays unambiguous without per-file column ids
     column_ops: list | None = None
+    # the DECLARED current partition spec (round 9 — Iceberg partition
+    # evolution): the hive columns NEW data is laid out by. None =
+    # never declared (legacy tables: layout inferred from the file
+    # partition map, exactly the pre-r9 behavior). Old files keep
+    # their own recorded spec in `partitions` and stay readable;
+    # per-file pruning applies each file's own values.
+    partition_spec: list[str] | None = None
 
 
 class TransactionalTable:
@@ -547,11 +561,16 @@ class TransactionalTable:
 
     @staticmethod
     def _pcols(mf: _Manifest) -> list[str]:
-        """The snapshot's hive partition columns (union over the
-        manifest partition map) — CoW rewrites re-stage with them so a
-        rewrite never demotes partitioned files to layout-less ones
-        (which a later overwrite_partition would conservatively treat
-        as in-target)."""
+        """The snapshot's CURRENT hive partition columns: the DECLARED
+        spec when the table evolved one (round 9 —
+        :meth:`set_partition_spec`; rewrites then lazily MIGRATE old
+        files to the new layout, Iceberg's rewrite-data-files path),
+        else the legacy inference (union over the file partition map).
+        CoW rewrites re-stage with them so a rewrite never demotes
+        partitioned files to layout-less ones (which a later
+        overwrite_partition would conservatively treat as in-target)."""
+        if mf.partition_spec is not None:
+            return list(mf.partition_spec)
         return sorted(
             {c for pv in (mf.partitions or {}).values() for c in pv}
         )
@@ -573,6 +592,7 @@ class TransactionalTable:
             blooms=state.get("blooms") or None,
             generated=state.get("generated") or None,
             column_ops=state.get("column_ops") or None,
+            partition_spec=state.get("partition_spec"),
         )
 
     def _resolve_state(self, version: int) -> dict:
@@ -1354,6 +1374,7 @@ class TransactionalTable:
         generated: dict[str, str] | None = None,
         column_op: list | None = None,
         cdf: dict | None = None,
+        partition_spec: list[str] | None = None,
     ) -> int | None:
         """CAS loop over the version counter. ``rebase_ok`` ops (append)
         retry transparently when they lose the race;
@@ -1430,6 +1451,10 @@ class TransactionalTable:
                 # vs plain inserts. Replay ignores it (it is not state);
                 # change_feed / the CDF stream read it per commit.
                 manifest["cdf"] = cdf
+            if partition_spec is not None:
+                # partition evolution (round 9): declare the spec NEW
+                # data is laid out by; replay carries it forward
+                manifest["partition_spec"] = partition_spec
             # replay order = retained-in-parent-order + adds; when the
             # op's order differs (restore interleaving re-added files
             # with retained ones) pin it explicitly — restore is a
@@ -1612,6 +1637,13 @@ class TransactionalTable:
                     "blooms": state_blooms,
                     "generated": all_generated,
                     "column_ops": all_column_ops,
+                    # the declared spec carries forward (round 9) —
+                    # cache and replay must agree, like stats above
+                    "partition_spec": (
+                        partition_spec
+                        if partition_spec is not None
+                        else (parent.partition_spec if parent else None)
+                    ),
                 }
                 self._cache_state(version, state)
                 if (
@@ -1671,13 +1703,99 @@ class TransactionalTable:
             df, partition_by, generated
         )
         base = self.latest_version()
+        # a wholesale overwrite REDEFINES a previously-declared spec
+        # (round 9): the new layout becomes the contract for later
+        # appends, instead of a stale declaration resurrecting the old
+        # layout one append at a time. Never-declared tables record
+        # nothing (pre-r9 behavior).
+        spec = None
+        if base is not None and (
+            self._read_manifest(base).partition_spec is not None
+        ):
+            spec = list(partition_by or [])
         sch = self._enforce(df)
         files = self.stage_files(df, partition_by=partition_by)
         return self._commit(
             files, "overwrite", base, rebase_ok=False,
             stats=self._file_stats(files), schema=sch,
-            generated=generated,
+            generated=generated, partition_spec=spec,
         )
+
+    def set_partition_spec(self, cols: list[str]) -> int:
+        """PARTITION EVOLUTION (round 9 — Iceberg spec evolution): a
+        metadata-only commit declaring the hive columns NEW data is
+        laid out by. Existing files are untouched and stay readable
+        under their own recorded spec (partition values are per-FILE
+        in the manifest, so pruning applies each file's own values —
+        files lacking a probed column are conservatively kept and the
+        residual row filter preserves correctness). From this commit
+        on: ``append`` without an explicit layout defaults to the new
+        spec, the sink DataSources validate ``partitionBy`` against it
+        instead of the legacy whole-table inference, and the
+        maintenance rewrites (compact / zorder / CoW merge) re-stage
+        their files under it — OPTIMIZE is the lazy migration path, so
+        a long-lived 100 TB table converges to the new layout at
+        normal maintenance cost instead of an O(table) one-shot
+        rewrite. Predicate rewrites (UPDATE/DELETE) keep each hit
+        file's own spec — an update should not silently migrate
+        layouts.
+        ``cols=[]`` evolves to unpartitioned. Columns must exist in
+        the recorded schema; generated (hidden) partition columns keep
+        their transform."""
+        base = self.latest_version()
+        if base is None:
+            raise FileNotFoundError(f"no committed version in {self.root}")
+        mf = self._read_manifest(base)
+        known = set(mf.schema or {})
+        missing = sorted(c for c in cols if c not in known)
+        if missing:
+            raise ValueError(
+                f"set_partition_spec: column(s) {missing} not in the "
+                f"recorded schema of {self.root}"
+            )
+        v = self._commit(
+            mf.files,
+            "set-partition-spec",
+            base,
+            rebase_ok=False,
+            stats=mf.stats,
+            dv_files=mf.dv_files,
+            partition_spec=list(cols),
+        )
+        assert v is not None
+        return v
+
+    def current_partition_spec(self) -> list[str]:
+        """The columns NEW data is laid out by: the declared spec, or
+        the legacy per-file inference for never-evolved tables."""
+        v = self.latest_version()
+        if v is None:
+            return []
+        return self._pcols(self._read_manifest(v))
+
+    def _default_layout(
+        self, partition_by: list[str] | None
+    ) -> list[str] | None:
+        """Resolve an append's layout against the DECLARED spec: None
+        defaults to the spec (new data lands under the evolved
+        layout); an explicit mismatch raises — silently accepting it
+        would undo the evolution one append at a time. Tables that
+        never declared a spec keep the pre-r9 behavior exactly."""
+        base = self.latest_version()
+        if base is None:
+            return partition_by
+        spec = self._read_manifest(base).partition_spec
+        if spec is None:
+            return partition_by
+        if partition_by is None:
+            return list(spec) or None
+        if sorted(partition_by) != sorted(spec):
+            raise ValueError(
+                f"append: table partition spec is {spec} but the write "
+                f"declares partition_by={partition_by} — evolve the "
+                "spec first (set_partition_spec)"
+            )
+        return partition_by
 
     def append(
         self,
@@ -1688,10 +1806,13 @@ class TransactionalTable:
         """Add rows; order-independent, so losing a commit race rebases
         and retries instead of failing. On a transform-partitioned
         table the recorded generated columns are derived automatically
-        (hidden partitioning — ingest never hand-computes them)."""
+        (hidden partitioning — ingest never hand-computes them). On a
+        spec-evolved table (round 9) the layout defaults to the
+        declared spec."""
         df, partition_by, generated = self._apply_generated(
             df, partition_by, generated
         )
+        partition_by = self._default_layout(partition_by)
         base = self.latest_version()
         sch = self._enforce(df)
         files = self.stage_files(df, partition_by=partition_by)
@@ -1715,6 +1836,7 @@ class TransactionalTable:
         micro-batch cannot double-append. NOTE the check runs inside the
         commit CAS loop, so an interleaved replica's commit of the same
         txn is caught on the rebase re-read."""
+        partition_by = self._default_layout(partition_by)
         base = self.latest_version()
         # cheap pre-check saves staging work on the common replay path
         if base is not None:

@@ -451,3 +451,111 @@ def test_cli_sql_statement(spark, tmp_path):
     assert sorted((r["k"], r["v"]) for r in t.read().collect()) == [
         (1, 99.0), (2, 20.0)
     ]
+
+
+# ----------------------------------------------------------------------
+# VERDICT r8 item 6: partition evolution (Iceberg spec evolution)
+# ----------------------------------------------------------------------
+
+
+def _evo_df(spark, lo, hi):
+    return spark.createDataFrame(
+        [(i, f"r{i % 2}", f"d{i % 3}", float(i)) for i in range(lo, hi)],
+        "k int, region string, day string, v double",
+    )
+
+
+def test_partition_evolution_mixed_spec(spark, tmp_path):
+    """set_partition_spec: old files stay readable under their own
+    recorded spec, new appends land under the new one, pruning applies
+    per-file values on BOTH specs, and an explicit layout mismatch
+    raises instead of quietly undoing the evolution."""
+    from fefal_etl_spark.table import TransactionalTable
+
+    t = TransactionalTable(spark, str(tmp_path / "t"))
+    t.overwrite(_evo_df(spark, 0, 30), partition_by=["day"])  # day spec
+    assert t.current_partition_spec() == ["day"]
+    t.set_partition_spec(["day", "region"])
+    assert t.current_partition_spec() == ["day", "region"]
+    t.append(_evo_df(spark, 100, 106))  # defaults to the NEW spec
+    mf = t._read_manifest(t.latest_version())
+    new_spec = [f for f in mf.files if "region=" in f]
+    old_spec = [f for f in mf.files if "region=" not in f]
+    assert new_spec and old_spec  # genuinely mixed
+    # mixed-spec read: all rows, correct values from both layouts
+    assert t.read().count() == 36
+    assert {r["k"] for r in t.read_partition(day="d1").collect()} == {
+        i for i in range(30) if i % 3 == 1
+    } | {i for i in range(100, 106) if i % 3 == 1}
+    # pruning on the OLD spec column prunes both file generations
+    kept, total = t.pruned_partition_files(day="d1")
+    assert kept < total
+    # pruning on the NEW spec column prunes new-gen files; old-gen
+    # files lack the value and are conservatively kept
+    kept_new, _ = t.pruned_partition_files(region="r0")
+    assert kept_new == len(old_spec) + sum(
+        1 for f in new_spec if "region=r0" in f
+    )
+    assert {r["k"] for r in t.read_partition(region="r0").collect()} == {
+        i for i in range(30) if i % 2 == 0
+    } | {i for i in range(100, 106) if i % 2 == 0}
+    # an explicit mismatching layout raises
+    with pytest.raises(ValueError, match="partition spec"):
+        t.append(_evo_df(spark, 200, 201), partition_by=["day"])
+    # OPTIMIZE is the lazy migration: everything converges to the
+    # new spec; partition pruning on region now prunes for real
+    t.compact(target_file_mb=1)
+    mf = t._read_manifest(t.latest_version())
+    assert all("region=" in f and "day=" in f for f in mf.files)
+    assert t.read().count() == 36
+    kept, total = t.pruned_partition_files(region="r1")
+    assert kept < total
+    # a fresh handle resolves the spec from the log (replay parity)
+    t2 = TransactionalTable(spark, str(tmp_path / "t"))
+    assert t2.current_partition_spec() == ["day", "region"]
+
+
+def test_partition_evolution_to_unpartitioned_and_overwrite(spark, tmp_path):
+    from fefal_etl_spark.table import TransactionalTable
+
+    t = TransactionalTable(spark, str(tmp_path / "t"))
+    t.overwrite(_evo_df(spark, 0, 12), partition_by=["day"])
+    t.set_partition_spec([])  # evolve to unpartitioned
+    t.append(_evo_df(spark, 100, 103))
+    mf = t._read_manifest(t.latest_version())
+    assert any("day=" not in f for f in mf.files)  # new files layout-less
+    assert t.read().count() == 15
+    # a wholesale overwrite REDEFINES a declared spec
+    t.overwrite(_evo_df(spark, 0, 6), partition_by=["region"])
+    assert t.current_partition_spec() == ["region"]
+    t.append(_evo_df(spark, 50, 53))
+    mf = t._read_manifest(t.latest_version())
+    assert all("region=" in f for f in mf.files)
+    # unknown columns rejected
+    with pytest.raises(ValueError, match="not in the recorded schema"):
+        t.set_partition_spec(["nope"])
+
+
+@_posix_log
+def test_sink_validates_against_declared_spec(txn_format, tmp_path):
+    """After evolution the sink's layout check compares against the
+    DECLARED spec, not the legacy whole-file-map inference — streaming
+    appends under the new layout are accepted while the table still
+    holds old-spec files."""
+    from fefal_etl_spark.table import TransactionalTable
+
+    spark = txn_format
+    root = str(tmp_path / "t")
+    t = TransactionalTable(spark, root)
+    t.overwrite(_evo_df(spark, 0, 12), partition_by=["day"])
+    t.set_partition_spec(["day", "region"])
+    # old layout now rejected...
+    with pytest.raises(Exception, match="partition layout"):
+        _evo_df(spark, 100, 103).coalesce(1).write.format(
+            "txn_table"
+        ).mode("append").option("partitionBy", "day").save(root)
+    # ...new layout accepted even though old-spec files dominate
+    _evo_df(spark, 100, 103).coalesce(1).write.format("txn_table").mode(
+        "append"
+    ).option("partitionBy", "day,region").save(root)
+    assert t.read().count() == 15
