@@ -559,3 +559,136 @@ def test_sink_validates_against_declared_spec(txn_format, tmp_path):
         "append"
     ).option("partitionBy", "day,region").save(root)
     assert t.read().count() == 15
+
+
+# ----------------------------------------------------------------------
+# VERDICT r8 item 5: multi-PROCESS commit race (real hard-link CAS)
+# ----------------------------------------------------------------------
+
+_RACE_WORKER = r"""
+import sys, time, random
+
+role, root, ident = sys.argv[1], sys.argv[2], int(sys.argv[3])
+
+from pyspark.sql import SparkSession
+
+spark = (
+    SparkSession.builder.master("local[2]")
+    .appName(f"race-{role}-{ident}")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.driver.memory", "1g")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+sys.path.insert(0, "REPO_ROOT")
+from fefal_etl_spark.table import CommitConflict, TransactionalTable
+
+t = TransactionalTable(spark, root)
+random.seed(ident)
+if role == "append":
+    for j in range(5):
+        keys = [(ident * 1000 + j * 10 + x, float(ident)) for x in range(5)]
+        t.append(spark.createDataFrame(keys, "k long, v double"))
+        time.sleep(random.random() * 0.05)
+    print("OK append", ident)
+elif role == "compact":
+    done = 0
+    for _ in range(8):
+        try:
+            t.compact(target_file_mb=1)
+            done += 1
+        except CommitConflict:
+            pass
+        time.sleep(random.random() * 0.1)
+    print("OK compact", done)
+elif role == "merge":
+    # negative keys: provably disjoint from every append's key range,
+    # so losing a race to an append REBASES (V150 narrowing)
+    ok = 0
+    for j in range(4):
+        src = spark.createDataFrame(
+            [(-1 - j, 900.0 + j), (-100 - j, 901.0 + j)], "k long, v double"
+        )
+        for _attempt in range(30):
+            try:
+                t.merge_dv(src, keys=["k"])
+                ok += 1
+                break
+            except CommitConflict:
+                time.sleep(random.random() * 0.1)
+        time.sleep(random.random() * 0.05)
+    print("OK merge", ok)
+spark.stop()
+"""
+
+
+@_posix_log
+def test_multiprocess_commit_race(spark, tmp_path):
+    """≥4 real OS processes (own JVMs, own Python, shared NOTHING but
+    the table directory) fight over one table with mixed
+    append/compact/merge traffic through the hard-link CAS. Afterwards:
+    every landed commit is linearizable — no append lost, no row
+    duplicated, every merge image applied exactly once, every version
+    resolvable. (All prior concurrency tests were thread-based in one
+    process; this is the real-fight version — VERDICT r8 item 5.)"""
+    import subprocess
+    import sys
+
+    from fefal_etl_spark.table import TransactionalTable
+
+    root = str(tmp_path / "t")
+    t = TransactionalTable(spark, root)
+    t.overwrite(
+        spark.createDataFrame(
+            [(-1 - j, 0.0) for j in range(4)]
+            + [(-100 - j, 0.0) for j in range(4)],
+            "k long, v double",
+        )
+    )
+    script = tmp_path / "worker.py"
+    script.write_text(
+        _RACE_WORKER.replace("REPO_ROOT", os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)
+        )))
+    )
+    jobs = [("append", 1), ("append", 2), ("append", 3),
+            ("compact", 0), ("merge", 0)]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), role, root, str(ident)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+        )
+        for role, ident in jobs
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=480)
+        outs.append((p.returncode, out, err))
+    for rc, out, err in outs:
+        assert rc == 0, (out, err[-3000:])
+        assert "OK" in out
+    # the merge worker must have landed all 4 merges (rebase, not fail)
+    merge_out = outs[4][1]
+    assert "OK merge 4" in merge_out, merge_out
+    # linearizable outcome: 3 appenders x 5 batches x 5 rows, each
+    # exactly once; merge images applied (latest j wins per key)
+    rows = {r["k"]: r["v"] for r in t.read().collect()}
+    appended = [k for k in rows if k >= 1000]
+    assert len(appended) == 75
+    for ident in (1, 2, 3):
+        mine = [k for k in appended if k // 1000 == ident]
+        assert len(mine) == 25
+        assert all(rows[k] == float(ident) for k in mine)
+    assert rows[-1] == 900.0  # j=0 targets -1
+    assert rows[-4] == 903.0  # j=3 targets -4
+    assert rows[-103] == 904.0  # j=3 targets -103
+    # every committed version resolves and replays
+    vs = t.versions()
+    assert vs == list(range(len(vs)))
+    for v in vs[-5:]:
+        t._read_manifest(v)
+    # no duplicated rows anywhere
+    assert t.read().count() == len(rows)
