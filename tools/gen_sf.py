@@ -1,0 +1,199 @@
+"""Deterministic scale-up generator (round 9 — VERDICT r8 item 1):
+tile the driver's sf0.1 fixtures K× (default 10 → "sf1", ~6M lineitem
+rows) with RE-KEYED copies so the engine can be certified one decade
+above the largest driver-generated SF — the first measurement where
+data, not per-job scheduling, dominates.
+
+Design constraints (why this is not a naive concat):
+
+* **Referential integrity**: every foreign key is re-keyed with the
+  same stride as its dimension (o_custkey with customer's, l_orderkey/
+  l_partkey/l_suppkey with orders'/part's/supplier's), so join
+  cardinalities scale exactly linearly. region/nation are fixed dims
+  and copy once.
+* **No cross-copy exact ties**: copy 0 is the sf0.1 original verbatim;
+  copies i>0 perturb continuous measure columns by +i·ε and
+  timestamps by +i µs/s. Ten byte-identical copies would put exact
+  ties at every top-k boundary (Spark and the DuckDB oracle would
+  legitimately pick different rows) and make every near-dup operator
+  degenerate (each doc in a 10-clique).
+* **Documents**: per-copy DETERMINISTIC word permutation (seeded by
+  (doc_id, copy)) — unigram stats, lengths, langs and sources keep
+  their distributions, but shingle sets differ across copies, so the
+  dedup operators see a realistically grown corpus, not 10× planted
+  duplicates. doc_ids stay far below the 1,000,000 planted-near-dup
+  namespace the dedup queries reserve.
+* **Embeddings**: per-copy seeded Gaussian jitter (σ=0.05) — a pure
+  rescale would keep cosines identical and tie every ANN top-k.
+* **Schema fidelity**: each output column is cast back to the source
+  arrow type (events keeps its TIMESTAMP(NANOS) physical type — the
+  `load_table` nanos contract stays exercised at sf1).
+
+Usage:  python tools/gen_sf.py [--src /root/testdata/sf0.1]
+                               [--out /root/repo/.data/sf1] [--copies 10]
+Output is gitignored; regeneration is byte-stable (seeded, single
+file per table, one row group order).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+COPY_ONCE = {"region", "nation"}
+
+# key column -> stride source table (stride = max(key)+1 of the dim)
+KEY_STRIDE = {
+    "customer": {"c_custkey": "customer"},
+    "supplier": {"s_suppkey": "supplier"},
+    "part": {"p_partkey": "part"},
+    "orders": {"o_orderkey": "orders", "o_custkey": "customer"},
+    "lineitem": {
+        "l_orderkey": "orders",
+        "l_partkey": "part",
+        "l_suppkey": "supplier",
+    },
+    "events": {"event_id": "events", "user_id": "events_user"},
+    "documents": {"doc_id": "documents"},
+    "embeddings": {"vec_id": "embeddings"},
+}
+
+# continuous measure columns perturbed by +i*eps in copies i>0 (kills
+# cross-copy top-k ties; copy 0 stays the exact original)
+PERTURB = {
+    "customer": {"c_acctbal": 0.01},
+    "supplier": {"s_acctbal": 0.01},
+    "part": {"p_retailprice": 0.01},
+    "orders": {"o_totalprice": 0.01},
+    "lineitem": {"l_extendedprice": 0.01},
+    "events": {"value": 1e-6},
+}
+
+# timestamp columns shifted by +i units in copies i>0
+TS_SHIFT = {
+    "orders": {"o_orderdate": ("s", 1)},
+    "lineitem": {"l_shipdate": ("s", 1)},
+    "events": {"ts": ("us", 1)},
+}
+
+
+def _strides(src: str) -> dict[str, int]:
+    out: dict[str, int] = {}
+    for name, keymap in KEY_STRIDE.items():
+        t = pq.read_table(
+            os.path.join(src, f"{name}.parquet"),
+            columns=[c for c in keymap],
+        )
+        for col, skey in keymap.items():
+            if skey == name or skey == "events_user":
+                mx = pc.max(t.column(col)).as_py()
+                out[skey if skey != name else name] = max(
+                    out.get(skey if skey != name else name, 0), mx + 1
+                )
+    # dims referenced by fact FKs
+    for dim in ("customer", "supplier", "part", "orders"):
+        if dim not in out:
+            key = {"customer": "c_custkey", "supplier": "s_suppkey",
+                   "part": "p_partkey", "orders": "o_orderkey"}[dim]
+            t = pq.read_table(
+                os.path.join(src, f"{dim}.parquet"), columns=[key]
+            )
+            out[dim] = pc.max(t.column(key)).as_py() + 1
+    return out
+
+
+def _permute_text(text: str, seed: int) -> str:
+    words = text.split(" ")
+    rng = np.random.default_rng(seed)
+    order = rng.permutation(len(words))
+    return " ".join(words[j] for j in order)
+
+
+def _tile(name: str, tbl: pa.Table, i: int, strides: dict) -> pa.Table:
+    """Copy ``i`` of one table (copy 0 = identity)."""
+    if i == 0:
+        return tbl
+    cols = {}
+    for field in tbl.schema:
+        cols[field.name] = tbl.column(field.name)
+    # re-key
+    for col, skey in KEY_STRIDE.get(name, {}).items():
+        stride = strides[skey if skey != name else name]
+        shifted = pc.add(cols[col], i * stride)
+        cols[col] = pc.cast(shifted, tbl.schema.field(col).type)
+    # perturb continuous measures
+    for col, eps in PERTURB.get(name, {}).items():
+        bumped = pc.round(
+            pc.add(cols[col], i * eps), ndigits=6
+        )
+        cols[col] = pc.cast(bumped, tbl.schema.field(col).type)
+    # shift timestamps
+    for col, (unit, step) in TS_SHIFT.get(name, {}).items():
+        delta = pa.scalar(i * step, type=pa.duration(unit))
+        shifted = pc.add(cols[col], delta)
+        cols[col] = pc.cast(shifted, tbl.schema.field(col).type)
+    if name == "documents":
+        ids = cols["doc_id"].to_pylist()
+        texts = tbl.column("text").to_pylist()
+        new_texts = [
+            _permute_text(t_, (d * 1_000 + i) & 0x7FFFFFFF)
+            for d, t_ in zip(ids, texts)
+        ]
+        cols["text"] = pa.array(new_texts, type=pa.string())
+        cols["n_chars"] = pc.cast(
+            pa.array([len(t_) for t_ in new_texts]),
+            tbl.schema.field("n_chars").type,
+        )
+    if name == "embeddings":
+        emb = tbl.column("embedding").combine_chunks()
+        flat = np.asarray(emb.values, dtype=np.float32)
+        dim = len(flat) // len(tbl)
+        rng = np.random.default_rng(7919 * i)
+        jittered = flat + rng.normal(0.0, 0.05, size=flat.shape).astype(
+            np.float32
+        )
+        cols["embedding"] = pa.ListArray.from_arrays(
+            pa.array(
+                np.arange(0, len(flat) + 1, dim, dtype=np.int32)
+            ),
+            pa.array(jittered, type=pa.float32()),
+        ).cast(tbl.schema.field("embedding").type)
+    return pa.table(cols, schema=tbl.schema)
+
+
+def generate(src: str, out: str, copies: int) -> None:
+    os.makedirs(out, exist_ok=True)
+    strides = _strides(src)
+    for name in TABLES:
+        tbl = pq.read_table(os.path.join(src, f"{name}.parquet"))
+        n = 1 if name in COPY_ONCE else copies
+        parts = [_tile(name, tbl, i, strides) for i in range(n)]
+        result = pa.concat_tables(parts).combine_chunks()
+        pq.write_table(
+            result, os.path.join(out, f"{name}.parquet")
+        )
+        print(f"{name}: {len(tbl)} -> {len(result)} rows")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--out", default="/root/repo/.data/sf1")
+    ap.add_argument("--copies", type=int, default=10)
+    args = ap.parse_args()
+    generate(args.src, args.out, args.copies)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
