@@ -51,6 +51,11 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 
 _MANIFEST_RE = re.compile(r"^manifest-(\d+)\.json$")
+
+#: "parameter not passed" sentinel for _commit(partition_spec=...):
+#: None is a MEANINGFUL value there (reset to never-declared — restore
+#: needs it), so absence needs its own marker
+_UNSET = object()
 _CHECKPOINT_RE = re.compile(r"^checkpoint-(\d+)\.json$")
 # multi-part checkpoint (round 7 — Delta's multi-part parquet checkpoint
 # model): ``checkpoint-<N>.<k>-of-<K>.json`` — the full state at N split
@@ -258,10 +263,12 @@ def _apply_record(state: dict | None, rec: dict) -> dict:
         "blooms": blooms,
         "generated": generated,
         "column_ops": column_ops,
-        # the spec carries forward; a record declaring one replaces it
+        # the spec carries forward; a record with the KEY present
+        # replaces it (the value may be null — restore resets a
+        # declared spec back to never-declared)
         "partition_spec": (
             rec["partition_spec"]
-            if rec.get("partition_spec") is not None
+            if "partition_spec" in rec
             else prev.get("partition_spec")
         ),
     }
@@ -1374,7 +1381,7 @@ class TransactionalTable:
         generated: dict[str, str] | None = None,
         column_op: list | None = None,
         cdf: dict | None = None,
-        partition_spec: list[str] | None = None,
+        partition_spec=_UNSET,
     ) -> int | None:
         """CAS loop over the version counter. ``rebase_ok`` ops (append)
         retry transparently when they lose the race;
@@ -1451,9 +1458,11 @@ class TransactionalTable:
                 # vs plain inserts. Replay ignores it (it is not state);
                 # change_feed / the CDF stream read it per commit.
                 manifest["cdf"] = cdf
-            if partition_spec is not None:
+            if partition_spec is not _UNSET:
                 # partition evolution (round 9): declare the spec NEW
-                # data is laid out by; replay carries it forward
+                # data is laid out by; replay carries it forward. A
+                # null VALUE is meaningful (restore resetting to
+                # never-declared) — presence of the key is the signal.
                 manifest["partition_spec"] = partition_spec
             # replay order = retained-in-parent-order + adds; when the
             # op's order differs (restore interleaving re-added files
@@ -1641,7 +1650,7 @@ class TransactionalTable:
                     # cache and replay must agree, like stats above
                     "partition_spec": (
                         partition_spec
-                        if partition_spec is not None
+                        if partition_spec is not _UNSET
                         else (parent.partition_spec if parent else None)
                     ),
                 }
@@ -1708,7 +1717,7 @@ class TransactionalTable:
         # appends, instead of a stale declaration resurrecting the old
         # layout one append at a time. Never-declared tables record
         # nothing (pre-r9 behavior).
-        spec = None
+        spec = _UNSET
         if base is not None and (
             self._read_manifest(base).partition_spec is not None
         ):
@@ -1774,20 +1783,25 @@ class TransactionalTable:
         return self._pcols(self._read_manifest(v))
 
     def _default_layout(
-        self, partition_by: list[str] | None
+        self, partition_by: list[str] | None, derived: bool = False
     ) -> list[str] | None:
-        """Resolve an append's layout against the DECLARED spec: None
-        defaults to the spec (new data lands under the evolved
-        layout); an explicit mismatch raises — silently accepting it
-        would undo the evolution one append at a time. Tables that
-        never declared a spec keep the pre-r9 behavior exactly."""
+        """Resolve an append's layout against the DECLARED spec: no
+        layout defaults to the spec (new data lands under the evolved
+        layout); an EXPLICIT mismatch raises — silently accepting it
+        would undo the evolution one append at a time. ``derived``
+        marks a layout the engine itself filled in (the generated-
+        column auto-layout of `_apply_generated`): the declared spec
+        overrides it instead of raising, so hidden-partitioned tables
+        remain spec-evolvable (review r9 — the raise made evolution
+        unusable on them). Tables that never declared a spec keep the
+        pre-r9 behavior exactly."""
         base = self.latest_version()
         if base is None:
             return partition_by
         spec = self._read_manifest(base).partition_spec
         if spec is None:
             return partition_by
-        if partition_by is None:
+        if partition_by is None or derived:
             return list(spec) or None
         if sorted(partition_by) != sorted(spec):
             raise ValueError(
@@ -1809,10 +1823,13 @@ class TransactionalTable:
         (hidden partitioning — ingest never hand-computes them). On a
         spec-evolved table (round 9) the layout defaults to the
         declared spec."""
+        explicit = partition_by is not None
         df, partition_by, generated = self._apply_generated(
             df, partition_by, generated
         )
-        partition_by = self._default_layout(partition_by)
+        partition_by = self._default_layout(
+            partition_by, derived=not explicit
+        )
         base = self.latest_version()
         sch = self._enforce(df)
         files = self.stage_files(df, partition_by=partition_by)
@@ -2933,8 +2950,16 @@ class TransactionalTable:
             .persist()
         )
         try:
-            dv_new = self.stage_files(
-                hit_rows.select("file", "pos").coalesce(1)
+            # no empty sidecar / empty image files (review r9, same
+            # rule as update_where_dv's no-op path: a staged empty file
+            # taxes every later read) — the legs are persisted, so the
+            # emptiness probes are in-memory
+            dv_new = (
+                self.stage_files(
+                    hit_rows.select("file", "pos").coalesce(1)
+                )
+                if hit_rows.limit(1).count()
+                else []
             )
             matched_keys = hit_rows.select(*keys).distinct()
             matched_tgt = (
@@ -2948,16 +2973,30 @@ class TransactionalTable:
             # MATCHED keys are recorded as UPDATE postimages, source-only
             # inserts stay plain inserts; `images` is persisted so the
             # split costs two in-memory passes, not two target scans.
+            # Images keep the table's hive layout, like update_where_dv
+            # (layout-less image files are unprunable on a partitioned
+            # table — review r9 re-caught the r8 finding here).
             images = merge_into(
                 matched_tgt, source, keys, update_cols=update_cols
             ).persist()
+            pcols = self._pcols(mf) or None
             try:
                 sch = self._enforce(images)
-                upd_files = self.stage_files(
-                    images.join(matched_keys, on=keys, how="left_semi")
+                upd_images = images.join(
+                    matched_keys, on=keys, how="left_semi"
                 )
-                ins_files = self.stage_files(
-                    images.join(matched_keys, on=keys, how="left_anti")
+                ins_images = images.join(
+                    matched_keys, on=keys, how="left_anti"
+                )
+                upd_files = (
+                    self.stage_files(upd_images, partition_by=pcols)
+                    if upd_images.limit(1).count()
+                    else []
+                )
+                ins_files = (
+                    self.stage_files(ins_images, partition_by=pcols)
+                    if ins_images.limit(1).count()
+                    else []
                 )
             finally:
                 images.unpersist()
@@ -3145,36 +3184,13 @@ class TransactionalTable:
             retained_set = set(retained)
 
             def masked_rows(delta_positions: DataFrame, sign: int) -> None:
-                # file list is metadata-scale: collecting it prunes the
-                # scan to exactly the files the vector entries address
-                mask_files = [
-                    r["file"]
-                    for r in delta_positions.select("file")
-                    .distinct()
-                    .collect()
-                    if r["file"] in retained_set
-                ]
-                if not mask_files:
-                    return
-                rows = (
-                    self._read_files(
-                        mask_files,
-                        with_pos=True,
-                        column_ops=mf_b.column_ops,
-                    )
-                    .join(
-                        F.broadcast(
-                            delta_positions.select(
-                                F.col("file").alias("__dv_file"),
-                                F.col("pos").alias("__dv_pos"),
-                            )
-                        ),
-                        ["__dv_file", "__dv_pos"],
-                        "left_semi",
-                    )
-                    .drop("__dv_file", "__dv_pos")
+                # shared pruned DV-delta read (round 9): scans exactly
+                # the retained files the vector entries address
+                rows = self._dv_delta_rows(
+                    delta_positions, retained_set, mf_b.column_ops
                 )
-                acc(rows, sign)
+                if rows is not None:
+                    acc(rows, sign)
 
             if dv_b is not None:
                 masked_rows(
@@ -3190,6 +3206,40 @@ class TransactionalTable:
                 F.lit(False)
             )
         return out
+
+    def _dv_delta_rows(
+        self, delta_positions: DataFrame, retained: set[str], column_ops
+    ) -> DataFrame | None:
+        """Rows at the given (file, pos) addresses, scanning ONLY the
+        retained files the addresses land in — the shared DV-delta
+        read of :meth:`row_deltas` and :meth:`change_feed`. None when
+        no retained file is addressed. The file-list collect is
+        metadata-scale (≤ one row per addressed file)."""
+        from pyspark.sql import functions as F
+
+        mask_files = [
+            r["file"]
+            for r in delta_positions.select("file").distinct().collect()
+            if r["file"] in retained
+        ]
+        if not mask_files:
+            return None
+        return (
+            self._read_files(
+                mask_files, with_pos=True, column_ops=column_ops
+            )
+            .join(
+                F.broadcast(
+                    delta_positions.select(
+                        F.col("file").alias("__dv_file"),
+                        F.col("pos").alias("__dv_pos"),
+                    )
+                ),
+                ["__dv_file", "__dv_pos"],
+                "left_semi",
+            )
+            .drop("__dv_file", "__dv_pos")
+        )
 
     def change_feed(self, v_from: int, v_to: int) -> DataFrame:
         """Delta ``table_changes`` parity (round 9 — VERDICT r8 item 2):
@@ -3274,11 +3324,12 @@ class TransactionalTable:
                 )
             # DV delta on retained files, both directions (newly masked
             # = deletes/preimages; newly UN-masked = re-inserts, the
-            # restore() case) — same pruned shape as row_deltas
+            # restore() case). Gated on the commit RECORD's own dv
+            # keys (review r9): a version that touched no sidecars —
+            # the append-dominated common case — skips the sidecar
+            # reads entirely, so the walk stays O(changed files).
             retained = prev_files & cur_files
-            dvs_prev = (mf_prev.dv_files if mf_prev else None) or []
-            dvs_cur = mf_cur.dv_files or []
-            if retained and (dvs_prev or dvs_cur):
+            if retained and (rec.get("dv_add") or rec.get("dv_remove")):
                 def dv_frame(paths):
                     if not paths:
                         return None
@@ -3286,47 +3337,25 @@ class TransactionalTable:
                         *[os.path.join(self.root, f) for f in paths]
                     )
 
-                dv_a, dv_b = dv_frame(dvs_prev), dv_frame(dvs_cur)
+                dv_a = dv_frame((mf_prev.dv_files if mf_prev else None) or [])
+                dv_b = dv_frame(mf_cur.dv_files or [])
 
-                def masked_rows(delta_positions, change, ops):
-                    mask_files = [
-                        r["file"]
-                        for r in delta_positions.select("file")
-                        .distinct()
-                        .collect()
-                        if r["file"] in retained
-                    ]
-                    if not mask_files:
-                        return
-                    rows = (
-                        self._read_files(
-                            mask_files, with_pos=True, column_ops=ops
-                        )
-                        .join(
-                            F.broadcast(
-                                delta_positions.select(
-                                    F.col("file").alias("__dv_file"),
-                                    F.col("pos").alias("__dv_pos"),
-                                )
-                            ),
-                            ["__dv_file", "__dv_pos"],
-                            "left_semi",
-                        )
-                        .drop("__dv_file", "__dv_pos")
+                def masked_rows(delta_positions, change):
+                    rows = self._dv_delta_rows(
+                        delta_positions, retained, mf_cur.column_ops
                     )
-                    acc(rows, change, v)
+                    if rows is not None:
+                        acc(rows, change, v)
 
                 if dv_b is not None:
                     masked_rows(
                         dv_b.exceptAll(dv_a) if dv_a is not None else dv_b,
                         "update_preimage" if is_upd else "delete",
-                        mf_cur.column_ops,
                     )
                 if dv_a is not None:
                     masked_rows(
                         dv_a.exceptAll(dv_b) if dv_b is not None else dv_a,
                         "insert",
-                        mf_cur.column_ops,
                     )
             mf_prev = mf_cur
         if out is None:
@@ -3843,6 +3872,11 @@ class TransactionalTable:
             stats=stats,
             dv_files=mf.dv_files,
             blooms=blooms or None,
+            # the spec is table METADATA the restore must also rewind
+            # (review r9): a post-restore append must land under the
+            # restored snapshot's layout, not a since-redefined one;
+            # None here genuinely resets to never-declared
+            partition_spec=mf.partition_spec,
         )
 
     def vacuum(

@@ -692,3 +692,100 @@ def test_multiprocess_commit_race(spark, tmp_path):
         t._read_manifest(v)
     # no duplicated rows anywhere
     assert t.read().count() == len(rows)
+
+
+# ----------------------------------------------------------------------
+# round-9 review fixes: generated+spec appends, restore spec rewind,
+# merge_dv empty legs / hive-laid images
+# ----------------------------------------------------------------------
+
+
+def test_spec_evolution_on_generated_table(spark, tmp_path):
+    """A hidden-partitioned (generated) table stays spec-evolvable: a
+    default-layout append derives the transform column AND lands under
+    the evolved spec instead of raising (review r9)."""
+    from fefal_etl_spark.table import TransactionalTable
+
+    t = TransactionalTable(spark, str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(i, f"2024-01-{(i % 3) + 1:02d} 10:00:00", f"r{i % 2}", float(i))
+         for i in range(12)],
+        "k int, ts string, region string, v double",
+    ).selectExpr("k", "CAST(ts AS TIMESTAMP) AS ts", "region", "v")
+    t.overwrite(df, generated={"day": "to_date(ts)"})
+    t.set_partition_spec(["day", "region"])
+    t.append(df.limit(3))  # must derive `day` AND use the new spec
+    mf = t._read_manifest(t.latest_version())
+    latest_files = [
+        f for f in mf.files if f not in t._read_manifest(1).files
+    ]
+    assert latest_files and all(
+        "day=" in f and "region=" in f for f in latest_files
+    )
+    assert t.read().count() == 15
+
+
+def test_restore_rewinds_partition_spec(spark, tmp_path):
+    """restore() rewinds the declared spec with the data — including
+    back to never-declared (review r9)."""
+    from fefal_etl_spark.table import TransactionalTable
+
+    t = TransactionalTable(spark, str(tmp_path / "t"))
+    t.overwrite(_evo_df(spark, 0, 6), partition_by=["day"])  # v0, no spec
+    t.set_partition_spec(["region"])  # v1
+    assert t.current_partition_spec() == ["region"]
+    t.restore(0)  # v2: spec resets to never-declared
+    mf = t._read_manifest(t.latest_version())
+    assert mf.partition_spec is None
+    assert t.current_partition_spec() == ["day"]  # legacy inference again
+    t.set_partition_spec(["region"])  # v3
+    t.overwrite(_evo_df(spark, 0, 6), partition_by=["day"])  # v4 redefines
+    assert t.current_partition_spec() == ["day"]
+    t.restore(3)  # back to the ['region'] declaration
+    assert t.current_partition_spec() == ["region"]
+    # fresh handle agrees (replay parity, incl. the null reset record)
+    t2 = TransactionalTable(spark, str(tmp_path / "t"))
+    assert t2.current_partition_spec() == ["region"]
+
+
+def test_merge_dv_no_empty_files_and_layout(spark, tmp_path):
+    """A pure-insert merge_dv stages no empty sidecar and no empty
+    update leg; on a partitioned table the image files keep the hive
+    layout (review r9)."""
+    from fefal_etl_spark.table import TransactionalTable
+
+    t = TransactionalTable(spark, str(tmp_path / "t"))
+    t.overwrite(_evo_df(spark, 0, 12), partition_by=["day"])
+    v0_files = set(t._read_manifest(0).files)
+    # pure-insert merge: nothing matched
+    t.merge_dv(_evo_df(spark, 100, 103), keys=["k"])
+    mf = t._read_manifest(t.latest_version())
+    assert not mf.dv_files  # no empty sidecar staged
+    added = [f for f in mf.files if f not in v0_files]
+    assert added and all("day=" in f for f in added)  # hive-laid images
+    # no zero-row data file landed
+    import pyarrow.parquet as pq
+
+    for f in added:
+        assert pq.ParquetFile(
+            os.path.join(str(tmp_path / "t"), f)
+        ).metadata.num_rows > 0
+    # matched+insert merge on the same table: update images hive-laid,
+    # CDF labels intact
+    t.merge_dv(
+        spark.createDataFrame(
+            [(0, "r0", "d0", 999.0), (200, "r0", "d0", 1.0)],
+            "k int, region string, day string, v double",
+        ),
+        keys=["k"],
+    )
+    v = t.latest_version()
+    feed = t.change_feed(v - 1, v)
+    got = {
+        (r["k"], r["_change_type"]) for r in feed.collect()
+    }
+    assert got == {
+        (0, "update_preimage"),
+        (0, "update_postimage"),
+        (200, "insert"),
+    }

@@ -88,27 +88,25 @@ TS_SHIFT = {
 
 
 def _strides(src: str) -> dict[str, int]:
+    """stride name -> max(key)+1, read from each table's OWN key
+    columns only (fact tables' foreign keys reuse their dimension's
+    stride, so lineitem never needs reading here)."""
+    own_keys = {
+        "customer": ("customer", "c_custkey"),
+        "supplier": ("supplier", "s_suppkey"),
+        "part": ("part", "p_partkey"),
+        "orders": ("orders", "o_orderkey"),
+        "events": ("events", "event_id"),
+        "events_user": ("events", "user_id"),
+        "documents": ("documents", "doc_id"),
+        "embeddings": ("embeddings", "vec_id"),
+    }
     out: dict[str, int] = {}
-    for name, keymap in KEY_STRIDE.items():
+    for stride_name, (table, col) in own_keys.items():
         t = pq.read_table(
-            os.path.join(src, f"{name}.parquet"),
-            columns=[c for c in keymap],
+            os.path.join(src, f"{table}.parquet"), columns=[col]
         )
-        for col, skey in keymap.items():
-            if skey == name or skey == "events_user":
-                mx = pc.max(t.column(col)).as_py()
-                out[skey if skey != name else name] = max(
-                    out.get(skey if skey != name else name, 0), mx + 1
-                )
-    # dims referenced by fact FKs
-    for dim in ("customer", "supplier", "part", "orders"):
-        if dim not in out:
-            key = {"customer": "c_custkey", "supplier": "s_suppkey",
-                   "part": "p_partkey", "orders": "o_orderkey"}[dim]
-            t = pq.read_table(
-                os.path.join(src, f"{dim}.parquet"), columns=[key]
-            )
-            out[dim] = pc.max(t.column(key)).as_py() + 1
+        out[stride_name] = pc.max(t.column(col)).as_py() + 1
     return out
 
 
@@ -128,7 +126,7 @@ def _tile(name: str, tbl: pa.Table, i: int, strides: dict) -> pa.Table:
         cols[field.name] = tbl.column(field.name)
     # re-key
     for col, skey in KEY_STRIDE.get(name, {}).items():
-        stride = strides[skey if skey != name else name]
+        stride = strides[skey]
         shifted = pc.add(cols[col], i * stride)
         cols[col] = pc.cast(shifted, tbl.schema.field(col).type)
     # perturb continuous measures

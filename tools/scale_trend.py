@@ -1,6 +1,7 @@
 """Scale-trend measurement: the most expensive headline queries timed at
-sf0.001 / sf0.01 / sf0.1 (100× input growth end to end), reporting per-query
-wall times and the growth ratio t(sf0.1)/t(sf0.001).
+sf0.001 / sf0.01 / sf0.1 (100× input growth end to end) — plus sf1
+(1000×, ~6M lineitem rows; tools/gen_sf.py) when generated — reporting
+per-query wall times and the growth ratios.
 
 BASELINE.md argues the engine is overhead-bound at these SFs (per-query time
 nearly flat while work grows 100×) — this tool turns that claim into a
@@ -91,22 +92,35 @@ TREND_QUERIES = [
     "update_where_read",
     "update_dv_read",
     "bm25_topk",
+    # round-9: CDF update images, SQL-text DML, partition evolution
+    "cdf_update_images",
+    "sql_dml_roundtrip",
+    "partition_evolution_scan",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+
+# sf1 (round 9): the tools/gen_sf.py tiling of sf0.1 — one decade above
+# the largest driver SF, the first point where data dominates scheduling.
+# Included when generated (it is gitignored; regenerate with gen_sf.py).
+SF1 = "/root/repo/.data/sf1"
 
 
 def main() -> None:
     from fefal_etl_spark.queries import get_queries
     from fefal_etl_spark.session import get_spark
 
+    sfs = list(SFS)
+    if os.path.isdir(SF1):
+        sfs.append(SF1)
+
     spark = get_spark("scale_trend")
     spark.sparkContext.setLogLevel("ERROR")
     queries = get_queries()
 
     times: dict[str, dict[str, float]] = {n: {} for n in TREND_QUERIES}
-    queries["top_orders"](spark, SFS[0]).count()  # JVM warmup, untimed
-    for sf_dir in SFS:
+    queries["top_orders"](spark, sfs[0]).count()  # JVM warmup, untimed
+    for sf_dir in sfs:
         sf = sf_dir.rsplit("sf", 1)[-1]
         for name in TREND_QUERIES:
             df_n = queries[name](spark, sf_dir).count()
@@ -114,25 +128,60 @@ def main() -> None:
             assert queries[name](spark, sf_dir).count() == df_n
             times[name][sf] = round(time.time() - t0, 3)
 
+    has_sf1 = any("1" in t and t.get("1") is not None for t in times.values())
     rows = []
     for name in TREND_QUERIES:
         t = times[name]
         ratio = round(t["0.1"] / t["0.001"], 2) if t["0.001"] else None
-        rows.append((name, t["0.001"], t["0.01"], t["0.1"], ratio))
+        r1k = (
+            round(t["1"] / t["0.001"], 2)
+            if has_sf1 and t.get("1") is not None and t["0.001"]
+            else None
+        )
+        rows.append((name, t, ratio, r1k))
 
     out = {
-        "queries": {name: {**times[name], "ratio_100x": r} for name, *_ , r in rows},
+        "queries": {
+            name: {
+                **t,
+                "ratio_100x": r,
+                **({"ratio_1000x": r1k} if r1k is not None else {}),
+            }
+            for name, t, r, r1k in rows
+        },
         "note": "warm wall seconds per SF; ratio_100x = t(sf0.1)/t(sf0.001) "
-        "against 100x input growth",
+        "against 100x input growth"
+        + (
+            "; ratio_1000x = t(sf1)/t(sf0.001) against 1000x "
+            "(sf1 = tools/gen_sf.py tiling)"
+            if has_sf1
+            else ""
+        ),
     }
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "scale_trend.json")
     with open(os.path.abspath(path), "w") as f:
         json.dump(out, f, indent=1)
 
-    print("| query | sf0.001 | sf0.01 | sf0.1 | t(0.1)/t(0.001) vs 100x work |")
-    print("| --- | --- | --- | --- | --- |")
-    for name, a, b, c, r in rows:
-        print(f"| `{name}` | {a:.2f} s | {b:.2f} s | {c:.2f} s | **{r}×** |")
+    hdr = "| query | sf0.001 | sf0.01 | sf0.1 |"
+    sep = "| --- | --- | --- | --- |"
+    if has_sf1:
+        hdr += " sf1 | t(1)/t(0.001) vs 1000x |"
+        sep += " --- | --- |"
+    else:
+        hdr += " t(0.1)/t(0.001) vs 100x work |"
+        sep += " --- |"
+    print(hdr)
+    print(sep)
+    for name, t, r, r1k in rows:
+        line = (
+            f"| `{name}` | {t['0.001']:.2f} s | {t['0.01']:.2f} s "
+            f"| {t['0.1']:.2f} s |"
+        )
+        if has_sf1:
+            line += f" {t.get('1', float('nan')):.2f} s | **{r1k}×** |"
+        else:
+            line += f" **{r}×** |"
+        print(line)
     spark.stop()
 
 
