@@ -2327,19 +2327,35 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     guarantee is on RANK, not value — it returns an actual sample whose
     rank is near p·n, while exact `percentile` interpolates between
     samples — so it is validated rank-wise: the estimate must land between
-    the exact 45th and 55th percentiles. All exacts and estimates ride the
-    same single shuffle."""
+    the exact 45th and 55th percentiles.
+
+    PLAN SHAPE (round 9, caught by the sf1 certification): the exact
+    ``count(DISTINCT)`` is a SEPARATE aggregation joined back on the
+    5-row group key — never mixed into the sketch aggregation. A mixed
+    agg triggers Catalyst's distinct rewrite (Expand + re-aggregation
+    keyed by every distinct value), which materializes one
+    percentile/HLL BUFFER per (group, custkey) pair — 1.5M typed
+    buffers at sf1 (measured 130 s; 20+ min with the old oversized
+    percentile accuracy) and an OOM at 100 TB. Split, the sketches ride
+    one clean hash-agg pass (~4 s at sf1) and the distinct its own.
+    The percentile accuracy is sized to the rank error the check needs
+    (±5% band → 1/1000 is a 50× margin), not cranked to a number that
+    makes QuantileSummaries' compress dominate the scan."""
     orders = load_table(spark, sf_dir, "orders")
-    g = orders.groupBy(F.col("o_orderpriority").alias("priority")).agg(
-        F.countDistinct("o_custkey").cast("long").alias("n_exact"),
+    pr = F.col("o_orderpriority").alias("priority")
+    sketches = orders.groupBy(pr).agg(
         F.approx_count_distinct("o_custkey", rsd=0.01).alias("hll"),
         F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey")).alias("sk"),
         F.percentile_approx(
-            F.col("o_totalprice"), F.lit(0.5), F.lit(100_000)
+            F.col("o_totalprice"), F.lit(0.5), F.lit(1_000)
         ).alias("p50a"),
         F.expr("percentile(o_totalprice, 0.45)").alias("p45"),
         F.expr("percentile(o_totalprice, 0.55)").alias("p55"),
     )
+    exact = orders.groupBy(pr).agg(
+        F.countDistinct("o_custkey").cast("long").alias("n_exact")
+    )
+    g = sketches.join(F.broadcast(exact), "priority")
 
     def within(est, exact, tol):
         return F.abs(est.cast("double") - exact.cast("double")) <= tol * exact
