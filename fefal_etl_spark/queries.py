@@ -4869,64 +4869,63 @@ def q_incremental_mv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # already represented (extra family members, alternates, display variants)
 # and follow in registration order.
 _DRIVER_PRIORITY = [
-    # Round-8 rotation (VERDICT r7 item 6, final leg): the driver
-    # samples the FIRST 50 registry entries each round. Front-load
-    # (a) the TEN round-8 additions (never driver-sampled — the three
-    # from the work-list pass plus the seven from the extension pass),
-    # then (b) ALL 21 queries whose latest driver sample is r2 (the
-    # list the r7 verdict names), then (c) the first 19 of the 48
-    # r3-stale queries (alphabetical). 10 + 21 + 19 = 50, so after
-    # this round every registry query's latest driver sample is r3+.
-    "merge_append_concurrency",
-    "pruned_null_delete",
-    "txn_batch_sink_roundtrip",
-    "compact_append_concurrency",
-    "incremental_compaction",
-    "txn_stream_sink_roundtrip",
-    "partitioned_sink_ingest",
-    "update_where_read",
-    "update_dv_read",
-    "bm25_topk",
-    "lang_id",
-    "multimodal_features",
-    "ngram_jaccard_pairs",
-    "partitioned_scan",
-    "pct_rescale",
-    "pipeline_full_groups",
-    "prefix_theta_join",
-    "pricing_summary",
-    "range_join_windows",
-    "repetition_filter",
-    "scalar_suite",
-    "sentence_explode",
-    "set_ops_suite",
-    "star_idempotent_reload",
-    "stateful_running_counts",
-    "status_fork_counts",
-    "text_stats",
-    "top_orders",
-    "unpivot_measures",
-    "user_event_type_sets",
-    "window_topk",
-    "asof_forward_tolerance",
-    "audio_frame_energy",
-    "bigram_logprob",
-    "cdc_chunks",
-    "cdc_extract",
-    "cluster_safe_split",
-    "containment_neardup",
-    "contrastive_pairs",
-    "copurchase_lift",
-    "curation_pipeline",
-    "dedup_canonicalize",
-    "doc_fingerprints",
-    "dq_checks",
-    "embedding_neardup",
-    "embedding_topk",
-    "event_path_mining",
-    "events_interpolate",
-    "events_trend_slope",
-    "exact_dedup",
+    # Round-9 rotation (VERDICT r8 item 8): front-load (a) the THREE
+    # round-9 additions (no driver row yet: CDF update images, SQL-text
+    # DML, partition evolution), then (b) ALL 29 queries whose latest
+    # driver sample is r3, then (c) the first 18 of the 50 r4-stale
+    # queries (alphabetical). 3 + 29 + 18 = 50, so after this round no
+    # registry query's latest driver sample predates r4. Computed from
+    # docs/QUERIES.md (the authoritative coverage matrix).
+    "cdf_update_images",
+    "partition_evolution_scan",
+    "sql_dml_roundtrip",
+    "geo_radius_join",
+    "hybrid_skew_revenue",
+    "ivf_topk",
+    "k_anonymity_audit",
+    "matryoshka_recall",
+    "merge_into_orders",
+    "minhash_neardup",
+    "multimodal_decode",
+    "perplexity_buckets",
+    "pipeline_fact_inquerito",
+    "pipeline_star_formations",
+    "pipeline_status_accounting",
+    "pmi_collocations",
+    "ppjoin_pairs",
+    "purchase_attribution_outer",
+    "quality_rank_blend",
+    "review_promotions",
+    "rolling_distinct_users",
+    "segment_dedup",
+    "simhash_fingerprints",
+    "star_integrity",
+    "stratified_sample",
+    "substring_dup_spans",
+    "table_diff",
+    "temperature_resample",
+    "token_diversity",
+    "value_outliers_mad",
+    "weighted_sample",
+    "zorder_layout",
+    "ab_test_ztest",
+    "benford_digits",
+    "bloom_prune_join",
+    "boolean_retrieval",
+    "bootstrap_ci",
+    "bounce_rate_daily",
+    "cohort_retention",
+    "countmin_freq",
+    "decayed_user_value",
+    "decontaminate_overlap",
+    "doc_chunks",
+    "dormant_customer_balances",
+    "dpp_partition_join",
+    "dsir_importance",
+    "dup_clusters",
+    "event_transitions",
+    "events_ohlc",
+    "ewma_smoothing",
 ]
 
 
