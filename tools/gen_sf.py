@@ -76,7 +76,14 @@ PERTURB = {
     "part": {"p_retailprice": 0.01},
     "orders": {"o_totalprice": 0.01},
     "lineitem": {"l_extendedprice": 0.01},
-    "events": {"value": 1e-6},
+    # 1e-3, NOT smaller: the fixtures' values are 2-decimal, and the
+    # registry rounds interpolated percentiles to 6 decimals — an
+    # epsilon at/below 1e-6 puts p50 midpoints exactly ON the rounding
+    # boundary, where Spark's and DuckDB's last-ulp noise legitimately
+    # rounds different ways (caught by the sf1 certification sweep:
+    # events_latency_bands). 1e-3 keeps every derived decimal two
+    # digits clear of the boundary.
+    "events": {"value": 1e-3},
 }
 
 # timestamp columns shifted by +i units in copies i>0
@@ -153,18 +160,23 @@ def _tile(name: str, tbl: pa.Table, i: int, strides: dict) -> pa.Table:
             tbl.schema.field("n_chars").type,
         )
     if name == "embeddings":
+        # FRESH seeded unit vectors per copy, matching the fixture's
+        # own distribution (measured: random unit vectors, labels are
+        # not geometric clusters). Jittering the originals instead
+        # (first attempt) left cross-copy cosines ≈0.93 — 20k mutual
+        # near-duplicates that blew every LSH/ANN candidate set up
+        # ~100× at 10× data. A grown corpus gets NEW vectors.
         emb = tbl.column("embedding").combine_chunks()
         flat = np.asarray(emb.values, dtype=np.float32)
         dim = len(flat) // len(tbl)
         rng = np.random.default_rng(7919 * i)
-        jittered = flat + rng.normal(0.0, 0.05, size=flat.shape).astype(
-            np.float32
-        )
+        fresh = rng.standard_normal((len(tbl), dim)).astype(np.float32)
+        fresh /= np.linalg.norm(fresh, axis=1, keepdims=True)
         cols["embedding"] = pa.ListArray.from_arrays(
             pa.array(
                 np.arange(0, len(flat) + 1, dim, dtype=np.int32)
             ),
-            pa.array(jittered, type=pa.float32()),
+            pa.array(fresh.reshape(-1), type=pa.float32()),
         ).cast(tbl.schema.field("embedding").type)
     return pa.table(cols, schema=tbl.schema)
 
