@@ -76,14 +76,18 @@ PERTURB = {
     "part": {"p_retailprice": 0.01},
     "orders": {"o_totalprice": 0.01},
     "lineitem": {"l_extendedprice": 0.01},
-    # 1e-3, NOT smaller: the fixtures' values are 2-decimal, and the
-    # registry rounds interpolated percentiles to 6 decimals — an
-    # epsilon at/below 1e-6 puts p50 midpoints exactly ON the rounding
-    # boundary, where Spark's and DuckDB's last-ulp noise legitimately
-    # rounds different ways (caught by the sf1 certification sweep:
-    # events_latency_bands). 1e-3 keeps every derived decimal two
-    # digits clear of the boundary.
-    "events": {"value": 1e-3},
+    # whole cents ONLY — the registry's exact-sum oracles cast event
+    # values to DECIMAL(18,2), i.e. the fixtures' 2-decimal grid is a
+    # DATA CONTRACT. Sub-cent epsilons failed the certification sweep
+    # three ways: 1e-6 put p50 midpoints on the round(...,6) boundary
+    # (events_latency_bands), 1e-3 landed on DECIMAL(18,2)'s .xx5
+    # half-way (range_join_windows, HALF_UP vs HALF_EVEN), and 2e-4
+    # made the decimal cast LOSSY against raw-double sums
+    # (stateful_running_counts, off by n_events*eps). Cent steps keep
+    # every cast exact. Cross-copy value ties are fine — the 2-decimal
+    # grid already collides heavily within one copy, so every query
+    # already tie-breaks deterministically.
+    "events": {"value": 0.01},
 }
 
 # timestamp columns shifted by +i units in copies i>0
