@@ -2018,7 +2018,7 @@ _SQL_SEMDEDUP_COS = """list_dot_product(a.__va, b.__vb) /
     f"""
     WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     plant AS (
-        SELECT vec_id + 10000 AS vec_id,
+        SELECT vec_id + 2000000 AS vec_id,
                list_concat([v[1] * 1.1], v[2:]) AS v
         FROM base WHERE vec_id % 10 = 0
     ),
@@ -2056,8 +2056,11 @@ def q_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     base = emb.select("vec_id", as_double_vec(F.col("embedding")).alias("embedding"))
+    # planted ids live FAR above any real id namespace (round 9: the
+    # old +10000 collided with sf1's tiled vec_ids, making ids
+    # non-unique and the assignment tie engine-dependent)
     plant = base.filter(F.col("vec_id") % 10 == 0).select(
-        (F.col("vec_id") + 10000).alias("vec_id"),
+        (F.col("vec_id") + 2000000).alias("vec_id"),
         F.concat(
             F.array(F.element_at("embedding", 1) * 1.1),
             F.slice("embedding", 2, 10_000),
