@@ -53,6 +53,58 @@ _CORPUS_SQL = """
 """
 
 
+# Planted synthetic ids live in reserved namespaces at and above this
+# floor (+1_000_000 for corpus/LSH twins, +2_000_000 for semdedup /
+# second-hop cluster edges). The floor is a DATA CONTRACT with the
+# oracle SQL (static strings — they hardcode the same offsets), so it
+# cannot silently shrink: every planting site asserts the REAL id
+# namespace stays below it at query build time (advice r9 — a larger
+# gen_sf.py tiling re-introducing id collisions must fail loudly, not
+# make assignment ties engine-dependent).
+_PLANT_NS_FLOOR = 1_000_000
+
+# per-(sf_dir, table, col) max real id, probed once per process from
+# parquet footer stats (driver-side metadata read, no Spark job)
+_NS_MAX_MEMO: dict[tuple[str, str, str], int] = {}
+
+
+def _assert_plant_headroom(
+    spark: SparkSession, sf_dir: str, table: str, col: str
+) -> None:
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    key = (_os.path.abspath(sf_dir), table, col)
+    mx = _NS_MAX_MEMO.get(key)
+    if mx is None:
+        path = _os.path.join(sf_dir, f"{table}.parquet")
+        if _os.path.isfile(path):
+            meta = _pq.ParquetFile(path).metadata
+            idx = meta.schema.names.index(col)
+            groups = [
+                meta.row_group(g).column(idx).statistics
+                for g in range(meta.num_row_groups)
+            ]
+            if groups and all(s is not None and s.has_min_max for s in groups):
+                mx = max(s.max for s in groups)
+        if mx is None:  # directory source / no footer stats: one agg
+            mx = (
+                load_table(spark, sf_dir, table)
+                .agg(F.max(col))
+                .first()[0]
+            ) or 0
+        _NS_MAX_MEMO[key] = mx
+    if mx >= _PLANT_NS_FLOOR:
+        raise ValueError(
+            f"planted-duplicate namespace collision: max {table}.{col} "
+            f"= {mx} reaches the reserved floor {_PLANT_NS_FLOOR} — "
+            "regenerate the fixture with a smaller tiling or raise the "
+            "offsets in BOTH the Spark queries and their oracle SQL "
+            "(they are a shared data contract)"
+        )
+
+
 # per-sf_dir corpus row count (static test fixtures), probed once per session
 _CORPUS_N: dict[str, int] = {}
 
@@ -82,6 +134,7 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     memo = _CORPUS_MEMO.get(key)
     if memo is not None:
         return memo
+    _assert_plant_headroom(spark, sf_dir, "documents", "doc_id")
     docs = fan_table(spark, sf_dir, "documents").select("doc_id", "text")
     orig = F.struct(F.col("doc_id"), F.col("text"))
     planted = F.struct(
@@ -1073,6 +1126,7 @@ _EMB_CORPUS_SQL = """
 
 
 def _emb_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _assert_plant_headroom(spark, sf_dir, "embeddings", "vec_id")
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -2054,11 +2108,13 @@ def q_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair join never leaves a cluster."""
     from fefal_etl_spark.llm.similarity import as_double_vec, semdedup_pairs
 
+    _assert_plant_headroom(spark, sf_dir, "embeddings", "vec_id")
     emb = load_table(spark, sf_dir, "embeddings")
     base = emb.select("vec_id", as_double_vec(F.col("embedding")).alias("embedding"))
     # planted ids live FAR above any real id namespace (round 9: the
     # old +10000 collided with sf1's tiled vec_ids, making ids
-    # non-unique and the assignment tie engine-dependent)
+    # non-unique and the assignment tie engine-dependent; the
+    # headroom assert above keeps that true under any future tiling)
     plant = base.filter(F.col("vec_id") % 10 == 0).select(
         (F.col("vec_id") + 2000000).alias("vec_id"),
         F.concat(
@@ -2107,6 +2163,7 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     longer leans on these chains happening to be 2 hops deep."""
     from fefal_etl_spark.llm.dedup import connected_components
 
+    _assert_plant_headroom(spark, sf_dir, "documents", "doc_id")
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     e1 = docs.filter(F.col("doc_id") % 10 == 0).select(
         F.col("doc_id").alias("src"), (F.col("doc_id") + 1000000).alias("dst")
@@ -2169,6 +2226,7 @@ def q_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     Row-level output pins the exact membership of every doc."""
     from fefal_etl_spark.llm.sampling import cluster_safe_split
 
+    _assert_plant_headroom(spark, sf_dir, "documents", "doc_id")
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     e1 = docs.filter(F.col("doc_id") % 10 == 0).select(
         F.col("doc_id").alias("src"), (F.col("doc_id") + 1000000).alias("dst")
@@ -2655,6 +2713,7 @@ def q_dedup_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle by content."""
     from fefal_etl_spark.llm.dedup import canonicalize_clusters
 
+    _assert_plant_headroom(spark, sf_dir, "documents", "doc_id")
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     plant1 = docs.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),

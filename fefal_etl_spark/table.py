@@ -1852,8 +1852,19 @@ class TransactionalTable:
         but never published and None is returned — replaying the same
         micro-batch cannot double-append. NOTE the check runs inside the
         commit CAS loop, so an interleaved replica's commit of the same
-        txn is caught on the rebase re-read."""
-        partition_by = self._default_layout(partition_by)
+        txn is caught on the rebase re-read.
+
+        Generated (hidden-partition) columns are derived exactly like
+        :meth:`append` — an evolved spec that includes a generated
+        column must not make streaming appends fail at stage_files with
+        a missing column (advice r9)."""
+        explicit = partition_by is not None
+        df, partition_by, _gen = self._apply_generated(
+            df, partition_by, None
+        )
+        partition_by = self._default_layout(
+            partition_by, derived=not explicit
+        )
         base = self.latest_version()
         # cheap pre-check saves staging work on the common replay path
         if base is not None:
@@ -2076,7 +2087,13 @@ class TransactionalTable:
         return mf.files
 
     def _rewrite_hit_files(
-        self, base: int, mf: _Manifest, hit_files: set[str], transform, op: str
+        self,
+        base: int,
+        mf: _Manifest,
+        hit_files: set[str],
+        transform,
+        op: str,
+        cdf: dict | None = None,
     ) -> int:
         """The file-level copy-on-write rewrite shared by
         :meth:`delete_where` and :meth:`update_where`: restage ONLY the
@@ -2084,7 +2101,8 @@ class TransactionalTable:
         carry every other file by reference with its stats, keep DV
         sidecars while carried files may need them (entries on
         rewritten files become inert — their survivors were staged
-        with the masks applied)."""
+        with the masks applied). ``cdf`` rides the commit record
+        (update_where's CoW change-data image files, advice r9)."""
         carried = [f for f in mf.files if f not in hit_files]
         staged: list[str] = []
         if hit_files:
@@ -2114,6 +2132,7 @@ class TransactionalTable:
             stats={**carried_stats, **self._file_stats(staged)},
             dv_files=mf.dv_files if carried else None,
             blooms=self._auto_blooms(mf, staged),
+            cdf=cdf or None,
         )
 
     def _hit_files(self, mf: _Manifest, condition, cond_str: str | None) -> set[str]:
@@ -2451,32 +2470,46 @@ class TransactionalTable:
         self._guard_generated_set(mf, set_exprs)
         hit_files = self._hit_files(mf, condition, cond_str)
 
+        cdf: dict[str, list[str]] = {}
+
         def transform(rows: DataFrame) -> DataFrame:
             updated = self._apply_set(rows, condition, set_exprs)
             updated = self._rederive_generated(updated, mf)
-            # same commit-time governance as every row-writing path
-            # (review finding: updates previously skipped CHECK
-            # constraints — the one way to commit violating rows).
-            # Validation is scoped to the rows the predicate MATCHES
-            # (advice r8): pass-through rows already satisfied the
-            # constraints when written and are byte-identical here, so
-            # checking them re-scans the hit files for nothing. The
-            # check derives from `rows` pre-filtered on the ORIGINAL
-            # values (filtering `updated` would re-evaluate the
-            # predicate on post-SET values — the wrong row set when a
-            # SET column appears in the condition).
-            if mf.constraints:
-                changed = self._apply_set(
-                    rows.filter(F.coalesce(condition, F.lit(False))),
-                    F.lit(True),
-                    set_exprs,
-                )
-                changed = self._rederive_generated(changed, mf)
-                self._check_constraints(changed, mf.constraints)
+            # The changed-row slice feeds THREE consumers off one
+            # persisted pass: the CHECK-constraint gate (review
+            # finding: updates previously skipped constraints — the
+            # one way to commit violating rows; scoped to matched rows
+            # per advice r8, pass-through rows were validated when
+            # written), and the CoW change-data image files below. It
+            # derives from `rows` pre-filtered on the ORIGINAL values
+            # (filtering `updated` would re-evaluate the predicate on
+            # post-SET values — the wrong row set when a SET column
+            # appears in the condition).
+            pre = rows.filter(F.coalesce(condition, F.lit(False))).persist()
+            try:
+                post = self._apply_set(pre, F.lit(True), set_exprs)
+                post = self._rederive_generated(post, mf)
+                if mf.constraints:
+                    self._check_constraints(post, mf.constraints)
+                # Delta CDF parity for copy-on-write UPDATE (advice
+                # r9): the rewritten files mix survivors with updated
+                # rows, so without explicit images the feed could only
+                # degenerate to whole-file delete+insert. Stage the
+                # pre/post images as CDF-ONLY sidecar files (Delta's
+                # `_change_data` shape) — never part of the data file
+                # list; the commit record's `cdf` dict addresses them
+                # and change_feed / the CDF stream emit exactly these,
+                # nothing for survivors. Write cost is O(changed rows),
+                # the same overhead Delta documents for CDF-enabled
+                # CoW updates.
+                cdf["cow_pre"] = self.stage_files(pre)
+                cdf["cow_post"] = self.stage_files(post)
+            finally:
+                pre.unpersist()
             return updated
 
         return self._rewrite_hit_files(
-            base, mf, hit_files, transform, "update"
+            base, mf, hit_files, transform, "update", cdf=cdf
         )
 
     def _guard_generated_set(self, mf: _Manifest, set_exprs: dict) -> None:
@@ -2940,13 +2973,14 @@ class TransactionalTable:
         # the hit leg carries the matched KEYS alongside (file, pos):
         # one persisted pass feeds the sidecar, the CDF postimage/insert
         # split below, and it is small by the merge-on-read premise
+        # the DV address columns KEEP their reserved __dv_* names here —
+        # a table keyed on a column literally named "file"/"pos" must
+        # not collide with the sidecar addressing (advice r9); the
+        # rename to the sidecar's (file, pos) schema happens only in
+        # the two-column staging select below, after keys are dropped
         hit_rows = (
             tgt.join(src_keys, on=keys, how="left_semi")
-            .select(
-                F.col("__dv_file").alias("file"),
-                F.col("__dv_pos").alias("pos"),
-                *keys,
-            )
+            .select("__dv_file", "__dv_pos", *keys)
             .persist()
         )
         try:
@@ -2956,7 +2990,10 @@ class TransactionalTable:
             # emptiness probes are in-memory
             dv_new = (
                 self.stage_files(
-                    hit_rows.select("file", "pos").coalesce(1)
+                    hit_rows.select(
+                        F.col("__dv_file").alias("file"),
+                        F.col("__dv_pos").alias("pos"),
+                    ).coalesce(1)
                 )
                 if hit_rows.limit(1).count()
                 else []
@@ -3254,6 +3291,12 @@ class TransactionalTable:
         as ``update_postimage`` (a merge's source-only inserts stay
         plain ``insert`` — the writer recorded the split at commit
         time, so the feed never needs keys to reconstruct it).
+        Copy-on-write :meth:`update_where` commits (advice r9) carry
+        explicit change-data image files (``cdf.cow_pre`` /
+        ``cdf.cow_post``, Delta's ``_change_data`` shape): the feed
+        emits exactly those images and NOTHING for the survivor rows
+        the rewrite carried through — full Delta ``table_changes``
+        parity for CoW UPDATE too, not just the MoR verbs.
         Everything else keeps :meth:`row_deltas` semantics: appends
         ship added files, DV deletes only newly-masked positions, a
         CoW rewrite degenerates to full delete+insert. Cost per commit
@@ -3280,7 +3323,30 @@ class TransactionalTable:
         for v in range(max(v_from, -1) + 1, v_to + 1):
             mf_cur = self._read_manifest(v)
             rec = _load_record(self.root, v, self.backend)
-            post = set((rec.get("cdf") or {}).get("postimage") or [])
+            cdf_rec = rec.get("cdf") or {}
+            cow_pre = cdf_rec.get("cow_pre") or []
+            cow_post = cdf_rec.get("cow_post") or []
+            if cow_pre or cow_post:
+                # CoW UPDATE with recorded change-data files: the
+                # add/remove file diff mixes survivors with images, so
+                # the recorded image files are authoritative — emit
+                # only them (survivor rows are unchanged and emit
+                # nothing, Delta parity)
+                for paths, change in (
+                    (cow_pre, "update_preimage"),
+                    (cow_post, "update_postimage"),
+                ):
+                    if paths:
+                        acc(
+                            self._read_files(
+                                paths, column_ops=mf_cur.column_ops
+                            ),
+                            change,
+                            v,
+                        )
+                mf_prev = mf_cur
+                continue
+            post = set(cdf_rec.get("postimage") or [])
             is_upd = rec.get("op") in ("update-dv", "merge-dv")
             prev_files = set(mf_prev.files) if mf_prev else set()
             cur_files = set(mf_cur.files)
@@ -3904,6 +3970,15 @@ class TransactionalTable:
             mf = self._read_manifest(v)
             for f in mf.files + (mf.dv_files or []):
                 live.add(f.split("/")[1])  # data/<commit-dir>/part
+            # CoW change-data image files (advice r9) are referenced
+            # only by the commit RECORD, not the manifest state — a
+            # kept version's CDF must stay replayable after vacuum
+            rec = _load_record(self.root, v, self.backend)
+            cdf_rec = rec.get("cdf") or {}
+            for f in (cdf_rec.get("cow_pre") or []) + (
+                cdf_rec.get("cow_post") or []
+            ):
+                live.add(f.split("/")[1])
         # commit records are deltas, so the kept tail must stay
         # resolvable after the records below it are trimmed: write a
         # full-state checkpoint AT the oldest kept version first (while

@@ -1,0 +1,489 @@
+"""Round-10 pinned regressions: the four ADVICE-r9 findings
+(append_txn generated columns, CoW UPDATE change-data images, merge_dv
+reserved DV address names, planted-id headroom guard) plus the CoW CDF
+stream leg."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+_posix_log = pytest.mark.skipif(
+    os.environ.get("FEFAL_TABLE_BACKEND") == "memory",
+    reason="needs the commit log on the filesystem (disk artifact "
+    "inspection or DataSource worker-side log reads)",
+)
+
+
+# ----------------------------------------------------------------------
+# ADVICE r9 #1: append_txn derives generated (hidden-partition) columns
+# ----------------------------------------------------------------------
+
+
+def test_append_txn_derives_generated_columns(spark, tmp_path):
+    """A streaming append through the txn ledger onto a table whose
+    evolved spec includes a generated column must derive it like
+    append() does (pre-fix: missing-column AnalysisException at
+    stage_files)."""
+    from fefal_etl_spark.table import TransactionalTable
+
+    t = TransactionalTable(spark, str(tmp_path / "t"))
+    base = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (2, "2024-01-02 11:00:00")],
+        "k int, ts string",
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"))
+    t.overwrite(base, generated={"day": "to_date(ts)"})
+    t.set_partition_spec(["day"])
+    batch = spark.createDataFrame(
+        [(3, "2024-01-03 09:00:00")], "k int, ts string"
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"))
+    v = t.append_txn(batch, app_id="app", txn_version=1)
+    assert v is not None
+    got = sorted(
+        (r["k"], str(r["day"])) for r in t.read().collect()
+    )
+    assert got == [
+        (1, "2024-01-01"), (2, "2024-01-02"), (3, "2024-01-03")
+    ]
+    # the derived column reached the hive layout (partition-pruned)
+    mf = t._read_manifest(t.latest_version())
+    new_files = [
+        f for f in mf.files if f not in set(t._read_manifest(1).files)
+    ]
+    assert new_files and all("day=2024-01-03" in f for f in new_files)
+    # replay of the same txn stays a no-op
+    assert t.append_txn(batch, app_id="app", txn_version=1) is None
+    assert t.read().count() == 3
+
+
+# ----------------------------------------------------------------------
+# ADVICE r9 #3: merge_dv on a table keyed by columns named file/pos
+# ----------------------------------------------------------------------
+
+
+def test_merge_dv_key_named_file_pos(spark, tmp_path):
+    """The DV address columns use reserved __dv_* names internally, so
+    a table keyed on columns literally named ``file``/``pos`` must
+    merge cleanly (pre-fix: duplicate/ambiguous column names broke the
+    sidecar staging and CDF split)."""
+    from fefal_etl_spark.table import TransactionalTable
+
+    t = TransactionalTable(spark, str(tmp_path / "t"))
+    t.overwrite(
+        spark.createDataFrame(
+            [("a", 1, 10.0), ("b", 2, 20.0), ("c", 3, 30.0)],
+            "file string, pos int, v double",
+        ).repartition(2)
+    )
+    src = spark.createDataFrame(
+        [("b", 2, 999.0), ("d", 4, 40.0)],
+        "file string, pos int, v double",
+    )
+    t.merge_dv(src, keys=["file", "pos"])
+    got = sorted(
+        (r["file"], r["pos"], r["v"]) for r in t.read().collect()
+    )
+    assert got == [
+        ("a", 1, 10.0), ("b", 2, 999.0), ("c", 3, 30.0), ("d", 4, 40.0)
+    ]
+    # CDF split recorded correctly despite the reserved-name collision
+    feed = t.change_feed(0, 1)
+    types = {
+        (r["file"], r["_change_type"]) for r in feed.collect()
+    }
+    assert types == {
+        ("b", "update_preimage"),
+        ("b", "update_postimage"),
+        ("d", "insert"),
+    }
+
+
+# ----------------------------------------------------------------------
+# ADVICE r9 #2: CoW UPDATE change-data images (Delta CDF parity)
+# ----------------------------------------------------------------------
+
+
+def test_cow_update_images_survive_vacuum(spark, tmp_path):
+    """The CoW change-data files are referenced only by the commit
+    record — vacuum must keep them live for retained versions so the
+    feed stays replayable."""
+    from fefal_etl_spark.table import TransactionalTable
+
+    t = TransactionalTable(spark, str(tmp_path / "t"))
+    t.overwrite(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(8)], "k int, v double"
+        ).coalesce(1)
+    )  # v0
+    t.update_where("k = 3", {"v": "333"})  # v1
+    t.append(
+        spark.createDataFrame([(100, 1.0)], "k int, v double")
+    )  # v2
+    t.vacuum(keep_versions=3)  # keeps v0..v2
+    got = {
+        (r["k"], r["_change_type"]): r["v"]
+        for r in t.change_feed(0, 1).collect()
+    }
+    assert got == {
+        (3, "update_preimage"): 3.0,
+        (3, "update_postimage"): 333.0,
+    }
+
+
+def test_cow_update_feed_replay_reconstructs(spark, tmp_path):
+    """Keyed replay over a mixed append/CoW-update/delete history
+    reconstructs the live snapshot — the CoW images integrate with the
+    other verbs' feed semantics."""
+    from fefal_etl_spark.table import TransactionalTable
+
+    t = TransactionalTable(spark, str(tmp_path / "t"))
+    t.overwrite(
+        spark.createDataFrame(
+            [(i, float(i) * 10) for i in range(6)], "k int, v double"
+        ).repartition(2)
+    )  # v0
+    t.update_where("k IN (1, 4)", {"v": "v + 0.5"})  # v1
+    t.delete_where("k = 2")  # v2
+    t.append(
+        spark.createDataFrame([(9, 90.0)], "k int, v double")
+    )  # v3
+    full = t.change_feed(-1, 3)
+    sig = (
+        full.select(
+            "k",
+            "v",
+            F.when(
+                F.col("_change_type").isin("insert", "update_postimage"),
+                1,
+            )
+            .otherwise(-1)
+            .alias("d"),
+        )
+        .groupBy("k", "v")
+        .agg(F.sum("d").alias("n"))
+        .filter("n = 1")
+    )
+    replayed = sorted((r["k"], r["v"]) for r in sig.collect())
+    live = sorted((r["k"], r["v"]) for r in t.read().collect())
+    assert replayed == live
+    assert (1, 10.5) in replayed and (4, 40.5) in replayed
+
+
+@_posix_log
+def test_changes_stream_cow_update_images(spark, tmp_path):
+    """The streaming CDF source emits the recorded CoW images — one
+    preimage + one postimage per matched row, nothing for survivors in
+    the rewritten files."""
+    from fefal_etl_spark.streaming.table_source import (
+        TxnTableChangesDataSource,
+    )
+    from fefal_etl_spark.table import TransactionalTable
+
+    spark.dataSource.register(TxnTableChangesDataSource)
+    root = str(tmp_path / "t")
+    t = TransactionalTable(spark, root)
+    t.overwrite(spark.range(10).select(F.col("id").alias("k")))
+    t.update_where("k = 7", {"k": "700"})
+    df = (
+        spark.readStream.format("txn_table_changes")
+        .option("path", root)
+        .load()
+    )
+    q = (
+        df.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    r = spark.read.parquet(str(tmp_path / "out"))
+    v1 = {
+        (x["k"], x["_change_type"])
+        for x in r.filter("_commit_version = 1").collect()
+    }
+    assert v1 == {(7, "update_preimage"), (700, "update_postimage")}
+    # v0 stays a plain full insert of the 10 original rows
+    assert r.filter(
+        "_commit_version = 0 AND _change_type = 'insert'"
+    ).count() == 10
+
+
+# ----------------------------------------------------------------------
+# ADVICE r9 #4: planted-id namespace headroom guard
+# ----------------------------------------------------------------------
+
+
+def test_plant_headroom_guard(spark, tmp_path):
+    """A fixture whose real ids reach the reserved planted namespace
+    must fail LOUDLY at query build time (pre-fix: silent id collision
+    made dedup assignment ties engine-dependent)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fefal_etl_spark.llm.queries import (
+        _NS_MAX_MEMO,
+        _assert_plant_headroom,
+    )
+
+    ok_dir = tmp_path / "ok"
+    bad_dir = tmp_path / "bad"
+    os.makedirs(ok_dir)
+    os.makedirs(bad_dir)
+    pq.write_table(
+        pa.table({"doc_id": [1, 2, 999], "text": ["a", "b", "c"]}),
+        str(ok_dir / "documents.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {"doc_id": [1, 1_000_000], "text": ["a", "b"]}
+        ),
+        str(bad_dir / "documents.parquet"),
+    )
+    _assert_plant_headroom(spark, str(ok_dir), "documents", "doc_id")
+    with pytest.raises(ValueError, match="namespace collision"):
+        _assert_plant_headroom(spark, str(bad_dir), "documents", "doc_id")
+    # memoized: second probe of the same key does not re-read
+    key = (os.path.abspath(str(bad_dir)), "documents", "doc_id")
+    assert _NS_MAX_MEMO[key] == 1_000_000
+
+
+# ----------------------------------------------------------------------
+# VERDICT r9 item 2: streaming rate limiting (maxFilesPerTrigger /
+# maxBytesPerTrigger on txn_table_stream / txn_table_changes)
+# ----------------------------------------------------------------------
+
+
+def _drain_limited(spark, df, out, ckpt, target_rows, timeout_s=120):
+    """Run a rate-limited stream on a fast processingTime trigger until
+    the parquet sink holds target_rows (availableNow latches its run
+    target from the FIRST admitted offset, so limited streams use a
+    processingTime trigger — documented in _RateLimit)."""
+    import time
+
+    q = (
+        df.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="100 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + timeout_s
+        while time.time() < deadline:
+            try:
+                if spark.read.parquet(out).count() >= target_rows:
+                    break
+            except Exception:
+                pass
+            time.sleep(0.5)
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+
+def _batch_offsets(ckpt):
+    import glob
+    import json
+
+    out = []
+    for p in sorted(
+        glob.glob(os.path.join(ckpt, "offsets", "*")),
+        key=lambda x: int(os.path.basename(x)),
+    ):
+        with open(p) as f:
+            out.append(json.loads(f.read().splitlines()[-1]))
+    return out
+
+
+@_posix_log
+def test_stream_rate_limit_splits_backfill_commit(spark, tmp_path):
+    """One 100-file commit + maxFilesPerTrigger=25 → ≥4 micro-batches,
+    each bounded, sink row set exactly the table (VERDICT r9 item 2's
+    done-criterion)."""
+    from fefal_etl_spark.streaming.table_source import (
+        TxnTableStreamDataSource,
+    )
+    from fefal_etl_spark.table import TransactionalTable
+
+    spark.dataSource.register(TxnTableStreamDataSource)
+    root = str(tmp_path / "t")
+    t = TransactionalTable(spark, root)
+    t.overwrite(
+        spark.range(1000).select(F.col("id").alias("k")).repartition(100)
+    )
+    assert len(t._read_manifest(0).files) == 100
+    df = (
+        spark.readStream.format("txn_table_stream")
+        .option("path", root)
+        .option("maxFilesPerTrigger", "25")
+        .load()
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _drain_limited(spark, df, out, ckpt, 1000)
+    r = spark.read.parquet(out)
+    assert r.count() == 1000 and r.distinct().count() == 1000
+    offs = _batch_offsets(ckpt)
+    assert len(offs) >= 4  # 100 files / 25 per trigger
+    # intermediate offsets carry the intra-commit index; the final one
+    # normalizes to the legacy whole-version shape
+    assert any("index" in o for o in offs[:-1])
+    assert offs[-1] == {"version": 0}
+
+
+@_posix_log
+def test_stream_rate_limit_restart_exactly_once(spark, tmp_path):
+    """Kill the limited stream mid-commit, restart on the same
+    checkpoint: the offset-log replay resyncs admission (partitions()
+    runs before any latestOffset), and the final row set is exactly
+    the table — no loss, no duplicates."""
+    import time
+
+    from fefal_etl_spark.streaming.table_source import (
+        TxnTableStreamDataSource,
+    )
+    from fefal_etl_spark.table import TransactionalTable
+
+    spark.dataSource.register(TxnTableStreamDataSource)
+    root = str(tmp_path / "t")
+    t = TransactionalTable(spark, root)
+    t.overwrite(
+        spark.range(600).select(F.col("id").alias("k")).repartition(60)
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def start():
+        df = (
+            spark.readStream.format("txn_table_stream")
+            .option("path", root)
+            .option("maxFilesPerTrigger", "10")
+            .load()
+        )
+        return (
+            df.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="100 milliseconds")
+            .start()
+        )
+
+    q = start()
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        try:
+            if spark.read.parquet(out).count() >= 100:
+                break
+        except Exception:
+            pass
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination()
+    mid = spark.read.parquet(out).count()
+    assert 100 <= mid < 600  # stopped mid-backfill
+    # more data lands while the stream is down
+    t.append(spark.range(600, 650).select(F.col("id").alias("k")))
+    q = start()
+    deadline = time.time() + 90
+    while time.time() < deadline:
+        try:
+            if spark.read.parquet(out).count() >= 650:
+                break
+        except Exception:
+            pass
+        time.sleep(0.3)
+    q.stop()
+    q.awaitTermination()
+    r = spark.read.parquet(out)
+    assert r.count() == 650 and r.distinct().count() == 650
+    assert sorted(x["k"] for x in r.distinct().collect()) == list(range(650))
+
+
+@_posix_log
+def test_changes_stream_rate_limit(spark, tmp_path):
+    """The CDF stream splits a wide commit at CDF-unit granularity and
+    the replayed feed still matches the batch change_feed."""
+    from fefal_etl_spark.streaming.table_source import (
+        TxnTableChangesDataSource,
+    )
+    from fefal_etl_spark.table import TransactionalTable
+
+    spark.dataSource.register(TxnTableChangesDataSource)
+    root = str(tmp_path / "t")
+    t = TransactionalTable(spark, root)
+    t.overwrite(
+        spark.range(400).select(F.col("id").alias("k")).repartition(40)
+    )
+    df = (
+        spark.readStream.format("txn_table_changes")
+        .option("path", root)
+        .option("maxFilesPerTrigger", "10")
+        .load()
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _drain_limited(spark, df, out, ckpt, 400)
+    r = spark.read.parquet(out)
+    assert r.count() == 400
+    assert r.filter("_change_type = 'insert'").distinct().count() == 400
+    assert len(_batch_offsets(ckpt)) >= 4
+
+
+@_posix_log
+def test_stream_rate_limit_bytes(spark, tmp_path):
+    """maxBytesPerTrigger bounds batches too (≥1 file per trigger so a
+    tiny budget still progresses)."""
+    from fefal_etl_spark.streaming.table_source import (
+        TxnTableStreamDataSource,
+    )
+    from fefal_etl_spark.table import TransactionalTable
+
+    spark.dataSource.register(TxnTableStreamDataSource)
+    root = str(tmp_path / "t")
+    t = TransactionalTable(spark, root)
+    t.overwrite(
+        spark.range(100).select(F.col("id").alias("k")).repartition(8)
+    )
+    df = (
+        spark.readStream.format("txn_table_stream")
+        .option("path", root)
+        .option("maxBytesPerTrigger", "1")
+        .load()
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _drain_limited(spark, df, out, ckpt, 100)
+    r = spark.read.parquet(out)
+    assert r.count() == 100 and r.distinct().count() == 100
+    assert len(_batch_offsets(ckpt)) == 8  # one file per batch
+
+
+@_posix_log
+def test_stream_unlimited_offsets_keep_legacy_shape(spark, tmp_path):
+    """Without a rate limit nothing changes: one batch per drain, and
+    the checkpointed offsets stay the pre-r10 {"version": v} shape
+    (old checkpoints keep resolving)."""
+    from fefal_etl_spark.streaming.table_source import (
+        TxnTableStreamDataSource,
+    )
+    from fefal_etl_spark.table import TransactionalTable
+
+    spark.dataSource.register(TxnTableStreamDataSource)
+    root = str(tmp_path / "t")
+    t = TransactionalTable(spark, root)
+    t.overwrite(
+        spark.range(100).select(F.col("id").alias("k")).repartition(10)
+    )
+    df = (
+        spark.readStream.format("txn_table_stream")
+        .option("path", root)
+        .load()
+    )
+    q = (
+        df.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 100
+    offs = _batch_offsets(str(tmp_path / "ckpt"))
+    assert offs == [{"version": 0}]

@@ -290,10 +290,12 @@ def test_change_feed_update_images(spark, tmp_path):
     assert live == sorted(r["k"] for r in t.read().collect())
 
 
-def test_change_feed_cow_update_is_full_diff(spark, tmp_path):
-    """A copy-on-write UPDATE has no recorded image split — its hit
-    files degenerate to delete+insert of every row they carry (the
-    documented Delta-without-CDF-files behavior); no update_* labels."""
+def test_change_feed_cow_update_emits_images(spark, tmp_path):
+    """A copy-on-write UPDATE records explicit change-data image files
+    (advice r9, Delta's ``_change_data`` shape) — the feed emits
+    exactly the update_preimage/update_postimage pair for the matched
+    row and NOTHING for the survivor rows the rewrite carried through
+    (pre-r10 this degenerated to whole-file delete+insert)."""
     from fefal_etl_spark.table import TransactionalTable
 
     t = TransactionalTable(spark, str(tmp_path / "t"))
@@ -302,11 +304,14 @@ def test_change_feed_cow_update_is_full_diff(spark, tmp_path):
         .coalesce(1)
     )
     t.update_where("k = 1", {"v": "111"})
-    types = {
-        r["_change_type"]
+    got = {
+        (r["k"], r["_change_type"]): r["v"]
         for r in t.change_feed(0, 1).collect()
     }
-    assert types == {"insert", "delete"}
+    assert got == {
+        (1, "update_preimage"): 10.0,
+        (1, "update_postimage"): 111.0,
+    }
 
 
 @_posix_log
