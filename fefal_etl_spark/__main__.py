@@ -121,7 +121,33 @@ def main(argv: list[str] | None = None) -> int:
         help="route UPDATE/DELETE/MERGE through the deletion-vector "
         "(merge-on-read) verbs",
     )
+    sq.add_argument(
+        "--warehouse",
+        default=os.environ.get("FEFAL_WAREHOUSE"),
+        help="warehouse directory whose catalog resolves statement "
+        "table names (explicit --table bindings shadow it)",
+    )
     sq.add_argument("--limit", type=int, default=20)
+
+    ct = sub.add_parser(
+        "catalog",
+        help="name->root catalog maintenance under a warehouse dir "
+        "(create/register/drop/list)",
+    )
+    ct.add_argument("warehouse", help="warehouse directory")
+    ct.add_argument(
+        "action", choices=["create", "register", "drop", "list"]
+    )
+    ct.add_argument("name", nargs="?")
+    ct.add_argument(
+        "--root",
+        help="create/register: explicit table root (create defaults "
+        "to <warehouse>/<name>)",
+    )
+    ct.add_argument(
+        "--purge", action="store_true",
+        help="drop: also delete the data (managed roots only)",
+    )
 
     tb = sub.add_parser(
         "table",
@@ -168,6 +194,29 @@ def main(argv: list[str] | None = None) -> int:
         for name in get_queries():
             if args.grep in name:
                 print(name)
+        return 0
+
+    if args.cmd == "catalog":  # metadata-only: no SparkSession
+        from fefal_etl_spark.catalog import TableCatalog
+
+        cat = TableCatalog(args.warehouse)
+        if args.action == "list":
+            print(json.dumps(cat.tables(), indent=1, sort_keys=True))
+        elif args.action == "create":
+            if not args.name:
+                raise SystemExit("catalog create requires NAME")
+            root = cat.create_table(args.name, root=args.root)
+            print(json.dumps({"name": args.name, "root": root}))
+        elif args.action == "register":
+            if not args.name or not args.root:
+                raise SystemExit("catalog register requires NAME --root")
+            cat.register(args.name, args.root)
+            print(json.dumps({"name": args.name, "root": args.root}))
+        elif args.action == "drop":
+            if not args.name:
+                raise SystemExit("catalog drop requires NAME")
+            cat.drop(args.name, purge=args.purge)
+            print(json.dumps({"dropped": args.name, "purged": args.purge}))
         return 0
 
     from fefal_etl_spark.session import get_spark
@@ -226,8 +275,14 @@ def main(argv: list[str] | None = None) -> int:
             if bad:
                 raise SystemExit(f"--table expects NAME=ROOT, got: {bad}")
             binds = dict(p.split("=", 1) for p in args.table)
+            cat = None
+            if args.warehouse:
+                from fefal_etl_spark.catalog import TableCatalog
+
+                cat = TableCatalog(args.warehouse)
             out = execute_sql(
-                spark, args.statement, tables=binds, mor=args.mor
+                spark, args.statement, tables=binds, mor=args.mor,
+                catalog=cat,
             )
             if isinstance(out, DataFrame):
                 out.show(args.limit, truncate=False)

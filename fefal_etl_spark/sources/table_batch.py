@@ -215,15 +215,21 @@ class TxnTableBatchDataSource(DataSource):
     def writer(self, schema, overwrite: bool):
         from fefal_etl_spark.sources.table_sink import TxnTableArrowWriter
 
+        from fefal_etl_spark.catalog import root_from_options
+
         return TxnTableArrowWriter(
-            self.options["path"], schema, overwrite, self.options
+            root_from_options(self.options), schema, overwrite,
+            self.options,
         )
 
     def streamWriter(self, schema, overwrite: bool):
         from fefal_etl_spark.sources.table_sink import TxnTableStreamWriter
 
+        from fefal_etl_spark.catalog import root_from_options
+
         return TxnTableStreamWriter(
-            self.options["path"], schema, overwrite, self.options
+            root_from_options(self.options), schema, overwrite,
+            self.options,
         )
 
     def _meta(self) -> tuple:
@@ -234,7 +240,9 @@ class TxnTableBatchDataSource(DataSource):
         `_table_meta` for the same reason)."""
         cached = getattr(self, "_meta_cache", None)
         if cached is None:
-            root = self.options["path"]
+            from fefal_etl_spark.catalog import root_from_options
+
+            root = root_from_options(self.options)
             version = _resolve_version(root, self.options)
             cached = _snapshot_meta(root, version)
             self._meta_cache = cached
@@ -246,4 +254,8 @@ class TxnTableBatchDataSource(DataSource):
         return from_arrow_schema(self._meta()[3])
 
     def reader(self, schema) -> TxnTableBatchReader:
-        return TxnTableBatchReader(self.options["path"], self._meta())
+        from fefal_etl_spark.catalog import root_from_options
+
+        return TxnTableBatchReader(
+            root_from_options(self.options), self._meta()
+        )

@@ -297,12 +297,17 @@ def execute_sql(
     sql: str,
     tables: dict | None = None,
     mor: bool = False,
+    catalog=None,
 ):
     """Execute one SQL statement against transactional tables.
 
     ``tables`` maps statement table names to
     :class:`TransactionalTable` handles, table root paths (opened
     lazily), or plain DataFrames (SELECT/USING sources only).
+    ``catalog`` (round 10 — a :class:`~fefal_etl_spark.catalog.
+    TableCatalog`) resolves every name the explicit map does not
+    shadow, so a statement can say ``UPDATE orders ...`` with no path
+    anywhere — the persistent-warehouse shape a scheduler invokes.
     ``mor=True`` routes UPDATE/DELETE/MERGE through the
     deletion-vector (merge-on-read) verbs. Returns the new version
     (int) for DML, a DataFrame for SELECT."""
@@ -313,6 +318,12 @@ def execute_sql(
         if isinstance(v, str):
             v = TransactionalTable(spark, v)
         resolved[name] = v
+    if catalog is not None:
+        # explicit bindings shadow the catalog; handles open eagerly
+        # (ctor is metadata-free) but read nothing until used
+        for name, root in catalog.tables().items():
+            if name not in resolved:
+                resolved[name] = TransactionalTable(spark, root)
     stmt = sql.strip().rstrip(";").strip()
     head = stmt.split(None, 1)[0].upper() if stmt else ""
     if head == "UPDATE":

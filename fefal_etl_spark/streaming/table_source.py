@@ -350,7 +350,9 @@ def _dbg(msg):
 
 class TxnTableStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict, schema=None):
-        self.root = options["path"]
+        from fefal_etl_spark.catalog import root_from_options
+
+        self.root = root_from_options(options)
         self.ignore_changes = (
             str(options.get("ignorechanges", "false")).lower() == "true"
         )
@@ -507,7 +509,11 @@ class TxnTableStreamDataSource(DataSource):
     def schema(self):
         from pyspark.sql.pandas.types import from_arrow_schema
 
-        return from_arrow_schema(_stream_meta(self.options["path"])[2])
+        from fefal_etl_spark.catalog import root_from_options
+
+        return from_arrow_schema(
+            _stream_meta(root_from_options(self.options))[2]
+        )
 
     def streamReader(self, schema) -> TxnTableStreamReader:
         return TxnTableStreamReader(self.options, schema)
@@ -575,7 +581,9 @@ class TxnTableChangesStreamReader(DataSourceStreamReader):
     append reader (see `_RateLimit`)."""
 
     def __init__(self, options: dict, schema=None):
-        self.root = options["path"]
+        from fefal_etl_spark.catalog import root_from_options
+
+        self.root = root_from_options(options)
         self.start_version = int(options.get("startingversion", 0)) - 1
         self.pcols, self.col_ops, self.schema_arrow = _stream_meta(
             self.root
@@ -827,7 +835,9 @@ class TxnTableChangesDataSource(DataSource):
 
         from pyspark.sql.pandas.types import from_arrow_schema
 
-        base = _stream_meta(self.options["path"])[2]
+        from fefal_etl_spark.catalog import root_from_options
+
+        base = _stream_meta(root_from_options(self.options))[2]
         return from_arrow_schema(
             base.append(pa.field("_change_type", pa.string())).append(
                 pa.field("_commit_version", pa.int64())

@@ -487,3 +487,149 @@ def test_stream_unlimited_offsets_keep_legacy_shape(spark, tmp_path):
     assert spark.read.parquet(str(tmp_path / "out")).count() == 100
     offs = _batch_offsets(str(tmp_path / "ckpt"))
     assert offs == [{"version": 0}]
+
+
+# ----------------------------------------------------------------------
+# VERDICT r9 item 3: persistent name->root catalog
+# ----------------------------------------------------------------------
+
+
+def test_catalog_create_resolve_drop(spark, tmp_path):
+    from fefal_etl_spark.catalog import CatalogError, TableCatalog
+    from fefal_etl_spark.table import TransactionalTable
+
+    wh = str(tmp_path / "wh")
+    cat = TableCatalog(wh)
+    root = cat.create_table("orders")
+    assert root == os.path.join(wh, "orders")
+    TransactionalTable(spark, root).overwrite(
+        spark.range(5).select(F.col("id").alias("k"))
+    )
+    assert cat.table(spark, "orders").read().count() == 5
+    # CREATE is not idempotent (SQL semantics)
+    with pytest.raises(CatalogError, match="already exists"):
+        cat.create_table("orders")
+    # register = upsert (SET LOCATION shape); external root
+    ext = str(tmp_path / "ext_root")
+    TransactionalTable(spark, ext).overwrite(
+        spark.range(3).select(F.col("id").alias("k"))
+    )
+    cat.register("extern", ext)
+    assert cat.resolve("extern") == ext
+    # purge refuses external roots; plain drop unbinds only
+    with pytest.raises(CatalogError, match="EXTERNAL"):
+        cat.drop("extern", purge=True)
+    assert "extern" in cat.tables()  # nothing half-dropped
+    cat.drop("extern")
+    assert "extern" not in cat.tables()
+    assert os.path.isdir(ext)  # data untouched
+    # purge removes managed data
+    cat.drop("orders", purge=True)
+    assert not os.path.isdir(root)
+    with pytest.raises(CatalogError, match="unknown table"):
+        cat.resolve("orders")
+
+
+def _catalog_race_worker(wh, out, i):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from fefal_etl_spark.catalog import CatalogError, TableCatalog
+
+    try:
+        TableCatalog(wh).create_table("t", root=f"{wh}/claim{i}")
+        out.put(("win", i))
+    except CatalogError:
+        out.put(("lose", i))
+
+
+def test_catalog_concurrent_create_one_winner(tmp_path):
+    """Four OS processes racing CREATE TABLE of the same name through
+    the CAS log: exactly one wins, the losers raise, and the catalog
+    holds ONE binding."""
+    import multiprocessing as mp
+
+    wh = str(tmp_path / "wh")
+    os.makedirs(wh)
+    ctx = mp.get_context("spawn")
+    out = ctx.Queue()
+    procs = [
+        ctx.Process(target=_catalog_race_worker, args=(wh, out, i))
+        for i in range(4)
+    ]
+    for p in procs:
+        p.start()
+    results = [out.get(timeout=60) for _ in procs]
+    for p in procs:
+        p.join()
+    wins = [r for r in results if r[0] == "win"]
+    assert len(wins) == 1
+    from fefal_etl_spark.catalog import TableCatalog
+
+    tables = TableCatalog(wh).tables()
+    assert set(tables) == {"t"}
+    assert tables["t"].endswith(f"claim{wins[0][1]}")
+
+
+def test_execute_sql_catalog_resolution(spark, tmp_path):
+    """DML and SELECT statements resolve table names through the
+    catalog with no path in the call; explicit bindings shadow it."""
+    from fefal_etl_spark.catalog import TableCatalog
+    from fefal_etl_spark.sql_dml import execute_sql
+    from fefal_etl_spark.table import TransactionalTable
+
+    wh = str(tmp_path / "wh")
+    cat = TableCatalog(wh)
+    root = cat.create_table("t")
+    TransactionalTable(spark, root).overwrite(
+        spark.createDataFrame(
+            [(1, 10.0), (2, 20.0), (3, 30.0)], "k int, v double"
+        )
+    )
+    execute_sql(spark, "UPDATE t SET v = v + 1 WHERE k = 2", catalog=cat)
+    execute_sql(spark, "DELETE FROM t WHERE k = 3", catalog=cat)
+    got = execute_sql(
+        spark, "SELECT k, v FROM t ORDER BY k", catalog=cat
+    ).collect()
+    assert [(r["k"], r["v"]) for r in got] == [(1, 10.0), (2, 21.0)]
+    # an explicit binding shadows the catalog name
+    other = TransactionalTable(spark, str(tmp_path / "other"))
+    other.overwrite(spark.createDataFrame([(9, 9.0)], "k int, v double"))
+    got = execute_sql(
+        spark, "SELECT k FROM t", tables={"t": other}, catalog=cat
+    ).collect()
+    assert [r["k"] for r in got] == [9]
+
+
+@_posix_log
+def test_stream_source_by_catalog_name(spark, tmp_path):
+    """Both table DataSources accept option('table') +
+    option('warehouse') instead of a path."""
+    from fefal_etl_spark.catalog import TableCatalog
+    from fefal_etl_spark.streaming.table_source import (
+        TxnTableStreamDataSource,
+    )
+    from fefal_etl_spark.table import TransactionalTable
+
+    spark.dataSource.register(TxnTableStreamDataSource)
+    wh = str(tmp_path / "wh")
+    cat = TableCatalog(wh)
+    root = cat.create_table("ev")
+    TransactionalTable(spark, root).overwrite(
+        spark.range(7).select(F.col("id").alias("k"))
+    )
+    df = (
+        spark.readStream.format("txn_table_stream")
+        .option("table", "ev")
+        .option("warehouse", wh)
+        .load()
+    )
+    q = (
+        df.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 7
