@@ -205,11 +205,13 @@ def _apply_record(state: dict | None, rec: dict) -> dict:
             "generated": dict(rec.get("generated") or {}),
             "column_ops": list(rec.get("column_ops") or []),
             "partition_spec": rec.get("partition_spec"),
+            "clustering": rec.get("clustering"),
         }
     prev = state or {
         "files": [], "stats": {}, "partitions": {}, "dv_files": [],
         "txns": {}, "schema": {}, "constraints": [], "blooms": {},
         "generated": {}, "column_ops": [], "partition_spec": None,
+        "clustering": None,
     }
     removed = set(rec.get("remove") or [])
     add = list(rec.get("add") or [])
@@ -266,6 +268,11 @@ def _apply_record(state: dict | None, rec: dict) -> dict:
         # the spec carries forward; a record with the KEY present
         # replaces it (the value may be null — restore resets a
         # declared spec back to never-declared)
+        "clustering": (
+            rec["clustering"]
+            if "clustering" in rec
+            else prev.get("clustering")
+        ),
         "partition_spec": (
             rec["partition_spec"]
             if "partition_spec" in rec
@@ -497,6 +504,12 @@ class _Manifest:
     # their own recorded spec in `partitions` and stay readable;
     # per-file pruning applies each file's own values.
     partition_spec: list[str] | None = None
+    # preferred CLUSTERING columns (round 10 — Delta liquid-clustering
+    # shape): recorded table metadata consumed by every OPTIMIZE-class
+    # rewrite (compact, incl. the sink's auto-compact) so routine
+    # maintenance preserves multi-dimension data skipping instead of
+    # bin-packing it away. None = never declared.
+    clustering: list[str] | None = None
 
 
 class TransactionalTable:
@@ -600,6 +613,7 @@ class TransactionalTable:
             generated=state.get("generated") or None,
             column_ops=state.get("column_ops") or None,
             partition_spec=state.get("partition_spec"),
+            clustering=state.get("clustering"),
         )
 
     def _resolve_state(self, version: int) -> dict:
@@ -1382,6 +1396,7 @@ class TransactionalTable:
         column_op: list | None = None,
         cdf: dict | None = None,
         partition_spec=_UNSET,
+        clustering=_UNSET,
     ) -> int | None:
         """CAS loop over the version counter. ``rebase_ok`` ops (append)
         retry transparently when they lose the race;
@@ -1464,6 +1479,10 @@ class TransactionalTable:
                 # null VALUE is meaningful (restore resetting to
                 # never-declared) — presence of the key is the signal.
                 manifest["partition_spec"] = partition_spec
+            if clustering is not _UNSET:
+                # clustering declaration (round 10): same key-presence
+                # contract as the partition spec
+                manifest["clustering"] = clustering
             # replay order = retained-in-parent-order + adds; when the
             # op's order differs (restore interleaving re-added files
             # with retained ones) pin it explicitly — restore is a
@@ -1652,6 +1671,11 @@ class TransactionalTable:
                         partition_spec
                         if partition_spec is not _UNSET
                         else (parent.partition_spec if parent else None)
+                    ),
+                    "clustering": (
+                        clustering
+                        if clustering is not _UNSET
+                        else (parent.clustering if parent else None)
                     ),
                 }
                 self._cache_state(version, state)
@@ -3436,6 +3460,61 @@ class TransactionalTable:
     # ------------------------------------------------------------------
     # maintenance
     # ------------------------------------------------------------------
+    def set_clustering(self, *cols: str) -> int:
+        """Declare preferred CLUSTERING columns (round 10 — the Delta
+        liquid-clustering / `ALTER TABLE ... CLUSTER BY` shape): a
+        metadata-only commit recording the columns every OPTIMIZE-class
+        rewrite should order by. From this commit on, :meth:`compact` —
+        including the streaming sink's ``auto_compact_every`` — lays
+        its rewritten files out along the z-order curve of these
+        columns instead of bin-packing arbitrarily, so post-ingest
+        auto-maintenance PRESERVES multi-dimension data skipping
+        (pre-r10, one auto-compact after an `optimize_zorder` silently
+        destroyed the clustering). ``set_clustering()`` with no columns
+        clears the declaration. Columns must exist in the recorded
+        schema."""
+        base = self.latest_version()
+        if base is None:
+            raise FileNotFoundError(f"no committed version in {self.root}")
+        mf = self._read_manifest(base)
+        known = set(mf.schema or {})
+        missing = sorted(c for c in cols if c not in known)
+        if missing:
+            raise ValueError(
+                f"set_clustering: column(s) {missing} not in the "
+                f"recorded schema of {self.root}"
+            )
+        return self._commit(
+            mf.files,
+            "set-clustering",
+            base,
+            rebase_ok=False,
+            stats=mf.stats,
+            dv_files=mf.dv_files,
+            clustering=list(cols) or None,
+        )
+
+    def _cluster_layout(self, src, cols: list[str], n_files: int):
+        """Order ``src`` along the recorded clustering before staging:
+        z-order curve for ≥2 columns, range+sort for one — the shared
+        layout step of :meth:`compact` (clustered tables) and
+        :meth:`optimize_zorder`."""
+        from pyspark.sql import functions as F
+
+        from fefal_etl_spark.operators.layout import zorder_key_n
+
+        key = (
+            zorder_key_n([F.col(c) for c in cols], bits=16)
+            if len(cols) >= 2
+            else F.col(cols[0])
+        )
+        return (
+            src.withColumn("__z", key)
+            .repartitionByRange(max(n_files, 1), "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+
     def compact(
         self,
         target_file_mb: int = 128,
@@ -3523,7 +3602,15 @@ class TransactionalTable:
         src = self._read_files(
             victims, dv_files=mf.dv_files, column_ops=mf.column_ops
         )
-        if partition_by:
+        if mf.clustering:
+            # declared clustering (round 10): the rewrite lays victims
+            # out along the z-order curve — auto-maintenance preserves
+            # data skipping instead of bin-packing it away; nests
+            # inside the hive layout exactly like optimize_zorder
+            laid_out = self._cluster_layout(
+                src, list(mf.clustering), n_files
+            )
+        elif partition_by:
             laid_out = src.repartition(*partition_by)
         else:
             laid_out = src.repartition(n_files)
@@ -3571,7 +3658,10 @@ class TransactionalTable:
         and destroys the others). ``len(cols)·bits`` must fit a signed
         long; per-dimension clustering quality falls as 1/n, so 3-4
         columns is the practical ceiling. Logically a no-op commit,
-        like :meth:`compact`."""
+        like :meth:`compact`. With NO columns (round 10) the recorded
+        :meth:`set_clustering` declaration applies —
+        ``optimize_zorder()`` is then "re-cluster per table metadata",
+        the scheduler-friendly form."""
         from pyspark.sql import functions as F
 
         from fefal_etl_spark.operators.layout import zorder_key_n
@@ -3580,6 +3670,13 @@ class TransactionalTable:
         if base is None:
             raise FileNotFoundError(f"no committed version in {self.root}")
         mf = self._read_manifest(base)
+        if not cols:
+            if not mf.clustering:
+                raise ValueError(
+                    "optimize_zorder: no columns given and no "
+                    "clustering declared (set_clustering first)"
+                )
+            cols = tuple(mf.clustering)
         z = zorder_key_n([F.col(c) for c in cols], bits=bits)
         laid_out = (
             self.read(base)
@@ -3941,8 +4038,10 @@ class TransactionalTable:
             # the spec is table METADATA the restore must also rewind
             # (review r9): a post-restore append must land under the
             # restored snapshot's layout, not a since-redefined one;
-            # None here genuinely resets to never-declared
+            # None here genuinely resets to never-declared. Clustering
+            # (round 10) rewinds identically.
             partition_spec=mf.partition_spec,
+            clustering=mf.clustering,
         )
 
     def vacuum(

@@ -633,3 +633,63 @@ def test_stream_source_by_catalog_name(spark, tmp_path):
     )
     q.awaitTermination()
     assert spark.read.parquet(str(tmp_path / "out")).count() == 7
+
+
+# ----------------------------------------------------------------------
+# VERDICT r9 item 6: clustering metadata + clustered auto-OPTIMIZE
+# ----------------------------------------------------------------------
+
+
+def test_set_clustering_auto_compact_preserves_skipping(spark, tmp_path):
+    """The liquid-clustering shape: declared clustering columns make
+    every compact() — including the streaming sink's auto-compact
+    path — rewrite along the z-order curve, so post-ingest maintenance
+    PRESERVES multi-dimension data skipping (pre-r10 a bin-pack
+    compact destroyed it)."""
+    from fefal_etl_spark.table import TransactionalTable
+
+    # enough incompressible bytes that compact(target=1MB) lands >4
+    # files — a single output file could never show skipping
+    n = 400_000
+
+    def mk(lo, hi):
+        return spark.range(lo, hi).select(
+            (F.col("id") % 16).alias("a"),
+            (F.expr("id div 16") % 16).alias("b"),
+            F.md5(F.col("id").cast("string")).alias("pad"),
+        )
+
+    t = TransactionalTable(spark, str(tmp_path / "t"))
+    t.overwrite(mk(0, n).repartition(8))
+    t.set_clustering("a", "b")
+    # streaming-ingest shape: many small appended files, then compact
+    for i in range(3):
+        t.append(mk(n + i * 64, n + (i + 1) * 64))
+    v = t.compact(target_file_mb=1)
+    assert t._read_manifest(v).clustering == ["a", "b"]
+    for col in ("a", "b"):
+        kept, total = t.skipped_files(col, 2, 3)
+        assert kept < total, f"compact destroyed skipping on {col}"
+    # row fidelity: compact is a logical no-op
+    assert t.read().count() == n + 3 * 64
+    # no-arg optimize_zorder re-clusters per metadata
+    v2 = t.optimize_zorder(n_files=4)
+    assert v2 == v + 1
+    kept, total = t.skipped_files("b", 2, 3)
+    assert kept < total
+    # restore rewinds the declaration with the snapshot
+    t.set_clustering()  # clear
+    assert t._read_manifest(t.latest_version()).clustering is None
+    t.restore(v)
+    assert t._read_manifest(t.latest_version()).clustering == ["a", "b"]
+
+
+def test_set_clustering_validates_and_clears(spark, tmp_path):
+    from fefal_etl_spark.table import TransactionalTable
+
+    t = TransactionalTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.range(10).select(F.col("id").alias("k")))
+    with pytest.raises(ValueError, match="not in the recorded schema"):
+        t.set_clustering("nope")
+    with pytest.raises(ValueError, match="no columns given"):
+        t.optimize_zorder()
