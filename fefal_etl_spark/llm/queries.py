@@ -4029,7 +4029,8 @@ def q_boolean_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "bm25_topk",
     """
-    WITH q(w) AS (VALUES ('spark'), ('join'), ('window')),
+    WITH q(w) AS (VALUES ('spark'), ('join'), ('window'),
+                  ('na'), ('beba'), ('buka')),
     docs AS (
         SELECT doc_id,
                list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
@@ -4090,7 +4091,11 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordering is FP-drift-stable across engines."""
     from fefal_etl_spark.llm.text_analysis import nonempty_words
 
-    terms = ["spark", "join", "window"]
+    # three driver-fixture-vocab terms + three Zipf-fixture words
+    # (tools/gen_sf.py --zipf-docs pseudo-word ranks 40/150/400), so
+    # the query is non-degenerate on BOTH corpora (round 10 — the
+    # zipf audit found the old term set returned 0 rows there)
+    terms = ["spark", "join", "window", "na", "beba", "buka"]
     k1, b = 1.2, 0.75
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", nonempty_words(F.col("text")).alias("ws")

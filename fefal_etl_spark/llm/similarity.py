@@ -714,10 +714,31 @@ def sparse_cosine_pairs(
     cos_sim is rounded to 6 decimals on both sides and the threshold is
     applied to the ROUNDED value.
 
+    CANDIDATE GENERATION is prefix-filtered (round 10 — the AllPairs
+    bound of Bayardo/Ma/Srikant WWW'07, the weighted-cosine complement
+    of ppjoin's Jaccard prefix): each doc's features sort rarest-first
+    (posting count asc), and a feature stays in the CANDIDATE PREFIX
+    only while the suffix strictly after it could still reach the
+    threshold — Σ_{t∈suffix} ŵ(d,t)·maxŵ(t) ≥ τ′, where ŵ is the
+    L2-normalized weight and maxŵ(t) the term's corpus-wide max. Any
+    pair with cos ≥ τ must share a feature inside the smaller-id doc's
+    prefix (if every shared term sat in its suffix, dot ≤ the suffix
+    bound < τ), so joining prefix(a) × full postings(b) keeps 100%
+    recall while the frequent near-stopword terms — exactly the ones
+    with quadratic posting fan-out — never generate candidates. The
+    bound runs in floats with τ′ = τ − 1e−6 − 1e−9 slack (covers the
+    6-dp output rounding and float error, so a borderline true pair
+    can never be pruned); the VERIFY stage recomputes the exact
+    integer dot over the candidates only. Pre-r10 this was a raw
+    posting self-join: correct, but on a realistic Zipf vocabulary the
+    terms just under the df cap each contributed |postings|² pairs
+    (the zipf_sf1 audit measured it in the tens of minutes; the
+    filtered form is seconds).
+
     Shuffles: (doc,term) tf groupBy → term-keyed df groupBy (vocab
-    cardinality) → term-keyed posting self-join → pair-keyed dot groupBy
-    → doc-keyed norm joins. No corpus-width payload ever shuffles — only
-    (id, term-hashable, integer weight) tuples.
+    cardinality) → term-keyed maxŵ groupBy → doc-keyed prefix window →
+    term-keyed prefix×postings candidate join → pair-keyed verify —
+    only (id, term, integer weight) tuples ever shuffle.
 
     Output: (id_a, id_b, n_shared_terms, cos_sim) for rounded
     cos_sim ≥ threshold, id_a < id_b.
@@ -733,18 +754,56 @@ def sparse_cosine_pairs(
     norms = w.groupBy(id_col).agg(
         F.sum((F.col("w").cast(dec) * F.col("w").cast(dec))).alias("norm2")
     )
-    a, b = w.alias("a"), w.alias("b")
+    # --- AllPairs prefix filter (candidate generation) ---
+    tau = threshold - 1e-6 - 1e-9  # rounding + float slack: conservative
+    nw = w.join(
+        norms.select(
+            id_col, F.sqrt(F.col("norm2").cast("double")).alias("__norm")
+        ),
+        id_col,
+    ).withColumn("__nw", F.col("w").cast("double") / F.col("__norm"))
+    term_stats = nw.groupBy("term").agg(
+        F.max("__nw").alias("__maxw"), F.count(F.lit(1)).alias("__cnt")
+    )
+    feat = nw.join(term_stats, "term")
+    # forward order = rarest-first; the inclusive suffix sum s_i comes
+    # from ONE window in the reverse order. Feature i is DROPPED only
+    # when the whole tail from i onward is jointly below τ′ — keep iff
+    # s_i ≥ τ′ with s_i INCLUSIVE of i's own contribution (the dropped
+    # set is then a tail whose total bound is s_k < τ′; testing the
+    # sum strictly after i instead drops one feature too many and
+    # loses borderline true pairs — caught by the zipf_sf0.01 oracle)
+    w_rev = Window.partitionBy(id_col).orderBy(
+        F.col("__cnt").desc(), F.col("term").desc()
+    )
+    contrib = F.col("__nw") * F.col("__maxw")
+    s_incl = F.sum(contrib).over(
+        w_rev.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prefix = (
+        feat.withColumn("__s", s_incl)
+        .filter(F.col("__s") >= tau)
+        .select(F.col(id_col).alias("id_a"), "term")
+    )
+    cands = (
+        prefix.join(
+            nw.select(F.col(id_col).alias("id_b"), "term"), "term"
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # --- exact integer verify over candidates only ---
+    wa = w.select(F.col(id_col).alias("id_a"), "term", F.col("w").alias("__wa"))
+    wb = w.select(F.col(id_col).alias("id_b"), "term", F.col("w").alias("__wb"))
     pairs = (
-        a.join(
-            b,
-            (F.col(f"a.term") == F.col(f"b.term"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
+        cands.join(wa, "id_a")
+        .join(wb, ["id_b", "term"])
+        .groupBy("id_a", "id_b")
         .agg(
-            F.sum(F.col("a.w").cast(dec) * F.col("b.w").cast(dec)).alias("__dot"),
+            F.sum(
+                F.col("__wa").cast(dec) * F.col("__wb").cast(dec)
+            ).alias("__dot"),
             F.count("*").alias("n_shared_terms"),
         )
     )

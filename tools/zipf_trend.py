@@ -73,11 +73,18 @@ def main() -> None:
     queries["top_orders"](spark, sfs[0][1]).count()  # JVM warmup
     for sf, sf_dir in sfs:
         for name in QUERIES:
+            t_cold = time.time()
             n = queries[name](spark, sf_dir).count()  # warm pass
+            cold = round(time.time() - t_cold, 3)
             t0 = time.time()
             assert queries[name](spark, sf_dir).count() == n
             times[name][sf] = round(time.time() - t0, 3)
             rows_at[name][sf] = n
+            print(
+                f"sf{sf} {name}: cold={cold}s warm={times[name][sf]}s "
+                f"rows={n}",
+                flush=True,
+            )
     spark.stop()
 
     payload = {
