@@ -149,7 +149,16 @@ class TableCatalog:
             )
 
         def mutate(tables: dict) -> dict:
-            tables.pop(name, None)
+            # re-validate against the CURRENT state on every CAS retry
+            # (review r10): a concurrent register() re-pointing the
+            # name must not be silently unbound — and with purge, the
+            # stale root must never be deleted out from under it
+            if tables.get(name) != root:
+                raise CatalogError(
+                    f"drop {name!r}: binding changed concurrently "
+                    f"(was {root}, now {tables.get(name)})"
+                )
+            tables.pop(name)
             return tables
 
         self._cas(mutate)

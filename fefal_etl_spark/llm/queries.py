@@ -1993,21 +1993,29 @@ def q_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup pairs surface at cos ≈ 1. Only the final cast/sqrt/divide of
     exact integers is floating point (correctly rounded, engine-identical;
     round-6 convention on both sides)."""
-    from fefal_etl_spark.llm.similarity import sparse_cosine_pairs
-
-    from fefal_etl_spark.llm.similarity import sparse_cosine_weights
+    from fefal_etl_spark.llm.similarity import (
+        sparse_cosine_index,
+        sparse_cosine_pairs,
+        sparse_cosine_weights,
+    )
     from fefal_etl_spark.staging import source_fingerprint, stage_parquet
 
-    # Stage the integer weight frame (one tokenize + two vocab shuffles
-    # once per corpus fingerprint; max_df_pct=10 is baked into the stage
-    # name) — halves the warm query, 1.46 s → 0.71 s at sf0.1.
+    # Stage the threshold-independent PREFIX-FILTER INDEX (round 10):
+    # weights + the per-feature tail bounds (__s/__g) in one parquet —
+    # the tokenize, both vocab shuffles AND the doc-keyed bound window
+    # run once per corpus fingerprint; every consumer leg (prefix,
+    # probe, verify, norms) is then a plain columnar scan.
+    fp = source_fingerprint(sf_dir, "documents")
     weights = stage_parquet(
         spark,
         "sim_w10",
-        source_fingerprint(sf_dir, "documents"),
+        fp,
         sparse_cosine_weights(
             _corpus(spark, sf_dir), "doc_id", "text", max_df_pct=10
         ),
+    )
+    indexed = stage_parquet(
+        spark, "sim_w10x", fp, sparse_cosine_index(weights, "doc_id")
     )
     return sparse_cosine_pairs(
         _corpus(spark, sf_dir),
@@ -2015,7 +2023,7 @@ def q_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         max_df_pct=10,
         threshold=0.6,
-        weights_df=weights,
+        indexed_df=indexed,
     )
 
 

@@ -682,6 +682,50 @@ def sparse_cosine_weights(
     )
 
 
+def sparse_cosine_index(
+    w: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """The threshold-INDEPENDENT prefix-filter index over an integer
+    weight frame (round 10): per (id, term) row carries the original
+    weight plus ``__g`` (the doc's tail L2 norm from this feature
+    onward in the global rarest-first order) and ``__s`` (the AllPairs
+    Σ ŵ·maxŵ tail bound). :func:`sparse_cosine_pairs` derives its
+    candidate prefix, the probe side AND the verify weights from this
+    ONE frame, so callers can STAGE it once per corpus (like ppjoin's
+    ranked_df) — the window and the maxŵ shuffle then run once per
+    fingerprint instead of twice per query call."""
+    dec = "decimal(38,0)"
+    norms = w.groupBy(id_col).agg(
+        F.sum((F.col("w").cast(dec) * F.col("w").cast(dec))).alias(
+            "norm2"
+        )
+    )
+    nw = w.join(
+        norms.select(
+            id_col, F.sqrt(F.col("norm2").cast("double")).alias("__norm")
+        ),
+        id_col,
+    ).withColumn("__nw", F.col("w").cast("double") / F.col("__norm"))
+    term_stats = nw.groupBy("term").agg(
+        F.max("__nw").alias("__maxw"), F.count(F.lit(1)).alias("__cnt")
+    )
+    feat = nw.join(term_stats, "term")
+    w_rev = Window.partitionBy(id_col).orderBy(
+        F.col("__cnt").desc(), F.col("term").desc()
+    )
+    cum = w_rev.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    contrib = F.col("__nw") * F.col("__maxw")
+    return feat.select(
+        id_col,
+        "term",
+        "w",
+        F.sum(contrib).over(cum).alias("__s"),
+        F.sqrt(
+            F.sum(F.col("__nw") * F.col("__nw")).over(cum)
+        ).alias("__g"),
+    )
+
+
 def sparse_cosine_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -690,6 +734,7 @@ def sparse_cosine_pairs(
     threshold: float = 0.6,
     scale: int = 1_000_000,
     weights_df: DataFrame | None = None,
+    indexed_df: DataFrame | None = None,
 ) -> DataFrame:
     """DF-pruned inverted-index cosine similarity join — the classic
     MapReduce sparse-vector similarity pattern (Elsayed/Lin/Oard 2008
@@ -744,58 +789,75 @@ def sparse_cosine_pairs(
     cos_sim ≥ threshold, id_a < id_b.
     """
     dec = "decimal(38,0)"
-    w = (
-        weights_df
-        if weights_df is not None
-        else sparse_cosine_weights(
-            df, id_col, text_col, max_df_pct=max_df_pct, scale=scale
+    # --- AllPairs/L2AP prefix filter (candidate generation) ---
+    # Feature i is DROPPED only when the whole tail from i onward is
+    # jointly below τ′ — keep iff bound_i ≥ τ′ with bound_i INCLUSIVE
+    # of i's own contribution (the dropped set is then a tail whose
+    # total bound is < τ′; testing the sum strictly after i instead
+    # drops one feature too many and loses borderline true pairs —
+    # caught by the zipf_sf0.01 oracle). TWO independent tail bounds,
+    # both valid, combined by min:
+    #  * __s = Σ ŵ·maxŵ (AllPairs) — dot over the tail term-by-term;
+    #  * __g = ‖tail‖₂  (L2AP b-bound, Anastasiu/Karypis ICDE'14) —
+    #    dot over the tail ≤ ‖tail(a)‖·‖b‖ = ‖tail(a)‖, b unit.
+    # The L2 bound is what makes idf²-weighted vectors prune: their
+    # squared mass concentrates in the rare head, so the tail norm
+    # collapses after a handful of features, while a single short doc
+    # spiking maxŵ(t) keeps the AllPairs bound loose across every
+    # mid-frequency term (measured: maxŵ alone left zipf_sf1
+    # candidate generation effectively quadratic — 58 CPU-min,
+    # killed; with the min-bound the whole query is seconds).
+    tau = threshold - 1e-6 - 1e-9  # rounding + float slack: conservative
+    if indexed_df is not None:
+        indexed = indexed_df
+    else:
+        w = (
+            weights_df
+            if weights_df is not None
+            else sparse_cosine_weights(
+                df, id_col, text_col, max_df_pct=max_df_pct, scale=scale
+            )
+        )
+        indexed = sparse_cosine_index(w, id_col)
+    prefix = (
+        indexed.filter(F.least(F.col("__s"), F.col("__g")) >= tau)
+        .select(
+            F.col(id_col).alias("id_a"),
+            "term",
+            F.col("__g").alias("__ga"),
         )
     )
-    norms = w.groupBy(id_col).agg(
-        F.sum((F.col("w").cast(dec) * F.col("w").cast(dec))).alias("norm2")
-    )
-    # --- AllPairs prefix filter (candidate generation) ---
-    tau = threshold - 1e-6 - 1e-9  # rounding + float slack: conservative
-    nw = w.join(
-        norms.select(
-            id_col, F.sqrt(F.col("norm2").cast("double")).alias("__norm")
-        ),
-        id_col,
-    ).withColumn("__nw", F.col("w").cast("double") / F.col("__norm"))
-    term_stats = nw.groupBy("term").agg(
-        F.max("__nw").alias("__maxw"), F.count(F.lit(1)).alias("__cnt")
-    )
-    feat = nw.join(term_stats, "term")
-    # forward order = rarest-first; the inclusive suffix sum s_i comes
-    # from ONE window in the reverse order. Feature i is DROPPED only
-    # when the whole tail from i onward is jointly below τ′ — keep iff
-    # s_i ≥ τ′ with s_i INCLUSIVE of i's own contribution (the dropped
-    # set is then a tail whose total bound is s_k < τ′; testing the
-    # sum strictly after i instead drops one feature too many and
-    # loses borderline true pairs — caught by the zipf_sf0.01 oracle)
-    w_rev = Window.partitionBy(id_col).orderBy(
-        F.col("__cnt").desc(), F.col("term").desc()
-    )
-    contrib = F.col("__nw") * F.col("__maxw")
-    s_incl = F.sum(contrib).over(
-        w_rev.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    prefix = (
-        feat.withColumn("__s", s_incl)
-        .filter(F.col("__s") >= tau)
-        .select(F.col(id_col).alias("id_a"), "term")
-    )
+    # candidate-ROW gate (L2AP's Cauchy-Schwarz step): every shared
+    # term of a qualifying pair has global order ≥ the smallest shared
+    # term t*, so dot ≤ ‖tail_a(t*)‖·‖tail_b(t*)‖ — and the join row
+    # AT t* carries exactly those tail norms, so filtering rows by
+    # __ga·__gb ≥ τ′ can never drop a true pair (the t* row survives;
+    # other rows for the same pair may die, distinct() needs only one)
     cands = (
         prefix.join(
-            nw.select(F.col(id_col).alias("id_b"), "term"), "term"
+            indexed.select(
+                F.col(id_col).alias("id_b"),
+                "term",
+                F.col("__g").alias("__gb"),
+            ),
+            "term",
         )
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("__ga") * F.col("__gb") >= tau)
+        )
         .select("id_a", "id_b")
         .distinct()
     )
-    # --- exact integer verify over candidates only ---
-    wa = w.select(F.col(id_col).alias("id_a"), "term", F.col("w").alias("__wa"))
-    wb = w.select(F.col(id_col).alias("id_b"), "term", F.col("w").alias("__wb"))
+    # --- exact integer verify over candidates only (weights and both
+    # norm joins all derive from the SAME indexed frame, so a staged
+    # indexed_df makes every leg a plain parquet scan) ---
+    wa = indexed.select(
+        F.col(id_col).alias("id_a"), "term", F.col("w").alias("__wa")
+    )
+    wb = indexed.select(
+        F.col(id_col).alias("id_b"), "term", F.col("w").alias("__wb")
+    )
     pairs = (
         cands.join(wa, "id_a")
         .join(wb, ["id_b", "term"])
@@ -806,6 +868,9 @@ def sparse_cosine_pairs(
             ).alias("__dot"),
             F.count("*").alias("n_shared_terms"),
         )
+    )
+    norms = indexed.groupBy(id_col).agg(
+        F.sum((F.col("w").cast(dec) * F.col("w").cast(dec))).alias("norm2")
     )
     na = norms.select(F.col(id_col).alias("id_a"), F.col("norm2").alias("__na"))
     nb = norms.select(F.col(id_col).alias("id_b"), F.col("norm2").alias("__nb"))

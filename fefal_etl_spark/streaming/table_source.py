@@ -302,6 +302,32 @@ class _RateLimit:
         if self.pos is None or k > self.pos:
             self.pos = k
 
+    def clamp_start(self, start: dict, end: dict) -> dict:
+        """Effective batch start: never below the tracked position.
+
+        Closes the clean-restart regression (review r10): a restart
+        whose last batch fully COMMITTED gets no partitions() replay —
+        Spark's first call is latestOffset() on a fresh reader whose
+        seeded position sits at startingVersion, so the admitted
+        offset can land BEHIND the checkpoint. Spark then runs one
+        batch (committed → regressed) — empty here, but the regressed
+        offset enters the offset log, and the NEXT batch's start is
+        that regressed offset: without the clamp it would re-emit
+        files the previous run already delivered. The clamp applies
+        only while pos < end (strictly): a replayed batch whose end
+        equals the position — the crash-retry path — is emitted in
+        full, so no delivered-range skipping can lose data."""
+        if self.pos is None or _off_key(end) <= self.pos:
+            return start
+        if _off_key(start) < self.pos:
+            v, i = self.pos
+            return (
+                {"version": v}
+                if i == float("inf")
+                else {"version": v, "index": int(i)}
+            )
+        return start
+
     def admit(
         self, root: str, latest: int, units_of
     ) -> dict | None:
@@ -340,13 +366,6 @@ class _RateLimit:
         return _norm_off(end_v, end_i, end_n)
 
 
-
-def _dbg(msg):
-    import os
-    f = os.environ.get("FEFAL_STREAM_DEBUG")
-    if f:
-        with open(f, "a") as fh:
-            fh.write(msg + "\n")
 
 class TxnTableStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict, schema=None):
@@ -396,7 +415,6 @@ class TxnTableStreamReader(DataSourceStreamReader):
         # seed the admission position: a NEW query's first trigger
         # must already be rate-limited (the 100-file-backfill case)
         self.limit.resync(off)
-        _dbg(f"initialOffset -> {off} id={id(self)}")
         return off
 
     def _add_units(self, v: int) -> list[tuple[str, int]]:
@@ -431,17 +449,18 @@ class TxnTableStreamReader(DataSourceStreamReader):
             # one unbounded catch-up batch (documented in _RateLimit)
             off = {"version": latest}
         self.limit.resync(off)
-        _dbg(f"latestOffset -> {off} pos={self.limit.pos} id={id(self)}")
         return off
 
     def partitions(
         self, start: dict, end: dict
     ) -> Sequence[InputPartition]:
-        # resync admission off Spark's authoritative bounds (restart
-        # replay path: the reader is fresh, the checkpoint is not)
+        # clamp BEFORE resync: pos still reflects the pre-batch
+        # high-water mark (see _RateLimit.clamp_start), then resync
+        # admission off Spark's authoritative bounds (restart replay
+        # path: the reader is fresh, the checkpoint is not)
+        start = self.limit.clamp_start(start, end)
         self.limit.resync(start)
         self.limit.resync(end)
-        _dbg(f"partitions({start},{end}) id={id(self)}")
         if _off_key(end) <= _off_key(start):
             return []
         v0, i0 = start["version"], start.get("index")
@@ -496,6 +515,12 @@ class TxnTableStreamReader(DataSourceStreamReader):
         # to persist source-side (the checkpoint holds the offset);
         # the admission position tracks the committed high-water mark
         self.limit.resync(end)
+        # fully consumed versions never replan — drop their memo
+        # entries (review r10: a months-long stream otherwise keeps
+        # one add-list per version forever)
+        floor = end["version"] - (0 if end.get("index") is None else 1)
+        for v in [v for v in self._units_memo if v < floor]:
+            del self._units_memo[v]
 
 
 class TxnTableStreamDataSource(DataSource):
@@ -727,6 +752,7 @@ class TxnTableChangesStreamReader(DataSourceStreamReader):
         return out, cur_mf
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        start = self.limit.clamp_start(start, end)
         self.limit.resync(start)
         self.limit.resync(end)
         if _off_key(end) <= _off_key(start):
@@ -819,6 +845,14 @@ class TxnTableChangesStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         self.limit.resync(end)
+        # evict consumed versions (review r10): _parts_memo keeps the
+        # RESOLVED STATE per version — one full snapshot each; a
+        # long-running stream must not accumulate them unboundedly.
+        # The latest entry stays: the next version resolves O(delta)
+        # from it.
+        floor = end["version"] - (0 if end.get("index") is None else 1)
+        for v in [v for v in self._parts_memo if v < floor]:
+            del self._parts_memo[v]
 
 
 class TxnTableChangesDataSource(DataSource):

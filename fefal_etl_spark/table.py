@@ -206,12 +206,13 @@ def _apply_record(state: dict | None, rec: dict) -> dict:
             "column_ops": list(rec.get("column_ops") or []),
             "partition_spec": rec.get("partition_spec"),
             "clustering": rec.get("clustering"),
+            "properties": dict(rec.get("properties") or {}),
         }
     prev = state or {
         "files": [], "stats": {}, "partitions": {}, "dv_files": [],
         "txns": {}, "schema": {}, "constraints": [], "blooms": {},
         "generated": {}, "column_ops": [], "partition_spec": None,
-        "clustering": None,
+        "clustering": None, "properties": {},
     }
     removed = set(rec.get("remove") or [])
     add = list(rec.get("add") or [])
@@ -273,6 +274,14 @@ def _apply_record(state: dict | None, rec: dict) -> dict:
             if "clustering" in rec
             else prev.get("clustering")
         ),
+        "properties": {
+            k: v
+            for k, v in {
+                **(prev.get("properties") or {}),
+                **(rec.get("properties") or {}),
+            }.items()
+            if v is not None
+        },
         "partition_spec": (
             rec["partition_spec"]
             if "partition_spec" in rec
@@ -510,6 +519,11 @@ class _Manifest:
     # maintenance preserves multi-dimension data skipping instead of
     # bin-packing it away. None = never declared.
     clustering: list[str] | None = None
+    # free-form table properties (round 10 — Delta TBLPROPERTIES
+    # shape): {key: value}; a None value in a commit's delta DELETES
+    # the key. Consumed e.g. by update_where's CDF-image gate
+    # ("cdf.images" = "true").
+    properties: dict[str, str] | None = None
 
 
 class TransactionalTable:
@@ -614,6 +628,7 @@ class TransactionalTable:
             column_ops=state.get("column_ops") or None,
             partition_spec=state.get("partition_spec"),
             clustering=state.get("clustering"),
+            properties=state.get("properties") or None,
         )
 
     def _resolve_state(self, version: int) -> dict:
@@ -1397,6 +1412,7 @@ class TransactionalTable:
         cdf: dict | None = None,
         partition_spec=_UNSET,
         clustering=_UNSET,
+        properties: dict | None = None,
     ) -> int | None:
         """CAS loop over the version counter. ``rebase_ok`` ops (append)
         retry transparently when they lose the race;
@@ -1483,6 +1499,9 @@ class TransactionalTable:
                 # clustering declaration (round 10): same key-presence
                 # contract as the partition spec
                 manifest["clustering"] = clustering
+            if properties:
+                # property DELTA (round 10): None values delete keys
+                manifest["properties"] = dict(properties)
             # replay order = retained-in-parent-order + adds; when the
             # op's order differs (restore interleaving re-added files
             # with retained ones) pin it explicitly — restore is a
@@ -1677,6 +1696,14 @@ class TransactionalTable:
                         if clustering is not _UNSET
                         else (parent.clustering if parent else None)
                     ),
+                    "properties": {
+                        k: v
+                        for k, v in {
+                            **((parent.properties or {}) if parent else {}),
+                            **(properties or {}),
+                        }.items()
+                        if v is not None
+                    },
                 }
                 self._cache_state(version, state)
                 if (
@@ -2518,16 +2545,19 @@ class TransactionalTable:
                 # Delta CDF parity for copy-on-write UPDATE (advice
                 # r9): the rewritten files mix survivors with updated
                 # rows, so without explicit images the feed could only
-                # degenerate to whole-file delete+insert. Stage the
-                # pre/post images as CDF-ONLY sidecar files (Delta's
-                # `_change_data` shape) — never part of the data file
-                # list; the commit record's `cdf` dict addresses them
-                # and change_feed / the CDF stream emit exactly these,
-                # nothing for survivors. Write cost is O(changed rows),
-                # the same overhead Delta documents for CDF-enabled
-                # CoW updates.
-                cdf["cow_pre"] = self.stage_files(pre)
-                cdf["cow_post"] = self.stage_files(post)
+                # degenerate to whole-file delete+insert. When the
+                # table property "cdf.images" is on (set_property —
+                # Delta's delta.enableChangeDataFeed; OFF by default,
+                # review r10: every UPDATE would otherwise pay
+                # O(changed rows) extra write even with no CDC
+                # consumer), stage the pre/post images as CDF-ONLY
+                # sidecar files (Delta's `_change_data` shape) — never
+                # part of the data file list; the commit record's
+                # `cdf` dict addresses them and change_feed / the CDF
+                # stream emit exactly these, nothing for survivors.
+                if (mf.properties or {}).get("cdf.images") == "true":
+                    cdf["cow_pre"] = self.stage_files(pre)
+                    cdf["cow_post"] = self.stage_files(post)
             finally:
                 pre.unpersist()
             return updated
@@ -3460,6 +3490,33 @@ class TransactionalTable:
     # ------------------------------------------------------------------
     # maintenance
     # ------------------------------------------------------------------
+    def set_property(self, key: str, value: str | None) -> int:
+        """Set (or with ``value=None`` unset) a free-form table
+        property — the Delta ``TBLPROPERTIES`` shape (round 10). A
+        metadata-only commit; properties carry through replay,
+        checkpoints and restore. Known keys:
+
+        * ``"cdf.images" = "true"`` — copy-on-write UPDATEs stage
+          explicit change-data image files so the CDF emits
+          update_pre/postimage rows for them (Delta's
+          ``delta.enableChangeDataFeed``). Off by default: the images
+          cost O(changed rows) extra write on every UPDATE, which a
+          table nobody CDC-consumes should not pay (review r10).
+        """
+        base = self.latest_version()
+        if base is None:
+            raise FileNotFoundError(f"no committed version in {self.root}")
+        mf = self._read_manifest(base)
+        return self._commit(
+            mf.files,
+            "set-property",
+            base,
+            rebase_ok=False,
+            stats=mf.stats,
+            dv_files=mf.dv_files,
+            properties={key: value},
+        )
+
     def set_clustering(self, *cols: str) -> int:
         """Declare preferred CLUSTERING columns (round 10 — the Delta
         liquid-clustering / `ALTER TABLE ... CLUSTER BY` shape): a
@@ -3477,12 +3534,34 @@ class TransactionalTable:
         if base is None:
             raise FileNotFoundError(f"no committed version in {self.root}")
         mf = self._read_manifest(base)
-        known = set(mf.schema or {})
+        known = mf.schema or {}
         missing = sorted(c for c in cols if c not in known)
         if missing:
             raise ValueError(
                 f"set_clustering: column(s) {missing} not in the "
                 f"recorded schema of {self.root}"
+            )
+        if len(cols) > 4:
+            # 63-bit Morton budget: 4 cols x 15 bits is the floor at
+            # which per-dimension clustering still pays (review r10 —
+            # a 5-column declaration would poison every later compact)
+            raise ValueError(
+                "set_clustering: at most 4 columns (z-order quality "
+                f"per dimension falls as 1/n; got {len(cols)})"
+            )
+        numeric = ("tinyint", "smallint", "int", "bigint", "long",
+                   "integer", "short", "byte", "date")
+        bad = sorted(
+            c for c in cols
+            if not str(known[c]).lower().startswith(numeric)
+        )
+        if bad:
+            raise ValueError(
+                "set_clustering: column(s) "
+                f"{[(c, known[c]) for c in bad]} are not integral — "
+                "the Morton interleave casts non-numeric values to "
+                "NULL, silently collapsing the layout; cluster on an "
+                "integral surrogate (hash/bucket) instead"
             )
         return self._commit(
             mf.files,
@@ -3503,8 +3582,13 @@ class TransactionalTable:
 
         from fefal_etl_spark.operators.layout import zorder_key_n
 
+        # bits scale with dimension count so a 4-column declaration
+        # fits the 63-bit key budget (review r10: a fixed 16 raised
+        # from every auto-compact once >3 columns were declared)
         key = (
-            zorder_key_n([F.col(c) for c in cols], bits=16)
+            zorder_key_n(
+                [F.col(c) for c in cols], bits=min(16, 63 // len(cols))
+            )
             if len(cols) >= 2
             else F.col(cols[0])
         )
@@ -3676,15 +3760,22 @@ class TransactionalTable:
                     "optimize_zorder: no columns given and no "
                     "clustering declared (set_clustering first)"
                 )
-            cols = tuple(mf.clustering)
-        z = zorder_key_n([F.col(c) for c in cols], bits=bits)
-        laid_out = (
-            self.read(base)
-            .withColumn("__z", z)
-            .repartitionByRange(n_files, "__z")
-            .sortWithinPartitions("__z")
-            .drop("__z")
-        )
+            # the recorded declaration may be a SINGLE column —
+            # _cluster_layout handles both arities (review r10: the
+            # direct zorder_key_n call raised on 1-column clustering
+            # while compact() accepted it)
+            laid_out = self._cluster_layout(
+                self.read(base), list(mf.clustering), n_files
+            )
+        else:
+            z = zorder_key_n([F.col(c) for c in cols], bits=bits)
+            laid_out = (
+                self.read(base)
+                .withColumn("__z", z)
+                .repartitionByRange(n_files, "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
         # hive layout preserved (see _pcols): each z-band task fans its
         # rows into their partition dirs, so z-clustering nests INSIDE
         # the partition scheme instead of silently demoting it
@@ -4039,9 +4130,20 @@ class TransactionalTable:
             # (review r9): a post-restore append must land under the
             # restored snapshot's layout, not a since-redefined one;
             # None here genuinely resets to never-declared. Clustering
-            # (round 10) rewinds identically.
+            # and properties (round 10) rewind identically — the
+            # property delta below deletes keys absent at the restored
+            # version (None value = delete).
             partition_spec=mf.partition_spec,
             clustering=mf.clustering,
+            properties={
+                **{
+                    k: None
+                    for k in (
+                        self._read_manifest(base).properties or {}
+                    )
+                },
+                **(mf.properties or {}),
+            } or None,
         )
 
     def vacuum(

@@ -115,14 +115,15 @@ def test_cow_update_images_survive_vacuum(spark, tmp_path):
             [(i, float(i)) for i in range(8)], "k int, v double"
         ).coalesce(1)
     )  # v0
-    t.update_where("k = 3", {"v": "333"})  # v1
+    t.set_property("cdf.images", "true")  # v1
+    t.update_where("k = 3", {"v": "333"})  # v2
     t.append(
         spark.createDataFrame([(100, 1.0)], "k int, v double")
-    )  # v2
-    t.vacuum(keep_versions=3)  # keeps v0..v2
+    )  # v3
+    t.vacuum(keep_versions=4)  # keeps v0..v3
     got = {
         (r["k"], r["_change_type"]): r["v"]
-        for r in t.change_feed(0, 1).collect()
+        for r in t.change_feed(1, 2).collect()
     }
     assert got == {
         (3, "update_preimage"): 3.0,
@@ -142,12 +143,13 @@ def test_cow_update_feed_replay_reconstructs(spark, tmp_path):
             [(i, float(i) * 10) for i in range(6)], "k int, v double"
         ).repartition(2)
     )  # v0
-    t.update_where("k IN (1, 4)", {"v": "v + 0.5"})  # v1
-    t.delete_where("k = 2")  # v2
+    t.set_property("cdf.images", "true")  # v1
+    t.update_where("k IN (1, 4)", {"v": "v + 0.5"})  # v2
+    t.delete_where("k = 2")  # v3
     t.append(
         spark.createDataFrame([(9, 90.0)], "k int, v double")
-    )  # v3
-    full = t.change_feed(-1, 3)
+    )  # v4
+    full = t.change_feed(-1, 4)
     sig = (
         full.select(
             "k",
@@ -183,6 +185,7 @@ def test_changes_stream_cow_update_images(spark, tmp_path):
     root = str(tmp_path / "t")
     t = TransactionalTable(spark, root)
     t.overwrite(spark.range(10).select(F.col("id").alias("k")))
+    t.set_property("cdf.images", "true")
     t.update_where("k = 7", {"k": "700"})
     df = (
         spark.readStream.format("txn_table_changes")
@@ -198,11 +201,11 @@ def test_changes_stream_cow_update_images(spark, tmp_path):
     )
     q.awaitTermination()
     r = spark.read.parquet(str(tmp_path / "out"))
-    v1 = {
+    v2 = {
         (x["k"], x["_change_type"])
-        for x in r.filter("_commit_version = 1").collect()
+        for x in r.filter("_commit_version = 2").collect()
     }
-    assert v1 == {(7, "update_preimage"), (700, "update_postimage")}
+    assert v2 == {(7, "update_preimage"), (700, "update_postimage")}
     # v0 stays a plain full insert of the 10 original rows
     assert r.filter(
         "_commit_version = 0 AND _change_type = 'insert'"
@@ -693,3 +696,79 @@ def test_set_clustering_validates_and_clears(spark, tmp_path):
         t.set_clustering("nope")
     with pytest.raises(ValueError, match="no columns given"):
         t.optimize_zorder()
+
+
+# ----------------------------------------------------------------------
+# review r10: property rewind, catalog drop race guard, restart clamp
+# ----------------------------------------------------------------------
+
+
+def test_properties_carry_and_restore_rewind(spark, tmp_path):
+    from fefal_etl_spark.table import TransactionalTable
+
+    t = TransactionalTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.range(4).select(F.col("id").alias("k")))  # v0
+    t.set_property("cdf.images", "true")  # v1
+    t.set_property("owner", "etl")  # v2
+    t.append(spark.range(4, 6).select(F.col("id").alias("k")))  # v3
+    mf = t._read_manifest(3)
+    assert mf.properties == {"cdf.images": "true", "owner": "etl"}
+    t.set_property("cdf.images", None)  # v4: unset
+    assert t._read_manifest(4).properties == {"owner": "etl"}
+    # restore to v1 rewinds the property set with the snapshot
+    t.restore(1)
+    assert t._read_manifest(t.latest_version()).properties == {
+        "cdf.images": "true"
+    }
+
+
+def test_catalog_drop_race_guard(tmp_path):
+    """A drop whose binding was concurrently re-pointed must raise,
+    not unbind the new binding (nor purge the stale root)."""
+    from fefal_etl_spark.catalog import CatalogError, TableCatalog
+
+    wh = str(tmp_path / "wh")
+    r1, r2 = os.path.join(wh, "r1"), os.path.join(wh, "r2")
+    cat_a = TableCatalog(wh)
+    cat_a.create_table("t", root=r1)
+    # simulate the interleaved writer winning between A's resolve and
+    # A's CAS: publish a re-point through a second handle
+    cat_b = TableCatalog(wh)
+
+    orig_state = cat_a._state
+    calls = {"n": 0}
+
+    def racing_state():
+        # first call = A's resolve() (sees r1); the re-point lands
+        # BEFORE A's CAS read-modify-write (second call onward)
+        calls["n"] += 1
+        if calls["n"] == 2:
+            cat_b.register("t", r2)
+        return orig_state()
+
+    cat_a._state = racing_state
+    with pytest.raises(CatalogError, match="changed concurrently"):
+        cat_a.drop("t", purge=True)
+    assert TableCatalog(wh).resolve("t") == r2
+
+
+def test_rate_limit_clamp_prevents_regression_replay():
+    """Unit test of the clean-restart recovery: a batch whose start
+    regressed behind the tracked position is clamped to it, while a
+    crash-retry batch (end == position) is NOT clamped."""
+    from fefal_etl_spark.streaming.table_source import _RateLimit
+
+    rl = _RateLimit({"maxfilespertrigger": "10"})
+    rl.resync({"version": 3})  # committed high-water from a past run
+    # regression batch: start behind pos, end ahead -> clamp to pos
+    assert rl.clamp_start(
+        {"version": 2, "index": 5}, {"version": 4}
+    ) == {"version": 3}
+    # crash-retry: end == pos -> emit in full, no clamp
+    assert rl.clamp_start(
+        {"version": 2}, {"version": 3}
+    ) == {"version": 2}
+    # normal advance: start == pos -> untouched
+    assert rl.clamp_start({"version": 3}, {"version": 4}) == {
+        "version": 3
+    }

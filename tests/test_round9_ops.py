@@ -290,23 +290,38 @@ def test_change_feed_update_images(spark, tmp_path):
     assert live == sorted(r["k"] for r in t.read().collect())
 
 
-def test_change_feed_cow_update_emits_images(spark, tmp_path):
-    """A copy-on-write UPDATE records explicit change-data image files
-    (advice r9, Delta's ``_change_data`` shape) — the feed emits
-    exactly the update_preimage/update_postimage pair for the matched
-    row and NOTHING for the survivor rows the rewrite carried through
-    (pre-r10 this degenerated to whole-file delete+insert)."""
+def test_change_feed_cow_update_images_gated_by_property(spark, tmp_path):
+    """With table property cdf.images=true a copy-on-write UPDATE
+    records explicit change-data image files (advice r9, Delta's
+    ``_change_data`` + ``delta.enableChangeDataFeed`` shape) — the
+    feed emits exactly the update_pre/postimage pair for the matched
+    row and NOTHING for the survivors. WITHOUT the property (the
+    default — no CDC consumer should pay the O(changed rows) extra
+    write) the feed keeps the documented Delta-without-CDF behavior:
+    whole-file delete+insert."""
     from fefal_etl_spark.table import TransactionalTable
 
+    # default: full-diff degeneration, no extra write
+    t0 = TransactionalTable(spark, str(tmp_path / "plain"))
+    t0.overwrite(
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "k int, v double")
+        .coalesce(1)
+    )
+    t0.update_where("k = 1", {"v": "111"})
+    types = {r["_change_type"] for r in t0.change_feed(0, 1).collect()}
+    assert types == {"insert", "delete"}
+
+    # property on: exact images, nothing for survivors
     t = TransactionalTable(spark, str(tmp_path / "t"))
     t.overwrite(
         spark.createDataFrame([(1, 10.0), (2, 20.0)], "k int, v double")
         .coalesce(1)
     )
-    t.update_where("k = 1", {"v": "111"})
+    t.set_property("cdf.images", "true")  # v1
+    t.update_where("k = 1", {"v": "111"})  # v2
     got = {
         (r["k"], r["_change_type"]): r["v"]
-        for r in t.change_feed(0, 1).collect()
+        for r in t.change_feed(1, 2).collect()
     }
     assert got == {
         (1, "update_preimage"): 10.0,

@@ -79,8 +79,6 @@ def main() -> None:
                 "err": f"{type(e).__name__}: {e}"[:300],
             }
         print(name, results[name], flush=True)
-    # executor-side spill evidence: sum across completed stages
-    status = spark.sparkContext.statusTracker()
     payload = {
         "driver_memory": args.mem,
         "sf_dir": args.sf,
@@ -97,7 +95,6 @@ def main() -> None:
     for name in HEAVY:
         r = results[name]
         print(f"| {name} | {r['sec']} | {r.get('ok')} |")
-    _ = status  # statusTracker kept alive until stop
 
 
 if __name__ == "__main__":
