@@ -4965,63 +4965,63 @@ def q_incremental_mv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # already represented (extra family members, alternates, display variants)
 # and follow in registration order.
 _DRIVER_PRIORITY = [
-    # Round-9 rotation (VERDICT r8 item 8): front-load (a) the THREE
-    # round-9 additions (no driver row yet: CDF update images, SQL-text
-    # DML, partition evolution), then (b) ALL 29 queries whose latest
-    # driver sample is r3, then (c) the first 18 of the 50 r4-stale
-    # queries (alphabetical). 3 + 29 + 18 = 50, so after this round no
-    # registry query's latest driver sample predates r4. Computed from
-    # docs/QUERIES.md (the authoritative coverage matrix).
-    "cdf_update_images",
-    "partition_evolution_scan",
-    "sql_dml_roundtrip",
-    "geo_radius_join",
-    "hybrid_skew_revenue",
-    "ivf_topk",
-    "k_anonymity_audit",
-    "matryoshka_recall",
-    "merge_into_orders",
-    "minhash_neardup",
-    "multimodal_decode",
-    "perplexity_buckets",
-    "pipeline_fact_inquerito",
-    "pipeline_star_formations",
-    "pipeline_status_accounting",
-    "pmi_collocations",
-    "ppjoin_pairs",
-    "purchase_attribution_outer",
-    "quality_rank_blend",
-    "review_promotions",
-    "rolling_distinct_users",
-    "segment_dedup",
-    "simhash_fingerprints",
-    "star_integrity",
-    "stratified_sample",
-    "substring_dup_spans",
-    "table_diff",
-    "temperature_resample",
-    "token_diversity",
-    "value_outliers_mad",
-    "weighted_sample",
-    "zorder_layout",
-    "ab_test_ztest",
-    "benford_digits",
-    "bloom_prune_join",
-    "boolean_retrieval",
-    "bootstrap_ci",
-    "bounce_rate_daily",
-    "cohort_retention",
-    "countmin_freq",
-    "decayed_user_value",
-    "decontaminate_overlap",
-    "doc_chunks",
-    "dormant_customer_balances",
-    "dpp_partition_join",
-    "dsir_importance",
-    "dup_clusters",
-    "event_transitions",
-    "events_ohlc",
-    "ewma_smoothing",
+    # Round-10 rotation (VERDICT r9 item 7): front-load (a) the one
+    # never-sampled addition (catalog_named_dml, new this round),
+    # then (b) ALL 32 queries whose latest driver sample is r4, then
+    # (c) the first 17 of the 22 r5-stale queries (alphabetical).
+    # 1 + 32 + 17 = 50, so after this round no registry query's
+    # latest driver sample predates r5. Computed from docs/QUERIES.md
+    # (the authoritative coverage matrix).
+    "catalog_named_dml",
+    "excel_dir_roundtrip",
+    "excel_dir_scan",
+    "funnel_conversion",
+    "funnel_latency",
+    "graph_bfs_levels",
+    "hierarchy_paths",
+    "important_part_values",
+    "ks_test_value",
+    "levenshtein_neardup",
+    "min_cost_supplier",
+    "minhash_jaccard_sources",
+    "null_semantics_suite",
+    "pagerank_trade_graph",
+    "pii_scrub",
+    "positional_index",
+    "purchase_attribution_join",
+    "quantile_normalize",
+    "quantile_sketch_audit",
+    "rfm_segments",
+    "rrf_fusion",
+    "scd2_dim_merge",
+    "seasonal_decompose",
+    "semdedup_pairs",
+    "sequence_packing",
+    "session_funnel",
+    "skyline_parts",
+    "suppliers_kept_waiting",
+    "tfidf_top_terms",
+    "time_weighted_avg",
+    "volume_shipping",
+    "xls_scan",
+    "zipf_fit",
+    "bpe_pair_stats",
+    "disjunctive_bracket_revenue",
+    "dup_clusters_star",
+    "event_type_chisq",
+    "events_latency_bands",
+    "forecast_revenue_change",
+    "incremental_join_view",
+    "nation_market_share",
+    "null_imputation",
+    "order_priority_check",
+    "pareto_orders",
+    "quantized_rerank_topk",
+    "returned_item_customers",
+    "scd2_as_of",
+    "schema_evolution_scan",
+    "sparse_cosine_pairs",
+    "substring_dedup_rewrite",
 ]
 
 
