@@ -62,9 +62,17 @@ def main() -> None:
         F.col("l_extendedprice").alias("price"),
         F.col("l_quantity").alias("qty"),
     )
-    # one stable row key for the keyed replay
+    # one stable UNIQUE row key for the keyed replay: the fixture's
+    # (orderkey, linenumber) is NOT unique (the tiling keeps the
+    # source's own duplicates), so rank within each order over the
+    # value columns — deterministic (ties are identical rows, so the
+    # assignment is value-stable) and hash-partitioned, no global sort
+    from pyspark.sql import Window
+
+    w_ok = Window.partitionBy("ok").orderBy("ln", "price", "qty")
     keyed = base.withColumn(
-        "rk", F.col("ok") * 16 + F.col("ln")
+        "rk",
+        F.col("ok") * 1024 + F.row_number().over(w_ok),
     ).select("rk", "price", "qty")
     n_total = keyed.count()
 
@@ -88,7 +96,8 @@ def main() -> None:
         (F.col("price") * 2).alias("price"),
         F.col("qty"),
     ).unionByName(
-        spark.range(n_total * 100, n_total * 100 + 50_000).select(
+        # fresh-insert namespace far above any real rk (= ok*1024 + r)
+        spark.range(10**13, 10**13 + 50_000).select(
             F.col("id").alias("rk"),
             F.lit(1.0).alias("price"),
             F.lit(1.0).cast("double").alias("qty"),

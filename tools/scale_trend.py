@@ -96,6 +96,9 @@ TREND_QUERIES = [
     "cdf_update_images",
     "sql_dml_roundtrip",
     "partition_evolution_scan",
+    # round-10: named-catalog DML loop (CREATE -> named UPDATE/DELETE
+    # -> DataSource readback)
+    "catalog_named_dml",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
