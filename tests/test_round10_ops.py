@@ -546,6 +546,7 @@ def _catalog_race_worker(wh, out, i):
         out.put(("lose", i))
 
 
+@_posix_log
 def test_catalog_concurrent_create_one_winner(tmp_path):
     """Four OS processes racing CREATE TABLE of the same name through
     the CAS log: exactly one wins, the losers raise, and the catalog
