@@ -2006,16 +2006,22 @@ def q_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # run once per corpus fingerprint; every consumer leg (prefix,
     # probe, verify, norms) is then a plain columnar scan.
     fp = source_fingerprint(sf_dir, "documents")
+    # zero-arg callables: the write-side lineage (tokenize, vocab
+    # shuffles, bound window) is only CONSTRUCTED on a staging miss
+    # (review r10 #5 — stage_parquet's designed form)
     weights = stage_parquet(
         spark,
         "sim_w10",
         fp,
-        sparse_cosine_weights(
+        lambda: sparse_cosine_weights(
             _corpus(spark, sf_dir), "doc_id", "text", max_df_pct=10
         ),
     )
     indexed = stage_parquet(
-        spark, "sim_w10x", fp, sparse_cosine_index(weights, "doc_id")
+        spark,
+        "sim_w10x",
+        fp,
+        lambda: sparse_cosine_index(weights, "doc_id"),
     )
     return sparse_cosine_pairs(
         _corpus(spark, sf_dir),

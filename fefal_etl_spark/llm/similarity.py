@@ -809,7 +809,8 @@ def sparse_cosine_pairs(
     # killed; with the min-bound the whole query is seconds).
     tau = threshold - 1e-6 - 1e-9  # rounding + float slack: conservative
     if indexed_df is not None:
-        indexed = indexed_df
+        # staged path: every leg below is a plain columnar scan
+        indexed = verify_src = indexed_df
     else:
         w = (
             weights_df
@@ -819,6 +820,11 @@ def sparse_cosine_pairs(
             )
         )
         indexed = sparse_cosine_index(w, id_col)
+        # verify/norm legs need only (id, term, w) — deriving them
+        # from `indexed` would re-execute the norm-join + term-stats +
+        # window lineage three more times on the unstaged path
+        # (review r10 #3); the plain weight frame already carries them
+        verify_src = w
     prefix = (
         indexed.filter(F.least(F.col("__s"), F.col("__g")) >= tau)
         .select(
@@ -849,13 +855,11 @@ def sparse_cosine_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    # --- exact integer verify over candidates only (weights and both
-    # norm joins all derive from the SAME indexed frame, so a staged
-    # indexed_df makes every leg a plain parquet scan) ---
-    wa = indexed.select(
+    # --- exact integer verify over candidates only ---
+    wa = verify_src.select(
         F.col(id_col).alias("id_a"), "term", F.col("w").alias("__wa")
     )
-    wb = indexed.select(
+    wb = verify_src.select(
         F.col(id_col).alias("id_b"), "term", F.col("w").alias("__wb")
     )
     pairs = (
@@ -869,7 +873,7 @@ def sparse_cosine_pairs(
             F.count("*").alias("n_shared_terms"),
         )
     )
-    norms = indexed.groupBy(id_col).agg(
+    norms = verify_src.groupBy(id_col).agg(
         F.sum((F.col("w").cast(dec) * F.col("w").cast(dec))).alias("norm2")
     )
     na = norms.select(F.col(id_col).alias("id_a"), F.col("norm2").alias("__na"))

@@ -3549,19 +3549,23 @@ class TransactionalTable:
                 "set_clustering: at most 4 columns (z-order quality "
                 f"per dimension falls as 1/n; got {len(cols)})"
             )
-        numeric = ("tinyint", "smallint", "int", "bigint", "long",
-                   "integer", "short", "byte", "date")
+        integral = {"tinyint", "smallint", "int", "integer",
+                    "bigint", "long", "short", "byte"}
         bad = sorted(
-            c for c in cols
-            if not str(known[c]).lower().startswith(numeric)
+            c for c in cols if str(known[c]).lower() not in integral
         )
         if bad:
+            # EXACT type-name match (review r10 #2): DATE looked
+            # integral but cast("long") raises on it, and a prefix
+            # match would admit interval types — either way the first
+            # later compact() would poison maintenance; cluster on an
+            # integral surrogate (unix_date/hash/bucket) instead
             raise ValueError(
                 "set_clustering: column(s) "
                 f"{[(c, known[c]) for c in bad]} are not integral — "
-                "the Morton interleave casts non-numeric values to "
-                "NULL, silently collapsing the layout; cluster on an "
-                "integral surrogate (hash/bucket) instead"
+                "the Morton interleave needs long-castable values; "
+                "cluster on an integral surrogate (unix_date, hash, "
+                "bucket) instead"
             )
         return self._commit(
             mf.files,
@@ -3573,21 +3577,23 @@ class TransactionalTable:
             clustering=list(cols) or None,
         )
 
-    def _cluster_layout(self, src, cols: list[str], n_files: int):
+    def _cluster_layout(
+        self, src, cols: list[str], n_files: int, bits: int | None = None
+    ):
         """Order ``src`` along the recorded clustering before staging:
         z-order curve for ≥2 columns, range+sort for one — the shared
         layout step of :meth:`compact` (clustered tables) and
-        :meth:`optimize_zorder`."""
+        :meth:`optimize_zorder` (both forms — review r10 #4 removed
+        the duplicated body). ``bits`` defaults to min(16, 63//n) so
+        any allowed column count fits the 63-bit Morton budget."""
         from pyspark.sql import functions as F
 
         from fefal_etl_spark.operators.layout import zorder_key_n
 
-        # bits scale with dimension count so a 4-column declaration
-        # fits the 63-bit key budget (review r10: a fixed 16 raised
-        # from every auto-compact once >3 columns were declared)
         key = (
             zorder_key_n(
-                [F.col(c) for c in cols], bits=min(16, 63 // len(cols))
+                [F.col(c) for c in cols],
+                bits=bits if bits is not None else min(16, 63 // len(cols)),
             )
             if len(cols) >= 2
             else F.col(cols[0])
@@ -3746,10 +3752,6 @@ class TransactionalTable:
         :meth:`set_clustering` declaration applies —
         ``optimize_zorder()`` is then "re-cluster per table metadata",
         the scheduler-friendly form."""
-        from pyspark.sql import functions as F
-
-        from fefal_etl_spark.operators.layout import zorder_key_n
-
         base = self.latest_version()
         if base is None:
             raise FileNotFoundError(f"no committed version in {self.root}")
@@ -3763,19 +3765,18 @@ class TransactionalTable:
             # the recorded declaration may be a SINGLE column —
             # _cluster_layout handles both arities (review r10: the
             # direct zorder_key_n call raised on 1-column clustering
-            # while compact() accepted it)
-            laid_out = self._cluster_layout(
-                self.read(base), list(mf.clustering), n_files
-            )
-        else:
-            z = zorder_key_n([F.col(c) for c in cols], bits=bits)
-            laid_out = (
-                self.read(base)
-                .withColumn("__z", z)
-                .repartitionByRange(n_files, "__z")
-                .sortWithinPartitions("__z")
-                .drop("__z")
-            )
+            # while compact() accepted it); bits scale by count
+            cols = tuple(mf.clustering)
+            bits = min(bits, 63 // max(len(cols), 1))
+        elif len(cols) >= 2:
+            # explicit columns: honor the requested bits but never
+            # exceed the 63-bit budget (review r10 #4: 4 explicit
+            # columns at the default 16 raised while the declared
+            # path scaled — the two OPTIMIZE forms must agree)
+            bits = min(bits, 63 // len(cols))
+        laid_out = self._cluster_layout(
+            self.read(base), list(cols), n_files, bits=bits
+        )
         # hive layout preserved (see _pcols): each z-band task fans its
         # rows into their partition dirs, so z-clustering nests INSIDE
         # the partition scheme instead of silently demoting it

@@ -692,11 +692,33 @@ def test_set_clustering_validates_and_clears(spark, tmp_path):
     from fefal_etl_spark.table import TransactionalTable
 
     t = TransactionalTable(spark, str(tmp_path / "t"))
-    t.overwrite(spark.range(10).select(F.col("id").alias("k")))
+    t.overwrite(
+        spark.range(10).select(
+            F.col("id").alias("k"),
+            F.current_date().alias("d"),
+        )
+    )
     with pytest.raises(ValueError, match="not in the recorded schema"):
         t.set_clustering("nope")
     with pytest.raises(ValueError, match="no columns given"):
         t.optimize_zorder()
+    # DATE looks integral but cast("long") raises on it — rejected at
+    # declaration, not at the first later compact (review r10 #2)
+    with pytest.raises(ValueError, match="not integral"):
+        t.set_clustering("k", "d")
+    with pytest.raises(ValueError, match="at most 4"):
+        t.set_clustering("k", "k", "k", "k", "k")
+    # explicit 4-column OPTIMIZE scales bits instead of raising
+    df4 = spark.range(64).select(
+        (F.col("id") % 4).alias("a"),
+        (F.expr("id div 4") % 4).alias("b"),
+        (F.expr("id div 16") % 4).alias("c"),
+        (F.col("id") % 2).alias("e"),
+    )
+    t4 = TransactionalTable(spark, str(tmp_path / "t4"))
+    t4.overwrite(df4.repartition(2))
+    v = t4.optimize_zorder("a", "b", "c", "e", n_files=2)
+    assert v == 1 and t4.read().count() == 64
 
 
 # ----------------------------------------------------------------------
@@ -773,3 +795,65 @@ def test_rate_limit_clamp_prevents_regression_replay():
     assert rl.clamp_start({"version": 3}, {"version": 4}) == {
         "version": 3
     }
+
+
+@_posix_log
+def test_stream_rate_limit_available_now_restart_cycles(spark, tmp_path):
+    """Repeated availableNow runs over a rate-limited backfill: each
+    run drains exactly one admitted batch (availableNow latches its
+    target from the first latestOffset), idle re-runs add nothing, and
+    the checkpointed offsets stay strictly monotone — pins the
+    measured Spark 4.1.2 restart order (the offset-log replay hits
+    partitions() before any admission, so a fresh reader's seeded
+    position can never regress the log; review r10 #1's premise does
+    not occur — this test breaks if a Spark upgrade changes that)."""
+    import glob
+    import json
+
+    from fefal_etl_spark.streaming.table_source import (
+        TxnTableStreamDataSource,
+        _off_key,
+    )
+    from fefal_etl_spark.table import TransactionalTable
+
+    spark.dataSource.register(TxnTableStreamDataSource)
+    root = str(tmp_path / "t")
+    t = TransactionalTable(spark, root)
+    t.overwrite(
+        spark.range(300).select(F.col("id").alias("k")).repartition(30)
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def run_available_now():
+        df = (
+            spark.readStream.format("txn_table_stream")
+            .option("path", root)
+            .option("maxFilesPerTrigger", "10")
+            .load()
+        )
+        q = (
+            df.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        r = spark.read.parquet(out)
+        return r.count(), r.distinct().count()
+
+    counts = [run_available_now() for _ in range(4)]
+    assert counts[-1] == (300, 300)  # drained, exactly once
+    assert counts[-2] == (300, 300)  # idle re-run adds nothing
+    t.append(spark.range(300, 400).select(F.col("id").alias("k")))
+    n, d = run_available_now()
+    assert (n, d) == (400, 400)
+    offs = [
+        json.loads(open(p).read().splitlines()[-1])
+        for p in sorted(
+            glob.glob(os.path.join(ckpt, "offsets", "*")),
+            key=lambda x: int(os.path.basename(x)),
+        )
+    ]
+    keys = [_off_key(o) for o in offs]
+    assert keys == sorted(keys) and len(set(keys)) == len(keys)
