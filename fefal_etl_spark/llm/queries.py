@@ -3587,10 +3587,31 @@ def q_levenshtein_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("id_a") < F.col("id_b"))
         & (F.abs(F.col("n_a") - F.col("n_b")) <= 30)
     )
+    # The DP must run AFTER the join, on the gate-surviving pairs
+    # only: without a barrier Catalyst pushes the dist range filter
+    # into the join CONDITION, where it lands ahead of the cheap
+    # id/length conjuncts and evaluates levenshtein on every
+    # block-equal row — measured 34 s (and worse) vs ~7 s at zipf_sf1
+    # (round 10). The fence is an always-true NONDETERMINISTIC filter:
+    # deterministic predicates cannot be pushed below it, and unlike
+    # an unreferenced nondeterministic projection column it survives
+    # column pruning. Costs one long comparison per surviving pair.
     dist = F.levenshtein(F.col("t_a"), F.col("t_b"), 31)
+    fenced = pairs.select(
+        "id_a",
+        "id_b",
+        dist.alias("dist"),
+        F.monotonically_increasing_id().alias("__fence"),
+    )
     return (
-        pairs.select("id_a", "id_b", dist.alias("dist"))
-        .filter((F.col("dist") >= 0) & (F.col("dist") <= 30))
+        # the filter REFERENCES __fence so the nondeterministic alias
+        # survives column pruning and the range predicates stay above
+        # the project — dist is then computed exactly once per pair
+        fenced.filter(
+            (F.col("dist") >= 0)
+            & (F.col("dist") <= 30)
+            & (F.col("__fence") >= 0)
+        )
         .select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))
     )
 
