@@ -857,3 +857,23 @@ def test_stream_rate_limit_available_now_restart_cycles(spark, tmp_path):
     ]
     keys = [_off_key(o) for o in offs]
     assert keys == sorted(keys) and len(set(keys)) == len(keys)
+
+
+def test_levenshtein_plan_single_dp_eval(spark):
+    """The dist fence (llm/queries.q_levenshtein_neardup) keeps the
+    edit-distance DP out of the join condition and evaluated exactly
+    ONCE per gate-surviving pair — pinned on the physical plan because
+    the fence relies on optimizer behavior (nondeterministic-filter
+    pushdown blocking + column pruning): a Spark upgrade that changes
+    either rule must fail here, not resurface as a silent 2× at sf1."""
+    from fefal_etl_spark.queries import get_queries
+
+    df = get_queries()["levenshtein_neardup"](
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("levenshtein") == 1
+    # and none of them inside a join node's condition line
+    for line in plan.splitlines():
+        if "Join" in line:
+            assert "levenshtein" not in line
