@@ -243,11 +243,20 @@ class _FilePartition(InputPartition):
 # passes no start offset, so the reader seeds the position at
 # construction (Spark calls latestOffset BEFORE initialOffset —
 # measured on 4.1.2) and resyncs it from every partitions()/commit()
-# call. Restarts are safe in both shapes (pinned in tests): Spark
-# replays the offset log's last batch through partitions(start, end)
-# before the first admission, so the position is at the checkpointed
-# high-water mark before latestOffset can admit — an admitted offset
-# never regresses behind the checkpoint.
+# call. Restarts (pinned in tests):
+#  * crash mid-batch — Spark replays the offset log's last batch
+#    through partitions(start, end) before the first admission, so the
+#    position is at the checkpointed high-water mark before
+#    latestOffset can admit;
+#  * clean restart of a caught-up stream — there is NO replay, so the
+#    first admission runs off the seeded startingVersion position and
+#    can emit a REGRESSED offset behind the checkpoint. Spark runs the
+#    (checkpoint, regressed] batch — empty — and the regressed offset
+#    enters the offset log; the NEXT batch would re-span the
+#    already-delivered range. `_RateLimit.clamp_start` closes this by
+#    clamping every batch start up to the delivered watermark (the max
+#    start ever passed to partitions — see its docstring for why that
+#    watermark is provably committed).
 #
 # Trigger note: availableNow latches the FIRST latestOffset() result
 # as its run target, so with a rate limit each availableNow run
@@ -292,6 +301,9 @@ class _RateLimit:
         if self.max_bytes is not None and self.max_bytes < 1:
             raise ValueError("maxBytesPerTrigger must be >= 1")
         self.pos: tuple[int, float] | None = None  # _off_key of position
+        # delivered watermark: max batch START ever passed to
+        # partitions() this run (None until the first batch plans)
+        self.watermark: tuple[int, float] | None = None
 
     @property
     def active(self) -> bool:
@@ -303,40 +315,46 @@ class _RateLimit:
             self.pos = k
 
     def clamp_start(self, start: dict, end: dict) -> dict:
-        """Effective batch start: never below the tracked position.
+        """Effective batch start: never below the delivered watermark.
 
-        Closes the clean-restart regression (review r10): a restart
-        whose last batch fully COMMITTED gets no partitions() replay —
-        Spark's first call is latestOffset() on a fresh reader whose
-        seeded position sits at startingVersion, so the admitted
-        offset can land BEHIND the checkpoint. Spark then runs one
-        batch (committed → regressed) — empty here, but the regressed
-        offset enters the offset log, and the NEXT batch's start is
-        that regressed offset: without the clamp it would re-emit
-        files the previous run already delivered. The clamp applies
-        only while pos < end (strictly): a replayed batch whose end
-        equals the position — the crash-retry path — is emitted in
-        full, so no delivered-range skipping can lose data."""
-        if self.pos is None or _off_key(end) <= self.pos:
+        The watermark is the max batch START this reader has seen in
+        partitions(). Starts come from Spark's offset log — start(N)
+        is end(N-1), and batch N's offset entry is written only after
+        batch N-1 COMMITTED — so every row at or below any seen start
+        was fully delivered AND committed. Clamping a later start up
+        to the watermark therefore never skips undelivered data, while
+        a crash-retry replay (the first partitions() call after a
+        restart; its start IS the new watermark) is emitted in full.
+
+        This closes the clean-restart duplication (advice r10): a
+        caught-up restart gets no replay, so the first admission runs
+        off the seeded startingVersion position and can emit a
+        regressed offset O behind the checkpointed E. Spark runs batch
+        (E, O] — empty, but its start E raises the watermark — commits
+        O, then runs (O, E]: that start clamps up to the watermark E
+        and the batch stays empty, instead of re-emitting every
+        already-delivered file in (O, E]. (The previous pos-based
+        clamp opted out on ``end == pos`` to keep crash replays whole,
+        which is exactly the shape of the duplicating batch.)"""
+        k = _off_key(start)
+        if self.watermark is None or k > self.watermark:
+            self.watermark = k
+        if k >= self.watermark:
             return start
-        if _off_key(start) < self.pos:
-            v, i = self.pos
-            return (
-                {"version": v}
-                if i == float("inf")
-                else {"version": v, "index": int(i)}
-            )
-        return start
+        wm = min(self.watermark, _off_key(end))
+        v, i = wm
+        return (
+            {"version": v}
+            if i == float("inf")
+            else {"version": v, "index": int(i)}
+        )
 
-    def admit(
-        self, root: str, latest: int, units_of
-    ) -> dict | None:
-        """The admitted end offset from the tracked position, or None
-        when the position is unknown (fresh reader — caller falls back
-        to the unbounded latest). ``units_of(v)`` returns the ordered
-        (rel_path, n_bytes) units of version v."""
-        if self.pos is None:
-            return None
+    def admit(self, root: str, latest: int, units_of) -> dict:
+        """The admitted end offset from the tracked position (always
+        seeded at construction — both readers resync startingVersion
+        before the first latestOffset). ``units_of(v)`` returns the
+        ordered (rel_path, n_bytes) units of version v."""
+        assert self.pos is not None, "admission position never seeded"
         pv, pi = self.pos
         floor = pv if pi == float("inf") else pv - 1
         skip = 0 if pi == float("inf") else int(pi)
@@ -444,10 +462,6 @@ class TxnTableStreamReader(DataSourceStreamReader):
         if not self.limit.active:
             return {"version": latest}
         off = self.limit.admit(self.root, latest, self._add_units)
-        if off is None:
-            # fresh reader with a committed checkpoint we cannot see:
-            # one unbounded catch-up batch (documented in _RateLimit)
-            off = {"version": latest}
         self.limit.resync(off)
         return off
 
@@ -654,8 +668,6 @@ class TxnTableChangesStreamReader(DataSourceStreamReader):
                 for p in self._version_parts(v)[0]
             ],
         )
-        if off is None:
-            off = {"version": latest}
         self.limit.resync(off)
         return off
 

@@ -776,22 +776,25 @@ def test_catalog_drop_race_guard(tmp_path):
 
 
 def test_rate_limit_clamp_prevents_regression_replay():
-    """Unit test of the clean-restart recovery: a batch whose start
-    regressed behind the tracked position is clamped to it, while a
-    crash-retry batch (end == position) is NOT clamped."""
+    """Unit test of the clean-restart recovery (rewritten round 11,
+    advice r10): the clamp keys on the delivered WATERMARK (max batch
+    start ever seen in partitions — provably committed, since starts
+    come from Spark's offset log), not on the admission position whose
+    ``end == pos`` opt-out re-delivered the regressed catch-up range."""
     from fefal_etl_spark.streaming.table_source import _RateLimit
 
     rl = _RateLimit({"maxfilespertrigger": "10"})
-    rl.resync({"version": 3})  # committed high-water from a past run
-    # regression batch: start behind pos, end ahead -> clamp to pos
-    assert rl.clamp_start(
-        {"version": 2, "index": 5}, {"version": 4}
-    ) == {"version": 3}
-    # crash-retry: end == pos -> emit in full, no clamp
+    rl.resync({"version": 3})  # admission position — NOT the clamp key
+    # crash-retry replay: the first batch seen sets the watermark and
+    # is emitted in full
     assert rl.clamp_start(
         {"version": 2}, {"version": 3}
     ) == {"version": 2}
-    # normal advance: start == pos -> untouched
+    # a later batch whose start regressed below the watermark clamps
+    assert rl.clamp_start(
+        {"version": 1, "index": 5}, {"version": 4}
+    ) == {"version": 2}
+    # normal advance: start at/above the watermark -> untouched
     assert rl.clamp_start({"version": 3}, {"version": 4}) == {
         "version": 3
     }
