@@ -4240,6 +4240,89 @@ def q_catalog_named_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sql_warehouse_load",
+    """
+    WITH ctas AS (
+        SELECT o_orderkey AS k, o_orderstatus AS st,
+               CAST(o_totalprice AS DOUBLE) AS p
+        FROM orders WHERE o_orderkey % 7 = 0
+    ),
+    ins AS (
+        SELECT -o_orderkey AS k, o_orderstatus AS st,
+               CAST(o_totalprice AS DOUBLE) * 0.5 AS p
+        FROM orders WHERE o_orderkey % 11 = 0
+    ),
+    allrows AS (
+        SELECT * FROM ctas UNION ALL SELECT * FROM ins
+    )
+    SELECT st AS status,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(p AS DECIMAL(24,4))) AS DOUBLE) AS sum_p
+    FROM allrows GROUP BY st ORDER BY st
+    """,
+)
+def q_sql_warehouse_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-11 extension — SQL LOAD VERBS through the catalog
+    (sql_dml.py::_exec_ctas/_exec_insert; VERDICT r10 item 1): the
+    two statements every migration script starts with, as pure SQL
+    text with NO filesystem path anywhere. ``CREATE TABLE wh_sales
+    PARTITIONED BY (st) AS SELECT ...`` mints a managed root under
+    the warehouse and lands one atomic hive-partitioned snapshot;
+    ``INSERT INTO wh_sales SELECT ...`` appends with ANSI positional
+    column semantics (renamed + cast onto the committed schema); the
+    readback is a named-table SELECT through the same entry point.
+    The oracle replays both loads declaratively as a UNION ALL.
+    Reference provenance: this subsumes the reference's entire load
+    path — the psycopg2 INSERT row loops of etl_ui.py:394-664 — as
+    two set-based statements."""
+    import os
+    import shutil
+
+    from fefal_etl_spark.catalog import TableCatalog
+    from fefal_etl_spark.sql_dml import execute_sql
+    from fefal_etl_spark.staging import source_fingerprint, staging_root
+
+    wh = os.path.join(
+        staging_root(),
+        f"wh_sqlload-{source_fingerprint(sf_dir, 'orders')}",
+    )
+    cat = TableCatalog(wh)
+    done = (
+        "wh_sales" in cat.tables()
+        and cat.table(spark, "wh_sales").latest_version() == 1
+    )
+    if not done:
+        shutil.rmtree(wh, ignore_errors=True)
+        cat = TableCatalog(wh)
+        orders = load_table(spark, sf_dir, "orders")
+        execute_sql(
+            spark,
+            "CREATE TABLE wh_sales PARTITIONED BY (st) AS "
+            "SELECT o_orderkey AS k, o_orderstatus AS st, "
+            "CAST(o_totalprice AS DOUBLE) AS p "
+            "FROM orders WHERE o_orderkey % 7 = 0",
+            tables={"orders": orders},
+            catalog=cat,
+        )
+        execute_sql(
+            spark,
+            "INSERT INTO wh_sales "
+            "SELECT -o_orderkey, o_orderstatus, "
+            "CAST(o_totalprice AS DOUBLE) * 0.5 "
+            "FROM orders WHERE o_orderkey % 11 = 0",
+            tables={"orders": orders},
+            catalog=cat,
+        )
+    return execute_sql(
+        spark,
+        "SELECT st AS status, CAST(count(*) AS BIGINT) AS n_rows, "
+        "CAST(SUM(CAST(p AS DECIMAL(24,4))) AS DOUBLE) AS sum_p "
+        "FROM wh_sales GROUP BY st ORDER BY st",
+        catalog=cat,
+    )
+
+
+@register(
     "partition_evolution_scan",
     """
     SELECT o_orderpriority AS priority,

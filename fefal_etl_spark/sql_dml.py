@@ -6,6 +6,9 @@
     MERGE INTO t USING <src|(SELECT ...)> [AS] s ON t.k = s.k [AND ...]
         WHEN MATCHED THEN UPDATE SET <* | c = s.c, ...>
         WHEN NOT MATCHED THEN INSERT *
+    INSERT INTO|OVERWRITE [TABLE] t <SELECT|WITH|VALUES ...>   (round 11)
+    CREATE [OR REPLACE] TABLE [IF NOT EXISTS] t
+        [PARTITIONED BY (c, ...)] AS <query>                   (round 11)
     SELECT ...                     (any Spark-SQL SELECT)
 
 onto :class:`~fefal_etl_spark.table.TransactionalTable` verbs
@@ -120,9 +123,27 @@ def _resolve_table(name: str, tables: dict):
     return tables[name]
 
 
-def _register_views(spark: SparkSession, tables: dict) -> None:
+def _register_views(spark: SparkSession, tables: dict, stmt: str) -> None:
+    """Register temp views for ONLY the bindings the statement
+    references (advice r10: eager registration called ``read()`` on
+    every catalog binding, so one empty ``catalog create NAME`` broke
+    every SELECT through that warehouse). The reference scan is a
+    word-bounded match outside string literals — conservative: a
+    column spelled like an unreferenced table over-registers one view,
+    which is harmless. A referenced binding with no committed version
+    is SKIPPED (any stale same-named temp view is dropped), so a
+    statement that truly reads it fails with Spark's normal
+    unknown-table error instead of poisoning unrelated statements."""
+    in_str = {i for i, _c, _d, s in _scan(stmt) if s}
     for name, t in tables.items():
-        df = t.read() if hasattr(t, "read") else t
+        pat = re.compile(rf"\b{re.escape(name)}\b", re.IGNORECASE)
+        if not any(m.start() not in in_str for m in pat.finditer(stmt)):
+            continue
+        try:
+            df = t.read() if hasattr(t, "read") else t
+        except FileNotFoundError:
+            spark.catalog.dropTempView(name)
+            continue
         df.createOrReplaceTempView(name)
 
 
@@ -198,7 +219,7 @@ def _exec_merge(
     src_txt = sm.group("src").strip()
     s_alias = (sm.group("salias") or "").lower()
     if src_txt.startswith("("):
-        _register_views(spark, tables)
+        _register_views(spark, tables, src_txt)
         source = spark.sql(src_txt[1:-1])
         if not s_alias:
             raise SqlDmlError("MERGE: a subquery source needs an alias")
@@ -292,6 +313,149 @@ def _merge_when(when_txt: str, s_alias: str) -> list[str] | None:
     return cols
 
 
+_INSERT_RE = re.compile(
+    r"\s*INSERT\s+(?P<mode>INTO|OVERWRITE)\s+(?:TABLE\s+)?"
+    r"(?P<name>[A-Za-z_`\"][\w`\"]*)\s*",
+    re.IGNORECASE,
+)
+
+_CTAS_RE = re.compile(
+    r"\s*CREATE\s+(?:(?P<replace>OR\s+REPLACE)\s+)?TABLE\s+"
+    r"(?:(?P<ifnot>IF\s+NOT\s+EXISTS)\s+)?"
+    r"(?P<name>[A-Za-z_`\"][\w`\"]*)\s*",
+    re.IGNORECASE,
+)
+
+
+def _query_df(spark: SparkSession, body: str, tables: dict) -> DataFrame:
+    """Plan the SELECT / WITH / VALUES / TABLE body of an INSERT or
+    CTAS through Catalyst, with the referenced bindings as views."""
+    head = body.split(None, 1)[0].upper() if body else ""
+    if head not in ("SELECT", "WITH", "VALUES", "TABLE"):
+        raise SqlDmlError(
+            f"expected a SELECT / WITH / VALUES / TABLE query, got "
+            f"{body[:40]!r}"
+        )
+    _register_views(spark, tables, body)
+    return spark.sql(body)
+
+
+def _exec_insert(
+    spark: SparkSession, sql: str, tables: dict
+) -> int:
+    """``INSERT INTO|OVERWRITE [TABLE] t <query>`` → ``append`` /
+    ``overwrite``. ANSI positional column semantics: when the target
+    has a committed schema the query must produce exactly as many
+    columns, and they are renamed + cast onto it by POSITION (standard
+    INSERT behavior); the first INSERT into an empty created table
+    adopts the query's own schema. Replaces the reference's entire
+    row-loop load path (etl_ui.py:394-664) as SQL text."""
+    m = _INSERT_RE.match(sql)
+    if not m:
+        raise SqlDmlError(
+            "INSERT: expected 'INSERT INTO|OVERWRITE [TABLE] <table> "
+            "<query>'"
+        )
+    t = _resolve_table(_ident(m.group("name"), "INSERT target"), tables)
+    if not hasattr(t, "append"):
+        raise SqlDmlError(
+            "INSERT: target must be a transactional table, not a "
+            "plain DataFrame binding"
+        )
+    body = sql[m.end():].strip()
+    if body.startswith("("):
+        raise SqlDmlError(
+            "INSERT: explicit column lists are not supported — the "
+            "query must produce the target's full schema (positional)"
+        )
+    df = _query_df(spark, body, tables)
+    # positional alignment target = the manifest-DECLARED column order
+    # (a hive-partitioned snapshot's read() order moves partition
+    # columns last; the user-facing INSERT contract is CTAS order)
+    lv = t.latest_version()
+    tgt = t._read_manifest(lv).schema if lv is not None else None
+    if tgt:  # empty created table: first INSERT defines the schema
+        if len(df.columns) != len(tgt):
+            raise SqlDmlError(
+                f"INSERT: query produces {len(df.columns)} column(s), "
+                f"target has {len(tgt)} — ANSI INSERT is positional "
+                f"over the full schema"
+            )
+        from pyspark.sql import functions as F
+
+        # rename positionally FIRST (toDF never parses names — a
+        # SELECT's generated labels can contain dots), then cast
+        df = df.toDF(*tgt).select(
+            *[
+                F.col(f"`{n}`").cast(typ).alias(n)
+                for n, typ in tgt.items()
+            ]
+        )
+    mode = m.group("mode").upper()
+    return t.overwrite(df) if mode == "OVERWRITE" else t.append(df)
+
+
+def _exec_ctas(
+    spark: SparkSession, sql: str, tables: dict, catalog
+) -> int | None:
+    """``CREATE [OR REPLACE] TABLE [IF NOT EXISTS] name
+    [PARTITIONED BY (c, ...)] AS <query>`` → catalog.create_table +
+    one atomic ``overwrite`` (hive-partitioned when declared). Needs a
+    catalog — CTAS mints a MANAGED root under the warehouse. Returns
+    the new version, or None when IF NOT EXISTS skipped an existing
+    table. Column-definition CREATE (no AS) rejects loudly: the table
+    layer is schema-on-write."""
+    m = _CTAS_RE.match(sql)
+    if not m:
+        raise SqlDmlError(
+            "CREATE: expected 'CREATE [OR REPLACE] TABLE "
+            "[IF NOT EXISTS] <name> [PARTITIONED BY (...)] AS <query>'"
+        )
+    if m.group("replace") and m.group("ifnot"):
+        raise SqlDmlError(
+            "CREATE: OR REPLACE and IF NOT EXISTS are mutually "
+            "exclusive"
+        )
+    if catalog is None:
+        raise SqlDmlError(
+            "CREATE TABLE needs a catalog= (CTAS mints a managed root "
+            "under the warehouse)"
+        )
+    name = _ident(m.group("name"), "CREATE TABLE name")
+    rest = sql[m.end():].strip()
+    part_cols: list[str] = []
+    pm = re.match(
+        r"PARTITIONED\s+BY\s*\(([^)]*)\)\s*", rest, re.IGNORECASE
+    )
+    if pm:
+        part_cols = [
+            _ident(c, "PARTITIONED BY column")
+            for c in pm.group(1).split(",")
+        ]
+        rest = rest[pm.end():].strip()
+    am = re.match(r"AS\b", rest, re.IGNORECASE)
+    if not am:
+        raise SqlDmlError(
+            "CREATE TABLE: only the AS <query> form is supported — "
+            "column-definition DDL has no data to write (the table "
+            "layer is schema-on-write); got " + repr(rest[:40])
+        )
+    df = _query_df(spark, rest[am.end():].strip(), tables)
+    from fefal_etl_spark.table import TransactionalTable
+
+    exists = name in catalog.tables()
+    if exists and m.group("ifnot"):
+        return None
+    if exists and not m.group("replace"):
+        raise SqlDmlError(
+            f"CREATE TABLE: {name!r} already exists — use OR REPLACE "
+            f"or IF NOT EXISTS"
+        )
+    root = catalog.resolve(name) if exists else catalog.create_table(name)
+    t = TransactionalTable(spark, root)
+    return t.overwrite(df, partition_by=part_cols or None)
+
+
 def execute_sql(
     spark: SparkSession,
     sql: str,
@@ -332,11 +496,15 @@ def execute_sql(
         return _exec_delete(stmt, resolved, mor)
     if head == "MERGE":
         return _exec_merge(spark, stmt, resolved, mor)
+    if head == "INSERT":
+        return _exec_insert(spark, stmt, resolved)
+    if head == "CREATE":
+        return _exec_ctas(spark, stmt, resolved, catalog)
     if head in ("SELECT", "WITH"):
-        _register_views(spark, resolved)
+        _register_views(spark, resolved, stmt)
         return spark.sql(stmt)
     raise SqlDmlError(
         f"unsupported statement {head!r}: the SQL surface covers "
-        "UPDATE / DELETE / MERGE / SELECT (DDL and INSERT go through "
-        "the table API: overwrite/append/add_constraint/...)"
+        "CREATE TABLE AS / INSERT / UPDATE / DELETE / MERGE / SELECT "
+        "(constraints and maintenance go through the table API)"
     )

@@ -197,3 +197,135 @@ def test_changes_stream_rate_limit_clean_restart(spark, tmp_path):
         for x in r.select("k", "_change_type").collect()
     )
     assert got == expect  # no re-delivery after the clean restart
+
+
+# ----------------------------------------------------------------------
+# ADVICE r10 #2: lazy SQL view registration over catalog bindings
+# ----------------------------------------------------------------------
+
+
+def test_sql_select_survives_empty_catalog_binding(spark, tmp_path):
+    """A bare ``catalog create NAME`` (bound, never written) must not
+    break SELECTs that never reference it (pre-fix: _register_views
+    read() EVERY binding and FileNotFoundError'd)."""
+    from fefal_etl_spark.catalog import TableCatalog
+    from fefal_etl_spark.sql_dml import execute_sql
+    from fefal_etl_spark.table import TransactionalTable
+
+    cat = TableCatalog(str(tmp_path / "wh"))
+    TransactionalTable(spark, cat.create_table("real")).overwrite(
+        spark.range(5).select(F.col("id").alias("k"))
+    )
+    cat.create_table("ghost")  # bound, no committed version
+    got = execute_sql(
+        spark, "SELECT count(*) AS n FROM real", catalog=cat
+    ).collect()
+    assert got[0]["n"] == 5
+    # referencing the empty binding fails with the NORMAL
+    # unknown-table analysis error, not a FileNotFoundError
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        execute_sql(spark, "SELECT * FROM ghost", catalog=cat).collect()
+    # MERGE subquery sources go through the same lazy registration
+    t = TransactionalTable(spark, cat.resolve("real"))
+    execute_sql(
+        spark,
+        "MERGE INTO real USING (SELECT k FROM real WHERE k < 2) AS s "
+        "ON real.k = s.k WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *",
+        catalog=cat,
+    )
+    assert t.read().count() == 5
+
+
+# ----------------------------------------------------------------------
+# VERDICT r10 item 1: INSERT INTO / CREATE TABLE AS through sql_dml
+# ----------------------------------------------------------------------
+
+
+def test_sql_ctas_insert_select_loop(spark, tmp_path):
+    """The migrating-SQL-user loop by NAME only: CTAS (partitioned) →
+    INSERT INTO (positional, cast) → INSERT OVERWRITE → SELECT."""
+    from fefal_etl_spark.catalog import TableCatalog
+    from fefal_etl_spark.sql_dml import execute_sql
+    from fefal_etl_spark.table import TransactionalTable
+
+    cat = TableCatalog(str(tmp_path / "wh"))
+    v = execute_sql(
+        spark,
+        "CREATE TABLE sales PARTITIONED BY (region) AS "
+        "SELECT * FROM VALUES (1, 10.5, 'eu'), (2, 3.25, 'us') "
+        "AS x(k, amt, region)",
+        catalog=cat,
+    )
+    assert v == 0
+    t = TransactionalTable(spark, cat.resolve("sales"))
+    # partitioned layout reached the manifest
+    assert all(
+        "region=" in f for f in t._read_manifest(0).files
+    )
+    # positional INSERT: string '3' casts onto bigint k, int onto amt
+    execute_sql(
+        spark,
+        "INSERT INTO sales VALUES ('3', 7, 'eu')",
+        catalog=cat,
+    )
+    got = execute_sql(
+        spark,
+        "SELECT region, count(*) AS n, sum(amt) AS s FROM sales "
+        "GROUP BY region ORDER BY region",
+        catalog=cat,
+    ).collect()
+    assert [(r["region"], r["n"], r["s"]) for r in got] == [
+        ("eu", 2, 17.5),
+        ("us", 1, 3.25),
+    ]
+    # INSERT OVERWRITE replaces the snapshot atomically
+    execute_sql(
+        spark,
+        "INSERT OVERWRITE sales SELECT k, amt, region FROM sales "
+        "WHERE region = 'eu'",
+        catalog=cat,
+    )
+    assert t.read().count() == 2
+    # IF NOT EXISTS no-ops; plain re-CREATE is loud; OR REPLACE wins
+    assert (
+        execute_sql(
+            spark,
+            "CREATE TABLE IF NOT EXISTS sales AS SELECT 1 AS z",
+            catalog=cat,
+        )
+        is None
+    )
+    assert t.read().count() == 2
+
+
+def test_sql_insert_ctas_loud_rejections(spark, tmp_path):
+    """Unsupported INSERT/CREATE clauses reject loudly (never a silent
+    partial execution — the module's contract)."""
+    from fefal_etl_spark.catalog import TableCatalog
+    from fefal_etl_spark.sql_dml import SqlDmlError, execute_sql
+
+    cat = TableCatalog(str(tmp_path / "wh"))
+    execute_sql(
+        spark, "CREATE TABLE t1 AS SELECT 1 AS k", catalog=cat
+    )
+    cases = [
+        "CREATE TABLE t2 (k INT)",  # column-definition DDL
+        "CREATE TABLE t1 AS SELECT 2 AS k",  # exists, no modifier
+        "CREATE OR REPLACE TABLE IF NOT EXISTS t1 AS SELECT 1 AS k",
+        "INSERT INTO t1 (k) VALUES (1)",  # column list
+        "INSERT INTO t1 SELECT 1, 2",  # arity mismatch
+        "INSERT INTO missing SELECT 1",  # unknown target
+    ]
+    for stmt in cases:
+        with pytest.raises(SqlDmlError):
+            execute_sql(spark, stmt, catalog=cat)
+    with pytest.raises(SqlDmlError):  # CTAS with no catalog
+        execute_sql(spark, "CREATE TABLE z AS SELECT 1 AS k")
+    # nothing above wrote: t1 still has its single original row
+    got = execute_sql(
+        spark, "SELECT * FROM t1", catalog=cat
+    ).collect()
+    assert [r["k"] for r in got] == [1]
