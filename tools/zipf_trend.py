@@ -37,6 +37,7 @@ QUERIES = [
     "ppjoin_pairs",
     "containment_neardup",
     "sparse_cosine_pairs",
+    "sparse_cosine_topk",
     "bm25_topk",
     "tfidf_top_terms",
     "minhash_neardup",
