@@ -329,3 +329,96 @@ def test_sql_insert_ctas_loud_rejections(spark, tmp_path):
         spark, "SELECT * FROM t1", catalog=cat
     ).collect()
     assert [r["k"] for r in got] == [1]
+
+
+# ----------------------------------------------------------------------
+# VERDICT r10 item 4: IvfAnnIndex.retrain — centroid-drift recovery
+# ----------------------------------------------------------------------
+
+
+def test_ivf_index_retrain_recovers_drift_recall(spark, tmp_path):
+    """Planted distribution shift: the index is built with centroids at
+    0° and 90°, then a drifted cluster lands at 50° (assigned to the
+    90° bucket). A 35° query probing nprobe=1 picks the 0° bucket and
+    misses every true neighbor — recall 0. retrain(k=3) refits
+    centroids from the indexed vectors (lowest-id seeds 0/1/2 sit one
+    per cluster by construction), after which the query probes the
+    drifted bucket and recall recovers to 1.0; probe ≡ batch ivf_topk
+    under the new centroids; the exactly-once ledger survives the
+    rewrite commit."""
+    import math
+
+    from fefal_etl_spark.llm.incremental_ann import IvfAnnIndex
+    from fefal_etl_spark.llm.similarity import ivf_topk
+
+    def vec(deg, i):
+        th = math.radians(deg + 0.001 * i)
+        r = 1.0 + 0.01 * i
+        return [r * math.cos(th), r * math.sin(th), 0.0, 0.0]
+
+    def frame(rows):
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    # original corpus: cluster O1 at ~0° (ids 0,3..11), O2 at ~90°
+    # (ids 1,12..20); ids 0 and 1 are the future retrain seeds
+    o1 = [(0, vec(0, 0))] + [(i, vec(0, i)) for i in range(3, 12)]
+    o2 = [(1, vec(90, 1))] + [(i, vec(90, i)) for i in range(12, 21)]
+    cents = frame([(0, vec(0, 0)), (1, vec(90, 0))]).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    idx = IvfAnnIndex(spark, str(tmp_path / "idx"))
+    idx.build(frame(o1 + o2), cents)
+    # drift batch at ~50° (id 2 = third retrain seed, rest 100+);
+    # nearest old centroid is 90° -> all land in bucket 1
+    drift = [(2, vec(50, 2))] + [
+        (100 + i, vec(50, i)) for i in range(19)
+    ]
+    assert (
+        idx.add_batch(frame(drift), cents, app_id="ing", txn_version=7)
+        is not None
+    )
+    queries = frame([(900, vec(35, 0)), (901, vec(35, 5))])
+
+    def recall_at5(matches):
+        # true top-5 of a 35° query = drifted 50° vectors (cos 15°)
+        got = [
+            r["vec_id"]
+            for r in matches
+            if r["query_id"] == 900 and r["rk"] <= 5
+        ]
+        truth = {2} | {100 + i for i in range(19)}
+        return len([v for v in got if v in truth]) / 5.0
+
+    before = idx.match_new(queries, cents, nprobe=1, k=5).collect()
+    assert recall_at5(before) == 0.0  # wrong bucket probed — drift hurt
+    new_cent = idx.retrain(k=3, iters=3)
+    after = idx.match_new(queries, new_cent, nprobe=1, k=5).collect()
+    assert recall_at5(after) == 1.0  # recovered
+    # probe-equivalence vs the batch path under the NEW centroids
+    exp = sorted(
+        (r["query_id"], r["rk"], r["vec_id"], round(r["cos_sim"], 9))
+        for r in ivf_topk(
+            idx.table.read().select("vec_id", "embedding"),
+            new_cent,
+            queries.select(F.col("vec_id").alias("query_id"), "embedding"),
+            nprobe=1,
+            k=5,
+        ).collect()
+    )
+    got = sorted(
+        (r["query_id"], r["rk"], r["vec_id"], round(r["cos_sim"], 9))
+        for r in after
+    )
+    assert got == exp and got
+    # bucket layout is the new one and still prunes at the manifest
+    kept, total = idx.table.pruned_partition_files(centroid_id=0)
+    assert kept < total
+    # the exactly-once ledger survived the rewrite: replay no-ops
+    n = idx.table.read().count()
+    assert (
+        idx.add_batch(frame(drift), new_cent, app_id="ing", txn_version=7)
+        is None
+    )
+    assert idx.table.read().count() == n == 40
