@@ -869,13 +869,25 @@ def sparse_cosine_pairs(
         # window lineage three more times on the unstaged path
         # (review r10 #3); the plain weight frame already carries them
         verify_src = w
-    prefix = (
-        indexed.filter(F.least(F.col("__s"), F.col("__g")) >= tau)
-        .select(
-            F.col(id_col).alias("id_a"),
-            "term",
-            F.col("__g").alias("__ga"),
-        )
+    keep = F.least(F.col("__s"), F.col("__g")) >= tau
+    prefix = indexed.filter(keep).select(
+        F.col(id_col).alias("id_a"),
+        "term",
+        F.col("__g").alias("__ga"),
+    )
+    # PREFIX × PREFIX join (round 11 — the full two-sided AllPairs
+    # bound; pre-r11 the probe side was the FULL posting list). Sound
+    # because the rarest shared term t* of any qualifying pair must
+    # lie in BOTH prefixes: every shared term sits at-or-after t* in
+    # the global rarest-first order, so dot ≤ min(__s_x(t*), __g_x(t*))
+    # for EITHER endpoint x — if t* fell in either suffix, that
+    # endpoint's inclusive tail bound is < τ′ and the pair cannot
+    # reach τ. Probe side shrinks from |postings| to |prefix| rows
+    # (3.8M → 272k at zipf_sf1) and candidates fall with it.
+    probe = indexed.filter(keep).select(
+        F.col(id_col).alias("id_b"),
+        "term",
+        F.col("__g").alias("__gb"),
     )
     # candidate-ROW gate (L2AP's Cauchy-Schwarz step): every shared
     # term of a qualifying pair has global order ≥ the smallest shared
@@ -884,14 +896,7 @@ def sparse_cosine_pairs(
     # __ga·__gb ≥ τ′ can never drop a true pair (the t* row survives;
     # other rows for the same pair may die, distinct() needs only one)
     cands = (
-        prefix.join(
-            indexed.select(
-                F.col(id_col).alias("id_b"),
-                "term",
-                F.col("__g").alias("__gb"),
-            ),
-            "term",
-        )
+        prefix.join(probe, "term")
         .filter(
             (F.col("id_a") < F.col("id_b"))
             & (F.col("__ga") * F.col("__gb") >= tau)
@@ -899,67 +904,109 @@ def sparse_cosine_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    # --- exact integer verify over candidates only (round 11) ---
-    # Verify by MAP LOOKUP, not by a third posting join: each doc's
-    # (term → integer weight) map plus its exact norm is built in ONE
-    # doc-keyed groupBy (N rows, not N·|terms|), candidates join the
-    # two map rows, and the dot is a JVM-side higher-order aggregate
-    # over the smaller map's entries — exact DECIMAL(38,0) arithmetic
-    # unchanged, missing keys contribute 0, n_shared_terms = keys
-    # present in both. The previous formulation exploded candidates ×
-    # |terms(a)| (46M rows at zipf_sf1) through a (id_b, term) shuffle
-    # and re-aggregated them: measured 50.5 s → 5.5 s for the same
-    # 667k candidates. Per-candidate cost is now shipping two ~|terms|
-    # maps + |terms(a)| hash probes — no term-keyed shuffle at all.
-    docs_v = verify_src.groupBy(id_col).agg(
-        F.map_from_entries(
-            F.collect_list(F.struct("term", "w"))
-        ).alias("__m"),
-        F.sum((F.col("w").cast(dec) * F.col("w").cast(dec))).alias(
-            "__norm2"
-        ),
+    # --- exact integer verify over candidates only ---
+    # (A map-lookup formulation — per-doc term→w maps + a higher-order
+    # aggregate dot — was measured in round 11 and REJECTED: Spark's
+    # higher-order functions are interpreted and its map lookup is a
+    # linear scan, so the dot cost O(|terms|²) per pair; the posting
+    # join below stays inside whole-stage codegen.)
+    wa = verify_src.select(
+        F.col(id_col).alias("id_a"), "term", F.col("w").alias("__wa")
     )
-    ma = docs_v.select(
-        F.col(id_col).alias("id_a"),
-        F.col("__m").alias("__ma"),
-        F.col("__norm2").alias("__na"),
+    wb = verify_src.select(
+        F.col(id_col).alias("id_b"), "term", F.col("w").alias("__wb")
     )
-    mb = docs_v.select(
-        F.col(id_col).alias("id_b"),
-        F.col("__m").alias("__mb"),
-        F.col("__norm2").alias("__nb"),
+    # BLOOM-PRUNED explosion (round 11): verifying pair (a,b) needs
+    # only the terms a AND b SHARE (~30 at zipf_sf1), but the exact
+    # join must explode every candidate × |terms(a)| row (155 avg —
+    # 103.5M rows at zipf_sf1) through the (id_b, term) shuffle, where
+    # ~80% die on the other side. Give every doc a 4096-bit / 2-hash
+    # Bloom set of its terms (64 longs; built per call in one doc-keyed
+    # pass over the weight frame — corpus-linear); candidates carry b's
+    # set, and each exploded a-row is filtered by two integer bit
+    # probes BEFORE the shuffle. Bloom membership has NO false
+    # negatives, so every shared term survives and the result is
+    # bit-identical; false positives just ride into the exact join.
+    # Everything on the 103M-row path is codegen (xxhash64, element_at,
+    # shiftright, bitwiseAND). Spark's runtime bloom join cannot fire
+    # here: the creation side exceeds its 10 MB threshold and it prunes
+    # scans, not mid-plan intermediates.
+    _BLM = 4096  # bits; fp ≈ (1−e^(−2·155/4096))² ≈ 0.5% at avg doc
+    h1 = F.xxhash64("term").bitwiseAND(F.lit(_BLM - 1))
+    h2 = F.xxhash64("term", F.lit(7)).bitwiseAND(F.lit(_BLM - 1))
+    word_mask = verify_src.select(
+        F.col(id_col), F.explode(F.array(h1, h2)).alias("__p")
+    ).select(
+        id_col,
+        F.shiftright(F.col("__p"), 6).cast("int").alias("__wd"),
+        F.expr("shiftleft(1L, int(__p % 64))").alias("__mk"),
     )
-    dot = F.aggregate(
-        F.map_entries("__ma"),
-        F.lit(0).cast(dec),
-        lambda acc, e: acc
-        + F.coalesce(F.col("__mb")[e["key"]], F.lit(0)).cast(dec)
-        * e["value"].cast(dec),
+    blooms = (
+        word_mask.groupBy(id_col, "__wd")
+        .agg(F.expr("bit_or(__mk)").alias("__mk"))
+        .groupBy(id_col)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("__wd", "__mk"))
+            ).alias("__bm")
+        )
+        .select(
+            F.col(id_col).alias("id_b"),
+            # dense 64-long array: the hot-path probe is an O(1)
+            # codegen element_at, never an interpreted map scan
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_BLM // 64 - 1)),
+                lambda i: F.coalesce(
+                    F.element_at("__bm", i.cast("int")), F.lit(0).cast("long")
+                ),
+            ).alias("__bl"),
+        )
     )
-    nsh = F.aggregate(
-        F.map_entries("__ma"),
-        F.lit(0).cast("long"),
-        lambda acc, e: acc
-        + F.when(F.col("__mb")[e["key"]].isNotNull(), F.lit(1))
-        .otherwise(F.lit(0))
-        .cast("long"),
+
+    # 64 single-bit masks as a literal array: the probe is then two
+    # codegen element_at lookups + one AND (the pyspark shiftright
+    # wrapper only takes literal amounts; element_at sidesteps it)
+    _MASKS = F.array(
+        *[
+            F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long")
+            for i in range(64)
+        ]
     )
+
+    def _hit(h):
+        word = F.element_at(
+            "__bl", (F.shiftright(h, 6) + F.lit(1)).cast("int")
+        )
+        mask = F.element_at(_MASKS, ((h % 64) + 1).cast("int"))
+        return word.bitwiseAND(mask) != 0
+
+    pairs = (
+        cands.join(blooms, "id_b")
+        .join(wa, "id_a")
+        .filter(_hit(h1) & _hit(h2))
+        .drop("__bl")
+        .join(wb, ["id_b", "term"])
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.sum(
+                F.col("__wa").cast(dec) * F.col("__wb").cast(dec)
+            ).alias("__dot"),
+            F.count("*").alias("n_shared_terms"),
+        )
+    )
+    norms = verify_src.groupBy(id_col).agg(
+        F.sum((F.col("w").cast(dec) * F.col("w").cast(dec))).alias("norm2")
+    )
+    na = norms.select(F.col(id_col).alias("id_a"), F.col("norm2").alias("__na"))
+    nb = norms.select(F.col(id_col).alias("id_b"), F.col("norm2").alias("__nb"))
     cos = F.round(
         F.col("__dot").cast("double")
         / F.sqrt(F.col("__na").cast("double") * F.col("__nb").cast("double")),
         6,
     )
     return (
-        cands.join(ma, "id_a")
-        .join(mb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            dot.alias("__dot"),
-            nsh.alias("n_shared_terms"),
-            "__na",
-            "__nb",
-        )
+        pairs.join(na, "id_a")
+        .join(nb, "id_b")
         .withColumn("cos_sim", cos)
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "n_shared_terms", "cos_sim")

@@ -243,10 +243,24 @@ def _pseudo_word(rank: int) -> str:
 
 def _zipf_vocab() -> dict[str, "np.ndarray"]:
     """Per-lang vocab arrays (only the top-6 ranks differ) + the
-    shared Zipf-Mandelbrot CDF."""
-    base = np.array(
-        [_pseudo_word(r) for r in range(_ZIPF_V)], dtype=object
-    )
+    shared Zipf-Mandelbrot CDF.
+
+    Pseudo-word surfaces that collide with an injected marker word are
+    SKIPPED (advice r10 #4: 'to' is both en rank 4 and the CV syllable
+    at pseudo-rank 63, 'la' es rank ~1 and pseudo-rank 30 — one surface
+    occupying two ranks inflates that token's document frequency
+    against the intended Zipf shape), so every surface form maps to
+    exactly one vocabulary rank."""
+    markers = {w for tops in _LANG_TOP.values() for w in tops}
+    surfaces: list[str] = []
+    r = 0
+    while len(surfaces) < _ZIPF_V:
+        w = _pseudo_word(r)
+        r += 1
+        if w in markers:
+            continue
+        surfaces.append(w)
+    base = np.array(surfaces, dtype=object)
     out = {}
     for lang, tops in _LANG_TOP.items():
         v = base.copy()
