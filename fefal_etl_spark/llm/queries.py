@@ -1942,6 +1942,51 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(docs, id_col="doc_id", text_col="text", top_n=3)
 
 
+def _staged_cosine_index(spark: SparkSession, sf_dir: str):
+    """The three staged sparse-cosine frames, shared by the pairs and
+    topk queries (review r11: keeping the staging keys + max_df_pct in
+    ONE place — the fingerprint covers the source data, not the build
+    parameters, so divergent copies would silently serve mismatched
+    weights). Stage the threshold-independent PREFIX-FILTER INDEX
+    (round 10) — weights + the per-feature tail bounds (__s/__g) —
+    and the verify-stage Bloom term sets (round 11): the tokenize,
+    both vocab shuffles, the doc-keyed bound window AND the bloom
+    double-aggregation run once per corpus fingerprint; every consumer
+    leg (prefix, probe, verify, norms, bloom probe) is then a plain
+    columnar scan. Zero-arg callables: the write-side lineage is only
+    CONSTRUCTED on a staging miss (review r10 #5)."""
+    from fefal_etl_spark.llm.similarity import (
+        sparse_cosine_blooms,
+        sparse_cosine_index,
+        sparse_cosine_weights,
+    )
+    from fefal_etl_spark.staging import source_fingerprint, stage_parquet
+
+    fp = source_fingerprint(sf_dir, "documents")
+    weights = stage_parquet(
+        spark,
+        "sim_w10",
+        fp,
+        lambda: sparse_cosine_weights(
+            _corpus(spark, sf_dir), "doc_id", "text", max_df_pct=10
+        ),
+    )
+    indexed = stage_parquet(
+        spark,
+        "sim_w10x",
+        fp,
+        lambda: sparse_cosine_index(weights, "doc_id"),
+    )
+    blooms = stage_parquet(
+        spark,
+        "sim_w11b",
+        fp,
+        lambda: sparse_cosine_blooms(weights, "doc_id"),
+    )
+    return weights, indexed, blooms
+
+
+
 @register(
     "sparse_cosine_pairs",
     f"""
@@ -1993,36 +2038,9 @@ def q_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup pairs surface at cos ≈ 1. Only the final cast/sqrt/divide of
     exact integers is floating point (correctly rounded, engine-identical;
     round-6 convention on both sides)."""
-    from fefal_etl_spark.llm.similarity import (
-        sparse_cosine_index,
-        sparse_cosine_pairs,
-        sparse_cosine_weights,
-    )
-    from fefal_etl_spark.staging import source_fingerprint, stage_parquet
+    from fefal_etl_spark.llm.similarity import sparse_cosine_pairs
 
-    # Stage the threshold-independent PREFIX-FILTER INDEX (round 10):
-    # weights + the per-feature tail bounds (__s/__g) in one parquet —
-    # the tokenize, both vocab shuffles AND the doc-keyed bound window
-    # run once per corpus fingerprint; every consumer leg (prefix,
-    # probe, verify, norms) is then a plain columnar scan.
-    fp = source_fingerprint(sf_dir, "documents")
-    # zero-arg callables: the write-side lineage (tokenize, vocab
-    # shuffles, bound window) is only CONSTRUCTED on a staging miss
-    # (review r10 #5 — stage_parquet's designed form)
-    weights = stage_parquet(
-        spark,
-        "sim_w10",
-        fp,
-        lambda: sparse_cosine_weights(
-            _corpus(spark, sf_dir), "doc_id", "text", max_df_pct=10
-        ),
-    )
-    indexed = stage_parquet(
-        spark,
-        "sim_w10x",
-        fp,
-        lambda: sparse_cosine_index(weights, "doc_id"),
-    )
+    _w, indexed, blooms = _staged_cosine_index(spark, sf_dir)
     return sparse_cosine_pairs(
         _corpus(spark, sf_dir),
         "doc_id",
@@ -2030,6 +2048,7 @@ def q_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_df_pct=10,
         threshold=0.6,
         indexed_df=indexed,
+        blooms_df=blooms,
     )
 
 
@@ -2103,28 +2122,9 @@ def q_sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cos desc, neighbor asc) tiebreak. Output ≤ N·k rows regardless
     of similarity-graph density — the all-pairs form's sf1 output is
     12.5M rows; this stays corpus-linear."""
-    from fefal_etl_spark.llm.similarity import (
-        sparse_cosine_index,
-        sparse_cosine_topk,
-        sparse_cosine_weights,
-    )
-    from fefal_etl_spark.staging import source_fingerprint, stage_parquet
+    from fefal_etl_spark.llm.similarity import sparse_cosine_topk
 
-    fp = source_fingerprint(sf_dir, "documents")
-    weights = stage_parquet(
-        spark,
-        "sim_w10",
-        fp,
-        lambda: sparse_cosine_weights(
-            _corpus(spark, sf_dir), "doc_id", "text", max_df_pct=10
-        ),
-    )
-    indexed = stage_parquet(
-        spark,
-        "sim_w10x",
-        fp,
-        lambda: sparse_cosine_index(weights, "doc_id"),
-    )
+    _w, indexed, blooms = _staged_cosine_index(spark, sf_dir)
     return sparse_cosine_topk(
         _corpus(spark, sf_dir),
         "doc_id",
@@ -2133,6 +2133,7 @@ def q_sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_df_pct=10,
         threshold=0.6,
         indexed_df=indexed,
+        blooms_df=blooms,
     )
 
 

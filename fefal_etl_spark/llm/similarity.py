@@ -770,6 +770,59 @@ def sparse_cosine_index(
     )
 
 
+_BLOOM_BITS = 4096  # fp ≈ (1−e^(−2·155/4096))² ≈ 0.5% at the avg doc
+
+
+def _bloom_hashes():
+    """The two bit positions of a term — shared by the build
+    (sparse_cosine_blooms) and the probe (sparse_cosine_pairs); they
+    MUST hash identically or membership breaks."""
+    h1 = F.xxhash64("term").bitwiseAND(F.lit(_BLOOM_BITS - 1))
+    h2 = F.xxhash64("term", F.lit(7)).bitwiseAND(F.lit(_BLOOM_BITS - 1))
+    return h1, h2
+
+
+def sparse_cosine_blooms(
+    w: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document 4096-bit / 2-hash Bloom term sets as dense
+    64-long arrays — the verify-stage pruner of
+    :func:`sparse_cosine_pairs` (round 11). Exposed separately, like
+    :func:`sparse_cosine_weights` / :func:`sparse_cosine_index`, so
+    callers can STAGE it per corpus fingerprint instead of re-running
+    the doc-keyed double aggregation on every call."""
+    h1, h2 = _bloom_hashes()
+    word_mask = w.select(
+        F.col(id_col), F.explode(F.array(h1, h2)).alias("__p")
+    ).select(
+        id_col,
+        F.shiftright(F.col("__p"), 6).cast("int").alias("__wd"),
+        F.expr("shiftleft(1L, int(__p % 64))").alias("__mk"),
+    )
+    return (
+        word_mask.groupBy(id_col, "__wd")
+        .agg(F.expr("bit_or(__mk)").alias("__mk"))
+        .groupBy(id_col)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("__wd", "__mk"))
+            ).alias("__bm")
+        )
+        .select(
+            id_col,
+            # dense 64-long array: the hot-path probe is an O(1)
+            # codegen element_at, never an interpreted map scan
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_BLOOM_BITS // 64 - 1)),
+                lambda i: F.coalesce(
+                    F.element_at("__bm", i.cast("int")),
+                    F.lit(0).cast("long"),
+                ),
+            ).alias("__bl"),
+        )
+    )
+
+
 def sparse_cosine_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -779,6 +832,7 @@ def sparse_cosine_pairs(
     scale: int = 1_000_000,
     weights_df: DataFrame | None = None,
     indexed_df: DataFrame | None = None,
+    blooms_df: DataFrame | None = None,
 ) -> DataFrame:
     """DF-pruned inverted-index cosine similarity join — the classic
     MapReduce sparse-vector similarity pattern (Elsayed/Lin/Oard 2008
@@ -921,47 +975,22 @@ def sparse_cosine_pairs(
     # join must explode every candidate × |terms(a)| row (155 avg —
     # 103.5M rows at zipf_sf1) through the (id_b, term) shuffle, where
     # ~80% die on the other side. Give every doc a 4096-bit / 2-hash
-    # Bloom set of its terms (64 longs; built per call in one doc-keyed
-    # pass over the weight frame — corpus-linear); candidates carry b's
-    # set, and each exploded a-row is filtered by two integer bit
-    # probes BEFORE the shuffle. Bloom membership has NO false
-    # negatives, so every shared term survives and the result is
-    # bit-identical; false positives just ride into the exact join.
-    # Everything on the 103M-row path is codegen (xxhash64, element_at,
-    # shiftright, bitwiseAND). Spark's runtime bloom join cannot fire
-    # here: the creation side exceeds its 10 MB threshold and it prunes
-    # scans, not mid-plan intermediates.
-    _BLM = 4096  # bits; fp ≈ (1−e^(−2·155/4096))² ≈ 0.5% at avg doc
-    h1 = F.xxhash64("term").bitwiseAND(F.lit(_BLM - 1))
-    h2 = F.xxhash64("term", F.lit(7)).bitwiseAND(F.lit(_BLM - 1))
-    word_mask = verify_src.select(
-        F.col(id_col), F.explode(F.array(h1, h2)).alias("__p")
-    ).select(
-        id_col,
-        F.shiftright(F.col("__p"), 6).cast("int").alias("__wd"),
-        F.expr("shiftleft(1L, int(__p % 64))").alias("__mk"),
-    )
+    # Bloom set of its terms (see sparse_cosine_blooms — stageable
+    # alongside the index); candidates carry b's set, and each exploded
+    # a-row is filtered by two integer bit probes BEFORE the shuffle.
+    # Bloom membership has NO false negatives, so every shared term
+    # survives and the result is bit-identical; false positives just
+    # ride into the exact join. Everything on the 103M-row path is
+    # codegen (xxhash64, element_at, shiftright, bitwiseAND). Spark's
+    # runtime bloom join cannot fire here: the creation side exceeds
+    # its 10 MB threshold and it prunes scans, not mid-plan
+    # intermediates.
     blooms = (
-        word_mask.groupBy(id_col, "__wd")
-        .agg(F.expr("bit_or(__mk)").alias("__mk"))
-        .groupBy(id_col)
-        .agg(
-            F.map_from_entries(
-                F.collect_list(F.struct("__wd", "__mk"))
-            ).alias("__bm")
-        )
-        .select(
-            F.col(id_col).alias("id_b"),
-            # dense 64-long array: the hot-path probe is an O(1)
-            # codegen element_at, never an interpreted map scan
-            F.transform(
-                F.sequence(F.lit(0), F.lit(_BLM // 64 - 1)),
-                lambda i: F.coalesce(
-                    F.element_at("__bm", i.cast("int")), F.lit(0).cast("long")
-                ),
-            ).alias("__bl"),
-        )
-    )
+        blooms_df
+        if blooms_df is not None
+        else sparse_cosine_blooms(verify_src, id_col)
+    ).select(F.col(id_col).alias("id_b"), "__bl")
+    h1, h2 = _bloom_hashes()
 
     # 64 single-bit masks as a literal array: the probe is then two
     # codegen element_at lookups + one AND (the pyspark shiftright
@@ -1023,6 +1052,7 @@ def sparse_cosine_topk(
     scale: int = 1_000_000,
     weights_df: DataFrame | None = None,
     indexed_df: DataFrame | None = None,
+    blooms_df: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document k-NN by sparse cosine — the BOUNDED-OUTPUT form of
     :func:`sparse_cosine_pairs` (round 11, VERDICT r10 item 5): most
@@ -1047,6 +1077,7 @@ def sparse_cosine_topk(
         scale=scale,
         weights_df=weights_df,
         indexed_df=indexed_df,
+        blooms_df=blooms_df,
     )
     sym = pairs.select(
         F.col("id_a").alias(id_col),

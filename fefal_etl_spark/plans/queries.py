@@ -136,15 +136,20 @@ def _shared(spark: SparkSession, sf_dir: str):
 
 
 def release_pipeline_cache() -> None:
-    """Unpersist every cached pipeline frame (bench/oracle-loop hygiene)."""
+    """Unpersist every cached pipeline frame (bench/oracle-loop hygiene)
+    — BOTH the EP1 `_SHARED` cache and the config-fingerprinted
+    `_SHARED_FULL` twin (review r11: clearing only one leaked the
+    other's persisted blocks and left it serving star frames whose
+    underlying persist was just released)."""
     from fefal_etl_spark.plans.star import release_star_cache
 
-    for res, _star in _SHARED.values():
-        try:
-            res.frame.unpersist()
-        except Exception:
-            pass
-    _SHARED.clear()
+    for cache in (_SHARED, _SHARED_FULL):
+        for res, _star in cache.values():
+            try:
+                res.frame.unpersist()
+            except Exception:
+                pass
+        cache.clear()
     release_star_cache()
 
 
@@ -481,12 +486,16 @@ def _shared_full(spark: SparkSession, sf_dir: str, cfg: PipelineConfig):
     key = (app_id, sf_dir, _cfg_fingerprint(cfg))
     if key not in _SHARED_FULL:
         stale = [k for k in _SHARED_FULL if k[0] != app_id]
-        for k in stale:
-            res, _star = _SHARED_FULL.pop(k)
-            try:
-                res.frame.unpersist()
-            except Exception:
-                pass
+        if stale:
+            from fefal_etl_spark.plans.star import release_star_cache
+
+            for k in stale:
+                res, _star = _SHARED_FULL.pop(k)
+                try:
+                    res.frame.unpersist()
+                except Exception:
+                    pass
+            release_star_cache(app_id=app_id)
         res = run_pipeline(
             _survey_full(spark, sf_dir), _registry(spark, sf_dir), cfg
         )

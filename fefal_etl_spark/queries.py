@@ -4289,7 +4289,8 @@ def q_sql_warehouse_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = TableCatalog(wh)
     done = (
         "wh_sales" in cat.tables()
-        and cat.table(spark, "wh_sales").latest_version() == 1
+        # v0 snapshot + v1 declared spec (CTAS) + v2 INSERT append
+        and cat.table(spark, "wh_sales").latest_version() == 2
     )
     if not done:
         shutil.rmtree(wh, ignore_errors=True)

@@ -50,7 +50,10 @@ class SqlDmlError(ValueError):
 
 def _scan(sql: str):
     """Yield (index, char, depth, in_string) with paren depth tracked
-    outside single-quoted strings ('' escapes a quote, ANSI style)."""
+    outside single-quoted strings. BOTH escape styles are honored (''
+    ANSI doubling AND \\' backslash, Spark SQL's default dialect —
+    review r11: a \\'-escaped literal otherwise flips the tracker and
+    misclassifies everything after it as inside a string)."""
     depth = 0
     in_str = False
     i = 0
@@ -58,7 +61,10 @@ def _scan(sql: str):
     while i < n:
         ch = sql[i]
         if in_str:
-            if ch == "'":
+            if ch == "\\" and i + 1 < n:
+                yield i, ch, depth, True
+                i += 1  # consume the escaped character too
+            elif ch == "'":
                 if i + 1 < n and sql[i + 1] == "'":
                     yield i, ch, depth, True
                     i += 1
@@ -373,7 +379,8 @@ def _exec_insert(
     # (a hive-partitioned snapshot's read() order moves partition
     # columns last; the user-facing INSERT contract is CTAS order)
     lv = t.latest_version()
-    tgt = t._read_manifest(lv).schema if lv is not None else None
+    mf = t._read_manifest(lv) if lv is not None else None
+    tgt = mf.schema if mf is not None else None
     if tgt:  # empty created table: first INSERT defines the schema
         if len(df.columns) != len(tgt):
             raise SqlDmlError(
@@ -391,8 +398,13 @@ def _exec_insert(
                 for n, typ in tgt.items()
             ]
         )
-    mode = m.group("mode").upper()
-    return t.overwrite(df) if mode == "OVERWRITE" else t.append(df)
+    if m.group("mode").upper() == "OVERWRITE":
+        # keep the table's DECLARED layout through the rewrite (review
+        # r11): overwrite(partition_by=None) on a spec-evolved table
+        # would otherwise redefine the spec to unpartitioned
+        spec = (mf.partition_spec if mf is not None else None) or None
+        return t.overwrite(df, partition_by=spec)
+    return t.append(df)  # inherits the declared spec (_default_layout)
 
 
 def _exec_ctas(
@@ -453,7 +465,15 @@ def _exec_ctas(
         )
     root = catalog.resolve(name) if exists else catalog.create_table(name)
     t = TransactionalTable(spark, root)
-    return t.overwrite(df, partition_by=part_cols or None)
+    v = t.overwrite(df, partition_by=part_cols or None)
+    if part_cols:
+        # DECLARE the spec, not just the first snapshot's layout
+        # (review r11): overwrite on a fresh table records no
+        # partition_spec, so without this a later INSERT INTO would
+        # append unpartitioned files and INSERT OVERWRITE would drop
+        # the layout — the DDL's promise must outlive one commit.
+        v = t.set_partition_spec(part_cols)
+    return v
 
 
 def execute_sql(

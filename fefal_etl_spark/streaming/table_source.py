@@ -304,6 +304,8 @@ class _RateLimit:
         # delivered watermark: max batch START ever passed to
         # partitions() this run (None until the first batch plans)
         self.watermark: tuple[int, float] | None = None
+        # last stamped offset (equality stability — see stamp())
+        self._last: dict | None = None
 
     @property
     def active(self) -> bool:
@@ -314,35 +316,72 @@ class _RateLimit:
         if self.pos is None or k > self.pos:
             self.pos = k
 
+    def stamp(self, off: dict) -> dict:
+        """Attach the delivered watermark to an admitted offset (round
+        11 — review: the in-memory watermark alone left a crash window).
+        ``wm`` = the admission position at stamping time, which is
+        always a COMMITTED floor when latestOffset runs (pos advances
+        only through startingVersion, batch starts from the offset
+        log, and commit()). Because the stamped offset enters Spark's
+        offset log, the watermark SURVIVES restarts: a replay of the
+        regressed catch-up batch (O, E·wm=E] on a fresh reader still
+        clamps to empty, where the volatile watermark was lost.
+
+        Equality stability: Spark plans a new batch whenever
+        latestOffset != the last logged offset, so a wm-only change
+        must not churn — if the admitted (version, index) equals the
+        last stamped offset's, the previous dict is returned verbatim
+        (at most one wm-refresh batch per restart, none in steady
+        state)."""
+        pv, pi = self.pos
+        out = dict(off)
+        out["wm"] = [pv, None if pi == float("inf") else int(pi)]
+        if self._last is not None and _off_key(self._last) == _off_key(out):
+            return dict(self._last)
+        self._last = out
+        return dict(out)
+
     def clamp_start(self, start: dict, end: dict) -> dict:
         """Effective batch start: never below the delivered watermark.
 
-        The watermark is the max batch START this reader has seen in
-        partitions(). Starts come from Spark's offset log — start(N)
-        is end(N-1), and batch N's offset entry is written only after
-        batch N-1 COMMITTED — so every row at or below any seen start
-        was fully delivered AND committed. Clamping a later start up
-        to the watermark therefore never skips undelivered data, while
-        a crash-retry replay (the first partitions() call after a
-        restart; its start IS the new watermark) is emitted in full.
+        TWO watermark sources, max-combined:
+        * volatile — the max batch START this reader has seen in
+          partitions(). Starts come from Spark's offset log — start(N)
+          is end(N-1), and batch N's offset entry is written only
+          after batch N-1 COMMITTED — so every row at or below any
+          seen start was fully delivered AND committed.
+        * persistent — the ``wm`` field stamp() wrote into the END
+          offset when it was admitted (rides Spark's offset log, so it
+          survives restarts; absent on pre-r11 checkpoints).
+
+        Clamping a later start up to the watermark never skips
+        undelivered data, while a crash-retry replay (its start IS the
+        new watermark, and its end's wm equals its start) is emitted
+        in full.
 
         This closes the clean-restart duplication (advice r10): a
         caught-up restart gets no replay, so the first admission runs
         off the seeded startingVersion position and can emit a
         regressed offset O behind the checkpointed E. Spark runs batch
         (E, O] — empty, but its start E raises the watermark — commits
-        O, then runs (O, E]: that start clamps up to the watermark E
-        and the batch stays empty, instead of re-emitting every
-        already-delivered file in (O, E]. (The previous pos-based
-        clamp opted out on ``end == pos`` to keep crash replays whole,
-        which is exactly the shape of the duplicating batch.)"""
+        O, then runs (O, E] whose end was stamped wm=E: the start
+        clamps up to E and the batch stays empty, instead of
+        re-emitting every already-delivered file — INCLUDING when that
+        batch replays after a crash on a fresh reader (review r11),
+        which the volatile watermark alone could not cover."""
         k = _off_key(start)
         if self.watermark is None or k > self.watermark:
             self.watermark = k
-        if k >= self.watermark:
+        floor = self.watermark
+        wm = end.get("wm")
+        if wm is not None:
+            wv, wi = wm
+            wk = (wv, float("inf")) if wi is None else (wv, float(wi))
+            if wk > floor:
+                floor = wk
+        if k >= floor:
             return start
-        wm = min(self.watermark, _off_key(end))
-        v, i = wm
+        v, i = min(floor, _off_key(end))
         return (
             {"version": v}
             if i == float("inf")
@@ -462,6 +501,7 @@ class TxnTableStreamReader(DataSourceStreamReader):
         if not self.limit.active:
             return {"version": latest}
         off = self.limit.admit(self.root, latest, self._add_units)
+        off = self.limit.stamp(off)  # BEFORE resync: wm = committed floor
         self.limit.resync(off)
         return off
 
@@ -668,6 +708,7 @@ class TxnTableChangesStreamReader(DataSourceStreamReader):
                 for p in self._version_parts(v)[0]
             ],
         )
+        off = self.limit.stamp(off)  # BEFORE resync: wm = committed floor
         self.limit.resync(off)
         return off
 

@@ -331,7 +331,9 @@ def test_stream_rate_limit_splits_backfill_commit(spark, tmp_path):
     # intermediate offsets carry the intra-commit index; the final one
     # normalizes to the legacy whole-version shape
     assert any("index" in o for o in offs[:-1])
-    assert offs[-1] == {"version": 0}
+    # legacy whole-version shape plus the r11 persistent watermark
+    assert offs[-1]["version"] == 0 and "index" not in offs[-1]
+    assert "wm" in offs[-1]  # stamp() — survives-restart clamp floor
 
 
 @_posix_log
@@ -382,7 +384,9 @@ def test_stream_rate_limit_restart_exactly_once(spark, tmp_path):
     q.stop()
     q.awaitTermination()
     mid = spark.read.parquet(out).count()
-    assert 100 <= mid < 600  # stopped mid-backfill
+    # usually stopped mid-backfill; on a fast host the drain can win
+    # the race — the restart contract below holds either way
+    assert 100 <= mid <= 600
     # more data lands while the stream is down
     t.append(spark.range(600, 650).select(F.col("id").alias("k")))
     q = start()
@@ -859,7 +863,13 @@ def test_stream_rate_limit_available_now_restart_cycles(spark, tmp_path):
         )
     ]
     keys = [_off_key(o) for o in offs]
-    assert keys == sorted(keys) and len(set(keys)) == len(keys)
+    # non-decreasing: a restart may add ONE wm-refresh batch whose key
+    # repeats (round 11 — stamp()'s persistent watermark entering the
+    # log; it is empty, exactly-once is asserted on the data above),
+    # but keys never REGRESS and full offsets never repeat
+    assert keys == sorted(keys)
+    full = [json.dumps(o, sort_keys=True) for o in offs]
+    assert len(set(full)) == len(full)
 
 
 def test_levenshtein_plan_single_dp_eval(spark):

@@ -259,18 +259,25 @@ def test_sql_ctas_insert_select_loop(spark, tmp_path):
         "AS x(k, amt, region)",
         catalog=cat,
     )
-    assert v == 0
+    assert v == 1  # v0 = snapshot, v1 = the declared partition spec
     t = TransactionalTable(spark, cat.resolve("sales"))
-    # partitioned layout reached the manifest
+    # partitioned layout reached the manifest AND the spec is DECLARED
+    # (review r11: the DDL's layout promise must outlive one commit)
     assert all(
         "region=" in f for f in t._read_manifest(0).files
     )
+    assert t._read_manifest(t.latest_version()).partition_spec == [
+        "region"
+    ]
     # positional INSERT: string '3' casts onto bigint k, int onto amt
     execute_sql(
         spark,
         "INSERT INTO sales VALUES ('3', 7, 'eu')",
         catalog=cat,
     )
+    # the append inherited the declared hive layout
+    mf = t._read_manifest(t.latest_version())
+    assert all("region=" in f for f in mf.files)
     got = execute_sql(
         spark,
         "SELECT region, count(*) AS n, sum(amt) AS s FROM sales "
@@ -289,6 +296,10 @@ def test_sql_ctas_insert_select_loop(spark, tmp_path):
         catalog=cat,
     )
     assert t.read().count() == 2
+    # the rewrite kept the declared spec and the hive layout
+    mf = t._read_manifest(t.latest_version())
+    assert mf.partition_spec == ["region"]
+    assert all("region=" in f for f in mf.files)
     # IF NOT EXISTS no-ops; plain re-CREATE is loud; OR REPLACE wins
     assert (
         execute_sql(
@@ -422,3 +433,66 @@ def test_ivf_index_retrain_recovers_drift_recall(spark, tmp_path):
         is None
     )
     assert idx.table.read().count() == n == 40
+
+
+def test_sql_backslash_escaped_literal_view_scan(spark, tmp_path):
+    """Spark SQL's default dialect uses backslash escaping in string
+    literals; the lazy reference scan must not misread a \\'-escaped
+    quote as a string end (review r11 — a table referenced after one
+    was classified as inside the literal and never registered)."""
+    from fefal_etl_spark.catalog import TableCatalog
+    from fefal_etl_spark.sql_dml import execute_sql
+    from fefal_etl_spark.table import TransactionalTable
+
+    cat = TableCatalog(str(tmp_path / "wh"))
+    TransactionalTable(spark, cat.create_table("a")).overwrite(
+        spark.createDataFrame([("can't",), ("x",)], "note string")
+    )
+    TransactionalTable(spark, cat.create_table("b")).overwrite(
+        spark.range(3).select(F.col("id").alias("k"))
+    )
+    got = execute_sql(
+        spark,
+        "SELECT note AS v FROM a WHERE note = 'can\\'t' "
+        "UNION ALL SELECT CAST(k AS STRING) FROM b",
+        catalog=cat,
+    ).collect()
+    assert sorted(r["v"] for r in got) == ["0", "1", "2", "can't"]
+
+
+def test_rate_limit_persistent_wm_survives_fresh_reader():
+    """Review r11: the volatile watermark dies with the reader, so a
+    crash between the offset-log write and the sink commit of the
+    regressed catch-up batch (O, E] replayed it IN FULL on the next
+    restart. stamp() rides the watermark in the offset itself: the
+    replayed end carries wm=E, and a fresh reader still clamps the
+    batch to empty."""
+    from fefal_etl_spark.streaming.table_source import _RateLimit
+
+    # run 1 (restarted, caught up at E=3): second admission stamps E
+    lim = _RateLimit({"maxfilespertrigger": "2"})
+    lim.resync({"version": -1})
+    lim.clamp_start({"version": 3}, {"version": 1, "index": 2})  # (E,O]
+    lim.resync({"version": 3})
+    E = lim.stamp({"version": 3})
+    assert E["wm"] == [3, None]
+    # crash now: (O, E·wm=3] sits in the offset log uncommitted.
+    # run 2: FRESH reader replays the batch — no volatile state at all
+    lim2 = _RateLimit({"maxfilespertrigger": "2"})
+    lim2.resync({"version": -1})
+    got = lim2.clamp_start({"version": 1, "index": 2}, E)
+    assert got == {"version": 3}  # clamped empty — no re-delivery
+    # a genuine crash-retry batch (S=1, E·wm=1] still emits in full
+    lim3 = _RateLimit({"maxfilespertrigger": "2"})
+    lim3.resync({"version": -1})
+    assert lim3.clamp_start(
+        {"version": 1}, {"version": 3, "wm": [1, None]}
+    ) == {"version": 1}
+    # equality stability: a wm-only refresh returns the LAST stamped
+    # dict, so steady state plans no extra batches
+    lim4 = _RateLimit({"maxfilespertrigger": "2"})
+    lim4.resync({"version": 2})
+    first = lim4.stamp({"version": 5})
+    lim4.resync({"version": 5})
+    second = lim4.stamp({"version": 5})
+    assert second == first and first["wm"] == [2, None]
