@@ -9,6 +9,8 @@
     INSERT INTO|OVERWRITE [TABLE] t <SELECT|WITH|VALUES ...>   (round 11)
     CREATE [OR REPLACE] TABLE [IF NOT EXISTS] t
         [PARTITIONED BY (c, ...)] AS <query>                   (round 11)
+    DROP TABLE [IF EXISTS] t [PURGE]                           (round 11)
+    SHOW TABLES / DESCRIBE [TABLE] t                           (round 11)
     SELECT ...                     (any Spark-SQL SELECT)
 
 onto :class:`~fefal_etl_spark.table.TransactionalTable` verbs
@@ -476,6 +478,69 @@ def _exec_ctas(
     return v
 
 
+_DROP_RE = re.compile(
+    r"\s*DROP\s+TABLE\s+(?:(?P<ifex>IF\s+EXISTS)\s+)?"
+    r"(?P<name>[A-Za-z_`\"][\w`\"]*)\s*(?P<purge>PURGE)?\s*$",
+    re.IGNORECASE,
+)
+
+
+def _exec_drop(sql: str, catalog) -> bool:
+    """``DROP TABLE [IF EXISTS] name [PURGE]`` → catalog.drop. PURGE
+    deletes managed data too (the catalog refuses to purge external
+    roots — its own rule, surfaced loudly). Returns True when a
+    binding was dropped, False when IF EXISTS found nothing."""
+    m = _DROP_RE.match(sql)
+    if not m:
+        raise SqlDmlError(
+            "DROP: expected 'DROP TABLE [IF EXISTS] <name> [PURGE]'"
+        )
+    if catalog is None:
+        raise SqlDmlError("DROP TABLE needs a catalog=")
+    name = _ident(m.group("name"), "DROP TABLE name")
+    if name not in catalog.tables():
+        if m.group("ifex"):
+            return False
+        raise SqlDmlError(f"DROP TABLE: unknown table {name!r}")
+    catalog.drop(name, purge=m.group("purge") is not None)
+    return True
+
+
+def _exec_show_describe(
+    spark: SparkSession, stmt: str, head: str, tables: dict, catalog
+) -> DataFrame:
+    """``SHOW TABLES`` → (name, root); ``DESCRIBE [TABLE] name`` →
+    (col_name, data_type) in manifest-declared order — the two
+    inspection verbs every SQL shell habit expects."""
+    if head == "SHOW":
+        if not re.match(r"\s*SHOW\s+TABLES\s*$", stmt, re.IGNORECASE):
+            raise SqlDmlError("SHOW: only 'SHOW TABLES' is supported")
+        if catalog is None:
+            raise SqlDmlError("SHOW TABLES needs a catalog=")
+        rows = sorted(catalog.tables().items())
+        return spark.createDataFrame(rows, "name string, root string")
+    m = re.match(
+        r"\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?(?P<name>[A-Za-z_`\"][\w`\"]*)\s*$",
+        stmt,
+        re.IGNORECASE,
+    )
+    if not m:
+        raise SqlDmlError("DESCRIBE: expected 'DESCRIBE [TABLE] <name>'")
+    t = _resolve_table(_ident(m.group("name"), "DESCRIBE target"), tables)
+    if hasattr(t, "latest_version"):
+        lv = t.latest_version()
+        if lv is None:
+            raise SqlDmlError(
+                "DESCRIBE: table has no committed version yet"
+            )
+        sch = list(t._read_manifest(lv).schema.items())
+    else:
+        sch = [(f.name, f.dataType.simpleString()) for f in t.schema.fields]
+    return spark.createDataFrame(
+        sch, "col_name string, data_type string"
+    )
+
+
 def execute_sql(
     spark: SparkSession,
     sql: str,
@@ -520,11 +585,16 @@ def execute_sql(
         return _exec_insert(spark, stmt, resolved)
     if head == "CREATE":
         return _exec_ctas(spark, stmt, resolved, catalog)
+    if head == "DROP":
+        return _exec_drop(stmt, catalog)
+    if head in ("SHOW", "DESC", "DESCRIBE"):
+        return _exec_show_describe(spark, stmt, head, resolved, catalog)
     if head in ("SELECT", "WITH"):
         _register_views(spark, resolved, stmt)
         return spark.sql(stmt)
     raise SqlDmlError(
         f"unsupported statement {head!r}: the SQL surface covers "
-        "CREATE TABLE AS / INSERT / UPDATE / DELETE / MERGE / SELECT "
+        "CREATE TABLE AS / INSERT / UPDATE / DELETE / MERGE / SELECT / "
+        "DROP TABLE / SHOW TABLES / DESCRIBE "
         "(constraints and maintenance go through the table API)"
     )

@@ -496,3 +496,43 @@ def test_rate_limit_persistent_wm_survives_fresh_reader():
     lim4.resync({"version": 5})
     second = lim4.stamp({"version": 5})
     assert second == first and first["wm"] == [2, None]
+
+
+def test_sql_drop_show_describe(spark, tmp_path):
+    """The inspection/teardown verbs (round 11): SHOW TABLES lists the
+    catalog, DESCRIBE returns the manifest-declared schema in order,
+    DROP TABLE unbinds (PURGE deletes managed data; refused for
+    external roots by the catalog's own rule)."""
+    import os
+
+    from fefal_etl_spark.catalog import TableCatalog
+    from fefal_etl_spark.sql_dml import SqlDmlError, execute_sql
+
+    cat = TableCatalog(str(tmp_path / "wh"))
+    execute_sql(
+        spark,
+        "CREATE TABLE t1 PARTITIONED BY (s) AS "
+        "SELECT * FROM VALUES (1, 'a') AS x(k, s)",
+        catalog=cat,
+    )
+    shown = execute_sql(spark, "SHOW TABLES", catalog=cat).collect()
+    assert [r["name"] for r in shown] == ["t1"]
+    desc = execute_sql(spark, "DESCRIBE t1", catalog=cat).collect()
+    assert [(r["col_name"], r["data_type"]) for r in desc] == [
+        ("k", "int"),
+        ("s", "string"),
+    ]
+    root = cat.resolve("t1")
+    assert execute_sql(spark, "DROP TABLE t1 PURGE", catalog=cat) is True
+    assert not os.path.exists(root)
+    assert execute_sql(spark, "SHOW TABLES", catalog=cat).count() == 0
+    assert (
+        execute_sql(spark, "DROP TABLE IF EXISTS t1", catalog=cat)
+        is False
+    )
+    with pytest.raises(SqlDmlError):
+        execute_sql(spark, "DROP TABLE t1", catalog=cat)
+    with pytest.raises(SqlDmlError):
+        execute_sql(spark, "SHOW DATABASES", catalog=cat)
+    with pytest.raises(SqlDmlError):
+        execute_sql(spark, "DESCRIBE missing", catalog=cat)
