@@ -5049,63 +5049,63 @@ def q_incremental_mv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # already represented (extra family members, alternates, display variants)
 # and follow in registration order.
 _DRIVER_PRIORITY = [
-    # Round-10 rotation (VERDICT r9 item 7): front-load (a) the one
-    # never-sampled addition (catalog_named_dml, new this round),
-    # then (b) ALL 32 queries whose latest driver sample is r4, then
-    # (c) the first 17 of the 22 r5-stale queries (alphabetical).
-    # 1 + 32 + 17 = 50, so after this round no registry query's
-    # latest driver sample predates r5. Computed from docs/QUERIES.md
-    # (the authoritative coverage matrix).
-    "catalog_named_dml",
-    "excel_dir_roundtrip",
-    "excel_dir_scan",
-    "funnel_conversion",
-    "funnel_latency",
-    "graph_bfs_levels",
-    "hierarchy_paths",
-    "important_part_values",
-    "ks_test_value",
-    "levenshtein_neardup",
-    "min_cost_supplier",
-    "minhash_jaccard_sources",
-    "null_semantics_suite",
-    "pagerank_trade_graph",
-    "pii_scrub",
-    "positional_index",
-    "purchase_attribution_join",
-    "quantile_normalize",
-    "quantile_sketch_audit",
-    "rfm_segments",
-    "rrf_fusion",
-    "scd2_dim_merge",
-    "seasonal_decompose",
-    "semdedup_pairs",
-    "sequence_packing",
-    "session_funnel",
-    "skyline_parts",
-    "suppliers_kept_waiting",
-    "tfidf_top_terms",
-    "time_weighted_avg",
-    "volume_shipping",
-    "xls_scan",
-    "zipf_fit",
-    "bpe_pair_stats",
-    "disjunctive_bracket_revenue",
-    "dup_clusters_star",
-    "event_type_chisq",
-    "events_latency_bands",
-    "forecast_revenue_change",
-    "incremental_join_view",
-    "nation_market_share",
-    "null_imputation",
-    "order_priority_check",
-    "pareto_orders",
-    "quantized_rerank_topk",
-    "returned_item_customers",
-    "scd2_as_of",
-    "schema_evolution_scan",
-    "sparse_cosine_pairs",
-    "substring_dedup_rewrite",
+    # Round-11 rotation (VERDICT r10 item 7 / round-close protocol):
+    # front-load (a) the three never-sampled round-11 additions
+    # (ivf_retrain_match, sparse_cosine_topk, sql_warehouse_load),
+    # then (b) all 5 queries whose latest driver sample is r5, then
+    # (c) the first 42 r6-stale queries (alphabetical). 3 + 5 + 42 =
+    # 50, so after this round no query's latest sample predates r6.
+    # Computed from docs/QUERIES.md (the authoritative matrix).
+    "ivf_retrain_match",
+    "sparse_cosine_topk",
+    "sql_warehouse_load",
+    "tombstone_cascade",
+    "top_supplier_revenue",
+    "train_test_split",
+    "unigram_logprob",
+    "value_winsorize",
+    "bloom_point_lookup",
+    "cdc_snapshot",
+    "checkpointed_history",
+    "column_rename_read",
+    "conditional_agg_priority",
+    "copurchase_triangles",
+    "customer_spend_quartiles",
+    "disjoint_writer_commits",
+    "dv_delete_read",
+    "dv_materialize_read",
+    "embedding_covariance",
+    "embedding_hof_stats",
+    "embedding_quantize",
+    "events_gapfill",
+    "excel_roundtrip_scan",
+    "excess_stock_suppliers",
+    "generated_partition_scan",
+    "heavy_hitters",
+    "hll_rollup",
+    "incremental_ann_match",
+    "incremental_dedup_match",
+    "incremental_mv_refresh",
+    "incremental_mv_stats",
+    "incremental_rollup",
+    "index_compaction_probe",
+    "merge_dv_orders",
+    "mongo_config_pipeline",
+    "multi_distinct_order_stats",
+    "multimodal_resize",
+    "partition_overwrite_read",
+    "partitioned_table_stream",
+    "per_source_cap",
+    "png_decode",
+    "price_histogram",
+    "product_type_profit",
+    "promo_revenue_share",
+    "quality_zscores",
+    "replace_where_read",
+    "small_quantity_revenue",
+    "supplier_variety",
+    "table_changes_stream",
+    "table_commit_isolation",
 ]
 
 
