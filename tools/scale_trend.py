@@ -99,6 +99,11 @@ TREND_QUERIES = [
     # round-10: named-catalog DML loop (CREATE -> named UPDATE/DELETE
     # -> DataSource readback)
     "catalog_named_dml",
+    # round-11: SQL load verbs (CTAS + INSERT), bounded sparse k-NN,
+    # IVF retrain (build -> refit -> probe)
+    "sql_warehouse_load",
+    "sparse_cosine_topk",
+    "ivf_retrain_match",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
