@@ -1451,14 +1451,14 @@ register(
 def q_ivf_retrain_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-11 extension — IVF centroid-drift RETRAIN
     (llm/incremental_ann.py::retrain; VERDICT r10 item 4): the index is
-    built under 8 caller-supplied coarse centroids, then ``retrain(k=3,
+    built under 8 caller-supplied coarse centroids, then ``retrain(k=8,
     iters=2)`` refits centroids from the INDEXED vectors (shared Lloyd
     rounds, deterministic lowest-id init) and re-assigns the whole
     store in one atomic partitioned overwrite — the maintenance a
     drifting 100 TB embedding store schedules when build-time
     quantization stops matching the data. The probe then runs under
     the NEW model state. The oracle replays the refit declaratively:
-    init = the 3 lowest indexed ids, two unrolled Lloyd rounds, argmin
+    init = the 8 lowest indexed ids, two unrolled Lloyd rounds, argmin
     re-assignment, nprobe=2 probe, exact cosine top-5 — so the driver
     verifies the retrain arithmetic itself, not just the plumbing
     (the planted-drift recall test pins the recovery behavior)."""
@@ -1466,31 +1466,39 @@ def q_ivf_retrain_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     from fefal_etl_spark.llm.incremental_ann import IvfAnnIndex
-    from fefal_etl_spark.staging import source_fingerprint, staging_root
+    from fefal_etl_spark.llm.similarity import kmeans_centroids
+    from fefal_etl_spark.staging import (
+        source_fingerprint,
+        stage_parquet,
+        staging_root,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     existing = emb.filter(F.col("vec_id") % 20 != 0)
-    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    # every 100th id: the probe set stays bounded while the retrain
+    # still rewrites the WHOLE store (the operator under test)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
     cents0 = emb.filter(F.col("vec_id") < 8)
-    root = os.path.join(
-        staging_root(),
-        f"ann_retrain_m20-{source_fingerprint(sf_dir, 'embeddings')}",
-    )
+    fp = source_fingerprint(sf_dir, "embeddings")
+    root = os.path.join(staging_root(), f"ann_retrain_m20-{fp}")
     idx = IvfAnnIndex(spark, root)
     if idx.table.latest_version() != 1:  # v0 build, v1 retrain rewrite
         shutil.rmtree(root, ignore_errors=True)
         idx = IvfAnnIndex(spark, root)
         idx.build(existing, cents0)
-        new_cent = idx.retrain(k=3, iters=2)
-    else:
-        # cached scenario: recompute the identical model state from the
-        # indexed vectors (pure function of the store — no rewrite)
-        from fefal_etl_spark.llm.similarity import kmeans_centroids
-
-        c = kmeans_centroids(
-            idx.table.read().select("vec_id", "embedding"), k=3, iters=2
-        )
-        new_cent = spark.createDataFrame(c.collect(), c.schema)
+        idx.retrain(k=8, iters=2)
+    # the refit model state is a pure function of the store — staged
+    # once per fingerprint so a warm call never re-runs the Lloyd DAG
+    # (a real deployment keeps retrain()'s returned frame; the query
+    # must recompute deterministically for the oracle pairing)
+    new_cent = stage_parquet(
+        spark,
+        "ann_retrain_cent",
+        fp,
+        lambda: kmeans_centroids(
+            idx.table.read().select("vec_id", "embedding"), k=8, iters=2
+        ),
+    )
     out = idx.match_new(queries, new_cent, nprobe=2, k=5)
     return out.select(
         "query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rk"
@@ -1502,10 +1510,10 @@ register(
     f"""
     WITH eall AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     e AS (SELECT vec_id, v FROM eall WHERE vec_id % 20 <> 0),
-    q AS (SELECT vec_id AS query_id, v AS qv FROM eall WHERE vec_id % 20 = 0),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM eall WHERE vec_id % 100 = 0),
     c0 AS (
         SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
-        FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 3)
+        FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)
     ),
     {{r1}},
     {{r2}},

@@ -118,6 +118,12 @@ def main() -> None:
     from fefal_etl_spark.queries import get_queries
     from fefal_etl_spark.session import get_spark
 
+    # optional argv filter: re-measure ONLY the named queries and merge
+    # them into the existing scale_trend.json (a full run is ~30 min;
+    # a one-query design change should not force re-measuring all)
+    only = set(sys.argv[1:])
+    run_list = [n for n in TREND_QUERIES if not only or n in only]
+
     sfs = list(SFS)
     if os.path.isdir(SF1):
         sfs.append(SF1)
@@ -127,14 +133,27 @@ def main() -> None:
     queries = get_queries()
 
     times: dict[str, dict[str, float]] = {n: {} for n in TREND_QUERIES}
+    if only:
+        path = os.path.abspath(os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "..",
+            "scale_trend.json"))
+        prior = json.load(open(path)).get("queries", {})
+        for n, t in prior.items():
+            if n in times:
+                times[n] = {
+                    k: v for k, v in t.items()
+                    if not k.startswith("ratio")
+                }
     queries["top_orders"](spark, sfs[0]).count()  # JVM warmup, untimed
     for sf_dir in sfs:
         sf = sf_dir.rsplit("sf", 1)[-1]
-        for name in TREND_QUERIES:
+        for name in run_list:
             df_n = queries[name](spark, sf_dir).count()
             t0 = time.time()
             assert queries[name](spark, sf_dir).count() == df_n
             times[name][sf] = round(time.time() - t0, 3)
+            print(f"{sf} {name}: warm={times[name][sf]}s rows={df_n}",
+                  flush=True)
 
     has_sf1 = any("1" in t and t.get("1") is not None for t in times.values())
     rows = []
