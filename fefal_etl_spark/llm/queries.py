@@ -208,6 +208,39 @@ def _similarity_frames(
     return tokens, term_df
 
 
+def _containment_frames(
+    spark: SparkSession, sf_dir: str, max_df: int
+) -> tuple[DataFrame, DataFrame]:
+    """Staged (rare_rank_index, sizes) for :func:`containment_neardup`
+    (round 12 — the sparse_cosine_index staging pattern): the vocab
+    join + rarest-first rank window and the per-doc size aggregation
+    run once per corpus fingerprint; every query call is then pure
+    staged-parquet reads. ``max_df`` is part of the stage key — a
+    different pruning bound is a different index."""
+    from fefal_etl_spark.llm.dedup import containment_rank_index
+    from fefal_etl_spark.staging import source_fingerprint, stage_parquet
+
+    fp = source_fingerprint(sf_dir, "documents")
+    tokens, term_df = _similarity_frames(spark, sf_dir)
+    sizes = stage_parquet(
+        spark,
+        "sim_sizes",
+        fp,
+        lambda: tokens.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_sh")
+        ),
+    )
+    rare_rnk = stage_parquet(
+        spark,
+        f"sim_rarernk_d{max_df}",
+        fp,
+        lambda: containment_rank_index(
+            tokens, term_df, "doc_id", max_df=max_df, sizes=sizes
+        ),
+    )
+    return rare_rnk, sizes
+
+
 # --------------------------------------------------------------------------
 # E3: text analysis
 # --------------------------------------------------------------------------
@@ -1811,6 +1844,7 @@ def q_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fefal_etl_spark.llm.dedup import containment_neardup
 
     tokens, term_df = _similarity_frames(spark, sf_dir)
+    rare_rnk, sizes = _containment_frames(spark, sf_dir, max_df=4)
     return containment_neardup(
         _corpus(spark, sf_dir),
         "doc_id",
@@ -1819,6 +1853,8 @@ def q_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_df=4,
         tokens_df=tokens,
         term_df_df=term_df,
+        rare_ranked_df=rare_rnk,
+        sizes_df=sizes,
     )
 
 

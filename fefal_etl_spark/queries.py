@@ -4324,6 +4324,200 @@ def q_sql_warehouse_load(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sql_schema_evolution",
+    """
+    WITH first_load AS (
+        SELECT CAST(c_custkey AS BIGINT) AS ck, c_mktsegment AS seg,
+               CAST(c_acctbal AS DOUBLE) AS balance
+        FROM customer WHERE c_custkey % 3 = 0
+    ),
+    second_load AS (
+        SELECT CAST(-c_custkey AS BIGINT) AS ck, c_mktsegment AS seg,
+               CAST(c_acctbal AS DOUBLE) * 2 AS balance
+        FROM customer WHERE c_custkey % 5 = 0
+    ),
+    allrows AS (
+        SELECT * FROM first_load UNION ALL SELECT * FROM second_load
+    )
+    SELECT seg,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(balance AS DECIMAL(24,4))) AS DOUBLE)
+               AS sum_balance,
+           CAST(min(ck) AS BIGINT) AS min_ck
+    FROM allrows GROUP BY seg ORDER BY seg
+    """,
+)
+def q_sql_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-12 extension — SCHEMA DDL AS SQL TEXT (sql_dml.py::
+    _exec_ctas column-definition branch + _exec_alter; VERDICT r11
+    item 1): the full migration-script shape with no Python API call
+    and no filesystem path anywhere. ``CREATE TABLE (c TYPE, ...)``
+    declares a v0 schema as one metadata commit
+    (table.py::create_schema); the first ``INSERT`` is positionally
+    cast against the DECLARATION (int ck, not the query's bigint);
+    ``ALTER TABLE`` then drives three zero-rewrite verbs — RENAME
+    COLUMN (position-preserving, so later positional INSERTs still
+    align), ALTER COLUMN TYPE int→bigint (metadata-only widening;
+    reads upcast the narrow physical files), ADD CONSTRAINT (existing
+    data validated first) — and a second INSERT lands under the
+    evolved schema. The readback SELECTs by name through the catalog;
+    the oracle replays both loads declaratively, with the widened
+    BIGINT type visible in min_ck. At 100 TB every one of these ALTERs
+    costs one manifest, never a rewrite.
+    Reference provenance: the reference has no DDL at all (its schema
+    is the hand-written dw_creation.sql applied out-of-band); this is
+    the extension surface a SQL-warehouse migration types first."""
+    import os
+    import shutil
+
+    from fefal_etl_spark.catalog import TableCatalog
+    from fefal_etl_spark.sql_dml import execute_sql
+    from fefal_etl_spark.staging import source_fingerprint, staging_root
+
+    wh = os.path.join(
+        staging_root(),
+        f"wh_sqlddl-{source_fingerprint(sf_dir, 'customer')}",
+    )
+    cat = TableCatalog(wh)
+    done = (
+        "wh_cust" in cat.tables()
+        # v0 create + v1 insert + v2 rename + v3 widen + v4 constraint
+        # + v5 insert
+        and cat.table(spark, "wh_cust").latest_version() == 5
+    )
+    if not done:
+        shutil.rmtree(wh, ignore_errors=True)
+        cat = TableCatalog(wh)
+        customer = load_table(spark, sf_dir, "customer")
+        run = lambda s: execute_sql(  # noqa: E731
+            spark, s, tables={"customer": customer}, catalog=cat
+        )
+        run(
+            "CREATE TABLE wh_cust (ck INT, seg VARCHAR(16), bal DOUBLE)"
+        )
+        run(
+            "INSERT INTO wh_cust "
+            "SELECT c_custkey, c_mktsegment, CAST(c_acctbal AS DOUBLE) "
+            "FROM customer WHERE c_custkey % 3 = 0"
+        )
+        run("ALTER TABLE wh_cust RENAME COLUMN bal TO balance")
+        run("ALTER TABLE wh_cust ALTER COLUMN ck TYPE BIGINT")
+        run(
+            "ALTER TABLE wh_cust ADD CONSTRAINT seg_nonempty "
+            "CHECK (length(seg) > 0)"
+        )
+        run(
+            "INSERT INTO wh_cust "
+            "SELECT -c_custkey, c_mktsegment, "
+            "CAST(c_acctbal AS DOUBLE) * 2 "
+            "FROM customer WHERE c_custkey % 5 = 0"
+        )
+    return execute_sql(
+        spark,
+        "SELECT seg, CAST(count(*) AS BIGINT) AS n_rows, "
+        "CAST(SUM(CAST(balance AS DECIMAL(24,4))) AS DOUBLE) "
+        "AS sum_balance, "
+        "CAST(min(ck) AS BIGINT) AS min_ck "
+        "FROM wh_cust GROUP BY seg ORDER BY seg",
+        catalog=cat,
+    )
+
+
+@register(
+    "sql_maintenance_verbs",
+    """
+    WITH ctas AS (
+        SELECT o_orderkey AS k, o_orderstatus AS st,
+               CAST(o_totalprice AS DOUBLE) AS p
+        FROM orders WHERE o_orderkey % 13 = 0
+    ),
+    appends AS (
+        SELECT o_orderkey AS k, o_orderstatus AS st,
+               CAST(o_totalprice AS DOUBLE) AS p
+        FROM orders
+        WHERE o_orderkey % 13 IN (1, 2, 3)
+    ),
+    allrows AS (
+        SELECT * FROM ctas UNION ALL SELECT * FROM appends
+    )
+    SELECT st AS status,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(p AS DECIMAL(24,4))) AS DOUBLE) AS sum_p
+    FROM allrows GROUP BY st ORDER BY st
+    """,
+)
+def q_sql_maintenance_verbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-12 extension — MAINTENANCE VERBS AS SQL (sql_dml.py::
+    _exec_optimize/_exec_vacuum/_exec_restore; VERDICT r11 item 6):
+    the statements a warehouse scheduler emits, end-to-end. A CTAS
+    seeds the table, three streaming-shaped INSERTs shatter it into
+    small files, a BAD batch lands, then ``RESTORE TABLE ... TO
+    VERSION AS OF`` undoes it (one manifest, nothing copied),
+    ``OPTIMIZE`` bin-packs the small files (logically a no-op — the
+    oracle proves the data is byte-identical to never having
+    maintained at all), and ``VACUUM ... RETAIN 2 VERSIONS`` trims
+    the unreferenced pre-restore/pre-compact data dirs while keeping
+    the live snapshot time-travelable. The readback never sees the
+    restored-away batch. At 100 TB: RESTORE costs one manifest,
+    OPTIMIZE costs O(small files), VACUUM is the only verb that
+    touches dead bytes."""
+    import os
+    import shutil
+
+    from fefal_etl_spark.catalog import TableCatalog
+    from fefal_etl_spark.sql_dml import execute_sql
+    from fefal_etl_spark.staging import source_fingerprint, staging_root
+
+    wh = os.path.join(
+        staging_root(),
+        f"wh_sqlmaint-{source_fingerprint(sf_dir, 'orders')}",
+    )
+    cat = TableCatalog(wh)
+    done = (
+        "wh_ord" in cat.tables()
+        # v0 CTAS + v1..v3 inserts + v4 bad batch + v5 restore +
+        # v6 optimize
+        and cat.table(spark, "wh_ord").latest_version() == 6
+    )
+    if not done:
+        shutil.rmtree(wh, ignore_errors=True)
+        cat = TableCatalog(wh)
+        orders = load_table(spark, sf_dir, "orders")
+        run = lambda s: execute_sql(  # noqa: E731
+            spark, s, tables={"orders": orders}, catalog=cat
+        )
+        run(
+            "CREATE TABLE wh_ord AS "
+            "SELECT o_orderkey AS k, o_orderstatus AS st, "
+            "CAST(o_totalprice AS DOUBLE) AS p "
+            "FROM orders WHERE o_orderkey % 13 = 0"
+        )
+        for r in (1, 2, 3):
+            run(
+                "INSERT INTO wh_ord "
+                "SELECT o_orderkey, o_orderstatus, "
+                "CAST(o_totalprice AS DOUBLE) "
+                f"FROM orders WHERE o_orderkey % 13 = {r}"
+            )
+        # the bad batch a scheduler wants undone
+        run(
+            "INSERT INTO wh_ord "
+            "SELECT o_orderkey, 'X', 0.0 "
+            "FROM orders WHERE o_orderkey % 13 = 4"
+        )
+        run("RESTORE TABLE wh_ord TO VERSION AS OF 3")
+        run("OPTIMIZE wh_ord")
+        run("VACUUM wh_ord RETAIN 2 VERSIONS")
+    return execute_sql(
+        spark,
+        "SELECT st AS status, CAST(count(*) AS BIGINT) AS n_rows, "
+        "CAST(SUM(CAST(p AS DECIMAL(24,4))) AS DOUBLE) AS sum_p "
+        "FROM wh_ord GROUP BY st ORDER BY st",
+        catalog=cat,
+    )
+
+
+@register(
     "partition_evolution_scan",
     """
     SELECT o_orderpriority AS priority,

@@ -299,7 +299,16 @@ def _apply_col_op_to_meta(
     if op[0] == "rename":
         _, old_c, new_c = op
         if old_c in schema:
-            schema[new_c] = schema.pop(old_c)
+            # rename IN PLACE — declared column ORDER is part of the
+            # schema contract (positional INSERT aligns to it; a
+            # pop+re-add silently moved the renamed column last,
+            # round 12)
+            schema_items = [
+                ((new_c, v) if k == old_c else (k, v))
+                for k, v in schema.items()
+            ]
+            schema.clear()
+            schema.update(schema_items)
 
         def fix_rename(fs: dict) -> dict:
             nulls = fs.get("__nulls")
@@ -692,6 +701,7 @@ class TransactionalTable:
         dv_files: list[str] | None = None,
         with_pos: bool = False,
         column_ops: list | None = None,
+        recorded_schema: dict[str, str] | None = None,
     ) -> DataFrame:
         """Manifest-driven scan of specific part-files. Files are grouped
         by their commit directory and each group is read with ``basePath``
@@ -767,6 +777,43 @@ class TransactionalTable:
                 out = out.drop(op[1])
         if need_meta and not with_pos:
             out = out.drop("__dv_file", "__dv_pos")
+        if recorded_schema:
+            # UPCAST to the manifest-recorded type (round 12 — the
+            # ALTER COLUMN TYPE contract): after a metadata-only type
+            # widening, or a partition-pruned read that happens to hit
+            # only pre-widening files, the physical parquet type is
+            # narrower than the declared one. Readers must see the
+            # DECLARED type (Delta's type-widening read semantics) —
+            # and the CoW rewrite paths must restage rows that pass
+            # `_check_schema` against the wide manifest. Driver-side
+            # schema compare; the projection is added ONLY when a
+            # lossless widening is actually pending, so un-widened
+            # tables keep their exact pre-round-12 plans.
+            phys = {
+                f.name: f.dataType.simpleString()
+                for f in out.schema.fields
+            }
+            needs = {
+                c: t
+                for c, t in recorded_schema.items()
+                if c in phys and phys[c] != t and widens(phys[c], t)
+            }
+            declared = [c for c in recorded_schema if c in phys]
+            extras = [c for c in out.columns if c not in recorded_schema]
+            order = declared + extras
+            if needs or order != list(out.columns):
+                # also surface the manifest-DECLARED column order:
+                # a mixed-generation rename read otherwise appends the
+                # renamed column last (unionByName artifact), breaking
+                # SELECT * / positional expectations (round 12)
+                out = out.select(
+                    *[
+                        F.col(f"`{c}`").cast(needs[c]).alias(c)
+                        if c in needs
+                        else F.col(f"`{c}`")
+                        for c in order
+                    ]
+                )
         return out
 
     def read(self, version: int | None = None) -> DataFrame:
@@ -781,7 +828,8 @@ class TransactionalTable:
                 f"version {v} of {self.root} is empty"
             )
         return self._read_files(
-            mf.files, dv_files=mf.dv_files, column_ops=mf.column_ops
+            mf.files, dv_files=mf.dv_files, column_ops=mf.column_ops,
+            recorded_schema=mf.schema,
         )
 
     def read_partition(self, version: int | None = None, **filters) -> DataFrame:
@@ -812,7 +860,8 @@ class TransactionalTable:
             base = self.read(v)
             return base.filter(F.lit(False))
         df = self._read_files(
-            keep, dv_files=mf.dv_files, column_ops=mf.column_ops
+            keep, dv_files=mf.dv_files, column_ops=mf.column_ops,
+            recorded_schema=mf.schema,
         )
         for c, val in filters.items():
             df = df.filter(F.col(c) == F.lit(val))
@@ -845,7 +894,8 @@ class TransactionalTable:
         if not keep:
             return self.read(v).filter(F.lit(False))
         df = self._read_files(
-            keep, dv_files=mf.dv_files, column_ops=mf.column_ops
+            keep, dv_files=mf.dv_files, column_ops=mf.column_ops,
+            recorded_schema=mf.schema,
         )
         return df.filter(F.col(col).isin(*values))
 
@@ -896,7 +946,8 @@ class TransactionalTable:
             base = self.read(v)
             return base.filter(F.lit(False))
         df = self._read_files(
-            keep, dv_files=mf.dv_files, column_ops=mf.column_ops
+            keep, dv_files=mf.dv_files, column_ops=mf.column_ops,
+            recorded_schema=mf.schema,
         )
         return df.filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
 
@@ -929,7 +980,8 @@ class TransactionalTable:
         if not keep:
             return self.read(v).filter(F.lit(False))
         df = self._read_files(
-            keep, dv_files=mf.dv_files, column_ops=mf.column_ops
+            keep, dv_files=mf.dv_files, column_ops=mf.column_ops,
+            recorded_schema=mf.schema,
         )
         return df.filter(F.expr(condition))
 
@@ -1264,6 +1316,100 @@ class TransactionalTable:
             rebase_ok=False,
             carry_parent_files=True,
             column_op=["drop", col],
+        )
+
+    def alter_column_type(self, col: str, new_type: str) -> int:
+        """ZERO-REWRITE column type widening (round 12 — the Delta
+        ``ALTER TABLE ... ALTER COLUMN ... TYPE`` type-widening
+        contract): one metadata-only commit redefines the RECORDED
+        type; no data file is touched. Only lossless widenings are
+        accepted (:func:`widens` — the numeric lattice plus
+        same-scale decimal precision growth); anything else raises
+        :class:`SchemaConflict` exactly as a write declaring the type
+        would. Reads upcast the narrow physical files to the declared
+        type (`_read_files(recorded_schema=...)`), later writes must
+        present the wide type, and DESCRIBE/INSERT follow the new
+        declaration immediately. At 100 TB this is the difference
+        between a type migration costing one manifest and costing a
+        full rewrite.
+
+        Bloom indexes hash the STRING rendering of values on both
+        build and probe sides; a widening into the float family
+        changes that rendering (``5`` → ``5.0``), so any recorded
+        bloom on the column is REBUILT under the new type right after
+        the metadata commit — otherwise :meth:`read_point` would
+        silently skip files that do contain the probed value."""
+        base = self.latest_version()
+        if base is None:
+            raise FileNotFoundError(f"no committed version in {self.root}")
+        mf = self._read_manifest(base)
+        schema = mf.schema or {}
+        if col not in schema:
+            raise KeyError(f"no column {col!r} in {self.root}")
+        old = schema[col]
+        if old == new_type:
+            raise SchemaConflict(
+                f"column {col!r} is already {new_type} in {self.root}"
+            )
+        if not widens(old, new_type):
+            kind = "narrow" if widens(new_type, old) else "redefine"
+            raise SchemaConflict(
+                f"column {col!r} is {old} in {self.root} and the ALTER "
+                f"declares {new_type} (cannot {kind}; only lossless "
+                "widenings evolve)"
+            )
+        v = self._commit(
+            [],
+            "alter-column-type",
+            base,
+            rebase_ok=False,
+            carry_parent_files=True,
+            schema={col: new_type},
+        )
+        int_family = {"tinyint", "smallint", "int", "bigint"}
+        renders_same = (
+            old in int_family and new_type in int_family
+        ) or (_DECIMAL_RE.match(old) and _DECIMAL_RE.match(new_type))
+        if (mf.blooms or {}).get(col) and not renders_same:
+            v = self.build_bloom(col)
+        return v
+
+    def create_schema(
+        self,
+        schema: dict[str, str],
+        partition_by: list[str] | None = None,
+    ) -> int:
+        """Column-definition CREATE TABLE (round 12): commit version 0
+        with a DECLARED schema (column → Spark ``simpleString`` type)
+        and optional partition spec but NO data files — the shape
+        ``CREATE TABLE t (c INT, ...)`` needs. The first INSERT is
+        validated and positionally cast against this declaration
+        instead of adopting the query's own schema, closing the gap
+        where an empty created table accepted any column set. A
+        metadata-only commit; refuses a table that already has any
+        committed version (that is ALTER's job)."""
+        if self.latest_version() is not None:
+            raise CommitConflict(
+                f"create_schema: {self.root} already has committed "
+                "versions — alter the existing schema instead"
+            )
+        if not schema:
+            raise ValueError("create_schema: empty column list")
+        missing = sorted(
+            c for c in (partition_by or []) if c not in schema
+        )
+        if missing:
+            raise ValueError(
+                f"create_schema: partition column(s) {missing} not in "
+                "the declared schema"
+            )
+        return self._commit(
+            [],
+            "create-table",
+            None,
+            rebase_ok=False,
+            schema=dict(schema),
+            partition_spec=list(partition_by) if partition_by else _UNSET,
         )
 
     def stage_files(
@@ -2161,6 +2307,7 @@ class TransactionalTable:
                 sorted(hit_files),
                 dv_files=mf.dv_files,
                 column_ops=mf.column_ops,
+            recorded_schema=mf.schema,
             )
             out = transform(rows)
             pcols = sorted(
@@ -2210,6 +2357,7 @@ class TransactionalTable:
             dv_files=mf.dv_files,
             with_pos=True,
             column_ops=mf.column_ops,
+            recorded_schema=mf.schema,
         )
         return {
             r["__dv_file"]
@@ -2284,6 +2432,7 @@ class TransactionalTable:
                     sorted(hit_files),
                     dv_files=mf.dv_files,
                     column_ops=mf.column_ops,
+            recorded_schema=mf.schema,
                 )
                 .filter(~F.coalesce(condition, F.lit(False)))
             )
@@ -2434,6 +2583,7 @@ class TransactionalTable:
                 dv_files=mf.dv_files,
                 with_pos=True,
                 column_ops=mf.column_ops,
+            recorded_schema=mf.schema,
             )
             .filter(condition)
             .select(
@@ -2626,6 +2776,7 @@ class TransactionalTable:
             dv_files=mf.dv_files,
             with_pos=True,
             column_ops=mf.column_ops,
+            recorded_schema=mf.schema,
         ).filter(F.coalesce(condition, F.lit(False)))
         # the matched slice is small by the merge-on-read premise —
         # persist so the mask leg and the image leg agree and scan once
@@ -2739,6 +2890,7 @@ class TransactionalTable:
             sorted(rewrite),
             dv_files=mf.dv_files,
             column_ops=mf.column_ops,
+            recorded_schema=mf.schema,
         )
         pcols = sorted(
             {
@@ -3020,6 +3172,7 @@ class TransactionalTable:
             dv_files=mf.dv_files,
             with_pos=True,
             column_ops=mf.column_ops,
+            recorded_schema=mf.schema,
         )
         # source keys join twice (mask + image legs); no broadcast hint —
         # a merge source can be TBs, AQE demotes/promotes per actual size
@@ -3690,7 +3843,8 @@ class TransactionalTable:
             # preserve the table's hive layout by default (see _pcols)
             partition_by = self._pcols(mf) or None
         src = self._read_files(
-            victims, dv_files=mf.dv_files, column_ops=mf.column_ops
+            victims, dv_files=mf.dv_files, column_ops=mf.column_ops,
+            recorded_schema=mf.schema,
         )
         if mf.clustering:
             # declared clustering (round 10): the rewrite lays victims
@@ -3831,13 +3985,20 @@ class TransactionalTable:
         ]
 
     def _compute_bloom_maps(
-        self, files: list[str], cols: list[str], column_ops=None
+        self,
+        files: list[str],
+        cols: list[str],
+        column_ops=None,
+        recorded_schema: dict[str, str] | None = None,
     ) -> dict[str, dict[str, str]]:
         """Per-file bloom bitmaps for each of ``cols`` over exactly
         ``files`` — ONE Spark job however many columns (per-column
         seed arrays explode from one scan). Shared by
         :meth:`build_bloom` (whole snapshot) and the rewrite paths'
-        auto-rebuild (staged files only). Returns {col: {file: b64}}."""
+        auto-rebuild (staged files only). ``recorded_schema`` makes
+        the scan upcast widened columns first, so the md5-over-string
+        hash keys match DECLARED-type probes (round 12 — see
+        :meth:`alter_column_type`). Returns {col: {file: b64}}."""
         import base64
 
         from pyspark.sql import functions as F
@@ -3869,7 +4030,10 @@ class TransactionalTable:
             )
 
         rows = self._read_files(
-            files, with_pos=True, column_ops=column_ops
+            files,
+            with_pos=True,
+            column_ops=column_ops,
+            recorded_schema=recorded_schema,
         )
         # a schema-evolving write may omit a bloom column entirely —
         # those files keep NO entry (conservatively read), never an
@@ -3960,7 +4124,8 @@ class TransactionalTable:
             raise FileNotFoundError(f"no committed version in {self.root}")
         mf = self._read_manifest(base)
         maps = self._compute_bloom_maps(
-            mf.files, [col], column_ops=mf.column_ops
+            mf.files, [col], column_ops=mf.column_ops,
+            recorded_schema=mf.schema,
         )
         if col not in maps:
             raise ValueError(
@@ -4018,7 +4183,8 @@ class TransactionalTable:
         if not keep:
             return self.read(v).filter(F.lit(False))
         df = self._read_files(
-            keep, dv_files=mf.dv_files, column_ops=mf.column_ops
+            keep, dv_files=mf.dv_files, column_ops=mf.column_ops,
+            recorded_schema=mf.schema,
         )
         return df.filter(F.col(col) == F.lit(value))
 

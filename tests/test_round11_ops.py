@@ -323,7 +323,9 @@ def test_sql_insert_ctas_loud_rejections(spark, tmp_path):
         spark, "CREATE TABLE t1 AS SELECT 1 AS k", catalog=cat
     )
     cases = [
-        "CREATE TABLE t2 (k INT)",  # column-definition DDL
+        # column-definition DDL is round-12 surface now; column OPTIONS
+        # stay out of the subset
+        "CREATE TABLE t2 (k INT NOT NULL)",
         "CREATE TABLE t1 AS SELECT 2 AS k",  # exists, no modifier
         "CREATE OR REPLACE TABLE IF NOT EXISTS t1 AS SELECT 1 AS k",
         "INSERT INTO t1 (k) VALUES (1)",  # column list
