@@ -114,7 +114,12 @@ class IvfAnnIndex:
         Returns the new centroid frame — centroids are model state the
         caller must use for subsequent ``add_batch``/``match_new``
         (probing with the OLD centroids after a retrain is a contract
-        violation, exactly as with any IVF library).
+        violation, exactly as with any IVF library). ``k`` is an UPPER
+        bound (advice r11): a Lloyd mean step drops a centroid that
+        loses every vector, so the rebuilt index may have fewer probe
+        buckets than requested — count the returned frame and retrain
+        with a larger k if a bucket floor matters (see
+        `similarity.kmeans_centroids` for why no re-seeding).
 
         The exactly-once ingestion ledger SURVIVES: manifest ``txns``
         ride every commit (table.py::_apply_record), so a replayed

@@ -2085,7 +2085,11 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     window with a total tie order."""
     from fefal_etl_spark.llm.text_analysis import tfidf_top_terms
 
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_table (round 12): the documents parquet is a single scan
+    # split even at sf1, so the explode + (doc, term) partial
+    # aggregation — the query's dominant CPU — otherwise runs on one
+    # core (the levenshtein/bootstrap_ci lesson, datasets.fan_table)
+    docs = fan_table(spark, sf_dir, "documents")
     return tfidf_top_terms(docs, id_col="doc_id", text_col="text", top_n=3)
 
 
@@ -3818,6 +3822,21 @@ def q_levenshtein_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark's levenshtein threshold arg early-exits the DP at 31 — the
     O(len·k) band instead of O(len²) — and the -1 sentinel is filtered
     before output so values stay exact distances."""
+    scored = _levenshtein_scored(spark, sf_dir)
+    return (
+        scored.localCheckpoint(eager=False)
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= 30))
+        .select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))
+    )
+
+
+def _levenshtein_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-barrier frame of :func:`q_levenshtein_neardup` —
+    (id_a, id_b, dist) for every sub-block candidate pair, with NO
+    dist predicate anywhere in the plan. Exposed so the plan test can
+    pin deterministically that the DP sits above the join and appears
+    exactly once; the query cuts a ``localCheckpoint`` barrier on this
+    frame before filtering."""
     corpus = _corpus(spark, sf_dir)
     from fefal_etl_spark.llm.text_analysis import nonempty_words
 
@@ -3863,27 +3882,20 @@ def q_levenshtein_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # into the join CONDITION, where it lands ahead of the cheap
     # id/length conjuncts and evaluates levenshtein on every
     # block-equal row — measured 34 s (and worse) vs ~7 s at zipf_sf1
-    # (round 10). The fence is an always-true NONDETERMINISTIC filter:
-    # deterministic predicates cannot be pushed below it, and unlike
-    # an unreferenced nondeterministic projection column it survives
-    # column pruning. Costs one long comparison per surviving pair.
-    dist = F.levenshtein(F.col("t_a"), F.col("t_b"), 31)
-    fenced = pairs.select(
-        "id_a",
-        "id_b",
-        dist.alias("dist"),
-        F.monotonically_increasing_id().alias("__fence"),
-    )
-    return (
-        # the filter REFERENCES __fence so the nondeterministic alias
-        # survives column pruning and the range predicates stay above
-        # the project — dist is then computed exactly once per pair
-        fenced.filter(
-            (F.col("dist") >= 0)
-            & (F.col("dist") <= 30)
-            & (F.col("__fence") >= 0)
-        )
-        .select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))
+    # (round 10). Round 12 (VERDICT r11 item 1 "what's wrong") retires
+    # the nondeterministic-filter fence that used to block the
+    # pushdown: the scored frame — just three longs per pair — is cut
+    # at an explicit ``localCheckpoint`` barrier instead. The
+    # checkpointed subplan contains NO dist predicate at all (nothing
+    # for any optimizer version to push into the join), the DP runs
+    # exactly once per pair while materializing the barrier, and the
+    # range filter above it compares a materialized long. This leans
+    # on no Catalyst rule — an RDD boundary is a barrier by
+    # construction. `_levenshtein_scored_plan` exposes the
+    # pre-barrier frame so the plan test pins the join shape
+    # deterministically.
+    return pairs.select(
+        "id_a", "id_b", F.levenshtein("t_a", "t_b", 31).alias("dist")
     )
 
 

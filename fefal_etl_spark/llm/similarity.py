@@ -367,7 +367,17 @@ def kmeans_centroids(
     11, for `IvfAnnIndex.retrain`). Init is the k LOWEST-id vectors
     (deterministic for ANY id set — a retrain reads ids from a live
     index, which need not contain 0..k−1), then the same shared Lloyd
-    rounds. The returned frame is metadata-scale (k rows)."""
+    rounds.
+
+    ``k`` is an UPPER bound (advice r11, documented contract): a Lloyd
+    mean step drops any centroid that loses every assigned vector, so
+    the result may carry fewer than k rows — standard Lloyd semantics,
+    kept deliberately because the declarative oracle replays this
+    exact arithmetic (a re-seeding rule would have to be mirrored
+    there and adds a nondeterministic-looking branch for a case the
+    deterministic lowest-id init makes rare). Callers that need a
+    probe-bucket floor should check ``count()`` and retrain with a
+    larger k. The returned frame is metadata-scale (≤ k rows)."""
     e = corpus.select(
         F.col(id_col), as_double_vec(F.col(vec_col)).alias("__v")
     )

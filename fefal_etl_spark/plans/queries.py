@@ -481,21 +481,35 @@ def _cfg_fingerprint(cfg: PipelineConfig) -> str:
 _SHARED_FULL: dict[tuple[str, str, str], tuple] = {}
 
 
+#: cap on same-app cache entries (advice r11): distinct (sf_dir,
+#: config-fingerprint) keys are caller-controlled, so without a bound a
+#: long-lived app sweeping many configs would grow persisted-block
+#: memory forever. Expected live set is 1-2 (the driver SF + maybe one
+#: variant); evict the oldest beyond this.
+_SHARED_FULL_MAX = 4
+
+
 def _shared_full(spark: SparkSession, sf_dir: str, cfg: PipelineConfig):
     app_id = spark.sparkContext.applicationId
     key = (app_id, sf_dir, _cfg_fingerprint(cfg))
     if key not in _SHARED_FULL:
         stale = [k for k in _SHARED_FULL if k[0] != app_id]
+        # same-app LRU bound (advice r11): insertion order is access
+        # order enough here — entries are built once and reused
+        same = [k for k in _SHARED_FULL if k[0] == app_id]
+        stale += same[: max(0, len(same) + 1 - _SHARED_FULL_MAX)]
         if stale:
             from fefal_etl_spark.plans.star import release_star_cache
 
             for k in stale:
-                res, _star = _SHARED_FULL.pop(k)
-                try:
-                    res.frame.unpersist()
-                except Exception:
-                    pass
-            release_star_cache(app_id=app_id)
+                res, star_ = _SHARED_FULL.pop(k)
+                for df_ in [res.frame, *(star_ or {}).values()]:
+                    try:
+                        df_.unpersist()
+                    except Exception:
+                        pass
+            if any(k[0] != app_id for k in stale):
+                release_star_cache(app_id=app_id)
         res = run_pipeline(
             _survey_full(spark, sf_dir), _registry(spark, sf_dir), cfg
         )

@@ -4328,12 +4328,15 @@ def q_sql_warehouse_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH first_load AS (
         SELECT CAST(c_custkey AS BIGINT) AS ck, c_mktsegment AS seg,
-               CAST(c_acctbal AS DOUBLE) AS balance
+               CAST(c_acctbal AS DOUBLE) AS balance,
+               CAST(NULL AS INT) AS vip
         FROM customer WHERE c_custkey % 3 = 0
     ),
     second_load AS (
         SELECT CAST(-c_custkey AS BIGINT) AS ck, c_mktsegment AS seg,
-               CAST(c_acctbal AS DOUBLE) * 2 AS balance
+               CAST(c_acctbal AS DOUBLE) * 2 AS balance,
+               CAST(CASE WHEN c_acctbal > 5000 THEN 1 ELSE 0 END AS INT)
+                   AS vip
         FROM customer WHERE c_custkey % 5 = 0
     ),
     allrows AS (
@@ -4343,7 +4346,8 @@ def q_sql_warehouse_load(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n_rows,
            CAST(SUM(CAST(balance AS DECIMAL(24,4))) AS DOUBLE)
                AS sum_balance,
-           CAST(min(ck) AS BIGINT) AS min_ck
+           CAST(min(ck) AS BIGINT) AS min_ck,
+           CAST(SUM(COALESCE(vip, 0)) AS BIGINT) AS n_vip
     FROM allrows GROUP BY seg ORDER BY seg
     """,
 )
@@ -4355,15 +4359,17 @@ def q_sql_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     declares a v0 schema as one metadata commit
     (table.py::create_schema); the first ``INSERT`` is positionally
     cast against the DECLARATION (int ck, not the query's bigint);
-    ``ALTER TABLE`` then drives three zero-rewrite verbs — RENAME
+    ``ALTER TABLE`` then drives four zero-rewrite verbs — RENAME
     COLUMN (position-preserving, so later positional INSERTs still
     align), ALTER COLUMN TYPE int→bigint (metadata-only widening;
     reads upcast the narrow physical files), ADD CONSTRAINT (existing
-    data validated first) — and a second INSERT lands under the
-    evolved schema. The readback SELECTs by name through the catalog;
-    the oracle replays both loads declaratively, with the widened
-    BIGINT type visible in min_ck. At 100 TB every one of these ALTERs
-    costs one manifest, never a rewrite.
+    data validated first), ADD COLUMN (pre-add files surface the
+    column as typed NULLs; every later positional INSERT's arity
+    includes it) — and a second INSERT lands under the evolved
+    schema. The readback SELECTs by name through the catalog; the
+    oracle replays both loads declaratively, with the widened BIGINT
+    type visible in min_ck and the NULL backfill in n_vip. At 100 TB
+    every one of these ALTERs costs one manifest, never a rewrite.
     Reference provenance: the reference has no DDL at all (its schema
     is the hand-written dw_creation.sql applied out-of-band); this is
     the extension surface a SQL-warehouse migration types first."""
@@ -4382,8 +4388,8 @@ def q_sql_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     done = (
         "wh_cust" in cat.tables()
         # v0 create + v1 insert + v2 rename + v3 widen + v4 constraint
-        # + v5 insert
-        and cat.table(spark, "wh_cust").latest_version() == 5
+        # + v5 add-column + v6 insert
+        and cat.table(spark, "wh_cust").latest_version() == 6
     )
     if not done:
         shutil.rmtree(wh, ignore_errors=True)
@@ -4406,10 +4412,12 @@ def q_sql_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ALTER TABLE wh_cust ADD CONSTRAINT seg_nonempty "
             "CHECK (length(seg) > 0)"
         )
+        run("ALTER TABLE wh_cust ADD COLUMN vip INT")
         run(
             "INSERT INTO wh_cust "
             "SELECT -c_custkey, c_mktsegment, "
-            "CAST(c_acctbal AS DOUBLE) * 2 "
+            "CAST(c_acctbal AS DOUBLE) * 2, "
+            "CAST(CASE WHEN c_acctbal > 5000 THEN 1 ELSE 0 END AS INT) "
             "FROM customer WHERE c_custkey % 5 = 0"
         )
     return execute_sql(
@@ -4417,7 +4425,8 @@ def q_sql_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT seg, CAST(count(*) AS BIGINT) AS n_rows, "
         "CAST(SUM(CAST(balance AS DECIMAL(24,4))) AS DOUBLE) "
         "AS sum_balance, "
-        "CAST(min(ck) AS BIGINT) AS min_ck "
+        "CAST(min(ck) AS BIGINT) AS min_ck, "
+        "CAST(SUM(COALESCE(vip, 0)) AS BIGINT) AS n_vip "
         "FROM wh_cust GROUP BY seg ORDER BY seg",
         catalog=cat,
     )

@@ -13,6 +13,7 @@
         [PARTITIONED BY (c, ...)]                              (round 12)
     ALTER TABLE t RENAME COLUMN a TO b                         (round 12)
     ALTER TABLE t DROP COLUMN c                                (round 12)
+    ALTER TABLE t ADD COLUMN c TYPE | ADD COLUMNS (c T, ...)   (round 12)
     ALTER TABLE t ALTER COLUMN c TYPE <type>                   (round 12)
     ALTER TABLE t ADD CONSTRAINT name CHECK (<expr>)           (round 12)
     ALTER TABLE t SET|UNSET TBLPROPERTIES (...)                (round 12)
@@ -706,6 +707,9 @@ def _exec_alter(sql: str, tables: dict) -> int:
 
     * ``RENAME COLUMN a TO b``     → :meth:`rename_column` (metadata)
     * ``DROP COLUMN c``            → :meth:`drop_column`   (metadata)
+    * ``ADD COLUMN c typ`` / ``ADD COLUMNS (a t, b t)`` →
+      :meth:`add_column` (metadata; reads surface typed NULLs for
+      pre-add files, positional INSERT arity includes the column)
     * ``ALTER COLUMN c TYPE typ``  → :meth:`alter_column_type`
       (metadata; lossless widenings only — the Delta type-widening
       contract)
@@ -717,8 +721,7 @@ def _exec_alter(sql: str, tables: dict) -> int:
     * ``CLUSTER BY (c, ...)`` / ``CLUSTER BY NONE`` →
       :meth:`set_clustering`
 
-    Anything else (ADD COLUMN — schema-on-write adds columns at the
-    next INSERT; RENAME TO; partition DDL) raises loudly."""
+    Anything else (RENAME TO, partition DDL) raises loudly."""
     m = _ALTER_RE.match(sql)
     if not m:
         raise SqlDmlError(
@@ -740,6 +743,38 @@ def _exec_alter(sql: str, tables: dict) -> int:
     dm = re.match(r"DROP\s+COLUMN\s+(\S+)\s*$", rest, re.IGNORECASE)
     if dm:
         return t.drop_column(_ident(dm.group(1), "DROP COLUMN"))
+    adm = re.match(
+        r"ADD\s+COLUMNS?\s+(?P<body>.+)$", rest, re.IGNORECASE | re.DOTALL
+    )
+    if adm and not re.match(
+        r"ADD\s+CONSTRAINT\b", rest, re.IGNORECASE
+    ):
+        body = adm.group("body").strip()
+        if body.startswith("("):
+            inner, trailing = _paren_group(body)
+            if trailing:
+                raise SqlDmlError(
+                    f"ADD COLUMNS: unexpected trailing text "
+                    f"{trailing[:40]!r}"
+                )
+            defs = _split_top(inner)
+        else:
+            defs = [body]
+        v = None
+        for coldef in defs:
+            parts = coldef.split(None, 1)
+            if len(parts) != 2:
+                raise SqlDmlError(
+                    f"ADD COLUMN: expected '<col> <type>', got "
+                    f"{coldef!r}"
+                )
+            v = t.add_column(
+                _ident(parts[0], "ADD COLUMN name"),
+                _sql_type(parts[1], "ADD COLUMN type"),
+            )
+        if v is None:
+            raise SqlDmlError("ADD COLUMNS: empty column list")
+        return v
     am = re.match(
         r"(?:ALTER|CHANGE)\s+COLUMN\s+(\S+)\s+TYPE\s+(.+)$",
         rest,
@@ -808,10 +843,9 @@ def _exec_alter(sql: str, tables: dict) -> int:
         )
     raise SqlDmlError(
         f"ALTER TABLE: unsupported action {rest[:50]!r} — supported: "
-        "RENAME COLUMN a TO b / DROP COLUMN c / ALTER COLUMN c TYPE t "
-        "/ ADD CONSTRAINT n CHECK (expr) / SET|UNSET TBLPROPERTIES "
-        "(...) / CLUSTER BY (...)|NONE (ADD COLUMN is implicit: "
-        "schema-on-write adopts new columns at the next INSERT)"
+        "RENAME COLUMN a TO b / DROP COLUMN c / ADD COLUMN[S] c t / "
+        "ALTER COLUMN c TYPE t / ADD CONSTRAINT n CHECK (expr) / "
+        "SET|UNSET TBLPROPERTIES (...) / CLUSTER BY (...)|NONE"
     )
 
 

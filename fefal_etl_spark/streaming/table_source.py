@@ -332,7 +332,10 @@ class _RateLimit:
         must not churn — if the admitted (version, index) equals the
         last stamped offset's, the previous dict is returned verbatim
         (at most one wm-refresh batch per restart, none in steady
-        state)."""
+        state). Consequence (advice r11, accepted as designed): the
+        PERSISTED wm can trail the volatile watermark until the end
+        offset next advances — harmless, because the wm is only a
+        replay-clamp floor, never a correctness bound."""
         pv, pi = self.pos
         out = dict(off)
         out["wm"] = [pv, None if pi == float("inf") else int(pi)]

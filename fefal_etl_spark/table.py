@@ -798,22 +798,29 @@ class TransactionalTable:
                 for c, t in recorded_schema.items()
                 if c in phys and phys[c] != t and widens(phys[c], t)
             }
-            declared = [c for c in recorded_schema if c in phys]
+            # columns DECLARED (add_column) but absent from every
+            # scanned file materialize as typed NULLs — the Delta ADD
+            # COLUMN read contract; files written after the add carry
+            # them physically and take the unionByName path instead
+            added = {
+                c: t for c, t in recorded_schema.items() if c not in phys
+            }
+            declared = list(recorded_schema)
             extras = [c for c in out.columns if c not in recorded_schema]
             order = declared + extras
-            if needs or order != list(out.columns):
+            if needs or added or order != list(out.columns):
                 # also surface the manifest-DECLARED column order:
                 # a mixed-generation rename read otherwise appends the
                 # renamed column last (unionByName artifact), breaking
                 # SELECT * / positional expectations (round 12)
-                out = out.select(
-                    *[
-                        F.col(f"`{c}`").cast(needs[c]).alias(c)
-                        if c in needs
-                        else F.col(f"`{c}`")
-                        for c in order
-                    ]
-                )
+                def col_of(c):
+                    if c in needs:
+                        return F.col(f"`{c}`").cast(needs[c]).alias(c)
+                    if c in added:
+                        return F.lit(None).cast(added[c]).alias(c)
+                    return F.col(f"`{c}`")
+
+                out = out.select(*[col_of(c) for c in order])
         return out
 
     def read(self, version: int | None = None) -> DataFrame:
@@ -1373,6 +1380,39 @@ class TransactionalTable:
         if (mf.blooms or {}).get(col) and not renders_same:
             v = self.build_bloom(col)
         return v
+
+    def add_column(self, col: str, new_type: str) -> int:
+        """ZERO-REWRITE column add (round 12 — Delta ``ALTER TABLE ...
+        ADD COLUMN`` semantics): one metadata-only commit extends the
+        DECLARED schema; no data file is touched. Reads materialize
+        the column as typed NULLs for files written before the add
+        (`_read_files(recorded_schema=...)` — the same mechanism that
+        upcasts widened columns), and every later write must supply
+        it. Needed because positional INSERT validates arity against
+        the declaration — without this verb a SQL user of a declared
+        table could never grow its schema. The name must not collide
+        with a live or retired column."""
+        base = self.latest_version()
+        if base is None:
+            raise FileNotFoundError(f"no committed version in {self.root}")
+        mf = self._read_manifest(base)
+        if col in (mf.schema or {}):
+            raise SchemaConflict(
+                f"column {col!r} already exists in {self.root}"
+            )
+        if col in retired_names(mf.column_ops):
+            raise SchemaConflict(
+                f"column name {col!r} was retired by an earlier "
+                f"rename/drop in {self.root}"
+            )
+        return self._commit(
+            [],
+            "add-column",
+            base,
+            rebase_ok=False,
+            carry_parent_files=True,
+            schema={col: new_type},
+        )
 
     def create_schema(
         self,

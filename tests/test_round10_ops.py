@@ -875,20 +875,33 @@ def test_stream_rate_limit_available_now_restart_cycles(spark, tmp_path):
 
 
 def test_levenshtein_plan_single_dp_eval(spark):
-    """The dist fence (llm/queries.q_levenshtein_neardup) keeps the
-    edit-distance DP out of the join condition and evaluated exactly
-    ONCE per gate-surviving pair — pinned on the physical plan because
-    the fence relies on optimizer behavior (nondeterministic-filter
-    pushdown blocking + column pruning): a Spark upgrade that changes
-    either rule must fail here, not resurface as a silent 2× at sf1."""
+    """The edit-distance DP must sit ABOVE the join (never inside the
+    join condition, where it would run on every block-equal row ahead
+    of the cheap conjuncts) and appear exactly ONCE. Round 12: the
+    pre-barrier frame (`_levenshtein_scored`) contains no dist
+    predicate at all, so these properties hold deterministically —
+    nothing for any optimizer version to push — and the query then
+    cuts a localCheckpoint barrier on the three-long scored frame, so
+    the range filter above compares a MATERIALIZED column (the old
+    nondeterministic `__fence` filter, which leaned on a Catalyst
+    pushdown rule, is retired)."""
+    from fefal_etl_spark.llm.queries import _levenshtein_scored
     from fefal_etl_spark.queries import get_queries
 
-    df = get_queries()["levenshtein_neardup"](
-        spark, "/root/testdata/sf0.001"
-    )
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    scored = _levenshtein_scored(spark, "/root/testdata/sf0.001")
+    plan = scored._jdf.queryExecution().executedPlan().toString()
     assert plan.count("levenshtein") == 1
-    # and none of them inside a join node's condition line
     for line in plan.splitlines():
         if "Join" in line:
             assert "levenshtein" not in line
+    # the full query's final plan sits entirely above the barrier: the
+    # join and the DP live below the RDD boundary, so the dist filter
+    # physically CANNOT reach them
+    df = get_queries()["levenshtein_neardup"](
+        spark, "/root/testdata/sf0.001"
+    )
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in final and "levenshtein" not in final
+    assert "ExistingRDD" in final or "Scan ExistingRDD" in final
+    # and it still finds the planted tail pairs
+    assert df.count() > 0

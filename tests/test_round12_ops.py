@@ -202,7 +202,7 @@ def test_alter_drop_column_and_rejections(spark, tmp_path):
     _sql(spark, cat, "ALTER TABLE t DROP COLUMN junk")
     assert _sql(spark, cat, "SELECT * FROM t").columns == ["k"]
     for bad in [
-        "ALTER TABLE t ADD COLUMN z INT",  # implicit via next INSERT
+        "ALTER TABLE t ADD COLUMN z",  # missing type
         "ALTER TABLE t RENAME TO t2",
         "ALTER TABLE t SET PARTITION SPEC (k)",
         "ALTER TABLE missing DROP COLUMN k",
@@ -367,3 +367,40 @@ def test_comments_do_not_register_or_confuse(spark, tmp_path):
         tables={"good": df},
     )
     assert got.collect()[0]["s"] == "--not a comment /*"
+
+
+def test_alter_add_column_null_backfill(spark, tmp_path):
+    """ADD COLUMN is a metadata-only commit: pre-add files surface the
+    column as typed NULLs in declared order, later INSERTs must supply
+    it (positional arity includes it), and a retired name cannot be
+    re-added."""
+    from fefal_etl_spark.sql_dml import SqlDmlError
+
+    cat = _wh(spark, tmp_path)
+    _sql(spark, cat, "CREATE TABLE t (k INT, p DOUBLE)")
+    _sql(spark, cat, "INSERT INTO t VALUES (1, 1.5)")
+    t = cat.table(spark, "t")
+    files_before = t._read_manifest(t.latest_version()).files
+    _sql(spark, cat, "ALTER TABLE t ADD COLUMN vip INT")
+    assert t._read_manifest(t.latest_version()).files == files_before
+    desc = [r["col_name"] for r in _sql(spark, cat, "DESCRIBE t").collect()]
+    assert desc == ["k", "p", "vip"]
+    # pre-add rows read back with typed NULL in declared position
+    df = t.read()
+    assert dict(df.dtypes)["vip"] == "int"
+    assert [tuple(r) for r in df.collect()] == [(1, 1.5, None)]
+    # old 2-column INSERT arity now rejects; 3-column lands
+    with pytest.raises(SqlDmlError):
+        _sql(spark, cat, "INSERT INTO t VALUES (2, 2.5)")
+    _sql(spark, cat, "INSERT INTO t VALUES (2, 2.5, 7)")
+    rows = sorted(tuple(r) for r in t.read().collect())
+    assert rows == [(1, 1.5, None), (2, 2.5, 7)]
+    # multi-column form + duplicate/retired rejections
+    _sql(spark, cat, "ALTER TABLE t ADD COLUMNS (a STRING, b BIGINT)")
+    desc = [r["col_name"] for r in _sql(spark, cat, "DESCRIBE t").collect()]
+    assert desc == ["k", "p", "vip", "a", "b"]
+    with pytest.raises(SchemaConflict):
+        _sql(spark, cat, "ALTER TABLE t ADD COLUMN vip INT")
+    _sql(spark, cat, "ALTER TABLE t DROP COLUMN a")
+    with pytest.raises(SchemaConflict):
+        _sql(spark, cat, "ALTER TABLE t ADD COLUMN a STRING")  # retired

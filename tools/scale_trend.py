@@ -25,7 +25,17 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# top of bench_detail.json by warm wall time (sf0.1), round 3
+# top of bench_detail.json by warm wall time (sf0.1), round 3.
+#
+# Round 12 (VERDICT r11 item 4): the df-selectivity-sensitive text
+# family — ppjoin_pairs, containment_neardup, sparse_cosine_pairs/
+# topk, bm25_topk, tfidf_top_terms, minhash_neardup, segment_dedup,
+# levenshtein_neardup — is trended ONLY on the Zipf-vocabulary corpus
+# (tools/zipf_trend.py → docs/ZIPF_TREND.json). The plain fixtures'
+# ~30-word vocabulary makes document frequency degenerate (every
+# shingle is in ~every doc), so their sf1 ratios measured the fixture
+# pathology, not the engine; carrying both numbers invited misreading.
+# Every row below is one the engine stands behind on this corpus.
 TREND_QUERIES = [
     "semdedup_pairs",
     "decontaminate_overlap",
@@ -33,25 +43,19 @@ TREND_QUERIES = [
     "suppliers_kept_waiting",
     "review_promotions",
     "doc_fingerprints",
-    "minhash_neardup",
     "min_cost_supplier",
     "dup_clusters",
-    "tfidf_top_terms",
-    # round-3 continuation: the two heaviest new curation operators
+    # round-3 continuation: the heaviest new curation operator
     "dedup_canonicalize",
-    "segment_dedup",
-    # §2.17 session: exact similarity joins + the heaviest new analytics
-    "ppjoin_pairs",
-    "containment_neardup",
+    # §2.17 session: the heaviest new analytics
     "copurchase_triangles",
     "bigram_logprob",
     "cdc_chunks",
     "positional_index",
     # round-4: the heaviest new operators (per-replicate fan-out, iterative
-    # BFS rounds, edit-distance blocks, sketch fan-out)
+    # BFS rounds, sketch fan-out)
     "bootstrap_ci",
     "graph_bfs_levels",
-    "levenshtein_neardup",
     "countmin_freq",
     "dsir_importance",
     # round-5: transactional snapshot reads + the updated heavy set
