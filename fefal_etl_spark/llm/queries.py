@@ -3891,7 +3891,7 @@ def _levenshtein_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exactly once per pair while materializing the barrier, and the
     # range filter above it compares a materialized long. This leans
     # on no Catalyst rule — an RDD boundary is a barrier by
-    # construction. `_levenshtein_scored_plan` exposes the
+    # construction. `_levenshtein_scored` exposes the
     # pre-barrier frame so the plan test pins the join shape
     # deterministically.
     return pairs.select(

@@ -144,9 +144,9 @@ def release_pipeline_cache() -> None:
     from fefal_etl_spark.plans.star import release_star_cache
 
     for cache in (_SHARED, _SHARED_FULL):
-        for res, _star in cache.values():
+        for entry in cache.values():
             try:
-                res.frame.unpersist()
+                entry[0].frame.unpersist()
             except Exception:
                 pass
         cache.clear()
@@ -499,15 +499,22 @@ def _shared_full(spark: SparkSession, sf_dir: str, cfg: PipelineConfig):
         same = [k for k in _SHARED_FULL if k[0] == app_id]
         stale += same[: max(0, len(same) + 1 - _SHARED_FULL_MAX)]
         if stale:
-            from fefal_etl_spark.plans.star import release_star_cache
+            from fefal_etl_spark.plans.star import (
+                release_star_cache,
+                release_star_frames,
+            )
 
             for k in stale:
-                res, star_ = _SHARED_FULL.pop(k)
+                res, star_, pinned = _SHARED_FULL.pop(k)
                 for df_ in [res.frame, *(star_ or {}).values()]:
                     try:
                         df_.unpersist()
                     except Exception:
                         pass
+                # also the frames build_star persisted for THIS entry
+                # (the EP2 `valid` branch — review r12: without this
+                # the LRU cap did not actually bound persisted memory)
+                release_star_frames(pinned)
             if any(k[0] != app_id for k in stale):
                 release_star_cache(app_id=app_id)
         res = run_pipeline(
@@ -518,9 +525,13 @@ def _shared_full(spark: SparkSession, sf_dir: str, cfg: PipelineConfig):
             [(7, "Dias úteis")],
             "id_tipo_disp int, descricao_tipo_disp string",
         )
+        from fefal_etl_spark.plans import star as _star_mod
+
+        n0 = len(_star_mod._PERSISTED)
         star = build_star(res, tipos_disponibilidades=tipos)
-        _SHARED_FULL[key] = (res, star)
-    return _SHARED_FULL[key]
+        pinned = [df for _own, df in _star_mod._PERSISTED[n0:]]
+        _SHARED_FULL[key] = (res, star, pinned)
+    return _SHARED_FULL[key][:2]
 
 
 def _full_groups_result(

@@ -46,6 +46,25 @@ ID_INQ = "id_inquerito"
 _PERSISTED: list[tuple[str, DataFrame]] = []
 
 
+def release_star_frames(frames) -> None:
+    """Unpersist SPECIFIC tracked frames and drop them from the
+    registry — the per-entry release the `_SHARED_FULL` LRU eviction
+    needs (review r12: evicting a cache entry unpersisted only the
+    classified frame; the `valid` branch build_star persists here
+    leaked one fully-persisted EP2 frame per evicted config)."""
+    ids = {id(f) for f in frames}
+    keep: list[tuple[str, DataFrame]] = []
+    for owner, df in _PERSISTED:
+        if id(df) in ids:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        else:
+            keep.append((owner, df))
+    _PERSISTED[:] = keep
+
+
 def release_star_cache(app_id: str | None = None) -> None:
     """Unpersist tracked star frames — all of them, or (with ``app_id``)
     only the ones owned by OTHER applications (dead-context cleanup)."""

@@ -5252,63 +5252,63 @@ def q_incremental_mv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # already represented (extra family members, alternates, display variants)
 # and follow in registration order.
 _DRIVER_PRIORITY = [
-    # Round-11 rotation (VERDICT r10 item 7 / round-close protocol):
-    # front-load (a) the three never-sampled round-11 additions
-    # (ivf_retrain_match, sparse_cosine_topk, sql_warehouse_load),
-    # then (b) all 5 queries whose latest driver sample is r5, then
-    # (c) the first 42 r6-stale queries (alphabetical). 3 + 5 + 42 =
-    # 50, so after this round no query's latest sample predates r6.
-    # Computed from docs/QUERIES.md (the authoritative matrix).
-    "ivf_retrain_match",
-    "sparse_cosine_topk",
-    "sql_warehouse_load",
-    "tombstone_cascade",
-    "top_supplier_revenue",
-    "train_test_split",
-    "unigram_logprob",
-    "value_winsorize",
-    "bloom_point_lookup",
-    "cdc_snapshot",
-    "checkpointed_history",
-    "column_rename_read",
-    "conditional_agg_priority",
-    "copurchase_triangles",
-    "customer_spend_quartiles",
-    "disjoint_writer_commits",
-    "dv_delete_read",
-    "dv_materialize_read",
-    "embedding_covariance",
-    "embedding_hof_stats",
-    "embedding_quantize",
-    "events_gapfill",
-    "excel_roundtrip_scan",
-    "excess_stock_suppliers",
-    "generated_partition_scan",
-    "heavy_hitters",
-    "hll_rollup",
-    "incremental_ann_match",
-    "incremental_dedup_match",
-    "incremental_mv_refresh",
-    "incremental_mv_stats",
-    "incremental_rollup",
-    "index_compaction_probe",
-    "merge_dv_orders",
-    "mongo_config_pipeline",
-    "multi_distinct_order_stats",
-    "multimodal_resize",
-    "partition_overwrite_read",
-    "partitioned_table_stream",
-    "per_source_cap",
-    "png_decode",
-    "price_histogram",
-    "product_type_profit",
-    "promo_revenue_share",
-    "quality_zscores",
-    "replace_where_read",
-    "small_quantity_revenue",
-    "supplier_variety",
-    "table_changes_stream",
-    "table_commit_isolation",
+    # Round-12 rotation (round-close protocol): front-load (a) the two
+    # never-sampled round-12 additions (sql_maintenance_verbs,
+    # sql_schema_evolution), then (b) the 8 queries whose latest
+    # driver sample is r6, then (c) the first 40 r7-stale queries
+    # (alphabetical). 2 + 8 + 40 = 50, so after this round no query's
+    # latest sample predates r7. Computed from docs/QUERIES.md (the
+    # authoritative matrix).
+    "sql_maintenance_verbs",
+    "sql_schema_evolution",
+    "table_profile",
+    "table_restore_read",
+    "table_stream_read",
+    "table_time_travel",
+    "top_volume_orders",
+    "training_shards",
+    "vocab_coverage",
+    "zorder_multi_scan",
+    "anti_join_customers",
+    "approx_sketches",
+    "asof_attribution",
+    "bracket_extract",
+    "bucketed_join_orders",
+    "csv_roundtrip_scan",
+    "cube_orders",
+    "customers_above_nation_avg",
+    "dedup_keep_best",
+    "distinct_segments",
+    "embedding_lsh_pairs",
+    "encodings_simnao",
+    "entity_resolution",
+    "event_gaps",
+    "events_hourly",
+    "events_sliding",
+    "first_event_per_type",
+    "frame_sample",
+    "full_outer_nation_activity",
+    "fuzzy_entity_match",
+    "gap_fill_hourly",
+    "gaussian_lsh_recall",
+    "grouping_sets_orders",
+    "intersect_orders",
+    "ivf_assign",
+    "jdbc_roundtrip_scan",
+    "json_props_stats",
+    "json_roundtrip_scan",
+    "kmeans_assignments",
+    "median_order_value",
+    "normalize_text",
+    "orc_roundtrip_scan",
+    "order_analytics",
+    "order_count_distribution",
+    "paginated_orders",
+    "pivot_order_priority",
+    "predicate_pruned_read",
+    "pruned_delete_read",
+    "revenue_by_nation",
+    "rolling_revenue_90d",
 ]
 
 

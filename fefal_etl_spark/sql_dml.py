@@ -129,22 +129,25 @@ def _strip_comments(sql: str) -> str:
     FIRST ``*/`` — the portable ANSI behavior; an unterminated comment
     runs to end-of-text."""
     out = list(sql)
-    i, n, in_str = 0, len(sql), False
+    i, n = 0, len(sql)
+    quote = None  # the OPEN quote char: Spark's default dialect has
+    # BOTH '...' and "..." string literals (review r12 — a `--` inside
+    # a double-quoted literal must survive stripping)
     while i < n:
         ch = sql[i]
-        if in_str:
+        if quote is not None:
             if ch == "\\" and i + 1 < n:
                 i += 2
                 continue
-            if ch == "'":
-                if i + 1 < n and sql[i + 1] == "'":
+            if ch == quote:
+                if i + 1 < n and sql[i + 1] == quote:
                     i += 2
                     continue
-                in_str = False
+                quote = None
             i += 1
             continue
-        if ch == "'":
-            in_str = True
+        if ch in ("'", '"'):
+            quote = ch
             i += 1
             continue
         if ch == "-" and i + 1 < n and sql[i + 1] == "-":
@@ -176,11 +179,15 @@ def _ident(tok: str, what: str) -> str:
 
 
 def _unquote(tok: str, what: str) -> str:
-    """A property key/value: a ``'...'`` string literal (``''``
-    doubling unescaped) or a bare identifier."""
+    """A property key/value or partition value: a ``'...'`` string
+    literal (``''`` doubling unescaped), a bare numeric literal
+    (``OPTIMIZE t WHERE year = 2024`` — review r12), or a bare
+    identifier."""
     tok = tok.strip()
     if len(tok) >= 2 and tok[0] == "'" and tok[-1] == "'":
         return tok[1:-1].replace("''", "'")
+    if re.fullmatch(r"-?\d+(?:\.\d+)?", tok):
+        return tok
     return _ident(tok, what)
 
 
@@ -261,7 +268,25 @@ def _register_views(spark: SparkSession, tables: dict, stmt: str) -> None:
         try:
             df = t.read() if hasattr(t, "read") else t
         except FileNotFoundError:
-            spark.catalog.dropTempView(name)
+            # a DECLARED-but-empty table (column-definition CREATE,
+            # v0 schema, no files) must still SELECT as an empty typed
+            # relation (review r12: dropping the view surfaced a
+            # misleading TABLE_OR_VIEW_NOT_FOUND); only a binding with
+            # no committed version at all is skipped
+            sch = None
+            if hasattr(t, "latest_version"):
+                lv = t.latest_version()
+                if lv is not None:
+                    sch = t._read_manifest(lv).schema or None
+            if sch:
+                ddl = ", ".join(
+                    f"`{c}` {typ}" for c, typ in sch.items()
+                )
+                spark.createDataFrame(
+                    [], ddl
+                ).createOrReplaceTempView(name)
+            else:
+                spark.catalog.dropTempView(name)
             continue
         df.createOrReplaceTempView(name)
 
@@ -623,10 +648,23 @@ def _exec_ctas(
                 f"CREATE TABLE: {name!r} already exists — use "
                 f"IF NOT EXISTS or DROP TABLE first"
             )
+        bad = sorted(c for c in part_cols if c not in col_schema)
+        if bad:
+            # validate BEFORE minting the catalog binding (review r12:
+            # a failed create otherwise left a phantom empty table that
+            # blocked the corrected retry)
+            raise SqlDmlError(
+                f"CREATE TABLE: PARTITIONED BY column(s) {bad} not in "
+                "the column list"
+            )
         root = catalog.create_table(name)
-        return TransactionalTable(spark, root).create_schema(
-            col_schema, partition_by=part_cols or None
-        )
+        try:
+            return TransactionalTable(spark, root).create_schema(
+                col_schema, partition_by=part_cols or None
+            )
+        except Exception:
+            catalog.drop(name, purge=True)  # no phantom binding
+            raise
     am = re.match(r"AS\b", rest, re.IGNORECASE)
     if not am:
         raise SqlDmlError(
@@ -760,7 +798,7 @@ def _exec_alter(sql: str, tables: dict) -> int:
             defs = _split_top(inner)
         else:
             defs = [body]
-        v = None
+        cols: dict[str, str] = {}
         for coldef in defs:
             parts = coldef.split(None, 1)
             if len(parts) != 2:
@@ -768,13 +806,14 @@ def _exec_alter(sql: str, tables: dict) -> int:
                     f"ADD COLUMN: expected '<col> <type>', got "
                     f"{coldef!r}"
                 )
-            v = t.add_column(
-                _ident(parts[0], "ADD COLUMN name"),
-                _sql_type(parts[1], "ADD COLUMN type"),
-            )
-        if v is None:
+            name = _ident(parts[0], "ADD COLUMN name")
+            if name in cols:
+                raise SqlDmlError(f"ADD COLUMNS: duplicate column {name!r}")
+            cols[name] = _sql_type(parts[1], "ADD COLUMN type")
+        if not cols:
             raise SqlDmlError("ADD COLUMNS: empty column list")
-        return v
+        # ONE commit for the whole list — a statement is atomic
+        return t.add_columns(cols)
     am = re.match(
         r"(?:ALTER|CHANGE)\s+COLUMN\s+(\S+)\s+TYPE\s+(.+)$",
         rest,
@@ -802,7 +841,7 @@ def _exec_alter(sql: str, tables: dict) -> int:
         re.IGNORECASE | re.DOTALL,
     )
     if sm:
-        v = None
+        props: dict[str, str | None] = {}
         for pair in _split_top(sm.group("body")):
             eq = pair.find("=")
             if eq < 0:
@@ -810,25 +849,25 @@ def _exec_alter(sql: str, tables: dict) -> int:
                     f"SET TBLPROPERTIES: expected 'k' = 'v', got "
                     f"{pair!r}"
                 )
-            v = t.set_property(
-                _unquote(pair[:eq], "TBLPROPERTIES key"),
-                _unquote(pair[eq + 1:], "TBLPROPERTIES value"),
+            props[_unquote(pair[:eq], "TBLPROPERTIES key")] = _unquote(
+                pair[eq + 1:], "TBLPROPERTIES value"
             )
-        if v is None:
+        if not props:
             raise SqlDmlError("SET TBLPROPERTIES: empty property list")
-        return v
+        return t.set_properties(props)  # ONE commit — statement atomic
     um = re.match(
         r"UNSET\s+TBLPROPERTIES\s*\((?P<body>.*)\)\s*$",
         rest,
         re.IGNORECASE | re.DOTALL,
     )
     if um:
-        v = None
-        for key in _split_top(um.group("body")):
-            v = t.set_property(_unquote(key, "TBLPROPERTIES key"), None)
-        if v is None:
+        keys = [
+            _unquote(k, "TBLPROPERTIES key")
+            for k in _split_top(um.group("body"))
+        ]
+        if not keys:
             raise SqlDmlError("UNSET TBLPROPERTIES: empty property list")
-        return v
+        return t.set_properties({k: None for k in keys})
     if re.match(r"CLUSTER\s+BY\s+NONE\s*$", rest, re.IGNORECASE):
         return t.set_clustering()
     km = re.match(
@@ -914,7 +953,11 @@ def _exec_optimize(sql: str, tables: dict) -> int:
             if c.strip()
         ]
         return t.optimize_zorder(*cols)
-    return t.compact(partition_filter=pf or None)
+    # incremental by default (review r12 — the docstring's O(ingest)
+    # promise): only files below the 128 MB packing target rewrite;
+    # already-well-sized files are retained verbatim, exactly Delta's
+    # OPTIMIZE bin-packing. A run with nothing to pack is a no-op.
+    return t.compact(small_file_mb=128, partition_filter=pf or None)
 
 
 def _exec_vacuum(sql: str, tables: dict) -> int:

@@ -1392,26 +1392,40 @@ class TransactionalTable:
         the declaration — without this verb a SQL user of a declared
         table could never grow its schema. The name must not collide
         with a live or retired column."""
+        return self.add_columns({col: new_type})
+
+    def add_columns(self, cols: dict[str, str]) -> int:
+        """Multi-column :meth:`add_column` as ONE metadata commit —
+        ``ALTER TABLE ... ADD COLUMNS (a t, b t)`` must be atomic
+        (review r12: per-column commits left the statement
+        half-applied when a later column failed validation). Every
+        name is validated against the current schema and the retired
+        set BEFORE the single commit."""
+        if not cols:
+            raise ValueError("add_columns: empty column map")
         base = self.latest_version()
         if base is None:
             raise FileNotFoundError(f"no committed version in {self.root}")
         mf = self._read_manifest(base)
-        if col in (mf.schema or {}):
-            raise SchemaConflict(
-                f"column {col!r} already exists in {self.root}"
-            )
-        if col in retired_names(mf.column_ops):
-            raise SchemaConflict(
-                f"column name {col!r} was retired by an earlier "
-                f"rename/drop in {self.root}"
-            )
+        live = mf.schema or {}
+        retired = retired_names(mf.column_ops)
+        for col in cols:
+            if col in live:
+                raise SchemaConflict(
+                    f"column {col!r} already exists in {self.root}"
+                )
+            if col in retired:
+                raise SchemaConflict(
+                    f"column name {col!r} was retired by an earlier "
+                    f"rename/drop in {self.root}"
+                )
         return self._commit(
             [],
             "add-column",
             base,
             rebase_ok=False,
             carry_parent_files=True,
-            schema={col: new_type},
+            schema=dict(cols),
         )
 
     def create_schema(
@@ -3696,6 +3710,14 @@ class TransactionalTable:
           cost O(changed rows) extra write on every UPDATE, which a
           table nobody CDC-consumes should not pay (review r10).
         """
+        return self.set_properties({key: value})
+
+    def set_properties(self, props: dict[str, str | None]) -> int:
+        """Multi-key :meth:`set_property` as ONE metadata commit —
+        ``SET TBLPROPERTIES ('a'='1', 'b'='2')`` must be atomic
+        (review r12). ``None`` values delete keys."""
+        if not props:
+            raise ValueError("set_properties: empty property map")
         base = self.latest_version()
         if base is None:
             raise FileNotFoundError(f"no committed version in {self.root}")
@@ -3707,7 +3729,7 @@ class TransactionalTable:
             rebase_ok=False,
             stats=mf.stats,
             dv_files=mf.dv_files,
-            properties={key: value},
+            properties=dict(props),
         )
 
     def set_clustering(self, *cols: str) -> int:

@@ -404,3 +404,81 @@ def test_alter_add_column_null_backfill(spark, tmp_path):
     _sql(spark, cat, "ALTER TABLE t DROP COLUMN a")
     with pytest.raises(SchemaConflict):
         _sql(spark, cat, "ALTER TABLE t ADD COLUMN a STRING")  # retired
+
+
+def test_review_r12_fixes(spark, tmp_path):
+    """Pins for the round-12 review findings: atomic multi-item ALTER
+    statements, no phantom binding on failed CREATE, numeric OPTIMIZE
+    values, comments inside double-quoted literals, and SELECT from a
+    declared-but-empty table."""
+    from fefal_etl_spark.sql_dml import SqlDmlError, execute_sql
+
+    cat = _wh(spark, tmp_path)
+    _sql(spark, cat, "CREATE TABLE t (k INT, p DOUBLE)")
+    # SELECT from the declared-but-empty table: empty typed relation,
+    # not TABLE_OR_VIEW_NOT_FOUND
+    got = _sql(spark, cat, "SELECT k, p FROM t")
+    assert got.count() == 0 and dict(got.dtypes) == {"k": "int", "p": "double"}
+    _sql(spark, cat, "INSERT INTO t VALUES (1, 1.0)")
+    t = cat.table(spark, "t")
+    v0 = t.latest_version()
+    # ADD COLUMNS with an internal duplicate: statement rejects and
+    # NOTHING commits (atomicity)
+    with pytest.raises(SqlDmlError):
+        _sql(spark, cat, "ALTER TABLE t ADD COLUMNS (a INT, a STRING)")
+    assert t.latest_version() == v0
+    # multi-pair SET TBLPROPERTIES = ONE commit
+    _sql(spark, cat, "ALTER TABLE t SET TBLPROPERTIES ('a'='1', 'b'='2')")
+    assert t.latest_version() == v0 + 1
+    assert t._read_manifest(v0 + 1).properties == {"a": "1", "b": "2"}
+    # malformed second pair: nothing applied
+    with pytest.raises(SqlDmlError):
+        _sql(spark, cat, "ALTER TABLE t SET TBLPROPERTIES ('c'='3', broken)")
+    assert t.latest_version() == v0 + 1
+    _sql(spark, cat, "ALTER TABLE t UNSET TBLPROPERTIES ('a', 'b')")
+    assert not t._read_manifest(t.latest_version()).properties
+    # failed column-definition CREATE leaves NO binding; retry works
+    with pytest.raises(SqlDmlError):
+        _sql(spark, cat, "CREATE TABLE u (k INT) PARTITIONED BY (zz)")
+    assert "u" not in cat.tables()
+    _sql(spark, cat, "CREATE TABLE u (k INT)")
+    assert "u" in cat.tables()
+    # comments inside double-quoted string literals survive
+    df = spark.range(2).toDF("k")
+    got = execute_sql(
+        spark, 'SELECT "a -- b /* c" AS s FROM good LIMIT 1',
+        tables={"good": df},
+    )
+    assert got.collect()[0]["s"] == "a -- b /* c"
+
+
+def test_optimize_numeric_where_and_incremental(spark, tmp_path):
+    """OPTIMIZE accepts unquoted numeric partition values, and plain
+    OPTIMIZE is incremental: files at/above the packing target are
+    retained verbatim."""
+    import os
+
+    cat = _wh(spark, tmp_path)
+    _sql(
+        spark,
+        cat,
+        "CREATE TABLE t PARTITIONED BY (y) AS "
+        "SELECT id AS k, CAST(2024 + id % 2 AS INT) AS y FROM range(100)",
+    )
+    _sql(spark, cat, "INSERT INTO t SELECT id + 100, CAST(2024 AS INT) FROM range(50)")
+    t = cat.table(spark, "t")
+    before = t._read_manifest(t.latest_version()).files
+    v = _sql(spark, cat, "OPTIMIZE t WHERE y = 2024")
+    after = t._read_manifest(v).files
+    assert {f for f in before if "y=2025" in f} == {
+        f for f in after if "y=2025" in f
+    }
+    assert {f for f in before if "y=2024" in f} != {
+        f for f in after if "y=2024" in f
+    }
+    # plain OPTIMIZE is INCREMENTAL: after it, every partition is one
+    # packed file, and the total row count is untouched
+    v2 = _sql(spark, cat, "OPTIMIZE t")
+    files2 = t._read_manifest(v2).files
+    assert len(files2) == 2  # one per partition value
+    assert t.read().count() == 150
