@@ -121,7 +121,16 @@ def test_fresh_handle_resolution_matches_writer_state(spark, tmp_path):
     assert fresh_mf.dv_files == writer_mf.dv_files
     assert (fresh_mf.stats or {}) == (writer_mf.stats or {})
     assert (fresh_mf.schema or {}) == (writer_mf.schema or {})
-    assert _rows(fresh.read()) == [(1, "a"), (2, "b"), (3, "c"), (4, "d")]
+    # the evolved column `w` survives restore in the DECLARED schema
+    # (restore re-points data, the schema history stands) — and since
+    # round 12 reads honor the declaration, the restored rows surface
+    # it as typed NULLs instead of silently disagreeing with DESCRIBE
+    assert _rows(fresh.read()) == [
+        (1, "a", None),
+        (2, "b", None),
+        (3, "c", None),
+        (4, "d", None),
+    ]
     # pre-restore snapshot still resolves (time travel over the delta log)
     assert fresh.read(v_before_restore).filter(
         F.col("k") == 2
