@@ -277,7 +277,7 @@ def _register_views(spark: SparkSession, tables: dict, stmt: str) -> None:
             if hasattr(t, "latest_version"):
                 lv = t.latest_version()
                 if lv is not None:
-                    sch = t._read_manifest(lv).schema or None
+                    sch = t._read_manifest(lv).declared_schema or None
             if sch:
                 ddl = ", ".join(
                     f"`{c}` {typ}" for c, typ in sch.items()
@@ -518,7 +518,7 @@ def _exec_insert(
     # columns last; the user-facing INSERT contract is CTAS order)
     lv = t.latest_version()
     mf = t._read_manifest(lv) if lv is not None else None
-    tgt = mf.schema if mf is not None else None
+    tgt = mf.declared_schema if mf is not None else None
     if tgt and mf.generated:
         # generated/hidden partition columns are NOT positional INSERT
         # targets (advice r11): a user-supplied value for one would
@@ -1034,7 +1034,7 @@ def _exec_show_describe(
             raise SqlDmlError(
                 "DESCRIBE: table has no committed version yet"
             )
-        sch = list(t._read_manifest(lv).schema.items())
+        sch = list((t._read_manifest(lv).declared_schema or {}).items())
     else:
         sch = [(f.name, f.dataType.simpleString()) for f in t.schema.fields]
     return spark.createDataFrame(

@@ -207,6 +207,7 @@ def _apply_record(state: dict | None, rec: dict) -> dict:
             "partition_spec": rec.get("partition_spec"),
             "clustering": rec.get("clustering"),
             "properties": dict(rec.get("properties") or {}),
+            "live_cols": rec.get("live_cols"),
         }
     prev = state or {
         "files": [], "stats": {}, "partitions": {}, "dv_files": [],
@@ -233,6 +234,21 @@ def _apply_record(state: dict | None, rec: dict) -> dict:
         txns[app_id] = txn_version
     schema = dict(prev["schema"])
     schema.update(rec.get("schema") or {})
+    # the LIVE declared set: a record carrying the key (overwrite)
+    # REPLACES it; otherwise it grows by this record's new schema
+    # names. Pre-upgrade parents (no key) derive from their full
+    # schema — exactly the pre-r12 visible behavior.
+    if "live_cols" in rec and rec["live_cols"] is not None:
+        live_cols = list(rec["live_cols"])
+    else:
+        live_cols = (
+            list(prev["live_cols"])
+            if prev.get("live_cols") is not None
+            else list(prev["schema"].keys())
+        )
+        live_cols += [
+            k for k in (rec.get("schema") or {}) if k not in live_cols
+        ]
     constraints = list(prev["constraints"])
     if rec.get("constraint") is not None:
         constraints.append(rec["constraint"])
@@ -251,6 +267,10 @@ def _apply_record(state: dict | None, rec: dict) -> dict:
         schema, stats, blooms = _apply_col_op_to_meta(
             op, schema, stats, blooms
         )
+        if op[0] == "rename":
+            live_cols = [op[2] if c == op[1] else c for c in live_cols]
+        else:  # drop
+            live_cols = [c for c in live_cols if c != op[1]]
     return {
         "version": rec["version"],
         "op": rec["op"],
@@ -287,6 +307,7 @@ def _apply_record(state: dict | None, rec: dict) -> dict:
             if "partition_spec" in rec
             else prev.get("partition_spec")
         ),
+        "live_cols": live_cols,
     }
 
 
@@ -533,6 +554,26 @@ class _Manifest:
     # the key. Consumed e.g. by update_where's CDF-image gate
     # ("cdf.images" = "true").
     properties: dict[str, str] | None = None
+    # the LIVE declared column set (round 12): ``schema`` is the
+    # cumulative type-history record (a narrowing overwrite keeps the
+    # dead name so the widening lattice still judges a later re-add),
+    # while ``live_cols`` is what readers/DESCRIBE/positional INSERT
+    # see. A wholesale overwrite REPLACES it (its record carries the
+    # key); appends/add_column grow it; rename/drop edit it. None =
+    # pre-upgrade state: fall back to every schema key (the exact
+    # pre-r12 behavior).
+    live_cols: list[str] | None = None
+
+    @property
+    def declared_schema(self) -> dict[str, str] | None:
+        """``schema`` pruned to the LIVE declared columns — the
+        user-visible schema contract (read()/DESCRIBE/INSERT). Columns
+        killed by a narrowing overwrite stay in ``schema`` as history
+        but must NOT surface as phantom typed-NULL columns."""
+        if not self.schema or self.live_cols is None:
+            return self.schema
+        live = set(self.live_cols)
+        return {c: t for c, t in self.schema.items() if c in live}
 
 
 class TransactionalTable:
@@ -638,6 +679,7 @@ class TransactionalTable:
             partition_spec=state.get("partition_spec"),
             clustering=state.get("clustering"),
             properties=state.get("properties") or None,
+            live_cols=state.get("live_cols"),
         )
 
     def _resolve_state(self, version: int) -> dict:
@@ -836,7 +878,7 @@ class TransactionalTable:
             )
         return self._read_files(
             mf.files, dv_files=mf.dv_files, column_ops=mf.column_ops,
-            recorded_schema=mf.schema,
+            recorded_schema=mf.declared_schema,
         )
 
     def read_partition(self, version: int | None = None, **filters) -> DataFrame:
@@ -868,7 +910,7 @@ class TransactionalTable:
             return base.filter(F.lit(False))
         df = self._read_files(
             keep, dv_files=mf.dv_files, column_ops=mf.column_ops,
-            recorded_schema=mf.schema,
+            recorded_schema=mf.declared_schema,
         )
         for c, val in filters.items():
             df = df.filter(F.col(c) == F.lit(val))
@@ -902,7 +944,7 @@ class TransactionalTable:
             return self.read(v).filter(F.lit(False))
         df = self._read_files(
             keep, dv_files=mf.dv_files, column_ops=mf.column_ops,
-            recorded_schema=mf.schema,
+            recorded_schema=mf.declared_schema,
         )
         return df.filter(F.col(col).isin(*values))
 
@@ -954,7 +996,7 @@ class TransactionalTable:
             return base.filter(F.lit(False))
         df = self._read_files(
             keep, dv_files=mf.dv_files, column_ops=mf.column_ops,
-            recorded_schema=mf.schema,
+            recorded_schema=mf.declared_schema,
         )
         return df.filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
 
@@ -988,7 +1030,7 @@ class TransactionalTable:
             return self.read(v).filter(F.lit(False))
         df = self._read_files(
             keep, dv_files=mf.dv_files, column_ops=mf.column_ops,
-            recorded_schema=mf.schema,
+            recorded_schema=mf.declared_schema,
         )
         return df.filter(F.expr(condition))
 
@@ -1613,6 +1655,7 @@ class TransactionalTable:
         partition_spec=_UNSET,
         clustering=_UNSET,
         properties: dict | None = None,
+        schema_replace: bool = False,
     ) -> int | None:
         """CAS loop over the version counter. ``rebase_ok`` ops (append)
         retry transparently when they lose the race;
@@ -1794,6 +1837,12 @@ class TransactionalTable:
             }
             if schema_delta:
                 manifest["schema"] = schema_delta
+            if schema_replace:
+                # a wholesale overwrite REDEFINES the user-visible
+                # column set (round 12 — same key-presence contract as
+                # the partition spec): dead names stay in ``schema``
+                # as type history but leave the LIVE declaration
+                manifest["live_cols"] = list((schema or {}).keys())
             if constraint is not None:
                 manifest["constraint"] = constraint
             # blooms: record only this commit's new entries; replay
@@ -1860,6 +1909,23 @@ class TransactionalTable:
                         ):
                             state_parts[f] = parent.partitions[f]
                 state_schema, state_blooms = all_schema, all_blooms
+                # LIVE declared set — cache and replay must agree
+                # (same rules as _apply_record): replace on overwrite,
+                # grow by this commit's new names otherwise
+                if schema_replace:
+                    state_live = list((schema or {}).keys())
+                else:
+                    parent_live = parent.live_cols if parent else None
+                    state_live = (
+                        list(parent_live)
+                        if parent_live is not None
+                        else list(
+                            (parent.schema or {}).keys()
+                        ) if parent else []
+                    )
+                    state_live += [
+                        k for k in (schema or {}) if k not in state_live
+                    ]
                 if column_op is not None:
                     state_schema, state_stats, state_blooms = (
                         _apply_col_op_to_meta(
@@ -1869,6 +1935,16 @@ class TransactionalTable:
                             dict(state_blooms),
                         )
                     )
+                    cop = list(column_op)
+                    if cop[0] == "rename":
+                        state_live = [
+                            cop[2] if c == cop[1] else c
+                            for c in state_live
+                        ]
+                    else:  # drop
+                        state_live = [
+                            c for c in state_live if c != cop[1]
+                        ]
                 state = {
                     "version": version,
                     "op": op,
@@ -1904,6 +1980,7 @@ class TransactionalTable:
                         }.items()
                         if v is not None
                     },
+                    "live_cols": state_live,
                 }
                 self._cache_state(version, state)
                 if (
@@ -1979,6 +2056,7 @@ class TransactionalTable:
             files, "overwrite", base, rebase_ok=False,
             stats=self._file_stats(files), schema=sch,
             generated=generated, partition_spec=spec,
+            schema_replace=True,
         )
 
     def set_partition_spec(self, cols: list[str]) -> int:
@@ -2361,7 +2439,7 @@ class TransactionalTable:
                 sorted(hit_files),
                 dv_files=mf.dv_files,
                 column_ops=mf.column_ops,
-            recorded_schema=mf.schema,
+            recorded_schema=mf.declared_schema,
             )
             out = transform(rows)
             pcols = sorted(
@@ -2411,7 +2489,7 @@ class TransactionalTable:
             dv_files=mf.dv_files,
             with_pos=True,
             column_ops=mf.column_ops,
-            recorded_schema=mf.schema,
+            recorded_schema=mf.declared_schema,
         )
         return {
             r["__dv_file"]
@@ -2486,7 +2564,7 @@ class TransactionalTable:
                     sorted(hit_files),
                     dv_files=mf.dv_files,
                     column_ops=mf.column_ops,
-            recorded_schema=mf.schema,
+            recorded_schema=mf.declared_schema,
                 )
                 .filter(~F.coalesce(condition, F.lit(False)))
             )
@@ -2637,7 +2715,7 @@ class TransactionalTable:
                 dv_files=mf.dv_files,
                 with_pos=True,
                 column_ops=mf.column_ops,
-            recorded_schema=mf.schema,
+            recorded_schema=mf.declared_schema,
             )
             .filter(condition)
             .select(
@@ -2830,7 +2908,7 @@ class TransactionalTable:
             dv_files=mf.dv_files,
             with_pos=True,
             column_ops=mf.column_ops,
-            recorded_schema=mf.schema,
+            recorded_schema=mf.declared_schema,
         ).filter(F.coalesce(condition, F.lit(False)))
         # the matched slice is small by the merge-on-read premise —
         # persist so the mask leg and the image leg agree and scan once
@@ -2944,7 +3022,7 @@ class TransactionalTable:
             sorted(rewrite),
             dv_files=mf.dv_files,
             column_ops=mf.column_ops,
-            recorded_schema=mf.schema,
+            recorded_schema=mf.declared_schema,
         )
         pcols = sorted(
             {
@@ -3226,7 +3304,7 @@ class TransactionalTable:
             dv_files=mf.dv_files,
             with_pos=True,
             column_ops=mf.column_ops,
-            recorded_schema=mf.schema,
+            recorded_schema=mf.declared_schema,
         )
         # source keys join twice (mask + image legs); no broadcast hint —
         # a merge source can be TBs, AQE demotes/promotes per actual size
@@ -3906,7 +3984,7 @@ class TransactionalTable:
             partition_by = self._pcols(mf) or None
         src = self._read_files(
             victims, dv_files=mf.dv_files, column_ops=mf.column_ops,
-            recorded_schema=mf.schema,
+            recorded_schema=mf.declared_schema,
         )
         if mf.clustering:
             # declared clustering (round 10): the rewrite lays victims
@@ -4187,7 +4265,7 @@ class TransactionalTable:
         mf = self._read_manifest(base)
         maps = self._compute_bloom_maps(
             mf.files, [col], column_ops=mf.column_ops,
-            recorded_schema=mf.schema,
+            recorded_schema=mf.declared_schema,
         )
         if col not in maps:
             raise ValueError(
@@ -4246,7 +4324,7 @@ class TransactionalTable:
             return self.read(v).filter(F.lit(False))
         df = self._read_files(
             keep, dv_files=mf.dv_files, column_ops=mf.column_ops,
-            recorded_schema=mf.schema,
+            recorded_schema=mf.declared_schema,
         )
         return df.filter(F.col(col) == F.lit(value))
 
