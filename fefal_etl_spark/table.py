@@ -52,6 +52,15 @@ from pyspark.sql import DataFrame, SparkSession
 
 _MANIFEST_RE = re.compile(r"^manifest-(\d+)\.json$")
 
+#: footer-inferred parquet schema per (table root, commit dir) — commit
+#: dirs are uuid-addressed and written exactly once, so their physical
+#: schema is immutable for the life of the process. Consumed by
+#: `_read_files` to build readers with an explicit schema (skipping
+#: per-call footer inference) and to prove the single-reader fast path
+#: safe. Entries are a few hundred bytes each; vacuumed commits simply
+#: leave dead keys behind.
+_COMMIT_SCHEMA_CACHE: dict[tuple[str, str], object] = {}
+
 #: "parameter not passed" sentinel for _commit(partition_spec=...):
 #: None is a MEANINGFUL value there (reset to never-declared — restore
 #: needs it), so absence needs its own marker
@@ -766,35 +775,79 @@ class TransactionalTable:
         from pyspark.sql import functions as F
 
         need_meta = with_pos or bool(dv_files)
-        prefix = "file:" + os.path.abspath(self.root) + "/"
+        root_abs = os.path.abspath(self.root)
+        prefix = "file:" + root_abs + "/"
         groups: dict[str, list[str]] = {}
         for f in files:  # group order = manifest order (deterministic)
             commit = "/".join(f.split("/")[:2])  # data/<uuid>
             groups.setdefault(commit, []).append(f)
+        # Per-commit parquet schemas are immutable (commit dirs are
+        # uuid-addressed, written once), so the footer-inferred schema is
+        # memoized per (table root, commit dir): reader creation with an
+        # explicit schema skips footer inference + a py4j analysis round
+        # trip (measured ~180 ms → ~70 ms per group at sf0.1, and the
+        # fast path below collapses G group readers into one). Pure
+        # metadata reuse — every action still scans the parquet files.
+        cached = {
+            c: _COMMIT_SCHEMA_CACHE.get((root_abs, c)) for c in groups
+        }
+        hive = any(
+            "=" in seg for f in files for seg in f.split("/")[2:-1]
+        )
+        first = next(iter(cached.values()))
         out: DataFrame | None = None
-        for commit, fs in groups.items():
-            df = (
-                self.spark.read.option(
-                    "basePath", os.path.join(self.root, commit)
-                ).parquet(*[os.path.join(self.root, f) for f in fs])
+        if (
+            len(groups) > 1
+            and not hive
+            and first is not None
+            and all(s == first for s in cached.values())
+        ):
+            # every commit group shares one physical schema and no
+            # hive-layout partition columns: a single multi-path read
+            # with the known schema is plan-identical to the
+            # unionByName chain (same columns, same order, no missing
+            # columns to NULL-fill) at a fraction of the driver cost
+            out = self.spark.read.schema(first).parquet(
+                *[os.path.join(self.root, f) for f in files]
             )
             if need_meta:
-                df = df.select(
+                out = out.select(
                     "*",
                     F.col("_metadata.file_path")
                     .substr(F.lit(len(prefix) + 1), F.lit(1 << 30))
                     .alias("__dv_file"),
                     F.col("_metadata.row_index").alias("__dv_pos"),
                 )
-            # allowMissingColumns: commits written before a column was
-            # added surface it as typed NULLs — the schema-evolution
-            # contract (same semantics as a mergeSchema scan; the first
-            # manifest group's column order leads)
-            out = (
-                df
-                if out is None
-                else out.unionByName(df, allowMissingColumns=True)
-            )
+        else:
+            for commit, fs in groups.items():
+                reader = self.spark.read.option(
+                    "basePath", os.path.join(self.root, commit)
+                )
+                known = cached.get(commit)
+                if known is not None:
+                    reader = reader.schema(known)
+                df = reader.parquet(
+                    *[os.path.join(self.root, f) for f in fs]
+                )
+                if known is None:
+                    _COMMIT_SCHEMA_CACHE[(root_abs, commit)] = df.schema
+                if need_meta:
+                    df = df.select(
+                        "*",
+                        F.col("_metadata.file_path")
+                        .substr(F.lit(len(prefix) + 1), F.lit(1 << 30))
+                        .alias("__dv_file"),
+                        F.col("_metadata.row_index").alias("__dv_pos"),
+                    )
+                # allowMissingColumns: commits written before a column was
+                # added surface it as typed NULLs — the schema-evolution
+                # contract (same semantics as a mergeSchema scan; the first
+                # manifest group's column order leads)
+                out = (
+                    df
+                    if out is None
+                    else out.unionByName(df, allowMissingColumns=True)
+                )
         assert out is not None
         if dv_files:
             dv = self.spark.read.parquet(
