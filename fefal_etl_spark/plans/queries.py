@@ -122,15 +122,21 @@ def _shared(spark: SparkSession, sf_dir: str):
             from fefal_etl_spark.plans.star import release_star_cache
 
             for k in stale:
-                res, _star = _SHARED.pop(k)
-                try:
-                    res.frame.unpersist()
-                except Exception:
-                    pass
+                res, star_ = _SHARED.pop(k)
+                for df_ in [res.frame, *(star_ or {}).values()]:
+                    try:
+                        df_.unpersist()
+                    except Exception:
+                        pass
             release_star_cache(app_id=app_id)
         res = _run(spark, sf_dir)
         res.frame = res.frame.persist()
-        star = build_star(res)
+        # persist the star frames too (round 12): they are fact/dim
+        # outputs a customer-count in size, and the five consumer
+        # queries otherwise re-derive each fact from the classified
+        # frame per invocation — measured 23 warm jobs → 8 on the
+        # full-groups aggregation. Same lifetime/eviction as res.frame.
+        star = {k_: df_.persist() for k_, df_ in build_star(res).items()}
         _SHARED[key] = (res, star)
     return _SHARED[key]
 
@@ -145,10 +151,11 @@ def release_pipeline_cache() -> None:
 
     for cache in (_SHARED, _SHARED_FULL):
         for entry in cache.values():
-            try:
-                entry[0].frame.unpersist()
-            except Exception:
-                pass
+            for df_ in [entry[0].frame, *(entry[1] or {}).values()]:
+                try:
+                    df_.unpersist()
+                except Exception:
+                    pass
         cache.clear()
     release_star_cache()
 
@@ -528,7 +535,16 @@ def _shared_full(spark: SparkSession, sf_dir: str, cfg: PipelineConfig):
         from fefal_etl_spark.plans import star as _star_mod
 
         n0 = len(_star_mod._PERSISTED)
-        star = build_star(res, tipos_disponibilidades=tipos)
+        # star frames persisted for the same reason as in _shared
+        # (round 12): the full-groups aggregation legs re-derived every
+        # fact from the classified frame per invocation; eviction above
+        # already unpersists star values
+        star = {
+            k_: df_.persist()
+            for k_, df_ in build_star(
+                res, tipos_disponibilidades=tipos
+            ).items()
+        }
         pinned = [df for _own, df in _star_mod._PERSISTED[n0:]]
         _SHARED_FULL[key] = (res, star, pinned)
     return _SHARED_FULL[key][:2]
