@@ -539,11 +539,25 @@ def connected_components(
     prev = None
     done = 0
     converged = False
+    sweeps = 0
     while done < max_iters:
         for _ in range(min(check_every, max_iters - done)):
             labels = one_round(labels)
             done += 1
-        labels = _reliable_checkpoint(labels, eager=True)
+        sweeps += 1
+        # materialization barrier per sweep, disk checkpoint only every
+        # third sweep (round 12): the reliable checkpoint's job + disk
+        # write per sweep cost ~0.5 s on shallow graphs that converge in
+        # 1-2 sweeps — which near-dup cluster graphs overwhelmingly are.
+        # Between checkpoints the sweep result is persisted with lineage
+        # INTACT (each sweep builds on the previous persisted frame), so
+        # an evicted block recomputes from the last checkpoint instead
+        # of dying — the localCheckpoint flake this loop once had cannot
+        # recur. Deep graphs still truncate lineage every 6 rounds.
+        if sweeps % 3 == 0:
+            labels = _reliable_checkpoint(labels, eager=True)
+        else:
+            labels = track(labels.persist())
         cur = label_sum(labels)
         if cur == prev:
             converged = True

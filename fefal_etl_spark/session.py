@@ -89,6 +89,14 @@ def get_spark(
         # reliable-checkpoint files are deleted when their RDD is GC'd
         # (pairs with llm/dedup._reliable_checkpoint's temp-dir cleanup)
         .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
+        # ContextCleaner is driven by JVM weak references: with a large
+        # driver heap, full GCs are rare and dead broadcasts/shuffle
+        # state from a many-query session pile up in the block manager
+        # until the default 30-minute periodic GC. A long-lived session
+        # running hundreds of queries (bench loops here; a warehouse
+        # endpoint in production) wants the floor lower; the System.gc
+        # pause on an idle driver is milliseconds.
+        .config("spark.cleaner.periodicGC.interval", "4min")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
