@@ -1476,17 +1476,22 @@ def q_graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fefal_etl_spark.operators.graph import bfs_levels
 
     edges = _trade_graph_edges(spark, sf_dir)
-    source = (
+    # round 12: the seed stays IN the plan (a one-row aggregate frame
+    # broadcast into round 1) instead of a driver-side .first() — one
+    # less job per invocation and a zero-action builder (plan-memoizable)
+    source_df = (
         load_table(spark, sf_dir, "orders")
         .filter(F.col("o_orderkey") <= 6000)
         .agg(F.min("o_custkey").alias("k"))
-        .first()["k"]
+        .select(
+            F.concat(F.lit("c:"), F.col("k").cast("string")).alias("node")
+        )
     )
     # prune_visited=False: the layered min-agg single-DAG form — max_hops
     # is small and fixed here, so the anti-join pruning buys nothing and
     # its per-round shuffles dominate (4.3 s → 1.9 s warm at sf0.1).
     out = bfs_levels(
-        edges, f"c:{source}", max_hops=4, early_exit=False, prune_visited=False
+        edges, source_df, max_hops=4, early_exit=False, prune_visited=False
     )
     return out.select("node", F.col("level").cast("int").alias("level"))
 

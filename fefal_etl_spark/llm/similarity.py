@@ -312,23 +312,47 @@ def kmeans_assignments(
     )
 
 
-def _lloyd_assign(e: DataFrame, cent_df: DataFrame, id_col: str) -> DataFrame:
-    """One Lloyd assignment: broadcast-argmin each e=(id, __v) row to
-    its nearest cent=(__cid, __c)."""
-    joined = e.join(F.broadcast(cent_df))
-    d2 = F.aggregate(
-        F.zip_with(F.col("__v"), F.col("__c"), lambda x, y: (x - y) * (x - y)),
+def _argmin_centroid(vec: Column, cents: Column) -> Column:
+    """struct(__d2, __cid) of the nearest centroid in ``cents`` (an
+    array of (__cid, __c) structs): per-element squared L2 via the same
+    zip_with/aggregate fold as before, argmin via ``array_sort`` on the
+    (distance, cid) struct — lexicographic, so ties break on the lowest
+    cid exactly like the former row_number ordering."""
+    d2 = lambda c: F.aggregate(  # noqa: E731
+        F.zip_with(vec, c, lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("__d2").asc(), F.col("__cid").asc()
+    scored = F.transform(
+        cents,
+        lambda s: F.struct(
+            d2(s["__c"]).alias("__d2"), s["__cid"].alias("__cid")
+        ),
     )
+    return F.array_sort(scored)[0]
+
+
+def _lloyd_assign(e: DataFrame, cent_df: DataFrame, id_col: str) -> DataFrame:
+    """One Lloyd assignment: broadcast-argmin each e=(id, __v) row to
+    its nearest cent=(__cid, __c).
+
+    Round 12 (guide §2.4): the former shape exploded e×k rows through a
+    broadcast join and ranked them with a Window partitioned by id — a
+    full shuffle + sort of n·k rows PER ROUND. The centroid frame is
+    k small rows, so it now collapses to ONE row carrying an array of
+    (cid, vec) structs; the argmin happens map-side inside a single
+    projection (`_argmin_centroid`) — identical per-pair float
+    arithmetic and tie-break, ZERO exchanges per assignment."""
+    cents_one = cent_df.agg(
+        F.collect_list(F.struct("__cid", "__c")).alias("__cents")
+    )
+    best = _argmin_centroid(F.col("__v"), F.col("__cents"))
     return (
-        joined.withColumn("__d2", d2)
-        .withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") == 1)
-        .select(id_col, "__cid", "__v")
+        e.join(F.broadcast(cents_one))
+        .withColumn("__best", best)
+        .select(
+            id_col, F.col("__best.__cid").alias("__cid"), "__v"
+        )
     )
 
 
@@ -406,23 +430,17 @@ def ivf_assign(
     (broadcast centroids, argmin by L2). Output adds ``centroid_id`` — the
     partition key for bucketed ANN search/writes at scale."""
     cand = corpus.withColumn("__v", as_double_vec(F.col(vec_col)))
-    cent = centroids.select(
-        F.col(centroid_id_col), as_double_vec(F.col(vec_col)).alias("__c")
-    )
-    joined = cand.join(F.broadcast(cent))
-    d2 = F.aggregate(
-        F.zip_with(F.col("__v"), F.col("__c"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("__d2").asc(), F.col(centroid_id_col).asc()
-    )
+    cents_one = centroids.select(
+        F.col(centroid_id_col).alias("__cid"),
+        as_double_vec(F.col(vec_col)).alias("__c"),
+    ).agg(F.collect_list(F.struct("__cid", "__c")).alias("__cents"))
+    # same map-side argmin as _lloyd_assign (round 12): no e×k explode,
+    # no per-id window shuffle — one projection over a 1-row broadcast
+    best = _argmin_centroid(F.col("__v"), F.col("__cents"))
     return (
-        joined.withColumn("__d2", d2)
-        .withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") == 1)
-        .drop("__rk", "__d2", "__c", "__v")
+        cand.join(F.broadcast(cents_one))
+        .withColumn(centroid_id_col, best["__cid"])
+        .drop("__cents", "__v")
     )
 
 

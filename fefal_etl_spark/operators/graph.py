@@ -164,7 +164,7 @@ def triangle_counts(
 
 def bfs_levels(
     edges: DataFrame,
-    source: str,
+    source: str | DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_hops: int = 4,
@@ -210,7 +210,19 @@ def bfs_levels(
         ).persist()
     )
     spark = edges.sparkSession
-    seed = spark.createDataFrame([(source, 0)], "node string, level int")
+    if isinstance(source, DataFrame):
+        # lazy seed (round 12): a one-row (node) frame — e.g. an
+        # aggregate picking the source key — stays IN the plan instead
+        # of a driver-side collect in the caller; each round broadcasts
+        # it like any frontier. Column contract: one STRING ``node``.
+        seed = source.select(
+            F.col("node").cast("string").alias("node"),
+            F.lit(0).cast("int").alias("level"),
+        )
+    else:
+        seed = spark.createDataFrame(
+            [(source, 0)], "node string, level int"
+        )
 
     if not prune_visited:
         frontier = seed.select("node")

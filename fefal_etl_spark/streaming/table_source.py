@@ -210,10 +210,54 @@ def _step(root: str, version: int, prev_files: set[str]):
 
 
 class _FilePartition(InputPartition):
+    """One read task: a BUNDLE of data files consumed sequentially.
+
+    One-task-per-file made every micro-batch pay (tasks × Python-worker
+    round trip + parquet open) even when the files were KB-sized — a
+    32-file commit of tiny files cost 32 tasks of pure overhead. Files
+    are packed into bundles with Spark's own scan-packing formula
+    (``maxPartitionBytes`` budget, ``openCostInBytes`` charged per file
+    — see guide §6), so tiny files share a task while large files keep
+    one task each. Admission/offsets are untouched: packing happens
+    AFTER the batch's file set is fixed, so the planned rows are
+    byte-identical, just grouped."""
+
     def __init__(self, path: str, rel: str = "", pcols: list[str] | None = None):
         self.path = path
         self.rel = rel
         self.pcols = pcols or []
+        # (path, rel) bundle; single-file constructor form kept for
+        # checkpoint/pickle compat with in-flight batches
+        self.files: list[tuple[str, str]] = [(path, rel)] if path else []
+
+
+# Spark's FilePartition packing defaults (files.maxPartitionBytes /
+# files.openCostInBytes): tiny files pack ~32 per task, big files split
+# across tasks at file granularity (a Python source cannot split inside
+# a file, so a single huge file stays one task either way).
+_PACK_BUDGET = 128 * 1024 * 1024
+_PACK_OPEN_COST = 4 * 1024 * 1024
+
+
+def _pack_files(
+    entries: list[tuple[str, str, int]],
+) -> list[list[tuple[str, str]]]:
+    """Greedy in-order packing of (path, rel, bytes) into bundles under
+    the budget; order inside and across bundles preserves the manifest
+    add order (deterministic replay)."""
+    bundles: list[list[tuple[str, str]]] = []
+    cur: list[tuple[str, str]] = []
+    cur_bytes = 0
+    for path, rel, sz in entries:
+        cost = sz + _PACK_OPEN_COST
+        if cur and cur_bytes + cost > _PACK_BUDGET:
+            bundles.append(cur)
+            cur, cur_bytes = [], 0
+        cur.append((path, rel))
+        cur_bytes += cost
+    if cur:
+        bundles.append(cur)
+    return bundles
 
 
 # ----------------------------------------------------------------------
@@ -373,9 +417,20 @@ class _RateLimit:
         batch replays after a crash on a fresh reader (review r11),
         which the volatile watermark alone could not cover."""
         k = _off_key(start)
-        if self.watermark is None or k > self.watermark:
+        # Only a GENUINELY PLANNED batch (start < end) certifies its
+        # start as delivered-and-committed: Spark also issues degenerate
+        # planInputPartitions(X, X) probes — observed on checkpoint
+        # restart with the last logged batch UNCOMMITTED, where X is
+        # that batch's (undelivered!) end offset. Treating such a probe
+        # start as a watermark clamped the subsequent real replay to
+        # empty and silently dropped the batch's rows (the round-10/11
+        # "restart flake" was this data loss: the sink's replayed batch
+        # landed ~empty and the test polled to its deadline).
+        if _off_key(end) > k and (
+            self.watermark is None or k > self.watermark
+        ):
             self.watermark = k
-        floor = self.watermark
+        floor = self.watermark if self.watermark is not None else k
         wm = end.get("wm")
         if wm is not None:
             wv, wi = wm
@@ -450,6 +505,14 @@ class TxnTableStreamReader(DataSourceStreamReader):
         # per-version (rel, bytes) add units — versions are immutable,
         # so admission never recomputes a version it has walked
         self._units_memo: dict[int, list[tuple[str, int]]] = {}
+        # version -> resolved file set at that version: partitions()
+        # otherwise re-resolves a FULL snapshot (checkpoint + tail) for
+        # every micro-batch's floor — O(versions) per batch on a
+        # long-lived table. Steady-state batches start where the last
+        # one ended, so the memo turns the per-batch cost into
+        # O(new commits). Versions are immutable; entries never go
+        # stale, and commit() prunes consumed ones.
+        self._files_memo: dict[int, frozenset] = {}
         # hive partition columns + schema ops + declared schema,
         # fixed at stream start from ONE snapshot resolution
         self.pcols, self.col_ops, self.schema_arrow = _stream_meta(
@@ -523,12 +586,19 @@ class TxnTableStreamReader(DataSourceStreamReader):
         v0, i0 = start["version"], start.get("index")
         v1, i1 = end["version"], end.get("index")
         floor = v0 if i0 is None else v0 - 1
-        prev = (
-            set(_snapshot(self.root, floor)["files"]) if floor >= 0 else set()
-        )
+        if floor < 0:
+            prev: set = set()
+        else:
+            hit = self._files_memo.get(floor)
+            prev = (
+                set(hit)
+                if hit is not None
+                else set(_snapshot(self.root, floor)["files"])
+            )
         added: list[str] = []
         for v in range(floor + 1, v1 + 1):
             adds, removed, prev, rec = _step(self.root, v, prev)
+            self._files_memo[v] = frozenset(prev)
             if removed and not self.ignore_changes:
                 raise RuntimeError(
                     f"version {v} ({rec.get('op')}) removed "
@@ -540,13 +610,21 @@ class TxnTableStreamReader(DataSourceStreamReader):
             lo = i0 if (i0 is not None and v == v0) else 0
             hi = i1 if (i1 is not None and v == v1) else len(adds)
             added.extend(adds[lo:hi])
-        out = [
-            _FilePartition(os.path.join(self.root, f), f, self.pcols)
-            for f in added
-        ]
-        for p_ in out:
+        entries = []
+        for f in added:
+            p = os.path.join(self.root, f)
+            try:
+                sz = os.path.getsize(p)
+            except OSError:
+                sz = 0
+            entries.append((p, f, sz))
+        out = []
+        for bundle in _pack_files(entries):
+            p_ = _FilePartition("", "", self.pcols)
+            p_.files = bundle
             p_.col_ops = self.col_ops
             p_.schema_arrow = self.schema_arrow
+            out.append(p_)
         return out
 
     def read(self, partition: _FilePartition) -> Iterator:
@@ -557,15 +635,21 @@ class TxnTableStreamReader(DataSourceStreamReader):
         # are file-constant string columns appended per batch)
         from fefal_etl_spark.arrow_meta import project_batch
 
-        for batch in pq.ParquetFile(partition.path).iter_batches():
-            batch = _apply_column_ops_batch(
-                batch, getattr(partition, "col_ops", [])
-            )
-            batch = _append_partition_columns(
-                batch, partition.rel, partition.pcols
-            )
-            sch = getattr(partition, "schema_arrow", None)
-            yield project_batch(batch, sch) if sch is not None else batch
+        files = getattr(partition, "files", None) or [
+            (partition.path, partition.rel)
+        ]
+        for path, rel in files:
+            for batch in pq.ParquetFile(path).iter_batches():
+                batch = _apply_column_ops_batch(
+                    batch, getattr(partition, "col_ops", [])
+                )
+                batch = _append_partition_columns(
+                    batch, rel, partition.pcols
+                )
+                sch = getattr(partition, "schema_arrow", None)
+                yield (
+                    project_batch(batch, sch) if sch is not None else batch
+                )
 
     def commit(self, end: dict) -> None:
         # offsets are derived purely from immutable manifests — nothing
@@ -578,6 +662,10 @@ class TxnTableStreamReader(DataSourceStreamReader):
         floor = end["version"] - (0 if end.get("index") is None else 1)
         for v in [v for v in self._units_memo if v < floor]:
             del self._units_memo[v]
+        # a replayed/next batch can still start at floor (partial-offset
+        # starts re-walk floor+1) — keep floor and newer, drop older
+        for v in [v for v in self._files_memo if v < floor]:
+            del self._files_memo[v]
 
 
 class TxnTableStreamDataSource(DataSource):

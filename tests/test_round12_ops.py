@@ -482,3 +482,56 @@ def test_optimize_numeric_where_and_incremental(spark, tmp_path):
     files2 = t._read_manifest(v2).files
     assert len(files2) == 2  # one per partition value
     assert t.read().count() == 150
+
+
+def test_degenerate_replan_probe_does_not_clamp_replay(spark, tmp_path):
+    """Round-12 exactly-once fix: on a checkpoint restart whose last
+    logged batch was never executed, Spark first issues a degenerate
+    planInputPartitions(X, X) probe where X is that batch's
+    (UNDELIVERED) end offset. The probe's start must not raise the
+    delivered watermark, or the immediately following real replay
+    (prev, X] clamps to empty and the batch's rows are silently lost
+    (the long-standing restart-test 'flake' was this data loss)."""
+    from pyspark.sql import functions as F
+
+    from fefal_etl_spark.streaming.table_source import TxnTableStreamReader
+    from fefal_etl_spark.table import TransactionalTable
+
+    root = str(tmp_path / "t")
+    t = TransactionalTable(spark, root)
+    t.overwrite(
+        spark.range(600).select(F.col("id").alias("k")).repartition(60)
+    )
+    reader = TxnTableStreamReader(
+        {"path": root, "maxfilespertrigger": "10"}
+    )
+    # Spark's observed restart sequence for an uncommitted batch
+    # (offsets log: ..., off2=(0,30), off3=(0,40); commits: through 2):
+    off2 = {"version": 0, "index": 30, "wm": [0, 20]}
+    off3 = {"version": 0, "index": 40, "wm": [0, 30]}
+    probe = reader.partitions(dict(off3), dict(off3))
+    assert probe == []  # degenerate: plans nothing
+    replay = reader.partitions(dict(off2), dict(off3))
+    files = [f for p in replay for f in p.files]
+    assert len(files) == 10  # the replayed slice is delivered in full
+
+
+def test_stream_partitions_pack_small_files(spark, tmp_path):
+    """Round-12 I/O packing (guide §6): a batch of tiny files maps to a
+    bounded number of read bundles instead of one task per file, and the
+    bundled file set equals the batch's add list in manifest order."""
+    from pyspark.sql import functions as F
+
+    from fefal_etl_spark.streaming.table_source import TxnTableStreamReader
+    from fefal_etl_spark.table import TransactionalTable
+
+    root = str(tmp_path / "t")
+    t = TransactionalTable(spark, root)
+    t.overwrite(
+        spark.range(600).select(F.col("id").alias("k")).repartition(60)
+    )
+    reader = TxnTableStreamReader({"path": root})
+    parts = reader.partitions({"version": -1}, {"version": 0})
+    assert len(parts) < 60  # tiny files share bundles
+    rels = [rel for p in parts for (_, rel) in p.files]
+    assert len(rels) == 60 and len(set(rels)) == 60
