@@ -5703,7 +5703,20 @@ def _copurchase_frames(spark: SparkSession, sf_dir: str):
             .filter(F.col("w") >= 2)
             .persist()
         )
-        _COPURCHASE[key] = (li, pairs)
+        # round 12: the per-item marginals and the distinct-order count
+        # are derived once alongside the frames they come from — the
+        # lift query otherwise re-ran an aggregation pass AND a
+        # countDistinct expand over the ~corpus-sized li cache on every
+        # invocation for the same two tiny frames
+        item = (
+            li.groupBy("l_partkey")
+            .agg(F.count(F.lit(1)).alias("n_item"))
+            .persist()
+        )
+        n_orders = li.agg(
+            F.countDistinct("l_orderkey").alias("__n_orders")
+        ).persist()
+        _COPURCHASE[key] = (li, pairs, item, n_orders)
     return _COPURCHASE[key]
 
 
@@ -5760,7 +5773,7 @@ def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the at-scale shape."""
     from fefal_etl_spark.operators.graph import triangle_counts
 
-    _li, pairs = _copurchase_frames(spark, sf_dir)
+    _li, pairs, _item, _n = _copurchase_frames(spark, sf_dir)
     edges = pairs.select("src", "dst")  # cache is already support>=2
     return triangle_counts(edges)
 
@@ -6709,13 +6722,7 @@ def q_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     marginals broadcast back; lift = P(ab)/(P(a)P(b)) from exact integer
     counts with one rounded division each. Engine-stable top-25 via
     rounded lift + id tiebreaks."""
-    li, pairs = _copurchase_frames(spark, sf_dir)
-    # one-row broadcast agg, NOT a driver-side count(): an eager action at
-    # plan-construction time would run a full extra job on every call
-    n_orders = li.agg(
-        F.countDistinct("l_orderkey").alias("__n_orders")
-    )
-    item = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
+    li, pairs, item, n_orders = _copurchase_frames(spark, sf_dir)
     pair = pairs.select(
         F.col("src").alias("item_a"),
         F.col("dst").alias("item_b"),

@@ -527,28 +527,40 @@ def q_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F"
     )
-    late = (
+    # Round 12 (guide §2.3 aggregate-before-shuffle, §2.4 remove
+    # shuffles): the former plan scanned lineitem THREE times (the late
+    # pairs, an EXISTS ≠-residual semi-join, a NOT-EXISTS ≠-residual
+    # anti-join). Both correlated predicates are per-order AGGREGATES —
+    #   ∃ other supplier on the order  ⇔  min(l_suppkey) ≠ max(l_suppkey)
+    #   ∄ other LATE supplier          ⇔  exactly ONE distinct late
+    #                                     supplier on the order (the
+    #                                     base row's own — it is late)
+    # — and an order's other lineitems share its F status, so ONE scan
+    # joined to the F orders and ONE groupBy(l_orderkey) computes
+    # everything: min/max suppkey plus the distinct late-supplier set
+    # (collect_set; bounded by suppliers-per-order, ≤ 7 in TPC-H shape).
+    # An order survives iff its late set is exactly one supplier and it
+    # has ≥ 2 distinct suppliers; the surviving (order, supplier) rows
+    # are precisely the old base pairs. Result identical (oracle
+    # hash ==); 3 lineitem passes → 1, two ≠-residual joins → 0.
+    late_supp = F.when(
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr("INTERVAL 120 DAY"),
+        F.col("l_suppkey"),
+    )
+    per_order = (
         li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
-        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 120 DAY"))
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(
+            F.min("l_suppkey").alias("__s_min"),
+            F.max("l_suppkey").alias("__s_max"),
+            F.collect_set(late_supp).alias("__late_set"),
+        )
     )
-    others = li.select(
-        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
-    )
-    late_others = late.select(
-        F.col("l_orderkey").alias("o3_orderkey"), F.col("l_suppkey").alias("o3_suppkey")
-    )
-    base = late.join(
-        others,
-        (F.col("o2_orderkey") == F.col("l_orderkey"))
-        & (F.col("o2_suppkey") != F.col("l_suppkey")),
-        "left_semi",
-    ).join(
-        late_others,
-        (F.col("o3_orderkey") == F.col("l_orderkey"))
-        & (F.col("o3_suppkey") != F.col("l_suppkey")),
-        "left_anti",
+    base = per_order.filter(
+        (F.size("__late_set") == 1) & (F.col("__s_min") != F.col("__s_max"))
+    ).select(
+        "l_orderkey", F.element_at("__late_set", 1).alias("l_suppkey")
     )
     supp = load_table(spark, sf_dir, "supplier")
     return (
@@ -673,29 +685,56 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
     part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 3)
-    pl = li.select(F.col("l_partkey").alias("partkey"), "l_suppkey").distinct()
+    # Round 12 (guide §3.2 pre-filter the big side, §2.3 aggregate
+    # before shuffle): the per-part minimum is INDEPENDENT of the part
+    # filter, so the selective p_size gate broadcast-semi-joins into the
+    # lineitem scan first (the cost relation shrinks ~16× before its
+    # distinct), and the min + the argmin rows come out of ONE
+    # aggregation — min(s_acctbal) alongside a collect_list of the
+    # part's supplier rows (bounded by suppliers-per-part), filtered to
+    # the tied minimum and exploded — instead of building the cost
+    # relation twice (probe + min legs) and equality-joining them back.
+    # 2 lineitem passes → 1; min-equality tie semantics unchanged
+    # (oracle hash ==).
+    pl = (
+        li.join(
+            F.broadcast(part.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .select(F.col("l_partkey").alias("partkey"), "l_suppkey")
+        .distinct()
+    )
     cost = (
         pl.join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("partkey", "s_suppkey", "s_name", "s_acctbal", "n_name")
     )
-    min_cost = cost.groupBy(F.col("partkey").alias("__mk")).agg(
-        F.min("s_acctbal").alias("__min_bal")
+    grouped = cost.groupBy("partkey").agg(
+        F.min("s_acctbal").alias("__min_bal"),
+        F.collect_list(
+            F.struct("s_suppkey", "s_name", "s_acctbal", "n_name")
+        ).alias("__cs"),
+    )
+    winners = grouped.select(
+        "partkey",
+        F.explode(
+            F.filter(
+                F.col("__cs"), lambda c: c["s_acctbal"] == F.col("__min_bal")
+            )
+        ).alias("__w"),
     )
     return (
-        part.join(cost, F.col("partkey") == F.col("p_partkey"))
-        .join(
-            min_cost,
-            (F.col("__mk") == F.col("p_partkey"))
-            & (F.col("s_acctbal") == F.col("__min_bal")),
+        winners.join(
+            F.broadcast(part), F.col("partkey") == F.col("p_partkey")
         )
         .select(
             "p_partkey",
             "p_name",
-            "s_suppkey",
-            "s_name",
-            "n_name",
-            F.col("s_acctbal").cast("double").alias("s_acctbal"),
+            F.col("__w.s_suppkey").alias("s_suppkey"),
+            F.col("__w.s_name").alias("s_name"),
+            F.col("__w.n_name").alias("n_name"),
+            F.col("__w.s_acctbal").cast("double").alias("s_acctbal"),
         )
         .orderBy("p_partkey", "s_suppkey")
     )
