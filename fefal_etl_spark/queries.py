@@ -2659,6 +2659,20 @@ def q_set_ops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ==========================================================================
 
 
+def _ops_by_version(t) -> dict:
+    """{version: op} from the raw commit records — driver-side KB-sized
+    JSON reads; ``history().collect()`` for the same dict built and
+    collected a DataFrame (a Spark job + py4j round trip, ~0.3-0.5 s
+    per call — round 12)."""
+    from fefal_etl_spark.table import _load_record
+
+    return {
+        v: _load_record(t.root, v, t.backend).get("op")
+        for v in t.versions()
+    }
+
+
+
 def _txn_scenario(
     spark: SparkSession,
     sf_dir: str,
@@ -3248,7 +3262,7 @@ def q_checkpointed_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _txn_scenario(
         spark, sf_dir, "txn_checkpoint", build, final_version=5
     )
-    hist = {r["version"]: r["op"] for r in t.history().collect()}
+    hist = _ops_by_version(t)
     out = None
     for v in (3, 4, 5):
         snap = t.read(version=v).agg(
@@ -3760,9 +3774,7 @@ def q_merge_append_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _txn_scenario(
         spark, sf_dir, "txn_merge_race", build, final_version=2
     )
-    ops = {
-        r["version"]: r["op"] for r in t.history().collect()
-    }
+    ops = _ops_by_version(t)
     narrowed = ops.get(1) == "append" and ops.get(2) == "merge-dv"
     return (
         t.read()
@@ -4870,7 +4882,7 @@ def q_compact_append_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _txn_scenario(
         spark, sf_dir, "txn_compact_race", build, final_version=2
     )
-    ops = {r["version"]: r["op"] for r in t.history().collect()}
+    ops = _ops_by_version(t)
     mf = t._read_manifest(2)
     rebased = (
         ops.get(1) == "append"

@@ -61,6 +61,17 @@ _MANIFEST_RE = re.compile(r"^manifest-(\d+)\.json$")
 #: leave dead keys behind.
 _COMMIT_SCHEMA_CACHE: dict[tuple[str, str], object] = {}
 
+# Lazy READ-PLAN memo (round 12): data files under a commit dir are
+# uuid-addressed and write-once, so an identical (file list, dv list,
+# column ops, declared schema, with_pos) request over the same root is
+# an identical lazy plan — rebuilding it cost a few hundred ms of
+# driver/py4j work on every snapshot read of an unchanged table. The
+# memo stores ONLY analyzed plans (no rows; every action still scans
+# the parquet bytes), is keyed by application so a restarted session
+# never sees a dead session's frames, and is bounded FIFO.
+_READ_PLAN_MEMO: dict[tuple, object] = {}
+_READ_PLAN_MEMO_MAX = 256
+
 #: "parameter not passed" sentinel for _commit(partition_spec=...):
 #: None is a MEANINGFUL value there (reset to never-declared — restore
 #: needs it), so absence needs its own marker
@@ -776,6 +787,18 @@ class TransactionalTable:
 
         need_meta = with_pos or bool(dv_files)
         root_abs = os.path.abspath(self.root)
+        memo_key = (
+            self.spark.sparkContext.applicationId,
+            root_abs,
+            tuple(files),
+            tuple(dv_files or ()),
+            with_pos,
+            tuple(tuple(op) for op in (column_ops or ())),
+            tuple(sorted((recorded_schema or {}).items())),
+        )
+        hit = _READ_PLAN_MEMO.get(memo_key)
+        if hit is not None:
+            return hit
         prefix = "file:" + root_abs + "/"
         groups: dict[str, list[str]] = {}
         for f in files:  # group order = manifest order (deterministic)
@@ -916,6 +939,12 @@ class TransactionalTable:
                     return F.col(f"`{c}`")
 
                 out = out.select(*[col_of(c) for c in order])
+        if len(_READ_PLAN_MEMO) >= _READ_PLAN_MEMO_MAX:
+            try:  # FIFO evict; plans are cheap to rebuild on a miss
+                _READ_PLAN_MEMO.pop(next(iter(_READ_PLAN_MEMO)))
+            except (KeyError, StopIteration, RuntimeError):
+                pass
+        _READ_PLAN_MEMO[memo_key] = out
         return out
 
     def read(self, version: int | None = None) -> DataFrame:
