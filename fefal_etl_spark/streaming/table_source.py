@@ -417,16 +417,21 @@ class _RateLimit:
         batch replays after a crash on a fresh reader (review r11),
         which the volatile watermark alone could not cover."""
         k = _off_key(start)
-        # Only a GENUINELY PLANNED batch (start < end) certifies its
-        # start as delivered-and-committed: Spark also issues degenerate
-        # planInputPartitions(X, X) probes — observed on checkpoint
-        # restart with the last logged batch UNCOMMITTED, where X is
-        # that batch's (undelivered!) end offset. Treating such a probe
-        # start as a watermark clamped the subsequent real replay to
-        # empty and silently dropped the batch's rows (the round-10/11
-        # "restart flake" was this data loss: the sink's replayed batch
-        # landed ~empty and the test polled to its deadline).
-        if _off_key(end) > k and (
+        # Only a GENUINELY PLANNED batch (start != end) certifies its
+        # start as delivered-and-committed: any real batch's start is
+        # the PREVIOUS batch's logged end, and only the LAST logged
+        # batch can be uncommitted — so a regressed catch-up batch
+        # (E, O] with E > O still certifies E (it is the checkpoint's
+        # committed offset; advice r10). Spark additionally issues
+        # degenerate planInputPartitions(X, X) probes — observed on
+        # checkpoint restart with the last logged batch UNCOMMITTED,
+        # where X is that batch's (undelivered!) end offset. Treating
+        # such an EQUAL-offset probe start as a watermark clamped the
+        # subsequent real replay to empty and silently dropped the
+        # batch's rows (the round-10/11 "restart flake" was this data
+        # loss: the sink's replayed batch landed ~empty and the test
+        # polled to its deadline).
+        if _off_key(end) != k and (
             self.watermark is None or k > self.watermark
         ):
             self.watermark = k
