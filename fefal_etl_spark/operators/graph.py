@@ -225,13 +225,23 @@ def bfs_levels(
         )
 
     if not prune_visited:
-        frontier = seed.select("node")
+        # Each frontier PERSISTS (round 12): the union's legs share
+        # every lower layer as a plan prefix, and a DataFrame seed adds
+        # its aggregate subplan to each leg too — without a cache point
+        # Spark evaluates layer k's whole prefix once per leg that
+        # contains it (O(K²) subplan evaluations, one nested broadcast
+        # build each; measured 1.1 → 3.7 s warm at sf0.1 when the seed
+        # became a plan). Persisting is lazy — the builder stays
+        # zero-action — and the first broadcast build materializes each
+        # layer exactly once.
+        frontier = track(seed.select("node").persist())
         layers = [seed]
         for lvl in range(1, max_hops + 1):
-            frontier = (
+            frontier = track(
                 e.join(F.broadcast(frontier), F.col("node") == F.col("e_src"))
                 .select(F.col("e_dst").alias("node"))
                 .distinct()
+                .persist()
             )
             layers.append(frontier.withColumn("level", F.lit(lvl)))
         allv = layers[0]

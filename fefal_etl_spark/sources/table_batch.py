@@ -22,11 +22,13 @@ Everything version-dependent (schema, column ops, partition columns,
 DV sidecars) is resolved AS OF the requested version, so time travel
 shows that version's names and masks, not today's.
 
-One input partition per data file: Spark schedules files across
-executors, each reading its parquet with pyarrow and yielding Arrow
-record batches — columnar through the Python boundary, like the
-streaming readers. At 100 TB the unit of parallelism is the file,
-which is exactly how the manifest bounds work anyway.
+Input partitions are byte-budget BUNDLES of data files (round 12,
+guide §6 — the same packing the streaming reader uses): tiny commit
+files share a task instead of each paying a Python-worker round trip,
+large files keep one task each. Each task reads its files' parquet
+with pyarrow and yields Arrow record batches — columnar through the
+Python boundary, like the streaming readers. At 100 TB the unit of
+parallelism is the ~128 MB bundle, matching Spark's own scan packing.
 """
 
 from __future__ import annotations
@@ -45,6 +47,7 @@ from fefal_etl_spark.streaming.table_source import (
     _apply_column_ops_batch,
     _apply_column_ops_schema,
     _append_partition_columns,
+    _pack_files,
     _record,
     _snapshot,
     _versions,
@@ -114,18 +117,25 @@ def _snapshot_meta(root: str, version: int):
 
 
 class _BatchFilePartition(InputPartition):
+    """One read task: a BUNDLE of data files consumed sequentially.
+
+    One-task-per-file made every batch read pay (tasks × Python-worker
+    round trip + parquet open) even for KB-sized commit files (round
+    12, guide §6 — the same fix the streaming reader got). Files pack
+    with Spark's own scan formula (`_pack_files`: maxPartitionBytes
+    budget, openCostInBytes per file), so tiny files share a task and
+    large files keep one each; the bundled file set equals the
+    snapshot's manifest-ordered file list, just grouped."""
+
     def __init__(
         self,
-        path: str,
-        rel: str,
-        mask: list[int],
+        files: list[tuple[str, str, list[int]]],
         pcols: list[str],
         col_ops: list,
         schema: "object",
     ):
-        self.path = path
-        self.rel = rel
-        self.mask = mask  # THIS file's DV-masked row positions
+        # (path, rel, masked positions) per file, manifest order
+        self.files = files
         self.pcols = pcols
         self.col_ops = col_ops
         self.schema = schema  # declared arrow schema (order + types)
@@ -153,16 +163,25 @@ class TxnTableBatchReader(DataSourceReader):
                 t.column("file").to_pylist(), t.column("pos").to_pylist()
             ):
                 masks.setdefault(rel, []).append(pos)
+        entries = []
+        for rel in self.state["files"]:
+            path = os.path.join(self.root, rel)
+            try:
+                sz = os.path.getsize(path)
+            except OSError:
+                sz = 0  # missing file surfaces as a read-side error
+            entries.append((path, rel, sz))
         return [
             _BatchFilePartition(
-                os.path.join(self.root, rel),
-                rel,
-                masks.get(rel) or [],
+                [
+                    (path, rel, masks.get(rel) or [])
+                    for path, rel in bundle
+                ],
                 self.pcols,
                 self.col_ops,
                 self.arrow_schema,
             )
-            for rel in self.state["files"]
+            for bundle in _pack_files(entries)
         ]
 
     def read(self, partition: _BatchFilePartition) -> Iterator:
@@ -171,33 +190,34 @@ class TxnTableBatchReader(DataSourceReader):
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
-        # DV masking stays fully columnar (VERDICT r7 item 8): the
-        # masked positions become an Arrow set once, each batch filters
-        # on vectorized is_in over its position range — no Python row
-        # loop on the read path
-        mask_arr = (
-            pa.array(sorted(set(partition.mask)), type=pa.int64())
-            if partition.mask
-            else None
-        )
         target = partition.schema
-        offset = 0
-        for batch in pq.ParquetFile(partition.path).iter_batches():
-            n = batch.num_rows
-            if mask_arr is not None:
-                pos = pa.array(
-                    np.arange(offset, offset + n, dtype=np.int64)
-                )
-                offset += n
-                keep = pc.invert(pc.is_in(pos, value_set=mask_arr))
-                batch = batch.filter(keep)
-                if batch.num_rows == 0:
-                    continue
-            batch = _apply_column_ops_batch(batch, partition.col_ops)
-            batch = _append_partition_columns(
-                batch, partition.rel, partition.pcols
+        for path, rel, mask in partition.files:
+            # DV masking stays fully columnar (VERDICT r7 item 8): the
+            # masked positions become an Arrow set once per file, each
+            # batch filters on vectorized is_in over its position range
+            # — no Python row loop on the read path
+            mask_arr = (
+                pa.array(sorted(set(mask)), type=pa.int64())
+                if mask
+                else None
             )
-            yield project_batch(batch, target)
+            offset = 0
+            for batch in pq.ParquetFile(path).iter_batches():
+                n = batch.num_rows
+                if mask_arr is not None:
+                    pos = pa.array(
+                        np.arange(offset, offset + n, dtype=np.int64)
+                    )
+                    offset += n
+                    keep = pc.invert(pc.is_in(pos, value_set=mask_arr))
+                    batch = batch.filter(keep)
+                    if batch.num_rows == 0:
+                        continue
+                batch = _apply_column_ops_batch(batch, partition.col_ops)
+                batch = _append_partition_columns(
+                    batch, rel, partition.pcols
+                )
+                yield project_batch(batch, target)
 
 
 class TxnTableBatchDataSource(DataSource):

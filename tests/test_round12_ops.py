@@ -535,3 +535,50 @@ def test_stream_partitions_pack_small_files(spark, tmp_path):
     assert len(parts) < 60  # tiny files share bundles
     rels = [rel for p in parts for (_, rel) in p.files]
     assert len(rels) == 60 and len(set(rels)) == 60
+
+
+def test_batch_source_partitions_pack_small_files(spark, tmp_path):
+    """Round-12 I/O packing, batch twin (guide §6): the txn_table BATCH
+    source bundles tiny files into byte-budget read tasks (it planned
+    one task per file), the bundled set equals the snapshot's manifest
+    order, DV masks stay per-file, and the read result is unchanged."""
+    from pyspark.sql import functions as F
+
+    from fefal_etl_spark.sources.table_batch import (
+        TxnTableBatchDataSource,
+        TxnTableBatchReader,
+        _snapshot_meta,
+    )
+    from fefal_etl_spark.table import TransactionalTable
+
+    root = str(tmp_path / "t")
+    t = TransactionalTable(spark, root)
+    t.overwrite(
+        spark.range(600).select(F.col("id").alias("k")).repartition(60)
+    )
+    t.delete_where_dv(F.col("k") % 7 == 0)
+
+    reader = TxnTableBatchReader(root, _snapshot_meta(root, 1))
+    parts = reader.partitions()
+    assert len(parts) < 60  # tiny files share bundles
+    rels = [rel for p in parts for (_, rel, _) in p.files]
+    assert len(rels) == 60 and len(set(rels)) == 60
+    # DV-masked positions ride with their own file only
+    assert any(mask for p in parts for (_, _, mask) in p.files)
+
+    spark.dataSource.register(TxnTableBatchDataSource)
+    got = (
+        spark.read.format("txn_table")
+        .load(root)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("s"),
+        )
+        .collect()[0]
+    )
+    expect = (
+        t.read()
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("s"))
+        .collect()[0]
+    )
+    assert (got["n"], got["s"]) == (expect["n"], expect["s"])

@@ -1055,7 +1055,10 @@ def test_batch_source_dv_masks_ship_per_file(spark, tmp_path):
         root, _snapshot_meta(root, _resolve_version(root, {"path": root}))
     )
     parts = reader.partitions()
-    masked = {p.rel: p.mask for p in parts if p.mask}
+    # round 12: partitions are file BUNDLES; masks still ride per-file
+    masked = {
+        rel: mask for p in parts for (_, rel, mask) in p.files if mask
+    }
     assert len(masked) == 2  # exactly the two files holding k=3, k=25
     assert all(len(m) == 1 for m in masked.values())
     df = spark.read.format("txn_table").load(root)
