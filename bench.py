@@ -303,14 +303,24 @@ def main() -> None:
     queries["top_orders"](spark, sf_dir).count()
 
     from fefal_etl_spark.cache import release_tracked
+    from fefal_etl_spark.staging import build_seconds_total
 
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}
+    # one-time staged-table / scenario BUILD seconds attributed inside each
+    # cold invocation (VERDICT r12 item 8 "own the cold number"): cold[name]
+    # still includes it (round-over-round comparability), build_queries says
+    # how much of it was one-time build rather than first execution
+    build: dict[str, float] = {}
     for name in names:
         qdir = dir_for(name)
+        b0 = build_seconds_total()
         t0 = time.time()
         n = queries[name](spark, qdir).count()
         cold[name] = round(time.time() - t0, 3)
+        b = build_seconds_total() - b0
+        if b > 0.0005:
+            build[name] = round(b, 3)
         assert n >= 0
         t0 = time.time()
         n2 = queries[name](spark, qdir).count()
@@ -331,6 +341,10 @@ def main() -> None:
         "queries": warm,
         "cold_value": round(sum(cold.values()), 3),
         "cold_queries": cold,
+        # one-time staged-index/scenario build seconds INSIDE each cold
+        # invocation (subset of cold_queries; see the loop above)
+        "build_total": round(sum(build.values()), 3),
+        "build_queries": build,
         "n": len(names),
         "sf": sf_val,
         # which rows read the zipf corpus (full detail only — the
@@ -359,10 +373,25 @@ def main() -> None:
     # the driver's tail capture is 2000 chars (measured from BENCH_r05's
     # "tail" field) — a final line longer than that is truncated and
     # parses to null (BENCH_r02); per-query detail lives in the committed
-    # bench_detail.json either way
+    # bench_detail.json either way. With 182 queries the name-keyed dict
+    # never fits, which left PERF per_query empty for two rounds (VERDICT
+    # r12 item 2) — so the compact fallback keeps per-query WARM times as
+    # an array aligned to the LEXICOGRAPHICALLY SORTED query names
+    # (qt[i] = warm seconds of sorted(names)[i]; names + full precision
+    # live in bench_detail.json "queries"). ~5.5 chars/entry ⇒ ~1 KB for
+    # 182 queries, safely under the tail budget.
     if len(line) > 1900:
         summary.pop("queries")
+        summary["qt"] = [round(warm[k], 2) for k in sorted(warm)]
+        summary["qt_key"] = "sorted_names"
         line = json.dumps(summary)
+        if len(line) > 1900:  # future growth: halve precision before dropping
+            summary["qt"] = [round(warm[k], 1) for k in sorted(warm)]
+            line = json.dumps(summary)
+        if len(line) > 1900:
+            summary.pop("qt")
+            summary.pop("qt_key")
+            line = json.dumps(summary)
     print(line)
     spark.stop()
 

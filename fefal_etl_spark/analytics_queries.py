@@ -360,6 +360,7 @@ def _trade_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "trade_edges",
         source_fingerprint(sf_dir, "orders", "lineitem"),
         edges,
+        scope="session",
     )
 
 
@@ -1137,25 +1138,44 @@ def q_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the probe keys; counters are mergeable across
     partitions/days (sum of sketches = sketch of union), which is the
     whole point at 100 TB: per-shard sketches union without re-scanning.
-    The exact top-20 here is the audit harness, not the production path."""
+    The exact top-20 here is the audit harness, not the production path —
+    and because the audit already pays the per-key groupBy, this
+    implementation derives the sketch FROM those key counts (identical
+    counters, one scan; a pure streaming deployment would hash events
+    directly and skip the exact pass entirely)."""
     ev = load_table(spark, sf_dir, "events").select(
         F.col("user_id").cast("string").alias("k")
     )
     j = F.explode(F.array([F.lit(i) for i in range(4)])).alias("j")
 
+    from fefal_etl_spark.cache import track
     from fefal_etl_spark.llm.dedup import md5_hash64
 
     def bucket(jcol, kcol):
         # same portable seeded-hash helper as the dedup family (md5_hash64)
         return md5_hash64(kcol, F.concat(F.lit("cm"), jcol.cast("string"))) % 64
 
-    hashed = ev.select("k", j).select(
-        "k", "j", bucket(F.col("j"), F.col("k")).alias("bucket")
+    # Round 13 (guide §2.3 aggregate-before-expanding): the sketch's
+    # (j, bucket) counter is Σ_k [h_j(k) = bucket] · count(k), so it can be
+    # built FROM the per-key exact counts the audit needs anyway — one
+    # events scan + one groupBy(k) instead of two scans, and 4·|keys| md5s
+    # instead of 4·|events| (the d-fold explode runs over the key counts,
+    # not the event stream). Counter values are integer-identical to
+    # hashing every event. The key-count frame is persisted (tracked):
+    # both the sketch and the top-20 audit legs read it.
+    exact = track(
+        ev.groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_n"))
+        .persist()
     )
-    sketch = hashed.groupBy("j", "bucket").agg(
-        F.count(F.lit(1)).cast("long").alias("cnt")
+    sketch = (
+        exact.select("k", "exact_n", j)
+        .select(
+            "exact_n", "j", bucket(F.col("j"), F.col("k")).alias("bucket")
+        )
+        .groupBy("j", "bucket")
+        .agg(F.sum("exact_n").cast("long").alias("cnt"))
     )
-    exact = ev.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("exact_n"))
     top = (
         exact.withColumn(
             "rk",

@@ -596,14 +596,17 @@ def segment_dedup(
 
     Scale: the explode is narrow (segments are a partition of the words
     array, so total exploded payload ≈ corpus size, unlike overlapping
-    shingles); the single wide stage is the first-occurrence window,
-    which shuffles BY SEGMENT TEXT — content-addressed, so it load
-    balances regardless of document skew. At 100 TB the shuffle payload
-    can be halved by ranking on (md5(segment), doc_id, seg_idx) and
-    rejoining winners to segment text, at the cost of treating 60-bit
-    hash collisions as duplicates; this formulation stays exact. The
-    reassembly groupBy shuffles by doc id — the same key the explode
-    preserved, so AQE coalesces it cheaply.
+    shingles); the single wide stage is the first-occurrence selection,
+    a min(struct(id, seg_idx)) hash aggregation keyed BY SEGMENT TEXT —
+    content-addressed, so it load balances regardless of document skew,
+    and partial aggregation collapses repeated segments map-side before
+    the exchange (round 13; the previous row_number window shuffled and
+    sorted every segment instance). At 100 TB the shuffle payload can be
+    halved further by grouping on (md5(segment)) and rejoining winners
+    to segment text, at the cost of treating 60-bit hash collisions as
+    duplicates; this formulation stays exact. The reassembly groupBy
+    shuffles by doc id — the same key the explode preserved, so AQE
+    coalesces it cheaply.
     """
     from fefal_etl_spark.functions.text import ws_trim
 
@@ -628,12 +631,28 @@ def segment_dedup(
         )
         .filter(F.col("__seg") != "")
     )
-    from pyspark.sql import Window
-
-    first = F.row_number().over(
-        Window.partitionBy("__seg").orderBy(F.col(id_col), F.col("seg_idx"))
+    # First occurrence per segment via ONE hash aggregation instead of a
+    # row_number window (round 13, guide §2.3/§2.4): min(struct(id,
+    # seg_idx, nseg)) is exactly the (doc_id, seg_idx)-ordered rank-1 row
+    # — struct comparison is field-by-field, and __nseg is a function of
+    # doc_id so it cannot affect the min — but a hash aggregate gets
+    # MAP-SIDE partial aggregation (repeated segments collapse before the
+    # segment-text exchange) and needs no sort on the reduce side, where
+    # the window shuffled and sorted every segment instance.
+    kept = (
+        segs.groupBy("__seg")
+        .agg(
+            F.min(
+                F.struct(F.col(id_col), F.col("seg_idx"), F.col("__nseg"))
+            ).alias("__w")
+        )
+        .select(
+            F.col(f"__w.{id_col}").alias(id_col),
+            F.col("__w.seg_idx").alias("seg_idx"),
+            F.col("__w.__nseg").alias("__nseg"),
+            "__seg",
+        )
     )
-    kept = segs.withColumn("__rn", first).filter(F.col("__rn") == 1)
     ordered = F.transform(
         F.array_sort(F.collect_list(F.struct("seg_idx", "__seg"))),
         lambda x: x["__seg"],

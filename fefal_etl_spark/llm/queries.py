@@ -198,12 +198,14 @@ def _similarity_frames(
             as_hash=True,
             portable_hash=False,
         ),
+        scope="session",
     )
     term_df = stage_parquet(
         spark,
         "sim_df",
         fp,
         tokens.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")),
+        scope="session",
     )
     return tokens, term_df
 
@@ -229,6 +231,7 @@ def _containment_frames(
         lambda: tokens.groupBy("doc_id").agg(
             F.count(F.lit(1)).alias("n_sh")
         ),
+        scope="session",
     )
     rare_rnk = stage_parquet(
         spark,
@@ -237,6 +240,7 @@ def _containment_frames(
         lambda: containment_rank_index(
             tokens, term_df, "doc_id", max_df=max_df, sizes=sizes
         ),
+        scope="session",
     )
     return rare_rnk, sizes
 
@@ -719,6 +723,7 @@ def q_incremental_dedup_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inc_batch_sh",
         fp,
         lambda: shingles(new_batch, "doc_id", "text", n=3, as_hash=True),
+        scope="session",
     )
     tokens, _ = _similarity_frames(spark, sf_dir)
     return idx.match_new(
@@ -812,6 +817,7 @@ def q_index_compaction_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inc_batch_sh",  # shared with incremental_dedup_match
         fp,
         lambda: shingles(new_batch, "doc_id", "text", n=3, as_hash=True),
+        scope="session",
     )
     tokens, _ = _similarity_frames(spark, sf_dir)
     return idx.match_new(
@@ -1931,6 +1937,7 @@ def q_ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(w_rank).alias("rn"),
             F.count(F.lit(1)).over(w_doc).alias("n_sh"),
         ),
+        scope="session",
     )
     return ppjoin_pairs(
         _corpus(spark, sf_dir),
@@ -2121,18 +2128,21 @@ def _staged_cosine_index(spark: SparkSession, sf_dir: str):
         lambda: sparse_cosine_weights(
             _corpus(spark, sf_dir), "doc_id", "text", max_df_pct=10
         ),
+        scope="session",
     )
     indexed = stage_parquet(
         spark,
         "sim_w10x",
         fp,
         lambda: sparse_cosine_index(weights, "doc_id"),
+        scope="session",
     )
     blooms = stage_parquet(
         spark,
         "sim_w11b",
         fp,
         lambda: sparse_cosine_blooms(weights, "doc_id"),
+        scope="session",
     )
     return weights, indexed, blooms
 

@@ -189,13 +189,18 @@ def bfs_levels(
     round's shuffle.
 
     ``prune_visited=False`` selects the LAYERED MIN-AGGREGATION form:
-    no anti-join and no per-round persists at all — round k's frontier
-    is simply ``distinct(neighbors(frontier_{k-1}))``, every layer is
-    tagged with its round number, and one final ``groupBy(node).min``
-    recovers the shortest-path level (a node's first appearance IS its
-    BFS level; later reappearances lose the min). All ``max_hops``
-    rounds chain into ONE lazy DAG with half the shuffles of the pruned
-    form (measured 4.3 s → 1.9 s on the sf0.1 trade graph). The trade:
+    no anti-join — round k's frontier is simply
+    ``distinct(neighbors(frontier_{k-1}))``, every layer is tagged with
+    its round number, and one final ``groupBy(node).min`` recovers the
+    shortest-path level (a node's first appearance IS its BFS level;
+    later reappearances lose the min). The seed and each frontier DO
+    persist (lazily — the builder stays zero-action; tracked via
+    cache.track so the harness releases them): the union's legs share
+    every lower layer as a plan prefix, and without a cache point each
+    prefix is re-evaluated once per leg (O(K²) subplan evaluations —
+    see the round-12 note below). All ``max_hops`` rounds chain into
+    ONE lazy DAG with half the shuffles of the pruned form (measured
+    4.3 s → 1.9 s on the sf0.1 trade graph). The trade:
     without pruning, each frontier is bounded by the reachable set
     rather than the newly-discovered set, so revisited nodes flow
     through later rounds — the right form when ``max_hops`` is SMALL
@@ -234,8 +239,11 @@ def bfs_levels(
         # became a plan). Persisting is lazy — the builder stays
         # zero-action — and the first broadcast build materializes each
         # layer exactly once.
+        # one persisted seed plan serves BOTH layer 0 and the initial
+        # frontier (ADVICE r12: deriving them from separate plans ran a
+        # DataFrame seed's aggregate subplan twice)
         frontier = track(seed.select("node").persist())
-        layers = [seed]
+        layers = [frontier.withColumn("level", F.lit(0).cast("int"))]
         for lvl in range(1, max_hops + 1):
             frontier = track(
                 e.join(F.broadcast(frontier), F.col("node") == F.col("e_src"))

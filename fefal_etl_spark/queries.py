@@ -97,7 +97,8 @@ PLAN_MEMOIZABLE: frozenset = frozenset((
     "curation_pipeline", "customer_spend_quartiles", "customers_above_nation_avg",
     "decayed_user_value", "decontaminate_overlap", "dedup_keep_best",
     "disjunctive_bracket_revenue", "distinct_segments", "doc_chunks",
-    "doc_fingerprints", "dormant_customer_balances", "dq_checks", "dsir_importance",
+    "doc_fingerprints", "dormant_customer_balances", "dpp_partition_join",
+    "dq_checks", "dsir_importance",
     "embedding_covariance", "embedding_hof_stats", "embedding_lsh_pairs",
     "embedding_neardup", "embedding_quantize", "embedding_topk", "encodings_simnao",
     "entity_resolution", "event_gaps", "event_path_mining", "event_transitions",
@@ -152,19 +153,36 @@ def clear_plan_memo() -> None:
 
 
 def _dir_fingerprint(sf_dir: str):
-    """(name, mtime_ns, size) of every parquet in the dir — a ~0.1 ms
-    driver stat pass that keys the memo to the exact source bytes."""
+    """(name, mtime_ns, size) of every parquet file in the dir — a ~0.1 ms
+    driver stat pass that keys the memo to the exact source bytes. A
+    ``*.parquet`` DIRECTORY source (partitioned layout) is walked file by
+    file (VERDICT r12 minor #6: stat-ing only the dir entry would miss an
+    in-place rewrite of a file inside it)."""
     import os as _os
 
     try:
+        parts = []
         with _os.scandir(sf_dir) as it:
-            return tuple(
-                sorted(
-                    (e.name, e.stat().st_mtime_ns, e.stat().st_size)
-                    for e in it
-                    if e.name.endswith(".parquet")
-                )
-            )
+            for e in it:
+                if not e.name.endswith(".parquet"):
+                    continue
+                if e.is_dir():
+                    for root, _dirs, files in _os.walk(e.path):
+                        for fn in files:
+                            st = _os.stat(_os.path.join(root, fn))
+                            parts.append(
+                                (
+                                    _os.path.relpath(
+                                        _os.path.join(root, fn), sf_dir
+                                    ),
+                                    st.st_mtime_ns,
+                                    st.st_size,
+                                )
+                            )
+                else:
+                    st = e.stat()
+                    parts.append((e.name, st.st_mtime_ns, st.st_size))
+        return tuple(sorted(parts))
     except OSError:
         return None
 
@@ -205,6 +223,33 @@ def _memoized(name: str, fn: QueryFn) -> QueryFn:
         return df
 
     return run
+
+
+# (application, sf_dir, fingerprint) -> collected max(o_orderkey). Nine
+# scenario builders derived a threshold from this one scalar with a
+# per-INVOCATION collect — one extra Spark job per call each (VERDICT r12
+# item 7). The value parameterizes predicate STRINGS and scenario builds,
+# so it cannot be folded into the lazy plan like the BFS seed; instead it
+# is collected once per (session, source bytes) and reused — later
+# invocations are zero-job. The fingerprint keys regenerated fixtures to
+# a fresh collect.
+_ORDERS_MAX_MEMO: dict = {}
+
+
+def _orders_max_key(spark: SparkSession, sf_dir: str) -> int:
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.abspath(sf_dir),
+        _dir_fingerprint(sf_dir),
+    )
+    v = _ORDERS_MAX_MEMO.get(key)
+    if v is None:
+        v = _ORDERS_MAX_MEMO[key] = (
+            load_table(spark, sf_dir, "orders")
+            .agg(F.max("o_orderkey").alias("m"))
+            .collect()[0]["m"]
+        )
+    return v
 
 
 # --------------------------------------------------------------------------
@@ -2697,9 +2742,15 @@ def _txn_scenario(
     )
     t = TransactionalTable(spark, root)
     if t.latest_version() != final_version:
+        import time as _time
+
+        from fefal_etl_spark.staging import record_build_seconds
+
         shutil.rmtree(root, ignore_errors=True)
         t = TransactionalTable(spark, root)
+        t0 = _time.time()
         builder(t)
+        record_build_seconds(f"scenario:{name}", _time.time() - t0)
     return t
 
 
@@ -3394,9 +3445,7 @@ def q_replace_where_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build(t):
         t.overwrite(base.repartitionByRange(8, "o_orderkey"))
-        thr = base.agg(
-            (F.max("o_orderkey") / 4).cast("long").alias("thr")
-        ).collect()[0]["thr"]
+        thr = _orders_max_key(spark, sf_dir) // 4
         repl = base.filter(
             (F.col("o_orderkey") <= thr)
             & ~(F.col("o_totalprice") < 100000)
@@ -3514,7 +3563,7 @@ def q_predicate_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    mx = base.agg(F.max("o_orderkey").alias("mx")).collect()[0]["mx"]
+    mx = _orders_max_key(spark, sf_dir)
 
     def build(t):
         t.overwrite(base.repartitionByRange(8, "o_orderkey"))
@@ -3609,9 +3658,7 @@ def q_pruned_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    thr = base.agg(
-        (F.max("o_orderkey") / 4).cast("long").alias("thr")
-    ).collect()[0]["thr"]
+    thr = _orders_max_key(spark, sf_dir) // 4
 
     def build(t):
         t.overwrite(base.repartitionByRange(8, "o_orderkey"))
@@ -3742,7 +3789,7 @@ def q_merge_append_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    mx = base.agg(F.max("o_orderkey").alias("m")).collect()[0]["m"]
+    mx = _orders_max_key(spark, sf_dir)
     lower = base.filter(F.col("o_orderkey") <= mx // 2)
     upper = base.filter(F.col("o_orderkey") > mx // 2)
     source = base.filter(F.col("o_orderkey") <= mx // 4).select(
@@ -3817,7 +3864,7 @@ def q_txn_batch_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    mx = base.agg(F.max("o_orderkey").alias("m")).collect()[0]["m"]
+    mx = _orders_max_key(spark, sf_dir)
     lower = base.filter(F.col("o_orderkey") <= mx // 2)
     upper = base.filter(F.col("o_orderkey") > mx // 2)
 
@@ -4048,7 +4095,7 @@ def q_update_where_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build(t):
         # the max scan runs only when the scenario builds, never on the
         # cached-reuse path (review finding: it taxed every bench pass)
-        mx = base.agg(F.max("o_orderkey").alias("m")).collect()[0]["m"]
+        mx = _orders_max_key(spark, sf_dir)
         t.overwrite(base.repartitionByRange(8, "o_orderkey"))
         t.update_where(
             f"o_orderkey <= {mx // 8}",
@@ -4786,7 +4833,7 @@ def q_incremental_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    mx = base.agg(F.max("o_orderkey").alias("m")).collect()[0]["m"]
+    mx = _orders_max_key(spark, sf_dir)
     lower = base.filter(F.col("o_orderkey") <= mx // 2)
     upper = base.filter(F.col("o_orderkey") > mx // 2)
 
@@ -4856,7 +4903,7 @@ def q_compact_append_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    mx = base.agg(F.max("o_orderkey").alias("m")).collect()[0]["m"]
+    mx = _orders_max_key(spark, sf_dir)
     lower = base.filter(F.col("o_orderkey") <= mx // 2)
     upper = base.filter(F.col("o_orderkey") > mx // 2)
 
@@ -5147,9 +5194,7 @@ def q_dv_materialize_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build(t):
         t.overwrite(base.repartitionByRange(8, "o_orderkey"))
-        thr = base.agg(
-            (F.max("o_orderkey") / 4).cast("long").alias("thr")
-        ).collect()[0]["thr"]
+        thr = _orders_max_key(spark, sf_dir) // 4
         t.delete_where_dv(
             (
                 (F.col("o_orderkey") <= thr)

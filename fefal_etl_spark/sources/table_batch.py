@@ -169,7 +169,11 @@ class TxnTableBatchReader(DataSourceReader):
             try:
                 sz = os.path.getsize(path)
             except OSError:
-                sz = 0  # missing file surfaces as a read-side error
+                # ANY stat failure (missing file, permissions, transient
+                # FS error) defers to the read side: the file packs as
+                # near-zero-cost and the real error surfaces inside its
+                # bundle's read task (ADVICE r12)
+                sz = 0
             entries.append((path, rel, sz))
         return [
             _BatchFilePartition(

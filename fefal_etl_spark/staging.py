@@ -33,10 +33,26 @@ import hashlib
 import os
 import shutil
 import tempfile
+import time
 import uuid
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+# Wall-clock seconds spent BUILDING staged tables / scenarios in this
+# process, keyed by staged name ("scenario:<name>" for _txn_scenario
+# builds). bench.py snapshots the running total around each cold
+# invocation so one-time build cost is attributable separately from
+# first-execution cost (VERDICT r12 "own the cold number").
+_BUILD_SECONDS: dict[str, float] = {}
+
+
+def record_build_seconds(name: str, seconds: float) -> None:
+    _BUILD_SECONDS[name] = _BUILD_SECONDS.get(name, 0.0) + seconds
+
+
+def build_seconds_total() -> float:
+    return sum(_BUILD_SECONDS.values())
 
 
 def staging_root() -> str:
@@ -83,6 +99,7 @@ def stage_table(
     write: Callable[[str], None],
     fmt: str = "parquet",
     reader: Callable[[SparkSession, str], DataFrame] | None = None,
+    scope: str = "store",
 ) -> str:
     """Materialize-once publish: if ``<root>/<name>-<fingerprint>`` does
     not hold a completed write, run ``write(tmp_path)`` and atomically
@@ -91,7 +108,42 @@ def stage_table(
 
     ``write`` must produce a Spark ``_SUCCESS`` marker (every Spark
     ``df.write`` does). Losing a concurrent publish race is benign: the
-    loser removes its temp attempt and uses the winner's directory."""
+    loser removes its temp attempt and uses the winner's directory.
+
+    ``scope`` (round 13 — VERDICT r12 "what's wrong #1"): ``"store"``
+    staging persists across processes — correct ONLY for input-layout
+    fixtures (CSV/ORC/hive-partitioned copies of the source) and for
+    maintained index/scenario state that a query DECLARES (the
+    ``incremental_*`` / retrain / compaction families). A derived
+    intermediate of a non-incremental query (shingle postings, df
+    counts, rank indexes, …) must use ``scope="session"``: the staged
+    path is additionally keyed by the Spark application id, so every
+    process rebuilds it inside its own first (timed) invocation —
+    cross-run precomputation of a declared-whole-corpus query would
+    flatter the bench without optimizing anything. Session-scoped
+    leftovers from dead sessions are age-swept opportunistically."""
+    if scope == "session":
+        app = hashlib.md5(
+            spark.sparkContext.applicationId.encode()
+        ).hexdigest()[:8]
+        fingerprint = f"{fingerprint}-s{app}"
+        # sweep OTHER sessions' leftovers for this staged name (age guard
+        # spares concurrent live sessions; 6 h ≫ any session here)
+        root = staging_root()
+        now = time.time()
+        for d in os.listdir(root):
+            if (
+                d.startswith(f"{name}-")
+                and "-s" in d
+                and not d.endswith(f"-s{app}")
+                and ".tmp-" not in d
+            ):
+                full = os.path.join(root, d)
+                try:
+                    if now - os.path.getmtime(full) > 6 * 3600:
+                        shutil.rmtree(full, ignore_errors=True)
+                except OSError:
+                    continue
     final = os.path.join(staging_root(), f"{name}-{fingerprint}")
     if not os.path.exists(os.path.join(final, "_SUCCESS")):
         # A final dir without _SUCCESS is debris from a crashed publisher
@@ -101,7 +153,9 @@ def stage_table(
         if os.path.isdir(final):
             shutil.rmtree(final, ignore_errors=True)
         tmp = f"{final}.tmp-{uuid.uuid4().hex}"
+        t0 = time.time()
         write(tmp)
+        record_build_seconds(name, time.time() - t0)
         try:
             os.rename(tmp, final)
         except OSError:
@@ -140,6 +194,7 @@ def stage_parquet(
     name: str,
     fingerprint: str,
     df: "DataFrame | Callable[[], DataFrame]",
+    scope: str = "store",
 ) -> DataFrame:
     """Common case: stage ``df`` as parquet and read it back (a parquet
     scan keeps column stats, pushdown, and whole-stage codegen — measured
@@ -152,7 +207,7 @@ def stage_parquet(
         frame = df() if callable(df) else df
         frame.write.mode("overwrite").parquet(p)
 
-    path = stage_table(spark, name, fingerprint, _write)
+    path = stage_table(spark, name, fingerprint, _write, scope=scope)
     key = (spark.sparkContext.applicationId, path)
     out = _READ_MEMO.get(key)
     if out is None:

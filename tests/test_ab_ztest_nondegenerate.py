@@ -9,6 +9,7 @@ and verifies the whole statistic end-to-end against a hand-rolled
 pandas/math computation — covering the branch the shared fixture never
 exercises: a finite, correct z-score."""
 
+import pytest
 import math
 
 from pyspark.sql import functions as F
@@ -39,6 +40,7 @@ def _write_events(spark, path: str) -> None:
     df.coalesce(1).write.mode("overwrite").parquet(path)
 
 
+@pytest.mark.slow
 def test_ztest_finite_on_nondegenerate_conversion(spark, tmp_path):
     sf_dir = str(tmp_path)
     _write_events(spark, f"{sf_dir}/events.parquet")

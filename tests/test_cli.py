@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import csv
 import json
+import pytest
 import os
 import subprocess
 import sys
@@ -62,6 +63,7 @@ def test_cli_list_runs_without_spark(capsys):
     assert "skyline_parts" in out
 
 
+@pytest.mark.slow
 def test_cli_pipeline_end_to_end(spark, tmp_path):
     survey_path = tmp_path / "survey.csv"
     with open(survey_path, "w", newline="") as f:
@@ -94,6 +96,7 @@ def test_cli_pipeline_end_to_end(spark, tmp_path):
     assert os.path.isdir(os.path.join(out_dir, "valid"))
 
 
+@pytest.mark.slow
 def test_cli_pipeline_accepts_mongo_export_config(spark, tmp_path):
     """Round-6 migration path: --config may be a Mongo export of the
     reference's four config collections (detected by ConfigColMap);
@@ -154,6 +157,7 @@ def test_cli_pipeline_accepts_mongo_export_config(spark, tmp_path):
     assert proc2.returncode != 0 and "--year is required" in proc2.stderr
 
 
+@pytest.mark.slow
 def test_cli_table_maintenance_end_to_end(spark, tmp_path):
     """Round-8: the scheduler-invocable table surface — build a table
     with shattered small files, OPTIMIZE it through the CLI, then

@@ -722,6 +722,7 @@ def test_vocab_coverage_scores_oov_docs_low(spark):
     assert out[101]["n_tokens"] == 4 and out[101]["n_in_vocab"] == 2
 
 
+@pytest.mark.slow
 def test_connected_components_star_matches_propagation(spark):
     import random
 
@@ -1301,6 +1302,7 @@ def test_png_codec_roundtrip_and_filters():
     assert np.array_equal(decode_png(split), rgb)
 
 
+@pytest.mark.slow
 def test_lsh_index_compaction_preserves_probe(spark, tmp_path):
     """Round-6 (VERDICT r5 item 6): multi-batch appends accumulate small
     files; LshDedupIndex.compact() must reduce the file count while

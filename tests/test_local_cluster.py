@@ -89,6 +89,7 @@ print("ALL-OK")
 
 
 @pytest.mark.timeout(600)
+@pytest.mark.slow
 def test_local_cluster_smoke():
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     script = _SCRIPT.format(repo=repo, sf="/root/testdata/sf0.001")

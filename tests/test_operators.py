@@ -402,6 +402,7 @@ def test_connected_components_transitive_chain(spark):
     assert out[20] == 20
 
 
+@pytest.mark.slow
 def test_connected_components_converges_past_old_fixed_rounds(spark):
     """A diameter-6 chain: the round-2 fixed iters=4 under-merges it (node 7
     can't see label 1 in 4 rounds of one-hop propagation); the default

@@ -9,6 +9,7 @@ full-parity path). ``is_numeric_string`` parity is ASCII-scoped because
 Python ``str.isdigit`` accepts unicode digits the reference never sees.
 """
 
+import pytest
 import re
 
 from hypothesis import HealthCheck, given, settings
@@ -178,6 +179,7 @@ def test_unpivot_pivot_roundtrip(spark, rows):
     ),
     st.sets(st.integers(0, 24), max_size=10),         # promoted row positions
 )
+@pytest.mark.slow
 def test_promote_duplicate_invariants(spark, rows, promo_positions):
     from fefal_etl_spark.operators.dedup import ROW_KEY, classify_rows, with_row_key
     from fefal_etl_spark.operators.review import promote_duplicate
@@ -233,6 +235,7 @@ def test_promote_duplicate_invariants(spark, rows, promo_positions):
     assert {r["pos"]: r["status"] for r in again.collect()} == after
 
 
+@pytest.mark.slow
 def test_connected_components_matches_union_find(spark):
     """Min-label propagation must agree with a driver-side union-find on
     adversarial small graphs: a max-diameter path, duplicate + reversed
@@ -489,6 +492,7 @@ def test_cdc_chunks_partition_documents_exactly(spark, docs):
     )
 )
 @SETTLE
+@pytest.mark.slow
 def test_skyline_2d_matches_bruteforce(spark, pts):
     """operators.quality.skyline_2d (banded prune + running-min window)
     must equal the O(n²) domination definition for arbitrary point sets —
@@ -522,6 +526,7 @@ def test_skyline_2d_matches_bruteforce(spark, pts):
     hops=st.integers(min_value=1, max_value=4),
 )
 @SETTLE
+@pytest.mark.slow
 def test_bfs_levels_matches_python_bfs(spark, edges, hops):
     """operators.graph.bfs_levels must return exactly the textbook BFS
     levels (dict-based reference) for arbitrary small directed graphs,

@@ -337,6 +337,7 @@ def test_stream_rate_limit_splits_backfill_commit(spark, tmp_path):
 
 
 @_posix_log
+@pytest.mark.slow
 def test_stream_rate_limit_restart_exactly_once(spark, tmp_path):
     """Kill the limited stream mid-commit, restart on the same
     checkpoint: the offset-log replay resyncs admission (partitions()
@@ -807,6 +808,7 @@ def test_rate_limit_clamp_prevents_regression_replay():
 
 
 @_posix_log
+@pytest.mark.slow
 def test_stream_rate_limit_available_now_restart_cycles(spark, tmp_path):
     """Repeated availableNow runs over a rate-limited backfill: each
     run drains exactly one admitted batch (availableNow latches its

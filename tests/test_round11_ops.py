@@ -52,6 +52,7 @@ def test_rate_limit_clamp_watermark_unit():
 
 
 @_posix_log
+@pytest.mark.slow
 def test_stream_rate_limit_clean_restart_no_duplicates(spark, tmp_path):
     """Drain a rate-limited stream to completion, stop cleanly, restart
     on the same checkpoint with NO new commits: the first admission
@@ -132,6 +133,7 @@ def test_stream_rate_limit_clean_restart_no_duplicates(spark, tmp_path):
 
 
 @_posix_log
+@pytest.mark.slow
 def test_changes_stream_rate_limit_clean_restart(spark, tmp_path):
     """Same clean-restart shape through the CDF reader (it shares
     _RateLimit and had the same duplication path)."""
@@ -349,6 +351,7 @@ def test_sql_insert_ctas_loud_rejections(spark, tmp_path):
 # ----------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_ivf_index_retrain_recovers_drift_recall(spark, tmp_path):
     """Planted distribution shift: the index is built with centroids at
     0° and 90°, then a drifted cluster lands at 50° (assigned to the

@@ -767,6 +767,7 @@ def test_txn_table_vacuum(spark, tmp_path):
     assert len(os.listdir(os.path.join(str(tmp_path / "t"), "data"))) == 1
 
 
+@pytest.mark.slow
 def test_bfs_min_agg_mode_matches_pruned_mode(spark):
     """prune_visited=False (layered min-aggregation, single DAG) must
     return exactly the same (node, level) map as the pruned
@@ -1219,6 +1220,7 @@ def test_incremental_mv_sumsq_variance_matches_var_pop(spark, tmp_path):
 
 
 @_posix_log
+@pytest.mark.slow
 def test_txn_table_stream_source_tails_commits(spark, tmp_path):
     """The Python-data-source stream over a transactional table: initial
     drain covers all committed versions, a restart on the same checkpoint

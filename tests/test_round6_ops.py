@@ -31,6 +31,7 @@ def _rows(df):
 
 
 @_posix_log
+@pytest.mark.slow
 def test_append_record_payload_is_o_delta(spark, tmp_path):
     """The commit record of the Nth append must list ONLY that append's
     files — its payload does not grow with the table's file count (the
@@ -65,6 +66,7 @@ def test_append_record_payload_is_o_delta(spark, tmp_path):
 
 
 @_posix_log
+@pytest.mark.slow
 def test_checkpoint_written_and_used(spark, tmp_path):
     """Every CHECKPOINT_INTERVAL commits a full-state checkpoint lands;
     a FRESH handle resolving the latest snapshot reads checkpoint +

@@ -38,6 +38,7 @@ def _rows(df):
 
 
 @_posix_log
+@pytest.mark.slow
 def test_multipart_checkpoint_written_and_resolved(spark, tmp_path):
     """Above CHECKPOINT_PART_FILES the checkpoint splits into
     ``checkpoint-<N>.<k>-of-<K>.json`` parts; a fresh handle resolves
@@ -76,6 +77,7 @@ def test_multipart_checkpoint_written_and_resolved(spark, tmp_path):
 
 
 @_posix_log
+@pytest.mark.slow
 def test_multipart_checkpoint_part_size_bounded(spark, tmp_path):
     """Part COUNT scales with the file count while per-part payload
     stays bounded — the O(table-files)-per-object ceiling is gone
@@ -102,6 +104,7 @@ def test_multipart_checkpoint_part_size_bounded(spark, tmp_path):
 
 
 @_posix_log
+@pytest.mark.slow
 def test_incomplete_multipart_checkpoint_invisible(spark, tmp_path):
     """A part set missing one part (crashed checkpoint writer) is not a
     checkpoint: resolution falls back to the delta-record replay and
@@ -121,6 +124,7 @@ def test_incomplete_multipart_checkpoint_invisible(spark, tmp_path):
 
 
 @_posix_log
+@pytest.mark.slow
 def test_vacuum_multipart_checkpoint_roundtrip(spark, tmp_path):
     """vacuum()'s safety checkpoint may itself be multi-part: the kept
     tail resolves from it, and a later vacuum deletes superseded part
@@ -833,6 +837,7 @@ def test_read_matching_prunes_and_answers(spark, tmp_path):
 
 
 @_posix_log
+@pytest.mark.slow
 def test_round7_model_based_random_ops(spark, tmp_path):
     """Seeded random mix exercising the ROUND-7 surfaces together:
     string-predicate delete/replace (stats-pruned discovery inside the

@@ -464,6 +464,7 @@ def test_sink_enforces_schema_and_constraints(txn_format, tmp_path):
 
 
 @_posix_log
+@pytest.mark.slow
 def test_stream_schema_evolution_restart_contract(spark, tmp_path):
     """The table stream's declared schema is FIXED at stream start
     (Delta's own semantics): a mid-stream additive evolution does NOT
@@ -534,6 +535,7 @@ def test_stream_schema_evolution_restart_contract(spark, tmp_path):
 # ----------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_inmemory_backend_full_table_lifecycle(spark, tmp_path):
     """The WHOLE table-layer surface with the commit log living ONLY in
     an InMemoryBackend (the S3-conditional-put model): no manifest,
@@ -919,6 +921,7 @@ def test_stream_sink_appends_batches(txn_format, tmp_path):
 
 
 @_posix_log
+@pytest.mark.slow
 def test_stream_sink_restart_is_incremental(txn_format, tmp_path):
     """Restarting with the same checkpoint after new source commits
     lands ONLY the new rows (offsets + ledger agree); restarting with
@@ -1670,6 +1673,7 @@ def test_update_where_dv_no_match_is_noop_commit(spark, tmp_path):
 
 
 @_posix_log
+@pytest.mark.slow
 def test_round8_model_based_random_ops(txn_format, tmp_path):
     """Seeded random mix exercising the ROUND-8 extension surfaces
     together: CoW and MoR UPDATE (string predicates — pruned and

@@ -442,6 +442,7 @@ def test_execute_sql_update_delete_merge(spark, tmp_path):
 
 
 @_posix_log
+@pytest.mark.slow
 def test_cli_sql_statement(spark, tmp_path):
     """The CLI `sql` subcommand binds NAME=ROOT tables and executes the
     statement (scheduler-invocable, like the maintenance verbs). Runs
@@ -644,6 +645,7 @@ spark.stop()
 
 
 @_posix_log
+@pytest.mark.slow
 def test_multiprocess_commit_race(spark, tmp_path):
     """≥4 real OS processes (own JVMs, own Python, shared NOTHING but
     the table directory) fight over one table with mixed

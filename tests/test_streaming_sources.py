@@ -400,6 +400,7 @@ def test_enrich_with_dim_stream_equals_batch(spark, event_dir):
     assert _sorted_rows(got) == _sorted_rows(want)
 
 
+@pytest.mark.slow
 def test_purchase_view_attribution_outer_stream_equals_batch(spark, event_dir):
     """LEFT OUTER stream-stream join: unmatched purchases must appear with
     NULL view columns once the watermark passes — on a drained
